@@ -1,0 +1,79 @@
+package graft.sink
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.{Dataset, SaveMode}
+import org.apache.spark.sql.functions._
+
+import graft.tebis.{Datapoint, DatapointValue, TebisFile}
+
+/** One insert-request payload: all buffered points of one series
+  * (reference `{"externalId":…, "datapoints":[(ts,value)…]}`,
+  * csv_extractor.py:158). */
+case class SeriesPayload(externalId: String, datapoints: Seq[DatapointValue])
+
+/** Pluggable datapoints endpoint (the reference's CogniteClient stand-in).
+  * Implementations must be idempotent on (externalId, timestamp) — the
+  * pipeline is at-least-once (SURVEY §3 E2). */
+trait DatapointsClient extends Serializable {
+  def insertMultiple(batch: Seq[SeriesPayload]): Unit
+}
+
+/** Batched parallel sink (S15/S16, csv_extractor.py:22,137-146,162-196).
+  *
+  * Reference constants preserved as configuration: at most `BatchMax`
+  * (1000) series per insert request; parallelism comes from Spark tasks
+  * (the reference's thread fan-out, but distributed and retried by
+  * `spark.task.maxFailures`).
+  *
+  * Scale: `write(ds)` shuffles once on externalId so each series lands in
+  * exactly one task, then streams a SORTED iterator — memory is bounded by
+  * one series' buffered points, never the partition. No collect, no
+  * driver-side loops.
+  */
+object BatchedSink {
+  val BatchMax = 1000
+
+  /** Post one parsed file's payloads in <=1000-series batches, preserving
+    * the reference's flush-at-1000 grouping (grouped == flush-then-rest
+    * because the reference flushes exactly at 1000). Only series with >=1
+    * surviving datapoint become payloads (csv_extractor.py:157-160). */
+  def postFile(file: TebisFile, client: DatapointsClient, batchMax: Int = BatchMax): Unit = {
+    val payloads = file.columns.iterator
+      .filter(_.datapoints.nonEmpty)
+      .map(c => SeriesPayload(c.externalId, c.datapoints))
+    payloads.grouped(batchMax).foreach(client.insertMultiple(_))
+  }
+
+  /** Distributed datapoint sink: one shuffle on externalId, sorted
+    * streaming within each partition, <=batchMax series per request. */
+  def write(ds: Dataset[Datapoint], client: DatapointsClient, batchMax: Int = BatchMax): Unit = {
+    ds.repartition(col("externalId"))
+      .sortWithinPartitions("externalId", "timestampMs")
+      .foreachPartition { (it: Iterator[Datapoint]) =>
+        val batch = ArrayBuffer.empty[SeriesPayload]
+        var curId: String = null
+        var curPoints = ArrayBuffer.empty[DatapointValue]
+        def flushSeries(): Unit = if (curId != null && curPoints.nonEmpty) {
+          batch += SeriesPayload(curId, curPoints.toSeq)
+          curPoints = ArrayBuffer.empty[DatapointValue]
+          if (batch.length >= batchMax) { client.insertMultiple(batch.toSeq); batch.clear() }
+        }
+        it.foreach { dp =>
+          if (dp.externalId != curId) { flushSeries(); curId = dp.externalId }
+          curPoints += DatapointValue(dp.timestampMs, dp.value)
+        }
+        flushSeries()
+        if (batch.nonEmpty) client.insertMultiple(batch.toSeq)
+      }
+  }
+
+  /** Parquet datapoint sink for the lakehouse path: partitioned by UTC day
+    * so per-series time-range queries prune partitions, sorted within files
+    * by (externalId, timestampMs) for row-group skipping at 100 TB. */
+  def writeParquet(ds: Dataset[Datapoint], path: String): Unit =
+    ds.withColumn("day", to_date(timestamp_millis(col("timestampMs"))))
+      .repartition(col("day"))
+      .sortWithinPartitions("day", "externalId", "timestampMs")
+      .write.partitionBy("day").mode(SaveMode.Append).parquet(path)
+}

@@ -1,0 +1,73 @@
+package graft.streaming
+
+import java.nio.charset.Charset
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.Metrics
+import graft.sink.{BatchedSink, DatapointsClient}
+import graft.tebis.TebisCsv
+
+/** Live micro-batch mode (reference E2, csv_extractor.py:25-50,265-280),
+  * re-expressed as Structured Streaming over the binaryFile source.
+  *
+  * Reference constants → source/trigger configuration:
+  *  - poll every 8 s            → Trigger.ProcessingTime(8 s)
+  *  - 20 newest files per poll  → maxFilesPerTrigger=20 + latestFirst=true
+  *  - delete-as-commit          → checkpointed source offsets + cleanSource
+  *    (strictly stronger: exactly-once file accounting instead of the
+  *    reference's at-least-once delete-after-post, SURVEY §3 E2)
+  *  - 1 s mtime settle window   → no direct option; the checkpoint replays
+  *    any torn file on restart, and `maxFileAge` bounds backlog (gap
+  *    documented per SURVEY S2).
+  */
+object LiveStream {
+  case class Config(
+      inputDir: String,
+      checkpointDir: String,
+      maxFilesPerTrigger: Int = 20,
+      triggerMs: Long = 8000L,
+      latestFirst: Boolean = true,
+      cleanSource: String = "delete", // off | delete | archive
+      archiveDir: Option[String] = None,
+      batchMax: Int = BatchedSink.BatchMax)
+
+  /** Start the live pipeline: stream files → parse per-file in executors →
+    * post ≤1000-series batches via the client. Returns the running query. */
+  def start(
+      spark: SparkSession,
+      cfg: Config,
+      client: DatapointsClient,
+      metrics: Option[Metrics] = None): StreamingQuery = {
+    import spark.implicits._
+    val reader = spark.readStream.format("binaryFile")
+      .option("pathGlobFilter", "*.csv")
+      .option("maxFilesPerTrigger", cfg.maxFilesPerTrigger)
+      .option("latestFirst", cfg.latestFirst)
+      .option("cleanSource", cfg.cleanSource)
+    cfg.archiveDir.foreach(reader.option("sourceArchiveDir", _))
+    val files = reader.load(cfg.inputDir)
+      .select($"path", $"content").as[(String, Array[Byte])]
+      .map { case (p, bytes) =>
+        TebisCsv.parseContent(p, new String(bytes, Charset.forName(TebisCsv.Encoding)))
+      }
+
+    files.writeStream
+      .option("checkpointLocation", cfg.checkpointDir)
+      .trigger(Trigger.ProcessingTime(cfg.triggerMs))
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[graft.tebis.TebisFile], _: Long) =>
+        batch.foreach { file =>
+          if (file.error.isDefined) metrics.foreach(_.failedFiles.add(1))
+          else {
+            BatchedSink.postFile(file, client, cfg.batchMax)
+            metrics.foreach { m =>
+              m.processedFiles.add(1)
+              m.postedDatapoints.add(file.datapointCount)
+            }
+          }
+        }
+      }
+      .start()
+  }
+}

@@ -1,0 +1,251 @@
+package graft.tebis
+
+import java.nio.charset.Charset
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+/** One datapoint in long form: the engine's core record.
+  * Reference: tuple `(timestamp_ms, value)` keyed by externalId
+  * (/root/reference/csv-extractor/csv_extractor.py:92-104,158).
+  */
+case class Datapoint(externalId: String, timestampMs: Long, value: Double)
+
+/** `(timestampMs, value)` pair inside one series column. */
+case class DatapointValue(timestampMs: Long, value: Double)
+
+/** One parsed header cell: `external_id : name` split on the LAST colon,
+  * both sides trimmed (csv_extractor.py:148-149). A cell without a colon
+  * yields externalId "" (Python `rpartition` semantics).
+  */
+case class SeriesHeader(externalId: String, name: String)
+
+/** One value column of a TEBIS file after parsing: header split + the
+  * surviving datapoints of that column (empty/unparsable cells dropped,
+  * csv_extractor.py:96-102). `colIndex` is the first-occurrence position of
+  * this header among the value columns (used for first-wins catalog naming).
+  */
+case class SeriesColumn(
+    externalId: String,
+    name: String,
+    colIndex: Int,
+    datapoints: Seq[DatapointValue])
+
+/** Result of parsing one TEBIS CSV file. `error` is set when the whole file
+  * failed (non-integer timestamp, missing timestamp column with data
+  * present) — the reference dead-letters the entire file in that case
+  * (csv_extractor.py:103 uncaught, 206-219); partial datapoints are
+  * discarded, matching the reference (the raise aborts process_csv_file).
+  */
+case class TebisFile(
+    path: String,
+    columns: Seq[SeriesColumn],
+    error: Option[String]) {
+  def headers: Seq[SeriesHeader] =
+    columns.map(c => SeriesHeader(c.externalId, c.name))
+  def datapoints: Seq[Datapoint] =
+    columns.flatMap(c => c.datapoints.map(d => Datapoint(c.externalId, d.timestampMs, d.value)))
+  def datapointCount: Long = columns.map(_.datapoints.size.toLong).sum
+  /** Distinct series with >=1 surviving datapoint (csv_extractor.py:134,160,172). */
+  def seriesCount: Long =
+    columns.filter(_.datapoints.nonEmpty).map(_.externalId).distinct.size.toLong
+}
+
+/** TEBIS wide-CSV source.
+  *
+  * Format (reference README.md:11-20): latin-1, `;`-delimited, quote `"`.
+  * Physical row 1 = header (first cell EMPTY = timestamp column, then one
+  * `external_id : name` cell per series); row 2 = units, always discarded;
+  * rows 3..n = data, col 0 epoch SECONDS, value cells with comma decimal
+  * separator.
+  *
+  * Scale design: files are read through the `binaryFile` source — one task
+  * per file, so a 100 TB corpus of micro-batch-sized files parallelizes
+  * across the cluster with no driver-side parsing. Each file is
+  * materialized per-task (the reference does the same per-process,
+  * csv_extractor.py:115-123); TEBIS files are small micro-batches, so this
+  * bounds task memory. The driver only lists paths (Discovery).
+  */
+object TebisCsv {
+  val Delimiter: Char = ';'
+  val QuoteChar: Char = '"'
+  val Encoding: String = "ISO-8859-1"
+
+  /** Parse CSV content with Python `csv` default-dialect semantics at
+    * delimiter ';': quote char `"` only special at field start, doubled
+    * quote inside a quoted field is a literal quote, quoted sections may
+    * span newlines, `\r\n`/`\n`/`\r` all terminate records, a fully empty
+    * line yields NO record (DictReader skips blank rows).
+    */
+  def parseCsv(content: String): Vector[Vector[String]] = {
+    val rows = Vector.newBuilder[Vector[String]]
+    var fields = Vector.newBuilder[String]
+    val field = new StringBuilder
+    var nFields = 0
+    var fieldStarted = false // chars (or a quote) seen in current field
+    var inQuotes = false
+    var i = 0
+    val n = content.length
+    def endField(): Unit = {
+      fields += field.toString; field.clear(); nFields += 1; fieldStarted = false
+    }
+    def endRow(): Unit = {
+      // blank line => zero chars, zero completed fields => no record
+      if (nFields > 0 || fieldStarted || field.nonEmpty) {
+        endField()
+        rows += fields.result()
+      }
+      fields = Vector.newBuilder[String]; nFields = 0
+    }
+    while (i < n) {
+      val c = content.charAt(i)
+      if (inQuotes) {
+        if (c == QuoteChar) {
+          if (i + 1 < n && content.charAt(i + 1) == QuoteChar) {
+            field.append(QuoteChar); i += 1
+          } else inQuotes = false // trailing chars (if any) append literally
+        } else field.append(c)
+      } else c match {
+        case Delimiter => endField()
+        case '\n' => endRow()
+        case '\r' =>
+          endRow(); if (i + 1 < n && content.charAt(i + 1) == '\n') i += 1
+        case QuoteChar if !fieldStarted =>
+          inQuotes = true; fieldStarted = true
+        case other =>
+          field.append(other); fieldStarted = true
+      }
+      i += 1
+    }
+    if (inQuotes || nFields > 0 || fieldStarted || field.nonEmpty) endRow()
+    rows.result()
+  }
+
+  /** `cell.rpartition(":")` → (before-last-colon, after-last-colon), both
+    * stripped (csv_extractor.py:148-149). No colon → externalId "". */
+  def splitHeaderCell(cell: String): SeriesHeader = {
+    val idx = cell.lastIndexOf(':')
+    if (idx < 0) SeriesHeader("", cell.trim)
+    else SeriesHeader(cell.substring(0, idx).trim, cell.substring(idx + 1).trim)
+  }
+
+  // Python float() grammar: optional sign; inf/infinity/nan names
+  // (case-insensitive); digits with single underscores BETWEEN digits;
+  // optional fraction and exponent. Rejects Java-isms like "1d"/"0x1p3".
+  private val FloatNum =
+    """[+-]?(?:\d(?:_?\d)*(?:\.(?:\d(?:_?\d)*)?)?|\.\d(?:_?\d)*)(?:[eE][+-]?\d(?:_?\d)*)?""".r
+  private val FloatName = """(?i)([+-]?)(inf|infinity|nan)""".r
+  private val IntNum = """[+-]?\d(?:_?\d)*""".r
+
+  /** Python `float(s)` parity (csv_extractor.py:99): None on ValueError. */
+  def parsePythonFloat(raw: String): Option[Double] = {
+    val s = raw.trim
+    s match {
+      case FloatName(sign, name) =>
+        val v = if (name.equalsIgnoreCase("nan")) Double.NaN else Double.PositiveInfinity
+        Some(if (sign == "-") -v else v)
+      case _ if FloatNum.matches(s) => Some(s.replace("_", "").toDouble)
+      case _ => None
+    }
+  }
+
+  /** Python `int(s)` parity (csv_extractor.py:103): None on ValueError. */
+  def parsePythonInt(raw: String): Option[Long] = {
+    val s = raw.trim
+    if (IntNum.matches(s)) Some(s.replace("_", "").toLong) else None
+  }
+
+  private final class FileFailure(msg: String) extends Exception(msg)
+
+  /** Parse one file's content, mirroring get_parsed_file +
+    * process_csv_file + create_data_points (csv_extractor.py:92-160):
+    *  - row 1 = header; duplicate header names collapse per-row to the
+    *    LAST occurrence (csv.DictReader dict build); short rows fill None;
+    *    long rows drop extras.
+    *  - the "" header column holds timestamps; `[1:]` drops the unit row.
+    *  - value cell: empty/missing → dropped; float-parse failure → dropped;
+    *    success → paired with `int(timestamps[i]) * 1000`. A missing or
+    *    non-integer timestamp at a surviving value index fails the WHOLE
+    *    file (IndexError/ValueError/TypeError outside the try).
+    */
+  def parseContent(path: String, content: String): TebisFile = {
+    val rows = parseCsv(content)
+    if (rows.isEmpty) return TebisFile(path, Nil, None)
+    val header = rows.head
+    val dataRows = rows.tail
+    // DictReader column-major build: one value per UNIQUE header key per row.
+    val uniqueKeys = header.distinct
+    val lf = header.length
+    val columnsByKey: Map[String, Array[Option[String]]] =
+      uniqueKeys.iterator.map(k => k -> new Array[Option[String]](dataRows.length)).toMap
+    var r = 0
+    while (r < dataRows.length) {
+      val row = dataRows(r)
+      val lr = row.length
+      var i = 0
+      while (i < lf) { // later duplicate occurrence overwrites earlier
+        columnsByKey(header(i))(r) = if (i < lr) Some(row(i)) else None
+        i += 1
+      }
+      r += 1
+    }
+    // timestamps under the "" key; [1:] discards the unit row (line 130)
+    val timestamps: Array[Option[String]] =
+      columnsByKey.getOrElse("", Array.empty[Option[String]]).drop(1)
+    val valueKeys = uniqueKeys.filterNot(_ == "")
+    try {
+      val cols = valueKeys.zipWithIndex.map { case (colName, colIdx) =>
+        val hdr = splitHeaderCell(colName)
+        val cells = columnsByKey(colName).drop(1)
+        val dps = Vector.newBuilder[DatapointValue]
+        var i = 0
+        while (i < cells.length) {
+          cells(i) match {
+            case Some(v) if v.nonEmpty =>
+              parsePythonFloat(v.replace(',', '.')) match {
+                case Some(d) =>
+                  if (i >= timestamps.length)
+                    throw new FileFailure(s"IndexError: no timestamp at row $i (timestamp header cell not empty?)")
+                  val tsMs = timestamps(i) match {
+                    case None => throw new FileFailure(s"TypeError: missing timestamp cell at row $i")
+                    case Some(ts) => parsePythonInt(ts).getOrElse(
+                      throw new FileFailure(s"ValueError: invalid literal for int(): '$ts'")) * 1000L
+                  }
+                  dps += DatapointValue(tsMs, d)
+                case None => () // unparsable value cell: silently dropped
+              }
+            case _ => () // empty or missing cell: dropped
+          }
+          i += 1
+        }
+        SeriesColumn(hdr.externalId, hdr.name, colIdx, dps.result())
+      }
+      TebisFile(path, cols, None)
+    } catch {
+      case f: FileFailure => TebisFile(path, Nil, Some(f.getMessage))
+    }
+  }
+
+  /** Distributed read: one task per file via the binaryFile source. */
+  def files(spark: SparkSession, paths: Seq[String]): Dataset[TebisFile] = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.csv")
+      .load(paths: _*)
+      .select($"path", $"content").as[(String, Array[Byte])]
+      // Charset resolved per-task: java.nio.charset.Charset is not Serializable
+      .map { case (p, bytes) => parseContent(p, new String(bytes, Charset.forName(Encoding))) }
+  }
+
+  /** Long-form datapoints from successfully parsed files. */
+  def datapoints(spark: SparkSession, paths: Seq[String]): Dataset[Datapoint] = {
+    import spark.implicits._
+    files(spark, paths).filter(_.error.isEmpty).flatMap(_.datapoints)
+  }
+
+  /** All value-column headers (for catalog upsert), with provenance. */
+  def headers(spark: SparkSession, paths: Seq[String]): Dataset[(String, SeriesHeader, Int)] = {
+    import spark.implicits._
+    files(spark, paths).filter(_.error.isEmpty)
+      .flatMap(f => f.columns.map(c => (f.path, SeriesHeader(c.externalId, c.name), c.colIndex)))
+  }
+}
