@@ -1,0 +1,228 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.tebis.Datapoints
+
+/** Core relational surface (SURVEY §2a/§2b): scans, filter/projection,
+  * casts, joins (broadcast/shuffle/anti/semi), aggregates, distinct,
+  * window functions, sort/top-k, set ops, unpivot, rollup — each with a
+  * DuckDB oracle. Plans are declarative DataFrame chains: Catalyst pushes
+  * filters/projections to the parquet scan, AQE sizes shuffles, and small
+  * dimensions are broadcast explicitly.
+  */
+object CoreQueries {
+  import QueryDef._
+
+  val all: Seq[QueryDef] = Seq(
+
+    // S10/S11-style grouped aggregate over the fact table (TPC-H Q1 shape).
+    // One shuffle, map-side partial aggregation; group cardinality is tiny.
+    QueryDef("q01_pricing_summary",
+      (s, d) => t(s, d, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base"),
+          sum(revenueTerm(col("l_extendedprice"), col("l_discount"))).cast("double").as("sum_disc_price"),
+          davg(col("l_quantity")).as("avg_qty")),
+      Some(s"""SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+        ${dsumSql("l_quantity")} AS sum_qty,
+        ${dsumSql("l_extendedprice")} AS sum_base,
+        CAST(SUM(${revenueTermSql("l_extendedprice", "l_discount")}) AS DOUBLE) AS sum_disc_price,
+        ${davgSql("l_quantity")} AS avg_qty
+        FROM lineitem GROUP BY l_returnflag, l_linestatus""")),
+
+    // Predicate pushdown to the scan (TPC-H Q6 shape): filters reach
+    // PushedFilters, only 4 columns read.
+    QueryDef("q02_filter_revenue",
+      (s, d) => t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(
+          sum((col("l_extendedprice").cast(DecimalType(12, 2)) * col("l_discount").cast(DecimalType(4, 2))))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n_rows")),
+      Some("""SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+        count(*) AS n_rows FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""")),
+
+    // Top-k = TakeOrderedAndProject (no full sort materialization); full
+    // tie-break for determinism (S19/S20).
+    QueryDef("q03_topk_orders",
+      (s, d) => t(s, d, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"),
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+        FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""")),
+
+    // Broadcast join onto small dimensions: no shuffle of customer.
+    QueryDef("q04_region_rollup",
+      (s, d) => t(s, d, "customer")
+        .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(count(lit(1)).as("n_customers"), dsum(col("c_acctbal")).as("sum_acctbal")),
+      Some(s"""SELECT r_name, count(*) AS n_customers, ${dsumSql("c_acctbal")} AS sum_acctbal
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey GROUP BY r_name""")),
+
+    // Fact-fact shuffle join + distinct aggregate.
+    QueryDef("q05_priority_revenue",
+      (s, d) => t(s, d, "lineitem")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+          countDistinct(col("o_orderkey")).as("n_orders"),
+          sum(revenueTerm(col("l_extendedprice"), col("l_discount"))).cast("double").as("revenue")),
+      Some(s"""SELECT o_orderpriority, count(DISTINCT o_orderkey) AS n_orders,
+        CAST(SUM(${revenueTermSql("l_extendedprice", "l_discount")}) AS DOUBLE) AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY o_orderpriority""")),
+
+    // LEFT ANTI join — the reference's catalog-miss primitive (S12).
+    QueryDef("q06_customers_no_orders",
+      (s, d) => t(s, d, "customer")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_customers"), dsum(col("c_acctbal")).as("sum_acctbal")),
+      Some(s"""SELECT c_mktsegment, count(*) AS n_customers, ${dsumSql("c_acctbal")} AS sum_acctbal
+        FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        GROUP BY c_mktsegment""")),
+
+    // LEFT SEMI join (EXISTS).
+    QueryDef("q07_active_suppliers",
+      (s, d) => t(s, d, "supplier")
+        .join(
+          t(s, d, "lineitem").filter(col("l_shipdate") >= lit("1999-01-01").cast("timestamp")),
+          col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal"),
+      Some("""SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier
+        WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey
+        AND l_shipdate >= TIMESTAMP '1999-01-01')""")),
+
+    // Exact distinct counts per key (S11).
+    QueryDef("q08_supplier_distincts",
+      (s, d) => t(s, d, "lineitem")
+        .groupBy("l_suppkey")
+        .agg(
+          countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_orderkey")).as("n_orders"),
+          count(lit(1)).as("n_rows")),
+      Some("""SELECT l_suppkey, count(DISTINCT l_partkey) AS n_parts,
+        count(DISTINCT l_orderkey) AS n_orders, count(*) AS n_rows
+        FROM lineitem GROUP BY l_suppkey""")),
+
+    // Set operation: EXCEPT (distinct semantics in both engines).
+    QueryDef("q09_customer_only_nations",
+      (s, d) => t(s, d, "customer").select(col("c_nationkey").as("nationkey"))
+        .except(t(s, d, "supplier").select(col("s_nationkey").as("nationkey"))),
+      Some("""SELECT c_nationkey AS nationkey FROM customer
+        EXCEPT SELECT s_nationkey AS nationkey FROM supplier""")),
+
+    // Window: partitioned top-n via row_number (fully tie-broken).
+    QueryDef("q10_top3_per_supplier",
+      (s, d) => {
+        val w = Window.partitionBy("l_suppkey")
+          .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc)
+        t(s, d, "lineitem")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select("l_suppkey", "rn", "l_orderkey", "l_linenumber", "l_extendedprice")
+      },
+      Some("""SELECT l_suppkey, rn, l_orderkey, l_linenumber, l_extendedprice FROM (
+        SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+          row_number() OVER (PARTITION BY l_suppkey ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+        FROM lineitem) WHERE rn <= 3""")),
+
+    // Window: running totals (exact decimal running sum) + sequence.
+    QueryDef("q11_running_spend",
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        t(s, d, "orders").select(
+          col("o_custkey"), col("o_orderkey"),
+          row_number().over(w).as("order_seq"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2)))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("double").as("running_spend"))
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+        row_number() OVER w AS order_seq,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+        FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""")),
+
+    // Window: lag + date arithmetic.
+    QueryDef("q12_order_gaps",
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        t(s, d, "orders").select(
+          col("o_custkey"), col("o_orderkey"),
+          datediff(col("o_orderdate"), lag(col("o_orderdate"), 1).over(w)).as("days_since_prev"))
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+        CAST(date_diff('day', lag(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), o_orderdate) AS INT) AS days_since_prev
+        FROM orders""")),
+
+    // TEBIS S4 header-split semantics (rpartition on last colon) as
+    // codegen'd string expressions, exercised on constructed headers.
+    QueryDef("q13_header_split",
+      (s, d) => t(s, d, "part")
+        .select(col("p_partkey"), concat(col("p_brand"), lit(" : "), col("p_type")).as("hdr"))
+        .select(
+          col("p_partkey"),
+          Datapoints.externalIdExpr(col("hdr")).as("externalId"),
+          Datapoints.seriesNameExpr(col("hdr")).as("seriesName")),
+      Some("""SELECT p_partkey,
+        trim(regexp_extract(p_brand || ' : ' || p_type, '^(.*):[^:]*$', 1)) AS externalId,
+        trim(regexp_extract(p_brand || ' : ' || p_type, '([^:]*)$', 1)) AS seriesName
+        FROM part""")),
+
+    // TEBIS S6/S7 locale cast round-trip: comma-decimal strings -> double,
+    // with unparsable cells dropped (try_cast + filter).
+    QueryDef("q14_locale_cast",
+      (s, d) => t(s, d, "orders")
+        .select(
+          col("o_orderkey"),
+          regexp_replace(col("o_totalprice").cast(DecimalType(18, 2)).cast("string"), "\\.", ",").as("raw"))
+        .select(col("o_orderkey"), Datapoints.valueExpr(col("raw")).as("value"))
+        .filter(col("value").isNotNull),
+      Some("""SELECT o_orderkey,
+        CAST(REPLACE(REPLACE(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), '.', ','), ',', '.') AS DOUBLE) AS value
+        FROM orders""")),
+
+    // TEBIS S8 epoch millis.
+    QueryDef("q15_epoch_ms",
+      (s, d) => t(s, d, "orders")
+        // parquet timestamps read as TIMESTAMP_NTZ; session TZ is UTC so the
+        // cast pins the same instant the oracle's naive epoch_ms computes
+        .select(col("o_orderkey"), unix_millis(col("o_orderdate").cast("timestamp")).as("ts_ms")),
+      Some("SELECT o_orderkey, epoch_ms(o_orderdate) AS ts_ms FROM orders")),
+
+    // S9 unpivot (wide->long melt) over the fact table: single Expand,
+    // no shuffle.
+    QueryDef("q16_unpivot_measures",
+      (s, d) => t(s, d, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax")),
+          "metric", "value"),
+      Some("""SELECT l_orderkey, l_linenumber, metric, value FROM (
+        SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax FROM lineitem)
+        UNPIVOT (value FOR metric IN (l_quantity, l_extendedprice, l_discount, l_tax))""")),
+
+    // Multi-level aggregate: ROLLUP with exact sums.
+    QueryDef("q17_rollup_flags",
+      (s, d) => t(s, d, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n_rows"), dsum(col("l_quantity")).as("sum_qty")),
+      Some(s"""SELECT l_returnflag, l_linestatus, count(*) AS n_rows, ${dsumSql("l_quantity")} AS sum_qty
+        FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"""))
+  )
+}

@@ -1,0 +1,46 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** One engine query: the Spark plan builder plus (when SQL-expressible)
+  * the equivalent DuckDB oracle SQL over the same parquet tables. Column
+  * names MUST match between both — the driver sorts columns by name and
+  * hashes values. */
+case class QueryDef(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+object QueryDef {
+  /** Read one testdata table. Plain parquet scan: filters/projections above
+    * it push down (verified via explain in BenchSpec). */
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Order-independent exact aggregate: double column → decimal sum →
+    * double. A plain double SUM is accumulation-order-dependent, so Spark
+    * and DuckDB would differ in the last bits (and across partitionings);
+    * the decimal path is exact, hence deterministic and portable. */
+  def dsum(c: Column, prec: Int = 18, scale: Int = 2): Column =
+    sum(c.cast(DecimalType(prec, scale))).cast("double")
+
+  /** SQL twin of dsum. */
+  def dsumSql(expr: String, prec: Int = 18, scale: Int = 2): String =
+    s"CAST(SUM(CAST($expr AS DECIMAL($prec,$scale))) AS DOUBLE)"
+
+  /** Exact mean: decimal sum / count, evaluated in double at the end. */
+  def davg(c: Column, prec: Int = 18, scale: Int = 2): Column =
+    sum(c.cast(DecimalType(prec, scale))).cast("double") / count(c)
+
+  def davgSql(expr: String, prec: Int = 18, scale: Int = 2): String =
+    s"(CAST(SUM(CAST($expr AS DECIMAL($prec,$scale))) AS DOUBLE) / COUNT($expr))"
+
+  /** TPC-H style revenue term, exact: price*(1-discount) in decimals. */
+  def revenueTerm(price: Column, discount: Column): Column =
+    price.cast(DecimalType(12, 2)) * (lit(BigDecimal(1)).cast(DecimalType(3, 2)) - discount.cast(DecimalType(4, 2)))
+
+  def revenueTermSql(price: String, discount: String): String =
+    s"CAST($price AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST($discount AS DECIMAL(4,2)))"
+}
