@@ -9,7 +9,8 @@ import graft.queries._
   * a DuckDB oracle unless genuinely non-SQL-expressible. */
 object SparkEntry {
 
-  def modules: Seq[QueryDef] = CoreQueries.all
+  def modules: Seq[QueryDef] =
+    CoreQueries.all ++ graft.ops.EventOps.queries ++ graft.ops.TextStats.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,137 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.queries.QueryDef
+import graft.queries.QueryDef._
+
+/** Event-time analytics over the `events` table (★ SURVEY §2c): JSON
+  * extraction, tumbling/sliding windows, sessionization, as-of join.
+  *
+  * Time base: the testdata stores nanosecond parquet timestamps, which
+  * Spark 4 only reads via `spark.sql.legacy.parquet.nanosAsLong` — so
+  * `ts` is epoch NANOS as long here, and all window math is integer
+  * arithmetic on `t_us`/`t_sec` (exactly what the oracle's `epoch_us`
+  * computes; both floor). Integer window math beats `window()` structs for
+  * oracle portability and keeps everything in whole-stage codegen.
+  *
+  * Scale: every op here is one shuffle (groupBy/window on user_id or
+  * window-start); no self-joins. The as-of join is the union trick —
+  * O(n log n) sort within user partitions instead of a per-row probe.
+  */
+object EventOps {
+
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(spark, dir, "events")
+  }
+
+  /** Tumbling-window aggregate: ws = floor(t_sec / width) * width. */
+  def tumbling(ev: DataFrame, widthSec: Long): DataFrame =
+    ev.withColumn("ws", expr(s"((ts DIV 1000000000) DIV $widthSec) * $widthSec"))
+      .groupBy("ws", "event_type")
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+
+  /** Sliding windows of `widthSec` every `slideSec`: each event lands in
+    * width/slide windows via a sequence explode (no shuffle before the
+    * final aggregate). */
+  def sliding(ev: DataFrame, widthSec: Long, slideSec: Long): DataFrame = {
+    val k = (widthSec / slideSec).toInt
+    ev.withColumn("t_sec", expr("ts DIV 1000000000"))
+      .withColumn("k", explode(sequence(lit(0), lit(k - 1))))
+      .withColumn("ws", expr(s"(((t_sec - k * $slideSec) DIV $widthSec) * $widthSec) + k * $slideSec"))
+      .groupBy("ws")
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+  }
+
+  /** Session windows per user with gap > `gapSec`: lag + cumulative flag
+    * sum — the classic two-window sessionization, one shuffle on user_id.
+    * Gap math at microsecond granularity to match the oracle exactly. */
+  def sessionize(ev: DataFrame, gapSec: Long): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("t_us").asc, col("event_id").asc)
+    ev.withColumn("t_us", expr("ts DIV 1000"))
+      .withColumn("prev_us", lag("t_us", 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull || col("t_us") - col("prev_us") > gapSec * 1000000L, 1L).otherwise(0L))
+      .withColumn("sess_seq",
+        sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "sess_seq")
+      .agg(
+        min(expr("t_us DIV 1000000")).as("session_start"),
+        max(expr("t_us DIV 1000000")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        dsum(col("value")).as("sum_value"))
+  }
+
+  /** As-of join: for each `leftType` event, the most recent STRICTLY
+    * earlier `rightType` event of the same user (ties on time broken by
+    * max event_id). Implemented as union + last(ignoreNulls) over a
+    * (t_us asc, left-first-at-ties, event_id asc) ordering — left rows
+    * sort before right rows at equal t_us, which is exactly what makes
+    * the match strict. Scales as one shuffle + sort per user partition;
+    * no n² probe. */
+  def asofJoin(ev: DataFrame, leftType: String, rightType: String): DataFrame = {
+    val tagged = ev
+      .filter(col("event_type").isin(leftType, rightType))
+      .withColumn("t_us", expr("ts DIV 1000"))
+      .withColumn("is_left", (col("event_type") === lit(leftType)).cast("int"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("t_us").asc, col("is_left").desc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("right_t_us", last(when(col("is_left") === 0, col("t_us")), ignoreNulls = true).over(w))
+      .withColumn("right_event_id", last(when(col("is_left") === 0, col("event_id")), ignoreNulls = true).over(w))
+      .filter(col("is_left") === 1)
+      .select(
+        col("event_id").as("left_event_id"), col("user_id"),
+        col("t_us").as("left_t_us"), col("right_t_us"), col("right_event_id"))
+  }
+
+  val queries: Seq[QueryDef] = Seq(
+    QueryDef("q18_events_json",
+      (s, d) => events(s, d)
+        .select(col("event_type"), get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n")),
+      Some("""SELECT event_type, SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        count(*) AS n FROM events GROUP BY event_type""")),
+
+    QueryDef("q19_tumbling_1h",
+      (s, d) => tumbling(events(s, d), 3600L),
+      Some(s"""SELECT ((epoch_us(ts) // 1000000 // 3600) * 3600) AS ws, event_type,
+        count(*) AS n, ${dsumSql("value")} AS sum_value
+        FROM events GROUP BY 1, 2""")),
+
+    QueryDef("q20_sliding_1h_15m",
+      (s, d) => sliding(events(s, d), 3600L, 900L),
+      Some(s"""SELECT ((((epoch_us(ts) // 1000000) - k * 900) // 3600) * 3600) + k * 900 AS ws,
+        count(*) AS n, ${dsumSql("value")} AS sum_value
+        FROM events, range(0, 4) t(k) GROUP BY 1""")),
+
+    QueryDef("q21_sessionize_30m",
+      (s, d) => sessionize(events(s, d), 1800L),
+      Some(s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t_us, value FROM events),
+        f AS (SELECT *, CASE WHEN lag(t_us) OVER w IS NULL OR t_us - lag(t_us) OVER w > 1800000000
+                THEN 1 ELSE 0 END AS new_sess
+              FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id)),
+        g AS (SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY t_us, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_seq FROM f)
+        SELECT user_id, CAST(sess_seq AS BIGINT) AS sess_seq,
+          MIN(t_us // 1000000) AS session_start, MAX(t_us // 1000000) AS session_end,
+          count(*) AS n_events, ${dsumSql("value")} AS sum_value
+        FROM g GROUP BY user_id, sess_seq""")),
+
+    QueryDef("q22_asof_purchase_click",
+      (s, d) => asofJoin(events(s, d), "purchase", "click"),
+      Some("""SELECT p.event_id AS left_event_id, p.user_id, epoch_us(p.ts) AS left_t_us,
+          l.right_t_us, l.right_event_id
+        FROM events p LEFT JOIN LATERAL (
+          SELECT c.event_id AS right_event_id, epoch_us(c.ts) AS right_t_us
+          FROM events c
+          WHERE c.event_type = 'click' AND c.user_id = p.user_id AND epoch_us(c.ts) < epoch_us(p.ts)
+          ORDER BY epoch_us(c.ts) DESC, c.event_id DESC LIMIT 1) l ON true
+        WHERE p.event_type = 'purchase'"""))
+  )
+}

@@ -1,0 +1,171 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.queries.QueryDef
+import graft.queries.QueryDef._
+
+/** Text analysis over `documents` (★ SURVEY §2c): token stats, quality
+  * scoring, heuristic language ID, BPE-ish token counting, document
+  * fingerprinting. All per-row scalar pipelines — fully codegen'd, no
+  * UDFs, no shuffle except final aggregates; embarrassingly parallel at
+  * 100 TB. Derived doubles come from exact integer counts, so results are
+  * bit-identical across engines. */
+object TextStats {
+
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Per-doc token statistics. */
+  def stats(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"), col("lang"),
+      size(tokens(col("text"))).cast("long").as("n_tokens"),
+      size(array_distinct(tokens(col("text")))).cast("long").as("n_distinct"),
+      length(col("text")).cast("long").as("len_chars"),
+      expr("aggregate(transform(split(text, ' '), w -> CAST(length(w) AS BIGINT)), 0L, (a, x) -> a + x)")
+        .as("sum_token_len"))
+      .withColumn("avg_token_len", col("sum_token_len").cast("double") / col("n_tokens"))
+      .withColumn("distinct_ratio", col("n_distinct").cast("double") / col("n_tokens"))
+
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to")
+
+  private def inSet(v: String, set: Seq[String]): String =
+    set.map(w => s"$v = '$w'").mkString("(", " OR ", ")")
+
+  /** Quality score in [0,1]: length term + vocabulary-diversity term +
+    * stopword-presence term, all from exact integer counts. */
+  def quality(docs: DataFrame): DataFrame = {
+    val stopCnt =
+      s"CAST(size(filter(split(text, ' '), w -> ${inSet("w", Stopwords)})) AS BIGINT)"
+    docs.select(
+      col("doc_id"), col("lang"),
+      size(tokens(col("text"))).cast("long").as("n_tokens"),
+      size(array_distinct(tokens(col("text")))).cast("long").as("n_distinct"),
+      expr(stopCnt).as("n_stop"))
+      .withColumn("score",
+        (least(col("n_tokens"), lit(100L)).cast("double") / 100.0) * 0.5 +
+          (col("n_distinct").cast("double") / col("n_tokens")) * 0.3 +
+          (least(col("n_stop"), lit(10L)).cast("double") / 10.0) * 0.2)
+      .withColumn("bucket", floor(col("score") * 10).cast("long"))
+  }
+
+  /** Marker-word profiles for the heuristic language classifier. The
+    * classifier shape (per-language marker hit counts + argmax with a
+    * deterministic priority order) is the standard n-gram-profile
+    * heuristic; profiles here are fit to the synthetic corpus vocab. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("table", "scan", "batch"),
+    "en" -> Seq("the", "a", "fast"),
+    "es" -> Seq("spark", "row", "query"),
+    "fr" -> Seq("merge", "sort", "window"),
+    "zh" -> Seq("data", "join", "filter"))
+
+  /** Heuristic language ID: marker-hit counts per language, argmax in
+    * fixed profile order. Output includes the confusion pair (lang,
+    * lang_guess) for downstream eval. */
+  def langId(docs: DataFrame): DataFrame = {
+    val scored = LangMarkers.foldLeft(docs.select(col("doc_id"), col("lang"), col("text"))) {
+      case (df, (lng, markers)) =>
+        df.withColumn(s"s_$lng",
+          expr(s"CAST(size(filter(split(text, ' '), w -> ${inSet("w", markers)})) AS BIGINT)"))
+    }
+    val langs = LangMarkers.map(_._1)
+    val guess = langs.zipWithIndex.foldRight(lit(langs.last): Column) { case ((lng, _), els) =>
+      val geAll = langs.filterNot(_ == lng)
+        .map(o => col(s"s_$lng") >= col(s"s_$o")).reduce(_ && _)
+      when(geAll, lit(lng)).otherwise(els)
+    }
+    scored.withColumn("lang_guess", guess).drop("text")
+  }
+
+  /** SQL twin of langId (DuckDB). */
+  def langIdSql: String = {
+    val scores = LangMarkers.map { case (lng, markers) =>
+      s"CAST(len(list_filter(string_split(text, ' '), w -> ${inSet("w", markers)})) AS BIGINT) AS s_$lng"
+    }.mkString(", ")
+    val langs = LangMarkers.map(_._1)
+    val cases = langs.map { lng =>
+      val cond = langs.filterNot(_ == lng).map(o => s"s_$lng >= s_$o").mkString(" AND ")
+      s"WHEN $cond THEN '$lng'"
+    }.mkString(" ")
+    s"""SELECT doc_id, lang, ${langs.map(l => s"s_$l").mkString(", ")},
+      CASE $cases ELSE '${langs.last}' END AS lang_guess
+      FROM (SELECT doc_id, lang, $scores FROM documents)"""
+  }
+
+  /** BPE-ish tokenizer: count of `[a-z]+|[0-9]+|[^a-z0-9 ]` matches. */
+  val BpePattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+  def bpeTokenCount(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(BpePattern), lit(0))).cast("long").as("n_bpe"))
+
+  /** Canonical fingerprint: md5 of whitespace-collapsed lowercased text. */
+  def fingerprintMd5(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))).as("fp"))
+
+  /** Polynomial rolling-hash fingerprint over characters, mod 1e9+7 —
+    * exact integer fold, identical in any engine. */
+  def fingerprintRolling(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      expr("""aggregate(
+          transform(sequence(1, length(text)), i -> CAST(ascii(substr(text, i, 1)) AS BIGINT)),
+          0L, (a, x) -> (a * 31 + x) % 1000000007)""").as("fp"))
+
+  val queries: Seq[QueryDef] = Seq(
+    QueryDef("q30_text_stats",
+      (s, d) => stats(t(s, d, "documents")),
+      Some("""SELECT doc_id, lang,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+        CAST(length(text) AS BIGINT) AS len_chars,
+        CAST(list_sum(list_transform(string_split(text, ' '), w -> length(w))) AS BIGINT) AS sum_token_len,
+        CAST(CAST(list_sum(list_transform(string_split(text, ' '), w -> length(w))) AS BIGINT) AS DOUBLE)
+          / CAST(len(string_split(text, ' ')) AS BIGINT) AS avg_token_len,
+        CAST(CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS DOUBLE)
+          / CAST(len(string_split(text, ' ')) AS BIGINT) AS distinct_ratio
+        FROM documents""")),
+
+    QueryDef("q31_quality_score",
+      (s, d) => quality(t(s, d, "documents")),
+      Some(s"""WITH base AS (SELECT doc_id, lang,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+          CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+          CAST(len(list_filter(string_split(text, ' '), w -> ${TextStats.inSetSqlStops})) AS BIGINT) AS n_stop
+        FROM documents)
+        SELECT doc_id, lang, n_tokens, n_distinct, n_stop,
+          (CAST(LEAST(n_tokens, 100) AS DOUBLE) / 100.0) * 0.5
+            + (CAST(n_distinct AS DOUBLE) / n_tokens) * 0.3
+            + (CAST(LEAST(n_stop, 10) AS DOUBLE) / 10.0) * 0.2 AS score,
+          CAST(floor(((CAST(LEAST(n_tokens, 100) AS DOUBLE) / 100.0) * 0.5
+            + (CAST(n_distinct AS DOUBLE) / n_tokens) * 0.3
+            + (CAST(LEAST(n_stop, 10) AS DOUBLE) / 10.0) * 0.2) * 10) AS BIGINT) AS bucket
+        FROM base""")),
+
+    QueryDef("q32_langid",
+      (s, d) => langId(t(s, d, "documents")),
+      Some(langIdSql)),
+
+    QueryDef("q33_token_bpe",
+      (s, d) => bpeTokenCount(t(s, d, "documents")),
+      Some(s"""SELECT doc_id, CAST(len(regexp_extract_all(text, '${BpePattern.replace("\\", "\\\\")}')) AS BIGINT) AS n_bpe
+        FROM documents""")),
+
+    QueryDef("q34_fingerprint_md5",
+      (s, d) => fingerprintMd5(t(s, d, "documents")),
+      Some("""SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+        FROM documents""")),
+
+    QueryDef("q35_fingerprint_rolling",
+      (s, d) => fingerprintRolling(t(s, d, "documents")),
+      Some("""SELECT doc_id,
+        list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(range(1, length(text) + 1), i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
+          (a, x) -> (a * 31 + x) % 1000000007) AS fp
+        FROM documents"""))
+  )
+
+  private def inSetSqlStops: String = inSet("w", Stopwords)
+}
