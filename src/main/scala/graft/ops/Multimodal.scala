@@ -1,0 +1,101 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.queries.QueryDef
+import graft.queries.QueryDef._
+
+/** One media asset: opaque binary payload + typed metadata. In a real
+  * deployment `media` holds image/audio/video bytes; here it carries the
+  * document's UTF-8 bytes so the plumbing is end-to-end testable. */
+case class MediaRecord(doc_id: Long, media: Array[Byte], format: String, width: Int, height: Int)
+
+/** Features extracted from one media asset by the (stubbed) decoder. */
+case class MediaFeatures(doc_id: Long, byte_len: Long, checksum: Long, histogram: Seq[Long])
+
+/** Multimodal columns (★ SURVEY §2c): binary payloads with typed
+  * metadata, decoded/feature-extracted in batch over `mapPartitions` —
+  * the Scala analog of a Pandas-UDF/`mapInPandas` stage: typed rows in,
+  * typed rows out, executed per-partition so a real decoder could reuse
+  * per-task native resources (codec contexts etc.).
+  *
+  * The DECODE step is a STUB: the image/audio codecs are not in this
+  * environment, so `decodeStub` computes deterministic fake features
+  * (byte histogram + position-weighted checksum) from the raw bytes. The
+  * Spark-side plumbing — schema, encoders, partitioning, batch shape — is
+  * real and oracle-tested. */
+object Multimodal {
+
+  /** Attach a binary media column + metadata to documents. */
+  def attachMedia(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      encode(col("text"), "UTF-8").as("media"),
+      lit("text/plain").as("format"),
+      (col("n_chars") % 640).cast("int").as("width"),
+      (col("n_chars") % 480).cast("int").as("height"))
+
+  val HistogramBuckets = 16
+
+  /** STUB for the real decoder (`???` equivalent): deterministic features
+    * from raw bytes. Replace with an actual codec call in production. */
+  def decodeStub(r: MediaRecord): MediaFeatures = {
+    val hist = new Array[Long](HistogramBuckets)
+    var checksum = 0L
+    var i = 0
+    while (i < r.media.length) {
+      val b = r.media(i) & 0xff
+      hist(b >> 4) += 1
+      checksum += b.toLong * ((i % 31) + 1)
+      i += 1
+    }
+    MediaFeatures(r.doc_id, r.media.length.toLong, checksum, hist.toSeq)
+  }
+
+  /** Batch feature extraction: per-partition iteration, typed in/out. */
+  def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(decodeStub))
+  }
+
+  /** Full pipeline on documents, histogram exploded to rows so results
+    * stay flat for the oracle. */
+  def mediaPipeline(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = attachMedia(t(spark, dir, "documents")).as[MediaRecord]
+    extractFeatures(media).toDF()
+      .select(col("doc_id"), col("byte_len"), col("checksum"),
+        posexplode(col("histogram")).as(Seq("bucket", "cnt")))
+      .withColumn("bucket", col("bucket").cast("long"))
+  }
+
+  val queries: Seq[QueryDef] = Seq(
+    // Multimodal join: text metadata + embedding-derived columns together.
+    QueryDef("q50_multimodal_join",
+      (s, d) => t(s, d, "documents")
+        .join(t(s, d, "embeddings"), col("doc_id") === col("vec_id"))
+        .select(
+          col("doc_id"), col("lang"), col("n_chars"), col("label"),
+          length(col("text")).cast("long").as("text_len"),
+          sha2(col("text"), 256).as("text_sha"),
+          expr(s"aggregate(${Similarity.quantExpr}, 0L, (a, x) -> a + x * x)").as("q_norm")),
+      Some(s"""SELECT d.doc_id, d.lang, d.n_chars, e.label,
+          CAST(length(d.text) AS BIGINT) AS text_len,
+          sha256(d.text) AS text_sha,
+          CAST(list_sum(list_transform(${Similarity.quantSql}, x -> x * x)) AS BIGINT) AS q_norm
+        FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id""")),
+
+    // Binary decode pipeline through typed mapPartitions; oracle recomputes
+    // the stub features from the (ASCII) text characters.
+    QueryDef("q51_media_features",
+      (s, d) => mediaPipeline(s, d),
+      Some(s"""SELECT doc_id, CAST(length(text) AS BIGINT) AS byte_len,
+          CAST(list_sum(list_transform(range(1, length(text) + 1),
+            i -> ascii(substr(text, i, 1)) * (((i - 1) % 31) + 1))) AS BIGINT) AS checksum,
+          bucket,
+          CAST(len(list_filter(range(1, length(text) + 1),
+            i -> ascii(substr(text, i, 1)) // 16 = bucket)) AS BIGINT) AS cnt
+        FROM documents, range(0, ${HistogramBuckets}) t(bucket)"""))
+  )
+}

@@ -1,0 +1,103 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops._
+
+/** Semantic specs for the extension operators at sf0.001 — properties the
+  * oracle compare can't express (idempotence, recall, invariants). */
+class OpsSpec extends AnyFunSuite {
+  lazy val spark = SparkSpec.spark
+  val dir = "/root/testdata/sf0.001"
+
+  def docs = graft.queries.QueryDef.t(spark, dir, "documents")
+
+  test("dedup exact: fingerprint groups partition the corpus") {
+    val d = Dedup.exact(docs).collect()
+    assert(d.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    assert(d.map(_.getAs[String]("fp")).distinct.length == d.length)
+  }
+
+  test("minhash LSH pairs == exact ngram-jaccard pairs (full recall at 0.8)") {
+    val exact = Dedup.ngramJaccardPairs(docs, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLshPairs(docs, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == exact)
+    assert(exact.nonEmpty) // the corpus has planted near-dups
+  }
+
+  test("ngram jaccard: symmetric threshold, jaccard in (0,1]") {
+    val rows = Dedup.ngramJaccardPairs(docs, 0.8).collect()
+    assert(rows.forall(r => r.getDouble(2) >= 0.8 && r.getDouble(2) <= 1.0))
+    assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
+  }
+
+  test("simhash: near-dup pairs collide, fingerprints are 32-bit strings") {
+    val fp = Dedup.simhash(docs).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fp.values.forall(s => s.length == 32 && s.forall(c => c == '0' || c == '1')))
+    val nearDups = Dedup.ngramJaccardPairs(docs, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // >=0.9-jaccard docs should agree on most simhash bits (random pairs
+    // expect hamming ~16 of 32)
+    nearDups.foreach { case (a, b) =>
+      val hamming = fp(a).zip(fp(b)).count { case (x, y) => x != y }
+      assert(hamming <= 8, s"pair ($a,$b) hamming=$hamming")
+    }
+  }
+
+  test("knn brute: k rows per vector, sim descending, self excluded") {
+    val rows = Similarity.knnBrute(spark, dir, 5).collect()
+    val byVec = rows.groupBy(_.getLong(0))
+    assert(byVec.forall(_._2.length == 5))
+    byVec.values.foreach { rs =>
+      val sorted = rs.sortBy(_.getInt(1))
+      assert(sorted.sliding(2).forall {
+        case Array(x, y) => x.getDouble(3) >= y.getDouble(3); case _ => true
+      })
+      assert(rs.forall(r => r.getLong(2) != r.getLong(0)))
+    }
+  }
+
+  test("knn LSH: subset of brute-force candidates, same-bucket only") {
+    val brute = Similarity.knnBrute(spark, dir, 500).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3))).toSet
+    val lsh = Similarity.knnLsh(spark, dir, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    assert(lsh.nonEmpty)
+    // every LSH (vec, neighbor, sim) must appear among all-pairs sims
+    assert(lsh.forall(brute.contains))
+  }
+
+  test("sessionize: per-user event counts are preserved") {
+    val ev = EventOps.events(spark, dir)
+    val sessions = EventOps.sessionize(ev, 1800L)
+    val perUserSess = sessions.groupBy("user_id").sum("n_events")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val perUser = ev.groupBy("user_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perUserSess == perUser)
+  }
+
+  test("asof join: matched click is strictly earlier, same user") {
+    val ev = EventOps.events(spark, dir)
+    val m = EventOps.asofJoin(ev, "purchase", "click").collect()
+    assert(m.nonEmpty)
+    m.filter(!_.isNullAt(3)).foreach { r =>
+      assert(r.getLong(3) < r.getLong(2)) // right_t_us < left_t_us
+    }
+  }
+
+  test("media features: histogram sums to byte_len") {
+    val feats = Multimodal.mediaPipeline(spark, dir)
+    val agg = feats.groupBy("doc_id", "byte_len").sum("cnt").collect()
+    assert(agg.forall(r => r.getLong(1) == r.getLong(2)))
+  }
+
+  test("quality score bounded in [0,1]") {
+    val q = TextStats.quality(docs).collect()
+    assert(q.forall { r =>
+      val s = r.getAs[Double]("score"); s >= 0.0 && s <= 1.0
+    })
+  }
+}
