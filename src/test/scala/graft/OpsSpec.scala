@@ -36,7 +36,8 @@ class OpsSpec extends AnyFunSuite {
   test("simhash: near-dup pairs collide, fingerprints are 32-bit strings") {
     val fp = Dedup.simhash(docs).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(fp.values.forall(s => s.length == 32 && s.forall(c => c == '0' || c == '1')))
-    val nearDups = Dedup.ngramJaccardPairs(docs, 0.9)
+    val nearDups = Dedup.ngramJaccardPairs(docs, 0.8)
+      .filter(org.apache.spark.sql.functions.col("jaccard") >= 0.9)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     // >=0.9-jaccard docs should agree on most simhash bits (random pairs
     // expect hamming ~16 of 32)
