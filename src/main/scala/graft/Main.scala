@@ -1,0 +1,140 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.sink.{BatchedSink, DatapointsClient, SeriesPayload}
+import graft.streaming.LiveStream
+import graft.tebis._
+
+/** Engine entry point (reference S22 CLI surface, main.py:24-53).
+  *
+  * Flags mirror the reference: `--input DIR` (required), `--live` or
+  * `--historical` (default), `--from-time`/`--until-time` (exclusive
+  * filename-epoch bounds, 0 = unset), `--move-failed`, `--keep-finished`.
+  * Engine-specific: `--output DIR` (day-partitioned datapoints parquet —
+  * the standalone stand-in for the reference's CDF datapoints API),
+  * `--catalog PATH` (time-series catalog parquet, lazily upserted like
+  * the reference's CDF catalog), `--checkpoint DIR` (live mode). */
+object Main {
+  case class Config(
+      input: String = "",
+      live: Boolean = false,
+      fromTime: Option[Long] = None,
+      untilTime: Option[Long] = None,
+      moveFailed: Boolean = false,
+      keepFinished: Boolean = false,
+      output: Option[String] = None,
+      catalog: Option[String] = None,
+      checkpoint: String = "/tmp/graft-checkpoint")
+
+  def parseArgs(args: Array[String]): Config = {
+    def loop(cfg: Config, rest: List[String]): Config = rest match {
+      case Nil => cfg
+      case "--input" :: v :: t => loop(cfg.copy(input = v), t)
+      case "--live" :: t => loop(cfg.copy(live = true), t)
+      case "--historical" :: t => loop(cfg.copy(live = false), t)
+      case "--from-time" :: v :: t => loop(cfg.copy(fromTime = Some(v.toLong)), t)
+      case "--until-time" :: v :: t => loop(cfg.copy(untilTime = Some(v.toLong)), t)
+      case "--move-failed" :: t => loop(cfg.copy(moveFailed = true), t)
+      case "--keep-finished" :: t => loop(cfg.copy(keepFinished = true), t)
+      case "--output" :: v :: t => loop(cfg.copy(output = Some(v)), t)
+      case "--catalog" :: v :: t => loop(cfg.copy(catalog = Some(v)), t)
+      case "--checkpoint" :: v :: t => loop(cfg.copy(checkpoint = v), t)
+      case other :: _ => throw new IllegalArgumentException(s"unknown flag: $other")
+    }
+    val cfg = loop(Config(), args.toList)
+    require(cfg.input.nonEmpty, "--input is required")
+    cfg
+  }
+
+  /** Stand-in for the CDF datapoints endpoint: logs request shapes. Used
+    * when no `--output` is given (dry-run). */
+  object LoggingClient extends DatapointsClient {
+    def insertMultiple(batch: Seq[SeriesPayload]): Unit =
+      println(s"[sink] insert_multiple: ${batch.size} series, ${batch.map(_.datapoints.size).sum} datapoints")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cfg = parseArgs(args)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors().toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-extractor")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try run(spark, cfg)
+    finally spark.stop()
+  }
+
+  def run(spark: SparkSession, cfg: Config): Unit = {
+    val metrics = Metrics(spark.sparkContext, if (cfg.live) "csv_live" else "csv_hist")
+    val lifecycle = new Discovery.Lifecycle(
+      failedDir = if (cfg.moveFailed) Some(s"${cfg.input}/failed") else None,
+      finishedDir = if (cfg.keepFinished) Some(s"${cfg.input}/finished") else None,
+      conf = spark.sparkContext.hadoopConfiguration)
+    if (cfg.live) {
+      val query = LiveStream.start(spark,
+        LiveStream.Config(
+          inputDir = cfg.input,
+          checkpointDir = cfg.checkpoint,
+          cleanSource = if (cfg.keepFinished) "archive" else "delete",
+          archiveDir = if (cfg.keepFinished) Some(s"${cfg.input}/finished") else None),
+        LoggingClient, Some(metrics))
+      query.awaitTermination()
+    } else {
+      runHistorical(spark, cfg, metrics, lifecycle)
+    }
+  }
+
+  /** Historical batch (reference E1): discover -> parse distributed ->
+    * catalog upsert -> sink -> per-file lifecycle. */
+  def runHistorical(spark: SparkSession, cfg: Config, metrics: Metrics,
+      lifecycle: Discovery.Lifecycle): Unit = {
+    import spark.implicits._
+    val paths = Discovery.findHistoricalFiles(
+      cfg.input, cfg.fromTime, cfg.untilTime, spark.sparkContext.hadoopConfiguration)
+    if (paths.isEmpty) { println("[graft] no input files"); return }
+
+    val files = TebisCsv.files(spark, paths)
+    files.persist()
+    try {
+      // Catalog upsert (S12/S13): first-wins per externalId, retried load.
+      cfg.catalog.foreach { catPath =>
+        val existing = Retry.withLinearBackoff() {
+          val p = new org.apache.hadoop.fs.Path(catPath)
+          if (p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+            Catalog.load(spark, catPath)
+          else spark.emptyDataset[TimeSeriesMeta]
+        }
+        val headers = files.filter(_.error.isEmpty)
+          .flatMap(f => f.columns.map(c => (f.path, c.externalId, c.name, c.colIndex)))
+          .toDF("path", "externalId", "name", "colIndex")
+        val created = Catalog.missing(headers, existing)
+        metrics.createdTimeSeries.add(created.count())
+        Catalog.save(Catalog.upsert(existing, created), catPath)
+      }
+
+      // Sink: parquet lakehouse when --output, else batched client posts.
+      cfg.output match {
+        case Some(out) =>
+          val dps = files.filter(_.error.isEmpty).flatMap(_.datapoints)
+          BatchedSink.writeParquet(dps, out)
+        case None =>
+          files.filter(_.error.isEmpty).foreach { f => BatchedSink.postFile(f, LoggingClient) }
+      }
+
+      // Metrics + lifecycle (S17/S18/S21).
+      val results = files.map(f => (f.path, f.error.isDefined, f.datapointCount)).collect()
+      results.foreach { case (path, failed, nPoints) =>
+        if (failed) { metrics.failedFiles.add(1); lifecycle.onFailure(path) }
+        else {
+          metrics.processedFiles.add(1); metrics.postedDatapoints.add(nPoints)
+          lifecycle.onSuccess(path)
+        }
+      }
+      println(s"[graft] processed=${metrics.processedFiles.value} failed=${metrics.failedFiles.value} datapoints=${metrics.postedDatapoints.value} created_series=${metrics.createdTimeSeries.value}")
+    } finally files.unpersist()
+  }
+}

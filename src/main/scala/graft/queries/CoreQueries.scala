@@ -217,6 +217,21 @@ object CoreQueries {
         SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax FROM lineitem)
         UNPIVOT (value FOR metric IN (l_quantity, l_extendedprice, l_discount, l_tax))""")),
 
+    // Set operation: INTERSECT (distinct semantics in both engines).
+    QueryDef("q23_nations_intersect",
+      (s, d) => t(s, d, "customer").select(col("c_nationkey").as("nationkey"))
+        .intersect(t(s, d, "supplier").select(col("s_nationkey").as("nationkey"))),
+      Some("""SELECT c_nationkey AS nationkey FROM customer
+        INTERSECT SELECT s_nationkey AS nationkey FROM supplier""")),
+
+    // Multi-level aggregate: CUBE (all grouping-set combinations).
+    QueryDef("q24_cube_flags",
+      (s, d) => t(s, d, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n_rows"), dsum(col("l_quantity")).as("sum_qty")),
+      Some(s"""SELECT l_returnflag, l_linestatus, count(*) AS n_rows, ${dsumSql("l_quantity")} AS sum_qty
+        FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""")),
+
     // Multi-level aggregate: ROLLUP with exact sums.
     QueryDef("q17_rollup_flags",
       (s, d) => t(s, d, "lineitem")

@@ -41,7 +41,11 @@ object LiveStream {
       client: DatapointsClient,
       metrics: Option[Metrics] = None): StreamingQuery = {
     import spark.implicits._
+    // binaryFile's fixed schema, required explicitly for streaming
+    val binarySchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
     val reader = spark.readStream.format("binaryFile")
+      .schema(binarySchema)
       .option("pathGlobFilter", "*.csv")
       .option("maxFilesPerTrigger", cfg.maxFilesPerTrigger)
       .option("latestFirst", cfg.latestFirst)

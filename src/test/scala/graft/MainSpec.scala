@@ -1,0 +1,60 @@
+package graft
+
+import java.nio.charset.Charset
+import java.nio.file.{Files, Path}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.tebis.TebisCsv
+
+/** End-to-end historical CLI pipeline: discover -> parse -> catalog ->
+  * parquet sink -> lifecycle. */
+class MainSpec extends AnyFunSuite {
+  lazy val spark = SparkSpec.spark
+
+  def write(dir: Path, name: String, content: String): Unit = {
+    Files.write(dir.resolve(name), content.getBytes(Charset.forName(TebisCsv.Encoding)))
+    ()
+  }
+
+  test("parseArgs mirrors reference flags") {
+    val c = Main.parseArgs(Array("--input", "/in", "--from-time", "10", "--until-time", "20",
+      "--move-failed", "--keep-finished", "--output", "/out", "--catalog", "/cat"))
+    assert(c.input == "/in" && !c.live && c.fromTime.contains(10L) && c.untilTime.contains(20L))
+    assert(c.moveFailed && c.keepFinished && c.output.contains("/out") && c.catalog.contains("/cat"))
+    assertThrows[IllegalArgumentException](Main.parseArgs(Array("--nope")))
+    assertThrows[IllegalArgumentException](Main.parseArgs(Array("--live")))
+  }
+
+  test("historical run: parquet sink, catalog upsert, dead-letter, archive") {
+    val in = Files.createTempDirectory("main-in")
+    val out = Files.createTempDirectory("main-out").resolve("dp").toString
+    val cat = Files.createTempDirectory("main-cat").resolve("catalog").toString
+    write(in, "TEBIS_A_100.csv", ";33 : T3\nu;bar\n1550092501;1,5\n1550092502;2,5\n")
+    write(in, "TEBIS_B_200.csv", ";34 : T4\nu;bar\n1550092501;3,5\n")
+    write(in, "broken_x_300.csv", ";9 : Z\nu;x\nBAD;1,0\n")
+    val cfg = Main.Config(input = in.toString, moveFailed = true, keepFinished = true,
+      output = Some(out), catalog = Some(cat))
+    val metrics = Metrics(spark.sparkContext, "test_hist")
+    val lifecycle = new graft.tebis.Discovery.Lifecycle(
+      Some(s"$in/failed"), Some(s"$in/finished"), spark.sparkContext.hadoopConfiguration)
+    Main.runHistorical(spark, cfg, metrics, lifecycle)
+
+    // sink: day-partitioned parquet with all 3 good datapoints
+    val dps = spark.read.parquet(out)
+    assert(dps.count() == 3)
+    assert(dps.columns.contains("day"))
+    // catalog created both series with first-wins names
+    val catalog = spark.read.parquet(cat).collect()
+    assert(catalog.map(_.getAs[String]("externalId")).sorted.toSeq == Seq("33", "34"))
+    // lifecycle: good files archived, bad file dead-lettered
+    assert(Files.list(in.resolve("finished")).count() == 2)
+    assert(Files.exists(in.resolve("failed").resolve("broken_x_300.csv")))
+    assert(metrics.failedFiles.value == 1 && metrics.processedFiles.value == 2)
+    assert(metrics.postedDatapoints.value == 3 && metrics.createdTimeSeries.value == 2)
+
+    // second run over the (now empty) input is a no-op, catalog unchanged
+    Main.runHistorical(spark, cfg, metrics, lifecycle)
+    assert(spark.read.parquet(cat).count() == 2)
+  }
+}

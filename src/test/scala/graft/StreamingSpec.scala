@@ -1,0 +1,90 @@
+package graft
+
+import java.nio.charset.Charset
+import java.nio.file.{Files, Path}
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.{EventStream, LiveStream}
+import graft.tebis.TebisCsv
+
+/** Structured Streaming specs: the live TEBIS pipeline and windowed
+  * event-stream aggregates. */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = SparkSpec.spark
+
+  def writeTebis(dir: Path, name: String, t0: Long, n: Int, extId: String): Unit = {
+    val rows = (1 to n).map(i => s"${t0 + i};0,$i").mkString("\n")
+    Files.write(dir.resolve(name),
+      s";$extId : S\nu;bar\n$rows\n".getBytes(Charset.forName(TebisCsv.Encoding)))
+    ()
+  }
+
+  test("live stream: files parsed, batched posts, checkpointed") {
+    val dir = Files.createTempDirectory("live-in")
+    val ckpt = Files.createTempDirectory("live-ckpt")
+    writeTebis(dir, "TEBIS_A_100.csv", 1000, 5, "1")
+    writeTebis(dir, "TEBIS_B_200.csv", 2000, 3, "2")
+    RecordingClient.reset()
+    val q = LiveStream.start(spark,
+      LiveStream.Config(dir.toString, ckpt.toString, triggerMs = 100L, cleanSource = "off"),
+      new RecordingClient)
+    try {
+      q.processAllAvailable()
+      val posted = RecordingClient.all.flatten
+      assert(posted.map(_.externalId).toSet == Set("1", "2"))
+      assert(posted.flatMap(_.datapoints).size == 8)
+      // new file arrives -> next micro-batch picks it up exactly once
+      writeTebis(dir, "TEBIS_C_300.csv", 3000, 2, "3")
+      q.processAllAvailable()
+      val all = RecordingClient.all.flatten
+      assert(all.flatMap(_.datapoints).size == 10)
+      assert(all.count(_.externalId == "3") == 1)
+    } finally q.stop()
+  }
+
+  test("windowed event stream: tumbling counts with watermark") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val events = mem.toDF().toDF("ts", "event_type", "value")
+    val q = EventStream.windowedAgg(events, width = "1 hour", watermark = "30 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("winagg").start()
+    try {
+      def ts(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+      mem.addData((ts(0, 10), "click", 1.0), (ts(0, 40), "click", 2.0), (ts(1, 5), "view", 3.0))
+      q.processAllAvailable()
+      // advance watermark far enough to close hour-0 and hour-1 windows
+      mem.addData((ts(3, 0), "click", 4.0))
+      q.processAllAvailable()
+      val rows = spark.table("winagg").collect()
+      val hour0 = rows.filter(r => r.getAs[Timestamp]("ws") == ts(0, 0))
+      assert(hour0.length == 1 && hour0.head.getAs[Long]("n") == 2)
+      val hour1 = rows.filter(r => r.getAs[Timestamp]("ws") == ts(1, 0))
+      assert(hour1.length == 1 && hour1.head.getAs[String]("event_type") == "view")
+    } finally q.stop()
+  }
+
+  test("session windows: gap splits sessions per user") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, Double)]
+    val events = mem.toDF().toDF("ts", "user_id", "value")
+    val q = EventStream.sessionAgg(events, gap = "30 minutes", watermark = "10 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("sessagg").start()
+    try {
+      def ts(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+      // user 7: two events 10min apart (one session), then 2h gap (new session)
+      mem.addData((ts(0, 0), 7L, 1.0), (ts(0, 10), 7L, 1.0), (ts(2, 0), 7L, 1.0))
+      q.processAllAvailable()
+      mem.addData((ts(5, 0), 99L, 1.0)) // advance watermark
+      q.processAllAvailable()
+      val rows = spark.table("sessagg").filter(col("user_id") === 7L).collect()
+      assert(rows.length == 2)
+      assert(rows.map(_.getAs[Long]("n_events")).sorted.toSeq == Seq(1L, 2L))
+    } finally q.stop()
+  }
+}
