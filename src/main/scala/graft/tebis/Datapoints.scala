@@ -70,4 +70,42 @@ object Datapoints {
       max("timestampMs").as("max_ts"),
       min("value").as("min_value"),
       max("value").as("max_value"))
+
+  /** Gap detection (★ §2b window row): per-series gaps strictly longer
+    * than `maxGapMs` between consecutive datapoints. One shuffle+sort on
+    * externalId; window cardinality = points per series. */
+  def gaps(datapoints: DataFrame, maxGapMs: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("externalId").orderBy(col("timestampMs").asc)
+    datapoints
+      .withColumn("prev_ts", lag("timestampMs", 1).over(w))
+      .filter(col("prev_ts").isNotNull && col("timestampMs") - col("prev_ts") > maxGapMs)
+      .select(col("externalId"), col("prev_ts").as("gap_start"),
+        col("timestampMs").as("gap_end"),
+        (col("timestampMs") - col("prev_ts")).as("gap_ms"))
+  }
+
+  /** Resample each series onto a regular `stepMs` grid with
+    * last-observation-carried-forward fill.
+    *
+    * Plan shape: each point emits the grid slots it is the latest
+    * observation for (sequence+explode up to the next point — no
+    * cross-join against a calendar table), so the whole op is one
+    * window (lag) + one Expand, no extra shuffle beyond the per-series
+    * sort. Grid slots with no prior observation simply don't exist
+    * (LOCF semantics). */
+  def resample(datapoints: DataFrame, stepMs: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("externalId").orderBy(col("timestampMs").asc)
+    datapoints
+      .withColumn("next_ts", lead("timestampMs", 1).over(w))
+      // first grid slot at or after this point; slots strictly before next point
+      .withColumn("slot0", -floor(-col("timestampMs") / stepMs).cast("long") * stepMs)
+      .withColumn("slotN",
+        when(col("next_ts").isNull, col("slot0"))
+          .otherwise(-floor(-col("next_ts") / stepMs).cast("long") * stepMs - stepMs))
+      .filter(col("slot0") <= col("slotN"))
+      .withColumn("gridTs", explode(sequence(col("slot0"), col("slotN"), lit(stepMs))))
+      .select(col("externalId"), col("gridTs"), col("value"))
+  }
 }

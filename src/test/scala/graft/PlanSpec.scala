@@ -1,0 +1,70 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan quality gates: the properties that make these plans
+  * survive a 100x scale-up. Asserting on explain output keeps regressions
+  * (a lost pushdown, a broadcast turned shuffle) from slipping in
+  * silently. */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = SparkSpec.spark
+  val dir = "/root/testdata/sf0.001"
+
+  def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, dir)
+    df.queryExecution.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+  }
+
+  test("q02: filters and projection push down to the parquet scan") {
+    val p = plan("q02_filter_revenue")
+    assert(p.contains("PushedFilters:"))
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), "shipdate range must reach the scan")
+    assert(p.contains("LessThan(l_quantity"), "quantity filter must reach the scan")
+    // only the 4 needed columns are read
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(Seq("l_shipdate", "l_discount", "l_quantity", "l_extendedprice")
+      .forall(readSchema.contains))
+    assert(!readSchema.contains("l_orderkey"), "unused columns must be pruned")
+  }
+
+  test("q04: dimension joins are broadcast, fact side not shuffled") {
+    val p = plan("q04_region_rollup")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"), "small dims must never sort-merge")
+  }
+
+  test("q03: top-k plans as TakeOrderedAndProject, not global sort") {
+    val p = plan("q03_topk_orders")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("Exchange rangepartitioning"), "no full sort for limit-k")
+  }
+
+  test("q01: aggregate is partial (map-side) then final") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("HashAggregate"))
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2, "expect partial+final")
+  }
+
+  test("q16: unpivot is a single Expand with no shuffle") {
+    val p = plan("q16_unpivot_measures")
+    assert(p.contains("Expand"))
+    assert(!p.contains("Exchange"), "unpivot must be narrow")
+  }
+
+  test("q45: pairwise KNN uses the custom dot expression and rank pushdown") {
+    val p = plan("q45_knn_brute")
+    assert(p.contains("quantizeddot"), "custom expression must be in the plan")
+    // Spark's WindowGroupLimit pushes the rank<=k cut below the full sort
+    assert(p.contains("WindowGroupLimit"))
+  }
+
+  test("catalog missing-series plans as broadcast left-anti") {
+    import spark.implicits._
+    val headers = Seq(("p", "1", "n", 0)).toDF("path", "externalId", "name", "colIndex")
+    val catalog = Seq(graft.tebis.TimeSeriesMeta("2", "x", "d")).toDS()
+    val p = graft.tebis.Catalog.missing(headers, catalog)
+      .queryExecution.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("LeftAnti"))
+    assert(p.contains("Broadcast"))
+  }
+}

@@ -115,6 +115,30 @@ class TebisPipelineSpec extends AnyFunSuite {
     assert(a == b && a.size == 4)
   }
 
+  test("gap detection: strictly-greater threshold, per series") {
+    import spark.implicits._
+    val dp = Seq(
+      Datapoint("a", 1000L, 1.0), Datapoint("a", 2000L, 2.0), Datapoint("a", 10000L, 3.0),
+      Datapoint("b", 1000L, 1.0), Datapoint("b", 9000L, 2.0)
+    ).toDF
+    val g = Datapoints.gaps(dp, 7999L).collect()
+    assert(g.map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet ==
+      Set(("a", 2000L, 10000L, 8000L), ("b", 1000L, 9000L, 8000L)))
+    // strictly-greater: with threshold 8000 neither 8000ms gap qualifies
+    assert(Datapoints.gaps(dp, 8000L).count() == 0)
+  }
+
+  test("resample: LOCF onto regular grid") {
+    import spark.implicits._
+    val dp = Seq(
+      Datapoint("a", 1000L, 1.0), Datapoint("a", 3500L, 2.0), Datapoint("a", 4000L, 3.0)
+    ).toDF
+    val r = Datapoints.resample(dp, 1000L).collect()
+      .map(x => (x.getLong(1), x.getDouble(2))).sortBy(_._1)
+    // slots: 1000,2000,3000 from p1; p2 (3500) covers no slot before 4000; p3 covers 4000
+    assert(r.toSeq == Seq((1000L, 1.0), (2000L, 1.0), (3000L, 1.0), (4000L, 3.0)))
+  }
+
   test("catalog: missing via broadcast anti-join, first-wins name, upsert") {
     import spark.implicits._
     val headers = Seq(
