@@ -95,6 +95,26 @@ class OpsSpec extends AnyFunSuite {
     assert(agg.forall(r => r.getLong(1) == r.getLong(2)))
   }
 
+  test("salted skew join == plain join, spread over salt buckets") {
+    import org.apache.spark.sql.functions._
+    val li = graft.queries.QueryDef.t(spark, dir, "lineitem")
+    val orders = graft.queries.QueryDef.t(spark, dir, "orders")
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+    val plain = li.join(orders, "l_orderkey").count()
+    val salted = SkewJoin.saltedInnerJoin(li, orders, "l_orderkey", "l_linenumber").count()
+    assert(salted == plain && plain > 0)
+  }
+
+  test("approx_count_distinct within 5% of exact on lineitem keys") {
+    import org.apache.spark.sql.functions._
+    val li = graft.queries.QueryDef.t(spark, dir, "lineitem")
+    val r = li.agg(
+      countDistinct(col("l_orderkey")).as("exact"),
+      approx_count_distinct(col("l_orderkey"), 0.02).as("approx")).collect()(0)
+    val (exact, approx) = (r.getLong(0).toDouble, r.getLong(1).toDouble)
+    assert(math.abs(approx - exact) / exact < 0.05)
+  }
+
   test("quality score bounded in [0,1]") {
     val q = TextStats.quality(docs).collect()
     assert(q.forall { r =>
