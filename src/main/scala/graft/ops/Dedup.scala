@@ -84,9 +84,13 @@ object Dedup {
     require(threshold == 0.8, "integer-exact prefix filter is derived for t=0.8")
     graft.functions.GraftFunctions.register(docs.sparkSession)
     QueryDef.cpuBound(docs.sparkSession)
+    // materialize shingle+sort once: the table feeds four subtrees
+    // (both prefix sides, both verify sides) — without the checkpoint
+    // each recomputes it
     val sh = shingled(docs)
       .withColumn("sorted", sort_array(col("grams")))
       .withColumn("n", size(col("grams")).cast("long"))
+      .localCheckpoint()
     // prefix length: n - ceil(0.8 n) + 1 with ceil(0.8 n) = (8n+9) DIV 10
     val prefix = sh
       .withColumn("gram", explode(expr("slice(sorted, 1, CAST(n - ((8 * n + 9) DIV 10) + 1 AS INT))")))
@@ -133,17 +137,19 @@ object Dedup {
   def minhashLshPairs(docs: DataFrame, threshold: Double): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     QueryDef.cpuBound(docs.sparkSession)
-    val sh = shingled(docs)
+    // checkpoint shingles (feeds bands + both verify sides) and bands
+    // (both candidate join sides) so signatures are computed exactly once
+    val sh = shingled(docs).withColumn("sorted", sort_array(col("grams"))).localCheckpoint()
     val bands = sh
       .select(col("doc_id"), explode(expr(s"minhash_bands(grams, $NumHashes, $Rows)")).as("bkey"))
+      .localCheckpoint()
     val cands = bands.as("a")
       .join(bands.as("b"), col("a.bkey") === col("b.bkey") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
-    val sorted = sh.withColumn("sorted", sort_array(col("grams")))
     cands
-      .join(sorted.select(col("doc_id").as("id_a"), col("sorted").as("ga"), size(col("grams")).cast("long").as("na")), "id_a")
-      .join(sorted.select(col("doc_id").as("id_b"), col("sorted").as("gb"), size(col("grams")).cast("long").as("nb")), "id_b")
+      .join(sh.select(col("doc_id").as("id_a"), col("sorted").as("ga"), size(col("grams")).cast("long").as("na")), "id_a")
+      .join(sh.select(col("doc_id").as("id_b"), col("sorted").as("gb"), size(col("grams")).cast("long").as("nb")), "id_b")
       .withColumn("inter", expr("sorted_intersect_count(ga, gb)"))
       .select(col("id_a"), col("id_b"),
         (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
