@@ -89,7 +89,41 @@ object EventOps {
         col("t_us").as("left_t_us"), col("right_t_us"), col("right_event_id"))
   }
 
+  /** Events viewed as a per-user datapoint series (ms timestamps), so the
+    * TEBIS series operators (gaps, resample) apply to the oracle tables. */
+  def asSeries(ev: DataFrame): DataFrame =
+    ev.select(
+      col("user_id").cast("string").as("externalId"),
+      expr("ts DIV 1000000").as("timestampMs"),
+      col("value"))
+
   val queries: Seq[QueryDef] = Seq(
+    QueryDef("q25_resample_events",
+      (s, d) => graft.tebis.Datapoints.resample(asSeries(events(s, d)), 3600000L)
+        .select(col("externalId").cast("long").as("user_id"), col("gridTs"), col("value")),
+      Some("""WITH e AS (SELECT user_id, epoch_ms(ts) AS t_ms, value FROM events),
+        l AS (SELECT user_id, t_ms, value,
+                lead(t_ms) OVER (PARTITION BY user_id ORDER BY t_ms, value) AS next_ms
+              FROM e),
+        b AS (SELECT user_id, value,
+                ((t_ms + 3599999) // 3600000) * 3600000 AS slot0,
+                CASE WHEN next_ms IS NULL THEN ((t_ms + 3599999) // 3600000) * 3600000
+                     ELSE ((next_ms + 3599999) // 3600000) * 3600000 - 3600000 END AS slotN
+              FROM l)
+        SELECT user_id, unnest(range(slot0, slotN + 1, 3600000)) AS gridTs, value
+        FROM b WHERE slot0 <= slotN""")),
+
+    QueryDef("q26_event_gaps",
+      (s, d) => graft.tebis.Datapoints.gaps(asSeries(events(s, d)), 3600000L)
+        .select(col("externalId").cast("long").as("user_id"),
+          col("gap_start"), col("gap_end"), col("gap_ms")),
+      Some("""SELECT user_id, gap_start, gap_end, gap_ms FROM (
+          SELECT user_id, lag(epoch_ms(ts)) OVER w AS gap_start,
+            epoch_ms(ts) AS gap_end,
+            epoch_ms(ts) - lag(epoch_ms(ts)) OVER w AS gap_ms
+          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts))
+        ) WHERE gap_start IS NOT NULL AND gap_ms > 3600000""")),
+
     QueryDef("q18_events_json",
       (s, d) => events(s, d)
         .select(col("event_type"), get_json_object(col("props"), "$.k").cast("long").as("k"))

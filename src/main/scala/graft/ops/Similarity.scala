@@ -94,6 +94,41 @@ object Similarity {
       .select(col("id_a").as("vec_id"), col("rank"), col("id_b").as("neighbor_id"), col("sim"))
   }
 
+  val IvfCentroids = 16
+
+  /** IVF-style cell assignment: the first `nCents` vectors (by id) act as
+    * deterministic centroids (a seeded sample stand-in for k-means —
+    * portable across engines); each vector joins the cell of its
+    * max-cosine centroid. Centroids broadcast; assignment is a narrow
+    * n x nCents pass, never n². */
+  def ivfAssign(q: DataFrame, nCents: Int): DataFrame = {
+    val cents = q.filter(col("vec_id") < nCents)
+      .select(col("vec_id").as("cent_id"), col("qv").as("cqv"), col("nrm").as("cnrm"))
+    val w = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cent_id").asc)
+    q.crossJoin(broadcast(cents))
+      .withColumn("csim",
+        expr("CAST(quantized_dot(qv, cqv) AS DOUBLE)") /
+          (sqrt(col("nrm").cast("double")) * sqrt(col("cnrm").cast("double"))))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("qv"), col("nrm"), col("cent_id").as("cell"))
+  }
+
+  /** Approximate top-k with IVF cells (nprobe=1): candidates share the
+    * assigned cell, exact cosine re-rank within. */
+  def knnIvf(spark: SparkSession, dir: String, k: Int, nCents: Int = IvfCentroids): DataFrame = {
+    val q = ivfAssign(quantized(spark, dir), nCents)
+    val a = q.select(col("vec_id").as("id_a"), col("qv").as("qa"), col("nrm").as("na"), col("cell"))
+    val b = q.select(col("vec_id").as("id_b"), col("qv").as("qb"), col("nrm").as("nb"), col("cell"))
+    val w = Window.partitionBy("id_a").orderBy(col("sim").desc, col("id_b").asc)
+    a.join(b, Seq("cell"))
+      .filter(col("id_a") =!= col("id_b"))
+      .withColumn("sim", simCol)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("id_a").as("vec_id"), col("rank"), col("id_b").as("neighbor_id"), col("sim"))
+  }
+
   private val simSql =
     """CAST(list_sum(list_transform(range(1, len(a.qv) + 1), i -> a.qv[i] * b.qv[i])) AS DOUBLE)
        / (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE)))"""
@@ -125,6 +160,22 @@ object Similarity {
         nb AS (SELECT vec_id, qv, nrm, $bucketSql AS bucket FROM n),
         p AS (SELECT a.vec_id, b.vec_id AS neighbor_id, $simSql AS sim
               FROM nb a JOIN nb b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+        r AS (SELECT vec_id, neighbor_id, sim,
+              row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, neighbor_id) AS rank FROM p)
+        SELECT vec_id, rank, neighbor_id, sim FROM r WHERE rank <= 3""")),
+
+    QueryDef("q47_knn_ivf",
+      (s, d) => knnIvf(s, d, 3),
+      Some(s"""WITH $quantCte,
+        cent AS (SELECT vec_id AS cent_id, qv AS cqv, nrm AS cnrm FROM n WHERE vec_id < $IvfCentroids),
+        asg AS (SELECT vec_id, qv, nrm, cent_id,
+              row_number() OVER (PARTITION BY vec_id ORDER BY
+                CAST(list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * cqv[i])) AS DOUBLE)
+                  / (sqrt(CAST(nrm AS DOUBLE)) * sqrt(CAST(cnrm AS DOUBLE))) DESC, cent_id) AS rn
+              FROM n CROSS JOIN cent),
+        cells AS (SELECT vec_id, qv, nrm, cent_id AS cell FROM asg WHERE rn = 1),
+        p AS (SELECT a.vec_id, b.vec_id AS neighbor_id, $simSql AS sim
+              FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
         r AS (SELECT vec_id, neighbor_id, sim,
               row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, neighbor_id) AS rank FROM p)
         SELECT vec_id, rank, neighbor_id, sim FROM r WHERE rank <= 3"""))

@@ -95,15 +95,18 @@ object Datapoints {
     * sort. Grid slots with no prior observation simply don't exist
     * (LOCF semantics). */
   def resample(datapoints: DataFrame, stepMs: Long): DataFrame = {
+    // value in the sort key only to break timestamp ties deterministically
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("externalId").orderBy(col("timestampMs").asc)
+      .partitionBy("externalId").orderBy(col("timestampMs").asc, col("value").asc)
     datapoints
       .withColumn("next_ts", lead("timestampMs", 1).over(w))
-      // first grid slot at or after this point; slots strictly before next point
-      .withColumn("slot0", -floor(-col("timestampMs") / stepMs).cast("long") * stepMs)
+      // integer ceil: first grid slot at or after this point; last slot
+      // strictly before the next point (engine-portable integer math)
+      .withColumn("slot0",
+        expr(s"((timestampMs + ${stepMs - 1}) DIV $stepMs) * $stepMs"))
       .withColumn("slotN",
         when(col("next_ts").isNull, col("slot0"))
-          .otherwise(-floor(-col("next_ts") / stepMs).cast("long") * stepMs - stepMs))
+          .otherwise(expr(s"((next_ts + ${stepMs - 1}) DIV $stepMs) * $stepMs - $stepMs")))
       .filter(col("slot0") <= col("slotN"))
       .withColumn("gridTs", explode(sequence(col("slot0"), col("slotN"), lit(stepMs))))
       .select(col("externalId"), col("gridTs"), col("value"))
