@@ -47,12 +47,9 @@ object Main {
     cfg
   }
 
-  /** Stand-in for the CDF datapoints endpoint: logs request shapes. Used
-    * when no `--output` is given (dry-run). */
-  object LoggingClient extends DatapointsClient {
-    def insertMultiple(batch: Seq[SeriesPayload]): Unit =
-      println(s"[sink] insert_multiple: ${batch.size} series, ${batch.map(_.datapoints.size).sum} datapoints")
-  }
+  /** Stand-in for the CDF datapoints endpoint when no `--output` is given
+    * (dry-run). */
+  val LoggingClient: DatapointsClient = new graft.sink.StdoutDatapointsClient
 
   def main(args: Array[String]): Unit = {
     val cfg = parseArgs(args)
@@ -80,7 +77,8 @@ object Main {
           inputDir = cfg.input,
           checkpointDir = cfg.checkpoint,
           cleanSource = if (cfg.keepFinished) "archive" else "delete",
-          archiveDir = if (cfg.keepFinished) Some(s"${cfg.input}/finished") else None),
+          archiveDir = if (cfg.keepFinished) Some(s"${cfg.input}/finished") else None,
+          failedDir = if (cfg.moveFailed) Some(s"${cfg.input}/failed") else None),
         LoggingClient, Some(metrics))
       query.awaitTermination()
     } else {

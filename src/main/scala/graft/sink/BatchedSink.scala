@@ -19,6 +19,13 @@ trait DatapointsClient extends Serializable {
   def insertMultiple(batch: Seq[SeriesPayload]): Unit
 }
 
+/** Dry-run client: logs request shapes to stdout. No-arg constructible,
+  * so it also serves as a `clientClass` for the DataSourceV2 sink. */
+class StdoutDatapointsClient extends DatapointsClient {
+  def insertMultiple(batch: Seq[SeriesPayload]): Unit =
+    println(s"[sink] insert_multiple: ${batch.size} series, ${batch.map(_.datapoints.size).sum} datapoints")
+}
+
 /** Batched parallel sink (S15/S16, csv_extractor.py:22,137-146,162-196).
   *
   * Reference constants preserved as configuration: at most `BatchMax`

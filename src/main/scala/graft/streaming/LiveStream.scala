@@ -31,6 +31,7 @@ object LiveStream {
       latestFirst: Boolean = true,
       cleanSource: String = "delete", // off | delete | archive
       archiveDir: Option[String] = None,
+      failedDir: Option[String] = None, // dead-letter parse failures (--move-failed)
       batchMax: Int = BatchedSink.BatchMax)
 
   /** Start the live pipeline: stream files → parse per-file in executors →
@@ -61,10 +62,18 @@ object LiveStream {
       .option("checkpointLocation", cfg.checkpointDir)
       .trigger(Trigger.ProcessingTime(cfg.triggerMs))
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[graft.tebis.TebisFile], _: Long) =>
+        val failedDir = cfg.failedDir
+        val batchMax = cfg.batchMax
         batch.foreach { file =>
-          if (file.error.isDefined) metrics.foreach(_.failedFiles.add(1))
-          else {
-            BatchedSink.postFile(file, client, cfg.batchMax)
+          if (file.error.isDefined) {
+            metrics.foreach(_.failedFiles.add(1))
+            // dead-letter before cleanSource touches the file; skip-if-
+            // exists parity with the reference's backup move
+            failedDir.foreach { d =>
+              new graft.tebis.Discovery.Lifecycle(Some(d), None).onFailure(file.path)
+            }
+          } else {
+            BatchedSink.postFile(file, client, batchMax)
             metrics.foreach { m =>
               m.processedFiles.add(1)
               m.postedDatapoints.add(file.datapointCount)

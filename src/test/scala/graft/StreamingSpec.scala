@@ -28,15 +28,20 @@ class StreamingSpec extends AnyFunSuite {
     val ckpt = Files.createTempDirectory("live-ckpt")
     writeTebis(dir, "TEBIS_A_100.csv", 1000, 5, "1")
     writeTebis(dir, "TEBIS_B_200.csv", 2000, 3, "2")
+    Files.write(dir.resolve("broken_x_50.csv"),
+      ";9 : Z\nu;x\nBAD;1,0\n".getBytes(Charset.forName(TebisCsv.Encoding)))
     RecordingClient.reset()
     val q = LiveStream.start(spark,
-      LiveStream.Config(dir.toString, ckpt.toString, triggerMs = 100L, cleanSource = "off"),
+      LiveStream.Config(dir.toString, ckpt.toString, triggerMs = 100L, cleanSource = "off",
+        failedDir = Some(dir.resolve("failed").toString)),
       new RecordingClient)
     try {
       q.processAllAvailable()
       val posted = RecordingClient.all.flatten
       assert(posted.map(_.externalId).toSet == Set("1", "2"))
       assert(posted.flatMap(_.datapoints).size == 8)
+      // parse failure dead-lettered out of the source dir
+      assert(Files.exists(dir.resolve("failed").resolve("broken_x_50.csv")))
       // new file arrives -> next micro-batch picks it up exactly once
       writeTebis(dir, "TEBIS_C_300.csv", 3000, 2, "3")
       q.processAllAvailable()

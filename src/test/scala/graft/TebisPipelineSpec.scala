@@ -169,6 +169,24 @@ class TebisPipelineSpec extends AnyFunSuite {
     assert(client.batches.flatten.map(_.externalId).toSet.size == 2500)
   }
 
+  test("DataSourceV2 sink: format(graft-datapoints) posts batched payloads") {
+    import spark.implicits._
+    RecordingClient.reset()
+    val dps = (1 to 30).flatMap(s => (1 to 4).map(i => Datapoint(s"v2s$s", i * 1000L, i.toDouble)))
+    dps.toDS().toDF()
+      .repartition(org.apache.spark.sql.functions.col("externalId"))
+      .write.format("graft-datapoints")
+      .option("clientClass", "graft.RecordingClient")
+      .option("batchMax", "8")
+      .mode("append").save()
+    val all = RecordingClient.all
+    assert(all.flatten.map(_.externalId).distinct.size == 30)
+    assert(all.forall(_.size <= 8))
+    assert(all.flatten.flatMap(_.datapoints).size == 120)
+    // each series lands whole in one payload (repartitioned by key)
+    assert(all.flatten.groupBy(_.externalId).forall(_._2.size == 1))
+  }
+
   test("distributed write: series kept whole, batch cap respected") {
     import spark.implicits._
     val dps = (1 to 50).flatMap(s => (1 to 10).map(i => Datapoint(s"s$s", i * 1000L, i.toDouble)))
