@@ -128,30 +128,112 @@ object TebisCsv {
     else SeriesHeader(cell.substring(0, idx).trim, cell.substring(idx + 1).trim)
   }
 
-  // Python float() grammar: optional sign; inf/infinity/nan names
-  // (case-insensitive); digits with single underscores BETWEEN digits;
-  // optional fraction and exponent. Rejects Java-isms like "1d"/"0x1p3".
-  private val FloatNum =
-    """[+-]?(?:\d(?:_?\d)*(?:\.(?:\d(?:_?\d)*)?)?|\.\d(?:_?\d)*)(?:[eE][+-]?\d(?:_?\d)*)?""".r
-  private val FloatName = """(?i)([+-]?)(inf|infinity|nan)""".r
-  private val IntNum = """[+-]?\d(?:_?\d)*""".r
+  // Python float()/int() grammar, hand-scanned (regex validation was ~60%
+  // of single-core parse time): optional sign; inf/infinity/nan names
+  // (case-insensitive, float only); digits with single underscores
+  // BETWEEN digits; optional fraction and exponent. Rejects Java-isms
+  // like "1d"/"0x1p3".
+
+  /** Scan `\d(_?\d)*` from `start`; returns end index, or -1 on a
+    * malformed underscore. End == start means "no digits here". */
+  private def scanDigits(s: String, start: Int, end: Int): Int = {
+    var k = start
+    var prevDigit = false
+    while (k < end) {
+      val ch = s.charAt(k)
+      if (ch >= '0' && ch <= '9') { prevDigit = true; k += 1 }
+      else if (ch == '_') {
+        if (!prevDigit || k + 1 >= end) return -1
+        val nx = s.charAt(k + 1)
+        if (nx < '0' || nx > '9') return -1
+        prevDigit = false; k += 1
+      } else return k
+    }
+    k
+  }
+
+  private def matchesIgnoreCase(s: String, from: Int, to: Int, word: String): Boolean =
+    (to - from == word.length) && {
+      var i = 0
+      while (i < word.length && (s.charAt(from + i) | 0x20) == word.charAt(i)) i += 1
+      i == word.length
+    }
 
   /** Python `float(s)` parity (csv_extractor.py:99): None on ValueError. */
   def parsePythonFloat(raw: String): Option[Double] = {
-    val s = raw.trim
-    s match {
-      case FloatName(sign, name) =>
-        val v = if (name.equalsIgnoreCase("nan")) Double.NaN else Double.PositiveInfinity
-        Some(if (sign == "-") -v else v)
-      case _ if FloatNum.matches(s) => Some(s.replace("_", "").toDouble)
-      case _ => None
+    var a = 0; var b = raw.length
+    while (a < b && Character.isWhitespace(raw.charAt(a))) a += 1
+    while (b > a && Character.isWhitespace(raw.charAt(b - 1))) b -= 1
+    if (a >= b) return None
+    var i = a
+    val c0 = raw.charAt(i)
+    val neg = c0 == '-'
+    if (c0 == '+' || c0 == '-') i += 1
+    if (i >= b) return None
+    val c1 = raw.charAt(i) | 0x20
+    if (c1 == 'i' || c1 == 'n') {
+      return if (matchesIgnoreCase(raw, i, b, "inf") || matchesIgnoreCase(raw, i, b, "infinity"))
+        Some(if (neg) Double.NegativeInfinity else Double.PositiveInfinity)
+      else if (matchesIgnoreCase(raw, i, b, "nan")) Some(Double.NaN)
+      else None
     }
+    var sawUnderscore = false
+    val intEnd = scanDigits(raw, i, b)
+    if (intEnd < 0) return None
+    val hadIntDigits = intEnd > i
+    var j = intEnd
+    var hadFracDigits = false
+    if (j < b && raw.charAt(j) == '.') {
+      j += 1
+      val fracEnd = scanDigits(raw, j, b)
+      if (fracEnd < 0) return None
+      hadFracDigits = fracEnd > j
+      j = fracEnd
+    }
+    if (!hadIntDigits && !hadFracDigits) return None
+    if (j < b && (raw.charAt(j) | 0x20) == 'e') {
+      j += 1
+      if (j < b && (raw.charAt(j) == '+' || raw.charAt(j) == '-')) j += 1
+      val expEnd = scanDigits(raw, j, b)
+      if (expEnd < 0 || expEnd == j) return None
+      j = expEnd
+    }
+    if (j != b) return None
+    var s = if (a == 0 && b == raw.length) raw else raw.substring(a, b)
+    var k = a
+    while (k < b && !sawUnderscore) { if (raw.charAt(k) == '_') sawUnderscore = true; k += 1 }
+    if (sawUnderscore) s = s.replace("_", "")
+    Some(java.lang.Double.parseDouble(s))
   }
 
-  /** Python `int(s)` parity (csv_extractor.py:103): None on ValueError. */
+  /** Python `int(s)` parity (csv_extractor.py:103): None on ValueError.
+    * Values beyond Long range also map to None (documented divergence:
+    * Python's unbounded int would accept them; such epoch values are
+    * nonsensical and the file dead-letters either way). */
   def parsePythonInt(raw: String): Option[Long] = {
-    val s = raw.trim
-    if (IntNum.matches(s)) Some(s.replace("_", "").toLong) else None
+    var a = 0; var b = raw.length
+    while (a < b && Character.isWhitespace(raw.charAt(a))) a += 1
+    while (b > a && Character.isWhitespace(raw.charAt(b - 1))) b -= 1
+    if (a >= b) return None
+    var i = a
+    val c0 = raw.charAt(i)
+    val neg = c0 == '-'
+    if (c0 == '+' || c0 == '-') i += 1
+    if (i >= b) return None
+    val end = scanDigits(raw, i, b)
+    if (end != b) return None
+    var v = 0L
+    var k = i
+    while (k < b) {
+      val ch = raw.charAt(k)
+      if (ch != '_') {
+        val d = ch - '0'
+        if (v > (Long.MaxValue - d) / 10) return None // overflow
+        v = v * 10 + d
+      }
+      k += 1
+    }
+    Some(if (neg) -v else v)
   }
 
   private final class FileFailure(msg: String) extends Exception(msg)
@@ -172,25 +254,29 @@ object TebisCsv {
     if (rows.isEmpty) return TebisFile(path, Nil, None)
     val header = rows.head
     val dataRows = rows.tail
-    // DictReader column-major build: one value per UNIQUE header key per row.
+    // DictReader column-major build: one value per UNIQUE header key per
+    // row (null = missing cell). Duplicate headers share one array, so
+    // the later occurrence naturally overwrites (DictReader dict parity).
     val uniqueKeys = header.distinct
     val lf = header.length
-    val columnsByKey: Map[String, Array[Option[String]]] =
-      uniqueKeys.iterator.map(k => k -> new Array[Option[String]](dataRows.length)).toMap
+    val columnsByKey: Map[String, Array[String]] =
+      uniqueKeys.iterator.map(k => k -> new Array[String](dataRows.length)).toMap
+    val keyArrays: Array[Array[String]] = header.iterator.map(columnsByKey).toArray
     var r = 0
     while (r < dataRows.length) {
       val row = dataRows(r)
       val lr = row.length
       var i = 0
-      while (i < lf) { // later duplicate occurrence overwrites earlier
-        columnsByKey(header(i))(r) = if (i < lr) Some(row(i)) else None
+      while (i < lf) {
+        keyArrays(i)(r) = if (i < lr) row(i) else null
         i += 1
       }
       r += 1
     }
     // timestamps under the "" key; [1:] discards the unit row (line 130)
-    val timestamps: Array[Option[String]] =
-      columnsByKey.getOrElse("", Array.empty[Option[String]]).drop(1)
+    val timestamps: Array[String] =
+      columnsByKey.getOrElse("", Array.empty[String]).drop(1)
+    val tsMsCache = new Array[Long](timestamps.length) // 0 = unparsed
     val valueKeys = uniqueKeys.filterNot(_ == "")
     try {
       val cols = valueKeys.zipWithIndex.map { case (colName, colIdx) =>
@@ -199,22 +285,24 @@ object TebisCsv {
         val dps = Vector.newBuilder[DatapointValue]
         var i = 0
         while (i < cells.length) {
-          cells(i) match {
-            case Some(v) if v.nonEmpty =>
-              parsePythonFloat(v.replace(',', '.')) match {
-                case Some(d) =>
-                  if (i >= timestamps.length)
-                    throw new FileFailure(s"IndexError: no timestamp at row $i (timestamp header cell not empty?)")
-                  val tsMs = timestamps(i) match {
-                    case None => throw new FileFailure(s"TypeError: missing timestamp cell at row $i")
-                    case Some(ts) => parsePythonInt(ts).getOrElse(
-                      throw new FileFailure(s"ValueError: invalid literal for int(): '$ts'")) * 1000L
-                  }
-                  dps += DatapointValue(tsMs, d)
-                case None => () // unparsable value cell: silently dropped
-              }
-            case _ => () // empty or missing cell: dropped
-          }
+          val v = cells(i)
+          if (v != null && v.nonEmpty) {
+            parsePythonFloat(if (v.indexOf(',') >= 0) v.replace(',', '.') else v) match {
+              case Some(d) =>
+                if (i >= timestamps.length)
+                  throw new FileFailure(s"IndexError: no timestamp at row $i (timestamp header cell not empty?)")
+                var tsMs = tsMsCache(i)
+                if (tsMs == 0L) {
+                  val ts = timestamps(i)
+                  if (ts == null) throw new FileFailure(s"TypeError: missing timestamp cell at row $i")
+                  tsMs = parsePythonInt(ts).getOrElse(
+                    throw new FileFailure(s"ValueError: invalid literal for int(): '$ts'")) * 1000L
+                  tsMsCache(i) = tsMs
+                }
+                dps += DatapointValue(tsMs, d)
+              case None => () // unparsable value cell: silently dropped
+            }
+          } // empty or missing cell: dropped
           i += 1
         }
         SeriesColumn(hdr.externalId, hdr.name, colIdx, dps.result())
