@@ -77,8 +77,11 @@ object Main {
           inputDir = cfg.input,
           checkpointDir = cfg.checkpoint,
           cleanSource = if (cfg.keepFinished) "archive" else "delete",
-          archiveDir = if (cfg.keepFinished) Some(s"${cfg.input}/finished") else None,
-          failedDir = if (cfg.moveFailed) Some(s"${cfg.input}/failed") else None),
+          // Spark rejects an archive dir that can match the source glob,
+          // so live archives go to a SIBLING of --input (the historical
+          // mode's input/finished convention is not usable here)
+          archiveDir = if (cfg.keepFinished) Some(s"${cfg.input}_finished") else None,
+          failedDir = if (cfg.moveFailed) Some(s"${cfg.input}_failed") else None),
         LoggingClient, Some(metrics))
       query.awaitTermination()
     } else {
@@ -106,9 +109,19 @@ object Main {
             Catalog.load(spark, catPath)
           else spark.emptyDataset[TimeSeriesMeta]
         }
+        // first-wins naming follows DISCOVERY order (numeric filename-token
+        // rank), matching the reference's sequential processing order
+        val ordByPath = paths.zipWithIndex.map { case (p, i) =>
+          new org.apache.hadoop.fs.Path(p).toUri.getPath -> i
+        }.toMap
         val headers = files.filter(_.error.isEmpty)
-          .flatMap(f => f.columns.map(c => (f.path, c.externalId, c.name, c.colIndex)))
-          .toDF("path", "externalId", "name", "colIndex")
+          .flatMap { f =>
+            // binaryFile renders paths as URIs; compare scheme-free paths
+            val ord = ordByPath.getOrElse(
+              new org.apache.hadoop.fs.Path(f.path).toUri.getPath, Int.MaxValue)
+            f.columns.map(c => (ord, c.externalId, c.name, c.colIndex))
+          }
+          .toDF("fileOrd", "externalId", "name", "colIndex")
         val created = Catalog.missing(headers, existing)
         metrics.createdTimeSeries.add(created.count())
         Catalog.save(Catalog.upsert(existing, created), catPath)

@@ -19,18 +19,28 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 
 /** Exact dot product of two ARRAY<BIGINT> vectors. Codegen'd — stays
-  * inside whole-stage codegen in pairwise-join hot paths. */
+  * inside whole-stage codegen in pairwise-join hot paths. NULL when the
+  * lengths differ or any element is null, matching the
+  * `aggregate(zip_with(a, b, (x, y) -> x * y), 0L, (acc, x) -> acc + x)`
+  * spec (zip_with pads the shorter side with null; null poisons the sum).
+  */
 case class QuantizedDot(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = LongType
+  override def nullable: Boolean = true
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var s = 0L
     var i = 0
-    while (i < n) { s += x.getLong(i) * y.getLong(i); i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      s += x.getLong(i) * y.getLong(i)
+      i += 1
+    }
     s
   }
 
@@ -40,10 +50,15 @@ case class QuantizedDot(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
       s"""
-        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-        long $s = 0L;
-        for (int $i = 0; $i < $n; $i++) { $s += $a.getLong($i) * $b.getLong($i); }
-        ${ev.value} = $s;
+        int $n = $a.numElements();
+        if ($n != $b.numElements()) { ${ev.isNull} = true; } else {
+          long $s = 0L;
+          for (int $i = 0; $i < $n; $i++) {
+            if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+            $s += $a.getLong($i) * $b.getLong($i);
+          }
+          if (!${ev.isNull}) { ${ev.value} = $s; }
+        }
       """
     })
 

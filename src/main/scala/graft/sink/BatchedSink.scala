@@ -80,7 +80,10 @@ object BatchedSink {
     * by (externalId, timestampMs) for row-group skipping at 100 TB. */
   def writeParquet(ds: Dataset[Datapoint], path: String): Unit =
     ds.withColumn("day", to_date(timestamp_millis(col("timestampMs"))))
-      .repartition(col("day"))
+      // repartition by (day, externalId), not day alone: a day's whole
+      // volume in one task is the classic few-distinct-keys trap;
+      // partitionBy(day) still yields one directory per day
+      .repartition(col("day"), col("externalId"))
       .sortWithinPartitions("day", "externalId", "timestampMs")
       .write.partitionBy("day").mode(SaveMode.Append).parquet(path)
 }

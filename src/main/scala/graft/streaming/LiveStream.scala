@@ -62,24 +62,29 @@ object LiveStream {
       .option("checkpointLocation", cfg.checkpointDir)
       .trigger(Trigger.ProcessingTime(cfg.triggerMs))
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[graft.tebis.TebisFile], _: Long) =>
-        val failedDir = cfg.failedDir
         val batchMax = cfg.batchMax
-        batch.foreach { file =>
-          if (file.error.isDefined) {
-            metrics.foreach(_.failedFiles.add(1))
-            // dead-letter before cleanSource touches the file; skip-if-
-            // exists parity with the reference's backup move
-            failedDir.foreach { d =>
-              new graft.tebis.Discovery.Lifecycle(Some(d), None).onFailure(file.path)
-            }
-          } else {
+        batch.persist()
+        try {
+          // posts run distributed; dead-letter moves run on the DRIVER so
+          // they use the session's Hadoop configuration (credentials etc.)
+          batch.filter(_.error.isEmpty).foreach { file =>
             BatchedSink.postFile(file, client, batchMax)
             metrics.foreach { m =>
               m.processedFiles.add(1)
               m.postedDatapoints.add(file.datapointCount)
             }
           }
-        }
+          val failedPaths = batch.filter(_.error.isDefined).map(_.path)(
+            org.apache.spark.sql.Encoders.STRING).collect()
+          if (failedPaths.nonEmpty) {
+            val lifecycle = new graft.tebis.Discovery.Lifecycle(
+              cfg.failedDir, None, spark.sparkContext.hadoopConfiguration)
+            failedPaths.foreach { p =>
+              metrics.foreach(_.failedFiles.add(1))
+              if (cfg.failedDir.isDefined) lifecycle.onFailure(p)
+            }
+          }
+        } finally { batch.unpersist(); () }
       }
       .start()
   }

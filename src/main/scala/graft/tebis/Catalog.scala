@@ -25,21 +25,25 @@ object Catalog {
     spark.read.parquet(path).as[TimeSeriesMeta]
   }
 
+  /** The upserted catalog's plan usually still READS `path` (union with
+    * the existing snapshot) — Spark refuses overwrite-while-reading, so
+    * materialize first. The catalog is small (bounded by #series). */
   def save(catalog: Dataset[TimeSeriesMeta], path: String): Unit =
-    catalog.coalesce(1).write.mode("overwrite").parquet(path)
+    catalog.localCheckpoint().coalesce(1).write.mode("overwrite").parquet(path)
 
   /** Headers not present in the catalog, deduplicated to the FIRST
     * occurrence per externalId (the reference creates a series on first
     * sight and skips later columns with the same id,
-    * csv_extractor.py:151-153). `headers` columns: path, externalId, name,
-    * colIndex.
+    * csv_extractor.py:151-153). `headers` columns: fileOrd (the file's
+    * DISCOVERY order — numeric filename-token rank, not lexicographic
+    * path), externalId, name, colIndex.
     */
   def missing(headers: DataFrame, catalog: Dataset[TimeSeriesMeta]): Dataset[TimeSeriesMeta] = {
     val spark = headers.sparkSession
     import spark.implicits._
     headers
       .groupBy($"externalId")
-      .agg(min_by(struct($"name"), struct($"path", $"colIndex")).getField("name").as("name"))
+      .agg(min_by(struct($"name"), struct($"fileOrd", $"colIndex")).getField("name").as("name"))
       .join(broadcast(catalog.select($"externalId")), Seq("externalId"), "left_anti")
       .select($"externalId", $"name", lit(AutoDescription).as("description"))
       .as[TimeSeriesMeta]

@@ -89,21 +89,35 @@ object Discovery {
       finishedDir: Option[String],
       conf: Configuration = new Configuration()) extends Serializable {
     private def fs(p: Path): FileSystem = p.getFileSystem(conf)
+    /** Python `Path.replace` parity: overwrite an existing destination,
+      * and FAIL loudly when the move doesn't happen (HDFS/object-store
+      * rename returns false instead of throwing) — a silently unmoved
+      * file would be re-ingested forever. */
     def onSuccess(file: String): Unit = {
       val p = new Path(file)
+      val f = fs(p)
       finishedDir match {
         case Some(d) =>
           val dest = new Path(d, p.getName)
-          fs(p).mkdirs(new Path(d)); fs(p).rename(p, dest); ()
-        case None => fs(p).delete(p, false); ()
+          f.mkdirs(new Path(d))
+          if (f.exists(dest)) f.delete(dest, false)
+          if (!f.rename(p, dest))
+            throw new java.io.IOException(s"failed to archive $file -> $dest")
+        case None =>
+          if (!f.delete(p, false) && f.exists(p))
+            throw new java.io.IOException(s"failed to delete $file")
       }
     }
+    /** Dead-letter move; skip-if-exists and swallow-on-error parity with
+      * the reference's backup path (IOError -> debug log only). */
     def onFailure(file: String): Unit = failedDir.foreach { d =>
-      val p = new Path(file)
-      val dest = new Path(d, p.getName)
-      val f = fs(p)
-      f.mkdirs(new Path(d))
-      if (!f.exists(dest)) { f.rename(p, dest); () }
+      try {
+        val p = new Path(file)
+        val dest = new Path(d, p.getName)
+        val f = fs(p)
+        f.mkdirs(new Path(d))
+        if (!f.exists(dest)) { f.rename(p, dest); () }
+      } catch { case _: java.io.IOException => () }
     }
   }
 }

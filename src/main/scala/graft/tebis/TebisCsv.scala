@@ -134,6 +134,14 @@ object TebisCsv {
   // BETWEEN digits; optional fraction and exponent. Rejects Java-isms
   // like "1d"/"0x1p3".
 
+  /** Python's whitespace definition for float()/int()/strip(): includes
+    * Unicode space separators (NBSP U+00A0, U+2007, ...) and U+0085,
+    * which Java's Character.isWhitespace excludes — relevant for latin-1
+    * exports with NBSP padding. */
+  private def isPyWhitespace(c: Char): Boolean =
+    Character.isWhitespace(c) || c == 0x85.toChar ||
+      Character.getType(c) == Character.SPACE_SEPARATOR
+
   /** Scan `\d(_?\d)*` from `start`; returns end index, or -1 on a
     * malformed underscore. End == start means "no digits here". */
   private def scanDigits(s: String, start: Int, end: Int): Int = {
@@ -162,8 +170,8 @@ object TebisCsv {
   /** Python `float(s)` parity (csv_extractor.py:99): None on ValueError. */
   def parsePythonFloat(raw: String): Option[Double] = {
     var a = 0; var b = raw.length
-    while (a < b && Character.isWhitespace(raw.charAt(a))) a += 1
-    while (b > a && Character.isWhitespace(raw.charAt(b - 1))) b -= 1
+    while (a < b && isPyWhitespace(raw.charAt(a))) a += 1
+    while (b > a && isPyWhitespace(raw.charAt(b - 1))) b -= 1
     if (a >= b) return None
     var i = a
     val c0 = raw.charAt(i)
@@ -212,8 +220,8 @@ object TebisCsv {
     * nonsensical and the file dead-letters either way). */
   def parsePythonInt(raw: String): Option[Long] = {
     var a = 0; var b = raw.length
-    while (a < b && Character.isWhitespace(raw.charAt(a))) a += 1
-    while (b > a && Character.isWhitespace(raw.charAt(b - 1))) b -= 1
+    while (a < b && isPyWhitespace(raw.charAt(a))) a += 1
+    while (b > a && isPyWhitespace(raw.charAt(b - 1))) b -= 1
     if (a >= b) return None
     var i = a
     val c0 = raw.charAt(i)
@@ -250,7 +258,13 @@ object TebisCsv {
     *    file (IndexError/ValueError/TypeError outside the try).
     */
   def parseContent(path: String, content: String): TebisFile = {
-    val rows = parseCsv(content)
+    // Python opens the file with newline=None (universal newlines): \r\n
+    // and bare \r become \n BEFORE the csv module sees them — including
+    // inside quoted fields. Normalize for parity.
+    val normalized =
+      if (content.indexOf('\r') >= 0) content.replace("\r\n", "\n").replace('\r', '\n')
+      else content
+    val rows = parseCsv(normalized)
     if (rows.isEmpty) return TebisFile(path, Nil, None)
     val header = rows.head
     val dataRows = rows.tail

@@ -32,6 +32,21 @@ class GraftFunctionsSpec extends AnyFunSuite {
     fast.zip(slow).foreach { case (f, s) => assert(f == s) }
   }
 
+  test("quantized_dot null semantics match the zip_with spec") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq(
+      (Seq[java.lang.Long](1L, 2L), Seq[java.lang.Long](3L, 4L)),    // 11
+      (Seq[java.lang.Long](1L, null), Seq[java.lang.Long](3L, 4L)),  // null elem
+      (Seq[java.lang.Long](1L, 2L, 3L), Seq[java.lang.Long](3L, 4L)) // length mismatch
+    ).toDF("a", "b")
+      .withColumn("fast", expr("quantized_dot(a, b)"))
+      .withColumn("slow", expr("aggregate(zip_with(a, b, (x, y) -> x * y), 0L, (acc, x) -> acc + x)"))
+    val rows = df.collect()
+    assert(rows.forall(r => r.isNullAt(2) == r.isNullAt(3)))
+    assert(rows(0).getLong(2) == 11L && rows(1).isNullAt(2) && rows(2).isNullAt(2))
+  }
+
   test("minhash_sig == transform/array_min lambda formulation") {
     GraftFunctions.register(spark)
     val sh = Dedup.shingled(t(spark, dir, "documents").limit(50))

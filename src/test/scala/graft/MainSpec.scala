@@ -56,5 +56,13 @@ class MainSpec extends AnyFunSuite {
     // second run over the (now empty) input is a no-op, catalog unchanged
     Main.runHistorical(spark, cfg, metrics, lifecycle)
     assert(spark.read.parquet(cat).count() == 2)
+
+    // incremental run WITH new files against the existing catalog:
+    // upsert must not trip overwrite-while-reading, new series appended
+    write(in, "TEBIS_C_300.csv", ";35 : T5\nu;bar\n1550092503;9,0\n")
+    Main.runHistorical(spark, cfg, metrics, lifecycle)
+    val cat2 = spark.read.parquet(cat).collect()
+    assert(cat2.map(_.getAs[String]("externalId")).sorted.toSeq == Seq("33", "34", "35"))
+    assert(spark.read.parquet(out).count() == 4)
   }
 }

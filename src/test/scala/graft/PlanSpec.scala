@@ -60,7 +60,7 @@ class PlanSpec extends AnyFunSuite {
 
   test("catalog missing-series plans as broadcast left-anti") {
     import spark.implicits._
-    val headers = Seq(("p", "1", "n", 0)).toDF("path", "externalId", "name", "colIndex")
+    val headers = Seq((0, "1", "n", 0)).toDF("fileOrd", "externalId", "name", "colIndex")
     val catalog = Seq(graft.tebis.TimeSeriesMeta("2", "x", "d")).toDS()
     val p = graft.tebis.Catalog.missing(headers, catalog)
       .queryExecution.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))

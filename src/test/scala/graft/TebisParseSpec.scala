@@ -128,6 +128,25 @@ class TebisParseSpec extends AnyFunSuite {
     assert(hdrOnly.error.isEmpty && hdrOnly.datapointCount == 0 && hdrOnly.columns.size == 1)
   }
 
+  test("python whitespace: NBSP-padded cells parse (latin-1 exports)") {
+    assert(TebisCsv.parsePythonFloat(" 1,5".replace(',', '.')).contains(1.5))
+    assert(TebisCsv.parsePythonInt(" 1550092501 ").contains(1550092501L))
+    val f = TebisCsv.parseContent("f.csv", ";1 : A\nu;x\n 100;1,5\n")
+    assert(f.error.isEmpty && f.datapoints == Seq(Datapoint("1", 100000L, 1.5)))
+  }
+
+  test("universal newlines: CRLF inside quoted fields becomes LF (py open parity)") {
+    val f = TebisCsv.parseContent("f.csv", ";\"a\r\nb : N\"\nu;x\n100;1,5\n")
+    assert(f.columns.map(_.name) == Seq("N"))
+    assert(f.columns.map(_.externalId) == Seq("a\nb")) // \r\n -> \n, then rpartition
+  }
+
+  test("int overflow maps to ValueError path, not a crash") {
+    assert(TebisCsv.parsePythonInt("99999999999999999999999").isEmpty)
+    val f = TebisCsv.parseContent("f.csv", ";1 : A\nu;x\n99999999999999999999999;1,5\n")
+    assert(f.error.exists(_.contains("ValueError")))
+  }
+
   test("latin-1 content: degree sign in unit row is ignored correctly") {
     val content = ";69 : TEST4\nZeitstempel;°C\n1550092561;70,414284\n"
     val f = TebisCsv.parseContent("f.csv", content)

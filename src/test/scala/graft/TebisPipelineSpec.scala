@@ -141,12 +141,15 @@ class TebisPipelineSpec extends AnyFunSuite {
 
   test("catalog: missing via broadcast anti-join, first-wins name, upsert") {
     import spark.implicits._
+    // fileOrd is DISCOVERY order (numeric token rank): file 2 here would
+    // sort after file 10 lexicographically, but discovery order wins
     val headers = Seq(
-      ("p1.csv", "33", "FIRST", 0),
-      ("p1.csv", "33", "SECOND", 1), // later column, same id -> name ignored
-      ("p1.csv", "44", "NEW", 2),
-      ("p2.csv", "55", "KNOWN", 0)
-    ).toDF("path", "externalId", "name", "colIndex")
+      (2, "33", "FIRST", 0),
+      (2, "33", "SECOND", 1), // later column, same id -> name ignored
+      (10, "33", "LATER_FILE", 0), // later file -> name ignored
+      (2, "44", "NEW", 2),
+      (10, "55", "KNOWN", 0)
+    ).toDF("fileOrd", "externalId", "name", "colIndex")
     val catalog = Seq(TimeSeriesMeta("55", "KNOWN", "d")).toDS()
     val missing = Catalog.missing(headers, catalog).collect().sortBy(_.externalId)
     assert(missing.map(m => (m.externalId, m.name)).toSeq == Seq(("33", "FIRST"), ("44", "NEW")))
