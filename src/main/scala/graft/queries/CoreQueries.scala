@@ -232,6 +232,20 @@ object CoreQueries {
       Some(s"""SELECT l_returnflag, l_linestatus, count(*) AS n_rows, ${dsumSql("l_quantity")} AS sum_qty
         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""")),
 
+    // Reshape: PIVOT (long->wide, the inverse of q16's unpivot) with an
+    // explicit value list so the plan is a single aggregate, no
+    // distinct-scan of pivot values.
+    QueryDef("q27_pivot_linestatus",
+      (s, d) => t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(dsum(col("l_quantity")))
+        .withColumnRenamed("F", "qty_f").withColumnRenamed("O", "qty_o"),
+      Some(s"""SELECT l_returnflag,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS qty_f,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) FILTER (WHERE l_linestatus = 'O') AS DOUBLE) AS qty_o
+        FROM lineitem GROUP BY l_returnflag""")),
+
     // Multi-level aggregate: ROLLUP with exact sums.
     QueryDef("q17_rollup_flags",
       (s, d) => t(s, d, "lineitem")
