@@ -1,7 +1,15 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Per-user running state for the custom stateful operator. */
+case class UserStats(user_id: Long, n_events: Long, sum_value: Double, max_value: Double)
+
+/** One anomaly emission: an event whose value exceeded `factor` x the
+  * user's running mean at the time it arrived. */
+case class Anomaly(user_id: Long, value: Double, running_mean: Double, n_seen: Long)
 
 /** Structured-Streaming event analytics (★ SURVEY §2b streaming row):
   * event-time windows with watermarks and session windows over an
@@ -29,6 +37,30 @@ object EventStream {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
       .select(col("win.start").as("ws"), col("win.end").as("we"),
         col("event_type"), col("n"), col("sum_value"))
+  }
+
+  /** Custom keyed state (★ SURVEY §2b UDF/state row):
+    * flatMapGroupsWithState anomaly detector — emits events whose value
+    * exceeds `factor` x the user's running mean, maintaining bounded
+    * per-key state (count/sum/max) across micro-batches. The pattern to
+    * copy for any custom per-key streaming state the built-in windows
+    * can't express. Input columns: (user_id LONG, value DOUBLE). */
+  def anomalies(events: DataFrame, factor: Double = 3.0): Dataset[Anomaly] = {
+    import events.sparkSession.implicits._
+    events.select(col("user_id").as[Long], col("value").as[Double])
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Double)], state: GroupState[UserStats]) =>
+          var st = state.getOption.getOrElse(UserStats(user, 0L, 0.0, Double.MinValue))
+          val out = Seq.newBuilder[Anomaly]
+          rows.foreach { case (_, v) =>
+            if (st.n_events > 0 && v > factor * (st.sum_value / st.n_events))
+              out += Anomaly(user, v, st.sum_value / st.n_events, st.n_events)
+            st = UserStats(user, st.n_events + 1, st.sum_value + v, math.max(st.max_value, v))
+          }
+          state.update(st)
+          out.result().iterator
+      }
   }
 
   /** Session windows (gap-based), the streaming twin of

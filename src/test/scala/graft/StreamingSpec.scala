@@ -8,7 +8,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.streaming.{EventStream, LiveStream}
+import graft.streaming.{Anomaly, EventStream, LiveStream}
 import graft.tebis.TebisCsv
 
 /** Structured Streaming specs: the live TEBIS pipeline and windowed
@@ -71,6 +71,44 @@ class StreamingSpec extends AnyFunSuite {
       val hour1 = rows.filter(r => r.getAs[Timestamp]("ws") == ts(1, 0))
       assert(hour1.length == 1 && hour1.head.getAs[String]("event_type") == "view")
     } finally q.stop()
+  }
+
+  test("stateful anomaly detector: state persists across micro-batches") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, Double)]
+    val events = mem.toDF().toDF("user_id", "value")
+    val q = EventStream.anomalies(events, factor = 3.0)
+      .writeStream.outputMode("append").format("memory").queryName("anom").start()
+    try {
+      mem.addData((1L, 10.0), (1L, 12.0), (1L, 11.0))
+      q.processAllAvailable()
+      assert(spark.table("anom").count() == 0) // all near the mean
+      // next BATCH: running mean ~11 carried in state; 50 > 3x mean
+      mem.addData((1L, 50.0), (1L, 12.0))
+      q.processAllAvailable()
+      val rows = spark.table("anom").as[Anomaly].collect()
+      assert(rows.length == 1)
+      assert(rows.head.user_id == 1L && rows.head.value == 50.0 && rows.head.n_seen == 3)
+    } finally q.stop()
+  }
+
+  test("live stream: checkpoint recovery processes each file exactly once") {
+    val dir = Files.createTempDirectory("rec-in")
+    val ckpt = Files.createTempDirectory("rec-ckpt")
+    writeTebis(dir, "TEBIS_R_100.csv", 1000, 4, "r1")
+    RecordingClient.reset()
+    val cfg = LiveStream.Config(dir.toString, ckpt.toString, triggerMs = 100L, cleanSource = "off")
+    val q1 = LiveStream.start(spark, cfg, new RecordingClient)
+    try { q1.processAllAvailable() } finally q1.stop()
+    assert(RecordingClient.all.flatten.flatMap(_.datapoints).size == 4)
+    // restart from the same checkpoint: old file NOT reprocessed, new one is
+    writeTebis(dir, "TEBIS_R_200.csv", 2000, 2, "r2")
+    val q2 = LiveStream.start(spark, cfg, new RecordingClient)
+    try { q2.processAllAvailable() } finally q2.stop()
+    val all = RecordingClient.all.flatten
+    assert(all.flatMap(_.datapoints).size == 6) // 4 + 2, no duplicates
+    assert(all.count(_.externalId == "r1") == 1)
   }
 
   test("session windows: gap splits sessions per user") {
