@@ -76,10 +76,9 @@ object Main {
         LiveStream.Config(
           inputDir = cfg.input,
           checkpointDir = cfg.checkpoint,
-          cleanSource = if (cfg.keepFinished) "archive" else "delete",
-          // Spark rejects an archive dir that can match the source glob,
-          // so live archives go to a SIBLING of --input (the historical
-          // mode's input/finished convention is not usable here)
+          // managed lifecycle: delete-as-commit (or archive) for posted
+          // files, dead-letter for failures; dirs are SIBLINGS of --input
+          // so the streaming source never re-lists them
           archiveDir = if (cfg.keepFinished) Some(s"${cfg.input}_finished") else None,
           failedDir = if (cfg.moveFailed) Some(s"${cfg.input}_failed") else None),
         LoggingClient, Some(metrics))
@@ -114,7 +113,9 @@ object Main {
         val ordByPath = paths.zipWithIndex.map { case (p, i) =>
           new org.apache.hadoop.fs.Path(p).toUri.getPath -> i
         }.toMap
-        val headers = files.filter(_.error.isEmpty)
+        // failed files included: their pre-failure headers created series
+        // in the reference too (create_time_series precedes the raise)
+        val headers = files
           .flatMap { f =>
             // binaryFile renders paths as URIs; compare scheme-free paths
             val ord = ordByPath.getOrElse(
@@ -122,7 +123,9 @@ object Main {
             f.columns.map(c => (ord, c.externalId, c.name, c.colIndex))
           }
           .toDF("fileOrd", "externalId", "name", "colIndex")
-        val created = Catalog.missing(headers, existing)
+        // materialize once: count + upsert + save would otherwise each
+        // re-run the aggregation/anti-join
+        val created = Catalog.missing(headers, existing).localCheckpoint()
         metrics.createdTimeSeries.add(created.count())
         Catalog.save(Catalog.upsert(existing, created), catPath)
       }

@@ -29,7 +29,14 @@ object LiveStream {
       maxFilesPerTrigger: Int = 20,
       triggerMs: Long = 8000L,
       latestFirst: Boolean = true,
-      cleanSource: String = "delete", // off | delete | archive
+      /** When true (default), the micro-batch itself applies the
+        * reference's commit protocol: SUCCESSFUL files are deleted (or
+        * moved to archiveDir), failed files are dead-lettered to
+        * failedDir or left in place — never deleted. Spark's cleanSource
+        * would delete/archive failed files too (it cannot see parse
+        * outcomes), so it stays "off" when this is on. */
+      manageLifecycle: Boolean = true,
+      cleanSource: String = "off", // off | delete | archive (only when !manageLifecycle)
       archiveDir: Option[String] = None,
       failedDir: Option[String] = None, // dead-letter parse failures (--move-failed)
       batchMax: Int = BatchedSink.BatchMax)
@@ -45,13 +52,14 @@ object LiveStream {
     // binaryFile's fixed schema, required explicitly for streaming
     val binarySchema = org.apache.spark.sql.types.StructType.fromDDL(
       "path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
+    val cleanSource = if (cfg.manageLifecycle) "off" else cfg.cleanSource
     val reader = spark.readStream.format("binaryFile")
       .schema(binarySchema)
       .option("pathGlobFilter", "*.csv")
       .option("maxFilesPerTrigger", cfg.maxFilesPerTrigger)
       .option("latestFirst", cfg.latestFirst)
-      .option("cleanSource", cfg.cleanSource)
-    cfg.archiveDir.foreach(reader.option("sourceArchiveDir", _))
+      .option("cleanSource", cleanSource)
+    if (!cfg.manageLifecycle) cfg.archiveDir.foreach(reader.option("sourceArchiveDir", _))
     val files = reader.load(cfg.inputDir)
       .select($"path", $"content").as[(String, Array[Byte])]
       .map { case (p, bytes) =>
@@ -76,13 +84,19 @@ object LiveStream {
           }
           val failedPaths = batch.filter(_.error.isDefined).map(_.path)(
             org.apache.spark.sql.Encoders.STRING).collect()
-          if (failedPaths.nonEmpty) {
-            val lifecycle = new graft.tebis.Discovery.Lifecycle(
-              cfg.failedDir, None, spark.sparkContext.hadoopConfiguration)
-            failedPaths.foreach { p =>
-              metrics.foreach(_.failedFiles.add(1))
-              if (cfg.failedDir.isDefined) lifecycle.onFailure(p)
-            }
+          val lifecycle = new graft.tebis.Discovery.Lifecycle(
+            cfg.failedDir, cfg.archiveDir, spark.sparkContext.hadoopConfiguration)
+          failedPaths.foreach { p =>
+            metrics.foreach(_.failedFiles.add(1))
+            // dead-letter or leave in place; NEVER delete an uningested file
+            if (cfg.failedDir.isDefined) lifecycle.onFailure(p)
+          }
+          if (cfg.manageLifecycle) {
+            // delete-as-commit (or archive) for successfully posted files —
+            // the reference's E2 protocol, applied per micro-batch
+            val okPaths = batch.filter(_.error.isEmpty).map(_.path)(
+              org.apache.spark.sql.Encoders.STRING).collect()
+            okPaths.foreach(lifecycle.onSuccess)
           }
         } finally { batch.unpersist(); () }
       }

@@ -16,7 +16,7 @@ object Datapoints {
   /** externalId = text before the LAST colon, trimmed; "" when no colon
     * (Python rpartition parity, csv_extractor.py:149). */
   def externalIdExpr(header: Column): Column =
-    trim(regexp_extract(header, "^(.*):[^:]*$", 1))
+    trim(regexp_extract(header, "(?s)^(.*):[^:]*$", 1)) // (?s): headers may carry newlines (quoted cells)
 
   /** name = text after the LAST colon, trimmed; whole cell when no colon
     * (csv_extractor.py:148). */
@@ -59,6 +59,10 @@ object Datapoints {
         seriesNameExpr(col("hdr")).as("seriesName"),
         timestampMsExpr(col(tsCol)).as("timestampMs"),
         col("value"))
+      // declarative approximation of the canonical path's file-fatal bad
+      // timestamp: rows with unparsable timestamps are dropped (a
+      // DataFrame op cannot fail per-file)
+      .filter(col("timestampMs").isNotNull)
   }
 
   /** Per-series stats (S10/S11 analogs): one shuffle, partial aggregation

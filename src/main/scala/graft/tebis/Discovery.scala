@@ -10,6 +10,14 @@ import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
   */
 object Discovery {
 
+  /** Files Spark's file index will not read: '.'-prefixed (also skipped
+    * by Python's glob) and '_'-prefixed (a Spark data-source convention —
+    * documented divergence: the reference WOULD process `_x.csv`, but
+    * listing what the engine cannot load would strand the file in the
+    * input dir forever). */
+  private def isHidden(name: String): Boolean =
+    name.startsWith(".") || name.startsWith("_")
+
   /** stem (filename minus last extension) split on "_", with the Python
     * `int(parts[-1])` token when parsable. */
   private def stemParts(p: Path): Array[String] = {
@@ -38,6 +46,7 @@ object Discovery {
     val dirPath = new Path(dir)
     val fs = dirPath.getFileSystem(conf)
     val all = Option(fs.globStatus(new Path(dirPath, "*.csv"))).getOrElse(Array.empty)
+      .filter(st => !isHidden(st.getPath.getName))
     val from = timeFrom.filter(_ != 0L)
     val until = timeUntil.filter(_ != 0L)
     val relevant: Array[FileStatus] =
@@ -73,6 +82,7 @@ object Discovery {
     val dirPath = new Path(dir)
     val fs = dirPath.getFileSystem(conf)
     val all = Option(fs.globStatus(new Path(dirPath, "*.csv"))).getOrElse(Array.empty)
+      .filter(st => !isHidden(st.getPath.getName))
     all.filter(_.getModificationTime < nowMs - settleMs)
       .sortBy(-_.getModificationTime)
       .take(maxFiles)

@@ -13,7 +13,8 @@ object Retry {
     while (true) {
       try return body
       catch {
-        case e: Throwable if attempt < maxAttempts =>
+        // NonFatal only: interrupts and JVM errors must propagate
+        case scala.util.control.NonFatal(e) if attempt < maxAttempts =>
           onError(attempt, e)
           Thread.sleep(sleepMs(attempt.toLong))
           attempt += 1

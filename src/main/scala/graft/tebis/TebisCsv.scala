@@ -266,8 +266,18 @@ object TebisCsv {
       else content
     val rows = parseCsv(normalized)
     if (rows.isEmpty) return TebisFile(path, Nil, None)
-    val header = rows.head
-    val dataRows = rows.tail
+    // DictReader takes the LITERAL first row as fieldnames — a blank first
+    // line means fieldnames=[] (blank-row skipping applies to data rows
+    // only), which sends every data row to the restkey and fails the file.
+    val blankHeader = normalized.charAt(0) == '\n'
+    val header = if (blankHeader) Vector.empty[String] else rows.head
+    val dataRows = if (blankHeader) rows else rows.tail
+    // rows longer than the header: DictReader files extras under
+    // restkey=None; process_csv_file then calls None.rpartition and the
+    // WHOLE file dead-letters — but only after every real column was
+    // processed (the None key sorts last), so their series still reach
+    // the catalog (headers kept below).
+    val hasExtraCells = dataRows.exists(_.length > header.length)
     // DictReader column-major build: one value per UNIQUE header key per
     // row (null = missing cell). Duplicate headers share one array, so
     // the later occurrence naturally overwrites (DictReader dict parity).
@@ -292,9 +302,14 @@ object TebisCsv {
       columnsByKey.getOrElse("", Array.empty[String]).drop(1)
     val tsMsCache = new Array[Long](timestamps.length) // 0 = unparsed
     val valueKeys = uniqueKeys.filterNot(_ == "")
+    // Headers whose series the reference had already CREATED when a
+    // failure hit (create_time_series runs before create_data_points per
+    // column, csv_extractor.py:148-156) — the failing column included.
+    val headersSeen = Vector.newBuilder[SeriesColumn]
     try {
       val cols = valueKeys.zipWithIndex.map { case (colName, colIdx) =>
         val hdr = splitHeaderCell(colName)
+        headersSeen += SeriesColumn(hdr.externalId, hdr.name, colIdx, Nil)
         val cells = columnsByKey(colName).drop(1)
         val dps = Vector.newBuilder[DatapointValue]
         var i = 0
@@ -309,8 +324,13 @@ object TebisCsv {
                 if (tsMs == 0L) {
                   val ts = timestamps(i)
                   if (ts == null) throw new FileFailure(s"TypeError: missing timestamp cell at row $i")
-                  tsMs = parsePythonInt(ts).getOrElse(
-                    throw new FileFailure(s"ValueError: invalid literal for int(): '$ts'")) * 1000L
+                  val sec = parsePythonInt(ts).getOrElse(
+                    throw new FileFailure(s"ValueError: invalid literal for int(): '$ts'"))
+                  // documented divergence: seconds whose millis overflow
+                  // Long dead-letter (Python's unbounded int would not)
+                  if (sec > Long.MaxValue / 1000 || sec < Long.MinValue / 1000)
+                    throw new FileFailure(s"ValueError: timestamp out of range: '$ts'")
+                  tsMs = sec * 1000L
                   tsMsCache(i) = tsMs
                 }
                 dps += DatapointValue(tsMs, d)
@@ -321,9 +341,13 @@ object TebisCsv {
         }
         SeriesColumn(hdr.externalId, hdr.name, colIdx, dps.result())
       }
+      if (hasExtraCells)
+        throw new FileFailure("AttributeError: 'list' object has no attribute 'rpartition' (row longer than header)")
       TebisFile(path, cols, None)
     } catch {
-      case f: FileFailure => TebisFile(path, Nil, Some(f.getMessage))
+      // datapoints are discarded, but the already-seen headers are kept so
+      // the catalog upsert mirrors the reference's partial series creation
+      case f: FileFailure => TebisFile(path, headersSeen.result(), Some(f.getMessage))
     }
   }
 
@@ -344,10 +368,12 @@ object TebisCsv {
     files(spark, paths).filter(_.error.isEmpty).flatMap(_.datapoints)
   }
 
-  /** All value-column headers (for catalog upsert), with provenance. */
+  /** All value-column headers (for catalog upsert), with provenance.
+    * Failed files contribute the headers processed before their failure —
+    * the reference creates those series too (csv_extractor.py:151-156). */
   def headers(spark: SparkSession, paths: Seq[String]): Dataset[(String, SeriesHeader, Int)] = {
     import spark.implicits._
-    files(spark, paths).filter(_.error.isEmpty)
+    files(spark, paths)
       .flatMap(f => f.columns.map(c => (f.path, SeriesHeader(c.externalId, c.name), c.colIndex)))
   }
 }

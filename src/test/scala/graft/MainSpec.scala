@@ -44,25 +44,26 @@ class MainSpec extends AnyFunSuite {
     val dps = spark.read.parquet(out)
     assert(dps.count() == 3)
     assert(dps.columns.contains("day"))
-    // catalog created both series with first-wins names
+    // catalog: both good series plus the failed file's pre-failure header
+    // ("9" — the reference creates the series before the timestamp raise)
     val catalog = spark.read.parquet(cat).collect()
-    assert(catalog.map(_.getAs[String]("externalId")).sorted.toSeq == Seq("33", "34"))
+    assert(catalog.map(_.getAs[String]("externalId")).sorted.toSeq == Seq("33", "34", "9"))
     // lifecycle: good files archived, bad file dead-lettered
     assert(Files.list(in.resolve("finished")).count() == 2)
     assert(Files.exists(in.resolve("failed").resolve("broken_x_300.csv")))
     assert(metrics.failedFiles.value == 1 && metrics.processedFiles.value == 2)
-    assert(metrics.postedDatapoints.value == 3 && metrics.createdTimeSeries.value == 2)
+    assert(metrics.postedDatapoints.value == 3 && metrics.createdTimeSeries.value == 3)
 
     // second run over the (now empty) input is a no-op, catalog unchanged
     Main.runHistorical(spark, cfg, metrics, lifecycle)
-    assert(spark.read.parquet(cat).count() == 2)
+    assert(spark.read.parquet(cat).count() == 3)
 
     // incremental run WITH new files against the existing catalog:
     // upsert must not trip overwrite-while-reading, new series appended
     write(in, "TEBIS_C_300.csv", ";35 : T5\nu;bar\n1550092503;9,0\n")
     Main.runHistorical(spark, cfg, metrics, lifecycle)
     val cat2 = spark.read.parquet(cat).collect()
-    assert(cat2.map(_.getAs[String]("externalId")).sorted.toSeq == Seq("33", "34", "35"))
+    assert(cat2.map(_.getAs[String]("externalId")).sorted.toSeq == Seq("33", "34", "35", "9"))
     assert(spark.read.parquet(out).count() == 4)
   }
 }

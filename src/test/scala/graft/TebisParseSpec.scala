@@ -114,12 +114,30 @@ class TebisParseSpec extends AnyFunSuite {
     assert(f.datapoints == Seq(Datapoint("33", 100000L, 2.0))) // last wins
   }
 
-  test("short rows fill missing cells as dropped; long rows drop extras") {
-    val content = ";1 : A;2 : B\nu;x;y\n100;1,0\n200;3,0;4,0;9,9\n"
+  test("short rows fill missing cells as dropped") {
+    val content = ";1 : A;2 : B\nu;x;y\n100;1,0\n200;3,0;4,0\n"
     val f = TebisCsv.parseContent("f.csv", content)
     assert(f.error.isEmpty)
     assert(f.datapoints.toSet == Set(
       Datapoint("1", 100000L, 1.0), Datapoint("1", 200000L, 3.0), Datapoint("2", 200000L, 4.0)))
+  }
+
+  test("row longer than header dead-letters the file, headers preserved (restkey parity)") {
+    val content = ";1 : A;2 : B\nu;x;y\n100;1,0\n200;3,0;4,0;9,9\n"
+    val f = TebisCsv.parseContent("f.csv", content)
+    assert(f.error.exists(_.contains("AttributeError")))
+    assert(f.datapoints.isEmpty)
+    // every real column was processed before the None restkey raised, so
+    // their series still reach the catalog
+    assert(f.headers.map(_.externalId) == Seq("1", "2"))
+  }
+
+  test("blank first line means empty fieldnames -> file fails (DictReader parity)") {
+    val f = TebisCsv.parseContent("f.csv", "\n;1 : A\nu;x\n100;1,0\n")
+    assert(f.error.exists(_.contains("AttributeError")))
+    assert(f.headers.isEmpty)
+    // a file of only blank lines parses to nothing, successfully
+    assert(TebisCsv.parseContent("e.csv", "\n\n\n").error.isEmpty)
   }
 
   test("empty / header-only files parse to zero points, no error") {
