@@ -217,6 +217,21 @@ object CoreQueries {
         SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax FROM lineitem)
         UNPIVOT (value FOR metric IN (l_quantity, l_extendedprice, l_discount, l_tax))""")),
 
+    // Set operation: UNION ALL (the reference's implicit per-file union,
+    // §2b set-ops row) — accounts of both parties, tagged.
+    QueryDef("q28_union_all_accounts",
+      (s, d) => t(s, d, "customer")
+        .select(col("c_nationkey").cast("int").as("nationkey"), col("c_acctbal").as("acctbal"), lit("customer").as("party"))
+        .unionAll(t(s, d, "supplier")
+          .select(col("s_nationkey").cast("int").as("nationkey"), col("s_acctbal").as("acctbal"), lit("supplier").as("party")))
+        .groupBy("nationkey", "party")
+        .agg(count(lit(1)).as("n"), dsum(col("acctbal")).as("sum_acctbal")),
+      Some(s"""SELECT nationkey, party, count(*) AS n, ${dsumSql("acctbal")} AS sum_acctbal FROM (
+        SELECT c_nationkey AS nationkey, c_acctbal AS acctbal, 'customer' AS party FROM customer
+        UNION ALL
+        SELECT s_nationkey AS nationkey, s_acctbal AS acctbal, 'supplier' AS party FROM supplier
+        ) GROUP BY nationkey, party""")),
+
     // Set operation: INTERSECT (distinct semantics in both engines).
     QueryDef("q23_nations_intersect",
       (s, d) => t(s, d, "customer").select(col("c_nationkey").as("nationkey"))
