@@ -191,6 +191,35 @@ object Dedup {
       .withColumn("hs", expr("transform(split(text, ' '), t -> md5(t))"))
       .select(col("doc_id"), expr(simhashExprs._1).as("simhash"))
 
+  /** SimHash near-dup candidate pairs with Hamming distance <= maxHamming,
+    * via band partitioning: split the 32-bit fingerprint into `nBands`
+    * equal bands — any pair within Hamming h < nBands shares at least one
+    * intact band (pigeonhole), so candidates come from an equi-join on
+    * (band index, band bits), then an exact Hamming re-rank. The
+    * fingerprint-level twin of MinHash+LSH: one fold per doc, band-key
+    * shuffle, no n². */
+  def simhashPairs(docs: DataFrame, maxHamming: Int, nBands: Int = 4): DataFrame = {
+    require(maxHamming < nBands, "pigeonhole needs maxHamming < nBands")
+    val width = SimhashBits / nBands
+    val fp = simhash(docs).localCheckpoint() // both join sides + re-rank
+    val bands = fp.select(col("doc_id"), col("simhash"),
+      explode(expr(
+        s"transform(sequence(0, ${nBands - 1}), b -> concat(cast(b AS STRING), ':', substr(simhash, b * $width + 1, $width)))"))
+        .as("bkey"))
+    val hamming = expr(
+      s"""CAST(aggregate(transform(sequence(1, $SimhashBits),
+          i -> CASE WHEN substr(fa, i, 1) = substr(fb, i, 1) THEN 0 ELSE 1 END),
+          0, (a, x) -> a + x) AS BIGINT)""")
+    bands.as("a")
+      .join(bands.as("b"), col("a.bkey") === col("b.bkey") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.simhash").as("fa"), col("b.simhash").as("fb"))
+      .distinct()
+      .withColumn("hamming", hamming)
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
   val queries: Seq[QueryDef] = Seq(
     QueryDef("q40_dedup_exact",
       (s, d) => exact(t(s, d, "documents")),
@@ -231,6 +260,25 @@ object Dedup {
               / (len(sa.grams) + len(sb.grams) - len(list_intersect(sa.grams, sb.grams))) AS jaccard
           FROM cand c JOIN sh sa ON sa.doc_id = c.id_a JOIN sh sb ON sb.doc_id = c.id_b)
         SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= 0.8"""
+      }),
+
+    QueryDef("q48_dedup_simhash_pairs",
+      (s, d) => simhashPairs(t(s, d, "documents"), maxHamming = 3),
+      Some {
+        val width = SimhashBits / 4
+        val fpSql = s"SELECT doc_id, ${simhashExprs._2} AS simhash FROM " +
+          "(SELECT doc_id, list_transform(string_split(text, ' '), t -> md5(t)) AS hs FROM documents)"
+        s"""WITH fp AS ($fpSql),
+        bands AS (SELECT doc_id, simhash,
+            unnest(list_transform(range(0, 4), b -> CAST(b AS VARCHAR) || ':' || substr(simhash, CAST(b * $width + 1 AS INT), $width))) AS bkey
+          FROM fp),
+        cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.simhash AS fa, b.simhash AS fb
+          FROM bands a JOIN bands b ON a.bkey = b.bkey AND a.doc_id < b.doc_id),
+        h AS (SELECT id_a, id_b,
+            CAST(list_sum(list_transform(range(1, ${SimhashBits + 1}),
+              i -> CASE WHEN substr(fa, CAST(i AS INT), 1) = substr(fb, CAST(i AS INT), 1) THEN 0 ELSE 1 END)) AS BIGINT) AS hamming
+          FROM cand)
+        SELECT id_a, id_b, hamming FROM h WHERE hamming <= 3"""
       }),
 
     QueryDef("q43_dedup_simhash",

@@ -115,6 +115,25 @@ class TebisPipelineSpec extends AnyFunSuite {
     assert(a == b && a.size == 4)
   }
 
+  test("wide file: 2000 series columns parse and unpivot (SURVEY §7.5#4)") {
+    import spark.implicits._
+    val n = 2000
+    val hdr = ";" + (1 to n).map(i => s"w$i : W$i").mkString(";")
+    val unit = "u" + ";x" * n
+    val row = "100;" + (1 to n).map(i => s"$i,5").mkString(";")
+    val f = TebisCsv.parseContent("wide.csv", s"$hdr\n$unit\n$row\n")
+    assert(f.error.isEmpty && f.datapointCount == n && f.seriesCount == n)
+    // declarative path: chunked Expand bounds expression size
+    val wideDf = spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row.fromSeq("100" +: (1 to n).map(i => s"$i,5"))),
+      org.apache.spark.sql.types.StructType(
+        org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.StringType) +:
+          (1 to n).map(i => org.apache.spark.sql.types.StructField(s"w$i : W$i", org.apache.spark.sql.types.StringType))))
+    val long = Datapoints.unpivotWide(wideDf, "ts", chunk = 256)
+    assert(long.count() == n)
+    assert(long.agg(org.apache.spark.sql.functions.countDistinct("externalId")).head.getLong(0) == n)
+  }
+
   test("gap detection: strictly-greater threshold, per series") {
     import spark.implicits._
     val dp = Seq(
