@@ -256,6 +256,28 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Hamming distance between two equal-length strings (byte-wise — exact
+  * for the ASCII '0'/'1' fingerprints it serves); NULL on length
+  * mismatch. One pass vs a 32-term interpreted lambda chain on the
+  * candidate-pair hot path. */
+case class HammingDistance(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[UTF8String].getBytes
+    val y = b.asInstanceOf[UTF8String].getBytes
+    if (x.length != y.length) return null
+    var i = 0; var d = 0L
+    while (i < x.length) { if (x(i) != y(i)) d += 1; i += 1 }
+    d
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** Session-scoped registration so `expr("quantized_dot(a, b)")` etc.
   * resolve; idempotent. */
 object GraftFunctions {
@@ -271,6 +293,8 @@ object GraftFunctions {
       es => SortedIntersectCount(es.head, es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("word_shingles",
       es => WordShingles(es.head, es(1).eval().asInstanceOf[Int]), "scala_udf")
+    reg.createOrReplaceTempFunction("hamming_str",
+      es => HammingDistance(es.head, es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("minhash_bands",
       es => MinHashBands(es.head,
         es(1).eval().asInstanceOf[Int], es(2).eval().asInstanceOf[Int]), "scala_udf")

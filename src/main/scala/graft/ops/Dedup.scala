@@ -206,18 +206,15 @@ object Dedup {
       explode(expr(
         s"transform(sequence(0, ${nBands - 1}), b -> concat(cast(b AS STRING), ':', substr(simhash, b * $width + 1, $width)))"))
         .as("bkey"))
-    val hamming = expr(
-      s"""CAST(aggregate(transform(sequence(1, $SimhashBits),
-          i -> CASE WHEN substr(fa, i, 1) = substr(fb, i, 1) THEN 0 ELSE 1 END),
-          0, (a, x) -> a + x) AS BIGINT)""")
+    // hamming BEFORE distinct: with clustered fingerprints (real corpora)
+    // the candidate join can be millions of duplicated rows — the cheap
+    // re-rank cuts them down before the expensive wide distinct
     bands.as("a")
       .join(bands.as("b"), col("a.bkey") === col("b.bkey") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        col("a.simhash").as("fa"), col("b.simhash").as("fb"))
-      .distinct()
-      .withColumn("hamming", hamming)
+        expr("hamming_str(a.simhash, b.simhash)").as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .select("id_a", "id_b", "hamming")
+      .distinct()
   }
 
   val queries: Seq[QueryDef] = Seq(
