@@ -80,15 +80,44 @@ object Dedup {
     * gram frequencies, ordering by ascending document frequency prunes
     * harder and drops in here unchanged. Threshold is fixed at 0.8 = 4/5
     * (the integer forms 8/10 and 4/5 below). */
-  def ngramJaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
+  /** @param orderByDocFreq use ascending global document frequency as the
+    *   canonical gram order instead of lexicographic. The OUTPUT is
+    *   identical (the prefix theorem holds under ANY total order; the
+    *   verify stage is exact either way) — what changes is pruning power:
+    *   rare grams land in prefixes, so skewed real-world corpora generate
+    *   far fewer candidates. Costs one extra aggregation + a broadcast
+    *   join to rank grams. Lexicographic stays the default: it needs no
+    *   extra pass and is what the DuckDB oracle mirrors structurally. */
+  def ngramJaccardPairs(docs: DataFrame, threshold: Double,
+      orderByDocFreq: Boolean = false): DataFrame = {
     require(threshold == 0.8, "integer-exact prefix filter is derived for t=0.8")
     graft.functions.GraftFunctions.register(docs.sparkSession)
     QueryDef.cpuBound(docs.sparkSession)
+    val base = shingled(docs)
+    val withSorted =
+      if (!orderByDocFreq) base.withColumn("sorted", sort_array(col("grams")))
+      else {
+        // rank grams by (df, gram); re-sort each doc's gram list by rank.
+        // rank map is bounded by the distinct-gram vocabulary — broadcast.
+        val df_ = base.select(explode(col("grams")).as("gram"))
+          .groupBy("gram").agg(count(lit(1)).as("df"))
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("df").asc, col("gram").asc)
+        val ranked = df_.withColumn("rank", row_number().over(w))
+        val exploded = base.select(col("doc_id"), explode(col("grams")).as("gram"))
+          .join(broadcast(ranked.select("gram", "rank")), "gram")
+        exploded.groupBy("doc_id")
+          .agg(array_sort(collect_list(struct(col("rank"), col("gram")))).as("rg"))
+          .select(col("doc_id"), expr("transform(rg, p -> p.gram)").as("sorted"))
+          .join(base, "doc_id")
+      }
     // materialize shingle+sort once: the table feeds four subtrees
     // (both prefix sides, both verify sides) — without the checkpoint
-    // each recomputes it
-    val sh = shingled(docs)
-      .withColumn("sorted", sort_array(col("grams")))
+    // each recomputes it. `sorted` carries the PREFIX order (canonical);
+    // `vsorted` is always lexicographic — the merge-based intersect
+    // requires it regardless of the prefix order chosen.
+    val sh = withSorted
+      .withColumn("vsorted", sort_array(col("grams")))
       .withColumn("n", size(col("grams")).cast("long"))
       .localCheckpoint()
     // prefix length: n - ceil(0.8 n) + 1 with ceil(0.8 n) = (8n+9) DIV 10
@@ -102,8 +131,8 @@ object Dedup {
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
     cands
-      .join(sh.select(col("doc_id").as("id_a"), col("sorted").as("ga"), col("n").as("na")), "id_a")
-      .join(sh.select(col("doc_id").as("id_b"), col("sorted").as("gb"), col("n").as("nb")), "id_b")
+      .join(sh.select(col("doc_id").as("id_a"), col("vsorted").as("ga"), col("n").as("na")), "id_a")
+      .join(sh.select(col("doc_id").as("id_b"), col("vsorted").as("gb"), col("n").as("nb")), "id_b")
       .withColumn("inter", expr("sorted_intersect_count(ga, gb)"))
       .filter(col("inter") * 5 >= (col("na") + col("nb") - col("inter")) * 4)
       .select(col("id_a"), col("id_b"),

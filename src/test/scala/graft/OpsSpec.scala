@@ -27,6 +27,14 @@ class OpsSpec extends AnyFunSuite {
     assert(exact.nonEmpty) // the corpus has planted near-dups
   }
 
+  test("prefix filter is order-invariant: df-ordered == lexicographic output") {
+    val lex = Dedup.ngramJaccardPairs(docs, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val byDf = Dedup.ngramJaccardPairs(docs, 0.8, orderByDocFreq = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(byDf == lex && lex.nonEmpty)
+  }
+
   test("ngram jaccard: symmetric threshold, jaccard in (0,1]") {
     val rows = Dedup.ngramJaccardPairs(docs, 0.8).collect()
     assert(rows.forall(r => r.getDouble(2) >= 0.8 && r.getDouble(2) <= 1.0))
