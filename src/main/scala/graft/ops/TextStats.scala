@@ -114,7 +114,36 @@ object TextStats {
           transform(sequence(1, length(text)), i -> CAST(ascii(substr(text, i, 1)) AS BIGINT)),
           0L, (a, x) -> (a * 31 + x) % 1000000007)""").as("fp"))
 
+  /** Corpus frequency table: top-k word bigrams per language (fully
+    * tie-broken). Explode + one aggregation + windowed top-n — the
+    * standard n-gram statistics shape at any scale. */
+  def topBigrams(docs: DataFrame, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("n").desc, col("bigram").asc)
+    docs
+      .select(col("lang"), split(col("text"), " ").as("toks"))
+      .select(col("lang"), explode(expr(
+        """CASE WHEN size(toks) >= 2 THEN
+             transform(sequence(1, size(toks) - 1),
+               i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))
+           ELSE CAST(array() AS ARRAY<STRING>) END""")).as("bigram"))
+      .groupBy("lang", "bigram").agg(count(lit(1)).as("n"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   val queries: Seq[QueryDef] = Seq(
+    QueryDef("q36_top_bigrams",
+      (s, d) => topBigrams(t(s, d, "documents"), 5),
+      Some("""WITH grams AS (
+          SELECT lang, unnest(list_transform(range(1, greatest(len(string_split(text, ' ')), 1)),
+            i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1])) AS bigram
+          FROM documents),
+        counts AS (SELECT lang, bigram, count(*) AS n FROM grams GROUP BY 1, 2),
+        r AS (SELECT lang, bigram, n,
+            row_number() OVER (PARTITION BY lang ORDER BY n DESC, bigram) AS rank FROM counts)
+        SELECT lang, bigram, n, rank FROM r WHERE rank <= 5""")),
+
     QueryDef("q30_text_stats",
       (s, d) => stats(t(s, d, "documents")),
       Some("""SELECT doc_id, lang,
