@@ -23,8 +23,13 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Pinned, GC-friendly JVM: fixed heap (no resize stalls mid-bench) sized
+// for local[32] at sf0.1 — the round-1 bench record degraded ~10x under
+// GC pressure with 32 executor threads in an 8g heap.
+val driverMem = sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx$driverMem", s"-Xms$driverMem",
+  "-XX:+UseG1GC", "-XX:MaxGCPauseMillis=300",
 )

@@ -129,7 +129,11 @@ object EventOps {
         .select(col("event_type"), get_json_object(col("props"), "$.k").cast("long").as("k"))
         .groupBy("event_type")
         .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n")),
-      Some("""SELECT event_type, SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+      // CAST the outer SUM: DuckDB's SUM(BIGINT) yields HUGEINT (int128)
+      // while Spark's sum(LongType) is LONG — uncast, the hash gate fails
+      // on type alone even when every value agrees.
+      Some("""SELECT event_type,
+        CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         count(*) AS n FROM events GROUP BY event_type""")),
 
     QueryDef("q19_tumbling_1h",

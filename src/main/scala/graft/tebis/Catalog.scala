@@ -27,9 +27,18 @@ object Catalog {
 
   /** The upserted catalog's plan usually still READS `path` (union with
     * the existing snapshot) — Spark refuses overwrite-while-reading, so
-    * materialize first. The catalog is small (bounded by #series). */
-  def save(catalog: Dataset[TimeSeriesMeta], path: String): Unit =
-    catalog.localCheckpoint().coalesce(1).write.mode("overwrite").parquet(path)
+    * materialize first (localCheckpoint: the snapshot is tiny, single-use,
+    * and trivially recomputable — no need for a reliable checkpoint). The
+    * pinned blocks are released once the write completes. */
+  def save(catalog: Dataset[TimeSeriesMeta], path: String): Unit = {
+    val sc = catalog.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val snap = catalog.localCheckpoint()
+    try snap.coalesce(1).write.mode("overwrite").parquet(path)
+    finally sc.getPersistentRDDs
+      .collect { case (id, rdd) if !before.contains(id) => rdd }
+      .foreach(_.unpersist(blocking = false))
+  }
 
   /** Headers not present in the catalog, deduplicated to the FIRST
     * occurrence per externalId (the reference creates a series on first
