@@ -88,29 +88,73 @@ object Dedup {
     *   far fewer candidates. Costs one extra aggregation + a broadcast
     *   join to rank grams. Lexicographic stays the default: it needs no
     *   extra pass and is what the DuckDB oracle mirrors structurally. */
+  /** `base` (doc_id, grams) plus the canonical per-doc gram order in
+    * `sorted`. Lexicographic is a plain per-row array sort; df-ordered
+    * re-sorts each doc's gram list by ascending (df, gram). No global
+    * rank is needed for the latter — any TOTAL order works for the
+    * prefix theorem, and struct sort is lexicographic, so sorting
+    * struct(df, gram) yields exactly the order a dense row_number over
+    * (df, gram) would, without funneling the vocabulary through one task
+    * (a partitionBy-less Window would single-thread the whole gram
+    * vocabulary — the opposite of what this skew-focused path is for).
+    * The df map is bounded by the distinct-gram vocabulary — broadcast
+    * here; swap to a shuffle equi-join on `gram` when the vocabulary
+    * outgrows the driver. */
+  private[graft] def canonicalSorted(base: DataFrame, orderByDocFreq: Boolean): DataFrame =
+    if (!orderByDocFreq) base.withColumn("sorted", sort_array(col("grams")))
+    else {
+      val df_ = base.select(explode(col("grams")).as("gram"))
+        .groupBy("gram").agg(count(lit(1)).as("df"))
+      val exploded = base.select(col("doc_id"), explode(col("grams")).as("gram"))
+        .join(broadcast(df_), "gram")
+      exploded.groupBy("doc_id")
+        .agg(array_sort(collect_list(struct(col("df"), col("gram")))).as("rg"))
+        .select(col("doc_id"), expr("transform(rg, p -> p.gram)").as("sorted"))
+        .join(base, "doc_id")
+    }
+
+  /** Drop grams whose document frequency exceeds `cap` from every doc's
+    * gram set — the 100 TB guard for the exact-Jaccard path: a gram
+    * shared by d documents contributes O(d²) candidate pairs, so a few
+    * boilerplate grams dominate the join. The cap redefines the operator
+    * (Jaccard over the capped gram universe — an explicit approximation,
+    * mirrored exactly in the oracle); pairs whose similarity lives only
+    * in ubiquitous grams are the ones a dedup pipeline means to ignore.
+    * The df map is vocabulary-bounded — broadcast, same trade as
+    * canonicalSorted. */
+  private[graft] def capGrams(base: DataFrame, cap: Long): DataFrame = {
+    val rare = base.select(explode(col("grams")).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= cap)
+      .select("gram")
+    base.select(col("doc_id"), explode(col("grams")).as("gram"))
+      .join(broadcast(rare), "gram")
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(col("gram"))).as("grams"))
+  }
+
+  /** Prefix-filter candidate pairs from `sh` (doc_id, sorted, n):
+    * prefix length n - ceil(0.8 n) + 1 with ceil(0.8 n) = (8n+9) DIV 10,
+    * joined on shared prefix gram under the integer length filter. */
+  private[graft] def prefixCandidates(sh: DataFrame): DataFrame = {
+    val prefix = sh
+      .withColumn("gram", explode(expr("slice(sorted, 1, CAST(n - ((8 * n + 9) DIV 10) + 1 AS INT))")))
+      .select(col("doc_id"), col("gram"), col("n"))
+    prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id") &&
+          col("a.n") * 5 >= col("b.n") * 4 && col("b.n") * 5 >= col("a.n") * 4)
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+  }
+
   def ngramJaccardPairs(docs: DataFrame, threshold: Double,
-      orderByDocFreq: Boolean = false): DataFrame = {
+      orderByDocFreq: Boolean = false, maxDocFreq: Option[Long] = None): DataFrame = {
     require(threshold == 0.8, "integer-exact prefix filter is derived for t=0.8")
     graft.functions.GraftFunctions.register(docs.sparkSession)
     QueryDef.cpuBound(docs.sparkSession)
-    val base = shingled(docs)
-    val withSorted =
-      if (!orderByDocFreq) base.withColumn("sorted", sort_array(col("grams")))
-      else {
-        // rank grams by (df, gram); re-sort each doc's gram list by rank.
-        // rank map is bounded by the distinct-gram vocabulary — broadcast.
-        val df_ = base.select(explode(col("grams")).as("gram"))
-          .groupBy("gram").agg(count(lit(1)).as("df"))
-        val w = org.apache.spark.sql.expressions.Window
-          .orderBy(col("df").asc, col("gram").asc)
-        val ranked = df_.withColumn("rank", row_number().over(w))
-        val exploded = base.select(col("doc_id"), explode(col("grams")).as("gram"))
-          .join(broadcast(ranked.select("gram", "rank")), "gram")
-        exploded.groupBy("doc_id")
-          .agg(array_sort(collect_list(struct(col("rank"), col("gram")))).as("rg"))
-          .select(col("doc_id"), expr("transform(rg, p -> p.gram)").as("sorted"))
-          .join(base, "doc_id")
-      }
+    val base = maxDocFreq.foldLeft(shingled(docs))((b, cap) => capGrams(b, cap))
+    val withSorted = canonicalSorted(base, orderByDocFreq)
     // materialize shingle+sort once: the table feeds four subtrees
     // (both prefix sides, both verify sides) — without the checkpoint
     // each recomputes it. `sorted` carries the PREFIX order (canonical);
@@ -120,17 +164,7 @@ object Dedup {
       .withColumn("vsorted", sort_array(col("grams")))
       .withColumn("n", size(col("grams")).cast("long"))
       .localCheckpoint()
-    // prefix length: n - ceil(0.8 n) + 1 with ceil(0.8 n) = (8n+9) DIV 10
-    val prefix = sh
-      .withColumn("gram", explode(expr("slice(sorted, 1, CAST(n - ((8 * n + 9) DIV 10) + 1 AS INT))")))
-      .select(col("doc_id"), col("gram"), col("n"))
-    val cands = prefix.as("a")
-      .join(prefix.as("b"),
-        col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id") &&
-          col("a.n") * 5 >= col("b.n") * 4 && col("b.n") * 5 >= col("a.n") * 4)
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .distinct()
-    cands
+    prefixCandidates(sh)
       .join(sh.select(col("doc_id").as("id_a"), col("vsorted").as("ga"), col("n").as("na")), "id_a")
       .join(sh.select(col("doc_id").as("id_b"), col("vsorted").as("gb"), col("n").as("nb")), "id_b")
       .withColumn("inter", expr("sorted_intersect_count(ga, gb)"))
@@ -256,6 +290,24 @@ object Dedup {
       (s, d) => ngramJaccardPairs(t(s, d, "documents"), 0.8),
       Some(s"""WITH sh AS (SELECT doc_id, $shinglesSql AS grams FROM documents),
         s2 AS (SELECT doc_id, grams, list_sort(grams) AS sorted, CAST(len(grams) AS BIGINT) AS n FROM sh),
+        prefix AS (SELECT doc_id, n, unnest(sorted[1:CAST(n - ((8 * n + 9) // 10) + 1 AS INT)]) AS gram FROM s2),
+        cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM prefix a JOIN prefix b ON a.gram = b.gram AND a.doc_id < b.doc_id
+            AND a.n * 5 >= b.n * 4 AND b.n * 5 >= a.n * 4),
+        v AS (SELECT c.id_a, c.id_b,
+            CAST(len(list_intersect(sa.grams, sb.grams)) AS BIGINT) AS inter, sa.n AS na, sb.n AS nb
+          FROM cand c JOIN s2 sa ON sa.doc_id = c.id_a JOIN s2 sb ON sb.doc_id = c.id_b)
+        SELECT id_a, id_b, CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard
+        FROM v WHERE inter * 5 >= (na + nb - inter) * 4""")),
+
+    QueryDef("q49_dedup_jaccard_capped",
+      (s, d) => ngramJaccardPairs(t(s, d, "documents"), 0.8, maxDocFreq = Some(4)),
+      Some(s"""WITH sh0 AS (SELECT doc_id, $shinglesSql AS grams FROM documents),
+        ex AS (SELECT doc_id, unnest(grams) AS gram FROM sh0),
+        dfreq AS (SELECT gram, count(*) AS df FROM ex GROUP BY gram),
+        s2 AS (SELECT doc_id, list_sort(list(gram)) AS grams, list_sort(list(gram)) AS sorted,
+                 CAST(count(*) AS BIGINT) AS n
+               FROM ex JOIN dfreq USING (gram) WHERE df <= 4 GROUP BY doc_id),
         prefix AS (SELECT doc_id, n, unnest(sorted[1:CAST(n - ((8 * n + 9) // 10) + 1 AS INT)]) AS gram FROM s2),
         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
           FROM prefix a JOIN prefix b ON a.gram = b.gram AND a.doc_id < b.doc_id

@@ -8,20 +8,28 @@ import graft.queries.QueryDef
 import graft.queries.QueryDef._
 
 /** Similarity search over `embeddings` (★ SURVEY §2c): cosine top-k —
-  * brute force as the exact baseline, sign-bit LSH bucketing as the
-  * scale path.
+  * brute force as the exact baseline, multi-table random-hyperplane LSH
+  * and a trained IVF index as the scale paths.
   *
   * Determinism: embeddings are quantized to integers (floor(x * 1e6)), so
   * dot products and norms are EXACT integer arithmetic — order-independent
   * and bit-identical in any engine; the final cosine is one double
   * division of identical operands. This is what makes cosine top-k
-  * oracle-able at all (float accumulation order would differ).
+  * oracle-able at all (float accumulation order would differ). The same
+  * discipline extends to the index structures: LSH hyperplanes are ±1
+  * integer vectors (seeded, baked as literals into BOTH engines'
+  * expressions) and k-means centroids are integer vectors updated with
+  * truncating integer division — Spark `DIV` and DuckDB `//` both
+  * truncate toward zero, so the trained index is bit-identical across
+  * engines.
   *
   * Scale: brute force is O(n²) — fine as a re-rank stage or for one-side-
-  * small joins (Spark picks broadcast nested-loop automatically there).
-  * The LSH variant buckets on projection sign bits so candidate
-  * generation is an equi-join: shuffle-partitionable, skew-safe for
-  * roughly isotropic embeddings, the 100 TB path. */
+  * small joins. LSH candidate generation is an equi-join on (table, bits)
+  * keys; IVF assignment is a narrow n × k broadcast pass and candidate
+  * generation an equi-join on cell — both shuffle-partitionable, the
+  * 100 TB paths. Recall on near-isotropic synthetic data is bounded by
+  * candidate volume (SimilarityRecallSpec quantifies the curve); real
+  * clustered embeddings prune far harder at the same recall. */
 object Similarity {
 
   /** floor(x * 1e6) quantization of the float vector. */
@@ -69,59 +77,139 @@ object Similarity {
       .select(col("id_a").as("vec_id"), col("rank"), col("id_b").as("neighbor_id"), col("sim"))
   }
 
-  val LshBits = 8
+  // ----------------------------------------------------------------------
+  // Random-hyperplane LSH: `LshTables` hash tables of `LshBits` sign bits
+  // each. Each bit is the sign of <qv, h> for a seeded ±1 hyperplane h —
+  // integer-exact, so the bucket keys are engine-portable. Multi-table
+  // (table index baked into the key) is what buys recall: a near pair
+  // missed by one table's 4 bits collides in another; recall ~0.9 at 16
+  // tables on the test corpus (SimilarityRecallSpec).
+  // ----------------------------------------------------------------------
 
-  /** Sign-bit LSH bucket over the first `LshBits` dimensions (axis-aligned
-    * hyperplane hashes — valid for roughly isotropic embeddings). */
-  val bucketExpr: String =
-    (1 to LshBits).map(i => s"CASE WHEN element_at(qv, $i) >= 0 THEN '1' ELSE '0' END")
-      .mkString("concat(", ", ", ")")
-  val bucketSql: String =
-    (1 to LshBits).map(i => s"CASE WHEN qv[$i] >= 0 THEN '1' ELSE '0' END").mkString(" || ")
+  val LshTables = 16
+  val LshBits = 4
+  val Dim = 64 // embeddings.parquet vector dimensionality
 
-  /** Approximate top-k: candidates restricted to the same LSH bucket
-    * (equi-join on bucket), exact cosine re-rank within. */
+  /** ±1 hyperplane coefficients, deterministic (seed 42), baked as
+    * literals into both engines' key expressions. */
+  val lshPlanes: IndexedSeq[IndexedSeq[IndexedSeq[Int]]] = {
+    val rng = new scala.util.Random(42)
+    IndexedSeq.fill(LshTables, LshBits, Dim)(if (rng.nextBoolean()) 1 else -1)
+  }
+
+  /** Spark: ARRAY of LshTables bucket keys "t:bits" for column `qv`. */
+  val lshKeysExpr: String = {
+    val keys = lshPlanes.zipWithIndex.map { case (tbl, t) =>
+      val bits = tbl.map { plane =>
+        val arr = plane.mkString("array(", ",", ")")
+        s"CASE WHEN quantized_dot(qv, CAST($arr AS ARRAY<BIGINT>)) >= 0 THEN '1' ELSE '0' END"
+      }.mkString(", ")
+      s"concat('$t', ':', $bits)"
+    }.mkString(", ")
+    s"array($keys)"
+  }
+
+  /** DuckDB twin of lshKeysExpr (one list literal; integer list_sum dot,
+    * NOT list_dot_product — that returns DOUBLE). */
+  val lshKeysSql: String = {
+    val keys = lshPlanes.zipWithIndex.map { case (tbl, t) =>
+      val bits = tbl.map { plane =>
+        val arr = plane.mkString("[", ",", "]")
+        s"CASE WHEN list_sum(list_transform(range(1, ${Dim + 1}), i -> qv[i] * ($arr)[i])) >= 0 THEN '1' ELSE '0' END"
+      }.mkString(" || ")
+      s"'$t' || ':' || $bits"
+    }.mkString(", ")
+    s"[$keys]"
+  }
+
+  /** Approximate top-k via multi-table LSH: candidates = pairs sharing
+    * any table's bucket key (equi-join on key, distinct), exact cosine
+    * re-rank. Join-back for vectors keeps the wide arrays out of the
+    * distinct — the same shape as Dedup.minhashLshPairs. */
   def knnLsh(spark: SparkSession, dir: String, k: Int): DataFrame = {
-    val q = quantized(spark, dir).withColumn("bucket", expr(bucketExpr))
-    val a = q.select(col("vec_id").as("id_a"), col("qv").as("qa"), col("nrm").as("na"), col("bucket"))
-    val b = q.select(col("vec_id").as("id_b"), col("qv").as("qb"), col("nrm").as("nb"), col("bucket"))
+    val q = quantized(spark, dir).select("vec_id", "qv", "nrm").localCheckpoint()
+    // keys feed both join sides; checkpoint the small (id, key) frame so
+    // the 16x64 dot products per row run once (hygiene unpins it later)
+    val keyed = q.select(col("vec_id"), explode(expr(lshKeysExpr)).as("bkey")).localCheckpoint()
+    val cand = keyed.as("a")
+      .join(keyed.as("b"), col("a.bkey") === col("b.bkey") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .distinct()
     val w = Window.partitionBy("id_a").orderBy(col("sim").desc, col("id_b").asc)
-    a.join(b, Seq("bucket"))
-      .filter(col("id_a") =!= col("id_b"))
+    cand
+      .join(q.select(col("vec_id").as("id_a"), col("qv").as("qa"), col("nrm").as("na")), "id_a")
+      .join(q.select(col("vec_id").as("id_b"), col("qv").as("qb"), col("nrm").as("nb")), "id_b")
       .withColumn("sim", simCol)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("id_a").as("vec_id"), col("rank"), col("id_b").as("neighbor_id"), col("sim"))
   }
 
-  val IvfCentroids = 16
+  // ----------------------------------------------------------------------
+  // IVF with trained centroids: deterministic k-means (init = first k by
+  // vec_id, fixed Lloyd iterations, INTEGER truncated-mean updates, empty
+  // cells keep their previous centroid) — every step is exact integer or
+  // identical-operand double arithmetic, so DuckDB mirrors the training
+  // bit-for-bit. `nprobe` is the recall knob: queries probe their nprobe
+  // nearest cells (members stay in exactly one), recall rising with
+  // candidate volume (quantified in SimilarityRecallSpec).
+  // ----------------------------------------------------------------------
 
-  /** IVF-style cell assignment: the first `nCents` vectors (by id) act as
-    * deterministic centroids (a seeded sample stand-in for k-means —
-    * portable across engines); each vector joins the cell of its
-    * max-cosine centroid. Centroids broadcast; assignment is a narrow
-    * n x nCents pass, never n². */
-  def ivfAssign(q: DataFrame, nCents: Int): DataFrame = {
-    val cents = q.filter(col("vec_id") < nCents)
-      .select(col("vec_id").as("cent_id"), col("qv").as("cqv"), col("nrm").as("cnrm"))
+  val IvfCentroids = 16
+  val KmeansIters = 2
+  val IvfNprobe = 2
+
+  /** Rank all centroids per vector by cosine desc (ties: cent_id asc).
+    * Centroids broadcast; a narrow n x k pass, never n². */
+  private def rankedAssign(q: DataFrame, cents: DataFrame): DataFrame = {
     val w = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cent_id").asc)
     q.crossJoin(broadcast(cents))
       .withColumn("csim",
         expr("CAST(quantized_dot(qv, cqv) AS DOUBLE)") /
           (sqrt(col("nrm").cast("double")) * sqrt(col("cnrm").cast("double"))))
       .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("qv"), col("nrm"), col("cent_id").as("cell"))
   }
 
-  /** Approximate top-k with IVF cells (nprobe=1): candidates share the
-    * assigned cell, exact cosine re-rank within. */
-  def knnIvf(spark: SparkSession, dir: String, k: Int, nCents: Int = IvfCentroids): DataFrame = {
-    val q = ivfAssign(quantized(spark, dir), nCents)
-    val a = q.select(col("vec_id").as("id_a"), col("qv").as("qa"), col("nrm").as("na"), col("cell"))
-    val b = q.select(col("vec_id").as("id_b"), col("qv").as("qb"), col("nrm").as("nb"), col("cell"))
+  /** Trained centroids (cent_id, cqv, cnrm). Updates are per-dimension
+    * truncated integer means: posexplode -> sum/count per (cell, dim) ->
+    * `s DIV cnt` (truncation toward zero — matching DuckDB's integer
+    * `//`) -> rebuild the array in dim order. Two shuffles per iteration,
+    * all keyed by cell/dim — distributes at any corpus size. */
+  def kmeansCentroids(q: DataFrame, k: Int, iters: Int): DataFrame = {
+    var cents = q.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cent_id"), col("qv").as("cqv"), col("nrm").as("cnrm"))
+    for (_ <- 1 to iters) {
+      val members = rankedAssign(q, cents).filter(col("rn") === 1)
+        .select(col("cent_id"), col("qv"))
+      val means = members
+        .select(col("cent_id"), posexplode(col("qv")).as(Seq("pos", "x")))
+        .groupBy("cent_id", "pos")
+        .agg(sum("x").as("s"), count(lit(1)).as("cnt"))
+        .withColumn("m", expr("s DIV cnt"))
+        .groupBy("cent_id")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, m))), p -> p.m)").as("mqv"))
+      cents = cents.join(means, Seq("cent_id"), "left")
+        .select(col("cent_id"), coalesce(col("mqv"), col("cqv")).as("cqv"))
+        .withColumn("cnrm", expr("quantized_dot(cqv, cqv)"))
+    }
+    // k rows; checkpoint cuts the iterated lineage before the fan-out
+    cents.localCheckpoint()
+  }
+
+  /** Approximate top-k with a trained IVF index: candidates = (probe
+    * cell of a) x (home cell of b) equi-join; a pair meets at most once
+    * since b lives in exactly one cell. Exact cosine re-rank within. */
+  def knnIvf(spark: SparkSession, dir: String, k: Int, nCents: Int = IvfCentroids,
+      iters: Int = KmeansIters, nprobe: Int = IvfNprobe): DataFrame = {
+    val q = quantized(spark, dir).select("vec_id", "qv", "nrm").localCheckpoint()
+    val cents = kmeansCentroids(q, nCents, iters)
+    val ranked = rankedAssign(q, cents).localCheckpoint() // feeds both sides
+    val members = ranked.filter(col("rn") === 1)
+      .select(col("vec_id").as("id_b"), col("qv").as("qb"), col("nrm").as("nb"), col("cent_id").as("cell"))
+    val probes = ranked.filter(col("rn") <= nprobe)
+      .select(col("vec_id").as("id_a"), col("qv").as("qa"), col("nrm").as("na"), col("cent_id").as("cell"))
     val w = Window.partitionBy("id_a").orderBy(col("sim").desc, col("id_b").asc)
-    a.join(b, Seq("cell"))
+    probes.join(members, Seq("cell"))
       .filter(col("id_a") =!= col("id_b"))
       .withColumn("sim", simCol)
       .withColumn("rank", row_number().over(w))
@@ -136,6 +224,29 @@ object Similarity {
   private val quantCte =
     s"""q AS (SELECT vec_id, $quantSql AS qv FROM embeddings),
         n AS (SELECT vec_id, qv, CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS nrm FROM q)"""
+
+  /** k-means CTE chain c0..c{iters}: mirrors kmeansCentroids exactly
+    * (truncating `//`, list ORDER BY pos, LEFT JOIN + COALESCE for empty
+    * cells). */
+  private def kmeansSql(k: Int, iters: Int): (String, String) = {
+    val csimSql = """CAST(list_sum(list_transform(range(1, len(n.qv) + 1), i -> n.qv[i] * c.cqv[i])) AS DOUBLE)
+       / (sqrt(CAST(n.nrm AS DOUBLE)) * sqrt(CAST(c.cnrm AS DOUBLE)))"""
+    val init = s"c0 AS (SELECT vec_id AS cent_id, qv AS cqv, nrm AS cnrm FROM n WHERE vec_id < $k)"
+    val iterCtes = (1 to iters).map { it =>
+      val prev = s"c${it - 1}"
+      s"""a$it AS (SELECT n.vec_id, n.qv, c.cent_id,
+            row_number() OVER (PARTITION BY n.vec_id ORDER BY $csimSql DESC, c.cent_id) AS rn
+          FROM n CROSS JOIN $prev c),
+        m$it AS (SELECT cent_id, unnest(range(1, len(qv) + 1)) AS pos, unnest(qv) AS x
+          FROM a$it WHERE rn = 1),
+        s$it AS (SELECT cent_id, pos, SUM(x) AS s, COUNT(*) AS cnt FROM m$it GROUP BY cent_id, pos),
+        g$it AS (SELECT cent_id, list(s // cnt ORDER BY pos) AS mqv FROM s$it GROUP BY cent_id),
+        c$it AS (SELECT p.cent_id, COALESCE(g.mqv, p.cqv) AS cqv,
+            CAST(list_sum(list_transform(COALESCE(g.mqv, p.cqv), x -> x * x)) AS BIGINT) AS cnrm
+          FROM $prev p LEFT JOIN g$it g USING (cent_id))"""
+    }
+    ((init +: iterCtes).mkString(",\n        "), s"c$iters")
+  }
 
   val queries: Seq[QueryDef] = Seq(
     QueryDef("q44_embed_near_dup",
@@ -157,27 +268,33 @@ object Similarity {
     QueryDef("q46_knn_lsh",
       (s, d) => knnLsh(s, d, 3),
       Some(s"""WITH $quantCte,
-        nb AS (SELECT vec_id, qv, nrm, $bucketSql AS bucket FROM n),
-        p AS (SELECT a.vec_id, b.vec_id AS neighbor_id, $simSql AS sim
-              FROM nb a JOIN nb b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+        keys AS (SELECT vec_id, unnest($lshKeysSql) AS bkey FROM n),
+        cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+              FROM keys x JOIN keys y ON x.bkey = y.bkey AND x.vec_id <> y.vec_id),
+        p AS (SELECT c.id_a AS vec_id, c.id_b AS neighbor_id, $simSql AS sim
+              FROM cand c JOIN n a ON a.vec_id = c.id_a JOIN n b ON b.vec_id = c.id_b),
         r AS (SELECT vec_id, neighbor_id, sim,
               row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, neighbor_id) AS rank FROM p)
         SELECT vec_id, rank, neighbor_id, sim FROM r WHERE rank <= 3""")),
 
     QueryDef("q47_knn_ivf",
       (s, d) => knnIvf(s, d, 3),
-      Some(s"""WITH $quantCte,
-        cent AS (SELECT vec_id AS cent_id, qv AS cqv, nrm AS cnrm FROM n WHERE vec_id < $IvfCentroids),
-        asg AS (SELECT vec_id, qv, nrm, cent_id,
-              row_number() OVER (PARTITION BY vec_id ORDER BY
-                CAST(list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * cqv[i])) AS DOUBLE)
-                  / (sqrt(CAST(nrm AS DOUBLE)) * sqrt(CAST(cnrm AS DOUBLE))) DESC, cent_id) AS rn
-              FROM n CROSS JOIN cent),
-        cells AS (SELECT vec_id, qv, nrm, cent_id AS cell FROM asg WHERE rn = 1),
+      Some {
+        val (kmeans, cf) = kmeansSql(IvfCentroids, KmeansIters)
+        s"""WITH $quantCte,
+        $kmeans,
+        af AS (SELECT n.vec_id, n.qv, n.nrm, c.cent_id,
+              row_number() OVER (PARTITION BY n.vec_id ORDER BY
+                CAST(list_sum(list_transform(range(1, len(n.qv) + 1), i -> n.qv[i] * c.cqv[i])) AS DOUBLE)
+                / (sqrt(CAST(n.nrm AS DOUBLE)) * sqrt(CAST(c.cnrm AS DOUBLE))) DESC, c.cent_id) AS rn
+              FROM n CROSS JOIN $cf c),
+        mem AS (SELECT vec_id, qv, nrm, cent_id AS cell FROM af WHERE rn = 1),
+        pr AS (SELECT vec_id, qv, nrm, cent_id AS cell FROM af WHERE rn <= $IvfNprobe),
         p AS (SELECT a.vec_id, b.vec_id AS neighbor_id, $simSql AS sim
-              FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+              FROM pr a JOIN mem b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
         r AS (SELECT vec_id, neighbor_id, sim,
               row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, neighbor_id) AS rank FROM p)
-        SELECT vec_id, rank, neighbor_id, sim FROM r WHERE rank <= 3"""))
+        SELECT vec_id, rank, neighbor_id, sim FROM r WHERE rank <= 3"""
+      })
   )
 }

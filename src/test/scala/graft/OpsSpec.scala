@@ -30,9 +30,36 @@ class OpsSpec extends AnyFunSuite {
   test("prefix filter is order-invariant: df-ordered == lexicographic output") {
     val lex = Dedup.ngramJaccardPairs(docs, 0.8)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // the df-ordered sort stage must not rank via a global
+    // (partitionBy-less) window — that single-threads the gram vocabulary
+    // at scale. Checked on the pre-checkpoint subtree (the full query's
+    // plan hides it behind the eager localCheckpoint's LogicalRDD).
+    val sortStage = Dedup.canonicalSorted(Dedup.shingled(docs), orderByDocFreq = true)
+    sortStage.queryExecution.optimizedPlan.foreach {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window =>
+        assert(w.partitionSpec.nonEmpty, "global window in df-ordered prefix path")
+      case _ => ()
+    }
     val byDf = Dedup.ngramJaccardPairs(docs, 0.8, orderByDocFreq = true)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(byDf == lex && lex.nonEmpty)
+  }
+
+  test("maxDocFreq cap shrinks the candidate join and keeps planted dups") {
+    import org.apache.spark.sql.functions.{col, size => asize, sort_array, expr}
+    def shWith(cap: Option[Long]) = {
+      val base = cap.foldLeft(Dedup.shingled(docs))((b, c) => Dedup.capGrams(b, c))
+      base.withColumn("sorted", sort_array(col("grams")))
+        .withColumn("n", asize(col("grams")).cast("long"))
+    }
+    val uncapped = Dedup.prefixCandidates(shWith(None)).count()
+    val capped = Dedup.prefixCandidates(shWith(Some(4))).count()
+    assert(capped < uncapped,
+      s"cap must shrink candidates: capped=$capped uncapped=$uncapped")
+    // the planted near-dup pairs survive the cap (their shared grams are rare)
+    val pairs = Dedup.ngramJaccardPairs(docs, 0.8, maxDocFreq = Some(4))
+    assert(pairs.count() > 0)
+    assert(pairs.filter(expr("id_a >= id_b")).count() == 0)
   }
 
   test("ngram jaccard: symmetric threshold, jaccard in (0,1]") {

@@ -1,0 +1,48 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Similarity
+
+/** Recall of the approximate similarity indexes vs exact brute force at
+  * sf0.01 (500 x 64-d vectors, near-isotropic — the hard case: recall is
+  * bounded by candidate volume when embeddings lack cluster structure;
+  * real clustered corpora prune far harder at the same recall). */
+class SimilarityRecallSpec extends AnyFunSuite {
+  private val spark = SparkSpec.spark
+  private val dir = "/root/testdata/sf0.01"
+
+  private lazy val truth: Set[(Long, Long)] =
+    Similarity.knnBrute(spark, dir, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+
+  private def recallOf(rows: Array[org.apache.spark.sql.Row]): Double = {
+    val approx = rows.map(r => (r.getLong(0), r.getLong(2))).toSet
+    truth.intersect(approx).size.toDouble / truth.size
+  }
+
+  test("multi-table LSH recall@3 >= 0.9") {
+    val r = recallOf(Similarity.knnLsh(spark, dir, 3).collect())
+    info(f"lsh recall@3 = $r%.3f (${Similarity.LshTables} tables x ${Similarity.LshBits} bits)")
+    assert(r >= 0.9, f"LSH recall $r%.3f < 0.9")
+  }
+
+  test("IVF recall@3 rises with nprobe; >= 0.9 at nprobe=12") {
+    val rs = Seq(2, 4, 12).map { np =>
+      val r = recallOf(Similarity.knnIvf(spark, dir, 3, nprobe = np).collect())
+      info(f"ivf recall@3 (nprobe=$np%2d) = $r%.3f")
+      SessionHygiene.clear(spark)
+      np -> r
+    }.toMap
+    assert(rs(2) < rs(4) && rs(4) < rs(12), s"recall must rise with nprobe: $rs")
+    assert(rs(12) >= 0.9, f"IVF recall ${rs(12)}%.3f < 0.9 at nprobe=12")
+  }
+
+  test("trained centroids beat the untrained init at equal nprobe") {
+    val untrained = recallOf(Similarity.knnIvf(spark, dir, 3, iters = 0, nprobe = 4).collect())
+    SessionHygiene.clear(spark)
+    val trained = recallOf(Similarity.knnIvf(spark, dir, 3, iters = 2, nprobe = 4).collect())
+    info(f"ivf recall@3 nprobe=4: trained=$trained%.3f untrained=$untrained%.3f")
+    assert(trained > untrained)
+  }
+}
