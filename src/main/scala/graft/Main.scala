@@ -95,6 +95,10 @@ object Main {
     import spark.implicits._
     val paths = Discovery.findHistoricalFiles(
       cfg.input, cfg.fromTime, cfg.untilTime, spark.sparkContext.hadoopConfiguration)
+    // batch-scoped gauges reset per run ("in this batch", monitoring.py)
+    metrics.availableCsvFiles.set(paths.size)
+    metrics.unprocessedFiles.set(paths.size)
+    metrics.successfullyProcessedFiles.set(0)
     if (paths.isEmpty) { println("[graft] no input files"); return }
 
     val files = TebisCsv.files(spark, paths)
@@ -139,14 +143,21 @@ object Main {
           files.filter(_.error.isEmpty).foreach { f => BatchedSink.postFile(f, LoggingClient) }
       }
 
-      // Metrics + lifecycle (S17/S18/S21).
-      val results = files.map(f => (f.path, f.error.isDefined, f.datapointCount)).collect()
-      results.foreach { case (path, failed, nPoints) =>
+      // Metrics + lifecycle (S17/S18/S21). Bounded driver-side collect:
+      // one (path, flag, count, count) tuple per input file — never
+      // contents; #files is the reference's own working set.
+      val results = files.map(f => (f.path, f.error.isDefined, f.datapointCount, f.seriesCount)).collect()
+      results.foreach { case (path, failed, nPoints, nSeries) =>
         if (failed) { metrics.failedFiles.add(1); lifecycle.onFailure(path) }
         else {
           metrics.processedFiles.add(1); metrics.postedDatapoints.add(nPoints)
+          // gauge parity with the reference's sequential account
+          // (monitoring.py count_of_time_series_gauge set per file)
+          metrics.postedTimeSeriesCount.set(nSeries)
+          metrics.successfullyProcessedFiles.add(1)
           lifecycle.onSuccess(path)
         }
+        metrics.unprocessedFiles.add(-1)
       }
       println(s"[graft] processed=${metrics.processedFiles.value} failed=${metrics.failedFiles.value} datapoints=${metrics.postedDatapoints.value} created_series=${metrics.createdTimeSeries.value}")
     } finally files.unpersist()

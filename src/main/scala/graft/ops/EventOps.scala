@@ -14,8 +14,13 @@ import graft.queries.QueryDef._
   * Spark 4 only reads via `spark.sql.legacy.parquet.nanosAsLong` — so
   * `ts` is epoch NANOS as long here, and all window math is integer
   * arithmetic on `t_us`/`t_sec` (exactly what the oracle's `epoch_us`
-  * computes; both floor). Integer window math beats `window()` structs for
-  * oracle portability and keeps everything in whole-stage codegen.
+  * computes). Integer window math beats `window()` structs for oracle
+  * portability and keeps everything in whole-stage codegen. Division
+  * note: Spark `DIV` and DuckDB `//` BOTH truncate toward zero, so the
+  * engines agree for any sign; for pre-1970 (negative-epoch) events the
+  * window buckets are truncation buckets, whose boundaries differ from
+  * floor-division buckets — consistent and well-defined, but callers
+  * wanting calendar-aligned pre-1970 windows should floor explicitly.
   *
   * Scale: every op here is one shuffle (groupBy/window on user_id or
   * window-start); no self-joins. The as-of join is the union trick —
@@ -101,14 +106,16 @@ object EventOps {
     QueryDef("q25_resample_events",
       (s, d) => graft.tebis.Datapoints.resample(asSeries(events(s, d)), 3600000L)
         .select(col("externalId").cast("long").as("user_id"), col("gridTs"), col("value")),
+      // ceil via `q + (r > 0)` (truncating division), sign-correct —
+      // mirrors Datapoints.resample exactly
       Some("""WITH e AS (SELECT user_id, epoch_ms(ts) AS t_ms, value FROM events),
         l AS (SELECT user_id, t_ms, value,
                 lead(t_ms) OVER (PARTITION BY user_id ORDER BY t_ms, value) AS next_ms
               FROM e),
         b AS (SELECT user_id, value,
-                ((t_ms + 3599999) // 3600000) * 3600000 AS slot0,
-                CASE WHEN next_ms IS NULL THEN ((t_ms + 3599999) // 3600000) * 3600000
-                     ELSE ((next_ms + 3599999) // 3600000) * 3600000 - 3600000 END AS slotN
+                (t_ms // 3600000 + (CASE WHEN t_ms % 3600000 > 0 THEN 1 ELSE 0 END)) * 3600000 AS slot0,
+                CASE WHEN next_ms IS NULL THEN (t_ms // 3600000 + (CASE WHEN t_ms % 3600000 > 0 THEN 1 ELSE 0 END)) * 3600000
+                     ELSE (next_ms // 3600000 + (CASE WHEN next_ms % 3600000 > 0 THEN 1 ELSE 0 END)) * 3600000 - 3600000 END AS slotN
               FROM l)
         SELECT user_id, unnest(range(slot0, slotN + 1, 3600000)) AS gridTs, value
         FROM b WHERE slot0 <= slotN""")),

@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
   * a high-cardinality column, and explodes the build side across all
   * salt values — the classic salting pattern for hot keys that AQE's
   * skew-join splitting can't reach (e.g. when the skew is in a
-  * braodcast-ineligible mid-size dimension).
+  * broadcast-ineligible mid-size dimension).
   *
   * Deterministic salt (hash of a row-unique column mod `saltBuckets`)
   * keeps the operator reproducible run-to-run — required for the

@@ -83,23 +83,37 @@ private class DatapointsWriterFactory(
       batchMax, idIdx, tsIdx, valIdx)
 }
 
+/** Memory is bounded by `batchMax` series: once the buffer holds batchMax
+  * distinct series and a row for a NEW series arrives, the buffered
+  * series are posted and dropped. With input repartitioned+sorted by
+  * externalId (BatchedSink.write's shape) every flushed series is
+  * complete, so series stay whole per request; unsorted input may split a
+  * series across requests — harmless under the endpoint's
+  * (externalId, timestamp) upsert. Flushing during write() also means a
+  * retried/speculated task re-posts only its own attempt's batches —
+  * at-least-once, same as the reference's delete-after-post protocol. */
 private class DatapointsWriter(
     client: DatapointsClient, batchMax: Int, idIdx: Int, tsIdx: Int, valIdx: Int)
     extends DataWriter[InternalRow] {
   private val buffer = mutable.LinkedHashMap.empty[String, mutable.ArrayBuffer[DatapointValue]]
 
-  override def write(row: InternalRow): Unit = {
-    val id = row.getUTF8String(idIdx).toString
-    buffer.getOrElseUpdate(id, mutable.ArrayBuffer.empty) +=
-      DatapointValue(row.getLong(tsIdx), row.getDouble(valIdx))
-  }
-
-  override def commit(): WriterCommitMessage = {
+  private def flush(): Unit = {
     buffer.iterator
       .map { case (id, points) => SeriesPayload(id, points.toSeq) }
       .grouped(batchMax)
       .foreach(g => client.insertMultiple(g.toSeq))
     buffer.clear()
+  }
+
+  override def write(row: InternalRow): Unit = {
+    val id = row.getUTF8String(idIdx).toString
+    if (buffer.size >= batchMax && !buffer.contains(id)) flush()
+    buffer.getOrElseUpdate(id, mutable.ArrayBuffer.empty) +=
+      DatapointValue(row.getLong(tsIdx), row.getDouble(valIdx))
+  }
+
+  override def commit(): WriterCommitMessage = {
+    flush()
     new WriterCommitMessage {}
   }
 

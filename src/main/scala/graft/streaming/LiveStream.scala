@@ -2,12 +2,14 @@ package graft.streaming
 
 import java.nio.charset.Charset
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 import graft.Metrics
 import graft.sink.{BatchedSink, DatapointsClient}
-import graft.tebis.TebisCsv
+import graft.tebis.{TebisCsv, TebisFile}
 
 /** Live micro-batch mode (reference E2, csv_extractor.py:25-50,265-280),
   * re-expressed as Structured Streaming over the binaryFile source.
@@ -15,14 +17,26 @@ import graft.tebis.TebisCsv
   * Reference constants → source/trigger configuration:
   *  - poll every 8 s            → Trigger.ProcessingTime(8 s)
   *  - 20 newest files per poll  → maxFilesPerTrigger=20 + latestFirst=true
-  *  - delete-as-commit          → checkpointed source offsets + cleanSource
-  *    (strictly stronger: exactly-once file accounting instead of the
-  *    reference's at-least-once delete-after-post, SURVEY §3 E2)
-  *  - 1 s mtime settle window   → no direct option; the checkpoint replays
-  *    any torn file on restart, and `maxFileAge` bounds backlog (gap
-  *    documented per SURVEY S2).
+  *  - delete-as-commit          → checkpointed source offsets; at-least-once
+  *    posts (a crash mid-batch replays the whole batch, like the
+  *    reference's delete-after-post), with `ignoreMissingFiles` so a
+  *    replayed batch that already deleted its files SKIPS them (they were
+  *    fully posted — deletion is the final step of the batch) instead of
+  *    wedging the stream on FileNotFoundException.
+  *  - 1 s mtime settle window   → closed executor-side (see settledBytes):
+  *    content is read only once the file's mtime is at least `settleMs`
+  *    old, so a file caught mid-write by the directory listing is parsed
+  *    from its SETTLED bytes. This is strictly stronger than the
+  *    reference's skip-young-files poll (csv_extractor.py:267), which
+  *    re-offers the file next poll; the streaming source offers a file
+  *    exactly once, so the wait must happen at read time.
   */
 object LiveStream {
+  /** Error marker for a file that vanished between listing and read — a
+    * replayed batch re-reading files its crashed attempt already deleted.
+    * Excluded from failure accounting (the posts already happened). */
+  val ReplayMissing = "source file missing (replay after delete-as-commit)"
+
   case class Config(
       inputDir: String,
       checkpointDir: String,
@@ -39,7 +53,37 @@ object LiveStream {
       cleanSource: String = "off", // off | delete | archive (only when !manageLifecycle)
       archiveDir: Option[String] = None,
       failedDir: Option[String] = None, // dead-letter parse failures (--move-failed)
-      batchMax: Int = BatchedSink.BatchMax)
+      batchMax: Int = BatchedSink.BatchMax,
+      /** Minimum mtime age before a file's content is trusted (reference's
+        * 1 s settle window). 0 disables the wait. */
+      settleMs: Long = 1000L)
+
+  /** Read `path`'s bytes once its mtime has stopped moving for `settleMs`
+    * (bounded wait: a writer that never settles is read anyway after
+    * ~5 settle windows — best-effort, like any mtime heuristic). Runs in
+    * the executor task, so the wait costs trigger latency, not
+    * correctness: the listing snapshot's content is never used. */
+  private[streaming] def settledBytes(
+      path: String, settleMs: Long, conf: org.apache.hadoop.conf.Configuration): Array[Byte] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    if (settleMs > 0) {
+      val deadline = System.currentTimeMillis + math.max(settleMs * 5, 5000L)
+      var age = System.currentTimeMillis - fs.getFileStatus(p).getModificationTime
+      while (age < settleMs && System.currentTimeMillis < deadline) {
+        Thread.sleep(math.max(settleMs - age, 10L))
+        age = System.currentTimeMillis - fs.getFileStatus(p).getModificationTime
+      }
+    }
+    val in = fs.open(p)
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](64 * 1024)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      out.toByteArray
+    } finally in.close()
+  }
 
   /** Start the live pipeline: stream files → parse per-file in executors →
     * post ≤1000-series batches via the client. Returns the running query. */
@@ -59,31 +103,55 @@ object LiveStream {
       .option("maxFilesPerTrigger", cfg.maxFilesPerTrigger)
       .option("latestFirst", cfg.latestFirst)
       .option("cleanSource", cleanSource)
+      // replay-after-delete: a batch replayed after its (post-completing)
+      // deletion step must skip, not crash — see the scaladoc
+      .option("ignoreMissingFiles", "true")
     if (!cfg.manageLifecycle) cfg.archiveDir.foreach(reader.option("sourceArchiveDir", _))
+    // Hadoop Configuration is not java-serializable; ship its entries and
+    // rebuild per task (≤ maxFilesPerTrigger stats per batch — cheap)
+    val confEntries = spark.sparkContext.hadoopConfiguration.iterator().asScala
+      .map(e => e.getKey -> e.getValue).toArray
+    val settleMs = cfg.settleMs
+    // select path only: content is read via settledBytes (column pruning
+    // keeps the source from reading bytes the task would discard)
     val files = reader.load(cfg.inputDir)
-      .select($"path", $"content").as[(String, Array[Byte])]
-      .map { case (p, bytes) =>
-        TebisCsv.parseContent(p, new String(bytes, Charset.forName(TebisCsv.Encoding)))
+      .select($"path").as[String]
+      .map { p =>
+        val conf = new org.apache.hadoop.conf.Configuration(false)
+        confEntries.foreach { case (k, v) => conf.set(k, v) }
+        try {
+          val bytes = settledBytes(p, settleMs, conf)
+          TebisCsv.parseContent(p, new String(bytes, Charset.forName(TebisCsv.Encoding)))
+        } catch {
+          // replay after delete-as-commit: the file was fully posted in the
+          // crashed attempt (deletion is the batch's last step) — skip it,
+          // do NOT dead-letter (mirrors ignoreMissingFiles for the listing)
+          case _: java.io.FileNotFoundException => TebisFile(p, Nil, Some(ReplayMissing))
+          case e: java.io.IOException => TebisFile(p, Nil, Some(s"read failed: ${e.getMessage}"))
+        }
       }
 
     files.writeStream
       .option("checkpointLocation", cfg.checkpointDir)
       .trigger(Trigger.ProcessingTime(cfg.triggerMs))
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[graft.tebis.TebisFile], _: Long) =>
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[TebisFile], _: Long) =>
         val batchMax = cfg.batchMax
         batch.persist()
         try {
           // posts run distributed; dead-letter moves run on the DRIVER so
           // they use the session's Hadoop configuration (credentials etc.)
           batch.filter(_.error.isEmpty).foreach { file =>
+            metrics.foreach(_.postedTimeSeriesCount.set(file.seriesCount))
             BatchedSink.postFile(file, client, batchMax)
             metrics.foreach { m =>
               m.processedFiles.add(1)
               m.postedDatapoints.add(file.datapointCount)
             }
           }
-          val failedPaths = batch.filter(_.error.isDefined).map(_.path)(
-            org.apache.spark.sql.Encoders.STRING).collect()
+          // driver-side collect is bounded by maxFilesPerTrigger (20):
+          // paths only, never contents
+          val failedPaths = batch.filter(f => f.error.isDefined && !f.error.contains(ReplayMissing))
+            .map(_.path)(org.apache.spark.sql.Encoders.STRING).collect()
           val lifecycle = new graft.tebis.Discovery.Lifecycle(
             cfg.failedDir, cfg.archiveDir, spark.sparkContext.hadoopConfiguration)
           failedPaths.foreach { p =>
@@ -93,10 +161,26 @@ object LiveStream {
           }
           if (cfg.manageLifecycle) {
             // delete-as-commit (or archive) for successfully posted files —
-            // the reference's E2 protocol, applied per micro-batch
+            // the reference's E2 protocol, applied per micro-batch. Runs
+            // LAST, so a replay implies every post above completed;
+            // ignoreMissingFiles turns that replay into a skip. Bounded
+            // collect: ≤ maxFilesPerTrigger paths.
             val okPaths = batch.filter(_.error.isEmpty).map(_.path)(
               org.apache.spark.sql.Encoders.STRING).collect()
             okPaths.foreach(lifecycle.onSuccess)
+            metrics.foreach(_.successfullyProcessedFiles.set(okPaths.length.toLong))
+          }
+          // per-poll folder gauges, after lifecycle moves (reference
+          // monitoring.py available_csv_files / unprocessed_files)
+          metrics.foreach { m =>
+            val in = new org.apache.hadoop.fs.Path(cfg.inputDir)
+            val fs = in.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            val remaining =
+              if (fs.exists(in))
+                fs.listStatus(in).count(s => s.isFile && s.getPath.getName.endsWith(".csv")).toLong
+              else 0L
+            m.availableCsvFiles.set(remaining)
+            m.unprocessedFiles.set(remaining)
           }
         } finally { batch.unpersist(); () }
       }

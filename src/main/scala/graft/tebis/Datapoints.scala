@@ -105,12 +105,17 @@ object Datapoints {
     datapoints
       .withColumn("next_ts", lead("timestampMs", 1).over(w))
       // integer ceil: first grid slot at or after this point; last slot
-      // strictly before the next point (engine-portable integer math)
+      // strictly before the next point. `q + (r > 0)` with truncating
+      // division is exact ceil for ANY sign (the add-step-minus-1 idiom
+      // over-rotates exact negative multiples); Spark DIV and DuckDB //
+      // both truncate toward zero, so the math is engine-portable for
+      // pre-1970 (negative-epoch) series too
       .withColumn("slot0",
-        expr(s"((timestampMs + ${stepMs - 1}) DIV $stepMs) * $stepMs"))
+        expr(s"(timestampMs DIV $stepMs + (CASE WHEN timestampMs % $stepMs > 0 THEN 1 ELSE 0 END)) * $stepMs"))
       .withColumn("slotN",
         when(col("next_ts").isNull, col("slot0"))
-          .otherwise(expr(s"((next_ts + ${stepMs - 1}) DIV $stepMs) * $stepMs - $stepMs")))
+          .otherwise(expr(
+            s"(next_ts DIV $stepMs + (CASE WHEN next_ts % $stepMs > 0 THEN 1 ELSE 0 END)) * $stepMs - $stepMs")))
       .filter(col("slot0") <= col("slotN"))
       .withColumn("gridTs", explode(sequence(col("slot0"), col("slotN"), lit(stepMs))))
       .select(col("externalId"), col("gridTs"), col("value"))

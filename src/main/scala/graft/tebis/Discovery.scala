@@ -94,10 +94,13 @@ object Discovery {
     * failure move to `failed/` unless a file of that name already exists
     * there (parity with _log_error_with_backup_for_datapoints).
     */
+  // NOT Serializable on purpose: the captured Hadoop Configuration is
+  // Writable, not java.io.Serializable — shipping a Lifecycle into an
+  // executor closure would throw at runtime. All callers are driver-side.
   final class Lifecycle(
       failedDir: Option[String],
       finishedDir: Option[String],
-      conf: Configuration = new Configuration()) extends Serializable {
+      conf: Configuration = new Configuration()) {
     private def fs(p: Path): FileSystem = p.getFileSystem(conf)
     /** Python `Path.replace` parity: overwrite an existing destination,
       * and FAIL loudly when the move doesn't happen (HDFS/object-store

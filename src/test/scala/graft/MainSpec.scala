@@ -53,6 +53,13 @@ class MainSpec extends AnyFunSuite {
     assert(Files.exists(in.resolve("failed").resolve("broken_x_300.csv")))
     assert(metrics.failedFiles.value == 1 && metrics.processedFiles.value == 2)
     assert(metrics.postedDatapoints.value == 3 && metrics.createdTimeSeries.value == 3)
+    // gauges (reference monitoring.py parity): 3 files were available, all
+    // accounted; 2 succeeded; the last posted file had 1 valid series
+    assert(metrics.availableCsvFiles.get == 3)
+    assert(metrics.unprocessedFiles.get == 0)
+    assert(metrics.successfullyProcessedFiles.get == 2)
+    assert(metrics.postedTimeSeriesCount.get == 1)
+    assert(metrics.snapshot()("test_hist.available_csv_files") == 3)
 
     // second run over the (now empty) input is a no-op, catalog unchanged
     Main.runHistorical(spark, cfg, metrics, lifecycle)

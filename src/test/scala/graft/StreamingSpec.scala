@@ -51,6 +51,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("live stream: settle window reads a slow writer's final bytes") {
+    val dir = Files.createTempDirectory("settle-in")
+    val ckpt = Files.createTempDirectory("settle-ckpt")
+    val enc = Charset.forName(TebisCsv.Encoding)
+    val partial = ";7 : S\nu;bar\n1001;0,1\n"
+    Files.write(dir.resolve("TEBIS_S_100.csv"), partial.getBytes(enc))
+    RecordingClient.reset()
+    // a slow writer finishes the file 300 ms in — well inside the 1.5 s
+    // settle window, so the parsed bytes must be the FINAL content even
+    // though the source listed (and snapshotted) the torn 1-row version
+    val writer = new Thread(() => {
+      Thread.sleep(300)
+      Files.write(dir.resolve("TEBIS_S_100.csv"),
+        (partial + "1002;0,2\n1003;0,3\n").getBytes(enc))
+      ()
+    })
+    writer.start()
+    val q = LiveStream.start(spark,
+      LiveStream.Config(dir.toString, ckpt.toString, triggerMs = 100L,
+        cleanSource = "off", settleMs = 1500L),
+      new RecordingClient)
+    try { q.processAllAvailable(); writer.join() } finally q.stop()
+    val pts = RecordingClient.all.flatten.flatMap(_.datapoints)
+    assert(pts.size == 3, s"expected settled 3-row content, got ${pts.size}")
+  }
+
   test("windowed event stream: tumbling counts with watermark") {
     import spark.implicits._
     implicit val sc = spark.sqlContext

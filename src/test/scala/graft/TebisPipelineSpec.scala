@@ -158,6 +158,18 @@ class TebisPipelineSpec extends AnyFunSuite {
     assert(r.toSeq == Seq((1000L, 1.0), (2000L, 1.0), (3000L, 1.0), (4000L, 3.0)))
   }
 
+  test("resample: negative (pre-1970) timestamps land on correct grid slots") {
+    import spark.implicits._
+    // -2000 is an exact grid multiple: ceil must keep it at -2000 (the
+    // add-step-minus-1 idiom would shift it to -1000); -1500 ceils to -1000
+    val dp = Seq(Datapoint("a", -2000L, 1.0), Datapoint("a", -1500L, 2.0), Datapoint("a", 500L, 3.0)).toDF
+    val r = Datapoints.resample(dp, 1000L).collect()
+      .map(x => (x.getLong(1), x.getDouble(2))).sortBy(_._1)
+    // p1 covers -2000 (exact multiple, strictly before ceil(-1500)=-1000);
+    // p2 covers -1000 and 0 (strictly before ceil(500)=1000); p3 covers 1000
+    assert(r.toSeq == Seq((-2000L, 1.0), (-1000L, 2.0), (0L, 2.0), (1000L, 3.0)))
+  }
+
   test("catalog: missing via broadcast anti-join, first-wins name, upsert") {
     import spark.implicits._
     // fileOrd is DISCOVERY order (numeric token rank): file 2 here would
@@ -197,6 +209,9 @@ class TebisPipelineSpec extends AnyFunSuite {
     val dps = (1 to 30).flatMap(s => (1 to 4).map(i => Datapoint(s"v2s$s", i * 1000L, i.toDouble)))
     dps.toDS().toDF()
       .repartition(org.apache.spark.sql.functions.col("externalId"))
+      // sorted input keeps every series whole across the writer's
+      // incremental (memory-bounded) flushes
+      .sortWithinPartitions("externalId", "timestampMs")
       .write.format("graft-datapoints")
       .option("clientClass", "graft.RecordingClient")
       .option("batchMax", "8")
@@ -205,8 +220,28 @@ class TebisPipelineSpec extends AnyFunSuite {
     assert(all.flatten.map(_.externalId).distinct.size == 30)
     assert(all.forall(_.size <= 8))
     assert(all.flatten.flatMap(_.datapoints).size == 120)
-    // each series lands whole in one payload (repartitioned by key)
+    // each series lands whole in one payload (repartitioned+sorted by key)
     assert(all.flatten.groupBy(_.externalId).forall(_._2.size == 1))
+  }
+
+  test("DataSourceV2 sink: unsorted input still delivers everything under bounded memory") {
+    import spark.implicits._
+    RecordingClient.reset()
+    // interleaved series order forces mid-partition flushes of incomplete
+    // series (the memory bound at work); delivery must stay complete —
+    // splits are fine under the endpoint's (externalId, ts) upsert
+    val dps = (1 to 4).flatMap(i => (1 to 10).map(s => Datapoint(s"u$s", i * 1000L, i.toDouble)))
+    dps.toDS().toDF().coalesce(1)
+      .write.format("graft-datapoints")
+      .option("clientClass", "graft.RecordingClient")
+      .option("batchMax", "3")
+      .mode("append").save()
+    val all = RecordingClient.all
+    assert(all.forall(_.size <= 3))
+    assert(all.flatten.flatMap(_.datapoints).size == 40)
+    assert(all.flatten.map(_.externalId).distinct.size == 10)
+    // more than one request before commit proves the incremental flush ran
+    assert(all.size > (10 + 2) / 3)
   }
 
   test("distributed write: series kept whole, batch cap respected") {
