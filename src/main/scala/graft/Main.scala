@@ -16,6 +16,13 @@ import graft.tebis._
   * `--catalog PATH` (time-series catalog parquet, lazily upserted like
   * the reference's CDF catalog), `--checkpoint DIR` (live mode). */
 object Main {
+  /** Credential wrapper whose every rendering is scrubbed — logging a
+    * Config (reference main.py:85-86 zeroes args.api_key before logging)
+    * can never leak the key. */
+  final case class Secret(value: String) {
+    override def toString: String = "****"
+  }
+
   case class Config(
       input: String = "",
       live: Boolean = false,
@@ -25,7 +32,9 @@ object Main {
       keepFinished: Boolean = false,
       output: Option[String] = None,
       catalog: Option[String] = None,
-      checkpoint: String = "/tmp/graft-checkpoint")
+      checkpoint: String = "/tmp/graft-checkpoint",
+      apiKey: Option[Secret] = None,
+      logLevel: String = "WARN")
 
   def parseArgs(args: Array[String]): Config = {
     def loop(cfg: Config, rest: List[String]): Config = rest match {
@@ -40,11 +49,15 @@ object Main {
       case "--output" :: v :: t => loop(cfg.copy(output = Some(v)), t)
       case "--catalog" :: v :: t => loop(cfg.copy(catalog = Some(v)), t)
       case "--checkpoint" :: v :: t => loop(cfg.copy(checkpoint = v), t)
+      case "--api-key" :: v :: t => loop(cfg.copy(apiKey = Some(Secret(v))), t)
+      case "--log-level" :: v :: t => loop(cfg.copy(logLevel = v), t)
       case other :: _ => throw new IllegalArgumentException(s"unknown flag: $other")
     }
     val cfg = loop(Config(), args.toList)
     require(cfg.input.nonEmpty, "--input is required")
-    cfg
+    // flag wins; else the env var (reference main.py:83-85)
+    if (cfg.apiKey.isDefined) cfg
+    else cfg.copy(apiKey = sys.env.get("GRAFT_EXTRACTOR_API_KEY").map(Secret))
   }
 
   /** Stand-in for the CDF datapoints endpoint when no `--output` is given
@@ -53,6 +66,8 @@ object Main {
 
   def main(args: Array[String]): Unit = {
     val cfg = parseArgs(args)
+    // Secret renders as ****: this line is safe with --api-key present
+    println(s"[graft] configured with $cfg")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -60,13 +75,26 @@ object Main {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setLogLevel(cfg.logLevel)
+    // missing input folder is fatal (reference main.py:89-91, exit 2)
+    val inPath = new org.apache.hadoop.fs.Path(cfg.input)
+    if (!inPath.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(inPath)) {
+      System.err.println(s"[graft] input folder does not exist: ${cfg.input}")
+      spark.stop()
+      sys.exit(2)
+    }
     try run(spark, cfg)
     finally spark.stop()
   }
 
   def run(spark: SparkSession, cfg: Config): Unit = {
     val metrics = Metrics(spark.sparkContext, if (cfg.live) "csv_live" else "csv_hist")
+    cfg.apiKey.foreach { k =>
+      LoggingClient match {
+        case a: graft.sink.ApiKeyAuthed => a.setApiKey(k.value)
+        case _ => () // dry-run client needs no credentials
+      }
+    }
     val lifecycle = new Discovery.Lifecycle(
       failedDir = if (cfg.moveFailed) Some(s"${cfg.input}/failed") else None,
       finishedDir = if (cfg.keepFinished) Some(s"${cfg.input}/finished") else None,

@@ -19,6 +19,15 @@ trait DatapointsClient extends Serializable {
   def insertMultiple(batch: Seq[SeriesPayload]): Unit
 }
 
+/** Clients needing endpoint credentials implement this; the CLI resolves
+  * the key (`--api-key` flag, else GRAFT_EXTRACTOR_API_KEY env — the
+  * reference's main.py:83-85 pattern) and injects it AFTER construction,
+  * so `clientClass` reflection stays no-arg and the key never appears in
+  * any Config/log rendering (see [[graft.Main.Secret]]). */
+trait ApiKeyAuthed {
+  def setApiKey(key: String): Unit
+}
+
 /** Dry-run client: logs request shapes to stdout. No-arg constructible,
   * so it also serves as a `clientClass` for the DataSourceV2 sink. */
 class StdoutDatapointsClient extends DatapointsClient {

@@ -55,32 +55,42 @@ private class DatapointsTable extends Table with SupportsWrite {
     require(clientClass != null, "graft-datapoints requires option clientClass")
     val batchMax = Option(info.options.get("batchMax")).map(_.toInt)
       .getOrElse(BatchedSink.BatchMax)
+    val apiKey = Option(info.options.get("apiKey"))
     val schema = info.schema()
     new WriteBuilder {
       override def build(): Write = new Write {
-        override def toBatch: BatchWrite = new DatapointsBatchWrite(clientClass, batchMax, schema)
+        override def toBatch: BatchWrite =
+          new DatapointsBatchWrite(clientClass, batchMax, apiKey, schema)
       }
     }
   }
 }
 
-private class DatapointsBatchWrite(clientClass: String, batchMax: Int, schema: StructType)
+private class DatapointsBatchWrite(
+    clientClass: String, batchMax: Int, apiKey: Option[String], schema: StructType)
     extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new DatapointsWriterFactory(clientClass, batchMax,
+    new DatapointsWriterFactory(clientClass, batchMax, apiKey,
       schema.fieldIndex("externalId"), schema.fieldIndex("timestampMs"), schema.fieldIndex("value"))
   override def commit(messages: Array[WriterCommitMessage]): Unit = ()
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }
 
 private class DatapointsWriterFactory(
-    clientClass: String, batchMax: Int, idIdx: Int, tsIdx: Int, valIdx: Int)
+    clientClass: String, batchMax: Int, apiKey: Option[String],
+    idIdx: Int, tsIdx: Int, valIdx: Int)
     extends DataWriterFactory {
-  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new DatapointsWriter(
-      Class.forName(clientClass).getDeclaredConstructor().newInstance()
-        .asInstanceOf[DatapointsClient],
-      batchMax, idIdx, tsIdx, valIdx)
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
+    val client = Class.forName(clientClass).getDeclaredConstructor().newInstance()
+      .asInstanceOf[DatapointsClient]
+    // credentials injected post-construction (ApiKeyAuthed) so the
+    // reflective path stays no-arg and the key rides the options map only
+    (client, apiKey) match {
+      case (a: ApiKeyAuthed, Some(k)) => a.setApiKey(k)
+      case _ => ()
+    }
+    new DatapointsWriter(client, batchMax, idIdx, tsIdx, valIdx)
+  }
 }
 
 /** Memory is bounded by `batchMax` series: once the buffer holds batchMax

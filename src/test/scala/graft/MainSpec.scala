@@ -26,6 +26,16 @@ class MainSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](Main.parseArgs(Array("--live")))
   }
 
+  test("api key: flag parsed, scrubbed from every Config rendering") {
+    val c = Main.parseArgs(Array("--input", "/in", "--api-key", "s3cr3t", "--log-level", "INFO"))
+    assert(c.apiKey.map(_.value).contains("s3cr3t"))
+    assert(c.logLevel == "INFO")
+    // the reference zeroes args.api_key before logging (main.py:85-86);
+    // here the Secret wrapper makes any toString leak-proof by type
+    assert(!c.toString.contains("s3cr3t"))
+    assert(!c.apiKey.get.toString.contains("s3cr3t"))
+  }
+
   test("historical run: parquet sink, catalog upsert, dead-letter, archive") {
     val in = Files.createTempDirectory("main-in")
     val out = Files.createTempDirectory("main-out").resolve("dp").toString
