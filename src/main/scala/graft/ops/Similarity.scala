@@ -131,15 +131,23 @@ object Similarity {
     // keys feed both join sides; checkpoint the small (id, key) frame so
     // the 16x64 dot products per row run once (hygiene unpins it later)
     val keyed = q.select(col("vec_id"), explode(expr(lshKeysExpr)).as("bkey")).localCheckpoint()
+    // candidates as UNORDERED pairs (id_a < id_b): cosine is symmetric,
+    // so each pair's 64-dim dot runs once and the cheap 3-column mirror
+    // (union of both directions) feeds the per-vector ranking — half the
+    // dot products and half the wide join-back of the directed formulation
     val cand = keyed.as("a")
-      .join(keyed.as("b"), col("a.bkey") === col("b.bkey") && col("a.vec_id") =!= col("b.vec_id"))
+      .join(keyed.as("b"), col("a.bkey") === col("b.bkey") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
       .distinct()
-    val w = Window.partitionBy("id_a").orderBy(col("sim").desc, col("id_b").asc)
-    cand
+    val sims = cand
       .join(q.select(col("vec_id").as("id_a"), col("qv").as("qa"), col("nrm").as("na")), "id_a")
       .join(q.select(col("vec_id").as("id_b"), col("qv").as("qb"), col("nrm").as("nb")), "id_b")
       .withColumn("sim", simCol)
+      .select("id_a", "id_b", "sim")
+    val directed = sims.union(
+      sims.select(col("id_b").as("id_a"), col("id_a").as("id_b"), col("sim")))
+    val w = Window.partitionBy("id_a").orderBy(col("sim").desc, col("id_b").asc)
+    directed
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("id_a").as("vec_id"), col("rank"), col("id_b").as("neighbor_id"), col("sim"))
@@ -270,11 +278,13 @@ object Similarity {
       Some(s"""WITH $quantCte,
         keys AS (SELECT vec_id, unnest($lshKeysSql) AS bkey FROM n),
         cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
-              FROM keys x JOIN keys y ON x.bkey = y.bkey AND x.vec_id <> y.vec_id),
-        p AS (SELECT c.id_a AS vec_id, c.id_b AS neighbor_id, $simSql AS sim
+              FROM keys x JOIN keys y ON x.bkey = y.bkey AND x.vec_id < y.vec_id),
+        p AS (SELECT c.id_a, c.id_b, $simSql AS sim
               FROM cand c JOIN n a ON a.vec_id = c.id_a JOIN n b ON b.vec_id = c.id_b),
+        d AS (SELECT id_a AS vec_id, id_b AS neighbor_id, sim FROM p
+              UNION ALL SELECT id_b, id_a, sim FROM p),
         r AS (SELECT vec_id, neighbor_id, sim,
-              row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, neighbor_id) AS rank FROM p)
+              row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, neighbor_id) AS rank FROM d)
         SELECT vec_id, rank, neighbor_id, sim FROM r WHERE rank <= 3""")),
 
     QueryDef("q47_knn_ivf",
