@@ -1,0 +1,103 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.queries.QueryDef
+import graft.queries.QueryDef._
+
+/** Deterministic sampling and split assignment over `documents` (★ SURVEY
+  * §2c — training-data pipeline staples).
+  *
+  * All selection is by md5(doc_id) hex prefix, NOT `rand()`: the sample a
+  * document lands in is a pure function of its id, so it is stable across
+  * re-runs, partitionings, engines and retries (a rand() sample is none of
+  * those), and the oracle can reproduce it exactly. The first 4 hex chars
+  * are compared lexicographically against a threshold — for fixed-length
+  * lowercase hex, string order IS numeric order, so `< hex(k)` selects
+  * k/65536 of the hash space with zero hex-to-int conversion.
+  *
+  * Scale: every op is a stateless per-row predicate — no shuffle, no
+  * state, embarrassingly parallel; filters sit directly above the scan. */
+object Sampling {
+
+  private def bucket(idCol: String) = s"substr(md5(CAST($idCol AS STRING)), 1, 4)"
+
+  private def hex(k: Int) = f"'$k%04x'"
+
+  /** Bernoulli-by-hash sample keeping ~`num`/65536 of the corpus. */
+  def hashSample(docs: DataFrame, num: Int): DataFrame =
+    docs.filter(expr(s"${bucket("doc_id")} < ${hex(num)}"))
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+
+  /** SQL twin (DuckDB). */
+  def hashSampleSql(num: Int): String =
+    s"""SELECT doc_id, lang, n_chars FROM documents
+        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < ${hex(num)}"""
+
+  /** 80/10/10 train/val/test assignment by hash range — the standard
+    * leakage-free split (membership never depends on data order). */
+  val TrainMax = 52429 // 0xcccd ~ 80.0%
+  val ValMax = 58982 // 0xe666 ~ 90.0%
+
+  def hashSplit(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("lang"),
+      expr(s"""CASE WHEN ${bucket("doc_id")} < ${hex(TrainMax)} THEN 'train'
+                    WHEN ${bucket("doc_id")} < ${hex(ValMax)} THEN 'val'
+                    ELSE 'test' END""").as("split"))
+
+  def hashSplitSql: String = {
+    val b = "substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)"
+    s"""SELECT doc_id, lang,
+        CASE WHEN $b < ${hex(TrainMax)} THEN 'train'
+             WHEN $b < ${hex(ValMax)} THEN 'val'
+             ELSE 'test' END AS split
+        FROM documents"""
+  }
+
+  /** Composite c4-style quality filter: integer-exact predicates only
+    * (cross-multiplied ratios — no doubles, so the cut is portable).
+    * Keeps documents with >= 20 tokens, vocabulary-diversity >= 0.3,
+    * mean token length in [3, 12], and >= 1 stopword hit. */
+  def qualityFilter(docs: DataFrame): DataFrame = {
+    val stopCnt =
+      s"CAST(size(filter(split(text, ' '), w -> ${TextStats.Stopwords.map(w => s"w = '$w'").mkString("(", " OR ", ")")})) AS BIGINT)"
+    docs.select(col("doc_id"), col("lang"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"),
+      size(array_distinct(split(col("text"), " "))).cast("long").as("n_distinct"),
+      expr("aggregate(transform(split(text, ' '), w -> CAST(length(w) AS BIGINT)), 0L, (a, x) -> a + x)")
+        .as("sum_len"),
+      expr(stopCnt).as("n_stop"))
+      .filter(col("n_tokens") >= 20 &&
+        col("n_distinct") * 10 >= col("n_tokens") * 3 &&
+        col("sum_len") >= col("n_tokens") * 3 && col("sum_len") <= col("n_tokens") * 12 &&
+        col("n_stop") >= 1)
+  }
+
+  def qualityFilterSql: String = {
+    val stop = TextStats.Stopwords.map(w => s"w = '$w'").mkString("(", " OR ", ")")
+    s"""SELECT * FROM (
+        SELECT doc_id, lang,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+          CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+          CAST(list_sum(list_transform(string_split(text, ' '), w -> CAST(length(w) AS BIGINT))) AS BIGINT) AS sum_len,
+          CAST(len(list_filter(string_split(text, ' '), w -> $stop)) AS BIGINT) AS n_stop
+        FROM documents)
+        WHERE n_tokens >= 20 AND n_distinct * 10 >= n_tokens * 3
+          AND sum_len >= n_tokens * 3 AND sum_len <= n_tokens * 12 AND n_stop >= 1"""
+  }
+
+  val queries: Seq[QueryDef] = Seq(
+    QueryDef("q37_sample_hash",
+      (s, d) => hashSample(t(s, d, "documents"), 6554), // ~10%
+      Some(hashSampleSql(6554))),
+
+    QueryDef("q38_train_split",
+      (s, d) => hashSplit(t(s, d, "documents")),
+      Some(hashSplitSql)),
+
+    QueryDef("q39_quality_filter",
+      (s, d) => qualityFilter(t(s, d, "documents")),
+      Some(qualityFilterSql))
+  )
+}

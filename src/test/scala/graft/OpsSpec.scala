@@ -150,6 +150,31 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(approx - exact) / exact < 0.05)
   }
 
+  test("hash sampling: deterministic, near-nominal fraction, split partitions corpus") {
+    val n = docs.count()
+    val s1 = Sampling.hashSample(docs, 6554).collect().map(_.getLong(0)).toSet
+    val s2 = Sampling.hashSample(docs, 6554).collect().map(_.getLong(0)).toSet
+    assert(s1 == s2) // pure function of id — stable across runs
+    val frac = s1.size.toDouble / n
+    assert(frac > 0.04 && frac < 0.2, s"10% nominal, got $frac")
+    val split = Sampling.hashSplit(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(split.size == n) // every doc in exactly one split
+    val train = split.values.count(_ == "train").toDouble / n
+    assert(train > 0.7 && train < 0.9, s"80% nominal train, got $train")
+    // sample ⊂ hash space below 0x199a ⊂ train range (0xcccd): consistent
+    assert(s1.forall(id => split(id) == "train"))
+  }
+
+  test("quality filter: integer predicates hold on every surviving row") {
+    val rows = Sampling.qualityFilter(docs).collect()
+    assert(rows.nonEmpty && rows.length < docs.count())
+    rows.foreach { r =>
+      val (nt, nd, sl, ns) = (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(nt >= 20 && nd * 10 >= nt * 3 && sl >= nt * 3 && sl <= nt * 12 && ns >= 1)
+    }
+  }
+
   test("quality score bounded in [0,1]") {
     val q = TextStats.quality(docs).collect()
     assert(q.forall { r =>
