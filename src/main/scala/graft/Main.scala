@@ -108,7 +108,8 @@ object Main {
           // files, dead-letter for failures; dirs are SIBLINGS of --input
           // so the streaming source never re-lists them
           archiveDir = if (cfg.keepFinished) Some(s"${cfg.input}_finished") else None,
-          failedDir = if (cfg.moveFailed) Some(s"${cfg.input}_failed") else None),
+          failedDir = if (cfg.moveFailed) Some(s"${cfg.input}_failed") else None,
+          outputDir = cfg.output),
         LoggingClient, Some(metrics))
       query.awaitTermination()
     } else {

@@ -84,6 +84,19 @@ object BatchedSink {
       }
   }
 
+  /** Exactly-once-at-rest streaming twin of [[writeParquet]]: each
+    * micro-batch lands in its own `batch_id=N` subdirectory with
+    * OVERWRITE semantics, so a batch replayed after a crash rewrites the
+    * same directory instead of appending duplicates. Readers point at
+    * `path` and get `batch_id` via partition discovery (prune it or drop
+    * it — the day partition below carries the query-pruning value). */
+  def writeParquetBatch(ds: Dataset[Datapoint], path: String, batchId: Long): Unit =
+    ds.withColumn("day", to_date(timestamp_millis(col("timestampMs"))))
+      .repartition(col("day"), col("externalId"))
+      .sortWithinPartitions("day", "externalId", "timestampMs")
+      .write.partitionBy("day").mode(SaveMode.Overwrite)
+      .parquet(s"$path/batch_id=$batchId")
+
   /** Parquet datapoint sink for the lakehouse path: partitioned by UTC day
     * so per-series time-range queries prune partitions, sorted within files
     * by (externalId, timestampMs) for row-group skipping at 100 TB. */

@@ -53,6 +53,11 @@ object LiveStream {
       cleanSource: String = "off", // off | delete | archive (only when !manageLifecycle)
       archiveDir: Option[String] = None,
       failedDir: Option[String] = None, // dead-letter parse failures (--move-failed)
+      /** When set, each micro-batch's datapoints land as day-partitioned
+        * parquet under `outputDir/batch_id=N` (overwrite — idempotent on
+        * replay, so the lake is exactly-once at rest) instead of client
+        * posts: the live twin of the historical `--output` path. */
+      outputDir: Option[String] = None,
       batchMax: Int = BatchedSink.BatchMax,
       /** Minimum mtime age before a file's content is trusted (reference's
         * 1 s settle window). 0 disables the wait. */
@@ -134,19 +139,39 @@ object LiveStream {
     files.writeStream
       .option("checkpointLocation", cfg.checkpointDir)
       .trigger(Trigger.ProcessingTime(cfg.triggerMs))
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[TebisFile], _: Long) =>
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[TebisFile], batchId: Long) =>
         val batchMax = cfg.batchMax
         batch.persist()
         try {
-          // posts run distributed; dead-letter moves run on the DRIVER so
-          // they use the session's Hadoop configuration (credentials etc.)
-          batch.filter(_.error.isEmpty).foreach { file =>
-            metrics.foreach(_.postedTimeSeriesCount.set(file.seriesCount))
-            BatchedSink.postFile(file, client, batchMax)
-            metrics.foreach { m =>
-              m.processedFiles.add(1)
-              m.postedDatapoints.add(file.datapointCount)
-            }
+          cfg.outputDir match {
+            case Some(out) =>
+              // lakehouse path: distributed parquet write, idempotent per
+              // batch; per-file accounting from a bounded metadata collect
+              val dps = batch.filter(_.error.isEmpty).flatMap(_.datapoints)(
+                org.apache.spark.sql.Encoders.product[graft.tebis.Datapoint])
+              BatchedSink.writeParquetBatch(dps, out, batchId)
+              metrics.foreach { m =>
+                batch.filter(_.error.isEmpty)
+                  .map(f => (f.datapointCount, f.seriesCount))(
+                    org.apache.spark.sql.Encoders.product[(Long, Long)])
+                  .collect() // ≤ maxFilesPerTrigger rows
+                  .foreach { case (nPts, nSeries) =>
+                    m.processedFiles.add(1)
+                    m.postedDatapoints.add(nPts)
+                    m.postedTimeSeriesCount.set(nSeries)
+                  }
+              }
+            case None =>
+              // posts run distributed; dead-letter moves run on the DRIVER
+              // so they use the session's Hadoop configuration
+              batch.filter(_.error.isEmpty).foreach { file =>
+                metrics.foreach(_.postedTimeSeriesCount.set(file.seriesCount))
+                BatchedSink.postFile(file, client, batchMax)
+                metrics.foreach { m =>
+                  m.processedFiles.add(1)
+                  m.postedDatapoints.add(file.datapointCount)
+                }
+              }
           }
           // driver-side collect is bounded by maxFilesPerTrigger (20):
           // paths only, never contents

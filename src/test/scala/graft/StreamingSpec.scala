@@ -77,6 +77,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(pts.size == 3, s"expected settled 3-row content, got ${pts.size}")
   }
 
+  test("live stream: parquet lakehouse output, idempotent per-batch dirs") {
+    val dir = Files.createTempDirectory("lake-in")
+    val ckpt = Files.createTempDirectory("lake-ckpt")
+    val out = Files.createTempDirectory("lake-out").resolve("dp").toString
+    writeTebis(dir, "TEBIS_P_100.csv", 1550092501L, 4, "p1")
+    val cfg = LiveStream.Config(dir.toString, ckpt.toString, triggerMs = 100L,
+      cleanSource = "off", outputDir = Some(out))
+    val q1 = LiveStream.start(spark, cfg, new RecordingClient)
+    try { q1.processAllAvailable() } finally q1.stop()
+    assert(spark.read.parquet(out).count() == 4)
+    // restart: the processed (and deleted) file is not re-offered; a new
+    // file lands in a NEW batch_id dir — totals add up, no duplicates
+    writeTebis(dir, "TEBIS_P_200.csv", 1550092600L, 2, "p2")
+    val q2 = LiveStream.start(spark, cfg, new RecordingClient)
+    try { q2.processAllAvailable() } finally q2.stop()
+    val lake = spark.read.parquet(out)
+    assert(lake.count() == 6)
+    assert(lake.select("externalId").distinct().count() == 2)
+    assert(lake.columns.contains("batch_id") && lake.columns.contains("day"))
+  }
+
   test("windowed event stream: tumbling counts with watermark") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
