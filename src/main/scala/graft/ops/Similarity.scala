@@ -181,27 +181,34 @@ object Similarity {
   /** Trained centroids (cent_id, cqv, cnrm). Updates are per-dimension
     * truncated integer means: posexplode -> sum/count per (cell, dim) ->
     * `s DIV cnt` (truncation toward zero — matching DuckDB's integer
-    * `//`) -> rebuild the array in dim order. Two shuffles per iteration,
-    * all keyed by cell/dim — distributes at any corpus size. */
+    * `//`) -> array rebuilt in dim order. The aggregation is distributed
+    * (keyed by cell/dim — any corpus size); the centroid TABLE itself is
+    * k·dim longs, so it iterates on the driver: each Lloyd iteration is
+    * exactly one Spark job (the means aggregation, k·dim result rows),
+    * and the centroids become a LOCAL relation — broadcast to the
+    * assignment cross-join without a build job. Empty cells keep their
+    * previous centroid. */
   def kmeansCentroids(q: DataFrame, k: Int, iters: Int): DataFrame = {
-    var cents = q.filter(col("vec_id") < k)
-      .select(col("vec_id").as("cent_id"), col("qv").as("cqv"), col("nrm").as("cnrm"))
+    val spark = q.sparkSession
+    import spark.implicits._
+    def centsDF(c: Seq[(Long, Seq[Long])]): DataFrame =
+      c.toDF("cent_id", "cqv").withColumn("cnrm", expr("quantized_dot(cqv, cqv)"))
+    var cents: Seq[(Long, Seq[Long])] = q.filter(col("vec_id") < k)
+      .select(col("vec_id"), col("qv")).as[(Long, Seq[Long])]
+      .collect().toSeq.sortBy(_._1)
     for (_ <- 1 to iters) {
-      val members = rankedAssign(q, cents).filter(col("rn") === 1)
-        .select(col("cent_id"), col("qv"))
-      val means = members
+      val sums = rankedAssign(q, centsDF(cents)).filter(col("rn") === 1)
         .select(col("cent_id"), posexplode(col("qv")).as(Seq("pos", "x")))
         .groupBy("cent_id", "pos")
         .agg(sum("x").as("s"), count(lit(1)).as("cnt"))
-        .withColumn("m", expr("s DIV cnt"))
-        .groupBy("cent_id")
-        .agg(expr("transform(array_sort(collect_list(struct(pos, m))), p -> p.m)").as("mqv"))
-      cents = cents.join(means, Seq("cent_id"), "left")
-        .select(col("cent_id"), coalesce(col("mqv"), col("cqv")).as("cqv"))
-        .withColumn("cnrm", expr("quantized_dot(cqv, cqv)"))
+        .select(col("cent_id"), col("pos"), expr("s DIV cnt").as("m"))
+        .as[(Long, Int, Long)].collect() // k·dim rows — driver-bounded
+      val byCell = sums.groupBy(_._1).map { case (cid, rows) =>
+        cid -> rows.sortBy(_._2).map(_._3).toSeq
+      }
+      cents = cents.map { case (cid, prev) => cid -> byCell.getOrElse(cid, prev) }
     }
-    // k rows; checkpoint cuts the iterated lineage before the fan-out
-    cents.localCheckpoint()
+    centsDF(cents)
   }
 
   /** Approximate top-k with a trained IVF index: candidates = (probe
