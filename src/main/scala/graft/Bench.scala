@@ -57,8 +57,13 @@ object Bench {
     val results = names.map(n => n -> (if (best(n) == Double.MaxValue) -1.0 else best(n)))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // a crashed query must be LOUD, not a smaller (better-looking) total:
+    // its -1 stays in the per-query map and its name lands in "failed"
+    val failed = results.collect { case (n, v) if v < 0 => n }
+    failed.foreach(n => System.err.println(s"[bench] FAILED: $n"))
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -89,11 +89,13 @@ object Main {
 
   def run(spark: SparkSession, cfg: Config): Unit = {
     val metrics = Metrics(spark.sparkContext, if (cfg.live) "csv_live" else "csv_hist")
-    cfg.apiKey.foreach { k =>
-      LoggingClient match {
-        case a: graft.sink.ApiKeyAuthed => a.setApiKey(k.value)
-        case _ => () // dry-run client needs no credentials
-      }
+    // configure a LOCAL client instance: the key becomes instance state,
+    // so the closure-serialized client carries it to executors (injecting
+    // into a global/singleton would only authenticate the driver's copy)
+    val client: DatapointsClient = {
+      val c = new graft.sink.StdoutDatapointsClient
+      cfg.apiKey.foreach(k => c.setApiKey(k.value))
+      c
     }
     val lifecycle = new Discovery.Lifecycle(
       failedDir = if (cfg.moveFailed) Some(s"${cfg.input}/failed") else None,
@@ -110,17 +112,17 @@ object Main {
           archiveDir = if (cfg.keepFinished) Some(s"${cfg.input}_finished") else None,
           failedDir = if (cfg.moveFailed) Some(s"${cfg.input}_failed") else None,
           outputDir = cfg.output),
-        LoggingClient, Some(metrics))
+        client, Some(metrics))
       query.awaitTermination()
     } else {
-      runHistorical(spark, cfg, metrics, lifecycle)
+      runHistorical(spark, cfg, metrics, lifecycle, client)
     }
   }
 
   /** Historical batch (reference E1): discover -> parse distributed ->
     * catalog upsert -> sink -> per-file lifecycle. */
   def runHistorical(spark: SparkSession, cfg: Config, metrics: Metrics,
-      lifecycle: Discovery.Lifecycle): Unit = {
+      lifecycle: Discovery.Lifecycle, client: DatapointsClient = LoggingClient): Unit = {
     import spark.implicits._
     val paths = Discovery.findHistoricalFiles(
       cfg.input, cfg.fromTime, cfg.untilTime, spark.sparkContext.hadoopConfiguration)
@@ -169,7 +171,7 @@ object Main {
           val dps = files.filter(_.error.isEmpty).flatMap(_.datapoints)
           BatchedSink.writeParquet(dps, out)
         case None =>
-          files.filter(_.error.isEmpty).foreach { f => BatchedSink.postFile(f, LoggingClient) }
+          files.filter(_.error.isEmpty).foreach { f => BatchedSink.postFile(f, client) }
       }
 
       // Metrics + lifecycle (S17/S18/S21). Bounded driver-side collect:

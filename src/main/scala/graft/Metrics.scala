@@ -5,11 +5,11 @@ import java.util.concurrent.atomic.AtomicLong
 import org.apache.spark.SparkContext
 import org.apache.spark.util.LongAccumulator
 
-/** A settable gauge (reference monitoring.py Gauge usage). Driver-set in
-  * batch mode; in live mode `posted_time_series_count` is set by the
-  * posting task — in `local[n]` that is the same JVM, on a real cluster
-  * each executor holds its own copy (the natural per-host scrape unit for
-  * a Prometheus-style exporter). */
+/** A settable gauge (reference monitoring.py Gauge usage). DRIVER-set
+  * only: unlike the accumulators, a Gauge has no executor->driver merge,
+  * and a .set inside a task closure mutates a deserialized throwaway
+  * copy (even in local[n] — closures serialize there too). Callers set
+  * gauges from driver-side accounting (bounded metadata collects). */
 final class Gauge(val name: String) extends Serializable {
   private val v = new AtomicLong()
   def set(x: Long): Unit = v.set(x)

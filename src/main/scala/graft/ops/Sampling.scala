@@ -60,8 +60,7 @@ object Sampling {
     * Keeps documents with >= 20 tokens, vocabulary-diversity >= 0.3,
     * mean token length in [3, 12], and >= 1 stopword hit. */
   def qualityFilter(docs: DataFrame): DataFrame = {
-    val stopCnt =
-      s"CAST(size(filter(split(text, ' '), w -> ${TextStats.Stopwords.map(w => s"w = '$w'").mkString("(", " OR ", ")")})) AS BIGINT)"
+    val stopCnt = TextStats.stopCountExpr
     docs.select(col("doc_id"), col("lang"),
       size(split(col("text"), " ")).cast("long").as("n_tokens"),
       size(array_distinct(split(col("text"), " "))).cast("long").as("n_distinct"),
@@ -75,7 +74,7 @@ object Sampling {
   }
 
   def qualityFilterSql: String = {
-    val stop = TextStats.Stopwords.map(w => s"w = '$w'").mkString("(", " OR ", ")")
+    val stop = TextStats.inSet("w", TextStats.Stopwords)
     s"""SELECT * FROM (
         SELECT doc_id, lang,
           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,

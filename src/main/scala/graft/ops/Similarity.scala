@@ -139,11 +139,16 @@ object Similarity {
       .join(keyed.as("b"), col("a.bkey") === col("b.bkey") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
       .distinct()
+    // materialize before the self-union: Spark shares no common subtrees
+    // across union branches, so an un-checkpointed `sims` would run the
+    // candidate distinct + both join-backs + every dot product TWICE —
+    // exactly the cost this pair formulation exists to avoid
     val sims = cand
       .join(q.select(col("vec_id").as("id_a"), col("qv").as("qa"), col("nrm").as("na")), "id_a")
       .join(q.select(col("vec_id").as("id_b"), col("qv").as("qb"), col("nrm").as("nb")), "id_b")
       .withColumn("sim", simCol)
       .select("id_a", "id_b", "sim")
+      .localCheckpoint()
     val directed = sims.union(
       sims.select(col("id_b").as("id_a"), col("id_a").as("id_b"), col("sim")))
     val w = Window.partitionBy("id_a").orderBy(col("sim").desc, col("id_b").asc)

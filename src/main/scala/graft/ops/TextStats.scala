@@ -30,14 +30,19 @@ object TextStats {
 
   val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to")
 
-  private def inSet(v: String, set: Seq[String]): String =
+  private[ops] def inSet(v: String, set: Seq[String]): String =
     set.map(w => s"$v = '$w'").mkString("(", " OR ", ")")
+
+  /** Spark-side stopword hit count over `text` — single source of truth
+    * for every operator filtering on stopword presence (quality score
+    * here, Sampling.qualityFilter). */
+  private[ops] def stopCountExpr: String =
+    s"CAST(size(filter(split(text, ' '), w -> ${inSet("w", Stopwords)})) AS BIGINT)"
 
   /** Quality score in [0,1]: length term + vocabulary-diversity term +
     * stopword-presence term, all from exact integer counts. */
   def quality(docs: DataFrame): DataFrame = {
-    val stopCnt =
-      s"CAST(size(filter(split(text, ' '), w -> ${inSet("w", Stopwords)})) AS BIGINT)"
+    val stopCnt = stopCountExpr
     docs.select(
       col("doc_id"), col("lang"),
       size(tokens(col("text"))).cast("long").as("n_tokens"),

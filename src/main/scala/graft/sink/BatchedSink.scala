@@ -30,9 +30,17 @@ trait ApiKeyAuthed {
 
 /** Dry-run client: logs request shapes to stdout. No-arg constructible,
   * so it also serves as a `clientClass` for the DataSourceV2 sink. */
-class StdoutDatapointsClient extends DatapointsClient {
+class StdoutDatapointsClient extends DatapointsClient with ApiKeyAuthed {
+  // carried as instance state so a driver-configured client SERIALIZES
+  // its credential into executor closures (a global/singleton client
+  // re-resolves per executor JVM and would lose driver-side injection)
+  @volatile private var apiKey: Option[String] = None
+  override def setApiKey(key: String): Unit = {
+    apiKey = Some(key)
+    println("[sink] api key configured (****)")
+  }
   def insertMultiple(batch: Seq[SeriesPayload]): Unit =
-    println(s"[sink] insert_multiple: ${batch.size} series, ${batch.map(_.datapoints.size).sum} datapoints")
+    println(s"[sink] insert_multiple${if (apiKey.isDefined) " (authed)" else ""}: ${batch.size} series, ${batch.map(_.datapoints.size).sum} datapoints")
 }
 
 /** Batched parallel sink (S15/S16, csv_extractor.py:22,137-146,162-196).
@@ -84,6 +92,17 @@ object BatchedSink {
       }
   }
 
+  /** Shared lakehouse layout: one place defines the day partitioning and
+    * in-file sort so the historical and streaming paths cannot diverge. */
+  private def writeLake(ds: Dataset[Datapoint], path: String, mode: SaveMode): Unit =
+    ds.withColumn("day", to_date(timestamp_millis(col("timestampMs"))))
+      // repartition by (day, externalId), not day alone: a day's whole
+      // volume in one task is the classic few-distinct-keys trap;
+      // partitionBy(day) still yields one directory per day
+      .repartition(col("day"), col("externalId"))
+      .sortWithinPartitions("day", "externalId", "timestampMs")
+      .write.partitionBy("day").mode(mode).parquet(path)
+
   /** Exactly-once-at-rest streaming twin of [[writeParquet]]: each
     * micro-batch lands in its own `batch_id=N` subdirectory with
     * OVERWRITE semantics, so a batch replayed after a crash rewrites the
@@ -91,21 +110,11 @@ object BatchedSink {
     * `path` and get `batch_id` via partition discovery (prune it or drop
     * it — the day partition below carries the query-pruning value). */
   def writeParquetBatch(ds: Dataset[Datapoint], path: String, batchId: Long): Unit =
-    ds.withColumn("day", to_date(timestamp_millis(col("timestampMs"))))
-      .repartition(col("day"), col("externalId"))
-      .sortWithinPartitions("day", "externalId", "timestampMs")
-      .write.partitionBy("day").mode(SaveMode.Overwrite)
-      .parquet(s"$path/batch_id=$batchId")
+    writeLake(ds, s"$path/batch_id=$batchId", SaveMode.Overwrite)
 
   /** Parquet datapoint sink for the lakehouse path: partitioned by UTC day
     * so per-series time-range queries prune partitions, sorted within files
     * by (externalId, timestampMs) for row-group skipping at 100 TB. */
   def writeParquet(ds: Dataset[Datapoint], path: String): Unit =
-    ds.withColumn("day", to_date(timestamp_millis(col("timestampMs"))))
-      // repartition by (day, externalId), not day alone: a day's whole
-      // volume in one task is the classic few-distinct-keys trap;
-      // partitionBy(day) still yields one directory per day
-      .repartition(col("day"), col("externalId"))
-      .sortWithinPartitions("day", "externalId", "timestampMs")
-      .write.partitionBy("day").mode(SaveMode.Append).parquet(path)
+    writeLake(ds, path, SaveMode.Append)
 }

@@ -67,17 +67,28 @@ object LiveStream {
     * (bounded wait: a writer that never settles is read anyway after
     * ~5 settle windows — best-effort, like any mtime heuristic). Runs in
     * the executor task, so the wait costs trigger latency, not
-    * correctness: the listing snapshot's content is never used. */
+    * correctness: the listing snapshot's content is never used.
+    *
+    * Age alone (local clock minus storage mtime) is trusted only when it
+    * already clears the window — a storage server clock AHEAD of the
+    * executor would otherwise make settled files look forever-young and
+    * stall every batch to the deadline. The skew-immune path compares
+    * mtime across a settleMs sleep: unchanged mtime == no writes in the
+    * window, whatever either clock says. */
   private[streaming] def settledBytes(
       path: String, settleMs: Long, conf: org.apache.hadoop.conf.Configuration): Array[Byte] = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(conf)
     if (settleMs > 0) {
       val deadline = System.currentTimeMillis + math.max(settleMs * 5, 5000L)
-      var age = System.currentTimeMillis - fs.getFileStatus(p).getModificationTime
-      while (age < settleMs && System.currentTimeMillis < deadline) {
-        Thread.sleep(math.max(settleMs - age, 10L))
-        age = System.currentTimeMillis - fs.getFileStatus(p).getModificationTime
+      var st = fs.getFileStatus(p)
+      var settled = System.currentTimeMillis - st.getModificationTime >= settleMs
+      while (!settled && System.currentTimeMillis < deadline) {
+        Thread.sleep(math.max(settleMs, 10L))
+        val st2 = fs.getFileStatus(p)
+        settled = st2.getModificationTime == st.getModificationTime ||
+          System.currentTimeMillis - st2.getModificationTime >= settleMs
+        st = st2
       }
     }
     val in = fs.open(p)
@@ -162,15 +173,21 @@ object LiveStream {
                   }
               }
             case None =>
-              // posts run distributed; dead-letter moves run on the DRIVER
-              // so they use the session's Hadoop configuration
+              // posts run distributed; the accumulators below merge back
+              // through Spark's accumulator framework. The GAUGE must be
+              // set on the DRIVER — a .set inside this closure would
+              // mutate a task-deserialized throwaway copy of Metrics.
               batch.filter(_.error.isEmpty).foreach { file =>
-                metrics.foreach(_.postedTimeSeriesCount.set(file.seriesCount))
                 BatchedSink.postFile(file, client, batchMax)
                 metrics.foreach { m =>
                   m.processedFiles.add(1)
                   m.postedDatapoints.add(file.datapointCount)
                 }
+              }
+              metrics.foreach { m =>
+                val series = batch.filter(_.error.isEmpty).map(_.seriesCount)(
+                  org.apache.spark.sql.Encoders.scalaLong).collect() // ≤ maxFilesPerTrigger
+                series.lastOption.foreach(m.postedTimeSeriesCount.set)
               }
           }
           // driver-side collect is bounded by maxFilesPerTrigger (20):

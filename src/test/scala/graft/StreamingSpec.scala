@@ -31,15 +31,20 @@ class StreamingSpec extends AnyFunSuite {
     Files.write(dir.resolve("broken_x_50.csv"),
       ";9 : Z\nu;x\nBAD;1,0\n".getBytes(Charset.forName(TebisCsv.Encoding)))
     RecordingClient.reset()
+    val metrics = Metrics(spark.sparkContext, "test_live")
     val q = LiveStream.start(spark,
       LiveStream.Config(dir.toString, ckpt.toString, triggerMs = 100L, cleanSource = "off",
         failedDir = Some(dir.resolve("failed").toString)),
-      new RecordingClient)
+      new RecordingClient, Some(metrics))
     try {
       q.processAllAvailable()
       val posted = RecordingClient.all.flatten
       assert(posted.map(_.externalId).toSet == Set("1", "2"))
       assert(posted.flatMap(_.datapoints).size == 8)
+      // gauges are DRIVER-set (an executor-closure .set would mutate a
+      // deserialized copy): each posted file here has exactly 1 series
+      assert(metrics.postedTimeSeriesCount.get == 1)
+      assert(metrics.processedFiles.value == 2 && metrics.failedFiles.value == 1)
       // parse failure dead-lettered out of the source dir
       assert(Files.exists(dir.resolve("failed").resolve("broken_x_50.csv")))
       // new file arrives -> next micro-batch picks it up exactly once
