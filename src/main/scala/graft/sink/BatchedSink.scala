@@ -117,4 +117,17 @@ object BatchedSink {
     * by (externalId, timestampMs) for row-group skipping at 100 TB. */
   def writeParquet(ds: Dataset[Datapoint], path: String): Unit =
     writeLake(ds, path, SaveMode.Append)
+
+  /** Compact a streaming lake (`path/batch_id=N/day=D/...`, many small
+    * per-trigger files) into the historical Append layout at `destPath`:
+    * one read, re-bucketed and re-sorted by the shared layout, so
+    * downstream scans pay row-group pruning instead of a
+    * file-per-micro-batch listing storm. Run periodically (the classic
+    * lakehouse maintenance job); source dirs can be dropped after. */
+  def compactLake(spark: org.apache.spark.sql.SparkSession, path: String, destPath: String): Unit = {
+    import spark.implicits._
+    val dps = spark.read.parquet(path)
+      .select($"externalId", $"timestampMs", $"value").as[Datapoint]
+    writeLake(dps, destPath, SaveMode.Append)
+  }
 }

@@ -101,6 +101,11 @@ class StreamingSpec extends AnyFunSuite {
     assert(lake.count() == 6)
     assert(lake.select("externalId").distinct().count() == 2)
     assert(lake.columns.contains("batch_id") && lake.columns.contains("day"))
+    // compaction: per-trigger batch_id dirs -> historical Append layout
+    val compact = Files.createTempDirectory("lake-compact").resolve("dp").toString
+    graft.sink.BatchedSink.compactLake(spark, out, compact)
+    val c = spark.read.parquet(compact)
+    assert(c.count() == 6 && !c.columns.contains("batch_id") && c.columns.contains("day"))
   }
 
   test("windowed event stream: tumbling counts with watermark") {
