@@ -95,7 +95,7 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
-  test("knn LSH: subset of brute-force candidates, same-bucket only") {
+  test("knn LSH: every reported (vec, neighbor, sim) exists in the all-pairs truth") {
     val brute = Similarity.knnBrute(spark, dir, 500).collect()
       .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3))).toSet
     val lsh = Similarity.knnLsh(spark, dir, 3).collect()
