@@ -278,6 +278,61 @@ case class HammingDistance(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Seeded ±1 random-hyperplane coefficients — the single source of truth
+  * for both the fused [[HyperplaneKeys]] expression and the literal
+  * arrays baked into oracle SQL / the composed spec formulation. */
+object Hyperplanes {
+  def planes(seed: Int, tables: Int, bits: Int, dim: Int): IndexedSeq[IndexedSeq[IndexedSeq[Int]]] = {
+    val rng = new scala.util.Random(seed)
+    IndexedSeq.fill(tables, bits, dim)(if (rng.nextBoolean()) 1 else -1)
+  }
+  /** Row-major (table, bit, dim) flattening for tight eval loops. */
+  def flat(seed: Int, tables: Int, bits: Int, dim: Int): Array[Int] =
+    planes(seed, tables, bits, dim).flatten.flatten.toArray
+}
+
+/** All tables x bits random-hyperplane sign bits of one ARRAY<BIGINT>
+  * vector in a SINGLE pass, returned as the table keys "t:bits". The
+  * composed formulation (one quantized_dot per plane against a literal
+  * array — see Similarity.lshKeysExpr, the spec-locked semantic twin)
+  * traverses the vector tables*bits times and carries that many boxed
+  * literal arrays through codegen; this fuses everything into one loop
+  * with the coefficient matrix resident as a flat int array. NULL when
+  * the vector's length differs from `dim`. */
+case class HyperplaneKeys(child: Expression, seed: Int, tables: Int, bits: Int, dim: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StringType)
+
+  @transient private lazy val flat: Array[Int] = Hyperplanes.flat(seed, tables, bits, dim)
+
+  override def nullSafeEval(v: Any): Any = {
+    val qv = v.asInstanceOf[ArrayData]
+    if (qv.numElements() != dim) return null
+    val k = tables * bits
+    val sums = new Array[Long](k)
+    var i = 0
+    while (i < dim) {
+      val x = qv.getLong(i)
+      var t = 0
+      while (t < k) { sums(t) += (if (flat(t * dim + i) > 0) x else -x); t += 1 }
+      i += 1
+    }
+    val out = new Array[UTF8String](tables)
+    var tb = 0
+    while (tb < tables) {
+      val sb = new java.lang.StringBuilder(bits + 4)
+      sb.append(tb).append(':')
+      var b = 0
+      while (b < bits) { sb.append(if (sums(tb * bits + b) >= 0) '1' else '0'); b += 1 }
+      out(tb) = UTF8String.fromString(sb.toString)
+      tb += 1
+    }
+    new GenericArrayData(out.asInstanceOf[Array[Any]])
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Session-scoped registration so `expr("quantized_dot(a, b)")` etc.
   * resolve; idempotent. */
 object GraftFunctions {
@@ -298,5 +353,9 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("minhash_bands",
       es => MinHashBands(es.head,
         es(1).eval().asInstanceOf[Int], es(2).eval().asInstanceOf[Int]), "scala_udf")
+    reg.createOrReplaceTempFunction("lsh_keys",
+      es => HyperplaneKeys(es.head,
+        es(1).eval().asInstanceOf[Int], es(2).eval().asInstanceOf[Int],
+        es(3).eval().asInstanceOf[Int], es(4).eval().asInstanceOf[Int]), "scala_udf")
   }
 }

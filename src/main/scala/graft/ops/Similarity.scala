@@ -88,16 +88,18 @@ object Similarity {
 
   val LshTables = 16
   val LshBits = 4
+  val LshSeed = 42
   val Dim = 64 // embeddings.parquet vector dimensionality
 
-  /** ±1 hyperplane coefficients, deterministic (seed 42), baked as
-    * literals into both engines' key expressions. */
-  val lshPlanes: IndexedSeq[IndexedSeq[IndexedSeq[Int]]] = {
-    val rng = new scala.util.Random(42)
-    IndexedSeq.fill(LshTables, LshBits, Dim)(if (rng.nextBoolean()) 1 else -1)
-  }
+  /** ±1 hyperplane coefficients (shared generator with the fused
+    * HyperplaneKeys expression), baked as literals into the oracle SQL
+    * and the composed spec formulation. */
+  val lshPlanes: IndexedSeq[IndexedSeq[IndexedSeq[Int]]] =
+    graft.functions.Hyperplanes.planes(LshSeed, LshTables, LshBits, Dim)
 
-  /** Spark: ARRAY of LshTables bucket keys "t:bits" for column `qv`. */
+  /** Composed formulation of the key array — the spec-locked semantic
+    * twin of `lsh_keys` (GraftFunctionsSpec asserts equality); the hot
+    * path uses the fused expression. */
   val lshKeysExpr: String = {
     val keys = lshPlanes.zipWithIndex.map { case (tbl, t) =>
       val bits = tbl.map { plane =>
@@ -129,8 +131,10 @@ object Similarity {
   def knnLsh(spark: SparkSession, dir: String, k: Int): DataFrame = {
     val q = quantized(spark, dir).select("vec_id", "qv", "nrm").localCheckpoint()
     // keys feed both join sides; checkpoint the small (id, key) frame so
-    // the 16x64 dot products per row run once (hygiene unpins it later)
-    val keyed = q.select(col("vec_id"), explode(expr(lshKeysExpr)).as("bkey")).localCheckpoint()
+    // the 16x4 hyperplane dots per row run once (hygiene unpins it later)
+    val keyed = q.select(col("vec_id"),
+      explode(expr(s"lsh_keys(qv, $LshSeed, $LshTables, $LshBits, $Dim)")).as("bkey"))
+      .localCheckpoint()
     // candidates as UNORDERED pairs (id_a < id_b): cosine is symmetric,
     // so each pair's 64-dim dot runs once and the cheap 3-column mirror
     // (union of both directions) feeds the per-vector ranking — half the

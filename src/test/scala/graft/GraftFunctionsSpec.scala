@@ -83,4 +83,15 @@ class GraftFunctionsSpec extends AnyFunSuite {
     val slow = Dedup.simhashViaLambdas(docs).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(fast == slow)
   }
+
+  test("lsh_keys == composed per-plane quantized_dot formulation") {
+    GraftFunctions.register(spark)
+    val S = graft.ops.Similarity
+    val q = t(spark, dir, "embeddings")
+      .select(col("vec_id"), expr(S.quantExpr).as("qv"))
+      .withColumn("fast", expr(s"lsh_keys(qv, ${S.LshSeed}, ${S.LshTables}, ${S.LshBits}, ${S.Dim})"))
+      .withColumn("slow", expr(S.lshKeysExpr))
+    assert(q.filter(not(col("fast") <=> col("slow"))).count() == 0)
+    assert(q.count() > 0)
+  }
 }
