@@ -38,6 +38,22 @@ class SimilarityRecallSpec extends AnyFunSuite {
     assert(rs(12) >= 0.9, f"IVF recall ${rs(12)}%.3f < 0.9 at nprobe=12")
   }
 
+  test("k-means training is partitioning-invariant (integer sums commute)") {
+    import org.apache.spark.sql.functions.{col, expr}
+    def cents(parts: Int) = {
+      val q = Similarity.quantized(spark, dir).select("vec_id", "qv", "nrm")
+        .repartition(parts).localCheckpoint()
+      val c = Similarity.kmeansCentroids(q, 16, 2).orderBy("cent_id")
+        .select(col("cent_id"), expr("cast(cqv AS ARRAY<BIGINT>)").as("cqv"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Long](1)))
+      SessionHygiene.clear(spark)
+      c.toSeq
+    }
+    // per-dimension integer sums are order- and partitioning-independent,
+    // so the trained index must be bit-identical however the data splits
+    assert(cents(3) == cents(13))
+  }
+
   test("trained centroids beat the untrained init at equal nprobe") {
     val untrained = recallOf(Similarity.knnIvf(spark, dir, 3, iters = 0, nprobe = 4).collect())
     SessionHygiene.clear(spark)
