@@ -280,6 +280,38 @@ object Dedup {
       .distinct()
   }
 
+  /** Near-dup pairs over exact-dedup REPRESENTATIVES: collapse identical
+    * texts to their min-id doc first (one hash-groupBy), then band-mine
+    * pairs among representatives only. The pair output of simhashPairs is
+    * inherently quadratic in duplicate-group size — a corpus where each
+    * text occurs d times emits O(d²) identical-fingerprint pairs per
+    * group (measured: 10x-replicated corpus → 100x pairs, 68x runtime) —
+    * so the 100 TB pipeline ALWAYS runs exact dedup before pair mining.
+    * Group membership is recoverable by joining back through `exact`'s
+    * (fp, keep_id) table. */
+  def simhashPairsDeduped(docs: DataFrame, maxHamming: Int, nBands: Int = 4): DataFrame = {
+    val reps = exact(docs).select(col("keep_id").as("doc_id"))
+    simhashPairs(docs.join(reps, "doc_id"), maxHamming, nBands)
+  }
+
+  /** DuckDB twin of simhashPairs over any document-shaped relation. */
+  def simhashPairsSql(docsRel: String): String = {
+    val width = SimhashBits / 4
+    val fpSql = s"SELECT doc_id, ${simhashExprs._2} AS simhash FROM " +
+      s"(SELECT doc_id, list_transform(string_split(text, ' '), t -> md5(t)) AS hs FROM $docsRel dd)"
+    s"""WITH fp AS ($fpSql),
+        bands AS (SELECT doc_id, simhash,
+            unnest(list_transform(range(0, 4), b -> CAST(b AS VARCHAR) || ':' || substr(simhash, CAST(b * $width + 1 AS INT), $width))) AS bkey
+          FROM fp),
+        cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.simhash AS fa, b.simhash AS fb
+          FROM bands a JOIN bands b ON a.bkey = b.bkey AND a.doc_id < b.doc_id),
+        h AS (SELECT id_a, id_b,
+            CAST(list_sum(list_transform(range(1, ${SimhashBits + 1}),
+              i -> CASE WHEN substr(fa, CAST(i AS INT), 1) = substr(fb, CAST(i AS INT), 1) THEN 0 ELSE 1 END)) AS BIGINT) AS hamming
+          FROM cand)
+        SELECT id_a, id_b, hamming FROM h WHERE hamming <= 3"""
+  }
+
   val queries: Seq[QueryDef] = Seq(
     QueryDef("q40_dedup_exact",
       (s, d) => exact(t(s, d, "documents")),
@@ -342,22 +374,14 @@ object Dedup {
 
     QueryDef("q48_dedup_simhash_pairs",
       (s, d) => simhashPairs(t(s, d, "documents"), maxHamming = 3),
-      Some {
-        val width = SimhashBits / 4
-        val fpSql = s"SELECT doc_id, ${simhashExprs._2} AS simhash FROM " +
-          "(SELECT doc_id, list_transform(string_split(text, ' '), t -> md5(t)) AS hs FROM documents)"
-        s"""WITH fp AS ($fpSql),
-        bands AS (SELECT doc_id, simhash,
-            unnest(list_transform(range(0, 4), b -> CAST(b AS VARCHAR) || ':' || substr(simhash, CAST(b * $width + 1 AS INT), $width))) AS bkey
-          FROM fp),
-        cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.simhash AS fa, b.simhash AS fb
-          FROM bands a JOIN bands b ON a.bkey = b.bkey AND a.doc_id < b.doc_id),
-        h AS (SELECT id_a, id_b,
-            CAST(list_sum(list_transform(range(1, ${SimhashBits + 1}),
-              i -> CASE WHEN substr(fa, CAST(i AS INT), 1) = substr(fb, CAST(i AS INT), 1) THEN 0 ELSE 1 END)) AS BIGINT) AS hamming
-          FROM cand)
-        SELECT id_a, id_b, hamming FROM h WHERE hamming <= 3"""
-      }),
+      Some(simhashPairsSql("documents"))),
+
+    QueryDef("q52_dedup_simhash_reps",
+      (s, d) => simhashPairsDeduped(t(s, d, "documents"), maxHamming = 3),
+      Some(simhashPairsSql(
+        """(SELECT d.* FROM documents d
+            JOIN (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)) r
+            USING (doc_id))"""))),
 
     QueryDef("q43_dedup_simhash",
       (s, d) => simhash(t(s, d, "documents")),

@@ -62,6 +62,14 @@ class OpsSpec extends AnyFunSuite {
     assert(pairs.filter(expr("id_a >= id_b")).count() == 0)
   }
 
+  test("simhash pairs over representatives are a subset of all-docs pairs") {
+    val all = Dedup.simhashPairs(docs, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val reps = Dedup.simhashPairsDeduped(docs, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(reps.nonEmpty && reps.subsetOf(all))
+  }
+
   test("ngram jaccard: symmetric threshold, jaccard in (0,1]") {
     val rows = Dedup.ngramJaccardPairs(docs, 0.8).collect()
     assert(rows.forall(r => r.getDouble(2) >= 0.8 && r.getDouble(2) <= 1.0))
