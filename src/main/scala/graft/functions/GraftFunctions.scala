@@ -297,37 +297,53 @@ object Hyperplanes {
   * array — see Similarity.lshKeysExpr, the spec-locked semantic twin)
   * traverses the vector tables*bits times and carries that many boxed
   * literal arrays through codegen; this fuses everything into one loop
-  * with the coefficient matrix resident as a flat int array. NULL when
-  * the vector's length differs from `dim`. */
+  * with the coefficient matrix resident as a flat int array.
+  *
+  * Malformed-vector parity with the composed twin: a wrong-length vector
+  * or any null element makes every composed quantized_dot NULL, whose
+  * `CASE WHEN NULL >= 0` bit is '0' — so the composed form emits
+  * all-zero-bit keys. The fused form reproduces exactly that (NOT a null
+  * result), keeping the two formulations and the oracle bucket-identical
+  * on any input. */
 case class HyperplaneKeys(child: Expression, seed: Int, tables: Int, bits: Int, dim: Int)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = ArrayType(StringType)
+  override def nullable: Boolean = true
 
   @transient private lazy val flat: Array[Int] = Hyperplanes.flat(seed, tables, bits, dim)
 
-  override def nullSafeEval(v: Any): Any = {
-    val qv = v.asInstanceOf[ArrayData]
-    if (qv.numElements() != dim) return null
-    val k = tables * bits
-    val sums = new Array[Long](k)
-    var i = 0
-    while (i < dim) {
-      val x = qv.getLong(i)
-      var t = 0
-      while (t < k) { sums(t) += (if (flat(t * dim + i) > 0) x else -x); t += 1 }
-      i += 1
-    }
+  private def keys(sums: Array[Long]): GenericArrayData = {
     val out = new Array[UTF8String](tables)
     var tb = 0
     while (tb < tables) {
       val sb = new java.lang.StringBuilder(bits + 4)
       sb.append(tb).append(':')
       var b = 0
-      while (b < bits) { sb.append(if (sums(tb * bits + b) >= 0) '1' else '0'); b += 1 }
+      while (b < bits) {
+        sb.append(if (sums != null && sums(tb * bits + b) >= 0) '1' else '0')
+        b += 1
+      }
       out(tb) = UTF8String.fromString(sb.toString)
       tb += 1
     }
     new GenericArrayData(out.asInstanceOf[Array[Any]])
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val qv = v.asInstanceOf[ArrayData]
+    if (qv.numElements() != dim) return keys(null) // all-'0' bits, see scaladoc
+    var i = 0
+    while (i < dim) { if (qv.isNullAt(i)) return keys(null); i += 1 }
+    val k = tables * bits
+    val sums = new Array[Long](k)
+    i = 0
+    while (i < dim) {
+      val x = qv.getLong(i)
+      var t = 0
+      while (t < k) { sums(t) += (if (flat(t * dim + i) > 0) x else -x); t += 1 }
+      i += 1
+    }
+    keys(sums)
   }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)

@@ -294,14 +294,17 @@ object Dedup {
     simhashPairs(docs.join(reps, "doc_id"), maxHamming, nBands)
   }
 
-  /** DuckDB twin of simhashPairs over any document-shaped relation. */
-  def simhashPairsSql(docsRel: String): String = {
-    val width = SimhashBits / 4
+  /** DuckDB twin of simhashPairs over any document-shaped relation —
+    * parameterized exactly like the Spark side so a QueryDef can never
+    * pair a re-tuned operator with a stale oracle. */
+  def simhashPairsSql(docsRel: String, maxHamming: Int = 3, nBands: Int = 4): String = {
+    require(maxHamming < nBands, "pigeonhole needs maxHamming < nBands")
+    val width = SimhashBits / nBands
     val fpSql = s"SELECT doc_id, ${simhashExprs._2} AS simhash FROM " +
       s"(SELECT doc_id, list_transform(string_split(text, ' '), t -> md5(t)) AS hs FROM $docsRel dd)"
     s"""WITH fp AS ($fpSql),
         bands AS (SELECT doc_id, simhash,
-            unnest(list_transform(range(0, 4), b -> CAST(b AS VARCHAR) || ':' || substr(simhash, CAST(b * $width + 1 AS INT), $width))) AS bkey
+            unnest(list_transform(range(0, $nBands), b -> CAST(b AS VARCHAR) || ':' || substr(simhash, CAST(b * $width + 1 AS INT), $width))) AS bkey
           FROM fp),
         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.simhash AS fa, b.simhash AS fb
           FROM bands a JOIN bands b ON a.bkey = b.bkey AND a.doc_id < b.doc_id),
@@ -309,7 +312,7 @@ object Dedup {
             CAST(list_sum(list_transform(range(1, ${SimhashBits + 1}),
               i -> CASE WHEN substr(fa, CAST(i AS INT), 1) = substr(fb, CAST(i AS INT), 1) THEN 0 ELSE 1 END)) AS BIGINT) AS hamming
           FROM cand)
-        SELECT id_a, id_b, hamming FROM h WHERE hamming <= 3"""
+        SELECT id_a, id_b, hamming FROM h WHERE hamming <= $maxHamming"""
   }
 
   val queries: Seq[QueryDef] = Seq(

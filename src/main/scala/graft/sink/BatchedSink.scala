@@ -122,12 +122,31 @@ object BatchedSink {
     * per-trigger files) into the historical Append layout at `destPath`:
     * one read, re-bucketed and re-sorted by the shared layout, so
     * downstream scans pay row-group pruning instead of a
-    * file-per-micro-batch listing storm. Run periodically (the classic
-    * lakehouse maintenance job); source dirs can be dropped after. */
-  def compactLake(spark: org.apache.spark.sql.SparkSession, path: String, destPath: String): Unit = {
+    * file-per-micro-batch listing storm.
+    *
+    * Only COMMITTED batch dirs (those with a `_SUCCESS` marker) are
+    * compacted — a batch the streaming query is mid-writing is skipped,
+    * never torn. Returns the compacted dirs: the caller MUST delete (or
+    * move) them before the next invocation, because compaction appends —
+    * re-compacting the same dirs duplicates rows. That delete is the
+    * idempotence boundary, mirroring the source-file delete-as-commit. */
+  def compactLake(spark: org.apache.spark.sql.SparkSession, path: String, destPath: String): Seq[String] = {
     import spark.implicits._
-    val dps = spark.read.parquet(path)
+    require(destPath != path, "compacting a lake onto itself would mix batch_id and day layouts")
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Nil
+    val committed = fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
+      .filter(s => fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")))
+      .map(_.getPath.toString).toSeq.sorted
+    if (committed.isEmpty) return Nil
+    // basePath keeps partition discovery rooted at the lake when reading
+    // an explicit list of batch_id dirs (else Spark flags them as
+    // conflicting partition roots)
+    val dps = spark.read.option("basePath", path).parquet(committed: _*)
       .select($"externalId", $"timestampMs", $"value").as[Datapoint]
     writeLake(dps, destPath, SaveMode.Append)
+    committed
   }
 }

@@ -94,4 +94,23 @@ class GraftFunctionsSpec extends AnyFunSuite {
     assert(q.filter(not(col("fast") <=> col("slow"))).count() == 0)
     assert(q.count() > 0)
   }
+
+  test("lsh_keys malformed-vector parity: wrong length and null elements") {
+    GraftFunctions.register(spark)
+    val S = graft.ops.Similarity
+    import spark.implicits._
+    // wrong-length vector and a vector with a null slot: composed form
+    // yields all-zero-bit keys (NULL dot -> CASE else-branch); fused must match
+    val q = Seq(
+      (1L, "array(1L, 2L, 3L)"),
+      (2L, s"transform(sequence(1, ${S.Dim}), i -> CASE WHEN i = 7 THEN CAST(NULL AS BIGINT) ELSE CAST(i AS BIGINT) END)")
+    ).map { case (id, arr) =>
+      spark.range(1).select(lit(id).as("vec_id"), expr(arr).cast("array<bigint>").as("qv"))
+    }.reduce(_ unionByName _)
+      .withColumn("fast", expr(s"lsh_keys(qv, ${S.LshSeed}, ${S.LshTables}, ${S.LshBits}, ${S.Dim})"))
+      .withColumn("slow", expr(S.lshKeysExpr))
+    assert(q.filter(not(col("fast") <=> col("slow"))).count() == 0)
+    val ks = q.select("fast").collect().flatMap(_.getSeq[String](0))
+    assert(ks.forall(_.endsWith(":" + "0" * S.LshBits)))
+  }
 }
