@@ -315,6 +315,59 @@ object Dedup {
         SELECT id_a, id_b, hamming FROM h WHERE hamming <= $maxHamming"""
   }
 
+  /** Near-dup CLUSTERS: connected components over the MinHash+LSH pair
+    * graph, labeled by each component's min doc_id — the step a real
+    * dedup pipeline runs after pair mining (keep one representative per
+    * cluster, or weight by cluster size). Min-label propagation: each
+    * iteration every node takes the min of its own and its neighbors'
+    * labels — converges in O(component diameter) rounds, which for
+    * near-dup graphs (small cliques and chains) is 1-3; the loop is
+    * driver-paced with a distributed join per round and a convergence
+    * count, the standard Spark connected-components shape at any corpus
+    * size (each round's state is label pairs, never edges squared). */
+  def nearDupClusters(docs: DataFrame, threshold: Double, maxIters: Int = 20): DataFrame = {
+    val pairs = minhashLshPairs(docs, threshold).select("id_a", "id_b").localCheckpoint()
+    val edges = pairs.union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .toDF("src", "dst").localCheckpoint()
+    var labels = docs.select(col("doc_id"), col("doc_id").as("cluster_id")).localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIters) {
+      val nbrMin = edges.join(labels.withColumnRenamed("doc_id", "src"), "src")
+        .groupBy(col("dst").as("doc_id")).agg(min("cluster_id").as("nbr_min"))
+      val next = labels.join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"))
+        .localCheckpoint()
+      changed = next.join(labels.withColumnRenamed("cluster_id", "prev"), "doc_id")
+        .filter(col("cluster_id") =!= col("prev")).count()
+      labels = next // superseded checkpoints are freed by harness hygiene
+      iter += 1
+    }
+    labels
+  }
+
+  /** q42's oracle CTE chain ending in `verified` (id_a, id_b, jaccard) —
+    * shared by the pair query and the cluster query built on it. */
+  private def minhashPairsCtes: String = {
+    val bandsSql = (0 until Bands).map { b =>
+      val parts = (1 to Rows).map(r => s"sig[${b * Rows + r}]").mkString(" || ")
+      s"md5('$b' || ':' || $parts)"
+    }.mkString(", ")
+    s"""sh AS (SELECT doc_id, $shinglesSql AS grams FROM documents),
+        sigs AS (SELECT doc_id, grams,
+            list_transform(range(0, $NumHashes),
+              j -> list_aggregate(list_transform(grams, g -> md5(CAST(j AS VARCHAR) || '|' || g)), 'min')) AS sig
+          FROM sh),
+        bands AS (SELECT doc_id, unnest([$bandsSql]) AS bkey FROM sigs),
+        cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bands a JOIN bands b ON a.bkey = b.bkey AND a.doc_id < b.doc_id),
+        verified AS (SELECT c.id_a, c.id_b,
+            CAST(len(list_intersect(sa.grams, sb.grams)) AS DOUBLE)
+              / (len(sa.grams) + len(sb.grams) - len(list_intersect(sa.grams, sb.grams))) AS jaccard
+          FROM cand c JOIN sh sa ON sa.doc_id = c.id_a JOIN sh sb ON sb.doc_id = c.id_b)"""
+  }
+
   val queries: Seq[QueryDef] = Seq(
     QueryDef("q40_dedup_exact",
       (s, d) => exact(t(s, d, "documents")),
@@ -355,25 +408,25 @@ object Dedup {
 
     QueryDef("q42_dedup_minhash_lsh",
       (s, d) => minhashLshPairs(t(s, d, "documents"), 0.8),
-      Some {
-        val bandsSql = (0 until Bands).map { b =>
-          val parts = (1 to Rows).map(r => s"sig[${b * Rows + r}]").mkString(" || ")
-          s"md5('$b' || ':' || $parts)"
-        }.mkString(", ")
-        s"""WITH sh AS (SELECT doc_id, $shinglesSql AS grams FROM documents),
-        sigs AS (SELECT doc_id, grams,
-            list_transform(range(0, $NumHashes),
-              j -> list_aggregate(list_transform(grams, g -> md5(CAST(j AS VARCHAR) || '|' || g)), 'min')) AS sig
-          FROM sh),
-        bands AS (SELECT doc_id, unnest([$bandsSql]) AS bkey FROM sigs),
-        cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-          FROM bands a JOIN bands b ON a.bkey = b.bkey AND a.doc_id < b.doc_id),
-        verified AS (SELECT c.id_a, c.id_b,
-            CAST(len(list_intersect(sa.grams, sb.grams)) AS DOUBLE)
-              / (len(sa.grams) + len(sb.grams) - len(list_intersect(sa.grams, sb.grams))) AS jaccard
-          FROM cand c JOIN sh sa ON sa.doc_id = c.id_a JOIN sh sb ON sb.doc_id = c.id_b)
-        SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= 0.8"""
-      }),
+      Some(s"""WITH $minhashPairsCtes
+        SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= 0.8""")),
+
+    QueryDef("q53_dedup_clusters",
+      (s, d) => nearDupClusters(t(s, d, "documents"), 0.8),
+      // min reachable label == component min: the walk seeds every node
+      // with its own id and pushes labels along (undirected) edges until
+      // the UNION fixpoint
+      Some(s"""WITH RECURSIVE $minhashPairsCtes,
+        pairs AS (SELECT id_a, id_b FROM verified WHERE jaccard >= 0.8),
+        edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                  UNION ALL SELECT id_b, id_a FROM pairs),
+        walk(node, lbl) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.node
+        )
+        SELECT node AS doc_id, CAST(MIN(lbl) AS BIGINT) AS cluster_id
+        FROM walk GROUP BY node""")),
 
     QueryDef("q48_dedup_simhash_pairs",
       (s, d) => simhashPairs(t(s, d, "documents"), maxHamming = 3),

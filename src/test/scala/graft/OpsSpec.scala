@@ -62,6 +62,20 @@ class OpsSpec extends AnyFunSuite {
     assert(pairs.filter(expr("id_a >= id_b")).count() == 0)
   }
 
+  test("near-dup clusters: pairs co-clustered, labels are component minima") {
+    val pairs = Dedup.minhashLshPairs(docs, 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val cl = Dedup.nearDupClusters(docs, 0.8).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cl.size == docs.count()) // every doc labeled, singletons included
+    pairs.foreach { case (a, b) => assert(cl(a) == cl(b), s"pair ($a,$b) split") }
+    // label is the minimum doc_id of its cluster
+    cl.groupBy(_._2).foreach { case (lbl, members) =>
+      assert(members.keys.min == lbl)
+    }
+    assert(pairs.nonEmpty && cl.values.toSet.size < cl.size) // some merging happened
+  }
+
   test("simhash pairs over representatives are a subset of all-docs pairs") {
     val all = Dedup.simhashPairs(docs, 3).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
