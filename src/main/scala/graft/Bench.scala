@@ -7,10 +7,14 @@ import org.apache.spark.sql.SparkSession
   *   - every query runs in a hygienic session: cached relations and pinned
   *     RDD blocks (localCheckpoint debris) are cleared before each timing,
   *     so no query pays for a predecessor's leftovers;
-  *   - each query runs `iters` times (default 2) and the MIN is reported —
+  *   - each query runs `iters` times (default 3) and the MIN is reported —
   *     the min is the best estimate of the plan's intrinsic cost, robust
-  *     to one-off GC pauses / page-cache misses / co-located load;
-  *   - JVM opts are pinned in build.sbt (fixed heap, throughput GC).
+  *     to one-off GC pauses / page-cache misses / co-located load; a query
+  *     that crashes in SOME iterations still reports its min but is named
+  *     in `flaky` with its failure count, so intermittent failures stay
+  *     visible;
+  *   - JVM opts are pinned in build.sbt (fixed 16g heap, G1 with a pause
+  *     target).
   */
 object Bench {
 
@@ -45,12 +49,13 @@ object Bench {
 
     val names = SparkEntry.queries.keys.toSeq
     val best = scala.collection.mutable.Map[String, Double]()
+    val fails = scala.collection.mutable.Map[String, Int]().withDefaultValue(0)
     for (iter <- 1 to iters; name <- names) {
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
       val sec = (System.nanoTime() - t0) / 1e9
-      val v = if (ok) sec else Double.MaxValue
+      val v = if (ok) sec else { fails(name) += 1; Double.MaxValue }
       best(name) = math.min(best.getOrElse(name, Double.MaxValue), v)
       // Hygiene runs OUTSIDE the timed region: the next query should not
       // pay for (or benefit from) this one's cache/checkpoint leftovers.
@@ -61,12 +66,18 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // a crashed query must be LOUD, not a smaller (better-looking) total:
-    // its -1 stays in the per-query map and its name lands in "failed"
+    // its -1 stays in the per-query map and its name lands in "failed".
+    // A query that failed in SOME iterations but has a successful min is
+    // "flaky" (name -> failure count) — the per-query min must not let an
+    // intermittent crash masquerade as healthy.
     val failed = results.collect { case (n, v) if v < 0 => n }
     failed.foreach(n => System.err.println(s"[bench] FAILED: $n"))
+    val flaky = names.filter(n => fails(n) > 0 && !failed.contains(n))
+    flaky.foreach(n => System.err.println(s"[bench] FLAKY: $n failed ${fails(n)}/$iters iterations"))
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val flakyJson = flaky.map(n => s"\"" + n + "\":" + fails(n)).mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"flaky":$flakyJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

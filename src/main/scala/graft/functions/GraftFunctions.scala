@@ -299,16 +299,17 @@ object Hyperplanes {
   * literal arrays through codegen; this fuses everything into one loop
   * with the coefficient matrix resident as a flat int array.
   *
-  * Malformed-vector parity with the composed twin: a wrong-length vector
-  * or any null element makes every composed quantized_dot NULL, whose
-  * `CASE WHEN NULL >= 0` bit is '0' — so the composed form emits
-  * all-zero-bit keys. The fused form reproduces exactly that (NOT a null
-  * result), keeping the two formulations and the oracle bucket-identical
-  * on any input. */
+  * Malformed-vector parity with the composed twin: a NULL vector, a
+  * wrong-length vector, or any null element makes every composed
+  * quantized_dot NULL, whose `CASE WHEN NULL >= 0` bit is '0' — so the
+  * composed form emits all-zero-bit keys. The fused form reproduces
+  * exactly that (NOT a null result — `eval` is overridden to bypass
+  * UnaryExpression null propagation), keeping the two formulations and
+  * the oracle bucket-identical on any input. */
 case class HyperplaneKeys(child: Expression, seed: Int, tables: Int, bits: Int, dim: Int)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = ArrayType(StringType)
-  override def nullable: Boolean = true
+  override def nullable: Boolean = false
 
   @transient private lazy val flat: Array[Int] = Hyperplanes.flat(seed, tables, bits, dim)
 
@@ -327,6 +328,11 @@ case class HyperplaneKeys(child: Expression, seed: Int, tables: Int, bits: Int, 
       tb += 1
     }
     new GenericArrayData(out.asInstanceOf[Array[Any]])
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) keys(null) else nullSafeEval(v) // NULL vector buckets too
   }
 
   override def nullSafeEval(v: Any): Any = {

@@ -324,15 +324,26 @@ object Dedup {
     * near-dup graphs (small cliques and chains) is 1-3; the loop is
     * driver-paced with a distributed join per round and a convergence
     * count, the standard Spark connected-components shape at any corpus
-    * size (each round's state is label pairs, never edges squared). */
-  def nearDupClusters(docs: DataFrame, threshold: Double, maxIters: Int = 20): DataFrame = {
+    * size (each round's state is label pairs, never edges squared).
+    *
+    * Runs to the TRUE fixpoint (the oracle computes the recursive
+    * fixpoint too — returning early would silently mislabel any
+    * component with diameter > the cap, e.g. a chain of drifting
+    * near-dups at scale). `maxIters` is only a runaway guard, and
+    * exceeding it THROWS rather than returning non-converged labels. */
+  def nearDupClusters(docs: DataFrame, threshold: Double, maxIters: Int = 1000): DataFrame = {
     val pairs = minhashLshPairs(docs, threshold).select("id_a", "id_b").localCheckpoint()
     val edges = pairs.union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
       .toDF("src", "dst").localCheckpoint()
     var labels = docs.select(col("doc_id"), col("doc_id").as("cluster_id")).localCheckpoint()
     var changed = 1L
     var iter = 0
-    while (changed > 0 && iter < maxIters) {
+    while (changed > 0) {
+      if (iter >= maxIters)
+        throw new IllegalStateException(
+          s"nearDupClusters did not converge after $maxIters rounds " +
+            s"($changed labels still changing) — component diameter exceeds the guard; " +
+            "raise maxIters rather than shipping wrong cluster_ids")
       val nbrMin = edges.join(labels.withColumnRenamed("doc_id", "src"), "src")
         .groupBy(col("dst").as("doc_id")).agg(min("cluster_id").as("nbr_min"))
       val next = labels.join(nbrMin, Seq("doc_id"), "left")

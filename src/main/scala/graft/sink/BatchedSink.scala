@@ -126,10 +126,13 @@ object BatchedSink {
     *
     * Only COMMITTED batch dirs (those with a `_SUCCESS` marker) are
     * compacted — a batch the streaming query is mid-writing is skipped,
-    * never torn. Returns the compacted dirs: the caller MUST delete (or
-    * move) them before the next invocation, because compaction appends —
-    * re-compacting the same dirs duplicates rows. That delete is the
-    * idempotence boundary, mirroring the source-file delete-as-commit. */
+    * never torn. Idempotence is IN-BAND: after the append commits, each
+    * compacted dir gets a `_COMPACTED` marker and marked dirs are skipped
+    * on every later scan — a re-run without any caller-side cleanup is a
+    * no-op, never a row duplication. (Underscore-prefixed files are
+    * invisible to Spark's partition discovery, so lake readers are
+    * unaffected.) Returns the dirs compacted THIS call; the caller may
+    * delete them at leisure to reclaim space — or never. */
   def compactLake(spark: org.apache.spark.sql.SparkSession, path: String, destPath: String): Seq[String] = {
     import spark.implicits._
     require(destPath != path, "compacting a lake onto itself would mix batch_id and day layouts")
@@ -139,6 +142,7 @@ object BatchedSink {
     val committed = fs.listStatus(root)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
       .filter(s => fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")))
+      .filter(s => !fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_COMPACTED")))
       .map(_.getPath.toString).toSeq.sorted
     if (committed.isEmpty) return Nil
     // basePath keeps partition discovery rooted at the lake when reading
@@ -147,6 +151,12 @@ object BatchedSink {
     val dps = spark.read.option("basePath", path).parquet(committed: _*)
       .select($"externalId", $"timestampMs", $"value").as[Datapoint]
     writeLake(dps, destPath, SaveMode.Append)
+    // marker AFTER the append commits: a crash between write and marker
+    // re-compacts (at-least-once within this maintenance op) — the same
+    // window the caller-delete contract had, but now bounded in-band
+    committed.foreach { dir =>
+      fs.create(new org.apache.hadoop.fs.Path(dir, "_COMPACTED"), true).close()
+    }
     committed
   }
 }

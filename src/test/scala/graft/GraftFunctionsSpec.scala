@@ -95,15 +95,18 @@ class GraftFunctionsSpec extends AnyFunSuite {
     assert(q.count() > 0)
   }
 
-  test("lsh_keys malformed-vector parity: wrong length and null elements") {
+  test("lsh_keys malformed-vector parity: wrong length, null elements, NULL vector") {
     GraftFunctions.register(spark)
     val S = graft.ops.Similarity
     import spark.implicits._
-    // wrong-length vector and a vector with a null slot: composed form
-    // yields all-zero-bit keys (NULL dot -> CASE else-branch); fused must match
+    // wrong-length vector, a vector with a null slot, and a fully-NULL
+    // vector: composed form yields all-zero-bit keys (NULL dot -> CASE
+    // else-branch); fused must match — in particular the NULL vector must
+    // BUCKET (all-zero keys), not null-propagate and vanish from explode
     val q = Seq(
       (1L, "array(1L, 2L, 3L)"),
-      (2L, s"transform(sequence(1, ${S.Dim}), i -> CASE WHEN i = 7 THEN CAST(NULL AS BIGINT) ELSE CAST(i AS BIGINT) END)")
+      (2L, s"transform(sequence(1, ${S.Dim}), i -> CASE WHEN i = 7 THEN CAST(NULL AS BIGINT) ELSE CAST(i AS BIGINT) END)"),
+      (3L, "CAST(NULL AS ARRAY<BIGINT>)")
     ).map { case (id, arr) =>
       spark.range(1).select(lit(id).as("vec_id"), expr(arr).cast("array<bigint>").as("qv"))
     }.reduce(_ unionByName _)

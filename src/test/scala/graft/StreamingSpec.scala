@@ -103,9 +103,16 @@ class StreamingSpec extends AnyFunSuite {
     assert(lake.columns.contains("batch_id") && lake.columns.contains("day"))
     // compaction: per-trigger batch_id dirs -> historical Append layout
     val compact = Files.createTempDirectory("lake-compact").resolve("dp").toString
-    graft.sink.BatchedSink.compactLake(spark, out, compact)
+    val done = graft.sink.BatchedSink.compactLake(spark, out, compact)
+    assert(done.nonEmpty)
     val c = spark.read.parquet(compact)
     assert(c.count() == 6 && !c.columns.contains("batch_id") && c.columns.contains("day"))
+    // idempotence is in-band (_COMPACTED markers): a re-run with NO
+    // caller-side cleanup compacts nothing and duplicates nothing
+    assert(graft.sink.BatchedSink.compactLake(spark, out, compact).isEmpty)
+    assert(spark.read.parquet(compact).count() == 6)
+    // and the marker is invisible to lake readers
+    assert(spark.read.parquet(out).count() == 6)
   }
 
   test("windowed event stream: tumbling counts with watermark") {
