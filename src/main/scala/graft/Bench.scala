@@ -34,6 +34,13 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // The generated-class cache defaults to 100 entries; a 52-query
+      // suite compiles far more codegen stages than that per pass, so
+      // every query would LRU-evict and Janino-recompile every iteration
+      // (q47's ~8 sequential jobs re-paid ~8s of compile per pass in the
+      // round-2 record: 10.5s recorded vs 2.6s isolated). Static conf —
+      // must be set before the first session in the JVM.
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // JIT/codegen warmup OUTSIDE the timed region: run every query once
