@@ -355,29 +355,30 @@ case class HyperplaneKeys(child: Expression, seed: Int, tables: Int, bits: Int, 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
-/** Session-scoped registration so `expr("quantized_dot(a, b)")` etc.
-  * resolve; idempotent. */
+/** The 8 custom expressions, name -> builder: the single inventory behind
+  * BOTH registration routes (session-scoped [[GraftFunctions.register]]
+  * and the `spark.sql.extensions`-injected [[graft.GraftExtensions]]). */
 object GraftFunctions {
+  private def intArg(es: Seq[Expression], i: Int): Int =
+    es(i).eval().asInstanceOf[Int]
+
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "quantized_dot" -> (es => QuantizedDot(es.head, es(1))),
+    "minhash_sig" -> (es => MinHashSig(es.head, intArg(es, 1))),
+    "simhash32" -> (es => SimHash32(es.head)),
+    "sorted_intersect_count" -> (es => SortedIntersectCount(es.head, es(1))),
+    "word_shingles" -> (es => WordShingles(es.head, intArg(es, 1))),
+    "hamming_str" -> (es => HammingDistance(es.head, es(1))),
+    "minhash_bands" -> (es => MinHashBands(es.head, intArg(es, 1), intArg(es, 2))),
+    "lsh_keys" -> (es => HyperplaneKeys(es.head,
+      intArg(es, 1), intArg(es, 2), intArg(es, 3), intArg(es, 4))))
+
+  /** Session-scoped registration so `expr("quantized_dot(a, b)")` etc.
+    * resolve; idempotent. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("quantized_dot",
-      es => QuantizedDot(es.head, es(1)), "scala_udf")
-    reg.createOrReplaceTempFunction("minhash_sig",
-      es => MinHashSig(es.head, es(1).eval().asInstanceOf[Int]), "scala_udf")
-    reg.createOrReplaceTempFunction("simhash32",
-      es => SimHash32(es.head), "scala_udf")
-    reg.createOrReplaceTempFunction("sorted_intersect_count",
-      es => SortedIntersectCount(es.head, es(1)), "scala_udf")
-    reg.createOrReplaceTempFunction("word_shingles",
-      es => WordShingles(es.head, es(1).eval().asInstanceOf[Int]), "scala_udf")
-    reg.createOrReplaceTempFunction("hamming_str",
-      es => HammingDistance(es.head, es(1)), "scala_udf")
-    reg.createOrReplaceTempFunction("minhash_bands",
-      es => MinHashBands(es.head,
-        es(1).eval().asInstanceOf[Int], es(2).eval().asInstanceOf[Int]), "scala_udf")
-    reg.createOrReplaceTempFunction("lsh_keys",
-      es => HyperplaneKeys(es.head,
-        es(1).eval().asInstanceOf[Int], es(2).eval().asInstanceOf[Int],
-        es(3).eval().asInstanceOf[Int], es(4).eval().asInstanceOf[Int]), "scala_udf")
+    builders.foreach { case (name, b) =>
+      reg.createOrReplaceTempFunction(name, b, "scala_udf")
+    }
   }
 }

@@ -94,6 +94,34 @@ object EventOps {
         col("t_us").as("left_t_us"), col("right_t_us"), col("right_event_id"))
   }
 
+  /** Banded range join ("time-proximity join"): all ordered pairs of
+    * same-user events at most `windowSec` apart (earlier event first;
+    * equal-time ties ordered by event_id). The naive formulation is a
+    * theta join (`a.t <= b.t <= a.t + w`) — an O(n²)-per-user nested
+    * loop with no shuffle key. This is the standard banding rewrite: any
+    * qualifying pair satisfies bucket(b) ∈ {bucket(a), bucket(a)+1} for
+    * width-w buckets, so the LEFT side explodes into those two bucket
+    * keys (2× one narrow column), the RIGHT side keeps its single home
+    * bucket, and the join is an EQUI-join on (user_id, bucket) that
+    * Catalyst plans as a shuffled hash/sort-merge join — fully
+    * partitionable at 100 TB; the residual range predicate prunes inside
+    * buckets. Each pair meets exactly once (b's home bucket is unique). */
+  def proximityPairs(ev: DataFrame, windowSec: Long): DataFrame = {
+    val wUs = windowSec * 1000000L
+    val base = ev.select(col("event_id"), col("user_id"), expr("ts DIV 1000").as("t_us"))
+    val left = base.withColumn("bkt",
+      explode(array(expr(s"t_us DIV $wUs"), expr(s"t_us DIV $wUs + 1"))))
+    val right = base.withColumn("bkt", expr(s"t_us DIV $wUs"))
+    left.alias("a").join(right.alias("b"),
+      col("a.user_id") === col("b.user_id") && col("a.bkt") === col("b.bkt") &&
+        (col("b.t_us") - col("a.t_us")).between(0L, wUs) &&
+        (col("a.t_us") < col("b.t_us") ||
+          (col("a.t_us") === col("b.t_us") && col("a.event_id") < col("b.event_id"))))
+      .select(
+        col("a.event_id").as("id_a"), col("b.event_id").as("id_b"),
+        col("a.user_id").as("user_id"), (col("b.t_us") - col("a.t_us")).as("dt_us"))
+  }
+
   /** Events viewed as a per-user datapoint series (ms timestamps), so the
     * TEBIS series operators (gaps, resample) apply to the oracle tables. */
   def asSeries(ev: DataFrame): DataFrame =
@@ -177,6 +205,17 @@ object EventOps {
           FROM events c
           WHERE c.event_type = 'click' AND c.user_id = p.user_id AND epoch_us(c.ts) < epoch_us(p.ts)
           ORDER BY epoch_us(c.ts) DESC, c.event_id DESC LIMIT 1) l ON true
-        WHERE p.event_type = 'purchase'"""))
+        WHERE p.event_type = 'purchase'""")),
+
+    // Range join, banded: the oracle states the RANGE predicate directly
+    // (DuckDB plans it as an IEJoin); the Spark side is the banding
+    // rewrite above — same rows, equi-join shape.
+    QueryDef("q55_proximity_pairs",
+      (s, d) => proximityPairs(events(s, d), 300L),
+      Some("""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS t_us FROM events)
+        SELECT a.event_id AS id_a, b.event_id AS id_b, a.user_id, b.t_us - a.t_us AS dt_us
+        FROM e a JOIN e b ON a.user_id = b.user_id
+          AND b.t_us - a.t_us BETWEEN 0 AND 300000000
+          AND (a.t_us < b.t_us OR (a.t_us = b.t_us AND a.event_id < b.event_id))"""))
   )
 }

@@ -267,6 +267,29 @@ object CoreQueries {
         .rollup("l_returnflag", "l_linestatus")
         .agg(count(lit(1)).as("n_rows"), dsum(col("l_quantity")).as("sum_qty")),
       Some(s"""SELECT l_returnflag, l_linestatus, count(*) AS n_rows, ${dsumSql("l_quantity")} AS sum_qty
-        FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"""))
+        FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""")),
+
+    // Per-key top-k WITHOUT the window sort: a typed Aggregator with a
+    // bounded ≤k buffer runs as ObjectHashAggregate with map-side partial
+    // aggregation — each input partition emits at most k rows per key
+    // into the shuffle, vs the q10 window plan shuffling and sorting
+    // EVERY row per key. Same rows as q10 by construction (shared total
+    // order); the oracle is the window formulation.
+    QueryDef("q54_topk_agg",
+      (s, d) => {
+        val tk = graft.functions.TopKPriced.topk(3)
+        t(s, d, "lineitem")
+          .groupBy("l_suppkey")
+          .agg(tk(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber")).as("top"))
+          .select(col("l_suppkey"), posexplode(col("top")).as(Seq("pos", "item")))
+          .select(col("l_suppkey"), (col("pos") + 1).cast("int").as("rn"),
+            col("item.orderkey").as("l_orderkey"),
+            col("item.linenumber").as("l_linenumber"),
+            col("item.price").as("l_extendedprice"))
+      },
+      Some("""SELECT l_suppkey, CAST(rn AS INT) AS rn, l_orderkey, l_linenumber, l_extendedprice FROM (
+        SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+          row_number() OVER (PARTITION BY l_suppkey ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+        FROM lineitem) WHERE rn <= 3"""))
   )
 }

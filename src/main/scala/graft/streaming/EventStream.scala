@@ -63,6 +63,24 @@ object EventStream {
       }
   }
 
+  /** Streaming exact dedup, the unbounded-stream twin of Dedup.exact:
+    * `dropDuplicatesWithinWatermark` keyed on the id columns, with a
+    * watermark on the event-time column bounding the state — per-key
+    * state is evicted as the watermark advances, the only dedup shape
+    * that survives an unbounded stream (plain dropDuplicates on a
+    * non-event-time key grows state forever). A replayed duplicate
+    * arriving within the watermark horizon of the first sighting is
+    * suppressed even if its `ts` differs (the at-least-once-source ->
+    * exactly-once-sink repair); duplicates farther apart than the
+    * horizon are intentionally out of contract. */
+  def dedupe(
+      events: DataFrame,
+      idCols: Seq[String] = Seq("event_id"),
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(idCols)
+
   /** Session windows (gap-based), the streaming twin of
     * EventOps.sessionize. */
   def sessionAgg(

@@ -203,4 +203,29 @@ class OpsSpec extends AnyFunSuite {
       val s = r.getAs[Double]("score"); s >= 0.0 && s <= 1.0
     })
   }
+
+  test("q54 topk aggregator rows == q10 window top-3 rows") {
+    val agg = SparkEntry.queries("q54_topk_agg")(spark, dir)
+      .collect().map(_.toSeq).toSet
+    val win = SparkEntry.queries("q10_top3_per_supplier")(spark, dir)
+      .collect().map(_.toSeq).toSet
+    assert(agg == win && agg.nonEmpty)
+  }
+
+  test("proximity pairs: banded equi-join == naive theta join, no dup pairs") {
+    import org.apache.spark.sql.functions._
+    val ev = EventOps.events(spark, dir)
+    val banded = EventOps.proximityPairs(ev, 300L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    assert(banded.length == banded.toSet.size, "each pair must meet exactly once")
+    val e = ev.select(col("event_id"), col("user_id"), expr("ts DIV 1000").as("t_us"))
+    val naive = e.as("a").join(e.as("b"),
+      col("a.user_id") === col("b.user_id") &&
+        (col("b.t_us") - col("a.t_us")).between(0L, 300000000L) &&
+        (col("a.t_us") < col("b.t_us") ||
+          (col("a.t_us") === col("b.t_us") && col("a.event_id") < col("b.event_id"))))
+      .select(col("a.event_id"), col("b.event_id"), col("b.t_us") - col("a.t_us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(banded.toSet == naive && naive.nonEmpty)
+  }
 }

@@ -58,6 +58,23 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"))
   }
 
+  test("q54: topk aggregator plans as partial ObjectHashAggregate, no window sort") {
+    val p = plan("q54_topk_agg")
+    // map-side partial aggregation: each partition reduces to <=k rows
+    // per key BEFORE the exchange — the whole point vs the q10 window
+    assert(p.contains("ObjectHashAggregate"))
+    assert(p.toLowerCase.contains("partial_topkpriced"),
+      "aggregator must run in partial mode before the shuffle")
+    assert(!p.contains("Window"), "no per-group full sort")
+  }
+
+  test("q55: proximity range join plans as an equi-join on (user, bucket)") {
+    val p = plan("q55_proximity_pairs")
+    assert(!p.contains("NestedLoop"),
+      "banding rewrite must not fall back to a nested-loop theta join")
+    assert(p.contains("bkt"), "bucket key must be a join key")
+  }
+
   test("catalog missing-series plans as broadcast left-anti") {
     import spark.implicits._
     val headers = Seq((0, "1", "n", 0)).toDF("fileOrd", "externalId", "name", "colIndex")

@@ -137,6 +137,26 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup: watermark-bounded, replayed ids suppressed") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, Double)]
+    val events = mem.toDF().toDF("ts", "event_id", "value")
+    val q = EventStream.dedupe(events, Seq("event_id"), "10 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("dedup").start()
+    try {
+      def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+      // same-batch duplicate + cross-batch replay with a DIFFERENT ts
+      // inside the watermark horizon: both suppressed
+      mem.addData((ts(1), 1L, 1.0), (ts(1), 1L, 1.0), (ts(2), 2L, 2.0))
+      q.processAllAvailable()
+      mem.addData((ts(3), 1L, 1.0), (ts(4), 3L, 3.0))
+      q.processAllAvailable()
+      val ids = spark.table("dedup").collect().map(_.getAs[Long]("event_id"))
+      assert(ids.sorted.toSeq == Seq(1L, 2L, 3L), s"got ${ids.toSeq}")
+    } finally q.stop()
+  }
+
   test("stateful anomaly detector: state persists across micro-batches") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
