@@ -1,0 +1,112 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.queries.QueryDef
+import graft.queries.QueryDef._
+
+/** Corpus-level token statistics over `documents` (★ SURVEY §2c — the
+  * vocabulary-scale siblings of the per-document TextStats ops):
+  * sketch-assisted heavy hitters, TF-IDF term ranking, and an inverted
+  * index. These are the operators whose naive plans die at web scale not
+  * on row count but on VOCABULARY size — each one here keeps the shuffle
+  * bounded by candidates/postings, not by raw token volume. */
+object Corpus {
+
+  /** Exploded (doc_id, term) token stream; one row per occurrence. */
+  def tokenStream(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+
+  val HeavyBufferSize = 256 // MG summary bound m; guarantees freq > n/(m+1) survival
+  val HeavyDivisor = 64.0 // report tokens with freq >= n/64 (ample MG headroom)
+
+  /** Heavy tokens, sketch-first: pass 1 runs the Misra–Gries aggregator
+    * (bounded ≤ m-entry partial aggregates — the shuffle carries ≤ m
+    * entries per input partition, NOT the full vocabulary) to get a
+    * candidate superset; pass 2 re-counts ONLY the candidates exactly
+    * (broadcast semi-join on the ≤ m-token candidate list) and applies the
+    * threshold. Output is exact and deterministic — the sketch can only
+    * add candidates that the exact threshold then discards, never lose a
+    * qualifying token (n/64 threshold vs n/257 guarantee). */
+  def heavyTokens(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokenStream(t(spark, dir, "documents"))
+    val mg = graft.functions.MisraGries.candidates(HeavyBufferSize)
+    val cands = toks.agg(mg(col("term")).as("cands"))
+      .select(explode(col("cands")).as("term"))
+    val total = toks.agg(count(lit(1)).as("n_total"))
+    toks.join(broadcast(cands), Seq("term"), "left_semi")
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(total))
+      .filter(col("cnt").cast("double") >= col("n_total").cast("double") / HeavyDivisor)
+      .select("term", "cnt")
+  }
+
+  val heavyTokensSql: String =
+    s"""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+      tot AS (SELECT count(*) AS n_total FROM toks)
+      SELECT term, count(*) AS cnt FROM toks GROUP BY term
+      HAVING CAST(count(*) AS DOUBLE) >= (SELECT CAST(n_total AS DOUBLE) FROM tot) / $HeavyDivisor"""
+
+  /** Top-k terms per document by TF-IDF. The idf here is the LINEAR form
+    * N/df (not log(N/df)): every arithmetic step is then an exactly-
+    * rounded IEEE op on identical operands in both engines, which is what
+    * makes the score hash-portable — transcendental log differs across
+    * libm implementations in the last ulp. Ranking order is identical to
+    * the log form (log is monotone), so the top-k sets agree.
+    *
+    * Shape at scale: tf is one partial-aggregated groupBy; the df table is
+    * vocabulary-sized — joined via a plain shuffle equi-join on term (NOT
+    * broadcast: web-scale vocabularies exceed any driver), and the final
+    * per-doc top-k is a bounded window. */
+  def tfidfTopK(spark: SparkSession, dir: String, k: Int): DataFrame = {
+    val toks = tokenStream(t(spark, dir, "documents"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = toks.select("doc_id", "term").distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val n = t(spark, dir, "documents").agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term").asc)
+    tf.join(df, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score", col("tf").cast("double") * col("n_docs") / col("df"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("doc_id", "rank", "term", "tf", "df", "score")
+  }
+
+  def tfidfSql(k: Int): String =
+    s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+      df AS (SELECT term, count(*) AS df FROM (SELECT DISTINCT doc_id, term FROM toks) GROUP BY 1),
+      s AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+              CAST(tf.tf AS DOUBLE) * (SELECT count(*) FROM documents) / df.df AS score
+            FROM tf JOIN df USING (term)),
+      r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank FROM s)
+      SELECT doc_id, rank, term, tf, df, score FROM r WHERE rank <= $k"""
+
+  /** Inverted index: term → document frequency + sorted postings list.
+    * One distinct + one aggregation, both shuffle-partitioned by term.
+    * The postings ARRAY is the one deliberately bounded piece: a stopword
+    * term's postings list is corpus-sized, so real deployments cap it —
+    * exactly the role of the heavy-token list above (drop or chunk terms
+    * past the cap). Here the corpus vocabulary is small and the full list
+    * is emitted; the cap hook is documented rather than silently applied
+    * so the oracle stays a plain GROUP BY. */
+  def invertedIndex(spark: SparkSession, dir: String): DataFrame =
+    tokenStream(t(spark, dir, "documents"))
+      .distinct()
+      .groupBy("term")
+      .agg(count(lit(1)).as("df"), sort_array(collect_list(col("doc_id"))).as("postings"))
+
+  val invertedIndexSql: String =
+    """WITH pairs AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS term, doc_id FROM documents)
+      SELECT term, count(*) AS df, list(doc_id ORDER BY doc_id) AS postings
+      FROM pairs GROUP BY term"""
+
+  val queries: Seq[QueryDef] = Seq(
+    QueryDef("q56_heavy_tokens", (s, d) => heavyTokens(s, d), Some(heavyTokensSql)),
+    QueryDef("q57_tfidf_topk", (s, d) => tfidfTopK(s, d, 3), Some(tfidfSql(3))),
+    QueryDef("q58_inverted_index", (s, d) => invertedIndex(s, d), Some(invertedIndexSql))
+  )
+}

@@ -272,7 +272,32 @@ object Similarity {
     ((init +: iterCtes).mkString(",\n        "), s"c$iters")
   }
 
+  /** Per-label centroid of the quantized vectors: the same distributed
+    * mean machinery as one k-means Lloyd step (posexplode → (label, dim)
+    * partial-aggregated sums → truncated integer mean → array rebuilt in
+    * dim order), but grouped by the given label instead of the assigned
+    * cell. Scale: the aggregation is keyed by (label, dim) — any corpus
+    * size; output is labels × dim longs. */
+  def labelCentroids(spark: SparkSession, dir: String): DataFrame =
+    quantized(spark, dir)
+      .select(col("label"), posexplode(col("qv")).as(Seq("pos", "x")))
+      .groupBy("label", "pos")
+      .agg(sum("x").as("s"), count(lit(1)).as("cnt"))
+      .select(col("label"), col("pos"), expr("s DIV cnt").as("m"), col("cnt"))
+      .groupBy("label")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, m))), t -> t.m)").as("centroid"),
+        max("cnt").as("n_vecs"))
+
   val queries: Seq[QueryDef] = Seq(
+    QueryDef("q61_label_centroids",
+      (s, d) => labelCentroids(s, d),
+      Some("""WITH q AS (SELECT label, list_transform(embedding,
+            x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv FROM embeddings),
+        m AS (SELECT label, unnest(range(1, len(qv) + 1)) AS pos, unnest(qv) AS x FROM q),
+        s AS (SELECT label, pos, SUM(x) AS s, COUNT(*) AS cnt FROM m GROUP BY 1, 2)
+        SELECT label, list(s // cnt ORDER BY pos) AS centroid, max(cnt) AS n_vecs
+        FROM s GROUP BY label""")),
+
     QueryDef("q44_embed_near_dup",
       (s, d) => nearDupPairs(s, d, 0.4),
       Some(s"""WITH $quantCte

@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.MisraGries
+import graft.ops.Corpus
+
+/** Semantic specs for the corpus-level token operators (heavy hitters,
+  * TF-IDF, inverted index) and the grouped order statistics. */
+class CorpusSpec extends AnyFunSuite {
+  lazy val spark = SparkSpec.spark
+  val dir = "/root/testdata/sf0.001"
+
+  test("misra-gries: guaranteed superset of true heavy hitters, even tiny buffers") {
+    // unit-level: a stream where 'x' holds 30% — must survive m=4
+    val mg = new MisraGries(4)
+    val stream = (Seq.fill(30)("x") ++ (1 to 70).map(i => s"t${i % 23}"))
+    // fold in two halves merged, to exercise reduce AND merge paths
+    val (l, r) = stream.splitAt(41)
+    val summary = mg.merge(l.foldLeft(mg.zero)(mg.reduce), r.foldLeft(mg.zero)(mg.reduce))
+    assert(summary.size <= 4 && summary.contains("x"))
+
+    // corpus-level with a deliberately small buffer: every token with
+    // freq > n/(m+1) must be in the candidate set
+    val m = 8
+    val toks = Corpus.tokenStream(docs)
+    val cands = toks.agg(MisraGries.candidates(m)(col("term")))
+      .collect()(0).getSeq[String](0).toSet
+    val n = toks.count()
+    val truth = toks.groupBy("term").count()
+      .filter(col("count") > lit(n.toDouble / (m + 1)))
+      .collect().map(_.getString(0)).toSet
+    assert(truth.subsetOf(cands), s"lost heavy hitters: ${truth -- cands}")
+  }
+
+  test("heavy tokens: sketch-then-recount == direct groupBy-having, ObjectHashAggregate plan") {
+    val sketched = Corpus.heavyTokens(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val toks = Corpus.tokenStream(docs)
+    val n = toks.count()
+    val direct = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt").cast("double") >= n.toDouble / Corpus.HeavyDivisor)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(sketched == direct && sketched.nonEmpty)
+
+    val mgPlan = toks.agg(MisraGries.candidates(Corpus.HeavyBufferSize)(col("term")))
+      .queryExecution.executedPlan.toString
+    assert(mgPlan.contains("ObjectHashAggregate"),
+      "MG summary must partial-aggregate map-side (ObjectHashAggregate), not shuffle raw tokens")
+  }
+
+  test("tfidf: per-doc top-k ranked by score desc, score == tf * n_docs / df") {
+    val nDocs = docs.count().toDouble
+    val rows = Corpus.tfidfTopK(spark, dir, 3).collect()
+    val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+    assert(byDoc.values.forall(_.length <= 3) && rows.nonEmpty)
+    rows.foreach { r =>
+      val expected = r.getAs[Long]("tf").toDouble * nDocs / r.getAs[Long]("df")
+      assert(r.getAs[Double]("score") == expected)
+    }
+    byDoc.values.foreach { rs =>
+      val sorted = rs.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Double]("score")).sliding(2).forall {
+        case Array(a, b) => a >= b; case _ => true
+      })
+    }
+  }
+
+  test("inverted index: df == postings length, postings sorted-distinct, volume conserved") {
+    val idx = Corpus.invertedIndex(spark, dir).collect()
+    idx.foreach { r =>
+      val p = r.getSeq[Long](2)
+      assert(r.getAs[Long]("df") == p.length)
+      assert(p == p.distinct.sorted)
+    }
+    val pairCount = Corpus.tokenStream(docs).distinct().count()
+    assert(idx.map(_.getSeq[Long](2).length.toLong).sum == pairCount)
+  }
+
+  test("group percentiles: spark `percentile` matches the explicit interpolation formula") {
+    val got = SparkEntry.queries("q59_group_percentiles")(spark, dir).collect()
+      .map(r => r.getAs[String]("l_returnflag") ->
+        (r.getAs[Double]("p25"), r.getAs[Double]("p50"), r.getAs[Double]("p95"))).toMap
+    val lines = graft.queries.QueryDef.t(spark, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_extendedprice").cast("double"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    lines.groupBy(_._1).foreach { case (flag, vs) =>
+      val sorted = vs.map(_._2).sorted
+      def interp(p: Double): Double = {
+        val pos = p * (sorted.length - 1)
+        val lo = math.floor(pos).toInt; val hi = math.ceil(pos).toInt
+        sorted(lo) + (sorted(hi) - sorted(lo)) * (pos - lo)
+      }
+      val (p25, p50, p95) = got(flag)
+      assert(p25 == interp(0.25) && p50 == interp(0.5) && p95 == interp(0.95))
+    }
+  }
+
+  test("group ntile: tiles balanced (sizes differ by <= 1, larger tiles first)") {
+    val rows = SparkEntry.queries("q60_group_ntile")(spark, dir).collect()
+    rows.groupBy(_.getAs[String]("l_returnflag")).values.foreach { rs =>
+      val byTile = rs.sortBy(_.getAs[Int]("tile")).map(_.getAs[Long]("n_rows"))
+      assert(byTile.max - byTile.min <= 1)
+      assert(byTile.sliding(2).forall { case Array(a, b) => a >= b; case _ => true })
+    }
+  }
+
+  test("label centroids: dimensionality preserved, n_vecs partitions the table") {
+    val c = graft.ops.Similarity.labelCentroids(spark, dir).collect()
+    assert(c.forall(_.getSeq[Long](1).length == graft.ops.Similarity.Dim))
+    val total = graft.queries.QueryDef.t(spark, dir, "embeddings").count()
+    assert(c.map(_.getAs[Long]("n_vecs")).sum == total)
+  }
+
+  private def docs = graft.queries.QueryDef.t(spark, dir, "documents")
+}
