@@ -57,9 +57,12 @@ object Corpus {
     * the log form (log is monotone), so the top-k sets agree.
     *
     * Shape at scale: tf is one partial-aggregated groupBy; the df table is
-    * vocabulary-sized — joined via a plain shuffle equi-join on term (NOT
-    * broadcast: web-scale vocabularies exceed any driver), and the final
-    * per-doc top-k is a bounded window. */
+    * vocabulary-sized and joined via a SIZE-ADAPTIVE equi-join on term —
+    * Catalyst broadcasts it while its estimate fits the broadcast
+    * threshold (as on the test corpus) and falls back to a shuffled join
+    * when a web-scale vocabulary exceeds it, with no plan change here.
+    * The final per-doc top-k is a rank-limited window: WindowGroupLimit
+    * keeps ≤ k rows per doc per partition BEFORE the shuffle. */
   def tfidfTopK(spark: SparkSession, dir: String, k: Int): DataFrame = {
     val toks = tokenStream(t(spark, dir, "documents"))
     val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))

@@ -294,42 +294,50 @@ object CoreQueries {
   ) ++ rankStats
 
   /** Exact grouped order statistics. Spark's `percentile` is the EXACT
-    * aggregate (sorted multiset, position p·(n−1), linear interpolation
-    * `lo + (hi − lo)·frac`) — one shuffle with partial aggregation, never
-    * a global sort. DuckDB's quantile_cont implements the identical
-    * formula, and since interpolation uses only exactly-rounded IEEE ops
-    * on identical operands the hashes match bit-for-bit. NTILE is the
+    * aggregate (sorted multiset, position p·(n−1), WEIGHTED linear
+    * interpolation `(hi−pos)·v[lo] + (pos−lo)·v[hi]`) — one shuffle with
+    * partial aggregation, never a global sort. DuckDB's quantile_cont
+    * evaluates the numerically identical weighted form (the additive
+    * `lo + (hi−lo)·frac` differs in the last ulp on some groups — see
+    * CorpusSpec), so the hashes match bit-for-bit. NTILE is the
     * standard SQL bucket split (first n mod t tiles one larger) in both
     * engines; the window order is fully tie-broken so tile edges are
-    * deterministic. */
+    * deterministic.
+    *
+    * Both key on l_suppkey, NOT a 3-value flag: exact percentiles buffer
+    * each group's full value multiset and NTILE sorts whole groups, so
+    * group cardinality must scale with the cluster — per-supplier groups
+    * stay bounded while a coarse key would funnel a third of a 100 TB
+    * table through one task (corpus-wide exact quantiles belong to a
+    * sketch, not this operator). */
   private def rankStats: Seq[QueryDef] = Seq(
     QueryDef("q59_group_percentiles",
       (s, d) => t(s, d, "lineitem")
-        .groupBy("l_returnflag")
+        .groupBy("l_suppkey")
         .agg(
           expr("percentile(CAST(l_extendedprice AS DOUBLE), array(0.25D, 0.5D, 0.95D))").as("ps"),
           count(lit(1)).as("n_rows"))
-        .select(col("l_returnflag"),
+        .select(col("l_suppkey"),
           col("ps").getItem(0).as("p25"), col("ps").getItem(1).as("p50"),
           col("ps").getItem(2).as("p95"), col("n_rows")),
-      Some("""SELECT l_returnflag,
+      Some("""SELECT l_suppkey,
         quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.25) AS p25,
         quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5) AS p50,
         quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.95) AS p95,
-        count(*) AS n_rows FROM lineitem GROUP BY l_returnflag""")),
+        count(*) AS n_rows FROM lineitem GROUP BY l_suppkey""")),
 
     QueryDef("q60_group_ntile",
       (s, d) => {
-        val w = Window.partitionBy("l_returnflag")
+        val w = Window.partitionBy("l_suppkey")
           .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
         t(s, d, "lineitem")
           .withColumn("tile", ntile(4).over(w))
-          .groupBy("l_returnflag", "tile")
+          .groupBy("l_suppkey", "tile")
           .agg(count(lit(1)).as("n_rows"), dsum(col("l_extendedprice")).as("sum_price"))
       },
-      Some(s"""SELECT l_returnflag, tile, count(*) AS n_rows, ${dsumSql("l_extendedprice")} AS sum_price
-        FROM (SELECT l_returnflag, l_extendedprice,
-          ntile(4) OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS tile
-        FROM lineitem) GROUP BY l_returnflag, tile"""))
+      Some(s"""SELECT l_suppkey, tile, count(*) AS n_rows, ${dsumSql("l_extendedprice")} AS sum_price
+        FROM (SELECT l_suppkey, l_extendedprice,
+          ntile(4) OVER (PARTITION BY l_suppkey ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS tile
+        FROM lineitem) GROUP BY l_suppkey, tile"""))
   )
 }

@@ -80,26 +80,30 @@ class CorpusSpec extends AnyFunSuite {
 
   test("group percentiles: spark `percentile` matches the explicit interpolation formula") {
     val got = SparkEntry.queries("q59_group_percentiles")(spark, dir).collect()
-      .map(r => r.getAs[String]("l_returnflag") ->
+      .map(r => r.getAs[Long]("l_suppkey") ->
         (r.getAs[Double]("p25"), r.getAs[Double]("p50"), r.getAs[Double]("p95"))).toMap
     val lines = graft.queries.QueryDef.t(spark, dir, "lineitem")
-      .select(col("l_returnflag"), col("l_extendedprice").cast("double"))
-      .collect().map(r => (r.getString(0), r.getDouble(1)))
-    lines.groupBy(_._1).foreach { case (flag, vs) =>
+      .select(col("l_suppkey"), col("l_extendedprice").cast("double"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    lines.groupBy(_._1).foreach { case (key, vs) =>
       val sorted = vs.map(_._2).sorted
+      // the engines' shared interpolation is the WEIGHTED form
+      // (hi−pos)·lo + (pos−lo)·hi — the additive lo + (hi−lo)·frac form
+      // differs in the last ulp on some groups
       def interp(p: Double): Double = {
         val pos = p * (sorted.length - 1)
         val lo = math.floor(pos).toInt; val hi = math.ceil(pos).toInt
-        sorted(lo) + (sorted(hi) - sorted(lo)) * (pos - lo)
+        if (lo == hi) sorted(lo)
+        else (hi - pos) * sorted(lo) + (pos - lo) * sorted(hi)
       }
-      val (p25, p50, p95) = got(flag)
+      val (p25, p50, p95) = got(key)
       assert(p25 == interp(0.25) && p50 == interp(0.5) && p95 == interp(0.95))
     }
   }
 
   test("group ntile: tiles balanced (sizes differ by <= 1, larger tiles first)") {
     val rows = SparkEntry.queries("q60_group_ntile")(spark, dir).collect()
-    rows.groupBy(_.getAs[String]("l_returnflag")).values.foreach { rs =>
+    rows.groupBy(_.getAs[Long]("l_suppkey")).values.foreach { rs =>
       val byTile = rs.sortBy(_.getAs[Int]("tile")).map(_.getAs[Long]("n_rows"))
       assert(byTile.max - byTile.min <= 1)
       assert(byTile.sliding(2).forall { case Array(a, b) => a >= b; case _ => true })
