@@ -338,6 +338,71 @@ object CoreQueries {
       Some(s"""SELECT l_suppkey, tile, count(*) AS n_rows, ${dsumSql("l_extendedprice")} AS sum_price
         FROM (SELECT l_suppkey, l_extendedprice,
           ntile(4) OVER (PARTITION BY l_suppkey ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS tile
-        FROM lineitem) GROUP BY l_suppkey, tile"""))
+        FROM lineitem) GROUP BY l_suppkey, tile""")),
+
+    // Exact per-group correlation + least-squares fit. The built-in
+    // corr()/regr_slope() accumulate DOUBLES in partition order — not
+    // reproducible across partitionings, let alone engines. Here x and y
+    // are quantized to integer cents (exact via a decimal hop — `x * 100`
+    // on the raw double could fall either side of the integer), the five
+    // second-moment sums are exact BIGINT aggregates, and each sum is
+    // cast int64→double ONCE (correctly rounded, identical in any
+    // engine) before the closed forms run the identical exactly-rounded
+    // expression tree — bit-identical results from a single
+    // partial-aggregated shuffle. Why not decimal sums straight to
+    // double: a decimal whose SCALED integer exceeds 2^53 (syy here)
+    // double-rounds in engines that convert the scaled int then divide,
+    // while others round once — a real observed last-ulp split. The
+    // int64 path caps at ~9.2e18 cents² per group (~75k rows/group at
+    // these magnitudes); past that, re-scale the quantization.
+    QueryDef("q62_supplier_regression",
+      (s, d) => {
+        val xc = (col("l_quantity").cast(DecimalType(9, 2)) * lit(100)).cast("long")
+        val yc = (col("l_extendedprice").cast(DecimalType(12, 2)) * lit(100)).cast("long")
+        t(s, d, "lineitem")
+          .select(col("l_suppkey"), xc.as("xc"), yc.as("yc"))
+          .groupBy("l_suppkey")
+          .agg(
+            count(lit(1)).as("n_rows"),
+            sum(col("xc")).as("sxc"), sum(col("yc")).as("syc"),
+            sum(col("xc") * col("xc")).as("sxxc"),
+            sum(col("yc") * col("yc")).as("syyc"),
+            sum(col("xc") * col("yc")).as("sxyc"))
+          .select(col("l_suppkey"), col("n_rows"),
+            (col("sxc").cast("double") / 100.0).as("sx"),
+            (col("syc").cast("double") / 100.0).as("sy"),
+            (col("sxxc").cast("double") / 10000.0).as("sxx"),
+            (col("syyc").cast("double") / 10000.0).as("syy"),
+            (col("sxyc").cast("double") / 10000.0).as("sxy"))
+          .withColumn("nn", col("n_rows").cast("double"))
+          .withColumn("cov_n", col("nn") * col("sxy") - col("sx") * col("sy"))
+          .withColumn("varx_n", col("nn") * col("sxx") - col("sx") * col("sx"))
+          .withColumn("vary_n", col("nn") * col("syy") - col("sy") * col("sy"))
+          .withColumn("slope", col("cov_n") / col("varx_n"))
+          .select(col("l_suppkey"), col("n_rows"),
+            (col("cov_n") / (sqrt(col("varx_n")) * sqrt(col("vary_n")))).as("corr_qp"),
+            col("slope"),
+            ((col("sy") - col("slope") * col("sx")) / col("nn")).as("intercept"))
+      },
+      Some("""WITH c AS (SELECT l_suppkey,
+          CAST(CAST(l_quantity AS DECIMAL(9,2)) * 100 AS BIGINT) AS xc,
+          CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS yc
+          FROM lineitem),
+        a AS (SELECT l_suppkey, count(*) AS n_rows,
+          CAST(CAST(SUM(xc) AS BIGINT) AS DOUBLE) / 100.0 AS sx,
+          CAST(CAST(SUM(yc) AS BIGINT) AS DOUBLE) / 100.0 AS sy,
+          CAST(CAST(SUM(xc * xc) AS BIGINT) AS DOUBLE) / 10000.0 AS sxx,
+          CAST(CAST(SUM(yc * yc) AS BIGINT) AS DOUBLE) / 10000.0 AS syy,
+          CAST(CAST(SUM(xc * yc) AS BIGINT) AS DOUBLE) / 10000.0 AS sxy
+          FROM c GROUP BY l_suppkey),
+        b AS (SELECT l_suppkey, n_rows, sx, sy, CAST(n_rows AS DOUBLE) AS nn,
+          CAST(n_rows AS DOUBLE) * sxy - sx * sy AS cov_n,
+          CAST(n_rows AS DOUBLE) * sxx - sx * sx AS varx_n,
+          CAST(n_rows AS DOUBLE) * syy - sy * sy AS vary_n FROM a)
+        SELECT l_suppkey, n_rows,
+          cov_n / (sqrt(varx_n) * sqrt(vary_n)) AS corr_qp,
+          cov_n / varx_n AS slope,
+          (sy - (cov_n / varx_n) * sx) / nn AS intercept
+        FROM b"""))
   )
 }

@@ -81,6 +81,36 @@ object EventStream {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(idCols)
 
+  /** Stream-stream interval join: each purchase joined to the same
+    * user's clicks from the preceding `maxGapSec` seconds — the streaming
+    * twin of the q55 banded proximity join (and the all-matches sibling
+    * of the q22 as-of join). Both sides carry watermarks and the join
+    * condition bounds click_ts to a window ENDING at purchase_ts, which
+    * is what lets the state store evict: a buffered click older than
+    * (watermark − maxGap) can never match a future purchase and is
+    * dropped, so state stays bounded on an unbounded stream. Inner join
+    * in append mode — results emit as soon as both sides arrive. */
+  def intervalJoin(
+      clicks: DataFrame,
+      purchases: DataFrame,
+      maxGapSec: Long = 300L,
+      watermark: String = "10 minutes"): DataFrame = {
+    val c = clicks
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    val p = purchases
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", watermark)
+    p.join(c,
+      col("c_user") === col("user_id") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $maxGapSec SECONDS"))
+      .select(col("user_id"), col("purchase_id"), col("click_id"),
+        col("purchase_ts"), col("click_ts"))
+  }
+
   /** Session windows (gap-based), the streaming twin of
     * EventOps.sessionize. */
   def sessionAgg(

@@ -110,6 +110,34 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("supplier regression: corr/slope/intercept match exact driver-side recompute") {
+    val got = SparkEntry.queries("q62_supplier_regression")(spark, dir).collect()
+      .map(r => r.getAs[Long]("l_suppkey") ->
+        (r.getAs[Double]("corr_qp"), r.getAs[Double]("slope"), r.getAs[Double]("intercept"))).toMap
+    val lines = graft.queries.QueryDef.t(spark, dir, "lineitem")
+      .select(col("l_suppkey"), col("l_quantity"), col("l_extendedprice"))
+      .collect().map { r =>
+        def cents(d: Double): Long =
+          (BigDecimal(d).setScale(2, BigDecimal.RoundingMode.HALF_UP) * 100).toLongExact
+        (r.getLong(0), cents(r.getDouble(1)), cents(r.getDouble(2)))
+      }
+    lines.groupBy(_._1).foreach { case (key, vs) =>
+      val nn = vs.length.toDouble
+      val sx = vs.map(_._2).sum.toDouble / 100.0
+      val sy = vs.map(_._3).sum.toDouble / 100.0
+      val sxx = vs.map(v => v._2 * v._2).sum.toDouble / 10000.0
+      val syy = vs.map(v => v._3 * v._3).sum.toDouble / 10000.0
+      val sxy = vs.map(v => v._2 * v._3).sum.toDouble / 10000.0
+      val covN = nn * sxy - sx * sy
+      val varxN = nn * sxx - sx * sx; val varyN = nn * syy - sy * sy
+      val (corr, slope, intercept) = got(key)
+      assert(corr == covN / (math.sqrt(varxN) * math.sqrt(varyN)))
+      assert(slope == covN / varxN)
+      assert(intercept == (sy - (covN / varxN) * sx) / nn)
+      assert(corr > -1.0 && corr < 1.0) // synthetic price ⟂ quantity: near 0, never ±1
+    }
+  }
+
   test("label centroids: dimensionality preserved, n_vecs partitions the table") {
     val c = graft.ops.Similarity.labelCentroids(spark, dir).collect()
     assert(c.forall(_.getSeq[Long](1).length == graft.ops.Similarity.Dim))

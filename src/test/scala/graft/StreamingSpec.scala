@@ -157,6 +157,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join: clicks within the gap, across micro-batches") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val clicks = MemoryStream[(Timestamp, Long, Long)]
+    val purchases = MemoryStream[(Timestamp, Long, Long)]
+    val q = EventStream.intervalJoin(
+      clicks.toDF().toDF("ts", "event_id", "user_id"),
+      purchases.toDF().toDF("ts", "event_id", "user_id"),
+      maxGapSec = 300L)
+      .writeStream.outputMode("append").format("memory").queryName("ivjoin").start()
+    try {
+      def ts(m: Int, s: Int = 0) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:$s%02d")
+      // user 1: clicks at 00:01 and 00:04; purchase at 00:05 → both within
+      // 5 min. user 2: click at 00:01, purchase at 00:07 → 6 min, outside.
+      // click AFTER its purchase (user 3) must not match.
+      clicks.addData((ts(1), 11L, 1L), (ts(4), 12L, 1L), (ts(1), 21L, 2L), (ts(9), 31L, 3L))
+      purchases.addData((ts(5), 100L, 1L), (ts(7), 200L, 2L), (ts(8), 300L, 3L))
+      q.processAllAvailable()
+      // a later click for user 1 in a SECOND micro-batch joins a purchase
+      // buffered from the first batch only if within the gap — it is not
+      // (00:20 click vs 00:05 purchase), so results stay fixed
+      clicks.addData((ts(20), 13L, 1L))
+      q.processAllAvailable()
+      val got = spark.table("ivjoin").collect()
+        .map(r => (r.getAs[Long]("purchase_id"), r.getAs[Long]("click_id"))).toSet
+      assert(got == Set((100L, 11L), (100L, 12L)), s"got $got")
+    } finally q.stop()
+  }
+
   test("stateful anomaly detector: state persists across micro-batches") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
