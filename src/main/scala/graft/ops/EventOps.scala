@@ -122,6 +122,31 @@ object EventOps {
         col("a.user_id").as("user_id"), (col("b.t_us") - col("a.t_us")).as("dt_us"))
   }
 
+  /** The same class of bounded range join as [[proximityPairs]], but
+    * written as the NAIVE theta join — no hand banding, no equi key — and
+    * re-planned by [[graft.plans.BandedRangeJoinRule]], which this query
+    * installs via `spark.experimental.extraOptimizations` (the
+    * `spark.sql.extensions=graft.GraftExtensions` route injects the same
+    * rule). Purchase→click attribution across ALL users: without the rule
+    * Spark plans this as BroadcastNestedLoopJoin (every purchase × every
+    * click); with it, a shuffled equi-join on width-w time buckets. The
+    * residual keeps the exact predicate, so rows are identical either
+    * way — the PlanSpec gate asserts the shape, the oracle the rows. */
+  def rangeJoinAuto(spark: SparkSession, dir: String, windowSec: Long): DataFrame = {
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.BandedRangeJoinRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.BandedRangeJoinRule
+    val ev = events(spark, dir).withColumn("t_us", expr("ts DIV 1000"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("t_us").as("pt_us"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("t_us").as("ct_us"))
+    p.join(c, col("ct_us") > col("pt_us") &&
+        col("ct_us") <= col("pt_us") + lit(windowSec * 1000000L))
+      .select(col("purchase_id"), col("click_id"),
+        (col("ct_us") - col("pt_us")).as("dt_us"))
+  }
+
   /** Events viewed as a per-user datapoint series (ms timestamps), so the
     * TEBIS series operators (gaps, resample) apply to the oracle tables. */
   def asSeries(ev: DataFrame): DataFrame =
@@ -216,6 +241,17 @@ object EventOps {
         SELECT a.event_id AS id_a, b.event_id AS id_b, a.user_id, b.t_us - a.t_us AS dt_us
         FROM e a JOIN e b ON a.user_id = b.user_id
           AND b.t_us - a.t_us BETWEEN 0 AND 300000000
-          AND (a.t_us < b.t_us OR (a.t_us = b.t_us AND a.event_id < b.event_id))"""))
+          AND (a.t_us < b.t_us OR (a.t_us = b.t_us AND a.event_id < b.event_id))""")),
+
+    // Same band-join semantics stated NAIVELY — the optimizer rule, not
+    // hand banding, produces the equi-join plan (gated in PlanSpec).
+    QueryDef("q63_range_join_auto",
+      (s, d) => rangeJoinAuto(s, d, 1800L),
+      Some("""WITH p AS (SELECT event_id AS purchase_id, epoch_us(ts) AS pt_us
+                FROM events WHERE event_type = 'purchase'),
+             c AS (SELECT event_id AS click_id, epoch_us(ts) AS ct_us
+                FROM events WHERE event_type = 'click')
+        SELECT purchase_id, click_id, ct_us - pt_us AS dt_us
+        FROM p JOIN c ON ct_us > pt_us AND ct_us <= pt_us + 1800000000"""))
   )
 }

@@ -75,6 +75,13 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("bkt"), "bucket key must be a join key")
   }
 
+  test("q63: naive theta range join is auto-banded by the optimizer rule") {
+    val p = plan("q63_range_join_auto")
+    assert(!p.contains("NestedLoop"),
+      "BandedRangeJoinRule must rewrite the theta join before physical planning")
+    assert(p.contains("__graft_band_bucket"), "band buckets must be the equi key")
+  }
+
   test("catalog missing-series plans as broadcast left-anti") {
     import spark.implicits._
     val headers = Seq((0, "1", "n", 0)).toDF("fileOrd", "externalId", "name", "colIndex")
