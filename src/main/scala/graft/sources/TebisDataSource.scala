@@ -1,0 +1,199 @@
+package graft.sources
+
+import java.nio.charset.Charset
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, In}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.tebis.TebisCsv
+
+/** DataSourceV2 batch READ source for TEBIS wide-CSV: the long-form
+  * datapoints of a file tree through the standard reader API —
+  * `spark.read.format("tebis").load(dir)` — so the source composes with
+  * everything downstream (SQL, joins, the datapoints sink) without
+  * touching the library's Scala API.
+  *
+  * Schema: (path STRING, externalId STRING, name STRING,
+  * timestampMs BIGINT, value DOUBLE). Parse semantics are EXACTLY
+  * [[graft.tebis.TebisCsv.parseContent]] (reference
+  * csv_extractor.py:92-160): files that dead-letter contribute zero rows
+  * here — lifecycle/dead-letter routing stays with
+  * [[graft.tebis.Discovery]], which owns the file list in the pipeline.
+  *
+  * Spark-native behaviors, visible in `.explain`:
+  *  - one [[InputPartition]] per file — a 100 TB corpus of micro-batch
+  *    CSVs parallelizes across the cluster; the driver only lists paths;
+  *  - column pruning ([[SupportsPushDownRequiredColumns]]): the scan
+  *    builds only the projected fields;
+  *  - filter pushdown ([[SupportsPushDownFilters]]): `externalId = v` /
+  *    `externalId IN (...)` prune whole series AT THE SCAN — only the
+  *    requested series' rows are ever emitted, so nothing upstream
+  *    materializes or shuffles the other columns. (The predicate is
+  *    absorbed exactly, so it is not re-evaluated above the scan. The
+  *    file itself is still parsed in full: whole-file dead-letter
+  *    detection — a bad timestamp under ANY surviving value cell — is a
+  *    cross-column property, so skipping the float parse of unrequested
+  *    columns would change which files count as failed.)
+  */
+class TebisDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "tebis"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    TebisDataSource.Schema
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new TebisTable(TebisDataSource.paths(properties))
+}
+
+object TebisDataSource {
+  val Schema: StructType = StructType.fromDDL(
+    "path STRING, externalId STRING, name STRING, timestampMs BIGINT, value DOUBLE")
+
+  private def paths(properties: util.Map[String, String]): Seq[String] = {
+    val opts = properties.asScala
+    val raw = opts.get("paths")
+      .map(p => p.stripPrefix("[").stripSuffix("]").split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).toSeq)
+      .orElse(opts.get("path").map(Seq(_)))
+      .getOrElse(throw new IllegalArgumentException("tebis source requires a load(path)"))
+    raw.filter(_.nonEmpty)
+  }
+
+  /** Driver-side listing: each root is a file or a directory of `*.csv`.
+    * Cost is one FS listing per root — no content is read on the driver. */
+  private[sources] def listFiles(roots: Seq[String]): Seq[String] = {
+    val conf = new Configuration()
+    roots.flatMap { r =>
+      val p = new Path(r)
+      val fs = p.getFileSystem(conf)
+      val st = fs.getFileStatus(p)
+      if (st.isDirectory)
+        fs.listStatus(p).toSeq
+          .filter(s => s.isFile && s.getPath.getName.toLowerCase.endsWith(".csv"))
+          .map(_.getPath.toString)
+      else Seq(st.getPath.toString)
+    }.sorted
+  }
+}
+
+private class TebisTable(roots: Seq[String]) extends Table with SupportsRead {
+  override def name(): String = s"tebis(${roots.mkString(",")})"
+  override def schema(): StructType = TebisDataSource.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new TebisScanBuilder(roots)
+}
+
+private class TebisScanBuilder(roots: Seq[String])
+    extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+
+  private var required: StructType = TebisDataSource.Schema
+  private var keepIds: Option[Set[String]] = None
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  /** Absorb externalId equality/IN (intersecting repeated conjuncts);
+    * everything else stays post-scan. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (ours, rest) = filters.partition {
+      case EqualTo("externalId", _: String) => true
+      case In("externalId", vs) => vs.forall(_.isInstanceOf[String])
+      case _ => false
+    }
+    ours.foreach {
+      case EqualTo(_, v: String) => intersect(Set(v))
+      case In(_, vs) => intersect(vs.map(_.asInstanceOf[String]).toSet)
+      case _ => ()
+    }
+    pushed = ours
+    rest
+  }
+  private def intersect(s: Set[String]): Unit =
+    keepIds = Some(keepIds.fold(s)(_ intersect s))
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = new TebisScan(roots, required, keepIds)
+}
+
+private class TebisScan(roots: Seq[String], required: StructType, keepIds: Option[Set[String]])
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String = {
+    val f = keepIds.fold("")(s => s", pushedExternalIds=[${s.toSeq.sorted.mkString(",")}]")
+    s"tebis ReadSchema: ${required.catalogString}$f"
+  }
+  override def planInputPartitions(): Array[InputPartition] =
+    TebisDataSource.listFiles(roots).map(TebisInputPartition.apply).toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    new TebisReaderFactory(required.fieldNames, keepIds)
+}
+
+private case class TebisInputPartition(path: String) extends InputPartition
+
+private class TebisReaderFactory(fields: Array[String], keepIds: Option[Set[String]])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new TebisPartitionReader(partition.asInstanceOf[TebisInputPartition].path, fields, keepIds)
+}
+
+/** Per-task reader: materialize + parse ONE file (TEBIS files are
+  * micro-batch-sized — same per-process bound as the reference), then
+  * stream its surviving datapoints as rows of the projected schema. */
+private class TebisPartitionReader(
+    path: String, fields: Array[String], keepIds: Option[Set[String]])
+    extends PartitionReader[InternalRow] {
+
+  private val rows: Iterator[InternalRow] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(new Configuration())
+    val in = fs.open(p)
+    val bytes = try in.readAllBytes() finally in.close()
+    // Charset per task: java.nio.charset.Charset is not Serializable
+    val file = TebisCsv.parseContent(path, new String(bytes, Charset.forName(TebisCsv.Encoding)))
+    val pathU = UTF8String.fromString(file.path)
+    val cols =
+      if (file.error.isDefined) Iterator.empty
+      else file.columns.iterator.filter(c => keepIds.forall(_.contains(c.externalId)))
+    cols.flatMap { c =>
+      val idU = UTF8String.fromString(c.externalId)
+      val nameU = UTF8String.fromString(c.name)
+      c.datapoints.iterator.map { d =>
+        val row = new GenericInternalRow(fields.length)
+        var i = 0
+        while (i < fields.length) {
+          row.update(i, fields(i) match {
+            case "path" => pathU
+            case "externalId" => idU
+            case "name" => nameU
+            case "timestampMs" => d.timestampMs
+            case "value" => d.value
+          })
+          i += 1
+        }
+        row: InternalRow
+      }
+    }
+  }
+
+  private var current: InternalRow = _
+  override def next(): Boolean = { val h = rows.hasNext; if (h) current = rows.next(); h }
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
+}

@@ -1,0 +1,84 @@
+package graft
+
+import java.nio.charset.Charset
+import java.nio.file.{Files, Path}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.tebis.TebisCsv
+
+/** DataSourceV2 read source: `spark.read.format("tebis")` must agree
+  * row-for-row with the typed TebisCsv path, plan one partition per file,
+  * prune columns, and absorb externalId filters before value parsing. */
+class TebisSourceSpec extends AnyFunSuite {
+  lazy val spark = SparkSpec.spark
+
+  private def writeFile(dir: Path, name: String, content: String): Path = {
+    val p = dir.resolve(name)
+    Files.write(p, content.getBytes(Charset.forName(TebisCsv.Encoding)))
+    p
+  }
+
+  private def tebisContent(series: Seq[(String, String)], t0: Long, nRows: Int): String = {
+    val hdr = ";" + series.map { case (id, nm) => s"$id : $nm" }.mkString(";")
+    val units = "u" + ";x" * series.size
+    val rows = (0 until nRows).map { i =>
+      s"${t0 + i};" + series.indices.map(j => s"$j,$i").mkString(";")
+    }
+    (hdr +: units +: rows).mkString("\n") + "\n"
+  }
+
+  private lazy val dir: Path = {
+    val d = Files.createTempDirectory("tebis-src")
+    writeFile(d, "TEBIS_FK_100.csv", tebisContent(Seq("33" -> "A"), 1000, 5))
+    writeFile(d, "TEBIS_FK_200.csv", tebisContent(Seq("34" -> "B", "35" -> "C"), 2000, 3))
+    writeFile(d, "broken_x_300.csv", ";1 : Z\nu;x\nBAD;1,5\n")
+    writeFile(d, "notes.txt", "not a csv")
+    d
+  }
+
+  test("reads long-form datapoints identical to the typed TebisCsv path") {
+    val df = spark.read.format("tebis").load(dir.toString)
+    val got = df.select("externalId", "timestampMs", "value").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val want = TebisCsv.datapoints(spark, Seq(dir.toString)).collect()
+      .map(d => (d.externalId, d.timestampMs, d.value)).toSet
+    assert(got == want && want.size == 11, "dead-lettered file contributes zero rows")
+    // provenance columns survive too
+    val names = df.select("path", "name").collect().map(r => r.getString(1)).toSet
+    assert(names == Set("A", "B", "C"))
+  }
+
+  test("one input partition per file — cluster-parallel by construction") {
+    val df = spark.read.format("tebis").load(dir.toString)
+    assert(df.rdd.getNumPartitions == 3, "3 csv files => 3 partitions (txt ignored)")
+  }
+
+  test("column pruning reaches the scan") {
+    val df = spark.read.format("tebis").load(dir.toString).select("value")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: struct<value:double>"), s"pruned schema must reach the scan:\n$plan")
+  }
+
+  test("externalId filter is absorbed by the scan and prunes whole columns") {
+    val df = spark.read.format("tebis").load(dir.toString)
+      .filter("externalId = '34'").select("externalId", "value")
+    val desc = df.queryExecution.executedPlan.toString
+    assert(desc.contains("pushedExternalIds=[34]"), s"filter must reach the source:\n$desc")
+    val got = df.collect().map(r => (r.getString(0), r.getDouble(1))).toSet
+    assert(got == Set(("34", 0.0), ("34", 0.1), ("34", 0.2)))
+    // IN-lists push too, and conjuncts intersect
+    val in = spark.read.format("tebis").load(dir.toString)
+      .filter("externalId IN ('33','35') AND externalId IN ('35','99')")
+    assert(in.queryExecution.executedPlan.toString.contains("pushedExternalIds=[35]"))
+    assert(in.select("externalId").collect().map(_.getString(0)).toSet == Set("35"))
+  }
+
+  test("SQL over the source: aggregate per series") {
+    spark.read.format("tebis").load(dir.toString).createOrReplaceTempView("tebis_dp")
+    val got = spark.sql(
+      "SELECT externalId, count(*) AS n, min(timestampMs) AS t0 FROM tebis_dp GROUP BY externalId ORDER BY externalId")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(("33", 5L, 1000000L), ("34", 3L, 2000000L), ("35", 3L, 2000000L)))
+  }
+}
