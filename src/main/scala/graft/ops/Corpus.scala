@@ -88,6 +88,94 @@ object Corpus {
       r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank FROM s)
       SELECT doc_id, rank, term, tf, df, score FROM r WHERE rank <= $k"""
 
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+
+  /** Fixed retrieval query for q64 (terms present in every testdata SF). */
+  val Bm25Terms: Seq[String] = Seq("join", "filter", "window")
+
+  /** BM25 ranked retrieval: top-k documents for a fixed query-term set.
+    * Same determinism discipline as [[tfidfTopK]]: the idf is the RATIONAL
+    * Robertson form `(N − df + 0.5)/(df + 0.5)` — the argument of
+    * Lucene's `log(1 + ·)` — because +,−,×,÷ are exactly-rounded IEEE ops
+    * that agree bit-for-bit across engines while `log` differs in the
+    * last ulp across libm implementations (ranking per term is identical;
+    * cross-term weighting is the documented divergence from log-BM25).
+    * The per-document sum over query terms is fixed-order: each term's
+    * partial score is pivoted into its own column (`max(when(term=t))` —
+    * one row per (doc, term), so max is selection, not arithmetic) and
+    * added left-to-right, never via a float `sum()` whose accumulation
+    * order would be partitioning-dependent.
+    *
+    * Shape at scale: tf is filtered to the query terms BEFORE grouping —
+    * the big token stream reduces map-side; dl (per-doc length) joins tf
+    * on doc_id as a plain equi-join (AQE broadcasts the tf side when the
+    * term set is selective); df and the corpus stats are broadcast
+    * scalars; the final top-k is `orderBy.limit` ⇒ TakeOrderedAndProject
+    * (per-partition heaps, no global sort). */
+  def bm25TopK(spark: SparkSession, dir: String, terms: Seq[String], k: Int): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val toks = tokenStream(docs)
+    val qtoks = toks.filter(col("term").isin(terms: _*))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = toks.agg(count(lit(1)).cast("double").as("n_tokens"))
+      .crossJoin(docs.agg(count(lit(1)).cast("double").as("n_docs")))
+      .select((col("n_tokens") / col("n_docs")).as("avgdl"), col("n_docs"))
+    val tf = qtoks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfq = qtoks.select("doc_id", "term").distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val idf = (col("n_docs") - col("df").cast("double")) + lit(0.5)
+    val idfDen = col("df").cast("double") + lit(0.5)
+    val tfD = col("tf").cast("double")
+    val dlD = col("dl").cast("double")
+    val denom = tfD + (lit(Bm25K1) * ((lit(1.0) - lit(Bm25B)) + ((lit(Bm25B) * dlD) / col("avgdl"))))
+    val scored = tf
+      .join(dl, "doc_id")
+      .join(broadcast(dfq), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("s", (idf / idfDen) * ((tfD * lit(2.2)) / denom))
+    val perTerm = terms.zipWithIndex.map { case (tm, i) =>
+      max(when(col("term") === tm, col("s"))).as(s"s$i")
+    }
+    val total = terms.indices
+      .map(i => coalesce(col(s"s$i"), lit(0.0)))
+      .reduceLeft[org.apache.spark.sql.Column]((a, b) => a + b)
+    scored.groupBy("doc_id").agg(perTerm.head, perTerm.tail: _*)
+      .withColumn("score", total)
+      .join(dl, "doc_id")
+      .select("doc_id", "dl", "score")
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  def bm25Sql(terms: Seq[String], k: Int): String = {
+    val inList = terms.map(t => s"'$t'").mkString(", ")
+    val pivots = terms.zipWithIndex.map { case (tm, i) =>
+      s"max(CASE WHEN term = '$tm' THEN s END) AS s$i"
+    }.mkString(",\n              ")
+    val total = terms.indices.map(i => s"COALESCE(s$i, 0.0)").reduceLeft((a, b) => s"($a + $b)")
+    s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+      st AS (SELECT (SELECT CAST(count(*) AS DOUBLE) FROM toks)
+                      / (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS avgdl,
+                    (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS n_docs),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+             WHERE term IN ($inList) GROUP BY 1, 2),
+      dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+              WHERE term IN ($inList) GROUP BY 1),
+      sc AS (SELECT tf.doc_id, tf.term,
+               (((st.n_docs - CAST(dfq.df AS DOUBLE)) + 0.5) / (CAST(dfq.df AS DOUBLE) + 0.5))
+                 * ((CAST(tf.tf AS DOUBLE) * 2.2)
+                    / (CAST(tf.tf AS DOUBLE)
+                       + ($Bm25K1 * ((1.0 - $Bm25B) + (($Bm25B * CAST(dl.dl AS DOUBLE)) / st.avgdl))))) AS s
+             FROM tf JOIN dl USING (doc_id) JOIN dfq USING (term) CROSS JOIN st),
+      p AS (SELECT doc_id, $pivots
+            FROM sc GROUP BY 1)
+      SELECT p.doc_id, dl.dl, $total AS score
+      FROM p JOIN dl USING (doc_id)
+      ORDER BY score DESC, doc_id LIMIT $k"""
+  }
+
   /** Inverted index: term → document frequency + sorted postings list.
     * One distinct + one aggregation, both shuffle-partitioned by term.
     * The postings ARRAY is the one deliberately bounded piece: a stopword
@@ -110,6 +198,9 @@ object Corpus {
   val queries: Seq[QueryDef] = Seq(
     QueryDef("q56_heavy_tokens", (s, d) => heavyTokens(s, d), Some(heavyTokensSql)),
     QueryDef("q57_tfidf_topk", (s, d) => tfidfTopK(s, d, 3), Some(tfidfSql(3))),
-    QueryDef("q58_inverted_index", (s, d) => invertedIndex(s, d), Some(invertedIndexSql))
+    QueryDef("q58_inverted_index", (s, d) => invertedIndex(s, d), Some(invertedIndexSql)),
+    QueryDef("q64_bm25_topk",
+      (s, d) => bm25TopK(s, d, Bm25Terms, 10),
+      Some(bm25Sql(Bm25Terms, 10)))
   )
 }

@@ -75,6 +75,14 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("bkt"), "bucket key must be a join key")
   }
 
+  test("q64: bm25 top-k is a heap limit with broadcast stats, no global sort") {
+    val p = plan("q64_bm25_topk")
+    assert(p.contains("TakeOrderedAndProject"), "top-k must not be a full sort")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      "df/stats sides must broadcast")
+    assert(!p.contains("Exchange rangepartitioning"), "no range-partition sort for limit-k")
+  }
+
   test("q63: naive theta range join is auto-banded by the optimizer rule") {
     val p = plan("q63_range_join_auto")
     assert(!p.contains("NestedLoop"),
