@@ -147,6 +147,26 @@ object EventOps {
         (col("ct_us") - col("pt_us")).as("dt_us"))
   }
 
+  /** Trailing time-RANGE window: per user, for every event, the count and
+    * exact sum of values in the preceding `windowSec` (value-based frame —
+    * peers at equal t_us share one frame, per SQL RANGE semantics; no
+    * row-order tie-break needed, which is what makes it deterministic).
+    * Complements the ROWS frames (q11) and bucketed sliding windows
+    * (q20): this is the event-time-relative form. One shuffle on user_id
+    * + one sort per partition; Spark evaluates the moving frame
+    * incrementally (two pointers), not O(frame) per row. The sum is
+    * decimal inside the window (accumulation-order-independent), double
+    * only at the edge. */
+  def trailingWindow(ev: DataFrame, windowSec: Long): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("t_us").asc)
+      .rangeBetween(-windowSec * 1000000L, 0L)
+    ev.withColumn("t_us", expr("ts DIV 1000"))
+      .select(col("event_id"), col("user_id"), col("t_us"),
+        count(lit(1)).over(w).as("n_win"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2))).over(w)
+          .cast("double").as("sum_win"))
+  }
+
   /** Events viewed as a per-user datapoint series (ms timestamps), so the
     * TEBIS series operators (gaps, resample) apply to the oracle tables. */
   def asSeries(ev: DataFrame): DataFrame =
@@ -252,6 +272,15 @@ object EventOps {
              c AS (SELECT event_id AS click_id, epoch_us(ts) AS ct_us
                 FROM events WHERE event_type = 'click')
         SELECT purchase_id, click_id, ct_us - pt_us AS dt_us
-        FROM p JOIN c ON ct_us > pt_us AND ct_us <= pt_us + 1800000000"""))
+        FROM p JOIN c ON ct_us > pt_us AND ct_us <= pt_us + 1800000000""")),
+
+    QueryDef("q65_trailing_range_window",
+      (s, d) => trailingWindow(events(s, d), 3600L),
+      Some("""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS t_us, value FROM events)
+        SELECT event_id, user_id, t_us,
+          count(*) OVER w AS n_win,
+          CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_win
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t_us
+          RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)"""))
   )
 }
