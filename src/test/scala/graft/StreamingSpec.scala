@@ -224,6 +224,53 @@ class StreamingSpec extends AnyFunSuite {
     assert(all.count(_.externalId == "r1") == 1)
   }
 
+  test("transformWithState sessions: final-only emit, out-of-order merge, exactly once") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[(Timestamp, Long, Double)]
+    val events = mem.toDF().toDF("ts", "user_id", "value")
+    val q = graft.streaming.SessionProcessor.sessions(events,
+      gapMs = 30L * 60 * 1000, watermark = "10 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("twsess").start()
+    try {
+      def ts(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+      // user 7, session 1: 0:00 and 0:20. Watermark after this batch is
+      // 0:10 — far from the session close (0:20 + gap = 0:50), so nothing
+      // may emit yet (incl. the no-data timer batch processAllAvailable runs)
+      mem.addData((ts(0, 0), 7L, 1.0), (ts(0, 20), 7L, 4.0))
+      q.processAllAvailable()
+      assert(spark.table("twsess").count() == 0,
+        "no session may emit before the watermark closes it")
+      // out-of-order row INSIDE session 1 (0:15 > watermark 0:10, so not
+      // late-dropped) must merge into it; 1:00 is > gap after and opens
+      // session 2
+      mem.addData((ts(0, 15), 7L, 2.0), (ts(1, 0), 7L, 5.0))
+      q.processAllAvailable()
+      mem.addData((ts(5, 0), 99L, 1.0)) // watermark -> 4:50, closes both of user 7's
+      q.processAllAvailable()
+      val rows = spark.table("twsess").filter(col("user_id") === 7L)
+        .orderBy("session_start").collect()
+      assert(rows.length == 2, s"got ${rows.length} sessions")
+      assert(rows(0).getAs[Long]("n_events") == 3 && rows(0).getAs[Double]("sum_value") == 7.0)
+      assert(rows(0).getAs[Long]("session_start") == ts(0, 0).getTime)
+      assert(rows(0).getAs[Long]("session_end") == ts(0, 20).getTime)
+      assert(rows(1).getAs[Long]("n_events") == 1 && rows(1).getAs[Double]("sum_value") == 5.0)
+      // exactly once: further watermark advances re-emit nothing
+      mem.addData((ts(12, 0), 99L, 1.0))
+      q.processAllAvailable()
+      assert(spark.table("twsess").filter(col("user_id") === 7L).count() == 2)
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("session windows: gap splits sessions per user") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
