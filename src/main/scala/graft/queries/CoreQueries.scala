@@ -219,6 +219,23 @@ object CoreQueries {
 
     // Set operation: UNION ALL (the reference's implicit per-file union,
     // §2b set-ops row) — accounts of both parties, tagged.
+    // Explicit GROUPING SETS (the general form under rollup q17 / cube
+    // q24), with grouping_id() disambiguating real NULLs from subtotal
+    // rows — same bit-vector semantics as DuckDB's GROUPING(). One Expand
+    // + one partial-aggregated shuffle, like rollup/cube.
+    QueryDef("q29_grouping_sets",
+      (s, d) => t(s, d, "lineitem")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")), Seq(col("l_returnflag")), Seq.empty),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().as("gid"), count(lit(1)).as("n_rows"),
+          dsum(col("l_quantity")).as("sum_qty")),
+      Some(s"""SELECT l_returnflag, l_linestatus,
+          CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+          count(*) AS n_rows, ${dsumSql("l_quantity")} AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""")),
+
     QueryDef("q28_union_all_accounts",
       (s, d) => t(s, d, "customer")
         .select(col("c_nationkey").cast("int").as("nationkey"), col("c_acctbal").as("acctbal"), lit("customer").as("party"))
