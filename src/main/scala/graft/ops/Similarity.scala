@@ -241,6 +241,70 @@ object Similarity {
       .select(col("id_a").as("vec_id"), col("rank"), col("id_b").as("neighbor_id"), col("sim"))
   }
 
+  // ----------------------------------------------------------------------
+  // IVF-PQ: the memory-bandwidth scale path. The IVF cells prune the
+  // candidate space (equi-join, as q47); PRODUCT QUANTIZATION then scores
+  // candidates against 4 sub-codebook RECONSTRUCTIONS instead of raw
+  // vectors — at 100 TB the member side of the cell join carries 4 small
+  // code ints per vector (codebooks broadcast, reconstruction at the
+  // join), a 16-64x payload cut on the dominant shuffle. Here the
+  // reconstruction is materialized inline (same rows, small corpus); the
+  // code-carrying layout is the documented deployment shape. Approximate
+  // ADC ranking (dot against reconstructions — exact integers, so
+  // deterministic) keeps the top `PqCandidates` per query; only those
+  // join back to raw vectors for the exact cosine re-rank. Sub-codebooks
+  // are the SAME deterministic k-means as IVF, run on vector slices, so
+  // DuckDB mirrors the whole index bit-for-bit.
+  // ----------------------------------------------------------------------
+
+  val PqSubspaces = 4
+  val PqSubDim = 16 // 64-dim embeddings / 4 subspaces
+  val PqSubCents = 16
+  // ADC survivors per query before the exact re-rank. Sized for the
+  // near-isotropic testdata, where 16 sub-centroids reconstruct coarsely
+  // (random data is the quantization worst case) — the ADC ordering is
+  // noisy, so a generous cut is what buys recall back; clustered real
+  // embeddings reconstruct far tighter and tolerate a smaller cut.
+  val PqCandidates = 24
+
+  def knnIvfPq(spark: SparkSession, dir: String, k: Int,
+      candidates: Int = PqCandidates): DataFrame = {
+    val q = quantized(spark, dir).select("vec_id", "qv", "nrm").localCheckpoint()
+    val cents = kmeansCentroids(q, IvfCentroids, KmeansIters)
+    val ranked = rankedAssign(q, cents).localCheckpoint()
+    val recBySub = (0 until PqSubspaces).map { s =>
+      val qs = q.select(col("vec_id"), expr(s"slice(qv, ${s * PqSubDim + 1}, $PqSubDim)").as("qv"))
+        .withColumn("nrm", expr("quantized_dot(qv, qv)"))
+      val sc = kmeansCentroids(qs, PqSubCents, KmeansIters)
+      rankedAssign(qs, sc).filter(col("rn") === 1)
+        .select(col("vec_id"), col("cqv").as(s"rec$s"))
+    }
+    val rec = recBySub.reduce(_.join(_, "vec_id"))
+      .select(col("vec_id"),
+        expr((0 until PqSubspaces).map(s => s"rec$s").mkString("concat(", ", ", ")")).as("qrec"))
+      .withColumn("nrec", expr("quantized_dot(qrec, qrec)"))
+    val members = ranked.filter(col("rn") === 1)
+      .select(col("vec_id").as("id_b"), col("cent_id").as("cell"))
+      .join(rec.withColumnRenamed("vec_id", "id_b"), "id_b")
+    val probes = ranked.filter(col("rn") <= IvfNprobe)
+      .select(col("vec_id").as("id_a"), col("qv").as("qa"), col("nrm").as("na"), col("cent_id").as("cell"))
+    val wApprox = Window.partitionBy("id_a").orderBy(col("asim").desc, col("id_b").asc)
+    val approx = probes.join(members, Seq("cell"))
+      .filter(col("id_a") =!= col("id_b"))
+      .withColumn("asim", expr("CAST(quantized_dot(qa, qrec) AS DOUBLE)") /
+        (sqrt(col("na").cast("double")) * sqrt(col("nrec").cast("double"))))
+      .withColumn("arank", row_number().over(wApprox))
+      .filter(col("arank") <= candidates)
+    val b = q.select(col("vec_id").as("id_b"), col("qv").as("qb"), col("nrm").as("nb"))
+    val wExact = Window.partitionBy("id_a").orderBy(col("sim").desc, col("id_b").asc)
+    approx.select("id_a", "qa", "na", "id_b")
+      .join(b, "id_b")
+      .withColumn("sim", simCol)
+      .withColumn("rank", row_number().over(wExact))
+      .filter(col("rank") <= k)
+      .select(col("id_a").as("vec_id"), col("rank"), col("id_b").as("neighbor_id"), col("sim"))
+  }
+
   private val simSql =
     """CAST(list_sum(list_transform(range(1, len(a.qv) + 1), i -> a.qv[i] * b.qv[i])) AS DOUBLE)
        / (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE)))"""
@@ -249,28 +313,33 @@ object Similarity {
     s"""q AS (SELECT vec_id, $quantSql AS qv FROM embeddings),
         n AS (SELECT vec_id, qv, CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS nrm FROM q)"""
 
-  /** k-means CTE chain c0..c{iters}: mirrors kmeansCentroids exactly
-    * (truncating `//`, list ORDER BY pos, LEFT JOIN + COALESCE for empty
-    * cells). */
-  private def kmeansSql(k: Int, iters: Int): (String, String) = {
+  /** k-means CTE chain {pfx}c0..{pfx}c{iters} over source CTE `src`
+    * (vec_id, qv, nrm): mirrors kmeansCentroids exactly (truncating `//`,
+    * list ORDER BY pos, LEFT JOIN + COALESCE for empty cells). The prefix
+    * keeps several chains (full-vector IVF + one per PQ subspace)
+    * coexisting in one WITH clause. */
+  private def kmeansSqlFor(src: String, pfx: String, k: Int, iters: Int): (String, String) = {
     val csimSql = """CAST(list_sum(list_transform(range(1, len(n.qv) + 1), i -> n.qv[i] * c.cqv[i])) AS DOUBLE)
        / (sqrt(CAST(n.nrm AS DOUBLE)) * sqrt(CAST(c.cnrm AS DOUBLE)))"""
-    val init = s"c0 AS (SELECT vec_id AS cent_id, qv AS cqv, nrm AS cnrm FROM n WHERE vec_id < $k)"
+    val init = s"${pfx}c0 AS (SELECT vec_id AS cent_id, qv AS cqv, nrm AS cnrm FROM $src WHERE vec_id < $k)"
     val iterCtes = (1 to iters).map { it =>
-      val prev = s"c${it - 1}"
-      s"""a$it AS (SELECT n.vec_id, n.qv, c.cent_id,
+      val prev = s"${pfx}c${it - 1}"
+      s"""${pfx}a$it AS (SELECT n.vec_id, n.qv, c.cent_id,
             row_number() OVER (PARTITION BY n.vec_id ORDER BY $csimSql DESC, c.cent_id) AS rn
-          FROM n CROSS JOIN $prev c),
-        m$it AS (SELECT cent_id, unnest(range(1, len(qv) + 1)) AS pos, unnest(qv) AS x
-          FROM a$it WHERE rn = 1),
-        s$it AS (SELECT cent_id, pos, SUM(x) AS s, COUNT(*) AS cnt FROM m$it GROUP BY cent_id, pos),
-        g$it AS (SELECT cent_id, list(s // cnt ORDER BY pos) AS mqv FROM s$it GROUP BY cent_id),
-        c$it AS (SELECT p.cent_id, COALESCE(g.mqv, p.cqv) AS cqv,
+          FROM $src n CROSS JOIN $prev c),
+        ${pfx}m$it AS (SELECT cent_id, unnest(range(1, len(qv) + 1)) AS pos, unnest(qv) AS x
+          FROM ${pfx}a$it WHERE rn = 1),
+        ${pfx}s$it AS (SELECT cent_id, pos, SUM(x) AS s, COUNT(*) AS cnt FROM ${pfx}m$it GROUP BY cent_id, pos),
+        ${pfx}g$it AS (SELECT cent_id, list(s // cnt ORDER BY pos) AS mqv FROM ${pfx}s$it GROUP BY cent_id),
+        ${pfx}c$it AS (SELECT p.cent_id, COALESCE(g.mqv, p.cqv) AS cqv,
             CAST(list_sum(list_transform(COALESCE(g.mqv, p.cqv), x -> x * x)) AS BIGINT) AS cnrm
-          FROM $prev p LEFT JOIN g$it g USING (cent_id))"""
+          FROM $prev p LEFT JOIN ${pfx}g$it g USING (cent_id))"""
     }
-    ((init +: iterCtes).mkString(",\n        "), s"c$iters")
+    ((init +: iterCtes).mkString(",\n        "), s"${pfx}c$iters")
   }
+
+  private def kmeansSql(k: Int, iters: Int): (String, String) =
+    kmeansSqlFor("n", "", k, iters)
 
   /** Per-label centroid of the quantized vectors: the same distributed
     * mean machinery as one k-means Lloyd step (posexplode → (label, dim)
@@ -345,6 +414,55 @@ object Similarity {
               FROM pr a JOIN mem b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
         r AS (SELECT vec_id, neighbor_id, sim,
               row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, neighbor_id) AS rank FROM p)
+        SELECT vec_id, rank, neighbor_id, sim FROM r WHERE rank <= 3"""
+      }),
+
+    QueryDef("q66_knn_ivf_pq",
+      (s, d) => knnIvfPq(s, d, 3),
+      Some {
+        val (ivf, cf) = kmeansSql(IvfCentroids, KmeansIters)
+        val subs = (0 until PqSubspaces).map { s =>
+          val lo = s * PqSubDim + 1; val hi = (s + 1) * PqSubDim
+          val src =
+            s"""ns$s AS (SELECT vec_id, qv[$lo:$hi] AS qv,
+                CAST(list_sum(list_transform(qv[$lo:$hi], x -> x * x)) AS BIGINT) AS nrm FROM n)"""
+          val (chain, last) = kmeansSqlFor(s"ns$s", s"p$s", PqSubCents, KmeansIters)
+          val assign =
+            s"""as$s AS (SELECT n.vec_id, c.cqv,
+                row_number() OVER (PARTITION BY n.vec_id ORDER BY
+                  CAST(list_sum(list_transform(range(1, len(n.qv) + 1), i -> n.qv[i] * c.cqv[i])) AS DOUBLE)
+                  / (sqrt(CAST(n.nrm AS DOUBLE)) * sqrt(CAST(c.cnrm AS DOUBLE))) DESC, c.cent_id) AS rn
+              FROM ns$s n CROSS JOIN $last c),
+            rec$s AS (SELECT vec_id, cqv FROM as$s WHERE rn = 1)"""
+          s"$src,\n        $chain,\n        $assign"
+        }.mkString(",\n        ")
+        val cat = (0 until PqSubspaces).map(s => s"r$s.cqv").mkString(" || ")
+        val recJoins = (1 until PqSubspaces).map(s => s"JOIN rec$s r$s USING (vec_id)").mkString(" ")
+        s"""WITH $quantCte,
+        $ivf,
+        af AS (SELECT n.vec_id, n.qv, n.nrm, c.cent_id,
+              row_number() OVER (PARTITION BY n.vec_id ORDER BY
+                CAST(list_sum(list_transform(range(1, len(n.qv) + 1), i -> n.qv[i] * c.cqv[i])) AS DOUBLE)
+                / (sqrt(CAST(n.nrm AS DOUBLE)) * sqrt(CAST(c.cnrm AS DOUBLE))) DESC, c.cent_id) AS rn
+              FROM n CROSS JOIN $cf c),
+        $subs,
+        recn AS (SELECT r0.vec_id, $cat AS qrec FROM rec0 r0 $recJoins),
+        recq AS (SELECT vec_id, qrec,
+              CAST(list_sum(list_transform(qrec, x -> x * x)) AS BIGINT) AS nrec FROM recn),
+        mem AS (SELECT m.vec_id, m.cent_id AS cell, r.qrec, r.nrec
+              FROM af m JOIN recq r USING (vec_id) WHERE m.rn = 1),
+        pr AS (SELECT vec_id, qv, nrm, cent_id AS cell FROM af WHERE rn <= $IvfNprobe),
+        ap AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+              CAST(list_sum(list_transform(range(1, len(a.qv) + 1), i -> a.qv[i] * b.qrec[i])) AS DOUBLE)
+              / (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrec AS DOUBLE))) AS asim
+              FROM pr a JOIN mem b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+        ar AS (SELECT id_a, id_b,
+              row_number() OVER (PARTITION BY id_a ORDER BY asim DESC, id_b) AS arank FROM ap),
+        ex AS (SELECT c.id_a, c.id_b, $simSql AS sim
+              FROM (SELECT id_a, id_b FROM ar WHERE arank <= $PqCandidates) c
+              JOIN n a ON a.vec_id = c.id_a JOIN n b ON b.vec_id = c.id_b),
+        r AS (SELECT id_a AS vec_id, id_b AS neighbor_id, sim,
+              row_number() OVER (PARTITION BY id_a ORDER BY sim DESC, id_b) AS rank FROM ex)
         SELECT vec_id, rank, neighbor_id, sim FROM r WHERE rank <= 3"""
       })
   )

@@ -38,6 +38,26 @@ class SimilarityRecallSpec extends AnyFunSuite {
     assert(rs(12) >= 0.9, f"IVF recall ${rs(12)}%.3f < 0.9 at nprobe=12")
   }
 
+  test("IVF-PQ: uncut ADC equals plain IVF; the default cut stays close") {
+    val ivfRows = Similarity.knnIvf(spark, dir, 3).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val ivf = recallOf(Similarity.knnIvf(spark, dir, 3).collect())
+    SessionHygiene.clear(spark)
+    // ADC only ORDERS candidates; with the cut wider than any cell the
+    // exact re-rank sees the identical candidate set, so the result must
+    // EQUAL plain IVF row-for-row — locks reconstruction/scoring bugs out
+    val uncut = Similarity.knnIvfPq(spark, dir, 3, candidates = 1000000).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(uncut == ivfRows, "uncut IVF-PQ must reproduce plain IVF exactly")
+    SessionHygiene.clear(spark)
+    val pq = recallOf(Similarity.knnIvfPq(spark, dir, 3).collect())
+    info(f"ivf-pq recall@3 = $pq%.3f vs ivf $ivf%.3f (ADC keeps ${Similarity.PqCandidates})")
+    SessionHygiene.clear(spark)
+    // the production cut loses only ADC-misranked tail: near-isotropic
+    // data is the reconstruction worst case, so allow 0.1 of slack
+    assert(pq >= ivf - 0.1, f"ivf-pq recall $pq%.3f vs ivf $ivf%.3f")
+  }
+
   test("k-means training is partitioning-invariant (integer sums commute)") {
     import org.apache.spark.sql.functions.{col, expr}
     def cents(parts: Int) = {
