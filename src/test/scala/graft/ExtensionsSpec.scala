@@ -27,6 +27,16 @@ class ExtensionsSpec extends AnyFunSuite {
       graft.functions.GraftFunctions.builders.foreach { case (name, _) =>
         assert(s2.catalog.functionExists(name), s"$name must be catalog-visible")
       }
+      // the tebis_scan TVF: SQL-only TEBIS reading through the DSv2 source
+      val dir = java.nio.file.Files.createTempDirectory("tvf")
+      java.nio.file.Files.write(dir.resolve("TEBIS_T_100.csv"),
+        ";5 : S\nu;bar\n1000;1,5\n1001;2,5\n".getBytes(
+          java.nio.charset.Charset.forName(graft.tebis.TebisCsv.Encoding)))
+      val tvf = s2.sql(
+        s"SELECT externalId, count(*) AS n, sum(value) AS s FROM tebis_scan('$dir') GROUP BY 1")
+        .collect()
+      assert(tvf.length == 1 && tvf(0).getString(0) == "5"
+        && tvf(0).getLong(1) == 2 && tvf(0).getDouble(2) == 4.0)
     } finally {
       SparkSession.setDefaultSession(orig)
       SparkSession.setActiveSession(orig)
