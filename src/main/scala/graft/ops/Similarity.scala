@@ -267,21 +267,62 @@ object Similarity {
   // embeddings reconstruct far tighter and tolerate a smaller cut.
   val PqCandidates = 24
 
+  /** Per-(vec, subspace) slice rows: the grouped-training input. */
+  private def subspaceRows(q: DataFrame): DataFrame =
+    q.select(col("vec_id"), explode(expr(
+        s"transform(sequence(0, ${PqSubspaces - 1}), " +
+          s"s -> struct(s AS space, slice(qv, s * $PqSubDim + 1, $PqSubDim) AS sqv))")).as("sub"))
+      .select(col("vec_id"), col("sub.space").as("space"), col("sub.sqv").as("qv"))
+      .withColumn("nrm", expr("quantized_dot(qv, qv)"))
+
+  /** All sub-codebooks trained in ONE grouped Lloyd loop: centroids keyed
+    * (space, cent_id), assignment joined on `space` and ranked within
+    * (vec, space) — per-space math identical to running
+    * [[kmeansCentroids]] on each slice (the oracle mirrors them as
+    * separate CTE chains), but each iteration is ONE Spark job for all
+    * subspaces instead of one chain each. Sequential-job latency, not
+    * data volume, dominates the separate-chain form; at scale the
+    * aggregation keys by (space, cell, dim) and stays distributed. */
+  def kmeansCentroidsBySpace(qsub: DataFrame, k: Int, iters: Int): DataFrame = {
+    val spark = qsub.sparkSession
+    import spark.implicits._
+    def centsDF(c: Seq[(Int, Long, Seq[Long])]): DataFrame =
+      c.toDF("space", "cent_id", "cqv").withColumn("cnrm", expr("quantized_dot(cqv, cqv)"))
+    var cents: Seq[(Int, Long, Seq[Long])] = qsub.filter(col("vec_id") < k)
+      .select(col("space"), col("vec_id"), col("qv")).as[(Int, Long, Seq[Long])]
+      .collect().toSeq.sortBy(c => (c._1, c._2))
+    val w = Window.partitionBy("vec_id", "space").orderBy(col("csim").desc, col("cent_id").asc)
+    for (_ <- 1 to iters) {
+      val sums = qsub.join(broadcast(centsDF(cents)), "space")
+        .withColumn("csim", expr("CAST(quantized_dot(qv, cqv) AS DOUBLE)") /
+          (sqrt(col("nrm").cast("double")) * sqrt(col("cnrm").cast("double"))))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("space"), col("cent_id"), posexplode(col("qv")).as(Seq("pos", "x")))
+        .groupBy("space", "cent_id", "pos")
+        .agg(sum("x").as("s"), count(lit(1)).as("cnt"))
+        .select(col("space"), col("cent_id"), col("pos"), expr("s DIV cnt").as("m"))
+        .as[(Int, Long, Int, Long)].collect() // spaces·k·subdim rows
+      val byCell = sums.groupBy(t => (t._1, t._2))
+        .map { case (key, rows) => key -> rows.sortBy(_._3).map(_._4).toSeq }
+      cents = cents.map { case (sp, cid, prev) => (sp, cid, byCell.getOrElse((sp, cid), prev)) }
+    }
+    centsDF(cents)
+  }
+
   def knnIvfPq(spark: SparkSession, dir: String, k: Int,
       candidates: Int = PqCandidates): DataFrame = {
     val q = quantized(spark, dir).select("vec_id", "qv", "nrm").localCheckpoint()
     val cents = kmeansCentroids(q, IvfCentroids, KmeansIters)
     val ranked = rankedAssign(q, cents).localCheckpoint()
-    val recBySub = (0 until PqSubspaces).map { s =>
-      val qs = q.select(col("vec_id"), expr(s"slice(qv, ${s * PqSubDim + 1}, $PqSubDim)").as("qv"))
-        .withColumn("nrm", expr("quantized_dot(qv, qv)"))
-      val sc = kmeansCentroids(qs, PqSubCents, KmeansIters)
-      rankedAssign(qs, sc).filter(col("rn") === 1)
-        .select(col("vec_id"), col("cqv").as(s"rec$s"))
-    }
-    val rec = recBySub.reduce(_.join(_, "vec_id"))
-      .select(col("vec_id"),
-        expr((0 until PqSubspaces).map(s => s"rec$s").mkString("concat(", ", ", ")")).as("qrec"))
+    val qsub = subspaceRows(q)
+    val subCents = kmeansCentroidsBySpace(qsub, PqSubCents, KmeansIters)
+    val wSub = Window.partitionBy("vec_id", "space").orderBy(col("csim").desc, col("cent_id").asc)
+    val rec = qsub.join(broadcast(subCents), "space")
+      .withColumn("csim", expr("CAST(quantized_dot(qv, cqv) AS DOUBLE)") /
+        (sqrt(col("nrm").cast("double")) * sqrt(col("cnrm").cast("double"))))
+      .withColumn("rn", row_number().over(wSub)).filter(col("rn") === 1)
+      .groupBy("vec_id")
+      .agg(expr("flatten(transform(array_sort(collect_list(struct(space, cqv))), t -> t.cqv))").as("qrec"))
       .withColumn("nrec", expr("quantized_dot(qrec, qrec)"))
     val members = ranked.filter(col("rn") === 1)
       .select(col("vec_id").as("id_b"), col("cent_id").as("cell"))
