@@ -274,6 +274,24 @@ object EventOps {
         SELECT purchase_id, click_id, ct_us - pt_us AS dt_us
         FROM p JOIN c ON ct_us > pt_us AND ct_us <= pt_us + 1800000000""")),
 
+    // Spark 4 VARIANT path: props parses to a binary variant ONCE per row
+    // and typed extraction happens on the encoded form — at scale the
+    // variant column shuffles/aggregates as compact binary, the modern
+    // alternative to repeated get_json_object string re-parsing (q18).
+    // try_variant_get returns NULL (not an error) on path/type misses,
+    // matching json_extract_string + CAST semantics in the oracle.
+    QueryDef("q67_events_variant",
+      (s, d) => events(s, d)
+        .select(col("event_type"),
+          expr("try_variant_get(parse_json(props), '$.k', 'bigint')").as("k"))
+        .groupBy("event_type")
+        .agg(min("k").as("min_k"), max("k").as("max_k"), count(col("k")).as("n_k")),
+      Some("""SELECT event_type,
+          min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+          max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+          count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_k
+        FROM events GROUP BY event_type""")),
+
     QueryDef("q65_trailing_range_window",
       (s, d) => trailingWindow(events(s, d), 3600L),
       Some("""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS t_us, value FROM events)
