@@ -86,7 +86,36 @@ object Sampling {
           AND sum_len >= n_tokens * 3 AND sum_len <= n_tokens * 12 AND n_stop >= 1"""
   }
 
+  /** Exact stratified sample: EXACTLY `k` documents per stratum (fewer
+    * only if the stratum is smaller), chosen by md5-hash rank within the
+    * stratum — deterministic like every sampler here, and balanced where
+    * the Bernoulli hash sample is only balanced in expectation (class
+    * rebalancing is the training-data use). One shuffle on the stratum
+    * key; WindowGroupLimit caps each partition's contribution at k rows
+    * BEFORE the exchange, so the shuffle carries strata x k rows, not the
+    * corpus. Ties on the 4-hex bucket (birthday-likely) break by doc_id. */
+  def stratifiedSample(docs: DataFrame, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("bkt").asc, col("doc_id").asc)
+    docs.select(col("doc_id"), col("source"), expr(bucket("doc_id")).as("bkt"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("source"), col("rk").cast("long").as("rk"))
+  }
+
+  def stratifiedSampleSql(k: Int): String =
+    s"""SELECT doc_id, source, CAST(rk AS BIGINT) AS rk FROM (
+        SELECT doc_id, source,
+          row_number() OVER (PARTITION BY source
+            ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 4), doc_id) AS rk
+        FROM documents)
+        WHERE rk <= $k"""
+
   val queries: Seq[QueryDef] = Seq(
+    QueryDef("q68_stratified_sample",
+      (s, d) => stratifiedSample(t(s, d, "documents"), 25),
+      Some(stratifiedSampleSql(25))),
+
     QueryDef("q37_sample_hash",
       (s, d) => hashSample(t(s, d, "documents"), 6554), // ~10%
       Some(hashSampleSql(6554))),

@@ -118,6 +118,27 @@ object CoreQueries {
         count(DISTINCT l_orderkey) AS n_orders, count(*) AS n_rows
         FROM lineitem GROUP BY l_suppkey""")),
 
+    // FULL OUTER join (the remaining join type): per-nation customer vs
+    // rich-supplier balances — the acctbal cut empties some nations'
+    // supplier side, so genuine outer rows (NULL totals) appear and the
+    // USING-key coalesce is exercised in both engines. Plan: two partial-
+    // aggregated groupBys then one shuffled full-outer on the key.
+    QueryDef("q69_full_outer_accounts",
+      (s, d) => {
+        val c = t(s, d, "customer").groupBy(col("c_nationkey").as("nationkey"))
+          .agg(dsum(col("c_acctbal")).as("cust_bal"), count(lit(1)).as("n_cust"))
+        val sup = t(s, d, "supplier").filter(col("s_acctbal") > 5000)
+          .groupBy(col("s_nationkey").as("nationkey"))
+          .agg(dsum(col("s_acctbal")).as("supp_bal"), count(lit(1)).as("n_supp"))
+        c.join(sup, Seq("nationkey"), "full_outer")
+      },
+      Some(s"""WITH c AS (SELECT c_nationkey AS nationkey, ${dsumSql("c_acctbal")} AS cust_bal,
+                count(*) AS n_cust FROM customer GROUP BY 1),
+             s AS (SELECT s_nationkey AS nationkey, ${dsumSql("s_acctbal")} AS supp_bal,
+                count(*) AS n_supp FROM supplier WHERE s_acctbal > 5000 GROUP BY 1)
+        SELECT nationkey, cust_bal, n_cust, supp_bal, n_supp
+        FROM c FULL OUTER JOIN s USING (nationkey)""")),
+
     // Set operation: EXCEPT (distinct semantics in both engines).
     QueryDef("q09_customer_only_nations",
       (s, d) => t(s, d, "customer").select(col("c_nationkey").as("nationkey"))
