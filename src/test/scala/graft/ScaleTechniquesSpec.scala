@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The two remaining 100 TB techniques from the survey's scale matrix,
+  * locked as plan-level facts on this Spark version:
+  *
+  *  - BUCKETING: two tables bucketed on the join key co-locate — the
+  *    join plans with ZERO Exchange, the technique that amortizes one
+  *    write-time shuffle across every subsequent join of a fact table.
+  *  - AQE SKEW SPLIT: a skewed build side is split at runtime into
+  *    multiple tasks (plan marks the join `skew=true`) — the no-code-
+  *    change complement to the explicit salting in [[ops.SkewJoin]].
+  */
+class ScaleTechniquesSpec extends AnyFunSuite {
+  lazy val spark = SparkSpec.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def withConfs(kvs: (String, String)*)(body: => Unit): Unit = {
+    val prev = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    kvs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("bucketed tables co-locate the join: zero Exchange in the plan") {
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val customer = spark.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey"), col("c_name"))
+    orders.write.mode("overwrite")
+      .bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable("b_orders")
+    customer.write.mode("overwrite")
+      .bucketBy(8, "c_custkey").sortBy("c_custkey").saveAsTable("b_customer")
+    // forbid broadcast so the join must rely on the bucket partitioning
+    withConfs("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val j = spark.table("b_orders")
+        .join(spark.table("b_customer"), col("o_custkey") === col("c_custkey"))
+      val n = j.count()
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucket-co-located join must not shuffle:\n$plan")
+      assert(n == orders.count(), "every order has a customer")
+    }
+  }
+
+  test("AQE splits a skewed join partition at runtime (skew=true)") {
+    import spark.implicits._
+    // key 0 carries ~50k rows, keys 1..40 one row each -> one partition
+    // dwarfs the rest once thresholds are scaled down to test size
+    val skewed = (0 until 50000).map(i => (0L, i.toLong)) ++ (1 to 40).map(i => (i.toLong, 0L))
+    val left = skewed.toDF("k", "v").repartition(4)
+    val right = (0 to 40).map(i => (i.toLong, s"dim$i")).toDF("k", "name")
+    withConfs(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false") {
+      val j = left.join(right, "k")
+      // execute THIS frame so AQE finalizes its adaptive plan (count()
+      // would plan a separate query and leave this one unexecuted)
+      assert(j.collect().length == 50040)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE must mark the skewed join split:\n$plan")
+    }
+  }
+}

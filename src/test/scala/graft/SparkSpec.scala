@@ -11,6 +11,9 @@ object SparkSpec {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // bucketed-table specs write managed tables; keep them out of cwd
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-wh").toUri.toString)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
