@@ -66,6 +66,71 @@ case class QuantizedDot(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** PQ asymmetric-distance lookup sum: `flat` is a space-major flat table
+  * (spaces × k entries — for ADC, entry (s, c) holds the query's dot with
+  * sub-centroid c of subspace s), `codes` one code per space; result is
+  * Σ_s flat[s·k + codes[s]] — the 4-lookup pair score that replaces
+  * re-dotting a 64-dim reconstruction (k = flat.length / codes.length).
+  * NULL on ragged input or an out-of-range code. Integer adds commute, so
+  * the sum equals `quantized_dot(query, reconstruction)` bit-for-bit —
+  * the oracle mirrors it with the reconstruction dot.
+  * Semantics spec-locked to the aggregate-lambda twin in
+  * GraftFunctionsSpec. */
+case class PqAdcSum(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val flat = a.asInstanceOf[ArrayData]
+    val codes = b.asInstanceOf[ArrayData]
+    val ns = codes.numElements()
+    if (ns == 0 || flat.numElements() % ns != 0) return null
+    val k = flat.numElements() / ns
+    var s = 0L
+    var i = 0
+    while (i < ns) {
+      if (codes.isNullAt(i)) return null
+      val c = codes.getLong(i)
+      if (c < 0 || c >= k) return null
+      val j = i * k + c.toInt
+      if (flat.isNullAt(j)) return null
+      s += flat.getLong(j)
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val ns = ctx.freshName("ns")
+      val k = ctx.freshName("k")
+      val c = ctx.freshName("c")
+      val j = ctx.freshName("j")
+      val s = ctx.freshName("s")
+      s"""
+        int $ns = $b.numElements();
+        if ($ns == 0 || $a.numElements() % $ns != 0) { ${ev.isNull} = true; } else {
+          int $k = $a.numElements() / $ns;
+          long $s = 0L;
+          for (int $i = 0; $i < $ns; $i++) {
+            if ($b.isNullAt($i)) { ${ev.isNull} = true; break; }
+            long $c = $b.getLong($i);
+            if ($c < 0 || $c >= $k) { ${ev.isNull} = true; break; }
+            int $j = $i * $k + (int) $c;
+            if ($a.isNullAt($j)) { ${ev.isNull} = true; break; }
+            $s += $a.getLong($j);
+          }
+          if (!${ev.isNull}) { ${ev.value} = $s; }
+        }
+      """
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 object Md5Pool {
   private val tl = ThreadLocal.withInitial[MessageDigest](() => MessageDigest.getInstance("MD5"))
   def digest(bytes: Array[Byte]): Array[Byte] = {
@@ -371,7 +436,8 @@ object GraftFunctions {
     "hamming_str" -> (es => HammingDistance(es.head, es(1))),
     "minhash_bands" -> (es => MinHashBands(es.head, intArg(es, 1), intArg(es, 2))),
     "lsh_keys" -> (es => HyperplaneKeys(es.head,
-      intArg(es, 1), intArg(es, 2), intArg(es, 3), intArg(es, 4))))
+      intArg(es, 1), intArg(es, 2), intArg(es, 3), intArg(es, 4))),
+    "pq_adc_sum" -> (es => PqAdcSum(es.head, es(1))))
 
   /** Session-scoped registration so `expr("quantized_dot(a, b)")` etc.
     * resolve; idempotent. */

@@ -243,18 +243,18 @@ object Similarity {
 
   // ----------------------------------------------------------------------
   // IVF-PQ: the memory-bandwidth scale path. The IVF cells prune the
-  // candidate space (equi-join, as q47); PRODUCT QUANTIZATION then scores
-  // candidates against 4 sub-codebook RECONSTRUCTIONS instead of raw
-  // vectors — at 100 TB the member side of the cell join carries 4 small
-  // code ints per vector (codebooks broadcast, reconstruction at the
-  // join), a 16-64x payload cut on the dominant shuffle. Here the
-  // reconstruction is materialized inline (same rows, small corpus); the
-  // code-carrying layout is the documented deployment shape. Approximate
-  // ADC ranking (dot against reconstructions — exact integers, so
-  // deterministic) keeps the top `PqCandidates` per query; only those
-  // join back to raw vectors for the exact cosine re-rank. Sub-codebooks
-  // are the SAME deterministic k-means as IVF, run on vector slices, so
-  // DuckDB mirrors the whole index bit-for-bit.
+  // candidate space (equi-join, as q47); PRODUCT QUANTIZATION collapses
+  // each member vector to `PqSubspaces` small code ints — the cell join's
+  // member side carries codes + one norm, a 16x payload cut on the
+  // dominant shuffle — and ADC scores a pair with `PqSubspaces` table
+  // LOOKUPS (pq_adc_sum over the probe's precomputed per-sub-centroid
+  // dot table) instead of a 64-dim dot. Integer adds commute, so the
+  // lookup sum equals quantized_dot(query, reconstruction) bit-for-bit:
+  // the DuckDB oracle keeps the reconstruction form and still
+  // hash-matches. The ADC ranking keeps the top `PqCandidates` per
+  // query; only those join back to raw vectors for the exact cosine
+  // re-rank. Sub-codebooks are the SAME deterministic k-means as IVF,
+  // run on vector slices, so the whole index mirrors bit-for-bit.
   // ----------------------------------------------------------------------
 
   val PqSubspaces = 4
@@ -283,7 +283,7 @@ object Similarity {
     * subspaces instead of one chain each. Sequential-job latency, not
     * data volume, dominates the separate-chain form; at scale the
     * aggregation keys by (space, cell, dim) and stays distributed. */
-  def kmeansCentroidsBySpace(qsub: DataFrame, k: Int, iters: Int): DataFrame = {
+  def kmeansCentroidsBySpace(qsub: DataFrame, k: Int, iters: Int): Seq[(Int, Long, Seq[Long])] = {
     val spark = qsub.sparkSession
     import spark.implicits._
     def centsDF(c: Seq[(Int, Long, Seq[Long])]): DataFrame =
@@ -306,8 +306,17 @@ object Similarity {
         .map { case (key, rows) => key -> rows.sortBy(_._3).map(_._4).toSeq }
       cents = cents.map { case (sp, cid, prev) => (sp, cid, byCell.getOrElse((sp, cid), prev)) }
     }
-    centsDF(cents)
+    cents
   }
+
+  private def spaceCentsDF(spark: SparkSession, c: Seq[(Int, Long, Seq[Long])]): DataFrame = {
+    import spark.implicits._
+    c.toDF("space", "cent_id", "cqv").withColumn("cnrm", expr("quantized_dot(cqv, cqv)"))
+  }
+
+  /** SQL literal `CAST(array(...) AS ARRAY<BIGINT>)`. */
+  private def litLongs(xs: Seq[Long]): String =
+    xs.mkString("CAST(array(", "L, ", "L) AS ARRAY<BIGINT>)")
 
   def knnIvfPq(spark: SparkSession, dir: String, k: Int,
       candidates: Int = PqCandidates): DataFrame = {
@@ -315,24 +324,40 @@ object Similarity {
     val cents = kmeansCentroids(q, IvfCentroids, KmeansIters)
     val ranked = rankedAssign(q, cents).localCheckpoint()
     val qsub = subspaceRows(q)
-    val subCents = kmeansCentroidsBySpace(qsub, PqSubCents, KmeansIters)
+    // trained codebook, driver-resident: spaces·k·subdim longs
+    val cbook = kmeansCentroidsBySpace(qsub, PqSubCents, KmeansIters)
+      .sortBy(c => (c._1, c._2))
+    val subCents = spaceCentsDF(spark, cbook)
+    // member side carries CODES, not vectors: one small int per subspace
     val wSub = Window.partitionBy("vec_id", "space").orderBy(col("csim").desc, col("cent_id").asc)
-    val rec = qsub.join(broadcast(subCents), "space")
+    val codes = qsub.join(broadcast(subCents), "space")
       .withColumn("csim", expr("CAST(quantized_dot(qv, cqv) AS DOUBLE)") /
         (sqrt(col("nrm").cast("double")) * sqrt(col("cnrm").cast("double"))))
       .withColumn("rn", row_number().over(wSub)).filter(col("rn") === 1)
       .groupBy("vec_id")
-      .agg(expr("flatten(transform(array_sort(collect_list(struct(space, cqv))), t -> t.cqv))").as("qrec"))
-      .withColumn("nrec", expr("quantized_dot(qrec, qrec)"))
+      .agg(expr("transform(array_sort(collect_list(struct(space, cent_id))), t -> t.cent_id)").as("codes"))
+    // reconstructed norm from codes alone: flat |c|² table lookup-summed
+    val cnrmFlat = litLongs(cbook.map { case (_, _, v) => v.map(x => x * x).sum })
     val members = ranked.filter(col("rn") === 1)
       .select(col("vec_id").as("id_b"), col("cent_id").as("cell"))
-      .join(rec.withColumnRenamed("vec_id", "id_b"), "id_b")
+      .join(codes.withColumnRenamed("vec_id", "id_b"), "id_b")
+      .withColumn("nrec", expr(s"pq_adc_sum($cnrmFlat, codes)"))
+    // probe side precomputes its ADC table ONCE per query vector: the dot
+    // of each of its subvectors with every sub-centroid (spaces·k dots) —
+    // per-PAIR scoring is then `spaces` table lookups (pq_adc_sum), never
+    // a re-dot of a reconstruction. Integer adds commute, so the score
+    // equals quantized_dot(query, reconstruction) bit-for-bit and the
+    // oracle keeps the reconstruction form.
+    val atabExpr = cbook.map { case (s, _, v) =>
+      s"quantized_dot(slice(qv, ${s * PqSubDim + 1}, $PqSubDim), ${litLongs(v)})"
+    }.mkString("array(", ", ", ")")
     val probes = ranked.filter(col("rn") <= IvfNprobe)
-      .select(col("vec_id").as("id_a"), col("qv").as("qa"), col("nrm").as("na"), col("cent_id").as("cell"))
+      .select(col("vec_id").as("id_a"), col("qv").as("qa"), col("nrm").as("na"),
+        col("cent_id").as("cell"), expr(atabExpr).as("atab"))
     val wApprox = Window.partitionBy("id_a").orderBy(col("asim").desc, col("id_b").asc)
     val approx = probes.join(members, Seq("cell"))
       .filter(col("id_a") =!= col("id_b"))
-      .withColumn("asim", expr("CAST(quantized_dot(qa, qrec) AS DOUBLE)") /
+      .withColumn("asim", expr("CAST(pq_adc_sum(atab, codes) AS DOUBLE)") /
         (sqrt(col("na").cast("double")) * sqrt(col("nrec").cast("double"))))
       .withColumn("arank", row_number().over(wApprox))
       .filter(col("arank") <= candidates)

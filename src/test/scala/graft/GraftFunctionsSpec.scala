@@ -116,4 +116,25 @@ class GraftFunctionsSpec extends AnyFunSuite {
     val ks = q.select("fast").collect().flatMap(_.getSeq[String](0))
     assert(ks.forall(_.endsWith(":" + "0" * S.LshBits)))
   }
+
+  test("pq_adc_sum == aggregate-lambda lookup formulation; bounds -> NULL") {
+    GraftFunctions.register(spark)
+    // flat = 2 spaces x 3 entries; codes pick one entry per space
+    val df = spark.range(1).selectExpr(
+      "CAST(array(10, 20, 30, 40, 50, 60) AS ARRAY<BIGINT>) AS flat",
+      "CAST(array(2, 0) AS ARRAY<BIGINT>) AS codes")
+      .withColumn("fast", expr("pq_adc_sum(flat, codes)"))
+      .withColumn("slow", expr(
+        """aggregate(sequence(0, size(codes) - 1), 0L,
+           (acc, s) -> acc + element_at(flat,
+             CAST(s * (size(flat) DIV size(codes)) + element_at(codes, s + 1) + 1 AS INT)))"""))
+    val r = df.select("fast", "slow").collect()(0)
+    assert(r.getLong(0) == 30L + 40L && r.getLong(0) == r.getLong(1))
+    // out-of-range code and ragged table -> NULL, never a wrong lookup
+    val bad = spark.range(1).selectExpr(
+      "pq_adc_sum(CAST(array(1, 2) AS ARRAY<BIGINT>), CAST(array(5) AS ARRAY<BIGINT>)) AS oob",
+      "pq_adc_sum(CAST(array(1, 2, 3) AS ARRAY<BIGINT>), CAST(array(0, 1) AS ARRAY<BIGINT>)) AS ragged")
+      .collect()(0)
+    assert(bad.isNullAt(0) && bad.isNullAt(1))
+  }
 }
