@@ -60,3 +60,46 @@ object TopKPriced {
     (p, o, l) => fn(p, o, l)
   }
 }
+
+/** One similarity candidate; total order (sim DESC, id ASC) — identical
+  * to the ANN queries' window tie-break, so both plans are
+  * row-identical. */
+case class SimCand(sim: Double, id: Long)
+
+/** [[TopKPriced]]'s shape for the ANN top-k: per query vector, the k
+  * best (sim, neighbor) pairs. This is what removes the rank-window
+  * bottleneck from the candidate stage — `row_number() OVER (PARTITION
+  * BY query)` shuffles and sorts EVERY candidate pair (the measured
+  * dominant cost of q47/q66 at 10x), while this aggregator reduces each
+  * map partition to ≤ k pairs per query before the exchange. */
+class TopKSim(k: Int) extends Aggregator[SimCand, Seq[SimCand], Seq[SimCand]] {
+  require(k > 0, "top-k needs k > 0")
+
+  private def lt(a: SimCand, b: SimCand): Boolean =
+    a.sim > b.sim || (a.sim == b.sim && a.id < b.id)
+
+  override def zero: Seq[SimCand] = Vector.empty
+
+  override def reduce(buf: Seq[SimCand], in: SimCand): Seq[SimCand] =
+    if (buf.length == k && !lt(in, buf.last)) buf
+    else ((buf :+ in).sortWith(lt)).take(k)
+
+  override def merge(a: Seq[SimCand], b: Seq[SimCand]): Seq[SimCand] =
+    (a ++ b).sortWith(lt).take(k)
+
+  override def finish(r: Seq[SimCand]): Seq[SimCand] = r
+
+  override def bufferEncoder: Encoder[Seq[SimCand]] = TopKSim.seqEncoder
+  override def outputEncoder: Encoder[Seq[SimCand]] = TopKSim.seqEncoder
+}
+
+object TopKSim {
+  private[functions] val seqEncoder: Encoder[Seq[SimCand]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[SimCand]]()
+
+  /** Column function: `topk(sim, id)` → sorted ARRAY<STRUCT<sim, id>>. */
+  def topk(k: Int): (Column, Column) => Column = {
+    val fn = udaf(new TopKSim(k), Encoders.product[SimCand])
+    (s, i) => fn(s, i)
+  }
+}

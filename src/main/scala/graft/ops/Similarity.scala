@@ -220,6 +220,20 @@ object Similarity {
     centsDF(cents)
   }
 
+  /** Per-query top-k over scored candidate pairs via the bounded
+    * [[graft.functions.TopKSim]] aggregator — map partitions reduce to
+    * ≤ k pairs per query BEFORE the exchange, where the rank-window
+    * formulation shuffles and sorts every candidate pair (the measured
+    * dominant cost at 10x: two such windows were ~8 s of q66's 20 s).
+    * Total order (sim desc, id asc) matches the window tie-break, so the
+    * output is row-identical and the oracles keep the window form. */
+  private def topkPairs(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy(col("id_a"))
+      .agg(graft.functions.TopKSim.topk(k)(col("sim"), col("id_b")).as("top"))
+      .select(col("id_a"), posexplode(col("top")).as(Seq("i", "t")))
+      .select(col("id_a").as("vec_id"), (col("i") + 1).cast("int").as("rank"),
+        col("t.id").as("neighbor_id"), col("t.sim").as("sim"))
+
   /** Approximate top-k with a trained IVF index: candidates = (probe
     * cell of a) x (home cell of b) equi-join; a pair meets at most once
     * since b lives in exactly one cell. Exact cosine re-rank within. */
@@ -232,13 +246,11 @@ object Similarity {
       .select(col("vec_id").as("id_b"), col("qv").as("qb"), col("nrm").as("nb"), col("cent_id").as("cell"))
     val probes = ranked.filter(col("rn") <= nprobe)
       .select(col("vec_id").as("id_a"), col("qv").as("qa"), col("nrm").as("na"), col("cent_id").as("cell"))
-    val w = Window.partitionBy("id_a").orderBy(col("sim").desc, col("id_b").asc)
-    probes.join(members, Seq("cell"))
-      .filter(col("id_a") =!= col("id_b"))
-      .withColumn("sim", simCol)
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("id_a").as("vec_id"), col("rank"), col("id_b").as("neighbor_id"), col("sim"))
+    topkPairs(
+      probes.join(members, Seq("cell"))
+        .filter(col("id_a") =!= col("id_b"))
+        .withColumn("sim", simCol),
+      k)
   }
 
   // ----------------------------------------------------------------------
@@ -354,21 +366,20 @@ object Similarity {
     val probes = ranked.filter(col("rn") <= IvfNprobe)
       .select(col("vec_id").as("id_a"), col("qv").as("qa"), col("nrm").as("na"),
         col("cent_id").as("cell"), expr(atabExpr).as("atab"))
-    val wApprox = Window.partitionBy("id_a").orderBy(col("asim").desc, col("id_b").asc)
+    // ADC cut via the bounded aggregator: map-side ≤`candidates` pairs
+    // per query — no 50M-row rank-window sort (see topkPairs)
     val approx = probes.join(members, Seq("cell"))
       .filter(col("id_a") =!= col("id_b"))
-      .withColumn("asim", expr("CAST(pq_adc_sum(atab, codes) AS DOUBLE)") /
+      .withColumn("sim", expr("CAST(pq_adc_sum(atab, codes) AS DOUBLE)") /
         (sqrt(col("na").cast("double")) * sqrt(col("nrec").cast("double"))))
-      .withColumn("arank", row_number().over(wApprox))
-      .filter(col("arank") <= candidates)
+    val survivors = topkPairs(approx, candidates)
+      .select(col("vec_id").as("id_a"), col("neighbor_id").as("id_b"))
+    // exact re-rank of the ≤`candidates` survivors only
+    val a = q.select(col("vec_id").as("id_a"), col("qv").as("qa"), col("nrm").as("na"))
     val b = q.select(col("vec_id").as("id_b"), col("qv").as("qb"), col("nrm").as("nb"))
-    val wExact = Window.partitionBy("id_a").orderBy(col("sim").desc, col("id_b").asc)
-    approx.select("id_a", "qa", "na", "id_b")
-      .join(b, "id_b")
-      .withColumn("sim", simCol)
-      .withColumn("rank", row_number().over(wExact))
-      .filter(col("rank") <= k)
-      .select(col("id_a").as("vec_id"), col("rank"), col("id_b").as("neighbor_id"), col("sim"))
+    topkPairs(
+      survivors.join(a, "id_a").join(b, "id_b").withColumn("sim", simCol),
+      k)
   }
 
   private val simSql =

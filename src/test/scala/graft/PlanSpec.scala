@@ -83,6 +83,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange rangepartitioning"), "no range-partition sort for limit-k")
   }
 
+  test("q47: ANN top-k is a bounded partial aggregate, not a rank window") {
+    val p = plan("q47_knn_ivf")
+    assert(p.toLowerCase.contains("partial_topksim"),
+      "candidate cut must be map-side bounded aggregation")
+    assert(!p.contains("WindowGroupLimit") && !p.contains("Window"),
+      "no per-query rank window over the candidate pairs")
+  }
+
   test("q63: naive theta range join is auto-banded by the optimizer rule") {
     val p = plan("q63_range_join_auto")
     assert(!p.contains("NestedLoop"),
