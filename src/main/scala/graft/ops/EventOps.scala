@@ -167,6 +167,22 @@ object EventOps {
           .cast("double").as("sum_win"))
   }
 
+  /** Approximate distinct users per event type via Spark's built-in HLL
+    * sketches (Datasketches HLL_4): the streaming-mergeable sibling of
+    * exact countDistinct — per-partition sketches merge associatively, so
+    * the shuffle carries one ~KB sketch per group per partition no matter
+    * how many rows (the 100 TB cardinality shape; MisraGries is the same
+    * story for heavy hitters). NO DuckDB oracle ON PURPOSE: its
+    * approx_count_distinct is a different HLL implementation with
+    * different register hashing, so cross-engine values can't match —
+    * the correctness gate is the spec instead: estimates within 2% of
+    * exact on every group, and union-of-daily-sketches equal to the
+    * whole-corpus sketch (mergeability, the property that matters). */
+  def approxDistinctUsers(ev: DataFrame): DataFrame =
+    ev.groupBy("event_type")
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id))").as("approx_users"),
+        count(lit(1)).as("n_rows"))
+
   /** Events viewed as a per-user datapoint series (ms timestamps), so the
     * TEBIS series operators (gaps, resample) apply to the oracle tables. */
   def asSeries(ev: DataFrame): DataFrame =
@@ -299,6 +315,14 @@ object EventOps {
           count(*) OVER w AS n_win,
           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_win
         FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t_us
-          RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)"""))
+          RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""")),
+
+    // No oracle: DuckDB's approx_count_distinct is a different HLL — the
+    // estimates can't match cross-engine. Gated by OpsSpec instead
+    // (error bound vs exact + sketch mergeability). Driver records the
+    // weaker rows-only check, as the contract allows for such ops.
+    QueryDef("q70_approx_distinct_hll",
+      (s, d) => approxDistinctUsers(events(s, d)),
+      None)
   )
 }

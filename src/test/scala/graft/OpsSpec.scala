@@ -228,4 +228,28 @@ class OpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(banded.toSet == naive && naive.nonEmpty)
   }
+
+  test("q70 hll distinct: within 2% of exact per group; daily sketches merge losslessly") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.ops.EventOps.events(spark, dir)
+    val est = graft.ops.EventOps.approxDistinctUsers(ev).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = ev.groupBy("event_type").agg(countDistinct("user_id").as("u")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.keySet == exact.keySet)
+    exact.foreach { case (k, ex) =>
+      assert(math.abs(est(k) - ex) <= math.max(1.0, 0.02 * ex),
+        s"$k: est ${est(k)} vs exact $ex")
+    }
+    // mergeability: union of per-day sketches == whole-corpus sketch.
+    // This is THE property that makes sketches the 100 TB shape — a day's
+    // sketch is computed once and unions associatively into any rollup.
+    val daily = ev.withColumn("day", expr("ts DIV 86400000000000"))
+      .groupBy("event_type", "day").agg(expr("hll_sketch_agg(user_id)").as("sk"))
+      .groupBy("event_type")
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("merged"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(daily == est,
+      "union of daily sketches must equal the corpus sketch estimate")
+  }
 }
