@@ -105,14 +105,18 @@ object BandedRangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
       if (conjuncts.exists(isCrossEqui(_, left, right))) j
       else {
         val bounds = conjuncts.flatMap(asBound(_, left.outputSet, right.outputSet))
-        // tightest finite band per (lt, rt) attribute pair
+        // tightest finite band per (lt, rt) attribute pair; when several
+        // pairs qualify, prefer the NARROWEST band (fewest candidate
+        // pairs survive the bucket join), tie-broken by exprId so the
+        // chosen plan never depends on hash-map iteration order
         val band = bounds.groupBy(b => (b.lt.exprId, b.rt.exprId)).values.flatMap { bs =>
           val lowers = bs.filter(_.lower).map(_.k)
           val uppers = bs.filterNot(_.lower).map(_.k)
           if (lowers.nonEmpty && uppers.nonEmpty && lowers.max <= uppers.min)
             Some((bs.head.lt, bs.head.rt, lowers.max, uppers.min))
           else None
-        }.headOption
+        }.toSeq.sortBy { case (lt, rt, lo, hi) => (hi - lo, lt.exprId.id, rt.exprId.id) }
+          .headOption
         band match {
           case None => j
           case Some((lt, rt, lo, hi)) =>

@@ -108,6 +108,40 @@ class RangeJoinRuleSpec extends AnyFunSuite {
     assert(collected(j) == naive(rows(a), rows(b), (ta, tb) => tb == ta))
   }
 
+  test("property: random bounds and data — banded rows == naive rows, every case") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val caseGen = for {
+      na <- Gen.choose(5, 60); nb <- Gen.choose(5, 60)
+      sa <- Gen.choose(-900L, 900L); sb <- Gen.choose(-900L, 900L)
+      lo <- Gen.choose(-40L, 40L); width <- Gen.choose(0L, 80L)
+      strictLo <- Gen.oneOf(true, false); strictHi <- Gen.oneOf(true, false)
+    } yield (na, nb, sa, sb, lo, lo + width, strictLo, strictHi)
+    (0 until 40).foreach { i =>
+      caseGen.apply(Gen.Parameters.default, Seed(i.toLong)).foreach {
+        case (na, nb, sa, sb, lo, hi, strictLo, strictHi) =>
+          val a = table(na, sa); val b = table(nb, sb)
+          val loC = col("a.t") + lit(lo); val hiC = col("a.t") + lit(hi)
+          val cond =
+            (if (strictLo) col("b.t") > loC else col("b.t") >= loC) &&
+              (if (strictHi) col("b.t") < hiC else col("b.t") <= hiC)
+          val j = a.as("a").join(b.as("b"), cond).select(col("a.id"), col("b.id"))
+          j.collect()
+          val plan = j.queryExecution.executedPlan.toString
+          val expected = naive(rows(a), rows(b), (ta, tb) =>
+            (if (strictLo) tb > ta + lo else tb >= ta + lo) &&
+              (if (strictHi) tb < ta + hi else tb <= ta + hi))
+          assert(collected(j) == expected, s"case $i rows diverge")
+          // a non-degenerate band must actually be rewritten (degenerate =
+          // empty band after strictness adjustment)
+          val bandEmpty = (if (strictLo) lo + 1 else lo) > (if (strictHi) hi - 1 else hi)
+          if (!bandEmpty)
+            assert(plan.contains("__graft_band_bucket") && !plan.contains("BroadcastNestedLoopJoin"),
+              s"case $i not banded:\n$plan")
+      }
+    }
+  }
+
   test("plain SQL theta join through the extensions session is banded too") {
     table(90, 0).createOrReplaceTempView("ra")
     table(90, 21).createOrReplaceTempView("rb")
