@@ -195,7 +195,85 @@ object Corpus {
       SELECT term, count(*) AS df, list(doc_id ORDER BY doc_id) AS postings
       FROM pairs GROUP BY term"""
 
+  val PackCapacity = 256L
+
+  /** Concat-split sequence packing (the GPT-style "concatenate the shard,
+    * cut every C tokens" batching step): documents are laid end-to-end in
+    * doc_id order WITHIN each source shard, and each document is assigned
+    * to the fixed-capacity bin its first token lands in. Emits per-bin
+    * manifest stats (doc count, token count, id range) — the table a
+    * packing writer iterates.
+    *
+    * Scale shape: the only shuffle is one exchange on `source`, and the
+    * running sum is an incremental per-key window frame — linear, like
+    * q65's trailing window. Packing is deliberately PER-SHARD: a global
+    * concatenation order would funnel the corpus through one task's
+    * window (the q41 global-window lesson), while per-source packing is
+    * how multi-file training shards are actually laid out. Integer-only
+    * arithmetic — bin boundaries are portable across engines. */
+  def packSequences(spark: SparkSession, dir: String, capacity: Long = PackCapacity): DataFrame = {
+    val tk = t(spark, dir, "documents").select(col("source"), col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tok"))
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tk.withColumn("cum", sum(col("n_tok")).over(w))
+      .withColumn("bin", expr(s"(cum - n_tok) div $capacity"))
+      .groupBy("source", "bin")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+  }
+
+  def packSequencesSql(capacity: Long = PackCapacity): String =
+    s"""WITH tk AS (SELECT source, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+          FROM documents),
+      c AS (SELECT source, doc_id, n_tok,
+              sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+            FROM tk)
+      SELECT source, CAST((cum - n_tok) // $capacity AS BIGINT) AS bin,
+        count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      FROM c GROUP BY 1, 2"""
+
+  val ChunkSize = 32
+  val ChunkStride = 24
+
+  /** Overlapping token chunks (the RAG/embedding-prep step): each document
+    * is cut into windows of `ChunkSize` tokens every `ChunkStride` tokens
+    * (trailing chunk may be short), emitting one row per chunk with its
+    * stable id, token count, and content fingerprint.
+    *
+    * Scale shape: pure per-row expansion — `explode` multiplies rows by
+    * ~n/stride (that IS the output), all chunk columns are codegen'd
+    * functions of the bound `toks` array, and there is no shuffle at all:
+    * chunking pipelines directly between the scan and the sink. chunk_id
+    * is derived from the start offset (not an unnest ordinal), so the row
+    * set is deterministic under any partitioning. */
+  def chunkOverlap(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("start", explode(expr(s"sequence(1, size(toks), $ChunkStride)")))
+      .select(col("doc_id"),
+        expr(s"CAST((start - 1) div $ChunkStride AS BIGINT)").as("chunk_id"),
+        col("start").cast("long").as("start"),
+        expr(s"CAST(size(slice(toks, start, $ChunkSize)) AS BIGINT)").as("chunk_tokens"),
+        md5(expr(s"array_join(slice(toks, start, $ChunkSize), ' ')")).as("chunk_md5"))
+
+  val chunkOverlapSql: String =
+    s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      st AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks), $ChunkStride)) AS s FROM tk)
+      SELECT doc_id, CAST((s - 1) // $ChunkStride AS BIGINT) AS chunk_id, CAST(s AS BIGINT) AS start,
+        CAST(len(toks[s:s + ${ChunkSize - 1}]) AS BIGINT) AS chunk_tokens,
+        md5(array_to_string(toks[s:s + ${ChunkSize - 1}], ' ')) AS chunk_md5
+      FROM st"""
+
   val queries: Seq[QueryDef] = Seq(
+    QueryDef("q72_pack_sequences",
+      (s, d) => packSequences(s, d),
+      Some(packSequencesSql())),
+    QueryDef("q73_chunk_overlap",
+      (s, d) => chunkOverlap(s, d),
+      Some(chunkOverlapSql)),
     QueryDef("q56_heavy_tokens", (s, d) => heavyTokens(s, d), Some(heavyTokensSql)),
     QueryDef("q57_tfidf_topk", (s, d) => tfidfTopK(s, d, 3), Some(tfidfSql(3))),
     QueryDef("q58_inverted_index", (s, d) => invertedIndex(s, d), Some(invertedIndexSql)),

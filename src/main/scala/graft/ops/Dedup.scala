@@ -219,6 +219,70 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Benchmark/eval decontamination: test-split documents whose near-dup
+    * (n-gram Jaccard >= threshold) exists in the train split — the overlap
+    * check every serious pre-training pipeline runs before holding out an
+    * eval set. Split membership is the same md5 hash split as q38
+    * ([[Sampling.splitCase]]), so the check composes with the split the
+    * pipeline actually trains on.
+    *
+    * Scale shape: candidates come from the MinHash band equi-join exactly
+    * like [[minhashLshPairs]], but JOINED ACROSS SPLITS — the test side is
+    * ~10% of the corpus (and eval sets are tiny in practice), so AQE
+    * broadcasts the test-side band keys against the full train side;
+    * verification touches candidate pairs only. Output is grouped per test
+    * doc (contamination count + strongest match), bounded by the test
+    * split size. */
+  def decontaminate(docs: DataFrame, threshold: Double): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    QueryDef.cpuBound(docs.sparkSession)
+    val sh = shingled(docs)
+      .withColumn("split", expr(Sampling.splitCase("doc_id")))
+      .withColumn("sorted", sort_array(col("grams")))
+      .localCheckpoint()
+    val bands = sh
+      .select(col("doc_id"), col("split"),
+        explode(expr(s"minhash_bands(grams, $NumHashes, $Rows)")).as("bkey"))
+      .localCheckpoint()
+    val cands = bands.filter(col("split") === "test").as("a")
+      .join(bands.filter(col("split") === "train").as("b"), col("a.bkey") === col("b.bkey"))
+      .select(col("a.doc_id").as("test_id"), col("b.doc_id").as("train_id"))
+      .distinct()
+    cands
+      .join(sh.select(col("doc_id").as("test_id"), col("sorted").as("ga"),
+        size(col("grams")).cast("long").as("na")), "test_id")
+      .join(sh.select(col("doc_id").as("train_id"), col("sorted").as("gb"),
+        size(col("grams")).cast("long").as("nb")), "train_id")
+      .withColumn("inter", expr("sorted_intersect_count(ga, gb)"))
+      .withColumn("jaccard", col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .groupBy("test_id")
+      .agg(count(lit(1)).as("n_train_dups"), max(col("jaccard")).as("max_jaccard"))
+  }
+
+  def decontaminateSql(threshold: Double): String = {
+    val bandsSql = (0 until Bands).map { b =>
+      val parts = (1 to Rows).map(r => s"sig[${b * Rows + r}]").mkString(" || ")
+      s"md5('$b' || ':' || $parts)"
+    }.mkString(", ")
+    s"""WITH sh AS (SELECT doc_id, ${Sampling.splitCaseDuck("doc_id")} AS split,
+            $shinglesSql AS grams FROM documents),
+      sigs AS (SELECT doc_id, split, grams,
+          list_transform(range(0, $NumHashes),
+            j -> list_aggregate(list_transform(grams, g -> md5(CAST(j AS VARCHAR) || '|' || g)), 'min')) AS sig
+        FROM sh),
+      bands AS (SELECT doc_id, split, unnest([$bandsSql]) AS bkey FROM sigs),
+      cand AS (SELECT DISTINCT a.doc_id AS test_id, b.doc_id AS train_id
+        FROM bands a JOIN bands b ON a.bkey = b.bkey
+        WHERE a.split = 'test' AND b.split = 'train'),
+      v AS (SELECT c.test_id, c.train_id,
+          CAST(len(list_intersect(sa.grams, sb.grams)) AS DOUBLE)
+            / (len(sa.grams) + len(sb.grams) - len(list_intersect(sa.grams, sb.grams))) AS jaccard
+        FROM cand c JOIN sh sa ON sa.doc_id = c.test_id JOIN sh sb ON sb.doc_id = c.train_id)
+      SELECT test_id, count(*) AS n_train_dups, max(jaccard) AS max_jaccard
+      FROM v WHERE jaccard >= $threshold GROUP BY test_id"""
+  }
+
   /** Hex digits whose bit k is set, for k = 0..3 — turns md5 hex chars
     * into hash bits without any hex->int conversion. */
   private val HexBit = Array("13579bdf", "2367abef", "4567cdef", "89abcdef")
@@ -438,6 +502,10 @@ object Dedup {
         )
         SELECT node AS doc_id, CAST(MIN(lbl) AS BIGINT) AS cluster_id
         FROM walk GROUP BY node""")),
+
+    QueryDef("q74_decontaminate",
+      (s, d) => decontaminate(t(s, d, "documents"), 0.8),
+      Some(decontaminateSql(0.8))),
 
     QueryDef("q48_dedup_simhash_pairs",
       (s, d) => simhashPairs(t(s, d, "documents"), maxHamming = 3),

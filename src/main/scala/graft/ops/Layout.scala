@@ -1,0 +1,85 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.queries.QueryDef
+import graft.queries.QueryDef._
+
+/** Data-layout clustering: Z-order (Morton) keys for multi-dimensional
+  * file clustering. At 100 TB the dominant cost of any selective query is
+  * the files it CANNOT skip: a layout sorted on one column clusters that
+  * column perfectly and leaves every other filter a full scan. Writing
+  * sorted by the interleaved Z-key instead shrinks per-file min/max ranges
+  * on BOTH dimensions (~sqrt(nFiles) each), so footer/metadata pruning
+  * works for either predicate — the standard lakehouse clustering
+  * technique (see Delta/Iceberg OPTIMIZE ZORDER; implemented here from
+  * the Morton-code definition).
+  *
+  * The key is a pure per-row integer fold (codegen'd, no shuffle); the
+  * layout effect — writers produce zkey-ordered files via
+  * `df.repartitionByRange(n, zkey).sortWithinPartitions(zkey)` — is
+  * asserted by LayoutSpec against a real two-layout parquet write. */
+object Layout {
+
+  /** Bits interleaved per dimension; 16+16 → the key fits in an int64
+    * with room to widen to 3 dimensions before overflow. */
+  val ZBits = 16
+
+  /** Morton interleave of the low [[ZBits]] bits of two non-negative
+    * integer columns: bit i of `x` lands at key bit 2i, bit i of `y` at
+    * 2i+1. One codegen'd integer fold per row.
+    *
+    * Callers must first bucket both values onto grids of COMPARABLE
+    * bit-width (scale `(v - min) * G / (max - min)`, or a range-partition
+    * rank at scale — min/max are one metadata-cheap agg): interleaving
+    * raw values whose magnitudes differ puts the wide dimension's bits
+    * above all of the narrow one's, and the key degenerates to a
+    * single-column sort. Clustering needs only coarse rank, not full
+    * precision — LayoutSpec drives both dims onto an 8-bit grid. */
+  def zorderKeyExpr(x: String, y: String): String =
+    s"""aggregate(sequence(0, ${ZBits - 1}), 0L,
+        (acc, i) -> acc + shiftleft(shiftright(CAST($x AS BIGINT), i) & 1, 2 * i)
+                        + shiftleft(shiftright(CAST($y AS BIGINT), i) & 1, 2 * i + 1))"""
+
+  /** DuckDB twin of [[zorderKeyExpr]]. */
+  def zorderKeySql(x: String, y: String): String =
+    s"""list_sum(list_transform(generate_series(0, ${ZBits - 1}),
+        i -> (((CAST($x AS BIGINT) >> i) & 1) << (2 * i))
+           + (((CAST($y AS BIGINT) >> i) & 1) << (2 * i + 1))))"""
+
+  /** Coarse Z-bucket granularity: zkey >> 18 ⇒ buckets of 512×512 cells
+    * in (x, y) space — file-sized regions at the bench scale. */
+  val ZBucketShift = 18
+
+  /** Per-Z-bucket clustering stats over `orders`, keyed on
+    * (customer, order epoch-day): the manifest a zkey-ordered writer
+    * produces, and the evidence that each bucket is narrow in BOTH
+    * dimensions. Integer-only — portable. */
+  def zorderStats(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .select(col("o_orderkey"),
+        expr("CAST(o_custkey & 65535 AS BIGINT)").as("x"),
+        expr("CAST(datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') & 65535 AS BIGINT)").as("y"))
+      .withColumn("zkey", expr(zorderKeyExpr("x", "y")))
+      .groupBy(expr(s"CAST(shiftright(zkey, $ZBucketShift) AS BIGINT)").as("zbucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("x")).as("min_cust"), max(col("x")).as("max_cust"),
+        min(col("y")).as("min_day"), max(col("y")).as("max_day"))
+
+  val zorderStatsSql: String =
+    s"""WITH z AS (SELECT o_orderkey,
+          (o_custkey & 65535) AS x,
+          (date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) & 65535) AS y
+        FROM orders),
+      k AS (SELECT o_orderkey, x, y, ${zorderKeySql("x", "y")} AS zkey FROM z)
+      SELECT CAST(zkey >> $ZBucketShift AS BIGINT) AS zbucket, count(*) AS n,
+        CAST(min(x) AS BIGINT) AS min_cust, CAST(max(x) AS BIGINT) AS max_cust,
+        CAST(min(y) AS BIGINT) AS min_day, CAST(max(y) AS BIGINT) AS max_day
+      FROM k GROUP BY 1"""
+
+  val queries: Seq[QueryDef] = Seq(
+    QueryDef("q75_zorder_stats",
+      (s, d) => zorderStats(s, d),
+      Some(zorderStatsSql)))
+}

@@ -40,20 +40,27 @@ object Sampling {
   val TrainMax = 52429 // 0xcccd ~ 80.0%
   val ValMax = 58982 // 0xe666 ~ 90.0%
 
-  def hashSplit(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), col("lang"),
-      expr(s"""CASE WHEN ${bucket("doc_id")} < ${hex(TrainMax)} THEN 'train'
-                    WHEN ${bucket("doc_id")} < ${hex(ValMax)} THEN 'val'
-                    ELSE 'test' END""").as("split"))
+  /** Split-assignment CASE over an id column — single source of truth for
+    * every operator keyed on split membership (hashSplit here,
+    * Dedup.decontaminate). Spark flavor; [[splitCaseDuck]] is the twin. */
+  private[ops] def splitCase(idCol: String): String =
+    s"""CASE WHEN ${bucket(idCol)} < ${hex(TrainMax)} THEN 'train'
+             WHEN ${bucket(idCol)} < ${hex(ValMax)} THEN 'val'
+             ELSE 'test' END"""
 
-  def hashSplitSql: String = {
-    val b = "substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)"
-    s"""SELECT doc_id, lang,
-        CASE WHEN $b < ${hex(TrainMax)} THEN 'train'
+  private[ops] def splitCaseDuck(idCol: String): String = {
+    val b = s"substr(md5(CAST($idCol AS VARCHAR)), 1, 4)"
+    s"""CASE WHEN $b < ${hex(TrainMax)} THEN 'train'
              WHEN $b < ${hex(ValMax)} THEN 'val'
-             ELSE 'test' END AS split
-        FROM documents"""
+             ELSE 'test' END"""
   }
+
+  def hashSplit(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("lang"), expr(splitCase("doc_id")).as("split"))
+
+  def hashSplitSql: String =
+    s"""SELECT doc_id, lang, ${splitCaseDuck("doc_id")} AS split
+        FROM documents"""
 
   /** Composite c4-style quality filter: integer-exact predicates only
     * (cross-multiplied ratios — no doubles, so the cut is portable).

@@ -119,6 +119,46 @@ object TextStats {
           transform(sequence(1, length(text)), i -> CAST(ascii(substr(text, i, 1)) AS BIGINT)),
           0L, (a, x) -> (a * 31 + x) % 1000000007)""").as("fp"))
 
+  /** Gopher/C4-style repetition signals: the fraction of word tokens and
+    * of word bigrams that are repeats of an earlier occurrence in the same
+    * document. High values flag boilerplate/templated text — the classic
+    * pre-training quality cut alongside [[quality]]. Derived doubles come
+    * from exact integer counts (identical operands ⇒ identical IEEE
+    * results in any engine). Per-row only — `toks`/`bigrams` are bound
+    * columns so nothing re-evaluates per lambda element; linear in
+    * document length, no shuffle, embarrassingly parallel at 100 TB. */
+  def repetitionSignals(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("bigrams", expr(
+        """zip_with(slice(toks, 1, size(toks) - 1),
+                    slice(toks, 2, size(toks) - 1),
+                    (a, b) -> concat(a, ' ', b))"""))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(array_distinct(col("toks"))).cast("long").as("n_distinct"),
+        size(col("bigrams")).cast("long").as("n_bigrams"),
+        size(array_distinct(col("bigrams"))).cast("long").as("n_distinct_bigrams"))
+      .withColumn("dup_token_frac",
+        (col("n_tokens") - col("n_distinct")).cast("double") / col("n_tokens"))
+      .withColumn("dup_bigram_frac",
+        when(col("n_bigrams") === 0, lit(0.0))
+          .otherwise((col("n_bigrams") - col("n_distinct_bigrams")).cast("double") / col("n_bigrams")))
+
+  val repetitionSignalsSql: String =
+    """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      b AS (SELECT doc_id, toks,
+              list_transform(generate_series(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1]) AS bigrams
+            FROM tk)
+      SELECT doc_id,
+        CAST(len(toks) AS BIGINT) AS n_tokens,
+        CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+        CAST(len(bigrams) AS BIGINT) AS n_bigrams,
+        CAST(len(list_distinct(bigrams)) AS BIGINT) AS n_distinct_bigrams,
+        CAST(len(toks) - len(list_distinct(toks)) AS DOUBLE) / len(toks) AS dup_token_frac,
+        CASE WHEN len(bigrams) = 0 THEN 0.0
+             ELSE CAST(len(bigrams) - len(list_distinct(bigrams)) AS DOUBLE) / len(bigrams) END AS dup_bigram_frac
+      FROM b"""
+
   /** Corpus frequency table: top-k word bigrams per language (fully
     * tie-broken). Explode + one aggregation + windowed top-n — the
     * standard n-gram statistics shape at any scale. */
@@ -191,6 +231,10 @@ object TextStats {
       (s, d) => fingerprintMd5(t(s, d, "documents")),
       Some("""SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
         FROM documents""")),
+
+    QueryDef("q71_repetition_signals",
+      (s, d) => repetitionSignals(t(s, d, "documents")),
+      Some(repetitionSignalsSql)),
 
     QueryDef("q35_fingerprint_rolling",
       (s, d) => fingerprintRolling(t(s, d, "documents")),

@@ -441,6 +441,73 @@ object CoreQueries {
           cov_n / (sqrt(varx_n) * sqrt(vary_n)) AS corr_qp,
           cov_n / varx_n AS slope,
           (sy - (cov_n / varx_n) * sx) / nn AS intercept
-        FROM b"""))
+        FROM b""")),
+
+    // MODE + MEDIAN per group. Spark's mode() is tie-nondeterministic
+    // (and DuckDB's picks first-encountered), so the mode here is the
+    // explicit argmax — count per value, rank by (count desc, value asc),
+    // take rank 1 — which IS deterministic and engine-portable. The rank
+    // window partitions by nation over the ≤|priorities| counted rows,
+    // never the raw orders. Median reuses the exact interpolated
+    // percentile whose DuckDB parity q59 established.
+    QueryDef("q76_mode_median",
+      (s, d) => {
+        val o = t(s, d, "orders")
+          .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+          .select(col("n_name"), col("o_orderpriority"), col("o_totalprice"))
+        val cnt = o.groupBy("n_name", "o_orderpriority").agg(count(lit(1)).as("cnt"))
+        val w = Window.partitionBy("n_name").orderBy(col("cnt").desc, col("o_orderpriority").asc)
+        val md = cnt.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+          .select(col("n_name"), col("o_orderpriority").as("mode_priority"))
+        val med = o.groupBy("n_name").agg(
+          expr("percentile(CAST(o_totalprice AS DOUBLE), 0.5D)").as("median_price"),
+          count(lit(1)).as("n_orders"))
+        md.join(med, "n_name")
+      },
+      Some("""WITH o AS (SELECT n.n_name, ord.o_orderpriority, ord.o_totalprice
+            FROM orders ord JOIN customer c ON ord.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey),
+        cnt AS (SELECT n_name, o_orderpriority, count(*) AS cnt FROM o GROUP BY 1, 2),
+        md AS (SELECT n_name, o_orderpriority AS mode_priority,
+                 row_number() OVER (PARTITION BY n_name ORDER BY cnt DESC, o_orderpriority) AS rk
+               FROM cnt),
+        med AS (SELECT n_name, quantile_cont(CAST(o_totalprice AS DOUBLE), 0.5) AS median_price,
+                  count(*) AS n_orders FROM o GROUP BY 1)
+        SELECT md.n_name, md.mode_priority, med.median_price, med.n_orders
+        FROM md JOIN med USING (n_name) WHERE md.rk = 1""")),
+
+    // Rank-family window suite: percent_rank / cume_dist / nth_value /
+    // first_value / last_value in one pass per supplier. The ordering is
+    // fully tie-broken (price, orderkey, linenumber), so RANGE and ROWS
+    // frames coincide and both engines see identical frames; full-frame
+    // functions (nth/last) state ROWS UNBOUNDED..UNBOUNDED explicitly.
+    // percent_rank/cume_dist are single-division doubles of exact ranks —
+    // portable. One exchange on l_suppkey + per-group sort, like q60.
+    QueryDef("q77_window_suite",
+      (s, d) => {
+        val wOrd = Window.partitionBy("l_suppkey")
+          .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+        val wFull = wOrd.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        t(s, d, "lineitem").select(
+          col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          percent_rank().over(wOrd).as("pr"),
+          cume_dist().over(wOrd).as("cd"),
+          nth_value(col("l_extendedprice"), 3).over(wFull).as("third_price"),
+          first_value(col("l_extendedprice")).over(wOrd).as("min_price"),
+          last_value(col("l_extendedprice")).over(wFull).as("max_price"))
+      },
+      Some("""SELECT l_suppkey, l_orderkey, l_linenumber,
+          percent_rank() OVER w AS pr,
+          cume_dist() OVER w AS cd,
+          nth_value(l_extendedprice, 3) OVER
+            (PARTITION BY l_suppkey ORDER BY l_extendedprice, l_orderkey, l_linenumber
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS third_price,
+          first_value(l_extendedprice) OVER w AS min_price,
+          last_value(l_extendedprice) OVER
+            (PARTITION BY l_suppkey ORDER BY l_extendedprice, l_orderkey, l_linenumber
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS max_price
+        FROM lineitem
+        WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_extendedprice, l_orderkey, l_linenumber)"""))
   )
 }

@@ -252,4 +252,91 @@ class OpsSpec extends AnyFunSuite {
     assert(daily == est,
       "union of daily sketches must equal the corpus sketch estimate")
   }
+
+  test("q71 repetition: fractions in [0,1]; bigram count = token count - 1; dup text maxes out") {
+    import org.apache.spark.sql.functions._
+    val r = TextStats.repetitionSignals(docs).collect()
+    assert(r.length == docs.count())
+    r.foreach { row =>
+      val (nt, nb) = (row.getAs[Long]("n_tokens"), row.getAs[Long]("n_bigrams"))
+      assert(nb == math.max(nt - 1, 0L))
+      val (dt, db) = (row.getAs[Double]("dup_token_frac"), row.getAs[Double]("dup_bigram_frac"))
+      assert(dt >= 0.0 && dt <= 1.0 && db >= 0.0 && db <= 1.0)
+    }
+    // a document that is one phrase repeated has dup fractions near 1
+    val spam = spark.createDataFrame(Seq((1L, Seq.fill(50)("buy now").mkString(" "))))
+      .toDF("doc_id", "text")
+    val s = TextStats.repetitionSignals(spam).collect().head
+    assert(s.getAs[Double]("dup_token_frac") > 0.9)
+    assert(s.getAs[Double]("dup_bigram_frac") > 0.9)
+  }
+
+  test("q72 packing: bins conserve tokens and docs per source; no bin starts past capacity runout") {
+    import org.apache.spark.sql.functions._
+    val bins = Corpus.packSequences(spark, dir).collect()
+    val totals = docs.groupBy("source")
+      .agg(sum(size(split(col("text"), " ")).cast("long")).as("tok"), count(lit(1)).as("docs"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val bySource = bins.groupBy(_.getAs[String]("source"))
+    assert(bySource.keySet == totals.keySet)
+    bySource.foreach { case (src, rows) =>
+      assert(rows.map(_.getAs[Long]("n_tokens")).sum == totals(src)._1, s"$src token conservation")
+      assert(rows.map(_.getAs[Long]("n_docs")).sum == totals(src)._2, s"$src doc conservation")
+      // bin ids are the dense floor(cumstart/C) range: start at 0, no gaps
+      val ids = rows.map(_.getAs[Long]("bin")).sorted
+      assert(ids.head == 0L && ids.zip(ids.tail).forall { case (a, b) => b - a == 1 })
+    }
+  }
+
+  test("q73 chunking: stride coverage is exact and chunks reconstruct the document") {
+    import org.apache.spark.sql.functions._
+    val chunks = Corpus.chunkOverlap(spark, dir).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    val texts = docs.collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(chunks.keySet == texts.keySet)
+    texts.foreach { case (id, text) =>
+      val toks = text.split(" ")
+      val expected = 1 + (toks.length - 1) / Corpus.ChunkStride
+      val rows = chunks(id).sortBy(_.getAs[Long]("chunk_id"))
+      assert(rows.length == expected, s"doc $id chunk count")
+      rows.foreach { r =>
+        val start = r.getAs[Long]("start").toInt
+        val body = toks.slice(start - 1, start - 1 + Corpus.ChunkSize)
+        assert(r.getAs[Long]("chunk_tokens") == body.length)
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(body.mkString(" ").getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        assert(r.getAs[String]("chunk_md5") == md, s"doc $id start $start")
+      }
+      // strides tile the doc: every chunk is full-size or runs to the end,
+      // and the last chunk reaches the final token
+      rows.foreach { r =>
+        val start = r.getAs[Long]("start")
+        assert(r.getAs[Long]("chunk_tokens") ==
+          math.min(Corpus.ChunkSize.toLong, toks.length - start + 1))
+      }
+      val last = rows.last
+      assert(last.getAs[Long]("start") + last.getAs[Long]("chunk_tokens") - 1 == toks.length)
+    }
+  }
+
+  test("q74 decontamination == cross-split subset of the full LSH pair mine") {
+    import org.apache.spark.sql.functions._
+    val split = Sampling.hashSplit(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    // ground truth from the symmetric pair miner: unordered near-dup pairs
+    // with one end in test, the other in train
+    val pairs = Dedup.minhashLshPairs(docs, 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val expect = pairs.flatMap { case (a, b, j) =>
+      Seq((a, b, j), (b, a, j)).collect {
+        case (t, tr, jj) if split(t) == "test" && split(tr) == "train" => (t, jj)
+      }
+    }.groupBy(_._1).map { case (t, hits) => t -> (hits.length.toLong, hits.map(_._2).max) }
+    val got = Dedup.decontaminate(docs, 0.8).collect()
+      .map(r => r.getAs[Long]("test_id") ->
+        (r.getAs[Long]("n_train_dups"), r.getAs[Double]("max_jaccard"))).toMap
+    assert(got == expect)
+    assert(got.nonEmpty) // the corpus plants cross-split near-dups
+  }
 }
