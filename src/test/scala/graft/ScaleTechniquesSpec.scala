@@ -71,4 +71,40 @@ class ScaleTechniquesSpec extends AnyFunSuite {
         s"AQE must mark the skewed join split:\n$plan")
     }
   }
+
+  test("runtime bloom filter from a filtered dim prunes the fact side pre-shuffle") {
+    // The third leg of the scale matrix: when a shuffle join's build side
+    // carries a selective filter, Catalyst injects a bloom filter of the
+    // surviving keys into the probe side's scan (InjectRuntimeFilter) —
+    // at 100 TB that's the difference between shuffling the whole fact
+    // table and shuffling the ~matching sliver. Thresholds here only
+    // scale the heuristic to test-sized inputs; the rewrite itself is
+    // stock Spark.
+    val dim = spark.read.parquet(s"$dir/customer.parquet").filter(col("c_acctbal") > 9000)
+    val fact = spark.read.parquet(s"$dir/orders.parquet")
+    def join() = fact.join(dim, col("o_custkey") === col("c_custkey"))
+    withConfs(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB") {
+      val j = join()
+      val plan = j.queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain") && plan.contains("bloom_filter_agg"),
+        s"bloom filter must be injected on the fact side:\n${plan.take(1500)}")
+      val filtered = j.collect().map(_.getAs[Long]("o_orderkey")).sorted
+      val baseline = withConfsResult(
+        "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "false") {
+        join().collect().map(_.getAs[Long]("o_orderkey")).sorted
+      }
+      assert(filtered.sameElements(baseline) && filtered.nonEmpty,
+        "bloom pruning must not change the join result")
+    }
+  }
+
+  private def withConfsResult[A](kvs: (String, String)*)(body: => A): A = {
+    var out: Option[A] = None
+    withConfs(kvs: _*) { out = Some(body) }
+    out.get
+  }
 }
