@@ -21,6 +21,15 @@ object Bench {
   private def clearSessionDebris(spark: SparkSession): Unit =
     SessionHygiene.clear(spark)
 
+  /** Evaluate EVERY output column of the frame without collecting it.
+    * `count()` is not a benchmark action: Catalyst prunes columns the
+    * count doesn't need, which drops whole Project pipelines and even
+    * entire Window operators from projection-only queries (q77's 6M-row
+    * window "ran" in scan time). The noop data source is Spark's
+    * purpose-built benchmarking sink — full evaluation, zero I/O. */
+  private def evaluate(df: org.apache.spark.sql.DataFrame): Unit =
+    df.write.mode("overwrite").format("noop").save()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -50,7 +59,7 @@ object Bench {
     // what carries over is the compiled-class cache.
     val warmDir = "/root/testdata/sf0.001"
     SparkEntry.queries.values.foreach { fn =>
-      try { fn(spark, warmDir).count(); () } catch { case _: Throwable => () }
+      try { evaluate(fn(spark, warmDir)) } catch { case _: Throwable => () }
     }
     clearSessionDebris(spark)
 
@@ -60,7 +69,7 @@ object Bench {
     for (iter <- 1 to iters; name <- names) {
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+      val ok = try { evaluate(fn(spark, sfDir)); true } catch { case _: Throwable => false }
       val sec = (System.nanoTime() - t0) / 1e9
       val v = if (ok) sec else { fails(name) += 1; Double.MaxValue }
       best(name) = math.min(best.getOrElse(name, Double.MaxValue), v)

@@ -232,7 +232,13 @@ object Dedup {
     * broadcasts the test-side band keys against the full train side;
     * verification touches candidate pairs only. Output is grouped per test
     * doc (contamination count + strongest match), bounded by the test
-    * split size. */
+    * split size.
+    *
+    * SCALE.md lesson 1 applies here too: candidate volume is
+    * test-dups × train-dups per duplicate text (measured 10x on the
+    * replicated corpus: 44 → 5,066 contaminated docs, 1.6 s → 15.7 s), so
+    * a duplicate-heavy corpus should run [[exact]] first and decontaminate
+    * the representatives, exactly like q52's representative pair mine. */
   def decontaminate(docs: DataFrame, threshold: Double): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     QueryDef.cpuBound(docs.sparkSession)

@@ -191,7 +191,55 @@ object EventOps {
       expr("ts DIV 1000000").as("timestampMs"),
       col("value"))
 
+  /** Funnel step window: a step must follow the previous one within 2 h. */
+  val FunnelWindowUs = 7200L * 1000000L
+
+  /** Time-bounded conversion funnel (view → click → purchase) per user:
+    * the first view, the first click within [[FunnelWindowUs]] AFTER that
+    * view, the first purchase within the window after THAT click, and the
+    * stage reached (1–3). The strict ordering chain is the semantics; the
+    * per-step timestamps prove it.
+    *
+    * Scale shape: three user_id-keyed partial-aggregated groupBys plus
+    * two equi-joins whose right sides are one-row-per-user aggregates
+    * (AQE broadcasts them while small, shuffles on user_id past that) —
+    * no window over raw events, no state. The left joins at the end touch
+    * only per-user rows. Integer microsecond arithmetic — portable. */
+  def funnelStages(ev: DataFrame): DataFrame = {
+    val e = ev.select(col("user_id"), col("event_type"), expr("ts DIV 1000").as("t"))
+    val v = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("t")).as("v_ts"))
+    val c = e.join(v, "user_id")
+      .filter(col("event_type") === "click" &&
+        col("t") > col("v_ts") && col("t") <= col("v_ts") + FunnelWindowUs)
+      .groupBy("user_id").agg(min(col("t")).as("c_ts"))
+    val p = e.join(c, "user_id")
+      .filter(col("event_type") === "purchase" &&
+        col("t") > col("c_ts") && col("t") <= col("c_ts") + FunnelWindowUs)
+      .groupBy("user_id").agg(min(col("t")).as("p_ts"))
+    v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+      .select(col("user_id"), col("v_ts"), col("c_ts"), col("p_ts"),
+        (lit(1L) + when(col("c_ts").isNull, lit(0L)).otherwise(lit(1L))
+          + when(col("p_ts").isNull, lit(0L)).otherwise(lit(1L))).as("stage"))
+  }
+
+  def funnelStagesSql: String =
+    s"""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
+      v AS (SELECT user_id, min(t) AS v_ts FROM e WHERE event_type = 'view' GROUP BY 1),
+      c AS (SELECT e.user_id, min(t) AS c_ts FROM e JOIN v USING (user_id)
+            WHERE event_type = 'click' AND t > v_ts AND t <= v_ts + $FunnelWindowUs GROUP BY 1),
+      p AS (SELECT e.user_id, min(t) AS p_ts FROM e JOIN c USING (user_id)
+            WHERE event_type = 'purchase' AND t > c_ts AND t <= c_ts + $FunnelWindowUs GROUP BY 1)
+      SELECT v.user_id, v.v_ts, c.c_ts, p.p_ts,
+        CAST(1 + CASE WHEN c.c_ts IS NULL THEN 0 ELSE 1 END
+               + CASE WHEN p.p_ts IS NULL THEN 0 ELSE 1 END AS BIGINT) AS stage
+      FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)"""
+
   val queries: Seq[QueryDef] = Seq(
+    QueryDef("q78_funnel_stages",
+      (s, d) => funnelStages(events(s, d)),
+      Some(funnelStagesSql)),
+
     QueryDef("q25_resample_events",
       (s, d) => graft.tebis.Datapoints.resample(asSeries(events(s, d)), 3600000L)
         .select(col("externalId").cast("long").as("user_id"), col("gridTs"), col("value")),

@@ -26,9 +26,23 @@ object Layout {
     * with room to widen to 3 dimensions before overflow. */
   val ZBits = 16
 
+  /** Bit-spread step masks: after the four doubling steps, the 16 input
+    * bits sit at even positions 0,2,…,30 of an int64. */
+  private val SpreadSteps: Seq[(Int, Long)] = Seq(
+    8 -> 0x00FF00FFL, 4 -> 0x0F0F0F0FL, 2 -> 0x33333333L, 1 -> 0x55555555L)
+
+  private def spread(v: String, shiftSql: (String, Int) => String): String =
+    SpreadSteps.foldLeft(s"(CAST($v AS BIGINT) & 65535)") { case (e, (sh, mask)) =>
+      s"(($e | ${shiftSql(e, sh)}) & $mask)"
+    }
+
   /** Morton interleave of the low [[ZBits]] bits of two non-negative
     * integer columns: bit i of `x` lands at key bit 2i, bit i of `y` at
-    * 2i+1. One codegen'd integer fold per row.
+    * 2i+1. Branch-free parallel-prefix bit spread (the textbook
+    * magic-mask form — 4 shift/or/and steps per dimension instead of a
+    * 16-iteration fold; codegen CSE evaluates each step once), identical
+    * output to the fold definition [[zorderKeyFoldExpr]] (LayoutSpec
+    * locks the equivalence).
     *
     * Callers must first bucket both values onto grids of COMPARABLE
     * bit-width (scale `(v - min) * G / (max - min)`, or a range-partition
@@ -37,16 +51,25 @@ object Layout {
     * above all of the narrow one's, and the key degenerates to a
     * single-column sort. Clustering needs only coarse rank, not full
     * precision — LayoutSpec drives both dims onto an 8-bit grid. */
-  def zorderKeyExpr(x: String, y: String): String =
+  def zorderKeyExpr(x: String, y: String): String = {
+    val sx = spread(x, (e, s) => s"shiftleft($e, $s)")
+    val sy = spread(y, (e, s) => s"shiftleft($e, $s)")
+    s"($sx + 2 * $sy)"
+  }
+
+  /** DuckDB twin of [[zorderKeyExpr]] (same spread, `<<` syntax). */
+  def zorderKeySql(x: String, y: String): String = {
+    val sx = spread(x, (e, s) => s"($e << $s)")
+    val sy = spread(y, (e, s) => s"($e << $s)")
+    s"($sx + 2 * $sy)"
+  }
+
+  /** Definitional fold form — one bit at a time; the semantic spec for
+    * [[zorderKeyExpr]], locked equal by LayoutSpec. */
+  def zorderKeyFoldExpr(x: String, y: String): String =
     s"""aggregate(sequence(0, ${ZBits - 1}), 0L,
         (acc, i) -> acc + shiftleft(shiftright(CAST($x AS BIGINT), i) & 1, 2 * i)
                         + shiftleft(shiftright(CAST($y AS BIGINT), i) & 1, 2 * i + 1))"""
-
-  /** DuckDB twin of [[zorderKeyExpr]]. */
-  def zorderKeySql(x: String, y: String): String =
-    s"""list_sum(list_transform(generate_series(0, ${ZBits - 1}),
-        i -> (((CAST($x AS BIGINT) >> i) & 1) << (2 * i))
-           + (((CAST($y AS BIGINT) >> i) & 1) << (2 * i + 1))))"""
 
   /** Coarse Z-bucket granularity: zkey >> 18 ⇒ buckets of 512×512 cells
     * in (x, y) space — file-sized regions at the bench scale. */

@@ -508,6 +508,26 @@ object CoreQueries {
             (PARTITION BY l_suppkey ORDER BY l_extendedprice, l_orderkey, l_linenumber
              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS max_price
         FROM lineitem
-        WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_extendedprice, l_orderkey, l_linenumber)"""))
+        WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_extendedprice, l_orderkey, l_linenumber)""")),
+
+    // Approximate percentiles — the 100 TB twin of q59's exact
+    // `percentile`: the Greenwald–Khanna summary is a BOUNDED mergeable
+    // buffer (≤ O(accuracy) entries per partial), so the shuffle carries
+    // sketch bytes instead of every group value — corpus-wide quantiles
+    // stop being the one aggregate that buffers the whole table. No
+    // DuckDB oracle (its approx quantile is a differently-seeded
+    // t-digest; cross-engine sketches can't hash-match by design, same
+    // rationale as q70) — driver records the rows-only check and
+    // CorpusSpec locks the rank-error guarantee against q59's exact
+    // percentiles.
+    QueryDef("q79_approx_percentiles",
+      (s, d) => t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          expr("approx_percentile(CAST(l_extendedprice AS DOUBLE), array(0.5D, 0.95D), 1000)").as("ap"),
+          count(lit(1)).as("n_rows"))
+        .select(col("l_returnflag"),
+          col("ap").getItem(0).as("ap50"), col("ap").getItem(1).as("ap95"), col("n_rows")),
+      None)
   )
 }

@@ -101,6 +101,27 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("q79 approx percentiles honor the GK rank-error bound vs exact order stats") {
+    val rows = SparkEntry.queries("q79_approx_percentiles")(spark, dir).collect()
+    val byFlag = graft.queries.QueryDef.t(spark, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_extendedprice").cast("double"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sorted }
+    assert(rows.map(_.getString(0)).toSet == byFlag.keySet)
+    rows.foreach { r =>
+      val sorted = byFlag(r.getString(0))
+      val n = sorted.length
+      // accuracy=1000 guarantees rank error <= n/1000; assert with slack 2x
+      def rankOk(v: Double, q: Double): Boolean = {
+        val rank = sorted.count(_ <= v)
+        math.abs(rank - q * n) <= math.max(2.0 * n / 1000.0, 1.0)
+      }
+      assert(rankOk(r.getAs[Double]("ap50"), 0.5), s"${r.getString(0)} ap50")
+      assert(rankOk(r.getAs[Double]("ap95"), 0.95), s"${r.getString(0)} ap95")
+      assert(r.getAs[Long]("n_rows") == n.toLong)
+    }
+  }
+
   test("group ntile: tiles balanced (sizes differ by <= 1, larger tiles first)") {
     val rows = SparkEntry.queries("q60_group_ntile")(spark, dir).collect()
     rows.groupBy(_.getAs[Long]("l_suppkey")).values.foreach { rs =>

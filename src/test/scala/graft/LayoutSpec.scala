@@ -24,8 +24,11 @@ class LayoutSpec extends AnyFunSuite {
     val pts = Seq.tabulate(200)(_ => (rnd.nextInt(65536).toLong, rnd.nextInt(65536).toLong))
     val df = spark.createDataFrame(pts).toDF("x", "y")
       .withColumn("zkey", expr(Layout.zorderKeyExpr("x", "y")))
+      .withColumn("zfold", expr(Layout.zorderKeyFoldExpr("x", "y")))
     df.collect().foreach { r =>
       assert(r.getAs[Long]("zkey") == mortonRef(r.getAs[Long]("x"), r.getAs[Long]("y")))
+      // magic-mask spread == definitional one-bit-at-a-time fold
+      assert(r.getAs[Long]("zfold") == r.getAs[Long]("zkey"))
     }
     // interleave is a bijection on the 16+16-bit grid: distinct points,
     // distinct keys
