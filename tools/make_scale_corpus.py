@@ -39,7 +39,19 @@ PRT = max_of("part", "p_partkey")
 
 copy_union("documents", lambda k: f"SELECT doc_id + {k * DOC} AS doc_id, text, lang, source, n_chars FROM {src('documents')}")
 copy_union("embeddings", lambda k: f"SELECT vec_id + {k * VEC} AS vec_id, embedding, label FROM {src('embeddings')}")
-copy_union("events", lambda k: f"SELECT event_id + {k * EVT} AS event_id, ts, user_id + {k * USR} AS user_id, event_type, value, props FROM {src('events')}")
+# testdata events.ts is parquet timestamp[ns] (the engine reads it with
+# nanosAsLong) — DuckDB's parquet writer downcasts to us, so route events
+# through pyarrow to keep the replica at ns like the real corpus
+import pyarrow as pa
+import pyarrow.parquet as pq
+ev_parts = " UNION ALL ".join(
+    f"SELECT event_id + {k * EVT} AS event_id, ts, user_id + {k * USR} AS user_id,"
+    f" event_type, value, props FROM {src('events')}" for k in range(K))
+ev = con.execute(ev_parts).arrow()
+i = ev.schema.get_field_index("ts")
+ev = ev.set_column(i, pa.field("ts", pa.timestamp("ns")), ev["ts"].cast(pa.timestamp("ns")))
+pq.write_table(ev, f"{OUT}/events.parquet")
+print(f"events: {ev.num_rows} rows (ns ts)")
 copy_union("customer", lambda k: f"SELECT c_custkey + {k * CUS} AS c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM {src('customer')}")
 copy_union("orders", lambda k: f"SELECT o_orderkey + {k * ORD} AS o_orderkey, o_custkey + {k * CUS} AS o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority FROM {src('orders')}")
 copy_union("supplier", lambda k: f"SELECT s_suppkey + {k * SUP} AS s_suppkey, s_name, s_nationkey, s_acctbal FROM {src('supplier')}")
