@@ -235,10 +235,66 @@ object EventOps {
                + CASE WHEN p.p_ts IS NULL THEN 0 ELSE 1 END AS BIGINT) AS stage
       FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)"""
 
+  /** Per-user z-score outliers over `value` — the standard data-cleaning
+    * cut before aggregating sensor/metric streams. Same exactness
+    * discipline as q62: `value` is exact cents (locked by the oracle), so
+    * the two moment sums are exact BIGINT aggregates, each cast
+    * int64→double ONCE before the identical exactly-rounded expression
+    * tree (mean, sample sd, z) runs in both engines — bit-portable
+    * without trusting float accumulation order. Constant series (sd = 0)
+    * have no outliers by definition (keeps 0/0 NaNs out of the output).
+    *
+    * Scale shape: one user-keyed partial-aggregated groupBy (int64 sums),
+    * then the per-user stats join back to events — AQE broadcasts the
+    * stats side while it fits, shuffles on user_id past that. int64 caps
+    * ~3.8e9 rows/user at these magnitudes (vm² ≈ 2.4e9); past that,
+    * re-scale the quantization (q62's documented cap). */
+  def valueOutliers(ev: DataFrame, zThreshold: Double = 3.0): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val vm = (col("value").cast(DecimalType(12, 2)) * lit(100)).cast("long")
+    val e = ev.select(col("event_id"), col("user_id"), col("value"), vm.as("vm"))
+    val stats = e.groupBy("user_id")
+      .agg(count(lit(1)).as("n"), sum(col("vm")).as("s1"),
+        sum(col("vm") * col("vm")).as("s2"))
+      .filter(col("n") >= 2)
+      .select(col("user_id"), col("n").cast("double").as("nn"),
+        (col("s1").cast("double") / 100.0).as("sx"),
+        (col("s2").cast("double") / 10000.0).as("sxx"))
+      .withColumn("mean", col("sx") / col("nn"))
+      .withColumn("sd", sqrt((col("nn") * col("sxx") - col("sx") * col("sx"))
+        / (col("nn") * (col("nn") - 1.0))))
+      .filter(col("sd") > 0.0)
+    e.join(stats, "user_id")
+      .withColumn("z", (col("vm").cast("double") / 100.0 - col("mean")) / col("sd"))
+      .filter(abs(col("z")) >= zThreshold)
+      .select(col("user_id"), col("event_id"), col("value"), col("z"))
+  }
+
+  def valueOutliersSql(zThreshold: Double = 3.0): String =
+    s"""WITH e AS (SELECT event_id, user_id, value,
+            CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS vm FROM events),
+      s AS (SELECT user_id, count(*) AS n,
+              CAST(CAST(sum(vm) AS BIGINT) AS DOUBLE) / 100.0 AS sx,
+              CAST(CAST(sum(vm * vm) AS BIGINT) AS DOUBLE) / 10000.0 AS sxx
+            FROM e GROUP BY 1 HAVING count(*) >= 2),
+      t AS (SELECT user_id, CAST(n AS DOUBLE) AS nn, sx, sxx,
+              sx / CAST(n AS DOUBLE) AS mean,
+              sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
+                / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) AS sd
+            FROM s),
+      z AS (SELECT e.user_id, e.event_id, e.value,
+              (CAST(vm AS DOUBLE) / 100.0 - mean) / sd AS z
+            FROM e JOIN t USING (user_id) WHERE sd > 0.0)
+      SELECT user_id, event_id, value, z FROM z WHERE abs(z) >= $zThreshold"""
+
   val queries: Seq[QueryDef] = Seq(
     QueryDef("q78_funnel_stages",
       (s, d) => funnelStages(events(s, d)),
       Some(funnelStagesSql)),
+
+    QueryDef("q80_value_outliers",
+      (s, d) => valueOutliers(events(s, d)),
+      Some(valueOutliersSql())),
 
     QueryDef("q25_resample_events",
       (s, d) => graft.tebis.Datapoints.resample(asSeries(events(s, d)), 3600000L)
