@@ -54,7 +54,9 @@ object EventOps {
   /** Session windows per user with gap > `gapSec`: lag + cumulative flag
     * sum — the classic two-window sessionization, one shuffle on user_id.
     * Gap math at microsecond granularity to match the oracle exactly. */
-  def sessionize(ev: DataFrame, gapSec: Long): DataFrame = {
+  /** Gap-based session ids: one exchange on user_id, two passes of the
+    * same window — shared by [[sessionize]] and [[sessionPatterns]]. */
+  private def withSessionIds(ev: DataFrame, gapSec: Long): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("t_us").asc, col("event_id").asc)
     ev.withColumn("t_us", expr("ts DIV 1000"))
       .withColumn("prev_us", lag("t_us", 1).over(w))
@@ -62,6 +64,10 @@ object EventOps {
         when(col("prev_us").isNull || col("t_us") - col("prev_us") > gapSec * 1000000L, 1L).otherwise(0L))
       .withColumn("sess_seq",
         sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  def sessionize(ev: DataFrame, gapSec: Long): DataFrame = {
+    withSessionIds(ev, gapSec)
       .groupBy("user_id", "sess_seq")
       .agg(
         min(expr("t_us DIV 1000000")).as("session_start"),
@@ -235,6 +241,41 @@ object EventOps {
                + CASE WHEN p.p_ts IS NULL THEN 0 ELSE 1 END AS BIGINT) AS stage
       FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)"""
 
+  /** Session-pattern gap for q81: long enough that multi-step journeys
+    * land in one session on the sparse synthetic stream. */
+  val PatternGapSec = 21600L
+
+  /** CEP-lite sequence matching (the MATCH_RECOGNIZE shape): sessionize,
+    * concatenate each session's event-type codes in event-time order, and
+    * keep sessions whose journey matches a regex — here `v.*c.*p`, a view
+    * later followed by a click then a purchase within one session.
+    *
+    * The per-session sequence string is built ORDER-DETERMINISTICALLY:
+    * `collect_list(struct(t_us, event_id, code))` is order-free only
+    * until `array_sort` imposes the (time, id) total order — never trust
+    * a bare collect_list's arrival order. Scale: sessions are the q21
+    * shuffle (one exchange on user_id); sequence strings are bounded by
+    * session length; the regex is a per-session codegen'd filter. */
+  def sessionPatterns(ev: DataFrame, gapSec: Long, pattern: String): DataFrame =
+    withSessionIds(ev, gapSec)
+      .groupBy("user_id", "sess_seq")
+      .agg(count(lit(1)).as("n_events"),
+        expr("""array_join(transform(
+            array_sort(collect_list(struct(t_us, event_id, substr(event_type, 1, 1) AS code))),
+            x -> x.code), '')""").as("seq"))
+      .filter(col("seq").rlike(pattern))
+
+  def sessionPatternsSql(gapSec: Long, pattern: String): String =
+    s"""WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS t FROM events),
+      l AS (SELECT *, lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS prev FROM e),
+      n AS (SELECT *, CASE WHEN prev IS NULL OR t - prev > ${gapSec}000000 THEN 1 ELSE 0 END AS new_sess FROM l),
+      s AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY t, event_id
+              ROWS UNBOUNDED PRECEDING) AS sess_seq FROM n),
+      g AS (SELECT user_id, CAST(sess_seq AS BIGINT) AS sess_seq, count(*) AS n_events,
+              string_agg(substr(event_type, 1, 1), '' ORDER BY t, event_id) AS seq
+            FROM s GROUP BY 1, 2)
+      SELECT user_id, sess_seq, n_events, seq FROM g WHERE regexp_matches(seq, '$pattern')"""
+
   /** Per-user z-score outliers over `value` — the standard data-cleaning
     * cut before aggregating sensor/metric streams. Same exactness
     * discipline as q62: `value` is exact cents (locked by the oracle), so
@@ -295,6 +336,10 @@ object EventOps {
     QueryDef("q80_value_outliers",
       (s, d) => valueOutliers(events(s, d)),
       Some(valueOutliersSql())),
+
+    QueryDef("q81_session_patterns",
+      (s, d) => sessionPatterns(events(s, d), PatternGapSec, "v.*c.*p"),
+      Some(sessionPatternsSql(PatternGapSec, "v.*c.*p"))),
 
     QueryDef("q25_resample_events",
       (s, d) => graft.tebis.Datapoints.resample(asSeries(events(s, d)), 3600000L)

@@ -16,6 +16,14 @@ import graft.tebis.Datapoints
 object CoreQueries {
   import QueryDef._
 
+  val SubquerySuiteSql: String =
+    """SELECT c.c_custkey, c.c_name,
+      (SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+      AND c.c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_name LIKE 'NATION_1%')"""
+
   val all: Seq[QueryDef] = Seq(
 
     // S10/S11-style grouped aggregate over the fact table (TPC-H Q1 shape).
@@ -528,6 +536,23 @@ object CoreQueries {
           count(lit(1)).as("n_rows"))
         .select(col("l_returnflag"),
           col("ap").getItem(0).as("ap50"), col("ap").getItem(1).as("ap95"), col("n_rows")),
-      None)
+      None),
+
+    // ANSI subquery surface — correlated scalar subquery, correlated
+    // EXISTS, and uncorrelated IN, as ONE literal SQL string planned by
+    // both engines (the only query where Spark and DuckDB parse the same
+    // text). Catalyst decorrelates all three: scalar -> left outer
+    // aggregate join, EXISTS -> left semi, IN -> left semi — no per-row
+    // subquery execution survives, so the shape is three joins keyed on
+    // custkey/nationkey, exactly what you'd write by hand.
+    QueryDef("q82_subquery_suite",
+      (s, d) => {
+        t(s, d, "customer").createOrReplaceTempView("customer")
+        t(s, d, "orders").createOrReplaceTempView("orders")
+        t(s, d, "nation").createOrReplaceTempView("nation")
+        s.sql(SubquerySuiteSql)
+      },
+      Some(SubquerySuiteSql))
   )
+
 }
