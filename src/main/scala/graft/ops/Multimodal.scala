@@ -14,6 +14,9 @@ case class MediaRecord(doc_id: Long, media: Array[Byte], format: String, width: 
 /** Features extracted from one media asset by the (stubbed) decoder. */
 case class MediaFeatures(doc_id: Long, byte_len: Long, checksum: Long, histogram: Seq[Long])
 
+/** One sampled frame: position + content fingerprint. */
+case class FrameSample(doc_id: Long, frame_idx: Long, frame_off: Long, frame_len: Long, frame_md5: String)
+
 /** Multimodal columns (★ SURVEY §2c): binary payloads with typed
   * metadata, decoded/feature-extracted in batch over `mapPartitions` —
   * the Scala analog of a Pandas-UDF/`mapInPandas` stage: typed rows in,
@@ -59,6 +62,34 @@ object Multimodal {
     media.mapPartitions(_.map(decodeStub))
   }
 
+  val FrameBytes = 64
+  val FrameStride = 4
+
+  /** Frame sampling: treat the binary payload as fixed-size frames of
+    * [[FrameBytes]] and keep every [[FrameStride]]-th one (the video
+    * keyframe-sampling shape) — a typed 1→N `mapPartitions` flatMap, the
+    * row-multiplying twin of [[extractFeatures]]'s 1→1 decode. The digest
+    * instance is per-partition (what a real codec context would be);
+    * emitted rows are a pure function of (bytes, position), so the output
+    * is deterministic under any partitioning. Zero shuffle. */
+  def sampleFrames(media: Dataset[MediaRecord]): Dataset[FrameSample] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      val digest = java.security.MessageDigest.getInstance("MD5")
+      it.flatMap { r =>
+        val n = r.media.length
+        val nFrames = (n + FrameBytes - 1) / FrameBytes
+        (0 until nFrames by FrameStride).iterator.map { f =>
+          val off = f * FrameBytes
+          val len = math.min(FrameBytes, n - off)
+          val hex = digest.digest(java.util.Arrays.copyOfRange(r.media, off, off + len))
+            .map("%02x".format(_)).mkString
+          FrameSample(r.doc_id, f.toLong, off.toLong, len.toLong, hex)
+        }
+      }
+    }
+  }
+
   /** Full pipeline on documents, histogram exploded to rows so results
     * stay flat for the oracle. */
   def mediaPipeline(spark: SparkSession, dir: String): DataFrame = {
@@ -96,6 +127,24 @@ object Multimodal {
           bucket,
           CAST(len(list_filter(range(1, length(text) + 1),
             i -> ascii(substr(text, i, 1)) // 16 = bucket)) AS BIGINT) AS cnt
-        FROM documents, range(0, ${HistogramBuckets}) t(bucket)"""))
+        FROM documents, range(0, ${HistogramBuckets}) t(bucket)""")),
+
+    // Frame sampling through the same typed-mapPartitions boundary; the
+    // oracle recomputes frames from the (ASCII) text, where byte slices
+    // and substrings coincide.
+    QueryDef("q83_frame_sample",
+      (s, d) => {
+        import s.implicits._
+        sampleFrames(attachMedia(t(s, d, "documents")).as[MediaRecord]).toDF()
+      },
+      Some(s"""WITH fr AS (SELECT doc_id, text,
+            unnest(generate_series(0, (length(text) + ${FrameBytes - 1}) // $FrameBytes - 1,
+              $FrameStride)) AS fidx
+          FROM documents)
+        SELECT doc_id, CAST(fidx AS BIGINT) AS frame_idx,
+          CAST(fidx * $FrameBytes AS BIGINT) AS frame_off,
+          CAST(least($FrameBytes, length(text) - fidx * $FrameBytes) AS BIGINT) AS frame_len,
+          md5(substr(text, CAST(fidx * $FrameBytes + 1 AS INT), $FrameBytes)) AS frame_md5
+        FROM fr"""))
   )
 }

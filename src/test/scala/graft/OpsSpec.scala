@@ -339,4 +339,24 @@ class OpsSpec extends AnyFunSuite {
     assert(got == expect)
     assert(got.nonEmpty) // the corpus plants cross-split near-dups
   }
+
+  test("q83 frame sampling: stride selection, offsets, and tail truncation") {
+    import spark.implicits._
+    val frames = Multimodal.sampleFrames(
+      Multimodal.attachMedia(docs).as[MediaRecord]).collect()
+      .groupBy(_.doc_id)
+    val texts = docs.collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(frames.keySet == texts.keySet)
+    texts.foreach { case (id, text) =>
+      val n = text.getBytes("UTF-8").length
+      val nFrames = (n + Multimodal.FrameBytes - 1) / Multimodal.FrameBytes
+      val expectIdx = (0 until nFrames by Multimodal.FrameStride).map(_.toLong)
+      val rows = frames(id).sortBy(_.frame_idx)
+      assert(rows.map(_.frame_idx).toSeq == expectIdx, s"doc $id sampled indices")
+      rows.foreach { f =>
+        assert(f.frame_off == f.frame_idx * Multimodal.FrameBytes)
+        assert(f.frame_len == math.min(Multimodal.FrameBytes.toLong, n - f.frame_off))
+      }
+    }
+  }
 }
