@@ -11,6 +11,12 @@ case class UserStats(user_id: Long, n_events: Long, sum_value: Double, max_value
   * user's running mean at the time it arrived. */
 case class Anomaly(user_id: Long, value: Double, running_mean: Double, n_seen: Long)
 
+/** Per-user funnel progress (-1 = step not reached; done = converted). */
+case class FunnelState(v_ts: Long, c_ts: Long, done: Boolean)
+
+/** One completed view→click→purchase conversion (epoch micros). */
+case class Conversion(user_id: Long, v_ts: Long, c_ts: Long, p_ts: Long)
+
 /** Structured-Streaming event analytics (★ SURVEY §2b streaming row):
   * event-time windows with watermarks and session windows over an
   * unbounded event stream. Batch twins of these semantics are oracle-
@@ -57,6 +63,49 @@ object EventStream {
             if (st.n_events > 0 && v > factor * (st.sum_value / st.n_events))
               out += Anomaly(user, v, st.sum_value / st.n_events, st.n_events)
             st = UserStats(user, st.n_events + 1, st.sum_value + v, math.max(st.max_value, v))
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
+  /** Streaming conversion funnel, the unbounded twin of
+    * EventOps.funnelStages (q78): a per-user state machine advances
+    * view → click-within-window → purchase-within-window and emits one
+    * [[Conversion]] the moment the chain completes. State is one tiny
+    * fixed-size record per user — no event buffering — which is the only
+    * funnel shape that survives an unbounded stream.
+    *
+    * Contract: events are applied in event-time order WITHIN each
+    * micro-batch (sorted here); an event arriving in a LATER batch than
+    * one it precedes in event time cannot rewind already-advanced state —
+    * for in-order streams the emitted conversions equal the batch q78's
+    * stage-3 rows exactly (locked by spec). Input columns:
+    * (user_id LONG, event_type STRING, ts TIMESTAMP). */
+  def funnel(
+      events: DataFrame,
+      windowUs: Long = graft.ops.EventOps.FunnelWindowUs): Dataset[Conversion] = {
+    import events.sparkSession.implicits._
+    events
+      .select(col("user_id").as[Long], col("event_type").as[String],
+        unix_micros(col("ts")).as[Long])
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, String, Long)], state: GroupState[FunnelState]) =>
+          var st = state.getOption.getOrElse(FunnelState(-1L, -1L, done = false))
+          val out = Seq.newBuilder[Conversion]
+          rows.toSeq.sortBy(_._3).foreach { case (_, tpe, t) =>
+            if (!st.done) {
+              if (st.v_ts < 0) {
+                if (tpe == "view") st = st.copy(v_ts = t)
+              } else if (st.c_ts < 0) {
+                if (tpe == "click" && t > st.v_ts && t <= st.v_ts + windowUs)
+                  st = st.copy(c_ts = t)
+              } else if (tpe == "purchase" && t > st.c_ts && t <= st.c_ts + windowUs) {
+                out += Conversion(user, st.v_ts, st.c_ts, t)
+                st = st.copy(done = true)
+              }
+            }
           }
           state.update(st)
           out.result().iterator

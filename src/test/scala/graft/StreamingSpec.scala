@@ -206,6 +206,45 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming funnel: conversions across micro-batches == batch q78 stage-3 rows") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    import graft.streaming.Conversion
+    // (user, type, t_sec): complete chain (1), click out of window (2),
+    // purchase out of window (3), pre-view click ignored (4), first-view
+    // min semantics (5), post-conversion purchase ignored (1 again)
+    val W = graft.ops.EventOps.FunnelWindowUs / 1000000L // 7200 s
+    val evts = Seq(
+      (1L, "view", 1000L), (1L, "click", 2000L), (1L, "purchase", 4000L), (1L, "purchase", 5000L),
+      (2L, "view", 1000L), (2L, "click", 1000L + W + 1), (2L, "purchase", 1000L + W + 2),
+      (3L, "view", 1000L), (3L, "click", 2000L), (3L, "purchase", 2000L + W + 1),
+      (4L, "click", 500L), (4L, "view", 1000L), (4L, "click", 1200L), (4L, "purchase", 1300L),
+      (5L, "view", 1000L), (5L, "view", 1100L), (5L, "click", 1150L), (5L, "purchase", 1160L))
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val stream = mem.toDF().toDF("user_id", "event_type", "ts")
+    val q = EventStream.funnel(stream)
+      .writeStream.outputMode("append").format("memory").queryName("conv").start()
+    try {
+      val (b1, b2) = evts.partition(_._3 < 1500L)
+      mem.addData(b1.map { case (u, t, s) => (u, t, new Timestamp(s * 1000L)) }: _*)
+      q.processAllAvailable()
+      mem.addData(b2.map { case (u, t, s) => (u, t, new Timestamp(s * 1000L)) }: _*)
+      q.processAllAvailable()
+      val got = spark.table("conv").as[Conversion].collect()
+        .map(c => (c.user_id, c.v_ts, c.c_ts, c.p_ts)).toSet
+      // batch twin on the same events (ts as epoch nanos, as q78 reads them)
+      val batchDf = evts.map { case (u, t, s) => (u, t, s * 1000000000L) }
+        .toDF("user_id", "event_type", "ts")
+      val expect = graft.ops.EventOps.funnelStages(batchDf)
+        .filter(col("stage") === 3).collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("v_ts"),
+          r.getAs[Long]("c_ts"), r.getAs[Long]("p_ts"))).toSet
+      assert(got == expect)
+      assert(got.map(_._1) == Set(1L, 4L, 5L))
+      assert(got.count(_._1 == 1L) == 1) // done-state: one conversion per user
+    } finally q.stop()
+  }
+
   test("live stream: checkpoint recovery processes each file exactly once") {
     val dir = Files.createTempDirectory("rec-in")
     val ckpt = Files.createTempDirectory("rec-ckpt")
