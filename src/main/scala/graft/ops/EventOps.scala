@@ -276,6 +276,38 @@ object EventOps {
             FROM s GROUP BY 1, 2)
       SELECT user_id, sess_seq, n_events, seq FROM g WHERE regexp_matches(seq, '$pattern')"""
 
+  /** Cohort retention (the day-N retention table every growth dashboard
+    * is built on): users are cohorted by FIRST-SEEN day; for each
+    * (cohort, day-offset k) the fraction of the cohort active on that
+    * day. All-integer day math from the epoch-nanos ts.
+    *
+    * Scale shape: a user-keyed min (first-seen), a distinct on
+    * (user, cohort, k) — bounded by users × active days, the natural
+    * output grain — then a cohort-keyed count. Three partial-aggregated
+    * shuffles, no window, no self-join over raw events. */
+  def retention(ev: DataFrame): DataFrame = {
+    val e = ev.select(col("user_id"), expr("ts DIV 86400000000000").as("day"))
+    val first = e.groupBy("user_id").agg(min(col("day")).as("cohort"))
+    val act = e.join(first, "user_id")
+      .select(col("user_id"), col("cohort"), (col("day") - col("cohort")).as("k"))
+      .distinct()
+    val sz = first.groupBy("cohort").agg(count(lit(1)).as("cohort_size"))
+    act.groupBy("cohort", "k").agg(count(lit(1)).as("n_active"))
+      .join(sz, "cohort")
+      .withColumn("retention", col("n_active").cast("double") / col("cohort_size"))
+      .select("cohort", "k", "n_active", "cohort_size", "retention")
+  }
+
+  val retentionSql: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+      first AS (SELECT user_id, min(day) AS cohort FROM e GROUP BY 1),
+      act AS (SELECT DISTINCT e.user_id, f.cohort, e.day - f.cohort AS k
+              FROM e JOIN first f USING (user_id)),
+      sz AS (SELECT cohort, count(*) AS cohort_size FROM first GROUP BY 1)
+      SELECT a.cohort, CAST(a.k AS BIGINT) AS k, count(*) AS n_active, sz.cohort_size,
+        CAST(count(*) AS DOUBLE) / sz.cohort_size AS retention
+      FROM act a JOIN sz USING (cohort) GROUP BY a.cohort, a.k, sz.cohort_size"""
+
   /** Per-user z-score outliers over `value` — the standard data-cleaning
     * cut before aggregating sensor/metric streams. Same exactness
     * discipline as q62: `value` is exact cents (locked by the oracle), so
@@ -340,6 +372,10 @@ object EventOps {
     QueryDef("q81_session_patterns",
       (s, d) => sessionPatterns(events(s, d), PatternGapSec, "v.*c.*p"),
       Some(sessionPatternsSql(PatternGapSec, "v.*c.*p"))),
+
+    QueryDef("q84_retention",
+      (s, d) => retention(events(s, d)),
+      Some(retentionSql)),
 
     QueryDef("q25_resample_events",
       (s, d) => graft.tebis.Datapoints.resample(asSeries(events(s, d)), 3600000L)
