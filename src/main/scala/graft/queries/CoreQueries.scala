@@ -538,6 +538,36 @@ object CoreQueries {
           col("ap").getItem(0).as("ap50"), col("ap").getItem(1).as("ap95"), col("n_rows")),
       None),
 
+    // Aggregate-function breadth: max_by/min_by (argmax/argmin), count_if,
+    // bool_and/bool_or — each a single partial-aggregated shuffle. The
+    // argmax ORDER KEY is made UNIQUE by packing (cents, orderkey,
+    // linenumber) into one BIGINT (unique while orderkey < 1e9 at these
+    // price magnitudes): a bare max_by(x, price) is tie-nondeterministic
+    // in BOTH engines, the same trap as q76's mode().
+    QueryDef("q85_agg_breadth",
+      (s, d) => t(s, d, "lineitem")
+        .withColumn("price_key", expr(
+          """CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) * 10000000000
+             + l_orderkey * 10 + l_linenumber"""))
+        .groupBy("l_suppkey")
+        .agg(
+          expr("max_by(l_orderkey, price_key)").as("top_order"),
+          expr("min_by(l_orderkey, price_key)").as("bottom_order"),
+          expr("count_if(l_discount > 0.05)").as("n_discounted"),
+          expr("bool_and(l_quantity > 0)").as("all_positive"),
+          expr("bool_or(l_tax > 0.07)").as("any_high_tax")),
+      Some("""WITH l AS (SELECT *,
+            CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) * 10000000000
+              + l_orderkey * 10 + l_linenumber AS price_key
+          FROM lineitem)
+        SELECT l_suppkey,
+          max_by(l_orderkey, price_key) AS top_order,
+          min_by(l_orderkey, price_key) AS bottom_order,
+          count_if(l_discount > 0.05) AS n_discounted,
+          bool_and(l_quantity > 0) AS all_positive,
+          bool_or(l_tax > 0.07) AS any_high_tax
+        FROM l GROUP BY 1""")),
+
     // ANSI subquery surface — correlated scalar subquery, correlated
     // EXISTS, and uncorrelated IN, as ONE literal SQL string planned by
     // both engines (the only query where Spark and DuckDB parse the same
