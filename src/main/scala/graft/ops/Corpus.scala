@@ -211,8 +211,8 @@ object Corpus {
     * window (the q41 global-window lesson), while per-source packing is
     * how multi-file training shards are actually laid out. Integer-only
     * arithmetic — bin boundaries are portable across engines. */
-  def packSequences(spark: SparkSession, dir: String, capacity: Long = PackCapacity): DataFrame = {
-    val tk = t(spark, dir, "documents").select(col("source"), col("doc_id"),
+  def packSequences(docs: DataFrame, capacity: Long = PackCapacity): DataFrame = {
+    val tk = docs.select(col("source"), col("doc_id"),
       size(split(col("text"), " ")).cast("long").as("n_tok"))
     val w = Window.partitionBy("source").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -249,8 +249,8 @@ object Corpus {
     * chunking pipelines directly between the scan and the sink. chunk_id
     * is derived from the start offset (not an unnest ordinal), so the row
     * set is deterministic under any partitioning. */
-  def chunkOverlap(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "documents")
+  def chunkOverlap(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .withColumn("start", explode(expr(s"sequence(1, size(toks), $ChunkStride)")))
       .select(col("doc_id"),
@@ -269,10 +269,10 @@ object Corpus {
 
   val queries: Seq[QueryDef] = Seq(
     QueryDef("q72_pack_sequences",
-      (s, d) => packSequences(s, d),
+      (s, d) => packSequences(t(s, d, "documents")),
       Some(packSequencesSql())),
     QueryDef("q73_chunk_overlap",
-      (s, d) => chunkOverlap(s, d),
+      (s, d) => chunkOverlap(t(s, d, "documents")),
       Some(chunkOverlapSql)),
     QueryDef("q56_heavy_tokens", (s, d) => heavyTokens(s, d), Some(heavyTokensSql)),
     QueryDef("q57_tfidf_topk", (s, d) => tfidfTopK(s, d, 3), Some(tfidfSql(3))),

@@ -273,7 +273,7 @@ class OpsSpec extends AnyFunSuite {
 
   test("q72 packing: bins conserve tokens and docs per source; no bin starts past capacity runout") {
     import org.apache.spark.sql.functions._
-    val bins = Corpus.packSequences(spark, dir).collect()
+    val bins = Corpus.packSequences(docs).collect()
     val totals = docs.groupBy("source")
       .agg(sum(size(split(col("text"), " ")).cast("long")).as("tok"), count(lit(1)).as("docs"))
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
@@ -290,7 +290,7 @@ class OpsSpec extends AnyFunSuite {
 
   test("q73 chunking: stride coverage is exact and chunks reconstruct the document") {
     import org.apache.spark.sql.functions._
-    val chunks = Corpus.chunkOverlap(spark, dir).collect()
+    val chunks = Corpus.chunkOverlap(docs).collect()
       .groupBy(_.getAs[Long]("doc_id"))
     val texts = docs.collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
     assert(chunks.keySet == texts.keySet)

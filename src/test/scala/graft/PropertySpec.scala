@@ -83,4 +83,58 @@ class PropertySpec extends AnyFunSuite {
       assert(TebisCsv.parsePythonFloat(d.toString.replace('.', ',').replace(",", ".")).isDefined)
     }
   }
+
+  /** Random document corpora: (doc_id, source, text) with 1..60 tokens. */
+  val corpusGen: Gen[List[(Long, String, String)]] = for {
+    n <- Gen.choose(10, 60)
+    docs <- Gen.listOfN(n, for {
+      src <- Gen.choose(0, 3).map(i => s"s$i")
+      toks <- Gen.choose(1, 60)
+      words <- Gen.listOfN(toks, Gen.oneOf("aa", "bb", "cc", "dd", "ee"))
+    } yield (src, words.mkString(" ")))
+  } yield docs.zipWithIndex.map { case ((src, text), i) => (i.toLong, src, text) }
+
+  test("packing conserves tokens/docs per source and bins stay dense (random corpora)") {
+    val spark = SparkSpec.spark
+    import spark.implicits._
+    forAll(corpusGen, n = 6) { rows =>
+      val docs = rows.toDF("doc_id", "source", "text")
+      val bins = graft.ops.Corpus.packSequences(docs, capacity = 64L).collect()
+      val bySource = bins.groupBy(_.getAs[String]("source"))
+      val truth = rows.groupBy(_._2)
+      assert(bySource.keySet == truth.keySet)
+      truth.foreach { case (src, ds) =>
+        val rs = bySource(src)
+        assert(rs.map(_.getAs[Long]("n_tokens")).sum ==
+          ds.map(_._3.split(" ").length.toLong).sum)
+        assert(rs.map(_.getAs[Long]("n_docs")).sum == ds.length.toLong)
+        val ids = rs.map(_.getAs[Long]("bin")).sorted
+        assert(ids.head == 0L && ids.zip(ids.tail).forall { case (a, b) => b == a + 1 })
+      }
+    }
+  }
+
+  test("chunking tiles every document exactly (random corpora)") {
+    val spark = SparkSpec.spark
+    import spark.implicits._
+    forAll(corpusGen, n = 6) { rows =>
+      val docs = rows.map(r => (r._1, r._3)).toDF("doc_id", "text")
+      val chunks = graft.ops.Corpus.chunkOverlap(docs).collect()
+        .groupBy(_.getAs[Long]("doc_id"))
+      rows.foreach { case (id, _, text) =>
+        val nTok = text.split(" ").length
+        val rs = chunks(id).sortBy(_.getAs[Long]("chunk_id"))
+        assert(rs.length == 1 + (nTok - 1) / graft.ops.Corpus.ChunkStride)
+        rs.foreach { c =>
+          val start = c.getAs[Long]("start")
+          assert(c.getAs[Long]("chunk_tokens") ==
+            math.min(graft.ops.Corpus.ChunkSize.toLong, nTok - start + 1))
+        }
+        // coverage: chunks start at 1 and the last reaches the end
+        assert(rs.head.getAs[Long]("start") == 1L)
+        val last = rs.last
+        assert(last.getAs[Long]("start") + last.getAs[Long]("chunk_tokens") - 1 == nTok.toLong)
+      }
+    }
+  }
 }
