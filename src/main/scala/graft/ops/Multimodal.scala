@@ -17,6 +17,10 @@ case class MediaFeatures(doc_id: Long, byte_len: Long, checksum: Long, histogram
 /** One sampled frame: position + content fingerprint. */
 case class FrameSample(doc_id: Long, frame_idx: Long, frame_off: Long, frame_len: Long, frame_md5: String)
 
+/** One resized asset: new dimensions + payload fingerprint. */
+case class MediaResized(doc_id: Long, orig_len: Long, new_len: Long,
+    width: Int, height: Int, resized_md5: String)
+
 /** Multimodal columns (★ SURVEY §2c): binary payloads with typed
   * metadata, decoded/feature-extracted in batch over `mapPartitions` —
   * the Scala analog of a Pandas-UDF/`mapInPandas` stage: typed rows in,
@@ -90,6 +94,28 @@ object Multimodal {
     }
   }
 
+  val ResizeFactor = 2
+
+  /** Resize stub: factor-[[ResizeFactor]] nearest-neighbor downsample —
+    * keep every k-th byte, halve the metadata dimensions. A real codec
+    * would decode → scale → re-encode inside the same typed-mapPartitions
+    * boundary; the stub keeps the byte math deterministic so the oracle
+    * can recompute it from the (ASCII) text. 1→1, zero shuffle. */
+  def resizeStub(media: Dataset[MediaRecord]): Dataset[MediaResized] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      val digest = java.security.MessageDigest.getInstance("MD5")
+      it.map { r =>
+        val out = new Array[Byte]((r.media.length + ResizeFactor - 1) / ResizeFactor)
+        var i = 0
+        while (i < out.length) { out(i) = r.media(i * ResizeFactor); i += 1 }
+        val hex = digest.digest(out).map("%02x".format(_)).mkString
+        MediaResized(r.doc_id, r.media.length.toLong, out.length.toLong,
+          r.width / ResizeFactor, r.height / ResizeFactor, hex)
+      }
+    }
+  }
+
   /** Full pipeline on documents, histogram exploded to rows so results
     * stay flat for the oracle. */
   def mediaPipeline(spark: SparkSession, dir: String): DataFrame = {
@@ -145,6 +171,22 @@ object Multimodal {
           CAST(fidx * $FrameBytes AS BIGINT) AS frame_off,
           CAST(least($FrameBytes, length(text) - fidx * $FrameBytes) AS BIGINT) AS frame_len,
           md5(substr(text, CAST(fidx * $FrameBytes + 1 AS INT), $FrameBytes)) AS frame_md5
-        FROM fr"""))
+        FROM fr""")),
+
+    // Resize through the same boundary; the oracle takes every k-th char
+    // of the (ASCII) text and halves the attachMedia dimensions.
+    QueryDef("q86_media_resize",
+      (s, d) => {
+        import s.implicits._
+        resizeStub(attachMedia(t(s, d, "documents")).as[MediaRecord]).toDF()
+      },
+      Some(s"""SELECT doc_id, CAST(length(text) AS BIGINT) AS orig_len,
+          CAST((length(text) + ${ResizeFactor - 1}) // $ResizeFactor AS BIGINT) AS new_len,
+          CAST((n_chars % 640) // $ResizeFactor AS INT) AS width,
+          CAST((n_chars % 480) // $ResizeFactor AS INT) AS height,
+          md5(array_to_string(list_transform(
+            generate_series(1, length(text), $ResizeFactor),
+            i -> substr(text, CAST(i AS INT), 1)), '')) AS resized_md5
+        FROM documents"""))
   )
 }
