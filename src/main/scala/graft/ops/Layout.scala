@@ -75,6 +75,18 @@ object Layout {
     * in (x, y) space — file-sized regions at the bench scale. */
   val ZBucketShift = 18
 
+  /** Cluster a frame for writing: range-partition into `nFiles` by the
+    * Morton key of two PRE-SCALED grid columns and sort within each
+    * partition, so every written file covers a compact z-range — narrow
+    * per-file min/max on BOTH dimensions (the LayoutSpec-verified
+    * pruning payoff). The zkey is dropped before the write; it exists
+    * only to order the layout. */
+  def zorderWrite(df: DataFrame, xGrid: String, yGrid: String, nFiles: Int): DataFrame =
+    df.withColumn("__zkey", expr(zorderKeyExpr(xGrid, yGrid)))
+      .repartitionByRange(nFiles, col("__zkey"))
+      .sortWithinPartitions("__zkey")
+      .drop("__zkey")
+
   /** Per-Z-bucket clustering stats over `orders`, keyed on
     * (customer, order epoch-day): the manifest a zkey-ordered writer
     * produces, and the evidence that each bucket is narrow in BOTH

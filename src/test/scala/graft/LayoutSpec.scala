@@ -62,9 +62,7 @@ class LayoutSpec extends AnyFunSuite {
     }
 
     val zFiles = writeLayout(
-      orders.withColumn("zkey", expr(Layout.zorderKeyExpr("xs", "ys")))
-        .repartitionByRange(nFiles, col("zkey")).sortWithinPartitions("zkey")
-        .drop("zkey", "xs", "ys"))
+      Layout.zorderWrite(orders, "xs", "ys", nFiles).drop("xs", "ys"))
     val cFiles = writeLayout(
       orders.drop("xs", "ys").repartitionByRange(nFiles, col("x")).sortWithinPartitions("x"))
     assert(zFiles.size >= 8 && cFiles.size >= 8) // layouts actually split

@@ -245,6 +245,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming funnel contract: a cross-batch out-of-order view cannot rewind state") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    import graft.streaming.Conversion
+    // click arrives in batch 1; the view it should follow arrives in
+    // batch 2 with an EARLIER event time. The documented contract: state
+    // advances in arrival order across batches, so the view is applied
+    // after the click and the chain needs a LATER click to complete.
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val q = EventStream.funnel(mem.toDF().toDF("user_id", "event_type", "ts"))
+      .writeStream.outputMode("append").format("memory").queryName("ooo").start()
+    try {
+      mem.addData((7L, "click", new Timestamp(2000L * 1000)))
+      q.processAllAvailable()
+      mem.addData((7L, "view", new Timestamp(1000L * 1000)),
+        (7L, "purchase", new Timestamp(3000L * 1000)))
+      q.processAllAvailable()
+      // view is now recorded (v_ts=1000s) but the batch-1 click is gone;
+      // the purchase cannot skip the click step
+      assert(spark.table("ooo").count() == 0)
+      // a later in-window click + purchase completes the chain normally
+      mem.addData((7L, "click", new Timestamp(4000L * 1000)),
+        (7L, "purchase", new Timestamp(5000L * 1000)))
+      q.processAllAvailable()
+      val rows = spark.table("ooo").as[Conversion].collect()
+      assert(rows.length == 1 &&
+        rows.head == Conversion(7L, 1000000000L, 4000000000L, 5000000000L))
+    } finally q.stop()
+  }
+
   test("live stream: checkpoint recovery processes each file exactly once") {
     val dir = Files.createTempDirectory("rec-in")
     val ckpt = Files.createTempDirectory("rec-ckpt")
