@@ -107,4 +107,26 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     withConfs(kvs: _*) { out = Some(body) }
     out.get
   }
+
+  test("broadcast→shuffle degradation: joins stay row-identical with broadcasts forbidden") {
+    // Several operators document "AQE broadcasts this side while small and
+    // falls back to a shuffled join at scale, same code". This locks the
+    // semantic half of that claim: forbidding broadcast joins entirely
+    // (the 100 TB dimension-outgrows-the-threshold regime) must not
+    // change a single row. Covers the funnel's per-user aggregate joins,
+    // the outlier stats join, decontamination's band/verify joins, and
+    // tfidf's vocabulary join.
+    val queries = Seq("q78_funnel_stages", "q80_value_outliers",
+      "q74_decontaminate", "q57_tfidf_topk")
+    def rows(name: String): Set[String] =
+      SparkEntry.queries(name)(spark, dir).collect()
+        .map(_.toSeq.map(String.valueOf).mkString("|")).toSet
+    queries.foreach { name =>
+      val default = rows(name)
+      val shuffled = withConfsResult(
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") { rows(name) }
+      assert(shuffled == default && default.nonEmpty, s"$name changed under shuffle joins")
+    }
+  }
 }
