@@ -118,7 +118,45 @@ object Sampling {
         FROM documents)
         WHERE rk <= $k"""
 
+  val WeightedRate = 0.5
+
+  /** Quality-weighted sampling (the upsample-good-sources step of a
+    * pre-training mix): each document is kept with probability
+    * `rate × quality_score`, decided by the SAME deterministic md5 bucket
+    * as every other sampler here — so membership is reproducible, stable
+    * under retries, and composable with the split/sample ops (a doc's
+    * bucket is fixed; only its threshold varies). The score is q31's
+    * exact-integer-derived quality (identical IEEE doubles in both
+    * engines), so the integer cut is portable. Stateless per-row
+    * predicate above the scan — no shuffle at any scale. */
+  def weightedSample(docs: DataFrame, rate: Double = WeightedRate): DataFrame =
+    graft.ops.TextStats.quality(docs)
+      .withColumn("cut", floor(col("score") * rate * 65536.0).cast("long"))
+      .filter(expr(s"CAST(conv(${bucket("doc_id")}, 16, 10) AS BIGINT)") < col("cut"))
+      .select("doc_id", "lang", "score", "cut")
+
+  def weightedSampleSql(rate: Double = WeightedRate): String =
+    s"""WITH base AS (SELECT doc_id, lang,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+        CAST(len(list_filter(string_split(text, ' '),
+          w -> ${graft.ops.TextStats.inSet("w", graft.ops.TextStats.Stopwords)})) AS BIGINT) AS n_stop
+      FROM documents),
+      scored AS (SELECT doc_id, lang,
+          (CAST(LEAST(n_tokens, 100) AS DOUBLE) / 100.0) * 0.5
+            + (CAST(n_distinct AS DOUBLE) / n_tokens) * 0.3
+            + (CAST(LEAST(n_stop, 10) AS DOUBLE) / 10.0) * 0.2 AS score
+        FROM base),
+      th AS (SELECT doc_id, lang, score,
+          CAST(floor(score * $rate * 65536.0) AS BIGINT) AS cut FROM scored)
+      SELECT doc_id, lang, score, cut FROM th
+      WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) < cut"""
+
   val queries: Seq[QueryDef] = Seq(
+    QueryDef("q87_weighted_sample",
+      (s, d) => weightedSample(t(s, d, "documents")),
+      Some(weightedSampleSql())),
+
     QueryDef("q68_stratified_sample",
       (s, d) => stratifiedSample(t(s, d, "documents"), 25),
       Some(stratifiedSampleSql(25))),
