@@ -43,7 +43,7 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // The generated-class cache defaults to 100 entries; a 52-query
+      // The generated-class cache defaults to 100 entries; an 80+-query
       // suite compiles far more codegen stages than that per pass, so
       // every query would LRU-evict and Janino-recompile every iteration
       // (q47's ~8 sequential jobs re-paid ~8s of compile per pass in the

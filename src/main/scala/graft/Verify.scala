@@ -16,7 +16,7 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // see Bench: default 100-entry codegen cache thrashes on a
-      // 52-query suite, recompiling every stage every query
+      // 80+-query suite, recompiling every stage every query
       .config("spark.sql.codegen.cache.maxEntries", "4096")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
