@@ -435,13 +435,18 @@ object Similarity {
         max("cnt").as("n_vecs"))
 
   val queries: Seq[QueryDef] = Seq(
+    // The driver's pandas compare can't sort ARRAY columns, so the query
+    // projects the centroid through array_join; labelCentroids keeps the
+    // array-typed API for library callers.
     QueryDef("q61_label_centroids",
-      (s, d) => labelCentroids(s, d),
+      (s, d) => labelCentroids(s, d)
+        .withColumn("centroid", expr("array_join(CAST(centroid AS ARRAY<STRING>), ',')")),
       Some("""WITH q AS (SELECT label, list_transform(embedding,
             x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv FROM embeddings),
         m AS (SELECT label, unnest(range(1, len(qv) + 1)) AS pos, unnest(qv) AS x FROM q),
         s AS (SELECT label, pos, SUM(x) AS s, COUNT(*) AS cnt FROM m GROUP BY 1, 2)
-        SELECT label, list(s // cnt ORDER BY pos) AS centroid, max(cnt) AS n_vecs
+        SELECT label, array_to_string(list(s // cnt ORDER BY pos), ',') AS centroid,
+          max(cnt) AS n_vecs
         FROM s GROUP BY label""")),
 
     QueryDef("q44_embed_near_dup",

@@ -563,7 +563,7 @@ object CoreQueries {
         SELECT l_suppkey,
           max_by(l_orderkey, price_key) AS top_order,
           min_by(l_orderkey, price_key) AS bottom_order,
-          count_if(l_discount > 0.05) AS n_discounted,
+          CAST(count_if(l_discount > 0.05) AS BIGINT) AS n_discounted,
           bool_and(l_quantity > 0) AS all_positive,
           bool_or(l_tax > 0.07) AS any_high_tax
         FROM l GROUP BY 1""")),
