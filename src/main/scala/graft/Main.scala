@@ -88,7 +88,10 @@ object Main {
   }
 
   def run(spark: SparkSession, cfg: Config): Unit = {
-    val metrics = Metrics(spark.sparkContext, if (cfg.live) "csv_live" else "csv_hist")
+    // Logging sink: the standalone stand-in for the reference's
+    // Prometheus push-gateway (monitoring.py:96-100)
+    val metrics = Metrics(spark.sparkContext,
+      if (cfg.live) "csv_live" else "csv_hist", new MetricsSink.Logging)
     // configure a LOCAL client instance: the key becomes instance state,
     // so the closure-serialized client carries it to executors (injecting
     // into a global/singleton would only authenticate the driver's copy)
@@ -130,6 +133,8 @@ object Main {
     metrics.availableCsvFiles.set(paths.size)
     metrics.unprocessedFiles.set(paths.size)
     metrics.successfullyProcessedFiles.set(0)
+    // post-discovery push (reference csv_extractor.py:41)
+    metrics.push()
     if (paths.isEmpty) { println("[graft] no input files"); return }
 
     val files = TebisCsv.files(spark, paths)
@@ -189,8 +194,12 @@ object Main {
           lifecycle.onSuccess(path)
         }
         metrics.unprocessedFiles.add(-1)
+        // per-file push (reference csv_extractor.py:230)
+        metrics.push()
       }
       println(s"[graft] processed=${metrics.processedFiles.value} failed=${metrics.failedFiles.value} datapoints=${metrics.postedDatapoints.value} created_series=${metrics.createdTimeSeries.value}")
+      // final push after the batch completes (reference csv_extractor.py:234)
+      metrics.push()
     } finally files.unpersist()
   }
 }

@@ -17,14 +17,47 @@ final class Gauge(val name: String) extends Serializable {
   def get: Long = v.get
 }
 
+/** Where metric snapshots go (reference monitoring.py:96-100
+  * `push_to_server`). No Prometheus client in a zero-egress build, so the
+  * push target is pluggable: a gateway impl would POST the map; the
+  * shipped impls log or record. Driver-side only — `Metrics.push()` is
+  * called from driver code, never task closures. */
+trait MetricsSink extends Serializable {
+  def push(snapshot: Map[String, Long]): Unit
+}
+
+object MetricsSink {
+  /** Discard (the reference's effective behavior when no push-gateway is
+    * configured). */
+  object Noop extends MetricsSink {
+    def push(snapshot: Map[String, Long]): Unit = ()
+  }
+
+  /** One sorted `k=v` line per push — the standalone stand-in for the
+    * reference's gateway. */
+  final class Logging extends MetricsSink {
+    def push(snapshot: Map[String, Long]): Unit =
+      println(snapshot.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"$k=$v" }.mkString("[metrics] ", " ", ""))
+  }
+
+  /** Retains every pushed snapshot, for tests and embedding callers. */
+  final class Recording extends MetricsSink {
+    private val buf = scala.collection.mutable.ArrayBuffer[Map[String, Long]]()
+    def push(snapshot: Map[String, Long]): Unit = synchronized { buf += snapshot; () }
+    def pushes: Seq[Map[String, Long]] = synchronized(buf.toSeq)
+    def last: Option[Map[String, Long]] = synchronized(buf.lastOption)
+  }
+}
+
 /** Pipeline metrics (reference S21, monitoring.py:49-100) as Spark
   * accumulators (counters: cluster-safe, driver-aggregated) plus gauges
-  * mirroring the reference's four (monitoring.py:57-79). `snapshot()` is
-  * the integration point where the reference calls
-  * `prometheus.push_to_server()` (monitoring.py:96-100) — an exporter
-  * polls or pushes that map; no external push is wired here by design
-  * (zero-egress build). */
-final class Metrics(sc: SparkContext, namespace: String) extends Serializable {
+  * mirroring the reference's four (monitoring.py:57-79). `snapshot()`
+  * feeds the pluggable [[MetricsSink]] via `push()`, mirroring the
+  * reference's `monitor.push()` cadence (csv_extractor.py:41,230,234):
+  * after discovery, after each file's accounting, after the final flush. */
+final class Metrics(sc: SparkContext, namespace: String,
+    @transient private val sink: MetricsSink = MetricsSink.Noop) extends Serializable {
   val postedDatapoints: LongAccumulator = sc.longAccumulator(s"$namespace.posted_data_points")
   val createdTimeSeries: LongAccumulator = sc.longAccumulator(s"$namespace.created_time_series")
   val failedFiles: LongAccumulator = sc.longAccumulator(s"$namespace.failed_processing_files")
@@ -48,9 +81,26 @@ final class Metrics(sc: SparkContext, namespace: String) extends Serializable {
     unprocessedFiles.name -> unprocessedFiles.get,
     successfullyProcessedFiles.name -> successfullyProcessedFiles.get,
     postedTimeSeriesCount.name -> postedTimeSeriesCount.get)
+
+  /** Push a snapshot to the sink. A monitoring outage must never kill
+    * extraction: failures are logged and swallowed, exactly the
+    * reference's try/except (monitoring.py:96-100). Null-safe because the
+    * sink field is transient: a Metrics that round-tripped through
+    * closure serialization pushes nowhere rather than NPEs. */
+  def push(): Unit = {
+    val s = sink
+    if (s != null) {
+      try s.push(snapshot())
+      catch {
+        case e: Exception =>
+          System.err.println(s"[graft] failed to push metrics: ${e.getMessage}")
+      }
+    }
+  }
 }
 
 object Metrics {
-  def apply(sc: SparkContext, namespace: String = "csv_hist"): Metrics =
-    new Metrics(sc, namespace)
+  def apply(sc: SparkContext, namespace: String = "csv_hist",
+      sink: MetricsSink = MetricsSink.Noop): Metrics =
+    new Metrics(sc, namespace, sink)
 }

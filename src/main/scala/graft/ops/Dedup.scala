@@ -238,11 +238,25 @@ object Dedup {
     * test-dups × train-dups per duplicate text (measured 10x on the
     * replicated corpus: 44 → 5,066 contaminated docs, 1.6 s → 15.7 s), so
     * a duplicate-heavy corpus should run [[exact]] first and decontaminate
-    * the representatives, exactly like q52's representative pair mine. */
-  def decontaminate(docs: DataFrame, threshold: Double): DataFrame = {
+    * the representatives, exactly like q52's representative pair mine —
+    * that composition is `dedupFirst = true` (q88).
+    *
+    * @param dedupFirst collapse identical texts to their min-id
+    *   representative (one hash-groupBy) before shingling. Candidate
+    *   volume drops from test-dups × train-dups per duplicate text to one
+    *   pair per distinct near-dup TEXT pair; exact cross-split duplicates
+    *   are the exact-dedup stage's finding, not a near-dup row. Output is
+    *   per test REPRESENTATIVE (splits re-hash on the representative's
+    *   doc_id). */
+  def decontaminate(docs: DataFrame, threshold: Double,
+      dedupFirst: Boolean = false): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     QueryDef.cpuBound(docs.sparkSession)
-    val sh = shingled(docs)
+    val base =
+      if (!dedupFirst) docs
+      // one shuffle on doc_id; reps is corpus-keyed, so no broadcast
+      else docs.join(exact(docs).select(col("keep_id").as("doc_id")), "doc_id")
+    val sh = shingled(base)
       .withColumn("split", expr(Sampling.splitCase("doc_id")))
       .withColumn("sorted", sort_array(col("grams")))
       .localCheckpoint()
@@ -266,13 +280,13 @@ object Dedup {
       .agg(count(lit(1)).as("n_train_dups"), max(col("jaccard")).as("max_jaccard"))
   }
 
-  def decontaminateSql(threshold: Double): String = {
+  def decontaminateSql(threshold: Double, source: String = "documents"): String = {
     val bandsSql = (0 until Bands).map { b =>
       val parts = (1 to Rows).map(r => s"sig[${b * Rows + r}]").mkString(" || ")
       s"md5('$b' || ':' || $parts)"
     }.mkString(", ")
     s"""WITH sh AS (SELECT doc_id, ${Sampling.splitCaseDuck("doc_id")} AS split,
-            $shinglesSql AS grams FROM documents),
+            $shinglesSql AS grams FROM $source),
       sigs AS (SELECT doc_id, split, grams,
           list_transform(range(0, $NumHashes),
             j -> list_aggregate(list_transform(grams, g -> md5(CAST(j AS VARCHAR) || '|' || g)), 'min')) AS sig
@@ -512,6 +526,13 @@ object Dedup {
     QueryDef("q74_decontaminate",
       (s, d) => decontaminate(t(s, d, "documents"), 0.8),
       Some(decontaminateSql(0.8))),
+
+    QueryDef("q88_decontaminate_reps",
+      (s, d) => decontaminate(t(s, d, "documents"), 0.8, dedupFirst = true),
+      Some(decontaminateSql(0.8,
+        """(SELECT d.* FROM documents d
+            JOIN (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)) r
+            USING (doc_id))"""))),
 
     QueryDef("q48_dedup_simhash_pairs",
       (s, d) => simhashPairs(t(s, d, "documents"), maxHamming = 3),

@@ -224,6 +224,8 @@ object LiveStream {
             m.availableCsvFiles.set(remaining)
             m.unprocessedFiles.set(remaining)
           }
+          // per-poll push, gauges freshly set (reference csv_extractor.py:41)
+          metrics.foreach(_.push())
         } finally { batch.unpersist(); () }
       }
       .start()

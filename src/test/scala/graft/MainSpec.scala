@@ -45,7 +45,8 @@ class MainSpec extends AnyFunSuite {
     write(in, "broken_x_300.csv", ";9 : Z\nu;x\nBAD;1,0\n")
     val cfg = Main.Config(input = in.toString, moveFailed = true, keepFinished = true,
       output = Some(out), catalog = Some(cat))
-    val metrics = Metrics(spark.sparkContext, "test_hist")
+    val sink = new MetricsSink.Recording
+    val metrics = Metrics(spark.sparkContext, "test_hist", sink)
     val lifecycle = new graft.tebis.Discovery.Lifecycle(
       Some(s"$in/failed"), Some(s"$in/finished"), spark.sparkContext.hadoopConfiguration)
     Main.runHistorical(spark, cfg, metrics, lifecycle)
@@ -70,6 +71,16 @@ class MainSpec extends AnyFunSuite {
     assert(metrics.successfullyProcessedFiles.get == 2)
     assert(metrics.postedTimeSeriesCount.get == 1)
     assert(metrics.snapshot()("test_hist.available_csv_files") == 3)
+    // push hook (reference monitoring.py push cadence): one post-discovery
+    // push, one per file, one final — and the LAST push carries the final
+    // counter/gauge values
+    assert(sink.pushes.size == 5) // discovery + 3 files + final
+    val last = sink.last.get
+    assert(last("test_hist.posted_data_points") == 3)
+    assert(last("test_hist.processed_files") == 2)
+    assert(last("test_hist.failed_processing_files") == 1)
+    assert(last("test_hist.unprocessed_files") == 0)
+    assert(last("test_hist.successfully_processed_files") == 2)
 
     // second run over the (now empty) input is a no-op, catalog unchanged
     Main.runHistorical(spark, cfg, metrics, lifecycle)

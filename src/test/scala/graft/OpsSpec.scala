@@ -282,9 +282,16 @@ class OpsSpec extends AnyFunSuite {
     bySource.foreach { case (src, rows) =>
       assert(rows.map(_.getAs[Long]("n_tokens")).sum == totals(src)._1, s"$src token conservation")
       assert(rows.map(_.getAs[Long]("n_docs")).sum == totals(src)._2, s"$src doc conservation")
-      // bin ids are the dense floor(cumstart/C) range: start at 0, no gaps
+      // bin ids are floor(cumstart/C): they start at 0 and are strictly
+      // increasing; they are DENSE only while every doc fits in one bin —
+      // a doc longer than PackCapacity advances the cumulative start past
+      // a whole bin, legitimately skipping ids (first-token-bin semantics)
       val ids = rows.map(_.getAs[Long]("bin")).sorted
-      assert(ids.head == 0L && ids.zip(ids.tail).forall { case (a, b) => b - a == 1 })
+      val maxDocTok = docs.filter(col("source") === src)
+        .agg(max(size(split(col("text"), " ")).cast("long"))).collect().head.getLong(0)
+      assert(ids.head == 0L && ids.zip(ids.tail).forall { case (a, b) => b > a })
+      if (maxDocTok <= Corpus.PackCapacity)
+        assert(ids.zip(ids.tail).forall { case (a, b) => b - a == 1 }, s"$src dense bins")
     }
   }
 
@@ -338,6 +345,22 @@ class OpsSpec extends AnyFunSuite {
         (r.getAs[Long]("n_train_dups"), r.getAs[Double]("max_jaccard"))).toMap
     assert(got == expect)
     assert(got.nonEmpty) // the corpus plants cross-split near-dups
+  }
+
+  test("q88 dedupFirst == decontaminating the exact-dedup representative corpus") {
+    import org.apache.spark.sql.functions._
+    val reps = Dedup.exact(docs).select(col("keep_id").as("doc_id"))
+    val expect = Dedup.decontaminate(docs.join(reps, "doc_id"), 0.8).collect()
+      .map(r => (r.getAs[Long]("test_id"), r.getAs[Long]("n_train_dups"),
+        r.getAs[Double]("max_jaccard"))).toSet
+    val got = Dedup.decontaminate(docs, 0.8, dedupFirst = true).collect()
+      .map(r => (r.getAs[Long]("test_id"), r.getAs[Long]("n_train_dups"),
+        r.getAs[Double]("max_jaccard"))).toSet
+    assert(got == expect)
+    assert(got.nonEmpty)
+    // every reported test doc is a representative (min doc_id of its text)
+    val keepIds = Dedup.exact(docs).collect().map(_.getAs[Long]("keep_id")).toSet
+    assert(got.forall(r => keepIds(r._1)))
   }
 
   test("q83 frame sampling: stride selection, offsets, and tail truncation") {
