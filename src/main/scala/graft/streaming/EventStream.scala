@@ -76,6 +76,21 @@ object EventStream {
     * fixed-size record per user — no event buffering — which is the only
     * funnel shape that survives an unbounded stream.
     *
+    * State ceiling: DISTINCT-USER CARDINALITY, explicitly — `NoTimeout`
+    * is deliberate. The q78 semantics this operator is spec-locked to are
+    * first-view-only and at-most-one-conversion-per-user, so a user's
+    * record stays meaningful forever: a `done` record suppresses
+    * re-emission, and a stalled record pins the first view as the only
+    * funnel attempt. Expiring either (GroupStateTimeout) would let a
+    * later view restart the funnel and emit conversions q78 never
+    * reports. Size the state store for |users| × ~40 bytes; if a
+    * deployment wants RESTARTABLE funnels instead, that is a different
+    * operator: set EventTimeTimeout with
+    * `state.setTimeoutTimestamp(max(v_ts, c_ts)/1000 + window)` and
+    * remove non-`done` state on timeout — expired attempts can never
+    * advance under in-order delivery, so removal only re-opens the
+    * funnel.
+    *
     * Contract: events are applied in event-time order WITHIN each
     * micro-batch (sorted here); an event arriving in a LATER batch than
     * one it precedes in event time cannot rewind already-advanced state —
