@@ -303,6 +303,124 @@ object Dedup {
       FROM v WHERE jaccard >= $threshold GROUP BY test_id"""
   }
 
+  // ----------------------------------------------------------------------
+  // Exact-substring span analysis: the token-window twin of the whole-doc
+  // paths above. Whole-doc MinHash (q42/q74) misses a copied PARAGRAPH
+  // inside an otherwise-novel document; fingerprinting every w-token
+  // window (the published pre-training recipe uses w≈13 — long enough
+  // that natural language rarely collides, short enough to catch any
+  // copied passage) catches exactly that. Everything is md5-exact and
+  // positional, so both queries oracle fully.
+  // ----------------------------------------------------------------------
+
+  val SpanWidth = 13
+
+  /** One row per token position: (doc_id, fp) where fp = md5 of the
+    * space-joined `w`-token window starting there (docs shorter than `w`
+    * emit nothing). Row count is token volume — the irreducible cost of
+    * substring-level analysis; everything downstream is equi-shaped on
+    * `fp`. `toks` is a materialized column so the per-position slice is
+    * O(w), not a re-split of the text. */
+  private[graft] def spanFps(docs: DataFrame, w: Int): DataFrame =
+    QueryDef.spread(docs.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), explode(expr(
+        s"""CASE WHEN size(toks) >= $w THEN
+              transform(sequence(1, size(toks) - ${w - 1}),
+                i -> md5(concat_ws(' ', slice(toks, i, $w))))
+            ELSE CAST(array() AS ARRAY<STRING>) END""")).as("fp"))
+
+  /** DuckDB twin of [[spanFps]] as a CTE pair over `source`. */
+  private def spanFpsSql(w: Int, source: String): String =
+    s"""tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM $source),
+      spans AS (SELECT doc_id, md5(array_to_string(toks[i : i + ${w - 1}], ' ')) AS fp
+        FROM (SELECT doc_id, toks,
+                unnest(range(1, greatest(len(toks) - ${w - 1} + 1, 1))) AS i
+              FROM tk))"""
+
+  /** Per-document duplicated-span stats: how much of each document is a
+    * verbatim `w`-token run that also appears in ANOTHER document. The
+    * exact-substring dedup signal — a pipeline drops or trims documents
+    * past a `dup_frac` cut.
+    *
+    * Scale shape: one groupBy(fp) over the span stream for document
+    * frequencies, one equi-join back, one groupBy(doc_id) — all keyed
+    * shuffles of token-volume rows, no pair output at all (this is the
+    * span-level answer to SCALE.md lesson 1: report PER-DOC fractions,
+    * never materialize span pairs, which are quadratic in span df). */
+  def dupSpans(docs: DataFrame, w: Int = SpanWidth): DataFrame = {
+    val spans = spanFps(docs, w)
+    val dfs = spans.groupBy("fp").agg(countDistinct(col("doc_id")).as("df"))
+    val per = spans.join(dfs, "fp")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"), expr("count_if(df >= 2)").as("n_dup_spans"))
+    docs.select("doc_id").join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"))
+      .withColumn("dup_frac", when(col("n_spans") === 0, lit(0.0))
+        .otherwise(col("n_dup_spans").cast("double") / col("n_spans")))
+  }
+
+  def dupSpansSql(w: Int): String =
+    s"""WITH ${spanFpsSql(w, "documents")},
+      dfs AS (SELECT fp, count(DISTINCT doc_id) AS df FROM spans GROUP BY fp),
+      per AS (SELECT s.doc_id, count(*) AS n_spans,
+          CAST(count_if(d.df >= 2) AS BIGINT) AS n_dup_spans
+        FROM spans s JOIN dfs d USING (fp) GROUP BY s.doc_id)
+      SELECT d.doc_id, COALESCE(per.n_spans, 0) AS n_spans,
+        COALESCE(per.n_dup_spans, 0) AS n_dup_spans,
+        CASE WHEN COALESCE(per.n_spans, 0) = 0 THEN 0.0
+             ELSE CAST(per.n_dup_spans AS DOUBLE) / per.n_spans END AS dup_frac
+      FROM documents d LEFT JOIN per USING (doc_id)"""
+
+  /** N-gram eval-set contamination: for each TEST-split document, the
+    * count and fraction of its `w`-token spans that appear verbatim in
+    * any TRAIN-split document — the published-recipe contamination check
+    * (exact n-gram collision), stricter per-span and looser per-doc than
+    * q74's whole-doc MinHash Jaccard: one copied sentence flags here at
+    * a low fraction, while only wholesale near-duplication flags there.
+    * Same md5 hash split as q38/q74, so all three compose.
+    *
+    * Scale shape: the train side collapses to DISTINCT fps before the
+    * join (duplicate spans in train carry no extra information), then
+    * one equi-join on fp against the (small) test side — the shape
+    * Spark's runtime bloom filter accelerates for free when the test
+    * side is selective. No pair output: per-test-doc counts only. */
+  def spanContamination(docs: DataFrame, w: Int = SpanWidth): DataFrame = {
+    val spans = spanFps(docs, w)
+      .withColumn("split", expr(Sampling.splitCase("doc_id")))
+    val trainFps = spans.filter(col("split") === "train")
+      .select("fp").distinct().withColumn("hit", lit(1L))
+    val per = spans.filter(col("split") === "test")
+      .join(trainFps, Seq("fp"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"), expr("count_if(hit IS NOT NULL)").as("n_train_spans"))
+    docs.withColumn("split", expr(Sampling.splitCase("doc_id")))
+      .filter(col("split") === "test").select("doc_id")
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_train_spans"), lit(0L)).as("n_train_spans"))
+      .withColumn("contaminated_frac", when(col("n_spans") === 0, lit(0.0))
+        .otherwise(col("n_train_spans").cast("double") / col("n_spans")))
+  }
+
+  def spanContaminationSql(w: Int): String =
+    s"""WITH ${spanFpsSql(w, "documents")},
+      sp AS (SELECT doc_id, fp, ${Sampling.splitCaseDuck("doc_id")} AS split FROM spans),
+      train_fps AS (SELECT DISTINCT fp FROM sp WHERE split = 'train'),
+      per AS (SELECT s.doc_id, count(*) AS n_spans,
+          CAST(count_if(t.fp IS NOT NULL) AS BIGINT) AS n_train_spans
+        FROM sp s LEFT JOIN train_fps t ON s.fp = t.fp
+        WHERE s.split = 'test' GROUP BY s.doc_id)
+      SELECT d.doc_id, COALESCE(per.n_spans, 0) AS n_spans,
+        COALESCE(per.n_train_spans, 0) AS n_train_spans,
+        CASE WHEN COALESCE(per.n_spans, 0) = 0 THEN 0.0
+             ELSE CAST(per.n_train_spans AS DOUBLE) / per.n_spans END AS contaminated_frac
+      FROM documents d LEFT JOIN per USING (doc_id)
+      WHERE ${Sampling.splitCaseDuck("d.doc_id")} = 'test'"""
+
   /** Hex digits whose bit k is set, for k = 0..3 — turns md5 hex chars
     * into hash bits without any hex->int conversion. */
   private val HexBit = Array("13579bdf", "2367abef", "4567cdef", "89abcdef")
@@ -526,6 +644,14 @@ object Dedup {
     QueryDef("q74_decontaminate",
       (s, d) => decontaminate(t(s, d, "documents"), 0.8),
       Some(decontaminateSql(0.8))),
+
+    QueryDef("q89_dup_spans",
+      (s, d) => dupSpans(t(s, d, "documents")),
+      Some(dupSpansSql(SpanWidth))),
+
+    QueryDef("q90_span_contamination",
+      (s, d) => spanContamination(t(s, d, "documents")),
+      Some(spanContaminationSql(SpanWidth))),
 
     QueryDef("q88_decontaminate_reps",
       (s, d) => decontaminate(t(s, d, "documents"), 0.8, dedupFirst = true),

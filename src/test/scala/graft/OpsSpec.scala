@@ -347,6 +347,41 @@ class OpsSpec extends AnyFunSuite {
     assert(got.nonEmpty) // the corpus plants cross-split near-dups
   }
 
+  test("q89/q90 span stats == driver recompute of w-gram window collisions") {
+    val w = Dedup.SpanWidth
+    val texts = docs.collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    def spansOf(text: String): Seq[String] = {
+      val toks = text.split(" ")
+      if (toks.length < w) Seq.empty
+      else (0 to toks.length - w).map(i => toks.slice(i, i + w).mkString(" "))
+    }
+    val allSpans = texts.toSeq.flatMap { case (id, t) => spansOf(t).map(s => (id, s)) }
+    val docFreq = allSpans.distinct.groupBy(_._2).view.mapValues(_.length).toMap
+    // q89: per-doc duplicated-span counts
+    val expect89 = texts.map { case (id, t) =>
+      val sp = spansOf(t)
+      id -> (sp.length.toLong, sp.count(s => docFreq(s) >= 2).toLong)
+    }
+    val got89 = Dedup.dupSpans(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_spans"), r.getAs[Long]("n_dup_spans"))).toMap
+    assert(got89 == expect89)
+    assert(got89.values.exists(_._2 > 0)) // planted near-dups share long runs
+    // q90: per-test-doc train-span hit counts under the q38 hash split
+    val split = Sampling.hashSplit(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    val trainSpans = allSpans.collect { case (id, s) if split(id) == "train" => s }.toSet
+    val expect90 = texts.collect { case (id, t) if split(id) == "test" =>
+      val sp = spansOf(t)
+      id -> (sp.length.toLong, sp.count(trainSpans).toLong)
+    }.toMap
+    val got90 = Dedup.spanContamination(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_spans"), r.getAs[Long]("n_train_spans"))).toMap
+    assert(got90 == expect90)
+    assert(got90.keySet == split.collect { case (id, "test") => id }.toSet)
+  }
+
   test("q88 dedupFirst == decontaminating the exact-dedup representative corpus") {
     import org.apache.spark.sql.functions._
     val reps = Dedup.exact(docs).select(col("keep_id").as("doc_id"))
