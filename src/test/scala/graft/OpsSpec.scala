@@ -382,6 +382,41 @@ class OpsSpec extends AnyFunSuite {
     assert(got90.keySet == split.collect { case (id, "test") => id }.toSet)
   }
 
+  test("q91 shard manifest == driver recompute of the composed pipeline") {
+    val w = Dedup.SpanWidth
+    val all = docs.collect().map(r =>
+      (r.getAs[Long]("doc_id"), r.getAs[String]("text"), r.getAs[String]("source")))
+    val stop = TextStats.Stopwords.toSet
+    def quality(t: String): Boolean = {
+      val toks = t.split(" ")
+      val n = toks.length.toLong
+      val sl = toks.map(_.length.toLong).sum
+      n >= 20 && toks.distinct.length * 10 >= n * 3 &&
+        sl >= n * 3 && sl <= n * 12 && toks.exists(stop)
+    }
+    def spansOf(t: String): Seq[String] = {
+      val toks = t.split(" ")
+      if (toks.length < w) Seq.empty
+      else (0 to toks.length - w).map(i => toks.slice(i, i + w).mkString(" "))
+    }
+    val split = Sampling.hashSplit(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    val kept = all.filter(d => quality(d._2))
+    val reps = kept.groupBy(_._2).map { case (_, ds) => ds.minBy(_._1) }.toSeq
+    val testFps = reps.collect { case (id, t, _) if split(id) == "test" => spansOf(t) }
+      .flatten.toSet
+    val clean = reps.filter { case (id, t, _) =>
+      split(id) == "train" && !spansOf(t).exists(testFps) }
+    val expect = clean.groupBy(_._3).map { case (src, ds) =>
+      src -> (ds.size.toLong, ds.map(_._2.split(" ").length.toLong).sum) }
+    val got = Pipeline.prepareTrainShard(docs).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"))).toMap
+    assert(got == expect)
+    assert(got.nonEmpty && clean.size < reps.count(r => split(r._1) == "train"),
+      "the corpus plants cross-split contamination the pipeline must drop")
+  }
+
   test("q88 dedupFirst == decontaminating the exact-dedup representative corpus") {
     import org.apache.spark.sql.functions._
     val reps = Dedup.exact(docs).select(col("keep_id").as("doc_id"))
