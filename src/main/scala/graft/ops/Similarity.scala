@@ -206,7 +206,18 @@ object Similarity {
       .select(col("vec_id"), col("qv")).as[(Long, Seq[Long])]
       .collect().toSeq.sortBy(_._1)
     for (_ <- 1 to iters) {
-      val sums = rankedAssign(q, centsDF(cents)).filter(col("rn") === 1)
+      // assignment argmax via max_by(cent_id, struct(csim, -cent_id)) —
+      // the same total order as rankedAssign's (csim desc, cent_id asc)
+      // window but partial-aggregated, no shuffle-sort; `qv` is
+      // group-constant so first() is deterministic (the q66 trainer's
+      // shape, kept in lockstep)
+      val sums = q.crossJoin(broadcast(centsDF(cents)))
+        .withColumn("csim",
+          expr("CAST(quantized_dot(qv, cqv) AS DOUBLE)") /
+            (sqrt(col("nrm").cast("double")) * sqrt(col("cnrm").cast("double"))))
+        .groupBy("vec_id")
+        .agg(expr("max_by(cent_id, struct(csim, -cent_id))").as("cent_id"),
+          first(col("qv")).as("qv"))
         .select(col("cent_id"), posexplode(col("qv")).as(Seq("pos", "x")))
         .groupBy("cent_id", "pos")
         .agg(sum("x").as("s"), count(lit(1)).as("cnt"))
