@@ -112,8 +112,17 @@ object TextStats {
       md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))).as("fp"))
 
   /** Polynomial rolling-hash fingerprint over characters, mod 1e9+7 —
-    * exact integer fold, identical in any engine. */
-  def fingerprintRolling(docs: DataFrame): DataFrame =
+    * exact integer fold, identical in any engine. Runs the codegen'd
+    * [[graft.functions.RollingHash]] (one O(n) pass per document). */
+  def fingerprintRolling(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs.select(col("doc_id"), expr("rolling_hash(text)").as("fp"))
+  }
+
+  /** Composed-built-ins formulation — the semantic spec for RollingHash
+    * (equality locked by GraftFunctionsSpec). O(n²) per document: each
+    * lambda element's substr re-seeks the i-th char boundary. */
+  def fingerprintRollingViaLambdas(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
       expr("""aggregate(
           transform(sequence(1, length(text)), i -> CAST(ascii(substr(text, i, 1)) AS BIGINT)),

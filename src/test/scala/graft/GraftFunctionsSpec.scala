@@ -47,6 +47,26 @@ class GraftFunctionsSpec extends AnyFunSuite {
     assert(rows(0).getLong(2) == 11L && rows(1).isNullAt(2) && rows(2).isNullAt(2))
   }
 
+  test("rolling_hash == aggregate/substr lambda formulation") {
+    GraftFunctions.register(spark)
+    val docs = t(spark, dir, "documents")
+    val fast = graft.ops.TextStats.fingerprintRolling(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val slow = graft.ops.TextStats.fingerprintRollingViaLambdas(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast == slow && fast.nonEmpty)
+    // edge rows: empty string hashes to 0; codepoint (not byte) iteration
+    import spark.implicits._
+    val edge = Seq((1L, ""), (2L, "a"), (3L, "ab"), (4L, "é€"))
+      .toDF("doc_id", "text")
+    val f = graft.ops.TextStats.fingerprintRolling(edge)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val s = graft.ops.TextStats.fingerprintRollingViaLambdas(edge)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(f == s)
+    assert(f(1L) == 0L && f(2L) == 97L && f(3L) == 97L * 31 + 98)
+  }
+
   test("minhash_sig == transform/array_min lambda formulation") {
     GraftFunctions.register(spark)
     val sh = Dedup.shingled(t(spark, dir, "documents").limit(50))
