@@ -31,7 +31,8 @@ class StreamingSpec extends AnyFunSuite {
     Files.write(dir.resolve("broken_x_50.csv"),
       ";9 : Z\nu;x\nBAD;1,0\n".getBytes(Charset.forName(TebisCsv.Encoding)))
     RecordingClient.reset()
-    val metrics = Metrics(spark.sparkContext, "test_live")
+    val sink = new MetricsSink.Recording
+    val metrics = Metrics(spark.sparkContext, "test_live", sink)
     val q = LiveStream.start(spark,
       LiveStream.Config(dir.toString, ckpt.toString, triggerMs = 100L, cleanSource = "off",
         failedDir = Some(dir.resolve("failed").toString)),
@@ -53,6 +54,12 @@ class StreamingSpec extends AnyFunSuite {
       val all = RecordingClient.all.flatten
       assert(all.flatMap(_.datapoints).size == 10)
       assert(all.count(_.externalId == "3") == 1)
+      // per-poll push (reference csv_extractor.py:41): one snapshot per
+      // micro-batch, the last carrying the final counters
+      assert(sink.pushes.nonEmpty)
+      val last = sink.last.get
+      assert(last("test_live.processed_files") == 3)
+      assert(last("test_live.failed_processing_files") == 1)
     } finally q.stop()
   }
 
