@@ -13,7 +13,8 @@ object SparkEntry {
     CoreQueries.all ++ graft.ops.EventOps.queries ++ graft.ops.TextStats.queries ++
       graft.ops.Sampling.queries ++ graft.ops.Dedup.queries ++
       graft.ops.Similarity.queries ++ graft.ops.Multimodal.queries ++
-      graft.ops.Corpus.queries ++ graft.ops.Layout.queries ++ graft.ops.Pipeline.queries
+      graft.ops.Corpus.queries ++ graft.ops.Layout.queries ++ graft.ops.Pipeline.queries ++
+      graft.ops.Cleaning.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

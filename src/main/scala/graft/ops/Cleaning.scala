@@ -1,0 +1,205 @@
+package graft.ops
+
+import java.util.regex.Pattern
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.queries.QueryDef
+import graft.queries.QueryDef._
+
+/** Document-cleaning operators for LLM training-data preparation (★ the
+  * line-level siblings of the doc-level TextStats/Sampling/Dedup ops):
+  * C4-style line filtering (Raffel et al. 2020, §2.2 of the T5 paper),
+  * PII redaction, and corpus-wide line-level deduplication (the
+  * RefinedWeb / Gopher "repeated passage" cleanup, applied at line
+  * granularity across documents).
+  *
+  * All three are per-row scalar pipelines except the line dedup, whose
+  * single shuffle is keyed by line content hash — the canonical
+  * "aggregate by content, keep the first occurrence" shape that scales
+  * linearly in total line count, never materializing a per-document
+  * cross product.
+  *
+  * The synthetic word-salad corpus has no real newlines or PII, so the
+  * line-based QUERIES pass a delimiter token (`" table "`) as the line
+  * separator and q93 injects deterministic synthetic PII derived from
+  * `doc_id` — the SAME expression in both engines, so the oracle stays a
+  * strict hash compare. Library callers on real corpora pass `"\n"` and
+  * skip the injection: the operators themselves are delimiter-agnostic.
+  */
+object Cleaning {
+
+  /** Line separator stand-in used by the q92/q94 queries on the
+    * newline-free testdata corpus. */
+  val LineDelim = " table "
+  val MinLineWords = 3
+  /** Per-line marker: any line containing this token is dropped (C4 drops
+    * lines containing "javascript"; `slow` is the corpus stand-in). */
+  val LineBlockToken = "slow"
+  /** Whole-document marker phrase: docs containing it are dropped
+    * entirely (C4 drops docs containing "lorem ipsum"; `slow slow` is the
+    * corpus stand-in, hitting ~5% of docs). */
+  val DocBlockPhrase = "slow slow"
+
+  /** Split into lines on a LITERAL delimiter (regex-quoted — callers pass
+    * raw strings like "\n", not patterns). */
+  private def linesOf(text: Column, delim: String): Column =
+    split(text, Pattern.quote(delim))
+
+  /** C4-style line-level cleanup: drop whole documents containing
+    * `docBlockPhrase`; within survivors drop lines with fewer than
+    * `minWords` words or containing the `lineBlockToken` word; drop
+    * documents with no surviving lines. Kept lines are rejoined with
+    * '\n'. One codegen'd projection per row — no shuffle, no UDF;
+    * embarrassingly parallel at any corpus size.
+    *
+    * The real C4 also requires terminal punctuation per line; that
+    * predicate is one more conjunct in the same `filter` lambda and is
+    * omitted here only because the punctuation-free corpus would keep
+    * zero lines. */
+  def cleanLines(docs: DataFrame, delim: String = LineDelim,
+      minWords: Int = MinLineWords, lineBlockToken: String = LineBlockToken,
+      docBlockPhrase: String = DocBlockPhrase): DataFrame =
+    docs.filter(!col("text").contains(docBlockPhrase))
+      .select(col("doc_id"), linesOf(col("text"), delim).as("ls"))
+      .select(col("doc_id"), size(col("ls")).cast("long").as("n_lines_in"),
+        filter(col("ls"), ln =>
+          size(split(ln, " ")) >= minWords &&
+            !array_contains(split(ln, " "), lineBlockToken)).as("kept"))
+      .filter(size(col("kept")) >= 1)
+      .select(col("doc_id"), col("n_lines_in"),
+        size(col("kept")).cast("long").as("n_lines_kept"),
+        array_join(col("kept"), "\n").as("text_clean"))
+
+  val cleanLinesSql: String =
+    s"""WITH base AS (SELECT doc_id, text FROM documents
+          WHERE NOT contains(text, '$DocBlockPhrase')),
+      l AS (SELECT doc_id, string_split(text, '$LineDelim') AS ls FROM base),
+      k AS (SELECT doc_id, CAST(len(ls) AS BIGINT) AS n_lines_in,
+              list_filter(ls, ln -> len(string_split(ln, ' ')) >= $MinLineWords
+                AND NOT list_contains(string_split(ln, ' '), '$LineBlockToken')) AS kept
+            FROM l)
+      SELECT doc_id, n_lines_in, CAST(len(kept) AS BIGINT) AS n_lines_kept,
+        array_to_string(kept, chr(10)) AS text_clean
+      FROM k WHERE len(kept) >= 1"""
+
+  // --------------------------------------------------------------------
+  // PII redaction. Regexes are kept inside the RE2 ∩ java.util.regex
+  // common dialect (character classes, bounded repetition, \b — no
+  // lookaround, no backreferences) so the DuckDB oracle applies the SAME
+  // patterns. Counts come from regexp_count BEFORE replacement; the three
+  // replacements chain email → phone → IP (the patterns are mutually
+  // non-overlapping: only the email pattern contains '@', only the phone
+  // pattern starts at '+', and an IP has no alpha characters).
+  // --------------------------------------------------------------------
+
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}"
+  val Ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** Redact emails / phone numbers / IPv4 addresses from `textCol`,
+    * returning per-doc match counts and the redacted text. Pure per-row
+    * regex projections — codegen'd, shuffle-free. */
+  def redactPii(docs: DataFrame, textCol: Column): DataFrame =
+    docs.select(col("doc_id"),
+      regexp_count(textCol, lit(EmailRe)).cast("long").as("n_emails"),
+      regexp_count(textCol, lit(PhoneRe)).cast("long").as("n_phones"),
+      regexp_count(textCol, lit(Ipv4Re)).cast("long").as("n_ips"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(textCol, EmailRe, "<EMAIL>"),
+          PhoneRe, "<PHONE>"),
+        Ipv4Re, "<IP>").as("text_redacted"))
+
+  /** Deterministic synthetic-PII prefix for the q93 query: the testdata
+    * corpus contains no '@', digits, or dots, so the query plants one
+    * email, phone, and IP per document, derived from doc_id alone —
+    * identically in both engines. */
+  private val piiInjected: Column =
+    concat(lit("contact user"), col("doc_id").cast("string"),
+      lit("@example.com call +1-555-"),
+      lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+      lit(" ip 10.0."), pmod(col("doc_id"), lit(256)).cast("string"),
+      lit("."), pmod(col("doc_id") * 7, lit(256)).cast("string"),
+      lit(" "), col("text"))
+
+  private val piiInjectedSql =
+    """'contact user' || CAST(doc_id AS VARCHAR)
+       || '@example.com call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+       || ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+       || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+       || ' ' || text"""
+
+  val redactPiiSql: String =
+    s"""WITH inj AS (SELECT doc_id, $piiInjectedSql AS t FROM documents)
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(t, '$EmailRe')) AS BIGINT) AS n_emails,
+        CAST(len(regexp_extract_all(t, '$PhoneRe')) AS BIGINT) AS n_phones,
+        CAST(len(regexp_extract_all(t, '$Ipv4Re')) AS BIGINT) AS n_ips,
+        regexp_replace(regexp_replace(regexp_replace(t,
+          '$EmailRe', '<EMAIL>', 'g'), '$PhoneRe', '<PHONE>', 'g'),
+          '$Ipv4Re', '<IP>', 'g') AS text_redacted
+      FROM inj"""
+
+  // --------------------------------------------------------------------
+  // Corpus-wide line dedup: every line keeps exactly its FIRST occurrence
+  // (ordered by (doc_id, line_no)); later occurrences anywhere in the
+  // corpus are dropped. This is the cross-document repeated-boilerplate
+  // cleanup (headers, footers, navigation chrome) that doc-level MinHash
+  // (q42) cannot see.
+  // --------------------------------------------------------------------
+
+  /** Line dedup across the whole corpus. Winner selection is ONE partial-
+    * aggregated shuffle keyed by line content — `min(struct(doc_id,
+    * line_no))` combines map-side, so the exchange carries one candidate
+    * winner per distinct line per input partition, never the full
+    * occurrence list (the row_number-window formulation would shuffle and
+    * sort every occurrence; the oracle keeps that form — same total
+    * order, so results are row-identical). The flag join is a shuffle
+    * join on (line, doc_id, line_no); reassembly groups by doc_id.
+    * Documents whose every line was dropped remain with n_kept = 0 and
+    * empty text. */
+  def dedupLines(docs: DataFrame, delim: String = LineDelim): DataFrame = {
+    val lines = docs.select(col("doc_id"),
+      posexplode(linesOf(col("text"), delim)).as(Seq("line_no", "line")))
+    val winners = lines.groupBy("line")
+      .agg(min(struct(col("doc_id"), col("line_no"))).as("w"))
+      .select(col("line"), col("w.doc_id").as("doc_id"),
+        col("w.line_no").as("line_no"), lit(true).as("keep"))
+    lines.join(winners, Seq("line", "doc_id", "line_no"), "left")
+      .withColumn("keep", coalesce(col("keep"), lit(false)))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        array_join(expr(
+          "transform(array_sort(collect_list(CASE WHEN keep THEN struct(line_no, line) END)), t -> t.line)"),
+          "\n").as("text_dedup"))
+  }
+
+  val dedupLinesSql: String =
+    s"""WITH ls AS (SELECT doc_id, string_split(text, '$LineDelim') AS ls FROM documents),
+      lines AS (SELECT doc_id, CAST(t.i - 1 AS INT) AS line_no, ls[t.i] AS line
+                FROM ls, LATERAL (SELECT unnest(range(1, len(ls) + 1)) AS i) t),
+      flagged AS (SELECT doc_id, line_no, line,
+                  row_number() OVER (PARTITION BY line ORDER BY doc_id, line_no) = 1 AS keep
+                  FROM lines)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+        CAST(count(*) FILTER (keep) AS BIGINT) AS n_kept,
+        coalesce(string_agg(line, chr(10) ORDER BY line_no) FILTER (keep), '') AS text_dedup
+      FROM flagged GROUP BY doc_id"""
+
+  val queries: Seq[QueryDef] = Seq(
+    QueryDef("q92_clean_lines",
+      (s, d) => cleanLines(t(s, d, "documents")),
+      Some(cleanLinesSql)),
+
+    QueryDef("q93_pii_redact",
+      (s, d) => redactPii(t(s, d, "documents"), piiInjected),
+      Some(redactPiiSql)),
+
+    QueryDef("q94_line_dedup",
+      (s, d) => dedupLines(t(s, d, "documents")),
+      Some(dedupLinesSql))
+  )
+}

@@ -152,7 +152,71 @@ object Sampling {
       SELECT doc_id, lang, score, cut FROM th
       WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) < cut"""
 
+  val MixBudgetTokens = 8000L
+
+  /** Source-mixing to a global token budget (the DoReMi / Pile-style
+    * "mixture weights" step of assembling a pre-training corpus): each
+    * source gets `budget × w_s / Σw` tokens, filled greedily by quality
+    * rank. Weights here derive from the source name (src<n> → n%3+1) so
+    * the mix is reproducible; real callers pass their tuned weights as a
+    * map the same way. Selection is "highest q31 quality score first,
+    * doc_id tie-break, keep while the running token total stays within
+    * the source's share" — the first over-budget document is excluded
+    * (hard budget). Shares are exact integer arithmetic (budget·w DIV
+    * Σw) and the running total is an integer window sum, so the cut is
+    * bit-portable across engines. Scale: one window shuffle keyed by
+    * source — the same shape as q10's per-group top-k; per-source order
+    * is a sort within its partition, no global sort. */
+  def sourceMix(docs: DataFrame, budgetTokens: Long = MixBudgetTokens): DataFrame = {
+    val toks = graft.ops.TextStats.tokens(col("text"))
+    val scored = docs.select(
+      col("doc_id"), col("source"),
+      size(toks).cast("long").as("n_tokens"),
+      size(array_distinct(toks)).cast("long").as("n_distinct"),
+      expr(graft.ops.TextStats.stopCountExpr).as("n_stop"))
+      .withColumn("score",
+        (least(col("n_tokens"), lit(100L)).cast("double") / 100.0) * 0.5 +
+          (col("n_distinct").cast("double") / col("n_tokens")) * 0.3 +
+          (least(col("n_stop"), lit(10L)).cast("double") / 10.0) * 0.2)
+      .withColumn("w", substring(col("source"), 4, 10).cast("long") % 3 + 1)
+    val totw = scored.select(col("source"), col("w")).distinct()
+      .agg(sum("w").as("totw"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("score").desc, col("doc_id").asc)
+    scored.crossJoin(broadcast(totw))
+      .withColumn("share_tokens", expr(s"($budgetTokens * w) DIV totw"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(win))
+      .filter(col("cum_tokens") <= col("share_tokens"))
+      .select("doc_id", "source", "n_tokens", "cum_tokens", "share_tokens")
+  }
+
+  def sourceMixSql(budgetTokens: Long = MixBudgetTokens): String =
+    s"""WITH base AS (SELECT doc_id, source,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+        CAST(len(list_filter(string_split(text, ' '),
+          w -> ${graft.ops.TextStats.inSet("w", graft.ops.TextStats.Stopwords)})) AS BIGINT) AS n_stop
+      FROM documents),
+      scored AS (SELECT doc_id, source, n_tokens,
+          (CAST(LEAST(n_tokens, 100) AS DOUBLE) / 100.0) * 0.5
+            + (CAST(n_distinct AS DOUBLE) / n_tokens) * 0.3
+            + (CAST(LEAST(n_stop, 10) AS DOUBLE) / 10.0) * 0.2 AS score,
+          CAST(substr(source, 4) AS BIGINT) % 3 + 1 AS w
+        FROM base),
+      tw AS (SELECT SUM(w) AS totw FROM (SELECT DISTINCT source, w FROM scored)),
+      c AS (SELECT doc_id, source, n_tokens,
+          CAST(($budgetTokens * w) // (SELECT totw FROM tw) AS BIGINT) AS share_tokens,
+          CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY score DESC, doc_id)
+            AS BIGINT) AS cum_tokens
+        FROM scored)
+      SELECT doc_id, source, n_tokens, cum_tokens, share_tokens
+      FROM c WHERE cum_tokens <= share_tokens"""
+
   val queries: Seq[QueryDef] = Seq(
+    QueryDef("q96_source_mix",
+      (s, d) => sourceMix(t(s, d, "documents")),
+      Some(sourceMixSql())),
+
     QueryDef("q87_weighted_sample",
       (s, d) => weightedSample(t(s, d, "documents")),
       Some(weightedSampleSql())),

@@ -477,6 +477,45 @@ object Similarity {
       .agg(expr("transform(array_sort(collect_list(struct(pos, m))), t -> t.m)").as("centroid"),
         max("cnt").as("n_vecs"))
 
+  /** SemDeDup threshold: testdata cosines top out near 0.51, with a thin
+    * >= 0.4 tail — the same cut as the q44 exact near-dup query, so the
+    * two operators' drop sets are directly comparable. */
+  val SemDedupThreshold = 0.4
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embeddings with the SAME
+    * deterministic integer k-means as the IVF index, then inside each
+    * cluster drop every vector that has an EARLIER (lower vec_id)
+    * cluster-mate with cosine >= threshold. The paper's greedy variant
+    * re-checks only against SURVIVORS (a sequential scan per cluster);
+    * the earlier-mate rule used here is its order-free relaxation — a
+    * pure self-join, so it parallelizes — and drops a superset (anything
+    * greedy drops has an earlier similar mate). Cost: clustering is the
+    * shared k-means (one broadcast-join job per Lloyd iteration); the
+    * candidate self-join is equi-keyed on cell, O(Σ cell²) pairs instead
+    * of the O(n²) brute force — the clusters ARE the blocking scheme.
+    * Output keeps every vector with its cell and verdict, so callers can
+    * either filter `kept` or audit the drops. */
+  def semanticDedup(spark: SparkSession, dir: String, threshold: Double = SemDedupThreshold,
+      nCents: Int = IvfCentroids, iters: Int = KmeansIters): DataFrame = {
+    val q = quantized(spark, dir).select("vec_id", "qv", "nrm").localCheckpoint()
+    val cents = kmeansCentroids(q, nCents, iters)
+    val home = rankedAssign(q, cents).filter(col("rn") === 1)
+      .select(col("vec_id"), col("qv"), col("nrm"), col("cent_id").as("cell"))
+      .localCheckpoint() // feeds both self-join sides + the final output
+    val a = home.select(col("vec_id").as("id_a"), col("qv").as("qa"),
+      col("nrm").as("na"), col("cell"))
+    val b = home.select(col("vec_id").as("id_b"), col("qv").as("qb"),
+      col("nrm").as("nb"), col("cell"))
+    val blocked = a.join(b, Seq("cell"))
+      .filter(col("id_b") < col("id_a") && simCol >= threshold)
+      .select(col("id_a").as("vec_id")).distinct()
+      .withColumn("blk", lit(true))
+    home.select(col("vec_id"), col("cell"))
+      .join(blocked, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"), col("blk").isNull.as("kept"))
+  }
+
   val queries: Seq[QueryDef] = Seq(
     // The driver's pandas compare can't sort ARRAY columns, so the query
     // projects the centroid through array_join; labelCentroids keeps the
@@ -589,6 +628,25 @@ object Similarity {
         r AS (SELECT id_a AS vec_id, id_b AS neighbor_id, sim,
               row_number() OVER (PARTITION BY id_a ORDER BY sim DESC, id_b) AS rank FROM ex)
         SELECT vec_id, rank, neighbor_id, sim FROM r WHERE rank <= 3"""
+      }),
+
+    QueryDef("q95_semantic_dedup",
+      (s, d) => semanticDedup(s, d),
+      Some {
+        val (kmeans, cf) = kmeansSql(IvfCentroids, KmeansIters)
+        s"""WITH $quantCte,
+        $kmeans,
+        af AS (SELECT n.vec_id, n.qv, n.nrm, c.cent_id,
+              row_number() OVER (PARTITION BY n.vec_id ORDER BY
+                CAST(list_sum(list_transform(range(1, len(n.qv) + 1), i -> n.qv[i] * c.cqv[i])) AS DOUBLE)
+                / (sqrt(CAST(n.nrm AS DOUBLE)) * sqrt(CAST(c.cnrm AS DOUBLE))) DESC, c.cent_id) AS rn
+              FROM n CROSS JOIN $cf c),
+        mem AS (SELECT vec_id, qv, nrm, cent_id AS cell FROM af WHERE rn = 1),
+        blk AS (SELECT DISTINCT a.vec_id
+              FROM mem a JOIN mem b ON a.cell = b.cell AND b.vec_id < a.vec_id
+              WHERE $simSql >= $SemDedupThreshold)
+        SELECT m.vec_id, m.cell, k.vec_id IS NULL AS kept
+        FROM mem m LEFT JOIN blk k ON m.vec_id = k.vec_id"""
       })
   )
 }
