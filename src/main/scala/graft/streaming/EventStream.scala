@@ -83,13 +83,9 @@ object EventStream {
     * re-emission, and a stalled record pins the first view as the only
     * funnel attempt. Expiring either (GroupStateTimeout) would let a
     * later view restart the funnel and emit conversions q78 never
-    * reports. Size the state store for |users| × ~40 bytes; if a
-    * deployment wants RESTARTABLE funnels instead, that is a different
-    * operator: set EventTimeTimeout with
-    * `state.setTimeoutTimestamp(max(v_ts, c_ts)/1000 + window)` and
-    * remove non-`done` state on timeout — expired attempts can never
-    * advance under in-order delivery, so removal only re-opens the
-    * funnel.
+    * reports. Size the state store for |users| × ~40 bytes; a deployment
+    * that wants RESTARTABLE funnels with watermark-bounded state uses
+    * [[funnelRestartable]] instead.
     *
     * Contract: events are applied in event-time order WITHIN each
     * micro-batch (sorted here); an event arriving in a LATER batch than
@@ -107,23 +103,92 @@ object EventStream {
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (user: Long, rows: Iterator[(Long, String, Long)], state: GroupState[FunnelState]) =>
-          var st = state.getOption.getOrElse(FunnelState(-1L, -1L, done = false))
-          val out = Seq.newBuilder[Conversion]
-          rows.toSeq.sortBy(_._3).foreach { case (_, tpe, t) =>
-            if (!st.done) {
-              if (st.v_ts < 0) {
-                if (tpe == "view") st = st.copy(v_ts = t)
-              } else if (st.c_ts < 0) {
-                if (tpe == "click" && t > st.v_ts && t <= st.v_ts + windowUs)
-                  st = st.copy(c_ts = t)
-              } else if (tpe == "purchase" && t > st.c_ts && t <= st.c_ts + windowUs) {
-                out += Conversion(user, st.v_ts, st.c_ts, t)
-                st = st.copy(done = true)
-              }
-            }
-          }
+          val st0 = state.getOption.getOrElse(FunnelState(-1L, -1L, done = false))
+          val (st, out) = advanceFunnel(user, st0, rows.toSeq.sortBy(_._3), windowUs)
           state.update(st)
-          out.result().iterator
+          out.iterator
+      }
+  }
+
+  /** The shared view→click→purchase state machine — ONE definition drives
+    * both funnel variants, so their per-event semantics cannot drift. */
+  private def advanceFunnel(user: Long, st0: FunnelState,
+      evs: Seq[(Long, String, Long)], windowUs: Long): (FunnelState, Seq[Conversion]) = {
+    var st = st0
+    val out = Seq.newBuilder[Conversion]
+    evs.foreach { case (_, tpe, t) =>
+      if (!st.done) {
+        if (st.v_ts < 0) {
+          if (tpe == "view") st = st.copy(v_ts = t)
+        } else if (st.c_ts < 0) {
+          if (tpe == "click" && t > st.v_ts && t <= st.v_ts + windowUs)
+            st = st.copy(c_ts = t)
+        } else if (tpe == "purchase" && t > st.c_ts && t <= st.c_ts + windowUs) {
+          out += Conversion(user, st.v_ts, st.c_ts, t)
+          st = st.copy(done = true)
+        }
+      }
+    }
+    (st, out.result())
+  }
+
+  /** RESTARTABLE streaming funnel — the bounded-state production variant
+    * [[funnel]]'s Scaladoc names: same per-event machine (shared code),
+    * but per-user state EXPIRES via EventTimeTimeout once the watermark
+    * passes `window` beyond the attempt's last advance. Under in-order
+    * delivery an expired non-`done` attempt could never advance anyway
+    * (every remaining step is out of window), so removal loses nothing —
+    * and a later view then starts a FRESH attempt. `done` records expire
+    * on the same clock, so one user can convert again in a later
+    * session. State ceiling: users ACTIVE within the last funnel window,
+    * not all-time distinct users — the difference between O(traffic) and
+    * O(history) on an unbounded stream.
+    *
+    * Semantics therefore deliberately diverge from q78/[[funnel]]
+    * (which are first-view-only, at-most-one-conversion): within one
+    * window-span of activity the two agree exactly (locked by spec);
+    * across expiries this one re-opens. Requires an event-time
+    * watermark; `watermarkDelay` is the lateness bound. */
+  def funnelRestartable(
+      events: DataFrame,
+      windowUs: Long = graft.ops.EventOps.FunnelWindowUs,
+      watermarkDelay: String = "10 seconds"): Dataset[Conversion] = {
+    import events.sparkSession.implicits._
+    val windowMs = windowUs / 1000L
+    // the watermarked TIMESTAMP column must survive projection up to the
+    // stateful operator (projecting it to a LONG would orphan the
+    // watermark and fail the streaming checker) — micros conversion
+    // happens inside the lambda instead
+    def micros(t: java.sql.Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+    events
+      .withWatermark("ts", watermarkDelay)
+      .select(col("user_id").as[Long], col("event_type").as[String],
+        col("ts").as[java.sql.Timestamp])
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[(Long, String, java.sql.Timestamp)],
+            state: GroupState[FunnelState]) =>
+          if (state.hasTimedOut) {
+            state.remove() // stale attempt or emitted conversion: re-open
+            Iterator.empty
+          } else {
+            val st0 = state.getOption.getOrElse(FunnelState(-1L, -1L, done = false))
+            val evs = rows.map { case (u, tpe, t) => (u, tpe, micros(t)) }
+            val (st, out) = advanceFunnel(user, st0, evs.toSeq.sortBy(_._3), windowUs)
+            if (st.v_ts < 0) {
+              // only pre-view noise seen: hold no state at all
+              if (state.exists) state.remove()
+            } else {
+              state.update(st)
+              // expire one window after the last advance; clamp above the
+              // current watermark so a late-arriving batch still registers
+              val anchorMs = math.max(st.v_ts, st.c_ts) / 1000L
+              state.setTimeoutTimestamp(
+                math.max(anchorMs + windowMs, state.getCurrentWatermarkMs() + 1L))
+            }
+            out.iterator
+          }
       }
   }
 

@@ -282,6 +282,43 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("restartable funnel: converts like funnel in-window, re-opens after expiry") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    import graft.streaming.Conversion
+    val W = graft.ops.EventOps.FunnelWindowUs / 1000000L // 7200 s
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val q = EventStream.funnelRestartable(
+      mem.toDF().toDF("user_id", "event_type", "ts"), watermarkDelay = "0 seconds")
+      .writeStream.outputMode("append").format("memory").queryName("rfun").start()
+    def at(s: Long) = new Timestamp(s * 1000L)
+    try {
+      // in-window behavior == funnel: user 1 converts, user 2 stalls at view
+      mem.addData((1L, "view", at(1000)), (1L, "click", at(2000)),
+        (1L, "purchase", at(3000)), (2L, "view", at(1000)))
+      q.processAllAvailable()
+      assert(spark.table("rfun").as[Conversion].collect().toSet ==
+        Set(Conversion(1L, 1000000000L, 2000000000L, 3000000000L)))
+      // advance the watermark past 1000 + W => user 2's attempt expires
+      // (timeouts fire in the batch AFTER the watermark advances)
+      mem.addData((99L, "view", at(1000 + W + 100)))
+      q.processAllAvailable()
+      mem.addData((99L, "click", at(1000 + W + 101)))
+      q.processAllAvailable()
+      // a fresh attempt for user 2 now converts — under plain funnel the
+      // original view would pin v_ts=1000s forever and the click below
+      // (out of ITS window) could never advance the chain
+      val t2 = 1000 + W + 200
+      mem.addData((2L, "view", at(t2)), (2L, "click", at(t2 + 10)),
+        (2L, "purchase", at(t2 + 20)))
+      q.processAllAvailable()
+      val got = spark.table("rfun").as[Conversion].collect()
+        .filter(_.user_id == 2L).toSet
+      assert(got == Set(Conversion(2L, t2 * 1000000L, (t2 + 10) * 1000000L, (t2 + 20) * 1000000L)),
+        s"fresh attempt after expiry must convert, got $got")
+    } finally q.stop()
+  }
+
   test("live stream: checkpoint recovery processes each file exactly once") {
     val dir = Files.createTempDirectory("rec-in")
     val ckpt = Files.createTempDirectory("rec-ckpt")
