@@ -98,6 +98,30 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("__graft_band_bucket"), "band buckets must be the equi key")
   }
 
+  test("q92: doc-block predicate reaches the parquet scan; no shuffle at all") {
+    val p = plan("q92_clean_lines")
+    assert(p.contains("StringContains(text,slow slow)"),
+      "doc-marker filter must push into the scan")
+    assert(!p.contains("Exchange"), "line cleaning is a pure projection pipeline")
+  }
+
+  test("q94: line-dedup winner selection is partial-aggregated before its exchange") {
+    val p = plan("q94_line_dedup")
+    // two SortAggregates (partial + final) around the line-keyed exchange:
+    // the shuffle carries one candidate winner per distinct line per
+    // partition, not the occurrence list
+    assert("SortAggregate".r.findAllIn(p).size >= 2, "min(struct) must partial-aggregate")
+    assert(!p.contains("Window"), "no rank window over line occurrences")
+  }
+
+  test("q96: weight total is broadcast and its scan reads only the source column") {
+    val p = plan("q96_source_mix")
+    assert(p.contains("BroadcastExchange"), "20-row weight total must broadcast")
+    val schemas = p.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(schemas.exists(s => s.contains("source") && !s.contains("text")),
+      "the totw scan must prune to the source column only")
+  }
+
   test("catalog missing-series plans as broadcast left-anti") {
     import spark.implicits._
     val headers = Seq((0, "1", "n", 0)).toDF("fileOrd", "externalId", "name", "colIndex")
