@@ -319,6 +319,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("cleaning ops are stateless projections: they stream unchanged") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    // cleanLines + redactPii are pure select/filter pipelines, so the SAME
+    // DataFrame functions run under Structured Streaming with no twin
+    // implementation — this is the design property, locked here
+    val rows = Seq(
+      (1L, "keep this line alive\nno\ncall me at +1-555-0001 today"),
+      (2L, "lorem ipsum marker doc\nperfectly fine line"),
+      (3L, "mail x@y.io fast please\nbad slow line here"))
+    val mem = MemoryStream[(Long, String)]
+    val cleaned = graft.ops.Cleaning.cleanLines(
+      mem.toDF().toDF("doc_id", "text"), delim = "\n", minWords = 3,
+      lineBlockToken = "slow", docBlockPhrase = "lorem ipsum")
+    val q = graft.ops.Cleaning.redactPii(
+      cleaned.withColumnRenamed("text_clean", "text"), col("text"))
+      .writeStream.outputMode("append").format("memory").queryName("cln").start()
+    try {
+      mem.addData(rows.take(2): _*)
+      q.processAllAvailable()
+      mem.addData(rows.drop(2): _*)
+      q.processAllAvailable()
+      val batch = graft.ops.Cleaning.redactPii(
+        graft.ops.Cleaning.cleanLines(rows.toDF("doc_id", "text"), delim = "\n",
+          minWords = 3, lineBlockToken = "slow", docBlockPhrase = "lorem ipsum")
+          .withColumnRenamed("text_clean", "text"), col("text"))
+        .collect().map(_.toSeq).toSet
+      val streamed = spark.table("cln").collect().map(_.toSeq).toSet
+      assert(streamed == batch)
+      def has(m: String) = batch.exists(_.exists(v => v != null && v.toString.contains(m)))
+      assert(batch.nonEmpty && has("<PHONE>") && has("<EMAIL>"))
+    } finally q.stop()
+  }
+
   test("live stream: checkpoint recovery processes each file exactly once") {
     val dir = Files.createTempDirectory("rec-in")
     val ckpt = Files.createTempDirectory("rec-ckpt")
