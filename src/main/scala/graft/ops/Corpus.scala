@@ -88,6 +88,42 @@ object Corpus {
       r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank FROM s)
       SELECT doc_id, rank, term, tf, df, score FROM r WHERE rank <= $k"""
 
+  /** Per-document corpus-frequency score — the CCNet-style LM-filtering
+    * proxy (Wenzek et al. 2020 filter docs by LM perplexity; the cheap
+    * engine-native stand-in is "how common are this doc's tokens in the
+    * corpus"): avg_tf = (Σ over tokens of the token's corpus count) /
+    * n_tokens. Low scorers are rare-token/noisy docs, high scorers are
+    * stopword soup — the CCNet recipe keeps the middle band. Same
+    * determinism discipline as [[tfidfTopK]]: NO log — the score is one
+    * exact integer sum divided once, so it hash-matches across engines
+    * (a mean of log-probs would drift per-ulp and per-order).
+    *
+    * Shape at scale: occurrences collapse to per-(doc, term) tf rows
+    * FIRST (partial-aggregated — the q57 tf table), so the vocab join
+    * carries distinct pairs, never raw occurrences; the vocabulary count
+    * itself partial-aggregates off the same tf rows (Σ tf per term ==
+    * corpus count). The join is size-adaptive (broadcast while the vocab
+    * fits, shuffled equi-join beyond); the per-doc weighted sum
+    * Σ tf·cnt is a final partial agg keyed by doc_id. */
+  def tokenFrequencyScore(spark: SparkSession, dir: String): DataFrame = {
+    val tf = tokenStream(t(spark, dir, "documents"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val vocab = tf.groupBy("term").agg(sum("tf").as("cnt"))
+    tf.join(vocab, "term")
+      .groupBy("doc_id")
+      .agg(sum("tf").as("n_tokens"), sum(col("tf") * col("cnt")).as("sum_tf"))
+      .withColumn("avg_tf", col("sum_tf").cast("double") / col("n_tokens"))
+  }
+
+  val tokenFrequencyScoreSql: String =
+    """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+      vocab AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS cnt FROM tf GROUP BY 1)
+      SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+        CAST(SUM(tf * cnt) AS BIGINT) AS sum_tf,
+        CAST(CAST(SUM(tf * cnt) AS BIGINT) AS DOUBLE) / CAST(SUM(tf) AS BIGINT) AS avg_tf
+      FROM tf JOIN vocab USING (term) GROUP BY doc_id"""
+
   val Bm25K1 = 1.2
   val Bm25B = 0.75
 
@@ -277,6 +313,10 @@ object Corpus {
       Some(chunkOverlapSql)),
     QueryDef("q56_heavy_tokens", (s, d) => heavyTokens(s, d), Some(heavyTokensSql)),
     QueryDef("q57_tfidf_topk", (s, d) => tfidfTopK(s, d, 3), Some(tfidfSql(3))),
+
+    QueryDef("q97_token_freq_score",
+      (s, d) => tokenFrequencyScore(s, d),
+      Some(tokenFrequencyScoreSql)),
     // Postings projected through array_join: the driver's pandas compare
     // can't sort ARRAY columns; invertedIndex keeps the array-typed API.
     QueryDef("q58_inverted_index",

@@ -67,6 +67,23 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("token frequency score: tf-weighted identity vs per-occurrence recompute") {
+    val got = Corpus.tokenFrequencyScore(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("sum_tf"), r.getAs[Double]("avg_tf")))).toMap
+    // driver-side recompute straight from occurrences (the pre-aggregated
+    // tf·cnt form must equal the naive per-occurrence sum)
+    val texts = docs.collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text"))
+    val cnt = texts.flatMap(_._2.split(" ")).groupBy(identity).view.mapValues(_.length.toLong).toMap
+    texts.foreach { case (id, text) =>
+      val toks = text.split(" ")
+      val sumTf = toks.map(cnt).sum
+      assert(got(id) == ((toks.length.toLong, sumTf, sumTf.toDouble / toks.length)), s"doc $id")
+    }
+    // the score separates common-token docs from rare-token docs
+    assert(got.values.map(_._3).toSet.size > 1)
+  }
+
   test("inverted index: df == postings length, postings sorted-distinct, volume conserved") {
     val idx = Corpus.invertedIndex(spark, dir).collect()
     idx.foreach { r =>
