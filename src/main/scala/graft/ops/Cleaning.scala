@@ -30,16 +30,17 @@ import graft.queries.QueryDef._
   */
 object Cleaning {
 
-  /** Line separator stand-in used by the q92/q94 queries on the
-    * newline-free testdata corpus. */
+  /** Line separator stand-in used by the q92/q94 QUERIES on the
+    * newline-free testdata corpus — the operator DEFAULTS are the real
+    * C4 values ('\n', "javascript", "lorem ipsum"), so the plain
+    * real-corpus call `cleanLines(docs)` applies genuine C4 rules; the
+    * corpus stand-ins below are passed explicitly by the queries only. */
   val LineDelim = " table "
   val MinLineWords = 3
-  /** Per-line marker: any line containing this token is dropped (C4 drops
-    * lines containing "javascript"; `slow` is the corpus stand-in). */
+  /** Corpus stand-in for C4's "javascript" line marker. */
   val LineBlockToken = "slow"
-  /** Whole-document marker phrase: docs containing it are dropped
-    * entirely (C4 drops docs containing "lorem ipsum"; `slow slow` is the
-    * corpus stand-in, hitting ~5% of docs). */
+  /** Corpus stand-in for C4's "lorem ipsum" document marker (hits ~5% of
+    * the synthetic docs). */
   val DocBlockPhrase = "slow slow"
 
   /** Split into lines on a LITERAL delimiter (regex-quoted — callers pass
@@ -58,9 +59,9 @@ object Cleaning {
     * predicate is one more conjunct in the same `filter` lambda and is
     * omitted here only because the punctuation-free corpus would keep
     * zero lines. */
-  def cleanLines(docs: DataFrame, delim: String = LineDelim,
-      minWords: Int = MinLineWords, lineBlockToken: String = LineBlockToken,
-      docBlockPhrase: String = DocBlockPhrase): DataFrame =
+  def cleanLines(docs: DataFrame, delim: String = "\n",
+      minWords: Int = MinLineWords, lineBlockToken: String = "javascript",
+      docBlockPhrase: String = "lorem ipsum"): DataFrame =
     docs.filter(!col("text").contains(docBlockPhrase))
       .select(col("doc_id"), linesOf(col("text"), delim).as("ls"))
       .select(col("doc_id"), size(col("ls")).cast("long").as("n_lines_in"),
@@ -88,10 +89,13 @@ object Cleaning {
   // PII redaction. Regexes are kept inside the RE2 ∩ java.util.regex
   // common dialect (character classes, bounded repetition, \b — no
   // lookaround, no backreferences) so the DuckDB oracle applies the SAME
-  // patterns. Counts come from regexp_count BEFORE replacement; the three
-  // replacements chain email → phone → IP (the patterns are mutually
-  // non-overlapping: only the email pattern contains '@', only the phone
-  // pattern starts at '+', and an IP has no alpha characters).
+  // patterns. Replacements chain email → phone → IP, and each count is
+  // taken on the text AS THE MATCHING STAGE SEES IT (n_phones counts the
+  // post-email text, n_ips the post-phone text) — so every count equals
+  // the number of <TOKEN>s actually substituted even when patterns nest
+  // (an email local part like "user+1-555-1234@x.io" CONTAINS a
+  // phone-shaped substring; the email replacement consumes it, and the
+  // staged n_phones correctly reports 0).
   // --------------------------------------------------------------------
 
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
@@ -99,18 +103,17 @@ object Cleaning {
   val Ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
 
   /** Redact emails / phone numbers / IPv4 addresses from `textCol`,
-    * returning per-doc match counts and the redacted text. Pure per-row
-    * regex projections — codegen'd, shuffle-free. */
+    * returning per-doc substitution counts and the redacted text. Pure
+    * per-row regex projections — codegen'd, shuffle-free. */
   def redactPii(docs: DataFrame, textCol: Column): DataFrame =
-    docs.select(col("doc_id"),
-      regexp_count(textCol, lit(EmailRe)).cast("long").as("n_emails"),
-      regexp_count(textCol, lit(PhoneRe)).cast("long").as("n_phones"),
-      regexp_count(textCol, lit(Ipv4Re)).cast("long").as("n_ips"),
-      regexp_replace(
-        regexp_replace(
-          regexp_replace(textCol, EmailRe, "<EMAIL>"),
-          PhoneRe, "<PHONE>"),
-        Ipv4Re, "<IP>").as("text_redacted"))
+    docs.withColumn("__t0", textCol)
+      .withColumn("n_emails", regexp_count(col("__t0"), lit(EmailRe)).cast("long"))
+      .withColumn("__t1", regexp_replace(col("__t0"), EmailRe, "<EMAIL>"))
+      .withColumn("n_phones", regexp_count(col("__t1"), lit(PhoneRe)).cast("long"))
+      .withColumn("__t2", regexp_replace(col("__t1"), PhoneRe, "<PHONE>"))
+      .withColumn("n_ips", regexp_count(col("__t2"), lit(Ipv4Re)).cast("long"))
+      .select(col("doc_id"), col("n_emails"), col("n_phones"), col("n_ips"),
+        regexp_replace(col("__t2"), Ipv4Re, "<IP>").as("text_redacted"))
 
   /** Deterministic synthetic-PII prefix for the q93 query: the testdata
     * corpus contains no '@', digits, or dots, so the query plants one
@@ -132,15 +135,15 @@ object Cleaning {
        || ' ' || text"""
 
   val redactPiiSql: String =
-    s"""WITH inj AS (SELECT doc_id, $piiInjectedSql AS t FROM documents)
+    s"""WITH inj AS (SELECT doc_id, $piiInjectedSql AS t0 FROM documents),
+      s1 AS (SELECT doc_id, t0, regexp_replace(t0, '$EmailRe', '<EMAIL>', 'g') AS t1 FROM inj),
+      s2 AS (SELECT doc_id, t0, t1, regexp_replace(t1, '$PhoneRe', '<PHONE>', 'g') AS t2 FROM s1)
       SELECT doc_id,
-        CAST(len(regexp_extract_all(t, '$EmailRe')) AS BIGINT) AS n_emails,
-        CAST(len(regexp_extract_all(t, '$PhoneRe')) AS BIGINT) AS n_phones,
-        CAST(len(regexp_extract_all(t, '$Ipv4Re')) AS BIGINT) AS n_ips,
-        regexp_replace(regexp_replace(regexp_replace(t,
-          '$EmailRe', '<EMAIL>', 'g'), '$PhoneRe', '<PHONE>', 'g'),
-          '$Ipv4Re', '<IP>', 'g') AS text_redacted
-      FROM inj"""
+        CAST(len(regexp_extract_all(t0, '$EmailRe')) AS BIGINT) AS n_emails,
+        CAST(len(regexp_extract_all(t1, '$PhoneRe')) AS BIGINT) AS n_phones,
+        CAST(len(regexp_extract_all(t2, '$Ipv4Re')) AS BIGINT) AS n_ips,
+        regexp_replace(t2, '$Ipv4Re', '<IP>', 'g') AS text_redacted
+      FROM s2"""
 
   // --------------------------------------------------------------------
   // Corpus-wide line dedup: every line keeps exactly its FIRST occurrence
@@ -160,7 +163,7 @@ object Cleaning {
     * join on (line, doc_id, line_no); reassembly groups by doc_id.
     * Documents whose every line was dropped remain with n_kept = 0 and
     * empty text. */
-  def dedupLines(docs: DataFrame, delim: String = LineDelim): DataFrame = {
+  def dedupLines(docs: DataFrame, delim: String = "\n"): DataFrame = {
     val lines = docs.select(col("doc_id"),
       posexplode(linesOf(col("text"), delim)).as(Seq("line_no", "line")))
     val winners = lines.groupBy("line")
@@ -191,7 +194,8 @@ object Cleaning {
 
   val queries: Seq[QueryDef] = Seq(
     QueryDef("q92_clean_lines",
-      (s, d) => cleanLines(t(s, d, "documents")),
+      (s, d) => cleanLines(t(s, d, "documents"), delim = LineDelim,
+        lineBlockToken = LineBlockToken, docBlockPhrase = DocBlockPhrase),
       Some(cleanLinesSql)),
 
     QueryDef("q93_pii_redact",
@@ -199,7 +203,7 @@ object Cleaning {
       Some(redactPiiSql)),
 
     QueryDef("q94_line_dedup",
-      (s, d) => dedupLines(t(s, d, "documents")),
+      (s, d) => dedupLines(t(s, d, "documents"), delim = LineDelim),
       Some(dedupLinesSql))
   )
 }

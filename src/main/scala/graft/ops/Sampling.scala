@@ -154,31 +154,30 @@ object Sampling {
 
   val MixBudgetTokens = 8000L
 
+  /** The q96 query's weight column: derived from the synthetic source
+    * name (src<n> → n%3+1) so the testdata mix is reproducible and
+    * non-uniform. Real corpora pass their tuned weights instead — e.g.
+    * `element_at(typedLit(Map("wikipedia" -> 5L, "crawl" -> 1L)),
+    * col("source"))`. */
+  def srcNameWeight: org.apache.spark.sql.Column =
+    substring(col("source"), 4, 10).cast("long") % 3 + 1
+
   /** Source-mixing to a global token budget (the DoReMi / Pile-style
     * "mixture weights" step of assembling a pre-training corpus): each
     * source gets `budget × w_s / Σw` tokens, filled greedily by quality
-    * rank. Weights here derive from the source name (src<n> → n%3+1) so
-    * the mix is reproducible; real callers pass their tuned weights as a
-    * map the same way. Selection is "highest q31 quality score first,
-    * doc_id tie-break, keep while the running token total stays within
-    * the source's share" — the first over-budget document is excluded
-    * (hard budget). Shares are exact integer arithmetic (budget·w DIV
-    * Σw) and the running total is an integer window sum, so the cut is
+    * rank. `weight` is any integer Column over the source row (default:
+    * uniform). Selection is "highest q31 quality score first, doc_id
+    * tie-break, keep while the running token total stays within the
+    * source's share" — the first over-budget document is excluded (hard
+    * budget). Shares are exact integer arithmetic (budget·w DIV Σw) and
+    * the running total is an integer window sum, so the cut is
     * bit-portable across engines. Scale: one window shuffle keyed by
     * source — the same shape as q10's per-group top-k; per-source order
     * is a sort within its partition, no global sort. */
-  def sourceMix(docs: DataFrame, budgetTokens: Long = MixBudgetTokens): DataFrame = {
-    val toks = graft.ops.TextStats.tokens(col("text"))
-    val scored = docs.select(
-      col("doc_id"), col("source"),
-      size(toks).cast("long").as("n_tokens"),
-      size(array_distinct(toks)).cast("long").as("n_distinct"),
-      expr(graft.ops.TextStats.stopCountExpr).as("n_stop"))
-      .withColumn("score",
-        (least(col("n_tokens"), lit(100L)).cast("double") / 100.0) * 0.5 +
-          (col("n_distinct").cast("double") / col("n_tokens")) * 0.3 +
-          (least(col("n_stop"), lit(10L)).cast("double") / 10.0) * 0.2)
-      .withColumn("w", substring(col("source"), 4, 10).cast("long") % 3 + 1)
+  def sourceMix(docs: DataFrame, budgetTokens: Long = MixBudgetTokens,
+      weight: org.apache.spark.sql.Column = lit(1L)): DataFrame = {
+    val scored = graft.ops.TextStats.scored(docs, Seq("source"))
+      .withColumn("w", weight)
     val totw = scored.select(col("source"), col("w")).distinct()
       .agg(sum("w").as("totw"))
     val win = org.apache.spark.sql.expressions.Window
@@ -214,7 +213,7 @@ object Sampling {
 
   val queries: Seq[QueryDef] = Seq(
     QueryDef("q96_source_mix",
-      (s, d) => sourceMix(t(s, d, "documents")),
+      (s, d) => sourceMix(t(s, d, "documents"), weight = srcNameWeight),
       Some(sourceMixSql())),
 
     QueryDef("q87_weighted_sample",

@@ -39,21 +39,24 @@ object TextStats {
   private[ops] def stopCountExpr: String =
     s"CAST(size(filter(split(text, ' '), w -> ${inSet("w", Stopwords)})) AS BIGINT)"
 
-  /** Quality score in [0,1]: length term + vocabulary-diversity term +
-    * stopword-presence term, all from exact integer counts. */
-  def quality(docs: DataFrame): DataFrame = {
-    val stopCnt = stopCountExpr
-    docs.select(
-      col("doc_id"), col("lang"),
-      size(tokens(col("text"))).cast("long").as("n_tokens"),
-      size(array_distinct(tokens(col("text")))).cast("long").as("n_distinct"),
-      expr(stopCnt).as("n_stop"))
+  /** doc_id + `keep` columns + the exact-integer quality inputs and the
+    * [0,1] score (length term + vocabulary-diversity term + stopword-
+    * presence term). SINGLE definition of the quality formula — q31,
+    * the weighted sampler, and the source mixer all rank by this. */
+  private[ops] def scored(docs: DataFrame, keep: Seq[String]): DataFrame =
+    docs.select(col("doc_id") +: keep.map(col) :+
+      size(tokens(col("text"))).cast("long").as("n_tokens") :+
+      size(array_distinct(tokens(col("text")))).cast("long").as("n_distinct") :+
+      expr(stopCountExpr).as("n_stop"): _*)
       .withColumn("score",
         (least(col("n_tokens"), lit(100L)).cast("double") / 100.0) * 0.5 +
           (col("n_distinct").cast("double") / col("n_tokens")) * 0.3 +
           (least(col("n_stop"), lit(10L)).cast("double") / 10.0) * 0.2)
+
+  /** Quality score in [0,1] with its decile bucket (q31). */
+  def quality(docs: DataFrame): DataFrame =
+    scored(docs, Seq("lang"))
       .withColumn("bucket", floor(col("score") * 10).cast("long"))
-  }
 
   /** Marker-word profiles for the heuristic language classifier. The
     * classifier shape (per-language marker hit counts + argmax with a

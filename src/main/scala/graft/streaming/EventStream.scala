@@ -11,8 +11,9 @@ case class UserStats(user_id: Long, n_events: Long, sum_value: Double, max_value
   * user's running mean at the time it arrived. */
 case class Anomaly(user_id: Long, value: Double, running_mean: Double, n_seen: Long)
 
-/** Per-user funnel progress (-1 = step not reached; done = converted). */
-case class FunnelState(v_ts: Long, c_ts: Long, done: Boolean)
+/** Per-user funnel progress (-1 = step not reached; done = converted;
+  * p_ts set on conversion so expiry can anchor at the LAST advance). */
+case class FunnelState(v_ts: Long, c_ts: Long, done: Boolean, p_ts: Long = -1L)
 
 /** One completed view→click→purchase conversion (epoch micros). */
 case class Conversion(user_id: Long, v_ts: Long, c_ts: Long, p_ts: Long)
@@ -125,7 +126,7 @@ object EventStream {
             st = st.copy(c_ts = t)
         } else if (tpe == "purchase" && t > st.c_ts && t <= st.c_ts + windowUs) {
           out += Conversion(user, st.v_ts, st.c_ts, t)
-          st = st.copy(done = true)
+          st = st.copy(done = true, p_ts = t)
         }
       }
     }
@@ -147,8 +148,14 @@ object EventStream {
     * Semantics therefore deliberately diverge from q78/[[funnel]]
     * (which are first-view-only, at-most-one-conversion): within one
     * window-span of activity the two agree exactly (locked by spec);
-    * across expiries this one re-opens. Requires an event-time
-    * watermark; `watermarkDelay` is the lateness bound. */
+    * across expiries this one re-opens. Expiry is enforced BOTH ways
+    * Spark can surface it: the timeout callback removes idle state, and
+    * an inline check resets state that is already past its expiry when
+    * new data for the user arrives first — Spark only invokes
+    * hasTimedOut for groups with NO data in the trigger, so without the
+    * inline check a fresh attempt landing in the same batch would be
+    * judged against the dead one. Requires an event-time watermark;
+    * `watermarkDelay` is the lateness bound. */
   def funnelRestartable(
       events: DataFrame,
       windowUs: Long = graft.ops.EventOps.FunnelWindowUs,
@@ -173,7 +180,17 @@ object EventStream {
             state.remove() // stale attempt or emitted conversion: re-open
             Iterator.empty
           } else {
-            val st0 = state.getOption.getOrElse(FunnelState(-1L, -1L, done = false))
+            def anchorMs(s: FunnelState) =
+              math.max(s.v_ts, math.max(s.c_ts, s.p_ts)) / 1000L
+            val wm = state.getCurrentWatermarkMs()
+            val st0 = state.getOption match {
+              // already past expiry but the timeout callback hasn't fired
+              // (it only fires for groups with no data): start fresh
+              case Some(s) if anchorMs(s) + windowMs <= wm =>
+                FunnelState(-1L, -1L, done = false)
+              case Some(s) => s
+              case None => FunnelState(-1L, -1L, done = false)
+            }
             val evs = rows.map { case (u, tpe, t) => (u, tpe, micros(t)) }
             val (st, out) = advanceFunnel(user, st0, evs.toSeq.sortBy(_._3), windowUs)
             if (st.v_ts < 0) {
@@ -181,11 +198,10 @@ object EventStream {
               if (state.exists) state.remove()
             } else {
               state.update(st)
-              // expire one window after the last advance; clamp above the
-              // current watermark so a late-arriving batch still registers
-              val anchorMs = math.max(st.v_ts, st.c_ts) / 1000L
-              state.setTimeoutTimestamp(
-                math.max(anchorMs + windowMs, state.getCurrentWatermarkMs() + 1L))
+              // expire one window after the last advance (incl. the
+              // purchase for done records); clamp above the current
+              // watermark so a late-arriving batch still registers
+              state.setTimeoutTimestamp(math.max(anchorMs(st) + windowMs, wm + 1L))
             }
             out.iterator
           }

@@ -37,7 +37,8 @@ class CleaningSpec extends AnyFunSuite {
   test("redactPii: every pattern class found and replaced, multiples counted") {
     val d = fixture(
       1L -> "mail a.user+tag@sub.example.org and b@x.io, call +44-202-5550, visit 192.168.1.254 now",
-      2L -> "no pii at all in here")
+      2L -> "no pii at all in here",
+      3L -> "nested user+1-555-1234@x.io case") // phone-shaped local part
     val got = Cleaning.redactPii(d, col("text")).collect()
       .map(r => r.getAs[Long]("doc_id") ->
         ((r.getAs[Long]("n_emails"), r.getAs[Long]("n_phones"), r.getAs[Long]("n_ips"),
@@ -45,6 +46,10 @@ class CleaningSpec extends AnyFunSuite {
     assert(got(1L) == ((2L, 1L, 1L,
       "mail <EMAIL> and <EMAIL>, call <PHONE>, visit <IP> now")))
     assert(got(2L) == ((0L, 0L, 0L, "no pii at all in here")))
+    // counts are STAGED: the email consumes its phone-shaped local part,
+    // so n_phones reports the substitutions actually made (0), not a
+    // match against the raw text (1)
+    assert(got(3L) == ((1L, 0L, 0L, "nested <EMAIL> case")))
   }
 
   test("dedupLines: corpus-wide first occurrence wins; emptied docs survive") {
@@ -87,13 +92,14 @@ class CleaningSpec extends AnyFunSuite {
 
   test("q96 source mix: shares respected and filled greedily by quality") {
     val docs = graft.queries.QueryDef.t(spark, dir, "documents")
-    val sel = Sampling.sourceMix(docs).collect()
+    val sel = Sampling.sourceMix(docs, weight = Sampling.srcNameWeight).collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
         r.getAs[Long]("n_tokens"), r.getAs[Long]("cum_tokens"), r.getAs[Long]("share_tokens")))
     assert(sel.nonEmpty)
     // a budget far above the corpus total selects everything, exposing
     // the full per-source quality ranking for the maximality check
-    val scored = Sampling.sourceMix(docs, budgetTokens = 10_000_000L).collect()
+    val scored = Sampling.sourceMix(docs, budgetTokens = 10_000_000L,
+      weight = Sampling.srcNameWeight).collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"), r.getAs[Long]("n_tokens"),
         r.getAs[Long]("cum_tokens")))
     sel.groupBy(_._2).foreach { case (src, rows) =>

@@ -316,6 +316,22 @@ class StreamingSpec extends AnyFunSuite {
         .filter(_.user_id == 2L).toSet
       assert(got == Set(Conversion(2L, t2 * 1000000L, (t2 + 10) * 1000000L, (t2 + 20) * 1000000L)),
         s"fresh attempt after expiry must convert, got $got")
+      // SAME-BATCH restart: user 3 stalls at a view; the watermark moves
+      // past its expiry; the fresh chain then arrives WITH data (so the
+      // timeout callback never fires for user 3) — the inline expiry
+      // check must reset the dead attempt, not judge the new events
+      // against it
+      mem.addData((3L, "view", at(t2 + 100)))
+      q.processAllAvailable()
+      val t3 = t2 + 100 + W + 500
+      mem.addData((99L, "view", at(t3 - 1))) // watermark past user 3's expiry
+      q.processAllAvailable()
+      mem.addData((3L, "view", at(t3)), (3L, "click", at(t3 + 5)), (3L, "purchase", at(t3 + 9)))
+      q.processAllAvailable()
+      val got3 = spark.table("rfun").as[Conversion].collect()
+        .filter(_.user_id == 3L).toSet
+      assert(got3 == Set(Conversion(3L, t3 * 1000000L, (t3 + 5) * 1000000L, (t3 + 9) * 1000000L)),
+        s"same-batch restart must convert, got $got3")
     } finally q.stop()
   }
 
