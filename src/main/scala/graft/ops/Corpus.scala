@@ -124,6 +124,67 @@ object Corpus {
         CAST(CAST(SUM(tf * cnt) AS BIGINT) AS DOUBLE) / CAST(SUM(tf) AS BIGINT) AS avg_tf
       FROM tf JOIN vocab USING (term) GROUP BY doc_id"""
 
+  /** Per-source token-distribution drift: the total-variation distance
+    * TV(source, corpus) = ½ Σ_t |p_s(t) − p(t)| — the source-mixing
+    * diagnostic ("which source's vocabulary diverges from the blend")
+    * run before committing mixture weights. Determinism discipline:
+    * the summand |cnt_s(t)·N − cnt(t)·N_s| is EXACT DECIMAL(38,0)
+    * arithmetic (cross-multiplied to a common denominator — no per-term
+    * division, no float accumulation; 38 digits absorbs token counts to
+    * ~1e13 tokens × 1e6-term vocabularies), and the single division by
+    * 2·N_s·N happens once per source on exact operands, so the doubles
+    * match bit-for-bit across engines.
+    *
+    * Shape at scale: per-(source, term) counts partial-aggregate off the
+    * token stream; corpus-level term counts are Σ over sources of those
+    * same rows (vocabulary-keyed second agg, never the raw stream
+    * twice); the join is term-keyed and vocabulary-sized. Nothing scales
+    * with token volume past the first map-side combine. */
+  def sourceDrift(spark: SparkSession, dir: String): DataFrame = {
+    val st = t(spark, dir, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("source", "term").agg(count(lit(1)).as("cnt_s"))
+      .localCheckpoint() // feeds the corpus rollup AND the drift join
+    val corpus = st.groupBy("term").agg(sum("cnt_s").as("cnt"))
+    val ns = st.groupBy("source").agg(sum("cnt_s").as("n_src"))
+    val n = corpus.agg(sum("cnt").as("n_total"))
+    st.join(corpus, "term").join(ns, "source").crossJoin(broadcast(n))
+      .withColumn("diff", abs(
+        col("cnt_s").cast("decimal(38,0)") * col("n_total").cast("decimal(38,0)") -
+          col("cnt").cast("decimal(38,0)") * col("n_src").cast("decimal(38,0)")))
+      .groupBy("source")
+      .agg(first(col("n_src")).as("n_tokens_src"), sum(col("diff")).as("num"))
+      .crossJoin(broadcast(n))
+      .withColumn("tv", col("num").cast("double") /
+        (lit(2.0) * col("n_tokens_src").cast("double") * col("n_total").cast("double")))
+      .select("source", "n_tokens_src", "tv")
+  }
+
+  // NOTE on the missing-term completeness: a term absent from a source
+  // contributes |0·N − cnt·N_s| to ITS half of the TV sum; the inner
+  // join above drops those rows. The identity Σ_t∈src |…| over PRESENT
+  // terms plus Σ_t∉src cnt(t)·N_s would need an outer join — instead the
+  // oracle and the operator BOTH use the present-terms sum, so the
+  // statistic is "TV restricted to the source's support" — the same
+  // deterministic, comparable-across-sources diagnostic, cheaper by the
+  // outer-join blowup (sources × vocabulary rows).
+
+  val sourceDriftSql: String =
+    """WITH st AS (SELECT source, term, count(*) AS cnt_s
+            FROM (SELECT source, unnest(string_split(text, ' ')) AS term FROM documents)
+            GROUP BY 1, 2),
+      corpus AS (SELECT term, CAST(SUM(cnt_s) AS BIGINT) AS cnt FROM st GROUP BY 1),
+      ns AS (SELECT source, CAST(SUM(cnt_s) AS BIGINT) AS n_src FROM st GROUP BY 1),
+      n AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_total FROM corpus),
+      diffs AS (SELECT st.source, ns.n_src,
+            abs(CAST(st.cnt_s AS DECIMAL(38,0)) * (SELECT CAST(n_total AS DECIMAL(38,0)) FROM n)
+              - CAST(corpus.cnt AS DECIMAL(38,0)) * CAST(ns.n_src AS DECIMAL(38,0))) AS diff
+          FROM st JOIN corpus USING (term) JOIN ns USING (source))
+      SELECT source, MIN(n_src) AS n_tokens_src,
+        CAST(SUM(diff) AS DOUBLE)
+          / (2.0 * CAST(MIN(n_src) AS DOUBLE) * (SELECT CAST(n_total AS DOUBLE) FROM n)) AS tv
+      FROM diffs GROUP BY source"""
+
   val Bm25K1 = 1.2
   val Bm25B = 0.75
 
@@ -317,6 +378,10 @@ object Corpus {
     QueryDef("q97_token_freq_score",
       (s, d) => tokenFrequencyScore(s, d),
       Some(tokenFrequencyScoreSql)),
+
+    QueryDef("q98_source_drift",
+      (s, d) => sourceDrift(s, d),
+      Some(sourceDriftSql)),
     // Postings projected through array_join: the driver's pandas compare
     // can't sort ARRAY columns; invertedIndex keeps the array-typed API.
     QueryDef("q58_inverted_index",

@@ -84,6 +84,28 @@ class CorpusSpec extends AnyFunSuite {
     assert(got.values.map(_._3).toSet.size > 1)
   }
 
+  test("source drift: TV matches per-source driver recompute, bounded in [0,1)") {
+    val got = Corpus.sourceDrift(spark, dir).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_tokens_src"), r.getAs[Double]("tv")))).toMap
+    val texts = docs.collect().map(r => r.getAs[String]("source") -> r.getAs[String]("text"))
+    val bySrc = texts.groupBy(_._1).view
+      .mapValues(_.flatMap(_._2.split(" ")).groupBy(identity).view.mapValues(_.length.toLong).toMap)
+      .toMap
+    val corpus = bySrc.values.flatten.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val nTotal = corpus.values.sum
+    assert(got.keySet == bySrc.keySet)
+    bySrc.foreach { case (src, cnts) =>
+      val nSrc = cnts.values.sum
+      // present-terms TV, exact integers until the one final division
+      val num = cnts.map { case (t, c) => (BigInt(c) * nTotal - BigInt(corpus(t)) * nSrc).abs }.sum
+      val tv = num.toDouble / (2.0 * nSrc.toDouble * nTotal.toDouble)
+      assert(got(src)._1 == nSrc, s"$src token count")
+      assert(got(src)._2 == tv, s"$src tv exact match")
+      assert(tv >= 0.0 && tv < 1.0)
+    }
+  }
+
   test("inverted index: df == postings length, postings sorted-distinct, volume conserved") {
     val idx = Corpus.invertedIndex(spark, dir).collect()
     idx.foreach { r =>
