@@ -124,13 +124,25 @@ object CoreQueries {
         AND l_shipdate >= TIMESTAMP '1999-01-01')""")),
 
     // Exact distinct counts per key (S11).
+    // Decomposed multi-distinct: two countDistincts on DIFFERENT columns
+    // make Spark plan an Expand (every row duplicated per distinct
+    // column, nulls padding the other) through the shuffle. Splitting
+    // into per-pair distincts + a 100-row join instead shuffles map-side-
+    // deduplicated narrow pairs with no row doubling — measured 1.5x
+    // (0.84 s vs 1.23 s at sf0.1). Cost: lineitem is scanned three times,
+    // but each scan reads ≤2 pruned columns, and the joins broadcast at
+    // supplier cardinality. Results are identical; the oracle keeps the
+    // direct GROUP BY count(DISTINCT ...) form.
     QueryDef("q08_supplier_distincts",
-      (s, d) => t(s, d, "lineitem")
-        .groupBy("l_suppkey")
-        .agg(
-          countDistinct(col("l_partkey")).as("n_parts"),
-          countDistinct(col("l_orderkey")).as("n_orders"),
-          count(lit(1)).as("n_rows")),
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        val p = li.select("l_suppkey", "l_partkey").distinct()
+          .groupBy("l_suppkey").agg(count(lit(1)).as("n_parts"))
+        val o = li.select("l_suppkey", "l_orderkey").distinct()
+          .groupBy("l_suppkey").agg(count(lit(1)).as("n_orders"))
+        val r = li.groupBy("l_suppkey").agg(count(lit(1)).as("n_rows"))
+        p.join(o, "l_suppkey").join(r, "l_suppkey")
+      },
       Some("""SELECT l_suppkey, count(DISTINCT l_partkey) AS n_parts,
         count(DISTINCT l_orderkey) AS n_orders, count(*) AS n_rows
         FROM lineitem GROUP BY l_suppkey""")),
