@@ -119,6 +119,113 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  /** Random multi-line corpora for the cleaning ops: lines drawn from a
+    * small vocab (so cross-document duplicate lines are common), with
+    * occasional "slow" block tokens; some docs embed a doc-block phrase. */
+  val linedCorpusGen: Gen[List[(Long, String)]] = for {
+    shared <- Gen.listOfN(4, lineGen)
+    n <- Gen.choose(3, 15)
+    docs <- Gen.listOfN(n, for {
+      nl <- Gen.choose(1, 6)
+      own <- Gen.listOfN(nl, Gen.frequency(2 -> lineGen, 1 -> Gen.oneOf(shared)))
+    } yield own.mkString("\n"))
+  } yield docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+
+  private lazy val lineGen: Gen[String] = for {
+    nw <- Gen.choose(1, 6)
+    ws <- Gen.listOfN(nw, Gen.frequency(
+      6 -> Gen.oneOf("aa", "bb", "cc", "dd"), 1 -> Gen.const("slow")))
+  } yield ws.mkString(" ")
+
+  test("cleanLines is idempotent: a second pass keeps every line (random corpora)") {
+    val spark = SparkSpec.spark
+    import spark.implicits._
+    forAll(linedCorpusGen, n = 6) { rows =>
+      val docs = rows.toDF("doc_id", "text")
+      val once = graft.ops.Cleaning.cleanLines(docs, delim = "\n",
+        minWords = 2, lineBlockToken = "slow", docBlockPhrase = "aa aa aa aa")
+      val c1 = once.collect()
+      c1.foreach { r =>
+        val (in, kept) = (r.getAs[Long]("n_lines_in"), r.getAs[Long]("n_lines_kept"))
+        assert(kept >= 1 && kept <= in)
+        // every surviving line independently satisfies the predicates
+        r.getAs[String]("text_clean").split("\n").foreach { ln =>
+          val ws = ln.split(" ")
+          assert(ws.length >= 2 && !ws.contains("slow"))
+        }
+      }
+      val c2 = graft.ops.Cleaning.cleanLines(
+        once.select($"doc_id", $"text_clean".as("text")), delim = "\n",
+        minWords = 2, lineBlockToken = "slow", docBlockPhrase = "aa aa aa aa")
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("n_lines_in"), r.getAs[Long]("n_lines_kept"),
+            r.getAs[String]("text_clean")))).toMap
+      assert(c2.keySet == c1.map(_.getAs[Long]("doc_id")).toSet)
+      c1.foreach { r =>
+        val (in2, kept2, text2) = c2(r.getAs[Long]("doc_id"))
+        assert(in2 == r.getAs[Long]("n_lines_kept") && kept2 == in2)
+        assert(text2 == r.getAs[String]("text_clean"))
+      }
+    }
+  }
+
+  test("dedupLines keeps each distinct line exactly once and is idempotent (random corpora)") {
+    val spark = SparkSpec.spark
+    import spark.implicits._
+    forAll(linedCorpusGen, n = 6) { rows =>
+      val docs = rows.toDF("doc_id", "text")
+      val out = graft.ops.Cleaning.dedupLines(docs, delim = "\n").collect()
+      // conservation: kept lines across the corpus == distinct input lines
+      val distinctLines = rows.flatMap(_._2.split("\n")).distinct.length
+      assert(out.map(_.getAs[Long]("n_kept")).sum == distinctLines.toLong)
+      // first occurrence wins: doc 0's lines (its own firsts) all survive
+      val firstSeenIn = rows.flatMap { case (id, t) =>
+        t.split("\n").map(_ -> id) }.groupBy(_._1).map { case (l, os) => l -> os.map(_._2).min }
+      out.foreach { r =>
+        val id = r.getAs[Long]("doc_id")
+        r.getAs[String]("text_dedup").split("\n").filter(_.nonEmpty).foreach { ln =>
+          assert(firstSeenIn(ln) == id, s"line '$ln' kept in $id")
+        }
+      }
+      // idempotence: re-deduping the non-empty survivors drops nothing
+      val survivors = out.filter(_.getAs[Long]("n_kept") > 0)
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text_dedup")))
+      val again = graft.ops.Cleaning.dedupLines(
+        survivors.toSeq.toDF("doc_id", "text"), delim = "\n").collect()
+      again.foreach(r => assert(
+        r.getAs[Long]("n_kept") == r.getAs[Long]("n_lines"), s"doc ${r.get(0)} re-dedup"))
+    }
+  }
+
+  test("redactPii reaches a fixed point: a second pass finds nothing (random pii text)") {
+    val spark = SparkSpec.spark
+    import spark.implicits._
+    val piiTextGen: Gen[String] = Gen.listOf(Gen.frequency(
+      5 -> Gen.oneOf("aa", "bb", "cc"),
+      1 -> Gen.const("user.x+tag@sub.example.org"),
+      1 -> Gen.const("+47-555-0100"),
+      1 -> Gen.const("192.168.0.17"))).map(_.take(12).mkString(" "))
+    forAll(Gen.listOfN(8, piiTextGen), n = 6) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val once = graft.ops.Cleaning.redactPii(docs, $"text")
+      val c1 = once.collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+      // counts match the planted tokens (space-separated, so no overlap)
+      texts.zipWithIndex.foreach { case (t, i) =>
+        val toks = if (t.isEmpty) Array.empty[String] else t.split(" ")
+        assert(c1(i.toLong).getAs[Long]("n_emails") == toks.count(_.contains("@")).toLong)
+        assert(c1(i.toLong).getAs[Long]("n_phones") == toks.count(_.startsWith("+")).toLong)
+        assert(c1(i.toLong).getAs[Long]("n_ips") == toks.count(_ == "192.168.0.17").toLong)
+      }
+      val c2 = graft.ops.Cleaning.redactPii(
+        once.select($"doc_id", $"text_redacted".as("text")), $"text").collect()
+      c2.foreach { r =>
+        assert(r.getAs[Long]("n_emails") == 0L && r.getAs[Long]("n_phones") == 0L &&
+          r.getAs[Long]("n_ips") == 0L)
+      }
+    }
+  }
+
   test("chunking tiles every document exactly (random corpora)") {
     val spark = SparkSpec.spark
     import spark.implicits._
