@@ -185,6 +185,68 @@ object Corpus {
           / (2.0 * CAST(MIN(n_src) AS DOUBLE) * (SELECT CAST(n_total AS DOUBLE) FROM n)) AS tv
       FROM diffs GROUP BY source"""
 
+  /** Fixed-point scale for the q99 bigram conditional probabilities:
+    * each p(w2|w1) is quantized to `(c12 · 1e6) div c1` — an exact
+    * integer both engines compute identically. */
+  val LmScale = 1000000L
+
+  /** Bigram-LM quality score — the next order up from
+    * [[tokenFrequencyScore]]'s unigram CCNet proxy: train bigram counts
+    * on the corpus itself, then score each document by the mean
+    * conditional probability p(w2|w1) = c(w1,w2)/c(w1·) of its bigram
+    * occurrences. Word-salad text (rare transitions) scores low even
+    * when every individual token is common — the signal a real LM
+    * perplexity filter adds over unigram frequency.
+    *
+    * Determinism discipline: each conditional probability is quantized
+    * to the exact integer `(c12 · LmScale) div c1` (all-positive
+    * operands, so Spark `div` and DuckDB `//` agree), accumulated as
+    * BIGINT — order-independent — and divided ONCE per document by
+    * `n_bigrams · LmScale` on exactly-representable operands, so the
+    * double matches bit-for-bit across engines. BIGINT headroom: the
+    * per-term product `bf · (c12·1e6 div c1)` is ≤ bf·1e6, so the doc
+    * sum is ≤ n_bigrams·1e6 — overflow needs a 9-petatoken document.
+    *
+    * Shape at scale: occurrences collapse to per-(doc, bigram) rows
+    * first (map-side partial agg); the bigram table c12 = Σ bf and the
+    * left-context table c1 = Σ c12 both partial-aggregate off those
+    * same rows (never the raw stream twice — the q98 discipline); both
+    * joins are bigram-/term-keyed and vocabulary²-sized, size-adaptive
+    * (AQE broadcasts while the vocab fits). Docs with < 2 tokens emit
+    * no bigrams and drop out — both engines agree. */
+  def bigramLmScore(spark: SparkSession, dir: String): DataFrame = {
+    val tf = t(spark, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), explode(expr(
+        """transform(slice(toks, 1, size(toks) - 1),
+             (w, i) -> named_struct('w1', w, 'w2', toks[i + 1]))""")).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("bf"))
+      .localCheckpoint() // feeds c12 (and through it c1) AND the score join
+    val c12 = tf.groupBy("w1", "w2").agg(sum("bf").as("c12"))
+    val c1 = c12.groupBy("w1").agg(sum("c12").as("c1"))
+    tf.join(c12, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .groupBy("doc_id")
+      .agg(sum("bf").as("n_bigrams"),
+        sum(col("bf") * expr(s"(c12 * ${LmScale}L) div c1")).as("score_num"))
+      .withColumn("avg_p", col("score_num").cast("double") /
+        (col("n_bigrams") * lit(LmScale)).cast("double"))
+  }
+
+  val bigramLmScoreSql: String =
+    s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      bi AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+             FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM tk)),
+      tf AS (SELECT doc_id, w1, w2, count(*) AS bf FROM bi GROUP BY 1, 2, 3),
+      c12 AS (SELECT w1, w2, CAST(SUM(bf) AS BIGINT) AS c12 FROM tf GROUP BY 1, 2),
+      c1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM c12 GROUP BY 1)
+      SELECT doc_id, CAST(SUM(bf) AS BIGINT) AS n_bigrams,
+        CAST(SUM(bf * ((c12 * $LmScale) // c1)) AS BIGINT) AS score_num,
+        CAST(CAST(SUM(bf * ((c12 * $LmScale) // c1)) AS BIGINT) AS DOUBLE)
+          / (CAST(SUM(bf) AS BIGINT) * $LmScale) AS avg_p
+      FROM tf JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+      GROUP BY doc_id"""
+
   val Bm25K1 = 1.2
   val Bm25B = 0.75
 
@@ -382,6 +444,10 @@ object Corpus {
     QueryDef("q98_source_drift",
       (s, d) => sourceDrift(s, d),
       Some(sourceDriftSql)),
+
+    QueryDef("q99_bigram_lm_score",
+      (s, d) => bigramLmScore(s, d),
+      Some(bigramLmScoreSql)),
     // Postings projected through array_join: the driver's pandas compare
     // can't sort ARRAY columns; invertedIndex keeps the array-typed API.
     QueryDef("q58_inverted_index",

@@ -321,14 +321,15 @@ object Dedup {
     * substring-level analysis; everything downstream is equi-shaped on
     * `fp`. `toks` is a materialized column so the per-position slice is
     * O(w), not a re-split of the text. */
-  private[graft] def spanFps(docs: DataFrame, w: Int): DataFrame =
-    QueryDef.spread(docs.select(col("doc_id"), col("text")))
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .select(col("doc_id"), explode(expr(
+  private[graft] def spanFps(docs: DataFrame, w: Int,
+      keep: Seq[String] = Seq("doc_id")): DataFrame =
+    QueryDef.spread(docs.select((keep.map(col) :+ col("text")): _*))
+      .select((keep.map(col) :+ split(col("text"), " ").as("toks")): _*)
+      .select((keep.map(col) :+ explode(expr(
         s"""CASE WHEN size(toks) >= $w THEN
               transform(sequence(1, size(toks) - ${w - 1}),
                 i -> md5(concat_ws(' ', slice(toks, i, $w))))
-            ELSE CAST(array() AS ARRAY<STRING>) END""")).as("fp"))
+            ELSE CAST(array() AS ARRAY<STRING>) END""")).as("fp")): _*)
 
   /** DuckDB twin of [[spanFps]] as a CTE pair over `source`. */
   private def spanFpsSql(w: Int, source: String): String =
@@ -420,6 +421,54 @@ object Dedup {
              ELSE CAST(per.n_train_spans AS DOUBLE) / per.n_spans END AS contaminated_frac
       FROM documents d LEFT JOIN per USING (doc_id)
       WHERE ${Sampling.splitCaseDuck("d.doc_id")} = 'test'"""
+
+  /** Cross-source verbatim overlap: for each unordered source pair, how
+    * many DISTINCT `w`-token span fingerprints appear in both — the
+    * "which feeds share boilerplate / mirrored pages" diagnostic a
+    * mixing pipeline runs before trusting per-source dedup in isolation
+    * (the corpus has no whole-doc exact dups across sources, but its
+    * near-dups share long verbatim runs — span granularity sees them).
+    * Jaccard = shared / (n_a + n_b − shared) over distinct-span sets;
+    * one division per pair on exact long operands, so the doubles are
+    * engine-portable.
+    *
+    * Scale shape: the token-volume span stream collapses to DISTINCT
+    * (source, fp) FIRST (map-side partial dedup), so the fp-keyed
+    * self-join carries one row per source containing the span, and each
+    * fp emits at most (#sources choose 2) pairs — output is bounded by
+    * source-pair cardinality, never corpus size. Per-source totals are
+    * one more partial agg off the same distinct rows, broadcast back. */
+  def sourceOverlap(docs: DataFrame, w: Int = SpanWidth): DataFrame = {
+    val fps = spanFps(docs, w, Seq("source"))
+      .select("source", "fp").distinct()
+      .localCheckpoint() // feeds both join sides AND the per-source totals
+    val ns = fps.groupBy("source").agg(count(lit(1)).as("n"))
+    fps.select(col("source").as("source_a"), col("fp"))
+      .join(fps.select(col("source").as("source_b"), col("fp")), "fp")
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b").agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(ns.select(col("source").as("source_a"), col("n").as("n_a"))), "source_a")
+      .join(broadcast(ns.select(col("source").as("source_b"), col("n").as("n_b"))), "source_b")
+      .withColumn("jaccard", col("n_shared").cast("double") /
+        (col("n_a") + col("n_b") - col("n_shared")).cast("double"))
+      .select("source_a", "source_b", "n_a", "n_b", "n_shared", "jaccard")
+  }
+
+  def sourceOverlapSql(w: Int): String =
+    s"""WITH tk AS (SELECT source, string_split(text, ' ') AS toks FROM documents),
+      fps AS (SELECT DISTINCT source,
+          md5(array_to_string(toks[i : i + ${w - 1}], ' ')) AS fp
+        FROM (SELECT source, toks,
+                unnest(range(1, greatest(len(toks) - ${w - 1} + 1, 1))) AS i
+              FROM tk)),
+      ns AS (SELECT source, count(*) AS n FROM fps GROUP BY 1),
+      ov AS (SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
+             FROM fps a JOIN fps b ON a.fp = b.fp AND a.source < b.source
+             GROUP BY 1, 2)
+      SELECT source_a, source_b, na.n AS n_a, nb.n AS n_b, n_shared,
+        CAST(n_shared AS DOUBLE) / (na.n + nb.n - n_shared) AS jaccard
+      FROM ov JOIN ns na ON ov.source_a = na.source
+              JOIN ns nb ON ov.source_b = nb.source"""
 
   /** Hex digits whose bit k is set, for k = 0..3 — turns md5 hex chars
     * into hash bits without any hex->int conversion. */
@@ -652,6 +701,10 @@ object Dedup {
     QueryDef("q90_span_contamination",
       (s, d) => spanContamination(t(s, d, "documents")),
       Some(spanContaminationSql(SpanWidth))),
+
+    QueryDef("q100_source_overlap",
+      (s, d) => sourceOverlap(t(s, d, "documents")),
+      Some(sourceOverlapSql(SpanWidth))),
 
     QueryDef("q88_decontaminate_reps",
       (s, d) => decontaminate(t(s, d, "documents"), 0.8, dedupFirst = true),

@@ -382,6 +382,45 @@ class OpsSpec extends AnyFunSuite {
     assert(got90.keySet == split.collect { case (id, "test") => id }.toSet)
   }
 
+  test("q99 bigram score == driver recompute of quantized conditional probabilities") {
+    val texts = docs.collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    val allBi = texts.toSeq.flatMap { case (id, t) =>
+      val w = t.split(" "); w.zip(w.tail).map(b => (id, b))
+    }
+    val c12 = allBi.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val c1 = c12.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val expect = allBi.groupBy(_._1).map { case (id, bs) =>
+      id -> ((bs.size.toLong,
+        bs.map { case (_, b) => (c12(b) * Corpus.LmScale) / c1(b._1) }.sum))
+    }
+    val got = Corpus.bigramLmScore(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_bigrams"), r.getAs[Long]("score_num")))).toMap
+    assert(got == expect)
+    // the score separates: planted near-dup runs push common transitions,
+    // so per-doc means differ — the column carries signal, not a constant
+    assert(got.values.map(_._2).toSet.size > 1)
+  }
+
+  test("q100 source overlap == driver recompute of distinct shared spans") {
+    val w = Dedup.SpanWidth
+    val rows = docs.collect().map(r => (r.getAs[String]("source"), r.getAs[String]("text")))
+    val bySrc = rows.groupBy(_._1).view.mapValues(_.flatMap { case (_, t) =>
+      val toks = t.split(" ")
+      if (toks.length < w) Seq.empty
+      else (0 to toks.length - w).map(i => toks.slice(i, i + w).mkString(" "))
+    }.toSet).toMap
+    val expect = (for {
+      a <- bySrc.keys; b <- bySrc.keys if a < b
+      shared = (bySrc(a) & bySrc(b)).size.toLong if shared > 0
+    } yield (a, b) -> ((bySrc(a).size.toLong, bySrc(b).size.toLong, shared))).toMap
+    val got = Dedup.sourceOverlap(docs).collect()
+      .map(r => (r.getAs[String]("source_a"), r.getAs[String]("source_b")) ->
+        ((r.getAs[Long]("n_a"), r.getAs[Long]("n_b"), r.getAs[Long]("n_shared")))).toMap
+    assert(got == expect)
+    assert(got.nonEmpty) // near-dups straddle sources at span granularity
+  }
+
   test("q91 shard manifest == driver recompute of the composed pipeline") {
     val w = Dedup.SpanWidth
     val all = docs.collect().map(r =>
