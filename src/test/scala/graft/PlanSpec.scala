@@ -122,6 +122,25 @@ class PlanSpec extends AnyFunSuite {
       "the totw scan must prune to the source column only")
   }
 
+  test("q99: bigram scoring is all equi-joins and partial aggregates, no window") {
+    val p = plan("q99_bigram_lm_score")
+    // the c12/c1 joins are keyed on bigram/term — any nested-loop here
+    // would be vocabulary² row pairs at scale
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      "corpus-table joins must stay equi-shaped")
+    assert(!p.contains("Window"), "per-doc scoring is an aggregate, not a window")
+    // the per-doc score agg partial-aggregates before its doc_id exchange
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "doc agg must map-side combine")
+  }
+
+  test("q100: overlap self-join is fp-keyed; per-source totals broadcast") {
+    val p = plan("q100_source_overlap")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      "the span self-join must be an equi-join on fp, never a loop")
+    assert(p.contains("BroadcastExchange"), "per-source distinct-span totals must broadcast")
+    assert(!p.contains("Window"), "pair counting is an aggregate, not a window")
+  }
+
   test("catalog missing-series plans as broadcast left-anti") {
     import spark.implicits._
     val headers = Seq((0, "1", "n", 0)).toDF("fileOrd", "externalId", "name", "colIndex")
