@@ -211,7 +211,66 @@ object Sampling {
       SELECT doc_id, source, n_tokens, cum_tokens, share_tokens
       FROM c WHERE cum_tokens <= share_tokens"""
 
+  val ShuffleShards = 256
+
+  /** Deterministic corpus shuffle — the "randomize training order" step
+    * every pre-training pipeline runs before writing shards. Each
+    * document gets a shard (first 2 hex chars of a salted md5 → 256
+    * hash-balanced shards) and a within-shard sort key (the full hash);
+    * reading shards in any order, each sorted by `sortkey`, yields a
+    * reproducible pseudo-random global order. The salt (`shuf:`)
+    * decorrelates this hash from the q37/q38 sampling bucket — shuffle
+    * position must not leak split membership.
+    *
+    * Scale shape: a STATELESS per-row projection — no shuffle, no
+    * window, no ordinal. A per-shard `row_number` would funnel each
+    * shard through one task (the q41 global-window lesson at
+    * corpus/256 size); instead the dense position is deferred to the
+    * writer ([[shuffleWrite]]), where `repartition(shard) +
+    * sortWithinPartitions(sortkey)` realizes exactly that order with
+    * Spark's normal shuffle machinery. The hex→int shard decode is two
+    * `instr` lookups — portable to any engine without conv(). */
+  def shuffleAssign(docs: DataFrame): DataFrame = {
+    val hexVal = (c: String) => s"(instr('0123456789abcdef', $c) - 1)"
+    docs.select(col("doc_id"), col("source"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"),
+      md5(concat(lit("shuf:"), col("doc_id").cast("string"))).as("sortkey"))
+      .withColumn("shard", expr(
+        s"CAST(${hexVal("substr(sortkey, 1, 1)")} * 16 + ${hexVal("substr(sortkey, 2, 1)")} AS BIGINT)"))
+      .select("doc_id", "source", "n_tokens", "shard", "sortkey")
+  }
+
+  val shuffleAssignSql: String = {
+    val hexVal = (c: String) => s"(strpos('0123456789abcdef', $c) - 1)"
+    s"""WITH k AS (SELECT doc_id, source,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+          md5('shuf:' || CAST(doc_id AS VARCHAR)) AS sortkey
+        FROM documents)
+      SELECT doc_id, source, n_tokens,
+        CAST(${hexVal("substr(sortkey, 1, 1)")} * 16 + ${hexVal("substr(sortkey, 2, 1)")} AS BIGINT) AS shard,
+        sortkey
+      FROM k"""
+  }
+
+  /** Materialize the shuffle: one parquet dir per shard, rows inside
+    * each file in `sortkey` order. `coalesceShards` folds the 256 hash
+    * shards into that many output partitions (shard id stays a column,
+    * so the mapping survives); each partition sorts its shards'
+    * documents by (shard, sortkey) — a training reader streaming the
+    * files in partition order sees the deterministic shuffled order.
+    * This is the scale-correct realization of the per-shard ordinal:
+    * Spark's shuffle + per-partition sort, never a window funnel. */
+  def shuffleWrite(docs: DataFrame, outDir: String, coalesceShards: Int = 16): Unit =
+    shuffleAssign(docs)
+      .repartition(coalesceShards, col("shard"))
+      .sortWithinPartitions("shard", "sortkey")
+      .write.mode("overwrite").parquet(outDir)
+
   val queries: Seq[QueryDef] = Seq(
+    QueryDef("q101_shuffle_assign",
+      (s, d) => shuffleAssign(t(s, d, "documents")),
+      Some(shuffleAssignSql)),
+
     QueryDef("q96_source_mix",
       (s, d) => sourceMix(t(s, d, "documents"), weight = srcNameWeight),
       Some(sourceMixSql())),

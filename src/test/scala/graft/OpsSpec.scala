@@ -421,6 +421,36 @@ class OpsSpec extends AnyFunSuite {
     assert(got.nonEmpty) // near-dups straddle sources at span granularity
   }
 
+  test("q101 shuffle assignment == driver md5 recompute; writer realizes the order") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val got = Sampling.shuffleAssign(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("shard"), r.getAs[String]("sortkey")))).toMap
+    docs.select("doc_id").collect().map(_.getLong(0)).foreach { id =>
+      val k = md5hex(s"shuf:$id")
+      assert(got(id) == ((java.lang.Long.parseLong(k.take(2), 16).toLong, k)), s"doc $id")
+    }
+    // the salt decorrelates shuffle order from the q37/q38 bucket
+    assert(got.values.map(_._2).toSet.size == got.size, "sortkeys unique")
+    // writer: every shard in one file, rows sorted by (shard, sortkey)
+    val dirOut = java.nio.file.Files.createTempDirectory("shuf").toString
+    Sampling.shuffleWrite(docs, dirOut, coalesceShards = 4)
+    import org.apache.spark.sql.functions.input_file_name
+    val back = spark.read.parquet(dirOut).withColumn("f", input_file_name()).collect()
+    assert(back.map(_.getAs[Long]("doc_id")).sorted.toSeq ==
+      got.keys.toSeq.sorted, "round trip complete")
+    val byShard = back.groupBy(_.getAs[Long]("shard"))
+    byShard.foreach { case (sh, rows) =>
+      assert(rows.map(_.getAs[String]("f")).distinct.length == 1, s"shard $sh split across files")
+    }
+    back.groupBy(_.getAs[String]("f")).foreach { case (f, rows) =>
+      val keys = rows.map(r => (r.getAs[Long]("shard"), r.getAs[String]("sortkey")))
+      assert(keys.sameElements(keys.sorted), s"file $f not in (shard, sortkey) order")
+    }
+  }
+
   test("q91 shard manifest == driver recompute of the composed pipeline") {
     val w = Dedup.SpanWidth
     val all = docs.collect().map(r =>
