@@ -211,6 +211,71 @@ object Sampling {
       SELECT doc_id, source, n_tokens, cum_tokens, share_tokens
       FROM c WHERE cum_tokens <= share_tokens"""
 
+  /** Epoch-aware source mixing — the data-constrained regime of [[sourceMix]]
+    * (Muennighoff et al. 2023: when a source's share exceeds its available
+    * tokens, repeat it). Each source's share is `budget·w_s DIV Σw` with
+    * budget = `factor × total corpus tokens` (computed from the corpus, so
+    * every scale factor exercises the multi-epoch path); a source supplies
+    * `e = share DIV avail` full epochs of everything, and its quality-top
+    * documents (greedy by q31 score, doc_id tie-break, integer window cum)
+    * run one extra epoch while the remainder `share − e·avail` lasts. With
+    * `e = 0` this IS q96's hard-budget greedy fill, so the two mixers share
+    * semantics at the boundary. All shares/epochs are exact integer
+    * arithmetic — portable.
+    *
+    * Scale shape: q96's — one window shuffle keyed by source; the avail /
+    * budget / weight totals are broadcast scalars. The output lists each
+    * kept doc ONCE with its epoch count (a writer materializes repeats);
+    * emitting doc×epoch rows would multiply output for no information. */
+  def sourceMixEpochs(docs: DataFrame, factor: Long = 3L,
+      weight: org.apache.spark.sql.Column = lit(1L)): DataFrame = {
+    val scored = graft.ops.TextStats.scored(docs, Seq("source"))
+      .withColumn("w", weight)
+    val totw = scored.select(col("source"), col("w")).distinct().agg(sum("w").as("totw"))
+    val total = scored.agg(sum("n_tokens").as("t_total"))
+    val avail = scored.groupBy("source").agg(sum("n_tokens").as("avail"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("score").desc, col("doc_id").asc)
+    scored.crossJoin(broadcast(totw)).crossJoin(broadcast(total))
+      .join(broadcast(avail), "source")
+      .withColumn("share_tokens", expr(s"(($factor * t_total) * w) DIV totw"))
+      .withColumn("full_epochs", expr("share_tokens DIV avail"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(win))
+      .withColumn("epochs", expr(
+        "full_epochs + (CASE WHEN cum_tokens <= share_tokens - full_epochs * avail THEN 1 ELSE 0 END)"))
+      .filter(col("epochs") > 0)
+      .select("doc_id", "source", "n_tokens", "share_tokens", "epochs")
+  }
+
+  def sourceMixEpochsSql(factor: Long = 3L): String =
+    s"""WITH base AS (SELECT doc_id, source,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+        CAST(len(list_filter(string_split(text, ' '),
+          w -> ${graft.ops.TextStats.inSet("w", graft.ops.TextStats.Stopwords)})) AS BIGINT) AS n_stop
+      FROM documents),
+      scored AS (SELECT doc_id, source, n_tokens,
+          (CAST(LEAST(n_tokens, 100) AS DOUBLE) / 100.0) * 0.5
+            + (CAST(n_distinct AS DOUBLE) / n_tokens) * 0.3
+            + (CAST(LEAST(n_stop, 10) AS DOUBLE) / 10.0) * 0.2 AS score,
+          CAST(substr(source, 4) AS BIGINT) % 3 + 1 AS w
+        FROM base),
+      tw AS (SELECT SUM(w) AS totw FROM (SELECT DISTINCT source, w FROM scored)),
+      tt AS (SELECT SUM(n_tokens) AS t_total FROM scored),
+      av AS (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS avail FROM scored GROUP BY 1),
+      c AS (SELECT doc_id, scored.source, n_tokens, avail,
+          CAST((($factor * (SELECT t_total FROM tt)) * w) // (SELECT totw FROM tw) AS BIGINT) AS share_tokens,
+          CAST(SUM(n_tokens) OVER (PARTITION BY scored.source ORDER BY score DESC, doc_id)
+            AS BIGINT) AS cum_tokens
+        FROM scored JOIN av ON scored.source = av.source),
+      e AS (SELECT doc_id, source, n_tokens, share_tokens,
+          (share_tokens // avail)
+            + (CASE WHEN cum_tokens <= share_tokens - (share_tokens // avail) * avail
+               THEN 1 ELSE 0 END) AS epochs
+        FROM c)
+      SELECT doc_id, source, n_tokens, share_tokens, CAST(epochs AS BIGINT) AS epochs
+      FROM e WHERE epochs > 0"""
+
   val ShuffleShards = 256
 
   /** Deterministic corpus shuffle — the "randomize training order" step
@@ -274,6 +339,10 @@ object Sampling {
     QueryDef("q96_source_mix",
       (s, d) => sourceMix(t(s, d, "documents"), weight = srcNameWeight),
       Some(sourceMixSql())),
+
+    QueryDef("q102_source_mix_epochs",
+      (s, d) => sourceMixEpochs(t(s, d, "documents"), weight = srcNameWeight),
+      Some(sourceMixEpochsSql())),
 
     QueryDef("q87_weighted_sample",
       (s, d) => weightedSample(t(s, d, "documents")),

@@ -90,6 +90,30 @@ class CleaningSpec extends AnyFunSuite {
     }
   }
 
+  test("q102 epoch mixing: repeats fill shares exactly; boundary degenerates to q96") {
+    val docs = graft.queries.QueryDef.t(spark, dir, "documents")
+    val sel = Sampling.sourceMixEpochs(docs, weight = Sampling.srcNameWeight).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("share_tokens"), r.getAs[Long]("epochs")))
+    assert(sel.nonEmpty && sel.exists(_._5 >= 2), "factor 3 must force multi-epoch sources")
+    val avail = docs.collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[String]("text").split(" ").length.toLong)
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    sel.groupBy(_._2).foreach { case (src, rows) =>
+      val share = rows.head._4
+      val e = share / avail(src)
+      // epoch counts are e or e+1, and the e+1 extras stay within the remainder
+      assert(rows.forall(r => r._5 == e || r._5 == e + 1), s"$src epoch band")
+      val used = rows.map(r => r._3 * r._5).sum
+      assert(used <= share, s"$src within share")
+      val extra = rows.filter(_._5 == e + 1).map(_._3).sum
+      assert(extra <= share - e * avail(src), s"$src remainder respected")
+      if (e >= 1) assert(rows.map(_._1).toSet ==
+        docs.filter(org.apache.spark.sql.functions.col("source") === src)
+          .collect().map(_.getAs[Long]("doc_id")).toSet, s"$src full epochs keep every doc")
+    }
+  }
+
   test("q96 source mix: shares respected and filled greedily by quality") {
     val docs = graft.queries.QueryDef.t(spark, dir, "documents")
     val sel = Sampling.sourceMix(docs, weight = Sampling.srcNameWeight).collect()
