@@ -276,6 +276,52 @@ object Sampling {
       SELECT doc_id, source, n_tokens, share_tokens, CAST(epochs AS BIGINT) AS epochs
       FROM e WHERE epochs > 0"""
 
+  /** Filter-funnel diagnostic: per source, how many documents each
+    * [[qualityFilter]] predicate rejects (independently — a doc failing
+    * two predicates counts in both columns) and how many pass all four.
+    * The ablation table a pipeline owner reads before committing a
+    * filter config: which source loses how much to which rule. Same
+    * integer-exact predicates as q39, so funnel counts and the filter's
+    * survivors reconcile exactly (spec-locked).
+    *
+    * Scale shape: per-row flag projection + ONE partial-aggregated
+    * count_if rollup keyed by source — output is source-cardinality. */
+  def filterFunnel(docs: DataFrame): DataFrame =
+    docs.select(col("source"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"),
+      size(array_distinct(split(col("text"), " "))).cast("long").as("n_distinct"),
+      expr("aggregate(transform(split(text, ' '), w -> CAST(length(w) AS BIGINT)), 0L, (a, x) -> a + x)")
+        .as("sum_len"),
+      expr(TextStats.stopCountExpr).as("n_stop"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        expr("CAST(count_if(n_tokens < 20) AS BIGINT)").as("n_short"),
+        expr("CAST(count_if(n_distinct * 10 < n_tokens * 3) AS BIGINT)").as("n_lowdiv"),
+        expr("CAST(count_if(sum_len < n_tokens * 3 OR sum_len > n_tokens * 12) AS BIGINT)").as("n_badlen"),
+        expr("CAST(count_if(n_stop < 1) AS BIGINT)").as("n_nostop"),
+        expr("""CAST(count_if(n_tokens >= 20 AND n_distinct * 10 >= n_tokens * 3
+                AND sum_len >= n_tokens * 3 AND sum_len <= n_tokens * 12
+                AND n_stop >= 1) AS BIGINT)""").as("n_pass"))
+
+  def filterFunnelSql: String = {
+    val stop = TextStats.inSet("w", TextStats.Stopwords)
+    s"""WITH base AS (SELECT source,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+          CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+          CAST(list_sum(list_transform(string_split(text, ' '), w -> CAST(length(w) AS BIGINT))) AS BIGINT) AS sum_len,
+          CAST(len(list_filter(string_split(text, ' '), w -> $stop)) AS BIGINT) AS n_stop
+        FROM documents)
+      SELECT source, count(*) AS n_docs,
+        CAST(count_if(n_tokens < 20) AS BIGINT) AS n_short,
+        CAST(count_if(n_distinct * 10 < n_tokens * 3) AS BIGINT) AS n_lowdiv,
+        CAST(count_if(sum_len < n_tokens * 3 OR sum_len > n_tokens * 12) AS BIGINT) AS n_badlen,
+        CAST(count_if(n_stop < 1) AS BIGINT) AS n_nostop,
+        CAST(count_if(n_tokens >= 20 AND n_distinct * 10 >= n_tokens * 3
+          AND sum_len >= n_tokens * 3 AND sum_len <= n_tokens * 12
+          AND n_stop >= 1) AS BIGINT) AS n_pass
+      FROM base GROUP BY source"""
+  }
+
   val ShuffleShards = 256
 
   /** Deterministic corpus shuffle — the "randomize training order" step
@@ -343,6 +389,10 @@ object Sampling {
     QueryDef("q102_source_mix_epochs",
       (s, d) => sourceMixEpochs(t(s, d, "documents"), weight = srcNameWeight),
       Some(sourceMixEpochsSql())),
+
+    QueryDef("q103_filter_funnel",
+      (s, d) => filterFunnel(t(s, d, "documents")),
+      Some(filterFunnelSql)),
 
     QueryDef("q87_weighted_sample",
       (s, d) => weightedSample(t(s, d, "documents")),

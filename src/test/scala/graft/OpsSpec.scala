@@ -451,6 +451,22 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q103 funnel reconciles with the q39 filter: per-source pass counts match") {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val funnel = Sampling.filterFunnel(docs).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_pass")))).toMap
+    val survivors = Sampling.qualityFilter(docs)
+      .join(docs.select("doc_id", "source"), "doc_id")
+      .groupBy("source").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("n")).toMap
+    assert(funnel.view.mapValues(_._2).filter(_._2 > 0).toMap == survivors)
+    assert(funnel.values.map(_._1).sum == docs.count())
+    // every reject column is live on this corpus or zero-by-construction;
+    // at minimum the totals are consistent: pass <= docs per source
+    funnel.values.foreach { case (n, p) => assert(p <= n) }
+  }
+
   test("q91 shard manifest == driver recompute of the composed pipeline") {
     val w = Dedup.SpanWidth
     val all = docs.collect().map(r =>
