@@ -1,15 +1,15 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.queries.QueryDef
 import graft.queries.QueryDef._
 
-/** The end-to-end training-shard preparation pipeline (★ SURVEY §2c —
-  * the composition every operator above exists for), as ONE call a
-  * 100 TB user runs to turn a raw document corpus into a clean train
-  * split:
+/** The end-to-end training-corpus preparation pipelines (★ SURVEY §2c —
+  * the composition every operator above exists for).
+  *
+  * [[prepareTrainShard]] (q91) is the classic shard-manifest chain:
   *
   *   1. quality filter        ([[Sampling.qualityFilter]], q39 predicate)
   *   2. exact dedup           ([[Dedup.exact]] min-id representatives, q40)
@@ -19,19 +19,29 @@ import graft.queries.QueryDef._
   *   4. shard manifest        (per-source doc/token counts — what a
   *      packing writer ([[Corpus.packSequences]]) consumes next)
   *
-  * Stage order is the load-bearing design: quality filtering is a
-  * stateless scan that shrinks everything downstream; exact dedup
-  * collapses duplicate texts BEFORE span fingerprinting (the SCALE.md
-  * lesson-1 composition — q88 measured the alternative); the span join
-  * then runs train-side-big × test-side-distinct-fps, the bloom-filter-
-  * friendly shape. Every stage is the already-gated operator, so the
-  * pipeline's oracle is their SQL composed verbatim.
+  * [[preparePretrainCorpus]] (q104) is the full modern chain: it prepends
+  * C4-style line cleaning ([[Cleaning.cleanLines]], q92) and follows the
+  * shared stages 1-3 with epoch-aware source mixing
+  * ([[Sampling.sourceMixEpochs]], q102) and deterministic shuffle
+  * assignment ([[Sampling.shuffleAssign]], q101) — the per-document
+  * training list (epochs, shard, sort key) a shard writer materializes.
+  *
+  * Stage order is the load-bearing design: line cleaning and the quality
+  * filter are stateless scans that shrink everything downstream; exact
+  * dedup collapses duplicate texts BEFORE span fingerprinting (the
+  * SCALE.md lesson-1 composition — q88 measured the alternative); the
+  * span join then runs train-side-big × test-side-distinct-fps, the
+  * bloom-filter-friendly shape; mixing sees post-dedup availability (an
+  * epoch of a deduped source is an epoch of distinct text). Every stage
+  * is the already-gated operator, so each pipeline's oracle is their SQL
+  * composed verbatim.
   */
 object Pipeline {
 
-  /** Per-source manifest (source, n_docs, n_tokens) of the cleaned train
-    * shard. */
-  def prepareTrainShard(docs: DataFrame, w: Int = Dedup.SpanWidth): DataFrame = {
+  /** Stages 1-3: quality filter → exact-dedup representatives →
+    * span-collision decontamination. Returns the clean TRAIN documents
+    * (full rows of the input frame, `split` dropped). */
+  def cleanTrainDocs(docs: DataFrame, w: Int = Dedup.SpanWidth): DataFrame = {
     // 1. quality cut, as a semi-join on the gated operator's survivors
     val kept = docs.join(
       Sampling.qualityFilter(docs).select("doc_id"), Seq("doc_id"), "left_semi")
@@ -47,18 +57,16 @@ object Pipeline {
     val testFps = spans.filter(col("split") === "test").select("fp").distinct()
     val contaminated = spans.filter(col("split") === "train")
       .join(testFps, "fp").select("doc_id").distinct()
-    val clean = bySplit.filter(col("split") === "train")
+    bySplit.filter(col("split") === "train")
       .join(contaminated, Seq("doc_id"), "left_anti")
-    // 4. shard manifest
-    clean
-      .groupBy("source")
-      .agg(count(lit(1)).as("n_docs"),
-        sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+      .drop("split")
   }
 
-  def prepareTrainShardSql(w: Int): String =
-    s"""WITH kept AS (SELECT d.* FROM documents d
-          JOIN (SELECT doc_id FROM (${Sampling.qualityFilterSql})) q USING (doc_id)),
+  /** SQL twin of [[cleanTrainDocs]] as a CTE chain over `table` ending in
+    * `clean` (the input columns, `split` excluded). */
+  private def cleanTrainDocsSql(w: Int, table: String): String =
+    s"""kept AS (SELECT d.* FROM $table d
+          JOIN (SELECT doc_id FROM (${Sampling.qualityFilterSql(table)})) q USING (doc_id)),
       reps AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(text)),
       kd AS (SELECT k.*, ${Sampling.splitCaseDuck("k.doc_id")} AS split
              FROM kept k JOIN reps USING (doc_id)),
@@ -71,14 +79,66 @@ object Pipeline {
       test_fps AS (SELECT DISTINCT fp FROM sp WHERE split = 'test'),
       contaminated AS (SELECT DISTINCT s.doc_id FROM sp s
         JOIN test_fps t ON s.fp = t.fp WHERE s.split = 'train'),
-      clean AS (SELECT * FROM kd WHERE split = 'train'
-        AND doc_id NOT IN (SELECT doc_id FROM contaminated))
+      clean AS (SELECT * EXCLUDE (split) FROM kd WHERE split = 'train'
+        AND doc_id NOT IN (SELECT doc_id FROM contaminated))"""
+
+  /** Per-source manifest (source, n_docs, n_tokens) of the cleaned train
+    * shard. */
+  def prepareTrainShard(docs: DataFrame, w: Int = Dedup.SpanWidth): DataFrame =
+    cleanTrainDocs(docs, w)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+
+  def prepareTrainShardSql(w: Int): String =
+    s"""WITH ${cleanTrainDocsSql(w, "documents")}
       SELECT source, count(*) AS n_docs,
         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
       FROM clean GROUP BY source"""
 
+  /** The full modern chain: line cleaning → stages 1-3 → epoch mixing →
+    * shuffle assignment. One row per kept TRAIN document: its epoch
+    * count in the mixture, its hash shard, and its within-shard sort key
+    * — what a [[Sampling.shuffleWrite]]-style writer materializes next.
+    * Cleaning parameters flow to [[Cleaning.cleanLines]] (the query
+    * passes the corpus stand-ins; real corpora use the defaults). */
+  def preparePretrainCorpus(docs: DataFrame, factor: Long = 3L,
+      weight: Column = lit(1L), w: Int = Dedup.SpanWidth,
+      delim: String = "\n", minWords: Int = Cleaning.MinLineWords,
+      lineBlockToken: String = "javascript",
+      docBlockPhrase: String = "lorem ipsum"): DataFrame = {
+    val cleaned = Cleaning.cleanLines(docs, delim, minWords, lineBlockToken, docBlockPhrase)
+      .join(docs.select("doc_id", "source", "lang"), "doc_id")
+      .select(col("doc_id"), col("source"), col("lang"), col("text_clean").as("text"))
+    // the clean train frame feeds the mixer, the shuffle keys, AND the
+    // final join — checkpoint it so the quality/dedup/span chain runs
+    // once, not three times (the sourceDrift reuse pattern)
+    val clean = cleanTrainDocs(cleaned, w).localCheckpoint()
+    val mixed = Sampling.sourceMixEpochs(clean, factor, weight)
+    Sampling.shuffleAssign(clean).select("doc_id", "shard", "sortkey")
+      .join(mixed, "doc_id")
+      .select("doc_id", "source", "n_tokens", "epochs", "shard", "sortkey")
+  }
+
+  def preparePretrainCorpusSql(factor: Long, w: Int): String =
+    s"""WITH cleaned AS (SELECT doc_id, text_clean FROM (${Cleaning.cleanLinesSql})),
+      cd AS (SELECT c.doc_id, d.source, d.lang, c.text_clean AS text
+             FROM cleaned c JOIN documents d USING (doc_id)),
+      ${cleanTrainDocsSql(w, "cd")},
+      mix AS (${Sampling.sourceMixEpochsSql(factor, "clean")}),
+      shuf AS (SELECT doc_id, shard, sortkey FROM (${Sampling.shuffleAssignSql("clean")}))
+      SELECT m.doc_id, m.source, m.n_tokens, m.epochs, s.shard, s.sortkey
+      FROM mix m JOIN shuf s USING (doc_id)"""
+
   val queries: Seq[QueryDef] = Seq(
     QueryDef("q91_train_shard",
       (s, d) => prepareTrainShard(t(s, d, "documents")),
-      Some(prepareTrainShardSql(Dedup.SpanWidth))))
+      Some(prepareTrainShardSql(Dedup.SpanWidth))),
+
+    QueryDef("q104_pretrain_corpus",
+      (s, d) => preparePretrainCorpus(t(s, d, "documents"),
+        weight = Sampling.srcNameWeight, delim = Cleaning.LineDelim,
+        lineBlockToken = Cleaning.LineBlockToken,
+        docBlockPhrase = Cleaning.DocBlockPhrase),
+      Some(preparePretrainCorpusSql(3L, Dedup.SpanWidth))))
 }

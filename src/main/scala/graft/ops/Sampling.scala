@@ -80,7 +80,7 @@ object Sampling {
         col("n_stop") >= 1)
   }
 
-  def qualityFilterSql: String = {
+  def qualityFilterSql(table: String = "documents"): String = {
     val stop = TextStats.inSet("w", TextStats.Stopwords)
     s"""SELECT * FROM (
         SELECT doc_id, lang,
@@ -88,7 +88,7 @@ object Sampling {
           CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
           CAST(list_sum(list_transform(string_split(text, ' '), w -> CAST(length(w) AS BIGINT))) AS BIGINT) AS sum_len,
           CAST(len(list_filter(string_split(text, ' '), w -> $stop)) AS BIGINT) AS n_stop
-        FROM documents)
+        FROM $table)
         WHERE n_tokens >= 20 AND n_distinct * 10 >= n_tokens * 3
           AND sum_len >= n_tokens * 3 AND sum_len <= n_tokens * 12 AND n_stop >= 1"""
   }
@@ -247,13 +247,13 @@ object Sampling {
       .select("doc_id", "source", "n_tokens", "share_tokens", "epochs")
   }
 
-  def sourceMixEpochsSql(factor: Long = 3L): String =
+  def sourceMixEpochsSql(factor: Long = 3L, table: String = "documents"): String =
     s"""WITH base AS (SELECT doc_id, source,
         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
         CAST(len(list_filter(string_split(text, ' '),
           w -> ${graft.ops.TextStats.inSet("w", graft.ops.TextStats.Stopwords)})) AS BIGINT) AS n_stop
-      FROM documents),
+      FROM $table),
       scored AS (SELECT doc_id, source, n_tokens,
           (CAST(LEAST(n_tokens, 100) AS DOUBLE) / 100.0) * 0.5
             + (CAST(n_distinct AS DOUBLE) / n_tokens) * 0.3
@@ -351,12 +351,12 @@ object Sampling {
       .select("doc_id", "source", "n_tokens", "shard", "sortkey")
   }
 
-  val shuffleAssignSql: String = {
+  def shuffleAssignSql(table: String = "documents"): String = {
     val hexVal = (c: String) => s"(strpos('0123456789abcdef', $c) - 1)"
     s"""WITH k AS (SELECT doc_id, source,
           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
           md5('shuf:' || CAST(doc_id AS VARCHAR)) AS sortkey
-        FROM documents)
+        FROM $table)
       SELECT doc_id, source, n_tokens,
         CAST(${hexVal("substr(sortkey, 1, 1)")} * 16 + ${hexVal("substr(sortkey, 2, 1)")} AS BIGINT) AS shard,
         sortkey
@@ -380,7 +380,7 @@ object Sampling {
   val queries: Seq[QueryDef] = Seq(
     QueryDef("q101_shuffle_assign",
       (s, d) => shuffleAssign(t(s, d, "documents")),
-      Some(shuffleAssignSql)),
+      Some(shuffleAssignSql())),
 
     QueryDef("q96_source_mix",
       (s, d) => sourceMix(t(s, d, "documents"), weight = srcNameWeight),
@@ -412,6 +412,6 @@ object Sampling {
 
     QueryDef("q39_quality_filter",
       (s, d) => qualityFilter(t(s, d, "documents")),
-      Some(qualityFilterSql))
+      Some(qualityFilterSql()))
   )
 }

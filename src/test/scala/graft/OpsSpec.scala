@@ -502,6 +502,85 @@ class OpsSpec extends AnyFunSuite {
       "the corpus plants cross-split contamination the pipeline must drop")
   }
 
+  test("q104 pretrain corpus == driver recompute of the full chain") {
+    val w = Dedup.SpanWidth
+    val stop = TextStats.Stopwords.toSet
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    // stage 0: line cleaning with the corpus stand-in parameters
+    val cleaned = docs.collect().map(r =>
+      (r.getAs[Long]("doc_id"), r.getAs[String]("text"), r.getAs[String]("source")))
+      .filter(!_._2.contains(Cleaning.DocBlockPhrase))
+      .map { case (id, t, src) =>
+        val kept = t.split(java.util.regex.Pattern.quote(Cleaning.LineDelim))
+          .filter(ln => ln.split(" ").length >= Cleaning.MinLineWords &&
+            !ln.split(" ").contains(Cleaning.LineBlockToken))
+        (id, kept.mkString("\n"), src, kept.length)
+      }.filter(_._4 >= 1).map(d => (d._1, d._2, d._3))
+    // stages 1-3 on the cleaned text (same recompute as the q91 spec)
+    def quality(t: String): Boolean = {
+      val toks = t.split(" ")
+      val n = toks.length.toLong
+      val sl = toks.map(_.length.toLong).sum
+      n >= 20 && toks.distinct.length * 10 >= n * 3 &&
+        sl >= n * 3 && sl <= n * 12 && toks.exists(stop)
+    }
+    def spansOf(t: String): Seq[String] = {
+      val toks = t.split(" ")
+      if (toks.length < w) Seq.empty
+      else (0 to toks.length - w).map(i => toks.slice(i, i + w).mkString(" "))
+    }
+    def splitOf(id: Long): String = {
+      val b = md5hex(id.toString).take(4)
+      if (b < f"${Sampling.TrainMax}%04x") "train"
+      else if (b < f"${Sampling.ValMax}%04x") "val" else "test"
+    }
+    val kept = cleaned.filter(d => quality(d._2))
+    val reps = kept.groupBy(_._2).map { case (_, ds) => ds.minBy(_._1) }.toSeq
+    val testFps = reps.collect { case (id, t, _) if splitOf(id) == "test" => spansOf(t) }
+      .flatten.toSet
+    val clean = reps.filter { case (id, t, _) =>
+      splitOf(id) == "train" && !spansOf(t).exists(testFps) }
+    // stage 4: epoch mixing (factor 3, src-name weights) over the clean docs
+    def score(t: String): Double = {
+      val toks = t.split(" ")
+      val n = toks.length
+      (math.min(n, 100).toDouble / 100.0) * 0.5 +
+        (toks.distinct.length.toDouble / n) * 0.3 +
+        (math.min(toks.count(stop), 10).toDouble / 10.0) * 0.2
+    }
+    val tTotal = clean.map(_._2.split(" ").length.toLong).sum
+    val weights = clean.map(_._3).distinct.map(s => s -> (s.drop(3).toLong % 3 + 1)).toMap
+    val totw = weights.values.sum
+    val expect = clean.groupBy(_._3).flatMap { case (src, ds) =>
+      val share = (3L * tTotal * weights(src)) / totw
+      val avail = ds.map(_._2.split(" ").length.toLong).sum
+      val e = share / avail
+      val rem = share - e * avail
+      val ordered = ds.sortBy { case (id, t, _) => (-score(t), id) }
+      var cum = 0L
+      ordered.flatMap { case (id, t, _) =>
+        val n = t.split(" ").length.toLong
+        cum += n
+        val epochs = e + (if (cum <= rem) 1L else 0L)
+        if (epochs > 0) {
+          val k = md5hex(s"shuf:$id")
+          Some((id, src, n, epochs, java.lang.Long.parseLong(k.take(2), 16), k))
+        } else None
+      }
+    }.toSet
+    val got = Pipeline.preparePretrainCorpus(docs,
+      weight = Sampling.srcNameWeight, delim = Cleaning.LineDelim,
+      lineBlockToken = Cleaning.LineBlockToken,
+      docBlockPhrase = Cleaning.DocBlockPhrase).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("epochs"),
+        r.getAs[Long]("shard"), r.getAs[String]("sortkey"))).toSet
+    assert(got == expect)
+    assert(got.nonEmpty && got.exists(_._4 >= 2), "multi-epoch sources present")
+  }
+
   test("q88 dedupFirst == decontaminating the exact-dedup representative corpus") {
     import org.apache.spark.sql.functions._
     val reps = Dedup.exact(docs).select(col("keep_id").as("doc_id"))
