@@ -141,6 +141,22 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), "pair counting is an aggregate, not a window")
   }
 
+  test("q104: the capstone chain stays equi-shaped end to end") {
+    val p = plan("q104_pretrain_corpus")
+    assert(!p.contains("CartesianProduct"), "no unbroadcast cartesian anywhere")
+    // the only nested loops are the mixer's 1-row broadcast scalar
+    // attachments (totw, t_total) — every one must be a broadcast cross,
+    // never an inner/outer nested loop over data-sized sides
+    val loops = p.linesIterator
+      .filter(l => l.contains("BroadcastNestedLoopJoin") && (l.contains("+-") || l.contains(":-")))
+      .toSeq
+    assert(loops.nonEmpty && loops.forall(_.contains("Cross BuildRight")),
+      s"nested loops must be broadcast scalar crosses: $loops")
+    assert(loops.count(_.contains("Cross BuildRight")) <= 2, "only the two mixer scalars")
+    // the only window is the mixer's single source-keyed cum-sum
+    assert("\\bWindow\\b".r.findAllIn(p).size <= 2, "no stray windows beyond the mixer's")
+  }
+
   test("catalog missing-series plans as broadcast left-anti") {
     import spark.implicits._
     val headers = Seq((0, "1", "n", 0)).toDF("fileOrd", "externalId", "name", "colIndex")
