@@ -247,6 +247,67 @@ object Corpus {
       FROM tf JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
       GROUP BY doc_id"""
 
+  /** Dataset card: the one-row-per-source corpus report a data team
+    * publishes with a release — document/token volume, exact-duplicate
+    * rate, quality-filter pass count, heuristic language mix, and mean
+    * quality. The mean is exact: each doc's [0,1] score (identical IEEE
+    * doubles in both engines, q31-locked) is quantized to micro-units
+    * `floor(score·1e6)` so the per-source sum is an order-independent
+    * BIGINT, divided ONCE at the end — the q62/q80 integer-moment
+    * discipline applied to a float-valued signal.
+    *
+    * Shape at scale: one per-row codegen'd signal projection + one
+    * partial-aggregated rollup keyed by source (the single countDistinct
+    * plans two-phase without an Expand). Output is source-cardinality. */
+  def datasetCard(spark: SparkSession, dir: String): DataFrame = {
+    val signals = TextStats.withLangScores(
+      TextStats.scored(t(spark, dir, "documents"), Seq("source", "text"))
+        .withColumn("sum_len", expr(
+          "aggregate(transform(split(text, ' '), w -> CAST(length(w) AS BIGINT)), 0L, (a, x) -> a + x)")))
+      .withColumn("lang_guess", TextStats.langGuessCol)
+      .withColumn("q_micro", floor(col("score") * 1000000.0).cast("long"))
+    signals.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("n_tokens"),
+        (count(lit(1)) - countDistinct(md5(col("text")))).as("n_exact_dups"),
+        expr("CAST(count_if(lang_guess = 'en') AS BIGINT)").as("n_en_guess"),
+        expr("""CAST(count_if(n_tokens >= 20 AND n_distinct * 10 >= n_tokens * 3
+            AND sum_len >= n_tokens * 3 AND sum_len <= n_tokens * 12
+            AND n_stop >= 1) AS BIGINT)""").as("n_pass"),
+        sum("q_micro").as("q_micro_sum"))
+      .withColumn("avg_quality", col("q_micro_sum").cast("double") /
+        (col("n_docs") * lit(1000000L)).cast("double"))
+  }
+
+  val datasetCardSql: String = {
+    val stop = TextStats.inSet("w", TextStats.Stopwords)
+    s"""WITH base AS (SELECT doc_id, source, text,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+          CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+          CAST(len(list_filter(string_split(text, ' '), w -> $stop)) AS BIGINT) AS n_stop,
+          CAST(list_sum(list_transform(string_split(text, ' '), w -> CAST(length(w) AS BIGINT))) AS BIGINT) AS sum_len,
+          ${TextStats.langScoresSql}
+        FROM documents),
+      sig AS (SELECT *,
+          (CAST(LEAST(n_tokens, 100) AS DOUBLE) / 100.0) * 0.5
+            + (CAST(n_distinct AS DOUBLE) / n_tokens) * 0.3
+            + (CAST(LEAST(n_stop, 10) AS DOUBLE) / 10.0) * 0.2 AS score,
+          ${TextStats.langGuessCaseSql} AS lang_guess
+        FROM base),
+      q AS (SELECT *, CAST(floor(score * 1000000.0) AS BIGINT) AS q_micro FROM sig)
+      SELECT source, count(*) AS n_docs,
+        CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+        count(*) - count(DISTINCT md5(text)) AS n_exact_dups,
+        CAST(count_if(lang_guess = 'en') AS BIGINT) AS n_en_guess,
+        CAST(count_if(n_tokens >= 20 AND n_distinct * 10 >= n_tokens * 3
+          AND sum_len >= n_tokens * 3 AND sum_len <= n_tokens * 12
+          AND n_stop >= 1) AS BIGINT) AS n_pass,
+        CAST(SUM(q_micro) AS BIGINT) AS q_micro_sum,
+        CAST(CAST(SUM(q_micro) AS BIGINT) AS DOUBLE)
+          / (count(*) * 1000000) AS avg_quality
+      FROM q GROUP BY source"""
+  }
+
   val Bm25K1 = 1.2
   val Bm25B = 0.75
 
@@ -448,6 +509,10 @@ object Corpus {
     QueryDef("q99_bigram_lm_score",
       (s, d) => bigramLmScore(s, d),
       Some(bigramLmScoreSql)),
+
+    QueryDef("q105_dataset_card",
+      (s, d) => datasetCard(s, d),
+      Some(datasetCardSql)),
     // Postings projected through array_join: the driver's pandas compare
     // can't sort ARRAY columns; invertedIndex keeps the array-typed API.
     QueryDef("q58_inverted_index",

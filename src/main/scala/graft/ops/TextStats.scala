@@ -72,34 +72,50 @@ object TextStats {
   /** Heuristic language ID: marker-hit counts per language, argmax in
     * fixed profile order. Output includes the confusion pair (lang,
     * lang_guess) for downstream eval. */
-  def langId(docs: DataFrame): DataFrame = {
-    val scored = LangMarkers.foldLeft(docs.select(col("doc_id"), col("lang"), col("text"))) {
-      case (df, (lng, markers)) =>
-        df.withColumn(s"s_$lng",
-          expr(s"CAST(size(filter(split(text, ' '), w -> ${inSet("w", markers)})) AS BIGINT)"))
+  /** Attach the per-language marker-hit columns `s_<lang>`. */
+  private[ops] def withLangScores(df: DataFrame): DataFrame =
+    LangMarkers.foldLeft(df) { case (d, (lng, markers)) =>
+      d.withColumn(s"s_$lng",
+        expr(s"CAST(size(filter(split(text, ' '), w -> ${inSet("w", markers)})) AS BIGINT)"))
     }
+
+  /** Argmax over the `s_<lang>` columns in fixed profile order — the
+    * deterministic tie-break both engines apply identically. */
+  private[ops] def langGuessCol: Column = {
     val langs = LangMarkers.map(_._1)
-    val guess = langs.zipWithIndex.foldRight(lit(langs.last): Column) { case ((lng, _), els) =>
+    langs.zipWithIndex.foldRight(lit(langs.last): Column) { case ((lng, _), els) =>
       val geAll = langs.filterNot(_ == lng)
         .map(o => col(s"s_$lng") >= col(s"s_$o")).reduce(_ && _)
       when(geAll, lit(lng)).otherwise(els)
     }
-    scored.withColumn("lang_guess", guess).drop("text")
   }
 
-  /** SQL twin of langId (DuckDB). */
-  def langIdSql: String = {
-    val scores = LangMarkers.map { case (lng, markers) =>
+  def langId(docs: DataFrame): DataFrame =
+    withLangScores(docs.select(col("doc_id"), col("lang"), col("text")))
+      .withColumn("lang_guess", langGuessCol).drop("text")
+
+  /** DuckDB SELECT-list fragment computing the `s_<lang>` columns. */
+  private[ops] def langScoresSql: String =
+    LangMarkers.map { case (lng, markers) =>
       s"CAST(len(list_filter(string_split(text, ' '), w -> ${inSet("w", markers)})) AS BIGINT) AS s_$lng"
     }.mkString(", ")
+
+  /** DuckDB twin of [[langGuessCol]] over the `s_<lang>` columns. */
+  private[ops] def langGuessCaseSql: String = {
     val langs = LangMarkers.map(_._1)
     val cases = langs.map { lng =>
       val cond = langs.filterNot(_ == lng).map(o => s"s_$lng >= s_$o").mkString(" AND ")
       s"WHEN $cond THEN '$lng'"
     }.mkString(" ")
+    s"CASE $cases ELSE '${langs.last}' END"
+  }
+
+  /** SQL twin of langId (DuckDB). */
+  def langIdSql: String = {
+    val langs = LangMarkers.map(_._1)
     s"""SELECT doc_id, lang, ${langs.map(l => s"s_$l").mkString(", ")},
-      CASE $cases ELSE '${langs.last}' END AS lang_guess
-      FROM (SELECT doc_id, lang, $scores FROM documents)"""
+      $langGuessCaseSql AS lang_guess
+      FROM (SELECT doc_id, lang, $langScoresSql FROM documents)"""
   }
 
   /** BPE-ish tokenizer: count of `[a-z]+|[0-9]+|[^a-z0-9 ]` matches. */

@@ -502,6 +502,37 @@ class OpsSpec extends AnyFunSuite {
       "the corpus plants cross-split contamination the pipeline must drop")
   }
 
+  test("q105 dataset card reconciles with its constituent gated queries") {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val card = Corpus.datasetCard(spark, dir).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    // n_pass per source == q103's funnel pass column
+    val funnel = Sampling.filterFunnel(docs).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("n_pass")).toMap
+    assert(card.view.mapValues(_.getAs[Long]("n_pass")).toMap == funnel)
+    // n_en_guess per source == q32's langId verdicts counted
+    val en = TextStats.langId(docs)
+      .join(docs.select("doc_id", "source"), "doc_id")
+      .filter(col("lang_guess") === "en")
+      .groupBy("source").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("n")).toMap
+    card.foreach { case (src, r) =>
+      assert(r.getAs[Long]("n_en_guess") == en.getOrElse(src, 0L), s"$src en count")
+    }
+    // mean quality == driver recompute off q31's per-doc scores
+    val scores = TextStats.quality(docs)
+      .join(docs.select("doc_id", "source"), "doc_id").collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Double]("score"))
+      .groupBy(_._1).view.mapValues(_.map(v => math.floor(v._2 * 1e6).toLong)).toMap
+    card.foreach { case (src, r) =>
+      assert(r.getAs[Long]("q_micro_sum") == scores(src).sum, s"$src micro sum")
+      assert(r.getAs[Double]("avg_quality") ==
+        scores(src).sum.toDouble / (scores(src).size * 1000000L).toDouble, s"$src avg")
+    }
+    // no exact dups in the raw corpus (q40's finding), so the column is 0
+    assert(card.values.forall(_.getAs[Long]("n_exact_dups") == 0L))
+  }
+
   test("q104 pretrain corpus == driver recompute of the full chain") {
     val w = Dedup.SpanWidth
     val stop = TextStats.Stopwords.toSet
