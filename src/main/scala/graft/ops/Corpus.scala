@@ -153,8 +153,11 @@ object Corpus {
         col("cnt_s").cast("decimal(38,0)") * col("n_total").cast("decimal(38,0)") -
           col("cnt").cast("decimal(38,0)") * col("n_src").cast("decimal(38,0)")))
       .groupBy("source")
-      .agg(first(col("n_src")).as("n_tokens_src"), sum(col("diff")).as("num"))
-      .crossJoin(broadcast(n))
+      // n_total rides through the agg (constant per group) — re-joining
+      // broadcast(n) here would re-execute the corpus-total subtree and
+      // add a second broadcast exchange for a value already in hand
+      .agg(first(col("n_src")).as("n_tokens_src"),
+        first(col("n_total")).as("n_total"), sum(col("diff")).as("num"))
       .withColumn("tv", col("num").cast("double") /
         (lit(2.0) * col("n_tokens_src").cast("double") * col("n_total").cast("double")))
       .select("source", "n_tokens_src", "tv")
@@ -203,9 +206,15 @@ object Corpus {
     * operands, so Spark `div` and DuckDB `//` agree), accumulated as
     * BIGINT — order-independent — and divided ONCE per document by
     * `n_bigrams · LmScale` on exactly-representable operands, so the
-    * double matches bit-for-bit across engines. BIGINT headroom: the
-    * per-term product `bf · (c12·1e6 div c1)` is ≤ bf·1e6, so the doc
-    * sum is ≤ n_bigrams·1e6 — overflow needs a 9-petatoken document.
+    * double matches bit-for-bit across engines. Headroom: the per-term
+    * product `bf · (c12·1e6 div c1)` is ≤ bf·1e6 (the quotient is a
+    * probability scaled by 1e6), so the doc sum is ≤ n_bigrams·1e6 —
+    * overflow needs a 9-petatoken document. The INTERMEDIATE `c12·1e6`
+    * binds first, though: a corpus-wide bigram count past ~9.2e12 (one
+    * boilerplate bigram dominating a ~1e13-token corpus) would overflow
+    * BIGINT before the divide, so both engines widen exactly — Spark to
+    * DECIMAL(38,0) (div returns BIGINT), DuckDB to HUGEINT — making the
+    * quotient, not the product, the binding bound.
     *
     * Shape at scale: occurrences collapse to per-(doc, bigram) rows
     * first (map-side partial agg); the bigram table c12 = Σ bf and the
@@ -228,7 +237,7 @@ object Corpus {
     tf.join(c12, Seq("w1", "w2")).join(c1, Seq("w1"))
       .groupBy("doc_id")
       .agg(sum("bf").as("n_bigrams"),
-        sum(col("bf") * expr(s"(c12 * ${LmScale}L) div c1")).as("score_num"))
+        sum(col("bf") * expr(s"(CAST(c12 AS DECIMAL(38,0)) * ${LmScale}L) div c1")).as("score_num"))
       .withColumn("avg_p", col("score_num").cast("double") /
         (col("n_bigrams") * lit(LmScale)).cast("double"))
   }
@@ -241,8 +250,8 @@ object Corpus {
       c12 AS (SELECT w1, w2, CAST(SUM(bf) AS BIGINT) AS c12 FROM tf GROUP BY 1, 2),
       c1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM c12 GROUP BY 1)
       SELECT doc_id, CAST(SUM(bf) AS BIGINT) AS n_bigrams,
-        CAST(SUM(bf * ((c12 * $LmScale) // c1)) AS BIGINT) AS score_num,
-        CAST(CAST(SUM(bf * ((c12 * $LmScale) // c1)) AS BIGINT) AS DOUBLE)
+        CAST(SUM(bf * CAST((CAST(c12 AS HUGEINT) * $LmScale) // c1 AS BIGINT)) AS BIGINT) AS score_num,
+        CAST(CAST(SUM(bf * CAST((CAST(c12 AS HUGEINT) * $LmScale) // c1 AS BIGINT)) AS BIGINT) AS DOUBLE)
           / (CAST(SUM(bf) AS BIGINT) * $LmScale) AS avg_p
       FROM tf JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
       GROUP BY doc_id"""
@@ -262,8 +271,7 @@ object Corpus {
   def datasetCard(spark: SparkSession, dir: String): DataFrame = {
     val signals = TextStats.withLangScores(
       TextStats.scored(t(spark, dir, "documents"), Seq("source", "text"))
-        .withColumn("sum_len", expr(
-          "aggregate(transform(split(text, ' '), w -> CAST(length(w) AS BIGINT)), 0L, (a, x) -> a + x)")))
+        .withColumn("sum_len", expr(TextStats.sumLenExpr)))
       .withColumn("lang_guess", TextStats.langGuessCol)
       .withColumn("q_micro", floor(col("score") * 1000000.0).cast("long"))
     signals.groupBy("source")
@@ -271,27 +279,19 @@ object Corpus {
         sum("n_tokens").as("n_tokens"),
         (count(lit(1)) - countDistinct(md5(col("text")))).as("n_exact_dups"),
         expr("CAST(count_if(lang_guess = 'en') AS BIGINT)").as("n_en_guess"),
-        expr("""CAST(count_if(n_tokens >= 20 AND n_distinct * 10 >= n_tokens * 3
-            AND sum_len >= n_tokens * 3 AND sum_len <= n_tokens * 12
-            AND n_stop >= 1) AS BIGINT)""").as("n_pass"),
+        expr(s"CAST(count_if(${TextStats.QualityPassCond}) AS BIGINT)").as("n_pass"),
         sum("q_micro").as("q_micro_sum"))
       .withColumn("avg_quality", col("q_micro_sum").cast("double") /
         (col("n_docs") * lit(1000000L)).cast("double"))
   }
 
-  val datasetCardSql: String = {
-    val stop = TextStats.inSet("w", TextStats.Stopwords)
+  val datasetCardSql: String =
     s"""WITH base AS (SELECT doc_id, source, text,
-          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-          CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
-          CAST(len(list_filter(string_split(text, ' '), w -> $stop)) AS BIGINT) AS n_stop,
-          CAST(list_sum(list_transform(string_split(text, ' '), w -> CAST(length(w) AS BIGINT))) AS BIGINT) AS sum_len,
+          ${TextStats.scoreSignalsDuck}, ${TextStats.sumLenDuck},
           ${TextStats.langScoresSql}
         FROM documents),
       sig AS (SELECT *,
-          (CAST(LEAST(n_tokens, 100) AS DOUBLE) / 100.0) * 0.5
-            + (CAST(n_distinct AS DOUBLE) / n_tokens) * 0.3
-            + (CAST(LEAST(n_stop, 10) AS DOUBLE) / 10.0) * 0.2 AS score,
+          ${TextStats.scoreExprDuck} AS score,
           ${TextStats.langGuessCaseSql} AS lang_guess
         FROM base),
       q AS (SELECT *, CAST(floor(score * 1000000.0) AS BIGINT) AS q_micro FROM sig)
@@ -299,14 +299,11 @@ object Corpus {
         CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
         count(*) - count(DISTINCT md5(text)) AS n_exact_dups,
         CAST(count_if(lang_guess = 'en') AS BIGINT) AS n_en_guess,
-        CAST(count_if(n_tokens >= 20 AND n_distinct * 10 >= n_tokens * 3
-          AND sum_len >= n_tokens * 3 AND sum_len <= n_tokens * 12
-          AND n_stop >= 1) AS BIGINT) AS n_pass,
+        CAST(count_if(${TextStats.QualityPassCond}) AS BIGINT) AS n_pass,
         CAST(SUM(q_micro) AS BIGINT) AS q_micro_sum,
         CAST(CAST(SUM(q_micro) AS BIGINT) AS DOUBLE)
           / (count(*) * 1000000) AS avg_quality
       FROM q GROUP BY source"""
-  }
 
   val Bm25K1 = 1.2
   val Bm25B = 0.75

@@ -66,32 +66,15 @@ object Sampling {
     * (cross-multiplied ratios — no doubles, so the cut is portable).
     * Keeps documents with >= 20 tokens, vocabulary-diversity >= 0.3,
     * mean token length in [3, 12], and >= 1 stopword hit. */
-  def qualityFilter(docs: DataFrame): DataFrame = {
-    val stopCnt = TextStats.stopCountExpr
-    docs.select(col("doc_id"), col("lang"),
-      size(split(col("text"), " ")).cast("long").as("n_tokens"),
-      size(array_distinct(split(col("text"), " "))).cast("long").as("n_distinct"),
-      expr("aggregate(transform(split(text, ' '), w -> CAST(length(w) AS BIGINT)), 0L, (a, x) -> a + x)")
-        .as("sum_len"),
-      expr(stopCnt).as("n_stop"))
-      .filter(col("n_tokens") >= 20 &&
-        col("n_distinct") * 10 >= col("n_tokens") * 3 &&
-        col("sum_len") >= col("n_tokens") * 3 && col("sum_len") <= col("n_tokens") * 12 &&
-        col("n_stop") >= 1)
-  }
+  def qualityFilter(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id") +: col("lang") +: TextStats.signalCols: _*)
+      .filter(expr(TextStats.QualityPassCond))
 
-  def qualityFilterSql(table: String = "documents"): String = {
-    val stop = TextStats.inSet("w", TextStats.Stopwords)
+  def qualityFilterSql(table: String = "documents"): String =
     s"""SELECT * FROM (
-        SELECT doc_id, lang,
-          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-          CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
-          CAST(list_sum(list_transform(string_split(text, ' '), w -> CAST(length(w) AS BIGINT))) AS BIGINT) AS sum_len,
-          CAST(len(list_filter(string_split(text, ' '), w -> $stop)) AS BIGINT) AS n_stop
+        SELECT doc_id, lang, ${TextStats.scoreSignalsDuck}, ${TextStats.sumLenDuck}
         FROM $table)
-        WHERE n_tokens >= 20 AND n_distinct * 10 >= n_tokens * 3
-          AND sum_len >= n_tokens * 3 AND sum_len <= n_tokens * 12 AND n_stop >= 1"""
-  }
+        WHERE ${TextStats.QualityPassCond}"""
 
   /** Exact stratified sample: EXACTLY `k` documents per stratum (fewer
     * only if the stratum is smaller), chosen by md5-hash rank within the
@@ -136,16 +119,10 @@ object Sampling {
       .select("doc_id", "lang", "score", "cut")
 
   def weightedSampleSql(rate: Double = WeightedRate): String =
-    s"""WITH base AS (SELECT doc_id, lang,
-        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-        CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
-        CAST(len(list_filter(string_split(text, ' '),
-          w -> ${graft.ops.TextStats.inSet("w", graft.ops.TextStats.Stopwords)})) AS BIGINT) AS n_stop
+    s"""WITH base AS (SELECT doc_id, lang, ${TextStats.scoreSignalsDuck}
       FROM documents),
       scored AS (SELECT doc_id, lang,
-          (CAST(LEAST(n_tokens, 100) AS DOUBLE) / 100.0) * 0.5
-            + (CAST(n_distinct AS DOUBLE) / n_tokens) * 0.3
-            + (CAST(LEAST(n_stop, 10) AS DOUBLE) / 10.0) * 0.2 AS score
+          ${TextStats.scoreExprDuck} AS score
         FROM base),
       th AS (SELECT doc_id, lang, score,
           CAST(floor(score * $rate * 65536.0) AS BIGINT) AS cut FROM scored)
@@ -190,16 +167,10 @@ object Sampling {
   }
 
   def sourceMixSql(budgetTokens: Long = MixBudgetTokens): String =
-    s"""WITH base AS (SELECT doc_id, source,
-        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-        CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
-        CAST(len(list_filter(string_split(text, ' '),
-          w -> ${graft.ops.TextStats.inSet("w", graft.ops.TextStats.Stopwords)})) AS BIGINT) AS n_stop
+    s"""WITH base AS (SELECT doc_id, source, ${TextStats.scoreSignalsDuck}
       FROM documents),
       scored AS (SELECT doc_id, source, n_tokens,
-          (CAST(LEAST(n_tokens, 100) AS DOUBLE) / 100.0) * 0.5
-            + (CAST(n_distinct AS DOUBLE) / n_tokens) * 0.3
-            + (CAST(LEAST(n_stop, 10) AS DOUBLE) / 10.0) * 0.2 AS score,
+          ${TextStats.scoreExprDuck} AS score,
           CAST(substr(source, 4) AS BIGINT) % 3 + 1 AS w
         FROM base),
       tw AS (SELECT SUM(w) AS totw FROM (SELECT DISTINCT source, w FROM scored)),
@@ -248,16 +219,10 @@ object Sampling {
   }
 
   def sourceMixEpochsSql(factor: Long = 3L, table: String = "documents"): String =
-    s"""WITH base AS (SELECT doc_id, source,
-        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-        CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
-        CAST(len(list_filter(string_split(text, ' '),
-          w -> ${graft.ops.TextStats.inSet("w", graft.ops.TextStats.Stopwords)})) AS BIGINT) AS n_stop
+    s"""WITH base AS (SELECT doc_id, source, ${TextStats.scoreSignalsDuck}
       FROM $table),
       scored AS (SELECT doc_id, source, n_tokens,
-          (CAST(LEAST(n_tokens, 100) AS DOUBLE) / 100.0) * 0.5
-            + (CAST(n_distinct AS DOUBLE) / n_tokens) * 0.3
-            + (CAST(LEAST(n_stop, 10) AS DOUBLE) / 10.0) * 0.2 AS score,
+          ${TextStats.scoreExprDuck} AS score,
           CAST(substr(source, 4) AS BIGINT) % 3 + 1 AS w
         FROM base),
       tw AS (SELECT SUM(w) AS totw FROM (SELECT DISTINCT source, w FROM scored)),
@@ -287,47 +252,31 @@ object Sampling {
     * Scale shape: per-row flag projection + ONE partial-aggregated
     * count_if rollup keyed by source — output is source-cardinality. */
   def filterFunnel(docs: DataFrame): DataFrame =
-    docs.select(col("source"),
-      size(split(col("text"), " ")).cast("long").as("n_tokens"),
-      size(array_distinct(split(col("text"), " "))).cast("long").as("n_distinct"),
-      expr("aggregate(transform(split(text, ' '), w -> CAST(length(w) AS BIGINT)), 0L, (a, x) -> a + x)")
-        .as("sum_len"),
-      expr(TextStats.stopCountExpr).as("n_stop"))
+    docs.select(col("source") +: TextStats.signalCols: _*)
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
-        expr("CAST(count_if(n_tokens < 20) AS BIGINT)").as("n_short"),
-        expr("CAST(count_if(n_distinct * 10 < n_tokens * 3) AS BIGINT)").as("n_lowdiv"),
-        expr("CAST(count_if(sum_len < n_tokens * 3 OR sum_len > n_tokens * 12) AS BIGINT)").as("n_badlen"),
-        expr("CAST(count_if(n_stop < 1) AS BIGINT)").as("n_nostop"),
-        expr("""CAST(count_if(n_tokens >= 20 AND n_distinct * 10 >= n_tokens * 3
-                AND sum_len >= n_tokens * 3 AND sum_len <= n_tokens * 12
-                AND n_stop >= 1) AS BIGINT)""").as("n_pass"))
+        expr(s"CAST(count_if(NOT (${TextStats.QcLen})) AS BIGINT)").as("n_short"),
+        expr(s"CAST(count_if(NOT (${TextStats.QcDiversity})) AS BIGINT)").as("n_lowdiv"),
+        expr(s"CAST(count_if(NOT ${TextStats.QcTokenLen}) AS BIGINT)").as("n_badlen"),
+        expr(s"CAST(count_if(NOT (${TextStats.QcStop})) AS BIGINT)").as("n_nostop"),
+        expr(s"CAST(count_if(${TextStats.QualityPassCond}) AS BIGINT)").as("n_pass"))
 
-  def filterFunnelSql: String = {
-    val stop = TextStats.inSet("w", TextStats.Stopwords)
-    s"""WITH base AS (SELECT source,
-          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-          CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
-          CAST(list_sum(list_transform(string_split(text, ' '), w -> CAST(length(w) AS BIGINT))) AS BIGINT) AS sum_len,
-          CAST(len(list_filter(string_split(text, ' '), w -> $stop)) AS BIGINT) AS n_stop
+  def filterFunnelSql: String =
+    s"""WITH base AS (SELECT source, ${TextStats.scoreSignalsDuck}, ${TextStats.sumLenDuck}
         FROM documents)
       SELECT source, count(*) AS n_docs,
-        CAST(count_if(n_tokens < 20) AS BIGINT) AS n_short,
-        CAST(count_if(n_distinct * 10 < n_tokens * 3) AS BIGINT) AS n_lowdiv,
-        CAST(count_if(sum_len < n_tokens * 3 OR sum_len > n_tokens * 12) AS BIGINT) AS n_badlen,
-        CAST(count_if(n_stop < 1) AS BIGINT) AS n_nostop,
-        CAST(count_if(n_tokens >= 20 AND n_distinct * 10 >= n_tokens * 3
-          AND sum_len >= n_tokens * 3 AND sum_len <= n_tokens * 12
-          AND n_stop >= 1) AS BIGINT) AS n_pass
+        CAST(count_if(NOT (${TextStats.QcLen})) AS BIGINT) AS n_short,
+        CAST(count_if(NOT (${TextStats.QcDiversity})) AS BIGINT) AS n_lowdiv,
+        CAST(count_if(NOT ${TextStats.QcTokenLen}) AS BIGINT) AS n_badlen,
+        CAST(count_if(NOT (${TextStats.QcStop})) AS BIGINT) AS n_nostop,
+        CAST(count_if(${TextStats.QualityPassCond}) AS BIGINT) AS n_pass
       FROM base GROUP BY source"""
-  }
-
-  val ShuffleShards = 256
 
   /** Deterministic corpus shuffle — the "randomize training order" step
     * every pre-training pipeline runs before writing shards. Each
-    * document gets a shard (first 2 hex chars of a salted md5 → 256
-    * hash-balanced shards) and a within-shard sort key (the full hash);
+    * document gets a shard (first 2 hex chars of a salted md5 → 16² =
+    * 256 hash-balanced shards, fixed by the decode width below) and a
+    * within-shard sort key (the full hash);
     * reading shards in any order, each sorted by `sortkey`, yields a
     * reproducible pseudo-random global order. The salt (`shuf:`)
     * decorrelates this hash from the q37/q38 sampling bucket — shuffle

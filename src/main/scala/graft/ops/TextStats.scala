@@ -39,6 +39,51 @@ object TextStats {
   private[ops] def stopCountExpr: String =
     s"CAST(size(filter(split(text, ' '), w -> ${inSet("w", Stopwords)})) AS BIGINT)"
 
+  /** Spark-side sum of per-token lengths over `text` (the mean-token-
+    * length numerator) — shared by stats, the quality filter, the filter
+    * funnel, and the dataset card. */
+  private[ops] val sumLenExpr: String =
+    "aggregate(transform(split(text, ' '), w -> CAST(length(w) AS BIGINT)), 0L, (a, x) -> a + x)"
+
+  /** The four C4-style quality predicates over the signal columns
+    * (n_tokens, n_distinct, sum_len, n_stop), as engine-portable SQL —
+    * the same text parses identically in Spark and DuckDB. Single source
+    * of truth: qualityFilter (q39) keeps the conjunction, filterFunnel
+    * (q103) counts each negation, datasetCard (q105) counts the
+    * conjunction — so the three reconcile by construction. */
+  private[ops] val QcLen = "n_tokens >= 20"
+  private[ops] val QcDiversity = "n_distinct * 10 >= n_tokens * 3"
+  private[ops] val QcTokenLen = "(sum_len >= n_tokens * 3 AND sum_len <= n_tokens * 12)"
+  private[ops] val QcStop = "n_stop >= 1"
+  private[ops] val QualityPassCond: String =
+    Seq(QcLen, QcDiversity, QcTokenLen, QcStop).mkString(" AND ")
+
+  /** Spark-side projections of the four quality-signal columns. */
+  private[ops] def signalCols: Seq[Column] = Seq(
+    size(tokens(col("text"))).cast("long").as("n_tokens"),
+    size(array_distinct(tokens(col("text")))).cast("long").as("n_distinct"),
+    expr(sumLenExpr).as("sum_len"),
+    expr(stopCountExpr).as("n_stop"))
+
+  /** DuckDB select-list fragment: the three score-input signals
+    * (n_tokens, n_distinct, n_stop). */
+  private[ops] def scoreSignalsDuck: String =
+    s"""CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+          CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+          CAST(len(list_filter(string_split(text, ' '), w -> ${inSet("w", Stopwords)})) AS BIGINT) AS n_stop"""
+
+  /** DuckDB twin of [[sumLenExpr]] (the fourth filter signal). */
+  private[ops] val sumLenDuck: String =
+    "CAST(list_sum(list_transform(string_split(text, ' '), w -> CAST(length(w) AS BIGINT))) AS BIGINT) AS sum_len"
+
+  /** DuckDB twin of [[scored]]'s score formula over the signal columns.
+    * Same expression tree as the Spark side, so the doubles match
+    * bit-for-bit. */
+  private[ops] val scoreExprDuck: String =
+    """(CAST(LEAST(n_tokens, 100) AS DOUBLE) / 100.0) * 0.5
+            + (CAST(n_distinct AS DOUBLE) / n_tokens) * 0.3
+            + (CAST(LEAST(n_stop, 10) AS DOUBLE) / 10.0) * 0.2"""
+
   /** doc_id + `keep` columns + the exact-integer quality inputs and the
     * [0,1] score (length term + vocabulary-diversity term + stopword-
     * presence term). SINGLE definition of the quality formula — q31,
@@ -232,18 +277,11 @@ object TextStats {
 
     QueryDef("q31_quality_score",
       (s, d) => quality(t(s, d, "documents")),
-      Some(s"""WITH base AS (SELECT doc_id, lang,
-          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-          CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
-          CAST(len(list_filter(string_split(text, ' '), w -> ${TextStats.inSetSqlStops})) AS BIGINT) AS n_stop
+      Some(s"""WITH base AS (SELECT doc_id, lang, ${TextStats.scoreSignalsDuck}
         FROM documents)
         SELECT doc_id, lang, n_tokens, n_distinct, n_stop,
-          (CAST(LEAST(n_tokens, 100) AS DOUBLE) / 100.0) * 0.5
-            + (CAST(n_distinct AS DOUBLE) / n_tokens) * 0.3
-            + (CAST(LEAST(n_stop, 10) AS DOUBLE) / 10.0) * 0.2 AS score,
-          CAST(floor(((CAST(LEAST(n_tokens, 100) AS DOUBLE) / 100.0) * 0.5
-            + (CAST(n_distinct AS DOUBLE) / n_tokens) * 0.3
-            + (CAST(LEAST(n_stop, 10) AS DOUBLE) / 10.0) * 0.2) * 10) AS BIGINT) AS bucket
+          ${TextStats.scoreExprDuck} AS score,
+          CAST(floor((${TextStats.scoreExprDuck}) * 10) AS BIGINT) AS bucket
         FROM base""")),
 
     QueryDef("q32_langid",
