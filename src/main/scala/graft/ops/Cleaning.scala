@@ -61,17 +61,19 @@ object Cleaning {
     * zero lines. */
   def cleanLines(docs: DataFrame, delim: String = "\n",
       minWords: Int = MinLineWords, lineBlockToken: String = "javascript",
-      docBlockPhrase: String = "lorem ipsum"): DataFrame =
+      docBlockPhrase: String = "lorem ipsum", keep: Seq[String] = Nil): DataFrame = {
+    val passthru = keep.map(col)
     docs.filter(!col("text").contains(docBlockPhrase))
-      .select(col("doc_id"), linesOf(col("text"), delim).as("ls"))
-      .select(col("doc_id"), size(col("ls")).cast("long").as("n_lines_in"),
+      .select(col("doc_id") +: passthru :+ linesOf(col("text"), delim).as("ls"): _*)
+      .select(col("doc_id") +: passthru :+ size(col("ls")).cast("long").as("n_lines_in") :+
         filter(col("ls"), ln =>
           size(split(ln, " ")) >= minWords &&
-            !array_contains(split(ln, " "), lineBlockToken)).as("kept"))
+            !array_contains(split(ln, " "), lineBlockToken)).as("kept"): _*)
       .filter(size(col("kept")) >= 1)
-      .select(col("doc_id"), col("n_lines_in"),
-        size(col("kept")).cast("long").as("n_lines_kept"),
-        array_join(col("kept"), "\n").as("text_clean"))
+      .select(col("doc_id") +: passthru :+ col("n_lines_in") :+
+        size(col("kept")).cast("long").as("n_lines_kept") :+
+        array_join(col("kept"), "\n").as("text_clean"): _*)
+  }
 
   val cleanLinesSql: String =
     s"""WITH base AS (SELECT doc_id, text FROM documents

@@ -268,21 +268,28 @@ object Corpus {
     * Shape at scale: one per-row codegen'd signal projection + one
     * partial-aggregated rollup keyed by source (the single countDistinct
     * plans two-phase without an Expand). Output is source-cardinality. */
-  def datasetCard(spark: SparkSession, dir: String): DataFrame = {
-    val signals = TextStats.withLangScores(
-      TextStats.scored(t(spark, dir, "documents"), Seq("source", "text"))
-        .withColumn("sum_len", expr(TextStats.sumLenExpr)))
-      .withColumn("lang_guess", TextStats.langGuessCol)
-      .withColumn("q_micro", floor(col("score") * 1000000.0).cast("long"))
-    signals.groupBy("source")
-      .agg(count(lit(1)).as("n_docs"),
-        sum("n_tokens").as("n_tokens"),
-        (count(lit(1)) - countDistinct(md5(col("text")))).as("n_exact_dups"),
-        expr("CAST(count_if(lang_guess = 'en') AS BIGINT)").as("n_en_guess"),
+  /** The card's aggregate list over a [[TextStats.cardSignals]] frame.
+    * `withDupCount = false` is the streaming variant (count(DISTINCT) is
+    * not a streaming aggregate — the live card reports dups by differencing
+    * n_docs across the dedup stage instead). */
+  private[graft] def cardAggs(withDupCount: Boolean): Seq[org.apache.spark.sql.Column] =
+    Seq(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens")) ++
+      (if (withDupCount)
+        Seq((count(lit(1)) - countDistinct(md5(col("text")))).as("n_exact_dups"))
+      else Nil) ++
+      Seq(expr("CAST(count_if(lang_guess = 'en') AS BIGINT)").as("n_en_guess"),
         expr(s"CAST(count_if(${TextStats.QualityPassCond}) AS BIGINT)").as("n_pass"),
         sum("q_micro").as("q_micro_sum"))
-      .withColumn("avg_quality", col("q_micro_sum").cast("double") /
-        (col("n_docs") * lit(1000000L)).cast("double"))
+
+  /** Attach the exact micro-unit mean to an aggregated card frame. */
+  private[graft] def withAvgQuality(card: DataFrame): DataFrame =
+    card.withColumn("avg_quality", col("q_micro_sum").cast("double") /
+      (col("n_docs") * lit(1000000L)).cast("double"))
+
+  def datasetCard(spark: SparkSession, dir: String): DataFrame = {
+    val aggs = cardAggs(withDupCount = true)
+    withAvgQuality(TextStats.cardSignals(t(spark, dir, "documents"))
+      .groupBy("source").agg(aggs.head, aggs.tail: _*))
   }
 
   val datasetCardSql: String =

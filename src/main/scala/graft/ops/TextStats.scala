@@ -55,11 +55,11 @@ object TextStats {
   private[ops] val QcDiversity = "n_distinct * 10 >= n_tokens * 3"
   private[ops] val QcTokenLen = "(sum_len >= n_tokens * 3 AND sum_len <= n_tokens * 12)"
   private[ops] val QcStop = "n_stop >= 1"
-  private[ops] val QualityPassCond: String =
+  private[graft] val QualityPassCond: String =
     Seq(QcLen, QcDiversity, QcTokenLen, QcStop).mkString(" AND ")
 
   /** Spark-side projections of the four quality-signal columns. */
-  private[ops] def signalCols: Seq[Column] = Seq(
+  private[graft] def signalCols: Seq[Column] = Seq(
     size(tokens(col("text"))).cast("long").as("n_tokens"),
     size(array_distinct(tokens(col("text")))).cast("long").as("n_distinct"),
     expr(sumLenExpr).as("sum_len"),
@@ -102,6 +102,16 @@ object TextStats {
   def quality(docs: DataFrame): DataFrame =
     scored(docs, Seq("lang"))
       .withColumn("bucket", floor(col("score") * 10).cast("long"))
+
+  /** The dataset-card signal frame over (doc_id, source, text) rows: the
+    * four quality signals, q31's score, the language guess, and the
+    * micro-unit quantized score — one stateless codegen'd projection,
+    * shared by the batch card (q105) and the streaming live card. */
+  private[graft] def cardSignals(docs: DataFrame): DataFrame =
+    withLangScores(scored(docs, Seq("source", "text"))
+      .withColumn("sum_len", expr(sumLenExpr)))
+      .withColumn("lang_guess", langGuessCol)
+      .withColumn("q_micro", floor(col("score") * 1000000.0).cast("long"))
 
   /** Marker-word profiles for the heuristic language classifier. The
     * classifier shape (per-language marker hit counts + argmax with a

@@ -1,0 +1,92 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Cleaning, Corpus, TextStats}
+
+/** Incremental corpus ingestion — the streaming twin of the batch
+  * pretrain-prep pipeline (q92 line clean → q39 quality gate → q40 exact
+  * dedup, the same stage order as q104) plus a live per-source dataset
+  * card (q105's streaming twin). The production shape this models: crawl
+  * shards land continuously (`spark.readStream.parquet(dropDir)`), each
+  * micro-batch is cleaned and gated STATELESSLY, new content is admitted
+  * exactly once against the all-history dedup state, and the card stream
+  * feeds a monitoring sink with per-source corpus health.
+  *
+  * Every expression here IS the batch operator's expression (shared
+  * single-source: [[Cleaning.cleanLines]], [[TextStats.QualityPassCond]],
+  * [[TextStats.cardSignals]], [[Corpus.cardAggs]]) — so batch and stream
+  * agree row-for-row, which the StreamingSpec locks.
+  *
+  * Reference scope note: the reference extractor (extractor.py) is itself
+  * a live incremental pipeline (poll → parse → dedup-by-catalog → post);
+  * this object is that architecture applied to the corpus domain.
+  */
+object CorpusStream {
+
+  /** C4-style line cleanup over a stream of (doc_id, source, text) rows.
+    * Stateless codegen'd projection — identical plan to batch q92, so it
+    * runs in append mode with no state store. */
+  def clean(docs: DataFrame, delim: String = "\n",
+      minWords: Int = Cleaning.MinLineWords, lineBlockToken: String = "javascript",
+      docBlockPhrase: String = "lorem ipsum"): DataFrame =
+    Cleaning.cleanLines(docs, delim, minWords, lineBlockToken, docBlockPhrase,
+      keep = Seq("source"))
+      .withColumnRenamed("text_clean", "text")
+
+  /** q39's exact quality gate (same [[TextStats.QualityPassCond]] text),
+    * stateless — a failing document never reaches the dedup state store,
+    * which keeps state proportional to the ADMITTED corpus. */
+  def qualityGate(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id") +: col("source") +: col("text") +:
+      TextStats.signalCols: _*)
+      .filter(expr(TextStats.QualityPassCond))
+
+  /** Exact content dedup across the whole stream: the FIRST arrival of
+    * each md5(text) is admitted, every later copy (same batch or any
+    * later batch) is dropped — the streaming counterpart of q40's
+    * min-id representative (feed order replaces id order).
+    *
+    * State: one store entry per distinct admitted text. With no
+    * timestamp column that state is all-history — correct for "never
+    * re-admit", and the ceiling is the deduped corpus cardinality
+    * (document it per deployment). Passing `tsCol` (an ingest-time
+    * column) switches to `dropDuplicatesWithinWatermark`, which expires
+    * entries `delay` behind the watermark: re-crawls inside the horizon
+    * are suppressed, state is bounded by the horizon's distinct volume,
+    * and an exact historical guard (e.g. a nightly batch q40 over the
+    * written shards) catches the long tail. */
+  def dedupeExact(docs: DataFrame, tsCol: Option[String] = None,
+      delay: String = "24 hours"): DataFrame = {
+    val keyed = docs.withColumn("content_md5", md5(col("text")))
+    tsCol match {
+      case Some(ts) =>
+        keyed.withWatermark(ts, delay).dropDuplicatesWithinWatermark("content_md5")
+      case None => keyed.dropDuplicates("content_md5")
+    }
+  }
+
+  /** The full ingest: clean → gate → dedup (q104's stage order). Output
+    * is the admitted stream — cleaned text, quality signals, content
+    * hash — ready for a parquet/shard sink in append mode. */
+  def ingest(docs: DataFrame, delim: String = "\n",
+      minWords: Int = Cleaning.MinLineWords, lineBlockToken: String = "javascript",
+      docBlockPhrase: String = "lorem ipsum", tsCol: Option[String] = None,
+      delay: String = "24 hours"): DataFrame =
+    dedupeExact(qualityGate(clean(docs, delim, minWords, lineBlockToken, docBlockPhrase)),
+      tsCol, delay)
+
+  /** Live dataset card: q105's per-source report as a streaming
+    * aggregate (complete/update mode) — document volume, token volume,
+    * language mix, quality-pass count, exact micro-unit mean quality.
+    * The batch card's `n_exact_dups` column is absent (count(DISTINCT)
+    * is not a streaming aggregate); the live dup signal is the n_docs
+    * difference between a pre-dedup and post-dedup card. One shuffle
+    * keyed by source; state is source-cardinality — flat at any volume. */
+  def liveCard(docs: DataFrame): DataFrame = {
+    val aggs = Corpus.cardAggs(withDupCount = false)
+    Corpus.withAvgQuality(
+      TextStats.cardSignals(docs).groupBy("source").agg(aggs.head, aggs.tail: _*))
+  }
+}

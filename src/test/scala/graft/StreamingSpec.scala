@@ -335,6 +335,101 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("corpus ingest stream: clean + gate + first-arrival dedup match the batch stages") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    import graft.streaming.CorpusStream
+    // texts that pass the q39 gate: 25 tokens, full diversity, token
+    // lengths in [3,12], one stopword
+    def good(seed: Int) = (1 to 24).map(i => s"w${seed}word$i").mkString(" ") + " the"
+    val a = good(1) + "\nxx yy\n" + good(2) // middle line dropped (< 3 words)
+    val aClean = good(1) + "\n" + good(2) // what d4 must collide with
+    val c = good(3) + "\n" + good(4)
+    val rows = Seq(
+      (1L, "src0", a), // admitted
+      (2L, "src0", "lorem ipsum " + good(5)), // doc-blocked by clean
+      (3L, "src1", c), // admitted
+      (4L, "src1", aClean), // cross-batch dup of d1's CLEANED text
+      (5L, "src1", "too short the"), // fails the gate
+      (6L, "src0", c)) // in-batch dup of d3
+    val mem = MemoryStream[(Long, String, String)]
+    val q = CorpusStream.ingest(mem.toDF().toDF("doc_id", "source", "text"))
+      .writeStream.outputMode("append").format("memory").queryName("ingest").start()
+    try {
+      mem.addData(rows.take(3): _*)
+      q.processAllAvailable()
+      mem.addData(rows.drop(3): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("ingest").collect()
+      assert(streamed.map(_.getAs[Long]("doc_id")).sorted.toSeq == Seq(1L, 3L))
+      // row content equals the batch pipeline's stateless stages plus
+      // first-arrival (== min doc_id here) representative selection
+      val batch = CorpusStream.dedupeExact(CorpusStream.qualityGate(
+        CorpusStream.clean(rows.toDF("doc_id", "source", "text"))))
+        .collect().map(r => r.getAs[String]("content_md5") -> r).toMap
+      // batch dropDuplicates keeps an arbitrary row per hash; compare on
+      // the hash set + the per-id signal columns of the streamed rows
+      assert(streamed.map(_.getAs[String]("content_md5")).toSet == batch.keySet)
+      val byId = CorpusStream.qualityGate(
+        CorpusStream.clean(rows.toDF("doc_id", "source", "text")))
+        .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+      streamed.foreach { r =>
+        val twin = byId(r.getAs[Long]("doc_id"))
+        Seq("source", "text", "n_tokens", "n_distinct", "sum_len", "n_stop")
+          .foreach(c => assert(r.getAs[Any](c) == twin.getAs[Any](c), c))
+      }
+    } finally q.stop()
+  }
+
+  test("corpus ingest stream: watermarked dedup suppresses replays inside the horizon") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    import graft.streaming.CorpusStream
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val docs = mem.toDF().toDF("doc_id", "text", "ingest_ts")
+    val q = CorpusStream.dedupeExact(docs, tsCol = Some("ingest_ts"), delay = "1 hour")
+      .writeStream.outputMode("append").format("memory").queryName("wmdedup").start()
+    try {
+      def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+      mem.addData((1L, "alpha text", ts(0)), (2L, "beta text", ts(1)))
+      q.processAllAvailable()
+      // replay of doc 1's text 10 minutes later, well inside the horizon
+      mem.addData((3L, "alpha text", ts(10)), (4L, "gamma text", ts(11)))
+      q.processAllAvailable()
+      val ids = spark.table("wmdedup").collect().map(_.getAs[Long]("doc_id")).sorted
+      assert(ids.toSeq == Seq(1L, 2L, 4L), s"got ${ids.toSeq}")
+    } finally q.stop()
+  }
+
+  test("live dataset card equals the batch card on the same corpus") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    import graft.streaming.CorpusStream
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "source", "text").as[(Long, String, String)].collect().toSeq
+    val mem = MemoryStream[(Long, String, String)]
+    val q = CorpusStream.liveCard(mem.toDF().toDF("doc_id", "source", "text"))
+      .writeStream.outputMode("complete").format("memory").queryName("livecard").start()
+    try {
+      mem.addData(docs.take(docs.size / 2): _*)
+      q.processAllAvailable()
+      mem.addData(docs.drop(docs.size / 2): _*)
+      q.processAllAvailable()
+      val live = spark.table("livecard").collect()
+        .map(r => r.getAs[String]("source") -> r).toMap
+      val batch = graft.ops.Corpus.datasetCard(spark, dir).collect()
+        .map(r => r.getAs[String]("source") -> r).toMap
+      assert(live.keySet == batch.keySet)
+      batch.foreach { case (src, b) =>
+        val l = live(src)
+        Seq("n_docs", "n_tokens", "n_en_guess", "n_pass", "q_micro_sum")
+          .foreach(c => assert(l.getAs[Long](c) == b.getAs[Long](c), s"$src $c"))
+        assert(l.getAs[Double]("avg_quality") == b.getAs[Double]("avg_quality"), s"$src avg")
+      }
+    } finally q.stop()
+  }
+
   test("cleaning ops are stateless projections: they stream unchanged") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
