@@ -312,6 +312,44 @@ object Corpus {
           / (count(*) * 1000000) AS avg_quality
       FROM q GROUP BY source"""
 
+  val BpeTopMerges = 50 // merge candidates reported per iteration
+
+  /** BPE tokenizer-training inner loop: corpus-wide adjacent symbol-pair
+    * frequencies at the character level, ranked — the statistic whose
+    * argmax IS the next BPE merge (Sennrich et al. 2016's `get_stats`).
+    *
+    * Shape at scale — the reason this runs on 100 TB at all: the corpus
+    * collapses to the DISTINCT-word frequency table first (one map-side-
+    * combined shuffle; every later job is vocabulary-bounded, not
+    * token-volume-bounded — exactly how the published BPE trainers
+    * precompute word counts before any merge iteration). Pair explosion
+    * then runs per distinct word (≤ word-length rows each), and the
+    * pair rollup's key space is the symbol alphabet squared — tiny. The
+    * final top-k is `orderBy.limit` → TakeOrderedAndProject, no global
+    * sort. Tie-break on the pair string keeps the ranking deterministic
+    * across engines and partitionings. */
+  def bpeMergePairs(spark: SparkSession, dir: String, k: Int = BpeTopMerges): DataFrame = {
+    val vocab = t(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+    vocab
+      .select(col("cnt"), explode(sequence(lit(1), length(col("w")) - 1)).as("i"),
+        col("w"))
+      .select(expr("substring(w, i, 2)").as("pair"), col("cnt"))
+      .groupBy("pair").agg(sum("cnt").as("freq"))
+      .orderBy(col("freq").desc, col("pair"))
+      .limit(k)
+  }
+
+  def bpeMergePairsSql(k: Int = BpeTopMerges): String =
+    s"""WITH words AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+      vocab AS (SELECT w, count(*) AS cnt FROM words WHERE len(w) >= 2 GROUP BY w),
+      pos AS (SELECT w, cnt, unnest(range(1, len(w))) AS i FROM vocab),
+      pairs AS (SELECT substr(w, CAST(i AS INT), 2) AS pair, cnt FROM pos)
+      SELECT pair, CAST(sum(cnt) AS BIGINT) AS freq FROM pairs
+      GROUP BY pair ORDER BY freq DESC, pair LIMIT $k"""
+
   val Bm25K1 = 1.2
   val Bm25B = 0.75
 
@@ -517,6 +555,10 @@ object Corpus {
     QueryDef("q105_dataset_card",
       (s, d) => datasetCard(s, d),
       Some(datasetCardSql)),
+
+    QueryDef("q106_bpe_merge_pairs",
+      (s, d) => bpeMergePairs(s, d),
+      Some(bpeMergePairsSql())),
     // Postings projected through array_join: the driver's pandas compare
     // can't sort ARRAY columns; invertedIndex keeps the array-typed API.
     QueryDef("q58_inverted_index",

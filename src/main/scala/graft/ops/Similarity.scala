@@ -516,6 +516,80 @@ object Similarity {
       .select(col("vec_id"), col("cell"), col("blk").isNull.as("kept"))
   }
 
+  /** Embedding-cluster corpus profile (q107): the domain-balance report a
+    * pretraining run reads before weighting its mixture. Documents are
+    * clustered in EMBEDDING space (the shared deterministic integer
+    * k-means — same trained cells as q47/q95, same argmax total order),
+    * then each cluster is profiled with the shared quality machinery:
+    * document/token volume, quality-pass count, exact micro-unit mean
+    * quality (q62 integer-moment discipline), and the dominant source
+    * with a deterministic (count DESC, source ASC) argmax.
+    *
+    * Scale shape: training is k·dim driver-bounded (one Lloyd job per
+    * iteration); assignment is the n × k broadcast pass; the
+    * embeddings→documents join is an equi-join on the id — both sides
+    * shuffle-partitioned, no window over the corpus. The rollups are
+    * partial-aggregated and their outputs are cluster- and
+    * (cluster × source)-bounded; the dominant-source window sorts only
+    * those rollup rows, never document rows. */
+  def clusterProfile(spark: SparkSession, dir: String, nCents: Int = IvfCentroids,
+      iters: Int = KmeansIters): DataFrame = {
+    val q = quantized(spark, dir).select("vec_id", "qv", "nrm").localCheckpoint()
+    val cents = kmeansCentroids(q, nCents, iters)
+    val home = rankedAssign(q, cents).filter(col("rn") === 1)
+      .select(col("vec_id"), col("cent_id").as("cluster"))
+    val sig = TextStats.scored(
+      t(spark, dir, "documents").select("doc_id", "source", "text"), Seq("source", "text"))
+      .withColumn("sum_len", expr(TextStats.sumLenExpr))
+      .withColumn("q_micro", floor(col("score") * 1000000.0).cast("long"))
+      .drop("text")
+    val j = home.join(sig, home("vec_id") === sig("doc_id"))
+    val prof = j.groupBy("cluster")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("n_tokens"),
+        expr(s"CAST(count_if(${TextStats.QualityPassCond}) AS BIGINT)").as("n_pass"),
+        sum("q_micro").as("q_micro_sum"))
+      .withColumn("avg_quality", col("q_micro_sum").cast("double") /
+        (col("n_docs") * lit(1000000L)).cast("double"))
+    val tops = j.groupBy("cluster", "source").agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("cluster").orderBy(col("cnt").desc, col("source"))))
+      .filter(col("rn") === 1)
+      .select(col("cluster"), col("source").as("top_source"),
+        col("cnt").as("top_source_docs"))
+    prof.join(broadcast(tops), Seq("cluster"))
+  }
+
+  def clusterProfileSql(nCents: Int = IvfCentroids, iters: Int = KmeansIters): String = {
+    val (kmeans, cf) = kmeansSql(nCents, iters)
+    s"""WITH $quantCte,
+      $kmeans,
+      af AS (SELECT n.vec_id, c.cent_id,
+            row_number() OVER (PARTITION BY n.vec_id ORDER BY
+              CAST(list_sum(list_transform(range(1, len(n.qv) + 1), i -> n.qv[i] * c.cqv[i])) AS DOUBLE)
+              / (sqrt(CAST(n.nrm AS DOUBLE)) * sqrt(CAST(c.cnrm AS DOUBLE))) DESC, c.cent_id) AS rn
+            FROM n CROSS JOIN $cf c),
+      mem AS (SELECT vec_id, cent_id AS cluster FROM af WHERE rn = 1),
+      base AS (SELECT doc_id, source, ${TextStats.scoreSignalsDuck}, ${TextStats.sumLenDuck}
+            FROM documents),
+      sig AS (SELECT *, CAST(floor((${TextStats.scoreExprDuck}) * 1000000.0) AS BIGINT) AS q_micro
+            FROM base),
+      j AS (SELECT m.cluster, d.* FROM mem m JOIN sig d ON d.doc_id = m.vec_id),
+      prof AS (SELECT cluster, count(*) AS n_docs,
+            CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+            CAST(count_if(${TextStats.QualityPassCond}) AS BIGINT) AS n_pass,
+            CAST(sum(q_micro) AS BIGINT) AS q_micro_sum,
+            CAST(CAST(sum(q_micro) AS BIGINT) AS DOUBLE)
+              / (count(*) * 1000000) AS avg_quality
+          FROM j GROUP BY cluster),
+      srcs AS (SELECT cluster, source, count(*) AS cnt FROM j GROUP BY 1, 2),
+      tops AS (SELECT cluster, source AS top_source, cnt AS top_source_docs,
+            row_number() OVER (PARTITION BY cluster ORDER BY cnt DESC, source) AS rn
+          FROM srcs)
+      SELECT p.*, t.top_source, t.top_source_docs
+      FROM prof p JOIN tops t ON p.cluster = t.cluster AND t.rn = 1"""
+  }
+
   val queries: Seq[QueryDef] = Seq(
     // The driver's pandas compare can't sort ARRAY columns, so the query
     // projects the centroid through array_join; labelCentroids keeps the
@@ -629,6 +703,10 @@ object Similarity {
               row_number() OVER (PARTITION BY id_a ORDER BY sim DESC, id_b) AS rank FROM ex)
         SELECT vec_id, rank, neighbor_id, sim FROM r WHERE rank <= 3"""
       }),
+
+    QueryDef("q107_cluster_profile",
+      (s, d) => clusterProfile(s, d),
+      Some(clusterProfileSql())),
 
     QueryDef("q95_semantic_dedup",
       (s, d) => semanticDedup(s, d),

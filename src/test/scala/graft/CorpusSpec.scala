@@ -205,5 +205,44 @@ class CorpusSpec extends AnyFunSuite {
     assert(c.map(_.getAs[Long]("n_vecs")).sum == total)
   }
 
+  test("cluster profile: partitions the embedded corpus, quality reconciles with q39") {
+    val prof = graft.ops.Similarity.clusterProfile(spark, dir).collect()
+    // every embedding lands in exactly one cluster and every vec_id has a
+    // document row, so the cluster doc counts partition the embeddings table
+    val nEmb = graft.queries.QueryDef.t(spark, dir, "embeddings").count()
+    assert(prof.map(_.getAs[Long]("n_docs")).sum == nEmb)
+    prof.foreach { r =>
+      val avg = r.getAs[Double]("avg_quality")
+      assert(avg >= 0.0 && avg <= 1.0)
+      assert(r.getAs[Long]("n_pass") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("top_source_docs") <= r.getAs[Long]("n_docs"))
+    }
+    // the pass counts use the exact q39 predicate: their total equals the
+    // quality filter's pass count restricted to embedded documents
+    val passIds = graft.ops.Sampling.qualityFilter(docs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val embIds = graft.queries.QueryDef.t(spark, dir, "embeddings")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(prof.map(_.getAs[Long]("n_pass")).sum == (passIds & embIds).size)
+  }
+
+  test("bpe merge pairs: ranked counts match the Sennrich get_stats recompute") {
+    val got = graft.ops.Corpus.bpeMergePairs(spark, dir, k = 20).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    // driver recompute, straight from the paper's definition: count every
+    // adjacent character pair in every word OCCURRENCE (so weight by the
+    // word's corpus frequency)
+    val exact = docs.select("text").collect()
+      .flatMap(_.getString(0).split(" ", -1))
+      .filter(_.length >= 2)
+      .flatMap(w => w.sliding(2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val expect = exact.toSeq.sortBy { case (p, n) => (-n, p) }.take(20)
+    assert(got.toSeq == expect)
+    // the argmax of this statistic is the next BPE merge: assert it is
+    // unique at the top so the training step would be deterministic
+    assert(got.head._2 > got(1)._2 || got.head._1 < got(1)._1)
+  }
+
   private def docs = graft.queries.QueryDef.t(spark, dir, "documents")
 }
