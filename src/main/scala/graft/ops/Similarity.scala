@@ -544,14 +544,24 @@ object Similarity {
       .withColumn("q_micro", floor(col("score") * 1000000.0).cast("long"))
       .drop("text")
     val j = home.join(sig, home("vec_id") === sig("doc_id"))
-    val prof = j.groupBy("cluster")
-      .agg(count(lit(1)).as("n_docs"),
-        sum("n_tokens").as("n_tokens"),
-        expr(s"CAST(count_if(${TextStats.QualityPassCond}) AS BIGINT)").as("n_pass"),
-        sum("q_micro").as("q_micro_sum"))
+    // ONE pass over the joined corpus: everything rolls up to the
+    // (cluster x source) grain first, checkpointed (kilobytes), so the
+    // profile re-aggregation and the dominant-source argmax below both
+    // read the tiny rollup instead of re-running the assignment + join
+    val grouped = j.groupBy("cluster", "source")
+      .agg(count(lit(1)).as("cnt"),
+        sum("n_tokens").as("src_tokens"),
+        expr(s"CAST(count_if(${TextStats.QualityPassCond}) AS BIGINT)").as("src_pass"),
+        sum("q_micro").as("src_q"))
+      .localCheckpoint()
+    val prof = grouped.groupBy("cluster")
+      .agg(sum("cnt").as("n_docs"),
+        sum("src_tokens").as("n_tokens"),
+        sum("src_pass").as("n_pass"),
+        sum("src_q").as("q_micro_sum"))
       .withColumn("avg_quality", col("q_micro_sum").cast("double") /
         (col("n_docs") * lit(1000000L)).cast("double"))
-    val tops = j.groupBy("cluster", "source").agg(count(lit(1)).as("cnt"))
+    val tops = grouped
       .withColumn("rn", row_number().over(
         Window.partitionBy("cluster").orderBy(col("cnt").desc, col("source"))))
       .filter(col("rn") === 1)

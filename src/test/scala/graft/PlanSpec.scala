@@ -157,6 +157,31 @@ class PlanSpec extends AnyFunSuite {
     assert("\\bWindow\\b".r.findAllIn(p).size <= 2, "no stray windows beyond the mixer's")
   }
 
+  test("q106: bpe pairs top-k is TakeOrderedAndProject over partial aggs, no global sort") {
+    val p = plan("q106_bpe_merge_pairs")
+    assert(p.contains("TakeOrderedAndProject"), "top-k must be a heap limit")
+    assert(!p.contains("Exchange rangepartitioning"), "no full sort for limit-k")
+    // both rollups (word freq, pair freq) partial-aggregate map-side
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 4,
+      "vocab and pair rollups must both be partial+final")
+    assert(!p.contains("Window"), "no window anywhere in the pair counting")
+  }
+
+  test("q107: cluster profile joins shuffle on ids, windows only rollup rows") {
+    val p = plan("q107_cluster_profile")
+    assert(!p.contains("CartesianProduct"), "no unbroadcast cartesian")
+    // exactly two window OPERATORS (formatted explain names each operator
+    // twice — tree + details): the per-vector assignment rank (partition
+    // size = k centroids, never corpus-sized) and the dominant-source
+    // argmax over checkpointed (cluster x source) rollup rows — the
+    // heavy assignment+join subtree must appear once, not once per rollup
+    assert(p.linesIterator.count(_.matches("""\(\d+\) Window""")) <= 2,
+      "assignment rank + argmax only (WindowGroupLimit pushdowns don't count)")
+    val loops = p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).toSeq
+    assert(loops.forall(_.contains("Cross BuildRight")),
+      s"centroids must attach as a broadcast cross: $loops")
+  }
+
   test("catalog missing-series plans as broadcast left-anti") {
     import spark.implicits._
     val headers = Seq((0, "1", "n", 0)).toDF("fileOrd", "externalId", "name", "colIndex")
