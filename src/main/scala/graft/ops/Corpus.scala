@@ -350,6 +350,96 @@ object Corpus {
       SELECT pair, CAST(sum(cnt) AS BIGINT) AS freq FROM pairs
       GROUP BY pair ORDER BY freq DESC, pair LIMIT $k"""
 
+  val BpeTrainMerges = 3 // learned merges per q108 run
+  /** Fixed replace passes per merge application. Each pass resolves the
+    * leftmost remaining match of every same-symbol run, so P passes are
+    * EXACTLY the greedy left-to-right merge for runs up to 2^P symbols —
+    * far beyond any real word; the spec proves the equivalence on the
+    * actual corpus against a driver-side exact-greedy recompute. A fixed
+    * pass count (vs a fixpoint loop) is what keeps the oracle expressible:
+    * both engines unroll the SAME P replaces, so they agree by
+    * construction. */
+  val BpeReplacePasses = 6
+
+  /** Distributed BPE trainer (q108): the full Sennrich et al. 2016
+    * learn-loop — count adjacent symbol pairs, take the argmax, apply the
+    * merge to the vocabulary, repeat. The driver paces the loop exactly
+    * like the k-means trainer (`Similarity.kmeansCentroids`): each
+    * iteration is one vocabulary-bounded Spark job whose collected result
+    * is ONE row (the winning pair), and the merge application is a
+    * stateless projection over the (distinct word, count) table —
+    * checkpointed per iteration so lineage stays flat however many merges
+    * are trained.
+    *
+    * Scale: after the first map-side-combined word rollup nothing ever
+    * touches the corpus again — pair counting, argmax, and merge apply
+    * all run over the DISTINCT-word table (the published BPE-trainer
+    * precompute). Determinism: the argmax total order is (freq DESC,
+    * pair ASC) in both engines; merges apply via plain (non-regex)
+    * left-to-right string replace with identical semantics in Spark and
+    * DuckDB. */
+  def bpeTrain(spark: SparkSession, dir: String,
+      nMerges: Int = BpeTrainMerges): DataFrame = {
+    import spark.implicits._
+    def applyMerge(s: org.apache.spark.sql.Column, pair: String) = {
+      val merged = pair.replace(" ", "")
+      var x = concat(lit(" "), s, lit(" "))
+      for (_ <- 1 to BpeReplacePasses)
+        x = call_function("replace", x, lit(s" $pair "), lit(s" $merged "))
+      trim(x)
+    }
+    var vocab = t(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .select(trim(regexp_replace(col("w"), "(.)", "$1 ")).as("s"), col("cnt"))
+      .localCheckpoint()
+    val merges = Seq.newBuilder[(Int, String, Long)]
+    for (it <- 1 to nMerges) {
+      val top = vocab.select(col("cnt"), split(col("s"), " ").as("syms"))
+        .filter(size(col("syms")) >= 2)
+        .select(col("cnt"), explode(expr(
+          """transform(sequence(1, size(syms) - 1),
+             i -> concat(element_at(syms, i), ' ', element_at(syms, i + 1)))""")).as("pair"))
+        .groupBy("pair").agg(sum("cnt").as("freq"))
+        .orderBy(col("freq").desc, col("pair")).limit(1)
+        .as[(String, Long)].collect() // exactly one row — driver-bounded
+      top.foreach { case (pair, freq) =>
+        merges += ((it, pair, freq))
+        vocab = vocab.withColumn("s", applyMerge(col("s"), pair)).localCheckpoint()
+      }
+    }
+    merges.result().toDF("iter", "pair", "freq")
+  }
+
+  def bpeTrainSql(nMerges: Int = BpeTrainMerges): String = {
+    def pairsOf(v: String, p: String): String =
+      s"""${p}sy AS (SELECT string_split(s, ' ') AS syms, cnt FROM $v),
+        ${p}ix AS (SELECT syms, cnt, unnest(range(1, len(syms))) AS i FROM ${p}sy WHERE len(syms) >= 2),
+        $p AS (SELECT syms[CAST(i AS INT)] || ' ' || syms[CAST(i AS INT) + 1] AS pair, cnt FROM ${p}ix)"""
+    def applied(src: String, m: String): String = {
+      val search = s"' ' || (SELECT pair FROM $m) || ' '"
+      val repl = s"' ' || replace((SELECT pair FROM $m), ' ', '') || ' '"
+      var x = "' ' || s || ' '"
+      for (_ <- 1 to BpeReplacePasses) x = s"replace($x, $search, $repl)"
+      s"SELECT trim($x) AS s, cnt FROM $src"
+    }
+    val iterCtes = (1 to nMerges).map { it =>
+      s"""${pairsOf(s"v${it - 1}", s"p$it")},
+        m$it AS (SELECT pair, CAST(sum(cnt) AS BIGINT) AS freq FROM p$it
+          GROUP BY pair ORDER BY freq DESC, pair LIMIT 1),
+        v$it AS (${applied(s"v${it - 1}", s"m$it")})"""
+    }
+    val out = (1 to nMerges)
+      .map(it => s"SELECT CAST($it AS INTEGER) AS iter, pair, freq FROM m$it")
+      .mkString("\n      UNION ALL ")
+    s"""WITH words AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+      vocab AS (SELECT w, count(*) AS cnt FROM words WHERE len(w) >= 2 GROUP BY w),
+      v0 AS (SELECT trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS s, cnt FROM vocab),
+      ${iterCtes.mkString(",\n      ")}
+      $out"""
+  }
+
   val Bm25K1 = 1.2
   val Bm25B = 0.75
 
@@ -559,6 +649,10 @@ object Corpus {
     QueryDef("q106_bpe_merge_pairs",
       (s, d) => bpeMergePairs(s, d),
       Some(bpeMergePairsSql())),
+
+    QueryDef("q108_bpe_train",
+      (s, d) => bpeTrain(s, d),
+      Some(bpeTrainSql())),
     // Postings projected through array_join: the driver's pandas compare
     // can't sort ARRAY columns; invertedIndex keeps the array-typed API.
     QueryDef("q58_inverted_index",

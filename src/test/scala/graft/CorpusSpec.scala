@@ -226,6 +226,40 @@ class CorpusSpec extends AnyFunSuite {
     assert(prof.map(_.getAs[Long]("n_pass")).sum == (passIds & embIds).size)
   }
 
+  test("bpe train: learned merges match an exact-greedy driver recompute") {
+    val got = graft.ops.Corpus.bpeTrain(spark, dir).collect()
+      .map(r => (r.getAs[Int]("iter"), r.getAs[String]("pair"), r.getAs[Long]("freq")))
+      .sortBy(_._1)
+    // exact Sennrich learn-loop on the driver: greedy left-to-right merge
+    // application (scan i: merge at i, skip 2) — the semantics the fixed
+    // BpeReplacePasses replace chain must reproduce on this corpus
+    var vocab: Map[Vector[String], Long] = docs.select("text").collect()
+      .flatMap(_.getString(0).split(" ", -1))
+      .filter(_.length >= 2)
+      .groupBy(identity).view.mapValues(_.size.toLong)
+      .map { case (w, n) => w.map(_.toString).toVector -> n }.toMap
+    def mergeWord(syms: Vector[String], a: String, b: String): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+          out += (a + b); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.result()
+    }
+    val expect = (1 to graft.ops.Corpus.BpeTrainMerges).map { it =>
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (syms, n) =>
+        syms.zip(syms.tail).foreach(p => counts(p) = counts.getOrElse(p, 0L) + n)
+      }
+      val ((a, b), freq) = counts.minBy { case ((x, y), n) => (-n, s"$x $y") }
+      vocab = vocab.groupMapReduce { case (syms, _) => mergeWord(syms, a, b) }(_._2)(_ + _)
+      (it, s"$a $b", freq)
+    }
+    assert(got.toSeq == expect)
+  }
+
   test("bpe merge pairs: ranked counts match the Sennrich get_stats recompute") {
     val got = graft.ops.Corpus.bpeMergePairs(spark, dir, k = 20).collect()
       .map(r => (r.getString(0), r.getLong(1)))
