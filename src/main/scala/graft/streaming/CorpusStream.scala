@@ -2,7 +2,9 @@ package graft.streaming
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
+import graft.MetricsSink
 import graft.ops.{Cleaning, Corpus, TextStats}
 
 /** Incremental corpus ingestion — the streaming twin of the batch
@@ -76,6 +78,41 @@ object CorpusStream {
       delay: String = "24 hours"): DataFrame =
     dedupeExact(qualityGate(clean(docs, delim, minWords, lineBlockToken, docBlockPhrase)),
       tsCol, delay)
+
+  /** Production terminal for [[ingest]]: land each micro-batch of
+    * admitted documents as a parquet shard under `outDir/batch_id=N/`
+    * and push a per-source accounting snapshot to the pluggable
+    * [[MetricsSink]] after the write — the reference extractor's
+    * post-then-push cadence (csv_extractor.py:194-230: post the batch,
+    * then `monitor.push()`), applied to the corpus domain.
+    *
+    * Exactly-once: the shard write is mode=overwrite into the
+    * batch-id-keyed directory, so a replayed micro-batch (crash between
+    * write and checkpoint commit) overwrites its own partial output;
+    * dedup state recovers from the checkpoint. The metrics rollup is
+    * source-cardinality — a bounded collect, pushed DRIVER-side (the
+    * Gauge/sink discipline from [[LiveStream]]). */
+  def ingestToShards(docs: DataFrame, outDir: String, checkpointDir: String,
+      sink: MetricsSink = MetricsSink.Noop, tsCol: Option[String] = None,
+      delay: String = "24 hours", trigger: Option[Trigger] = None): StreamingQuery = {
+    val writer = ingest(docs, tsCol = tsCol, delay = delay)
+      .writeStream.option("checkpointLocation", checkpointDir)
+    trigger.foreach(writer.trigger)
+    writer.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      batch.persist()
+      try {
+        batch.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+        val card = batch.groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_toks"))
+          .collect() // source-cardinality rows
+        sink.push(card.flatMap { r =>
+          val src = r.getAs[String]("source")
+          Seq(s"corpus.admitted_docs.$src" -> r.getAs[Long]("n_docs"),
+            s"corpus.admitted_tokens.$src" -> r.getAs[Long]("n_toks"))
+        }.toMap + ("corpus.batch_id" -> batchId))
+      } finally { batch.unpersist(); () }
+    }.start()
+  }
 
   /** Live dataset card: q105's per-source report as a streaming
     * aggregate (complete/update mode) — document volume, token volume,

@@ -401,6 +401,41 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("ingestToShards: batch-keyed parquet shards + post-then-push metrics cadence") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    import graft.streaming.CorpusStream
+    def good(seed: Int) = (1 to 24).map(i => s"s${seed}word$i").mkString(" ") + " the"
+    val out = java.nio.file.Files.createTempDirectory("shards").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("shards-ckpt").toString
+    val sink = new graft.MetricsSink.Recording
+    val mem = MemoryStream[(Long, String, String)]
+    val q = CorpusStream.ingestToShards(mem.toDF().toDF("doc_id", "source", "text"),
+      out, ckpt, sink)
+    try {
+      mem.addData((1L, "sA", good(1)), (2L, "sB", good(2)), (3L, "sA", good(1)))
+      q.processAllAvailable() // batch 0: docs 1,2 admitted; 3 is an in-batch dup
+      mem.addData((4L, "sB", good(1)), (5L, "sB", good(3)))
+      q.processAllAvailable() // batch 1: 4 is a cross-batch dup; 5 admitted
+      val b0 = spark.read.parquet(s"$out/batch_id=0")
+        .select("doc_id").collect().map(_.getLong(0)).sorted
+      val b1 = spark.read.parquet(s"$out/batch_id=1")
+        .select("doc_id").collect().map(_.getLong(0)).sorted
+      assert(b0.toSeq == Seq(1L, 2L) && b1.toSeq == Seq(5L))
+      // one push per non-empty batch, with per-source admitted accounting
+      val pushes = sink.pushes.filter(_.exists(_._1.startsWith("corpus.admitted")))
+      assert(pushes.size == 2)
+      assert(pushes(0)("corpus.admitted_docs.sA") == 1L)
+      assert(pushes(0)("corpus.admitted_docs.sB") == 1L)
+      assert(pushes(0)("corpus.batch_id") == 0L)
+      assert(pushes(1)("corpus.admitted_docs.sB") == 1L)
+      assert(pushes(1).get("corpus.admitted_docs.sA").isEmpty)
+      val toks = spark.read.parquet(s"$out/batch_id=0")
+        .filter($"doc_id" === 1L).select("n_tokens").head().getLong(0)
+      assert(pushes(0)("corpus.admitted_tokens.sA") == toks)
+    } finally q.stop()
+  }
+
   test("live dataset card equals the batch card on the same corpus") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
