@@ -570,6 +570,65 @@ object Similarity {
     prof.join(broadcast(tops), Seq("cluster"))
   }
 
+  val ClusterMixBudgetTokens = 8000L
+
+  /** Cluster-balanced token mixing (q109): q96's greedy quality fill with
+    * the mixture keyed by EMBEDDING CLUSTER instead of source — the
+    * uniform domain-reweighting baseline (each latent domain gets an
+    * equal `budget DIV k` token share regardless of its corpus share, so
+    * over-represented domains are down-sampled and scarce ones kept
+    * whole). Clusters are the shared deterministic k-means cells; the
+    * per-cluster fill is greedy by the shared q31 quality score with the
+    * doc_id tie-break, integer window cum — every cut bit-portable.
+    *
+    * Scale shape: q96's exactly — ONE window shuffle keyed by cluster
+    * (per-cluster sort within its partition, no global sort); the
+    * cluster count attaches as a broadcast scalar; assignment and the
+    * documents join are the q107 passes. */
+  def clusterMix(spark: SparkSession, dir: String,
+      budgetTokens: Long = ClusterMixBudgetTokens, nCents: Int = IvfCentroids,
+      iters: Int = KmeansIters): DataFrame = {
+    val q = quantized(spark, dir).select("vec_id", "qv", "nrm").localCheckpoint()
+    val cents = kmeansCentroids(q, nCents, iters)
+    val home = rankedAssign(q, cents).filter(col("rn") === 1)
+      .select(col("vec_id"), col("cent_id").as("cluster"))
+    val scored = TextStats.scored(
+      t(spark, dir, "documents").select("doc_id", "source", "text"), Seq("source"))
+    val j = home.join(scored, home("vec_id") === scored("doc_id"))
+    val kc = home.agg(countDistinct("cluster").as("kc"))
+    val win = Window.partitionBy("cluster").orderBy(col("score").desc, col("doc_id").asc)
+    j.crossJoin(broadcast(kc))
+      .withColumn("share_tokens", expr(s"$budgetTokens DIV kc"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(win))
+      .filter(col("cum_tokens") <= col("share_tokens"))
+      .select("doc_id", "cluster", "source", "n_tokens", "cum_tokens", "share_tokens")
+  }
+
+  def clusterMixSql(budgetTokens: Long = ClusterMixBudgetTokens,
+      nCents: Int = IvfCentroids, iters: Int = KmeansIters): String = {
+    val (kmeans, cf) = kmeansSql(nCents, iters)
+    s"""WITH $quantCte,
+      $kmeans,
+      af AS (SELECT n.vec_id, c.cent_id,
+            row_number() OVER (PARTITION BY n.vec_id ORDER BY
+              CAST(list_sum(list_transform(range(1, len(n.qv) + 1), i -> n.qv[i] * c.cqv[i])) AS DOUBLE)
+              / (sqrt(CAST(n.nrm AS DOUBLE)) * sqrt(CAST(c.cnrm AS DOUBLE))) DESC, c.cent_id) AS rn
+            FROM n CROSS JOIN $cf c),
+      mem AS (SELECT vec_id, cent_id AS cluster FROM af WHERE rn = 1),
+      base AS (SELECT doc_id, source, ${TextStats.scoreSignalsDuck} FROM documents),
+      scored AS (SELECT doc_id, source, n_tokens, ${TextStats.scoreExprDuck} AS score
+            FROM base),
+      j AS (SELECT m.cluster, d.* FROM mem m JOIN scored d ON d.doc_id = m.vec_id),
+      kc AS (SELECT count(DISTINCT cluster) AS kc FROM mem),
+      c AS (SELECT doc_id, cluster, source, n_tokens,
+            CAST($budgetTokens // (SELECT kc FROM kc) AS BIGINT) AS share_tokens,
+            CAST(SUM(n_tokens) OVER (PARTITION BY cluster ORDER BY score DESC, doc_id)
+              AS BIGINT) AS cum_tokens
+          FROM j)
+      SELECT doc_id, cluster, source, n_tokens, cum_tokens, share_tokens
+      FROM c WHERE cum_tokens <= share_tokens"""
+  }
+
   def clusterProfileSql(nCents: Int = IvfCentroids, iters: Int = KmeansIters): String = {
     val (kmeans, cf) = kmeansSql(nCents, iters)
     s"""WITH $quantCte,
@@ -717,6 +776,10 @@ object Similarity {
     QueryDef("q107_cluster_profile",
       (s, d) => clusterProfile(s, d),
       Some(clusterProfileSql())),
+
+    QueryDef("q109_cluster_mix",
+      (s, d) => clusterMix(s, d),
+      Some(clusterMixSql())),
 
     QueryDef("q95_semantic_dedup",
       (s, d) => semanticDedup(s, d),

@@ -226,6 +226,28 @@ class CorpusSpec extends AnyFunSuite {
     assert(prof.map(_.getAs[Long]("n_pass")).sum == (passIds & embIds).size)
   }
 
+  test("cluster mix: equal integer shares, window-sum integrity, budget respected") {
+    val rows = graft.ops.Similarity.clusterMix(spark, dir).collect()
+    val budget = graft.ops.Similarity.ClusterMixBudgetTokens
+    val shares = rows.map(_.getAs[Long]("share_tokens")).distinct
+    assert(shares.length == 1, "every cluster gets the same uniform share")
+    assert(rows.map(_.getAs[Long]("n_tokens")).sum <= budget)
+    rows.groupBy(_.getAs[Long]("cluster")).foreach { case (c, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("cum_tokens"))
+      assert(sorted.last.getAs[Long]("cum_tokens") <= shares.head, s"cluster $c share")
+      // the cum column is a consistent running sum of the kept docs
+      sorted.foldLeft(0L) { (prev, r) =>
+        val cum = r.getAs[Long]("cum_tokens")
+        assert(cum == prev + r.getAs[Long]("n_tokens"), s"cluster $c cum chain")
+        cum
+      }
+    }
+    // mixes over the same trained cells as the profile: cluster ids agree
+    val profClusters = graft.ops.Similarity.clusterProfile(spark, dir)
+      .select("cluster").collect().map(_.getLong(0)).toSet
+    assert(rows.map(_.getAs[Long]("cluster")).toSet.subsetOf(profClusters))
+  }
+
   test("bpe train: learned merges match an exact-greedy driver recompute") {
     val got = graft.ops.Corpus.bpeTrain(spark, dir).collect()
       .map(r => (r.getAs[Int]("iter"), r.getAs[String]("pair"), r.getAs[Long]("freq")))
