@@ -117,13 +117,21 @@ object CorpusStream {
   /** Live dataset card: q105's per-source report as a streaming
     * aggregate (complete/update mode) — document volume, token volume,
     * language mix, quality-pass count, exact micro-unit mean quality.
-    * The batch card's `n_exact_dups` column is absent (count(DISTINCT)
-    * is not a streaming aggregate); the live dup signal is the n_docs
-    * difference between a pre-dedup and post-dedup card. One shuffle
-    * keyed by source; state is source-cardinality — flat at any volume. */
+    * The batch card's EXACT `n_exact_dups` is not streamable
+    * (count(DISTINCT) is not a streaming aggregate), so the live card
+    * carries the MERGEABLE estimate instead: an HLL
+    * `approx_count_distinct` over the content hash, and
+    * `n_approx_dups = n_docs − that` (the q70 sketch discipline — state
+    * per source is one fixed-size sketch, and sketches merge across
+    * partitions and micro-batches). The exact dup count remains the
+    * batch card's job; the live estimate is the monitoring signal. One
+    * shuffle keyed by source; state is source-cardinality — flat at any
+    * volume. */
   def liveCard(docs: DataFrame): DataFrame = {
-    val aggs = Corpus.cardAggs(withDupCount = false)
+    val aggs = Corpus.cardAggs(withDupCount = false) :+
+      approx_count_distinct(md5(col("text"))).as("n_distinct_approx")
     Corpus.withAvgQuality(
       TextStats.cardSignals(docs).groupBy("source").agg(aggs.head, aggs.tail: _*))
+      .withColumn("n_approx_dups", col("n_docs") - col("n_distinct_approx"))
   }
 }

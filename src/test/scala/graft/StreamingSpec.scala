@@ -461,6 +461,12 @@ class StreamingSpec extends AnyFunSuite {
         Seq("n_docs", "n_tokens", "n_en_guess", "n_pass", "q_micro_sum")
           .foreach(c => assert(l.getAs[Long](c) == b.getAs[Long](c), s"$src $c"))
         assert(l.getAs[Double]("avg_quality") == b.getAs[Double]("avg_quality"), s"$src avg")
+        // the mergeable dup estimate tracks the batch card's exact count
+        // within HLL tolerance (default rsd 0.05)
+        val exactDistinct = b.getAs[Long]("n_docs") - b.getAs[Long]("n_exact_dups")
+        val approx = l.getAs[Long]("n_distinct_approx")
+        assert(math.abs(approx - exactDistinct) <= math.max(2L, (0.06 * exactDistinct).toLong),
+          s"$src approx distinct $approx vs exact $exactDistinct")
       }
     } finally q.stop()
   }
