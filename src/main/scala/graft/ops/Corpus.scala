@@ -378,16 +378,23 @@ object Corpus {
     * pair ASC) in both engines; merges apply via plain (non-regex)
     * left-to-right string replace with identical semantics in Spark and
     * DuckDB. */
+  /** One learned merge applied to a spaced-symbol string: the fixed
+    * [[BpeReplacePasses]]-pass sentinel-padded replace shared by the
+    * trainer ([[bpeTrain]]) and the encoder ([[bpeEncode]]) — both sides
+    * of the tokenizer loop MUST apply merges with bit-identical
+    * semantics or the encoder would segment differently than the
+    * vocabulary the trainer scored. */
+  private def applyMerge(s: org.apache.spark.sql.Column, pair: String) = {
+    val merged = pair.replace(" ", "")
+    var x = concat(lit(" "), s, lit(" "))
+    for (_ <- 1 to BpeReplacePasses)
+      x = call_function("replace", x, lit(s" $pair "), lit(s" $merged "))
+    trim(x)
+  }
+
   def bpeTrain(spark: SparkSession, dir: String,
       nMerges: Int = BpeTrainMerges): DataFrame = {
     import spark.implicits._
-    def applyMerge(s: org.apache.spark.sql.Column, pair: String) = {
-      val merged = pair.replace(" ", "")
-      var x = concat(lit(" "), s, lit(" "))
-      for (_ <- 1 to BpeReplacePasses)
-        x = call_function("replace", x, lit(s" $pair "), lit(s" $merged "))
-      trim(x)
-    }
     var vocab = t(spark, dir, "documents")
       .select(explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) >= 2)
@@ -438,6 +445,79 @@ object Corpus {
       v0 AS (SELECT trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS s, cnt FROM vocab),
       ${iterCtes.mkString(",\n      ")}
       $out"""
+  }
+
+  /** BPE encoder (q110): the other half of the tokenizer loop — apply the
+    * merges [[bpeTrain]] learned to the corpus and report per-document
+    * token counts under the trained tokenizer (the number every
+    * LLM-pipeline budget decision — packing, mixing, pricing — actually
+    * runs on; whitespace counts are only a proxy).
+    *
+    * Shape at scale — encode the VOCABULARY, not the corpus: the learned
+    * merge list is driver-side (nMerges rows, collected once — same bound
+    * as the k-means centroid collect), and segmentation is a stateless
+    * merge-chain projection over the DISTINCT-word table. The corpus-sized
+    * side only ever does a map-side-combined (doc, word) rollup and one
+    * equi-join against the word → token-count table (vocabulary-bounded;
+    * AQE broadcasts it at real-world vocab sizes). Token volume is never
+    * re-segmented per occurrence — a 10×-replicated corpus re-encodes
+    * NOTHING (the vocabulary is identical), it only re-counts.
+    * Determinism: merges apply via [[applyMerge]] (plain replace, exact
+    * trainer semantics) and the output columns are BIGINT sums only. */
+  def bpeEncode(spark: SparkSession, dir: String,
+      nMerges: Int = BpeTrainMerges): DataFrame = {
+    import spark.implicits._
+    val merges = bpeTrain(spark, dir, nMerges)
+      .orderBy("iter").as[(Int, String, Long)].collect().map(_._2) // nMerges rows — driver-bounded
+    val words = t(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    val perDoc = words.groupBy("doc_id", "w").agg(count(lit(1)).as("n"))
+    var enc = words.select("w").distinct()
+      .withColumn("s", trim(regexp_replace(col("w"), "(.)", "$1 ")))
+    for (pair <- merges) enc = enc.withColumn("s", applyMerge(col("s"), pair))
+    val ntok = enc.select(col("w"), size(split(col("s"), " ")).as("n_tok"))
+    perDoc.join(ntok, "w")
+      .groupBy("doc_id")
+      .agg(sum(col("n")).as("n_ws_tokens"),
+        sum(col("n") * col("n_tok")).as("n_bpe_tokens"))
+  }
+
+  def bpeEncodeSql(nMerges: Int = BpeTrainMerges): String = {
+    def pairsOf(v: String, p: String): String =
+      s"""${p}sy AS (SELECT string_split(s, ' ') AS syms, cnt FROM $v),
+        ${p}ix AS (SELECT syms, cnt, unnest(range(1, len(syms))) AS i FROM ${p}sy WHERE len(syms) >= 2),
+        $p AS (SELECT syms[CAST(i AS INT)] || ' ' || syms[CAST(i AS INT) + 1] AS pair, cnt FROM ${p}ix)"""
+    def applied(src: String, m: String, carry: String): String = {
+      val search = s"' ' || (SELECT pair FROM $m) || ' '"
+      val repl = s"' ' || replace((SELECT pair FROM $m), ' ', '') || ' '"
+      var x = "' ' || s || ' '"
+      for (_ <- 1 to BpeReplacePasses) x = s"replace($x, $search, $repl)"
+      s"SELECT trim($x) AS s, $carry FROM $src"
+    }
+    // Training chain: bpeTrainSql's CTEs verbatim (same merges by
+    // construction), then the encode chain re-applies m1..mN to EVERY
+    // distinct word (len-1 words pass through segment-free).
+    val trainCtes = (1 to nMerges).map { it =>
+      s"""${pairsOf(s"v${it - 1}", s"p$it")},
+        m$it AS (SELECT pair, CAST(sum(cnt) AS BIGINT) AS freq FROM p$it
+          GROUP BY pair ORDER BY freq DESC, pair LIMIT 1),
+        v$it AS (${applied(s"v${it - 1}", s"m$it", "cnt")})"""
+    }
+    val encCtes = (1 to nMerges).map { it =>
+      s"e$it AS (${applied(s"e${it - 1}", s"m$it", "w")})"
+    }
+    s"""WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      vocab AS (SELECT w, count(*) AS cnt FROM words WHERE len(w) >= 2 GROUP BY w),
+      v0 AS (SELECT trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS s, cnt FROM vocab),
+      ${trainCtes.mkString(",\n      ")},
+      per_doc AS (SELECT doc_id, w, count(*) AS n FROM words GROUP BY doc_id, w),
+      e0 AS (SELECT trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS s, w
+        FROM (SELECT DISTINCT w FROM words)),
+      ${encCtes.mkString(",\n      ")},
+      ntok AS (SELECT w, len(string_split(s, ' ')) AS n_tok FROM e$nMerges)
+      SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_ws_tokens,
+        CAST(sum(n * n_tok) AS BIGINT) AS n_bpe_tokens
+      FROM per_doc JOIN ntok USING (w) GROUP BY doc_id"""
   }
 
   val Bm25K1 = 1.2
@@ -653,6 +733,10 @@ object Corpus {
     QueryDef("q108_bpe_train",
       (s, d) => bpeTrain(s, d),
       Some(bpeTrainSql())),
+
+    QueryDef("q110_bpe_encode",
+      (s, d) => bpeEncode(s, d),
+      Some(bpeEncodeSql())),
     // Postings projected through array_join: the driver's pandas compare
     // can't sort ARRAY columns; invertedIndex keeps the array-typed API.
     QueryDef("q58_inverted_index",

@@ -282,6 +282,43 @@ class CorpusSpec extends AnyFunSuite {
     assert(got.toSeq == expect)
   }
 
+  test("bpe encode: per-doc token counts match an exact-greedy driver recompute") {
+    val got = graft.ops.Corpus.bpeEncode(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_ws_tokens"),
+        r.getAs[Long]("n_bpe_tokens")))
+      .sortBy(_._1)
+    // encode with the merges the spec-locked trainer learned, applying
+    // each via the exact greedy left-to-right semantics — the number the
+    // fixed-pass replace chain must reproduce for EVERY word in the corpus
+    val merges = graft.ops.Corpus.bpeTrain(spark, dir).collect()
+      .sortBy(_.getAs[Int]("iter"))
+      .map { r => val Array(a, b) = r.getAs[String]("pair").split(" "); (a, b) }
+    def mergeWord(syms: Vector[String], a: String, b: String): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+          out += (a + b); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.result()
+    }
+    val nTok = scala.collection.mutable.Map.empty[String, Long]
+    def encode(w: String): Long = nTok.getOrElseUpdate(w, {
+      var syms = w.map(_.toString).toVector
+      merges.foreach { case (a, b) => syms = mergeWord(syms, a, b) }
+      syms.length.toLong
+    })
+    val expect = docs.select("doc_id", "text").collect()
+      .map { r =>
+        val toks = r.getString(1).split(" ", -1)
+        (r.getLong(0), toks.length.toLong, toks.map(encode).sum)
+      }.sortBy(_._1)
+    assert(got.toSeq == expect.toSeq)
+    // merges only ever shrink a segmentation: chars >= bpe >= ws tokens
+    got.foreach { case (id, ws, bpe) => assert(bpe >= ws, s"doc $id") }
+  }
+
   test("bpe merge pairs: ranked counts match the Sennrich get_stats recompute") {
     val got = graft.ops.Corpus.bpeMergePairs(spark, dir, k = 20).collect()
       .map(r => (r.getString(0), r.getLong(1)))
