@@ -167,6 +167,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), "no window anywhere in the pair counting")
   }
 
+  test("q110: bpe encode joins the vocabulary table, no window, no global sort") {
+    val p = plan("q110_bpe_encode")
+    assert(!p.contains("CartesianProduct"), "no unbroadcast cartesian")
+    assert(!p.contains("Window"), "encode is pure agg + join — no window")
+    assert(!p.contains("Exchange rangepartitioning"), "no global sort anywhere")
+    // the word -> token-count side attaches as an equi-join (AQE is free
+    // to broadcast it at runtime; statically it must still be an equi-join)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), "vocab join must be an equi-join")
+    // per-doc rollup and distinct both partial-aggregate map-side
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 4,
+      "rollups must be partial+final")
+  }
+
   test("q107: cluster profile joins shuffle on ids, windows only rollup rows") {
     val p = plan("q107_cluster_profile")
     assert(!p.contains("CartesianProduct"), "no unbroadcast cartesian")
