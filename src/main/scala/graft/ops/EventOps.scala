@@ -10,11 +10,13 @@ import graft.queries.QueryDef._
 /** Event-time analytics over the `events` table (★ SURVEY §2c): JSON
   * extraction, tumbling/sliding windows, sessionization, as-of join.
   *
-  * Time base: the testdata stores nanosecond parquet timestamps, which
-  * Spark 4 only reads via `spark.sql.legacy.parquet.nanosAsLong` — so
-  * `ts` is epoch NANOS as long here, and all window math is integer
-  * arithmetic on `t_us`/`t_sec` (exactly what the oracle's `epoch_us`
-  * computes). Integer window math beats `window()` structs for oracle
+  * Time base: `ts` is normalized to epoch NANOS as long at load —
+  * testdata generations have shipped both ns-parquet timestamps (read
+  * as long via `spark.sql.legacy.parquet.nanosAsLong`) and plain
+  * timestamp[us] columns, and [[events]] accepts either — so all window
+  * math is integer arithmetic on `t_us`/`t_sec` (exactly what the
+  * oracle's `epoch_us` computes). Integer window math beats `window()`
+  * structs for oracle
   * portability and keeps everything in whole-stage codegen. Division
   * note: Spark `DIV` and DuckDB `//` BOTH truncate toward zero, so the
   * engines agree for any sign; for pre-1970 (negative-epoch) events the
@@ -30,7 +32,12 @@ object EventOps {
 
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(spark, dir, "events")
+    val raw = t(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => raw // ns-parquet read as nanos
+      case _ => // timestamp[us] (NTZ or not; session tz is UTC) → epoch nanos
+        raw.withColumn("ts", expr("unix_micros(CAST(ts AS TIMESTAMP)) * 1000"))
+    }
   }
 
   /** Tumbling-window aggregate: ws = floor(t_sec / width) * width. */
