@@ -256,6 +256,78 @@ object Corpus {
       FROM tf JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
       GROUP BY doc_id"""
 
+  /** Hashed-ngram feature space for [[dsirScore]]: 3 hex chars of md5 =
+    * 4096 buckets. The bucket key stays a STRING — fixed-length lowercase
+    * hex needs no hex-to-int conversion to group/join portably (the q37
+    * hash-sampling trick applied to features). */
+  val DsirBucketChars = 3
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every candidate
+    * document by how much its hashed-bigram feature distribution looks
+    * like a TARGET corpus (here the `lang = 'en'` slice) relative to the
+    * raw pool — the published recipe for picking pretraining data that
+    * matches a trusted domain. Bigrams hash into 4096 md5 buckets; each
+    * bucket carries the smoothed target/raw likelihood ratio; a document's
+    * weight is the mean ratio over its bigram occurrences. Selection is
+    * then a deterministic weight-ranked cut (the paper's Gumbel-noise
+    * resampling needs log(rand()) — float noise that no cross-engine
+    * oracle can replay; the ranked cut is its exact-determinism twin).
+    *
+    * Determinism discipline (q99's, applied to ratios): each bucket ratio
+    * is quantized to `((tgt + 1) · LmScale) div (raw + 1)` — add-one
+    * smoothed, all-positive integer operands, so Spark `div` and DuckDB
+    * `//` agree — accumulated as BIGINT, divided once per document.
+    * Headroom: tgt ≤ raw, so every quotient is ≤ LmScale and the doc sum
+    * is ≤ n_bigrams · 1e6; the intermediate `(tgt+1)·1e6` widens exactly
+    * (DECIMAL(38,0) / HUGEINT) like q99's c12 product.
+    *
+    * Shape at scale: occurrences collapse to per-(doc, bucket) rows
+    * map-side first; BOTH distributions partial-aggregate off those same
+    * rows (raw = Σ bf, target = Σ bf where target-flagged — the q98
+    * read-once discipline); the bucket table is 4096 rows — broadcast,
+    * never a shuffle — and the per-doc rollup is the only real exchange.
+    * Docs with < 2 tokens emit no bigrams and drop out; docs with zero
+    * target-bucket overlap still score (smoothing), both engines agree. */
+  def dsirScore(spark: SparkSession, dir: String): DataFrame = {
+    val tf = t(spark, dir, "documents")
+      .select(col("doc_id"), (col("lang") === "en").as("is_tgt"),
+        split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), col("is_tgt"), explode(expr(
+        """transform(slice(toks, 1, size(toks) - 1),
+             (w, i) -> concat(w, ' ', toks[i + 1]))""")).as("bg"))
+      .withColumn("b", expr(s"substr(md5(bg), 1, $DsirBucketChars)"))
+      .groupBy("doc_id", "is_tgt", "b").agg(count(lit(1)).as("bf"))
+      .localCheckpoint() // feeds both distributions AND the score join
+    val dist = tf.groupBy("b").agg(
+      sum("bf").as("raw_cnt"),
+      sum(when(col("is_tgt"), col("bf")).otherwise(0L)).as("tgt_cnt"))
+    tf.join(dist, "b")
+      .groupBy("doc_id")
+      .agg(sum("bf").as("n_bigrams"),
+        sum(col("bf") * expr(
+          s"(CAST(tgt_cnt + 1 AS DECIMAL(38,0)) * ${LmScale}L) div (raw_cnt + 1)")).as("score_num"))
+      .withColumn("avg_ratio", col("score_num").cast("double") /
+        (col("n_bigrams") * lit(LmScale)).cast("double"))
+  }
+
+  val dsirScoreSql: String =
+    s"""WITH tk AS (SELECT doc_id, lang = 'en' AS is_tgt,
+               string_split(text, ' ') AS toks FROM documents),
+      bi AS (SELECT doc_id, is_tgt, toks[i] || ' ' || toks[i + 1] AS bg
+             FROM (SELECT doc_id, is_tgt, toks, unnest(range(1, len(toks))) AS i FROM tk)),
+      tf AS (SELECT doc_id, is_tgt, substr(md5(bg), 1, $DsirBucketChars) AS b,
+               count(*) AS bf FROM bi GROUP BY 1, 2, 3),
+      dist AS (SELECT b, CAST(SUM(bf) AS BIGINT) AS raw_cnt,
+                 CAST(SUM(CASE WHEN is_tgt THEN bf ELSE 0 END) AS BIGINT) AS tgt_cnt
+               FROM tf GROUP BY 1)
+      SELECT doc_id, CAST(SUM(bf) AS BIGINT) AS n_bigrams,
+        CAST(SUM(bf * CAST((CAST(tgt_cnt + 1 AS HUGEINT) * $LmScale) // (raw_cnt + 1) AS BIGINT)) AS BIGINT) AS score_num,
+        CAST(CAST(SUM(bf * CAST((CAST(tgt_cnt + 1 AS HUGEINT) * $LmScale) // (raw_cnt + 1) AS BIGINT)) AS BIGINT) AS DOUBLE)
+          / (CAST(SUM(bf) AS BIGINT) * $LmScale) AS avg_ratio
+      FROM tf JOIN dist USING (b)
+      GROUP BY doc_id"""
+
   /** Dataset card: the one-row-per-source corpus report a data team
     * publishes with a release — document/token volume, exact-duplicate
     * rate, quality-filter pass count, heuristic language mix, and mean
@@ -721,6 +793,10 @@ object Corpus {
     QueryDef("q99_bigram_lm_score",
       (s, d) => bigramLmScore(s, d),
       Some(bigramLmScoreSql)),
+
+    QueryDef("q111_dsir_weights",
+      (s, d) => dsirScore(s, d),
+      Some(dsirScoreSql)),
 
     QueryDef("q105_dataset_card",
       (s, d) => datasetCard(s, d),

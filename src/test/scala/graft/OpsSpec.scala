@@ -402,6 +402,37 @@ class OpsSpec extends AnyFunSuite {
     assert(got.values.map(_._2).toSet.size > 1)
   }
 
+  test("q111 dsir weights == driver recompute of smoothed bucket likelihood ratios") {
+    def md5b(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(Corpus.DsirBucketChars)
+    val rows = docs.collect().map(r =>
+      (r.getAs[Long]("doc_id"), r.getAs[String]("lang"), r.getAs[String]("text")))
+    val occ = rows.flatMap { case (id, lang, t) =>
+      val w = t.split(" ")
+      w.zip(w.tail).map { case (a, b) => (id, lang == "en", md5b(s"$a $b")) }
+    }
+    val raw = occ.groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    val tgt = occ.filter(_._2).groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    val expect = occ.groupBy(_._1).map { case (id, os) =>
+      id -> ((os.size.toLong,
+        os.map { case (_, _, b) =>
+          ((tgt.getOrElse(b, 0L) + 1) * Corpus.LmScale) / (raw(b) + 1)
+        }.sum))
+    }
+    val got = Corpus.dsirScore(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_bigrams"), r.getAs[Long]("score_num")))).toMap
+    assert(got == expect)
+    // target-language docs must score higher on average than the rest:
+    // the whole point of the ratio is separating target-like text
+    val (en, rest) = got.partition { case (id, _) =>
+      rows.find(_._1 == id).exists(_._2 == "en") }
+    def mean(m: Map[Long, (Long, Long)]): Double =
+      m.values.map { case (n, s) => s.toDouble / (n * Corpus.LmScale) }.sum / m.size
+    assert(mean(en) > mean(rest), "en docs must out-score non-en docs")
+  }
+
   test("q100 source overlap == driver recompute of distinct shared spans") {
     val w = Dedup.SpanWidth
     val rows = docs.collect().map(r => (r.getAs[String]("source"), r.getAs[String]("text")))

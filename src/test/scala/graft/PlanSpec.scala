@@ -122,6 +122,16 @@ class PlanSpec extends AnyFunSuite {
       "the totw scan must prune to the source column only")
   }
 
+  test("q111: dsir scoring joins the 4096-bucket table, no window, no nested loop") {
+    val p = plan("q111_dsir_weights")
+    // the distribution join is keyed on the hashed bucket — 4096 rows,
+    // broadcast-or-shuffle by AQE, never a nested loop
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      "bucket join must stay equi-shaped")
+    assert(!p.contains("Window"), "per-doc scoring is an aggregate, not a window")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "doc agg must map-side combine")
+  }
+
   test("q99: bigram scoring is all equi-joins and partial aggregates, no window") {
     val p = plan("q99_bigram_lm_score")
     // the c12/c1 joins are keyed on bigram/term — any nested-loop here
