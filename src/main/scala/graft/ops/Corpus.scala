@@ -740,6 +740,68 @@ object Corpus {
         min(doc_id) AS first_doc, max(doc_id) AS last_doc
       FROM c GROUP BY 1, 2"""
 
+  /** Sequence-length distribution report (q112): per-source histogram of
+    * document token counts in power-of-two bins — the batch-shape
+    * planning table behind context-length and packing decisions. The
+    * bucket is the binary DIGIT COUNT of n_tok (`length(bin(n))` =
+    * floor(log2 n) + 1) — an integer both engines compute identically,
+    * with no float log to disagree on; bucket b covers [2^(b-1), 2^b).
+    *
+    * Scale shape: one codegen'd projection above the scan and ONE
+    * (source × ~40-bucket)-bounded rollup with map-side combine — the
+    * q105 dataset-card shape. */
+  def lengthHistogram(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .withColumn("len_bucket", length(expr("bin(n_tok)")).cast("long"))
+      .groupBy("source", "len_bucket")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+        min(col("n_tok")).as("min_tok"), max(col("n_tok")).as("max_tok"))
+
+  val lengthHistogramSql: String =
+    """WITH tk AS (SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+          FROM documents)
+      SELECT source, CAST(length(bin(n_tok)) AS BIGINT) AS len_bucket,
+        count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        min(n_tok) AS min_tok, max(n_tok) AS max_tok
+      FROM tk GROUP BY 1, 2"""
+
+  /** Packing-efficiency report (q113): per-source padding waste of naive
+    * fixed-length batching (every document padded to a multiple of the
+    * capacity — `ceil(n_tok / C)` rows of C slots each) against the
+    * concat-packed floor (`ceil(Σ n_tok / C)` rows) — the measurement
+    * that motivates sequence packing in the efficient-batching
+    * literature. All-integer ceilings (`(x + C - 1) div C` on positive
+    * operands), one double division per source at the end.
+    *
+    * Scale shape: a single source-keyed partial-agg rollup above the
+    * scan; output is source-cardinality. */
+  def packingEfficiency(spark: SparkSession, dir: String,
+      capacity: Long = PackCapacity): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+        sum(expr(s"(n_tok + $capacity - 1) div $capacity")).as("naive_rows"))
+      .withColumn("packed_rows", expr(s"(n_tokens + $capacity - 1) div $capacity"))
+      .withColumn("naive_waste_pct",
+        (col("naive_rows") * lit(capacity) - col("n_tokens")).cast("double") /
+          (col("naive_rows") * lit(capacity)).cast("double"))
+
+  def packingEfficiencySql(capacity: Long = PackCapacity): String =
+    s"""WITH tk AS (SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+          FROM documents),
+      r AS (SELECT source, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+              CAST(sum((n_tok + $capacity - 1) // $capacity) AS BIGINT) AS naive_rows
+            FROM tk GROUP BY 1)
+      SELECT source, n_docs, n_tokens, naive_rows,
+        CAST((n_tokens + $capacity - 1) // $capacity AS BIGINT) AS packed_rows,
+        CAST(naive_rows * $capacity - n_tokens AS DOUBLE)
+          / (naive_rows * $capacity) AS naive_waste_pct
+      FROM r"""
+
   val ChunkSize = 32
   val ChunkStride = 24
 
@@ -797,6 +859,14 @@ object Corpus {
     QueryDef("q111_dsir_weights",
       (s, d) => dsirScore(s, d),
       Some(dsirScoreSql)),
+
+    QueryDef("q112_length_histogram",
+      (s, d) => lengthHistogram(s, d),
+      Some(lengthHistogramSql)),
+
+    QueryDef("q113_packing_efficiency",
+      (s, d) => packingEfficiency(s, d),
+      Some(packingEfficiencySql())),
 
     QueryDef("q105_dataset_card",
       (s, d) => datasetCard(s, d),

@@ -84,6 +84,48 @@ class CorpusSpec extends AnyFunSuite {
     assert(got.values.map(_._3).toSet.size > 1)
   }
 
+  test("q112 length histogram: power-of-two buckets partition the corpus exactly") {
+    val rows = Corpus.lengthHistogram(spark, dir).collect()
+    val lens = docs.collect().map(r =>
+      r.getAs[String]("source") -> r.getAs[String]("text").split(" ").length.toLong)
+    // driver recompute: bucket = binary digit count = floor(log2 n) + 1
+    val expect = lens.groupBy { case (s, n) => (s, 64 - java.lang.Long.numberOfLeadingZeros(n)) }
+      .map { case (k, vs) => k ->
+        ((vs.size.toLong, vs.map(_._2).sum, vs.map(_._2).min, vs.map(_._2).max)) }
+    val got = rows.map(r => (r.getAs[String]("source"), r.getAs[Long]("len_bucket").toInt) ->
+      ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("min_tok"), r.getAs[Long]("max_tok")))).toMap
+    assert(got == expect)
+    // bucket b covers [2^(b-1), 2^b): every min/max sits inside its band
+    rows.foreach { r =>
+      val b = r.getAs[Long]("len_bucket").toInt
+      assert(r.getAs[Long]("min_tok") >= (1L << (b - 1)) &&
+        r.getAs[Long]("max_tok") < (1L << b), s"bucket $b band")
+    }
+  }
+
+  test("q113 packing efficiency: integer ceilings, packed <= naive, waste in [0,1)") {
+    val got = Corpus.packingEfficiency(spark, dir).collect()
+    val c = Corpus.PackCapacity
+    val lens = docs.collect().map(r =>
+      r.getAs[String]("source") -> r.getAs[String]("text").split(" ").length.toLong)
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    assert(got.map(_.getAs[String]("source")).toSet == lens.keySet)
+    got.foreach { r =>
+      val ns = lens(r.getAs[String]("source"))
+      val naive = ns.map(n => (n + c - 1) / c).sum
+      val packed = (ns.sum + c - 1) / c
+      assert(r.getAs[Long]("n_docs") == ns.size.toLong)
+      assert(r.getAs[Long]("n_tokens") == ns.sum)
+      assert(r.getAs[Long]("naive_rows") == naive)
+      assert(r.getAs[Long]("packed_rows") == packed)
+      assert(packed <= naive)
+      val waste = r.getAs[Double]("naive_waste_pct")
+      assert(waste == (naive * c - ns.sum).toDouble / (naive * c))
+      assert(waste >= 0.0 && waste < 1.0)
+    }
+  }
+
   test("source drift: TV matches per-source driver recompute, bounded in [0,1)") {
     val got = Corpus.sourceDrift(spark, dir).collect()
       .map(r => r.getAs[String]("source") ->
