@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 import graft.MetricsSink
-import graft.ops.{Cleaning, Corpus, TextStats}
+import graft.ops.{Cleaning, Corpus, Dedup, TextStats}
 
 /** Incremental corpus ingestion — the streaming twin of the batch
   * pretrain-prep pipeline (q92 line clean → q39 quality gate → q40 exact
@@ -113,6 +113,91 @@ object CorpusStream {
       } finally { batch.unpersist(); () }
     }.start()
   }
+
+  /** Streaming NEAR-duplicate admission — the incremental twin of the
+    * batch MinHash pipeline (q42 band candidates → exact-Jaccard verify →
+    * q53 cluster minima). A document is admitted iff it is not a verified
+    * near-dup (Jaccard ≥ threshold on shingle sets) of any
+    * EARLIER-ADMITTED document, and within a micro-batch only each
+    * verified near-dup cluster's min-id representative is admitted — so
+    * the invariant across the whole stream is exactly the batch one: no
+    * two admitted documents are near-dups, and every dropped document is
+    * (transitively) a near-dup of an admitted one that arrived no later.
+    *
+    * Mechanics: `dropDuplicates` can't express multi-key LSH admission
+    * (a doc holds 8 band keys that must be claimed atomically), so state
+    * lives in batch-id-partitioned parquet tables — `stateDir/bands`
+    * (bkey → rep_id) and `stateDir/grams` (rep_id → sorted shingles) —
+    * and each micro-batch runs the BATCH operators against them inside
+    * foreachBatch: band equi-join against admitted keys, exact
+    * `sorted_intersect_count` Jaccard against admitted shingles (state
+    * collisions are VERIFIED, never trusted), then [[Dedup.nearDupClusters]]
+    * over the survivors. Replay-idempotent like [[ingestToShards]]: every
+    * write is mode=overwrite into its own `batch_id=N` subdir, and the
+    * state read prunes `batch_id < N`, so a replayed batch never sees its
+    * own half-written keys (partition pruning makes the guard free).
+    *
+    * Scale: state grows with the ADMITTED corpus (8 band rows + one
+    * shingle row per rep); the per-batch join is candidate-bounded — the
+    * same equi-join shape the batch pipeline ships. At a 100 TB corpus
+    * the grams table is the big side; it joins only on verified
+    * candidates' rep_ids, and a deployment can compact old batch_id
+    * partitions without changing semantics. */
+  def dedupeNearToShards(docs: DataFrame, stateDir: String, outDir: String,
+      checkpointDir: String, threshold: Double = 0.8,
+      trigger: Option[Trigger] = None): StreamingQuery = {
+    val writer = docs.writeStream.option("checkpointLocation", checkpointDir)
+    trigger.foreach(writer.trigger)
+    writer.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val spark = batch.sparkSession
+      graft.functions.GraftFunctions.register(spark)
+      val b = batch.persist()
+      try {
+        val sh = Dedup.shingled(b)
+          .withColumn("sorted", sort_array(col("grams")))
+          .withColumn("n", size(col("grams")).cast("long")).localCheckpoint()
+        val bands = sh.select(col("doc_id"), explode(
+          expr(s"minhash_bands(grams, ${Dedup.NumHashes}, ${Dedup.Rows})")).as("bkey"))
+          .localCheckpoint()
+        val dropped = readState(spark, s"$stateDir/bands", batchId) match {
+          case Some(stBands) =>
+            val stGrams = readState(spark, s"$stateDir/grams", batchId).get
+            bands.join(stBands.select("bkey", "rep_id"), "bkey")
+              .select("doc_id", "rep_id").distinct()
+              .join(sh.select(col("doc_id"), col("sorted").as("ga"), col("n").as("na")), "doc_id")
+              .join(stGrams.select("rep_id", "gb", "nb"), "rep_id")
+              .withColumn("inter", expr("sorted_intersect_count(ga, gb)"))
+              .filter(col("inter").cast("double") /
+                (col("na") + col("nb") - col("inter")) >= threshold)
+              .select("doc_id").distinct()
+          case None => bands.select("doc_id").limit(0)
+        }
+        val survivors = b.join(dropped, Seq("doc_id"), "left_anti")
+        val reps = Dedup.nearDupClusters(survivors, threshold)
+          .filter(col("doc_id") === col("cluster_id")).select("doc_id")
+        val admitted = survivors.join(reps, Seq("doc_id"), "left_semi").persist()
+        try {
+          admitted.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+          bands.join(admitted.select("doc_id"), Seq("doc_id"), "left_semi")
+            .select(col("bkey"), col("doc_id").as("rep_id"))
+            .write.mode("overwrite").parquet(s"$stateDir/bands/batch_id=$batchId")
+          sh.join(admitted.select("doc_id"), Seq("doc_id"), "left_semi")
+            .select(col("doc_id").as("rep_id"), col("sorted").as("gb"), col("n").as("nb"))
+            .write.mode("overwrite").parquet(s"$stateDir/grams/batch_id=$batchId")
+        } finally { admitted.unpersist(); () }
+      } finally { b.unpersist(); () }
+    }.start()
+  }
+
+  /** Read a batch-id-partitioned state table, pruned to batches BEFORE
+    * `current` (a replayed batch must not join against its own partial
+    * writes). None until the first batch materializes the directory. */
+  private def readState(spark: org.apache.spark.sql.SparkSession,
+      dir: String, current: Long): Option[DataFrame] =
+    try {
+      val df = spark.read.parquet(dir).filter(col("batch_id") < current)
+      df.schema; Some(df)
+    } catch { case _: org.apache.spark.sql.AnalysisException => None }
 
   /** Live dataset card: q105's per-source report as a streaming
     * aggregate (complete/update mode) — document volume, token volume,

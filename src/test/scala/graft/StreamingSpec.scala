@@ -436,6 +436,53 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming near-dedup: cross-batch and in-batch near-dups drop, invariant holds") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    import graft.streaming.CorpusStream
+    // 30 distinct tokens per doc; a near-dup changes the LAST token only,
+    // so 27 of 28 3-gram shingles survive (J = 27/29 ≈ 0.93 ≥ 0.8)
+    def words(p: String) = (1 to 30).map(i => s"$p$i")
+    def doc(p: String) = words(p).mkString(" ")
+    def nearDup(p: String) = (words(p).init :+ "CHANGED").mkString(" ")
+    val out = java.nio.file.Files.createTempDirectory("neardup-out").toString
+    val state = java.nio.file.Files.createTempDirectory("neardup-state").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("neardup-ckpt").toString
+    val mem = MemoryStream[(Long, String, String)]
+    val q = CorpusStream.dedupeNearToShards(
+      mem.toDF().toDF("doc_id", "source", "text"), state, out, ckpt, 0.8)
+    try {
+      mem.addData((1L, "s", doc("a")), (2L, "s", nearDup("a")), (3L, "s", doc("c")))
+      q.processAllAvailable() // batch 0: 2 is an in-batch near-dup of 1
+      mem.addData((4L, "s", nearDup("a")), (5L, "s", doc("d")), (6L, "s", nearDup("d")))
+      q.processAllAvailable() // batch 1: 4 dups ADMITTED 1 cross-batch; 6 dups 5 in-batch
+      val b0 = spark.read.parquet(s"$out/batch_id=0")
+        .select("doc_id").collect().map(_.getLong(0)).sorted
+      val b1 = spark.read.parquet(s"$out/batch_id=1")
+        .select("doc_id").collect().map(_.getLong(0)).sorted
+      assert(b0.toSeq == Seq(1L, 3L), s"batch 0 admitted ${b0.toSeq}")
+      assert(b1.toSeq == Seq(5L), s"batch 1 admitted ${b1.toSeq}")
+      // the batch invariant, brute-forced: no two admitted docs are
+      // near-dups; every dropped doc near-dups an admitted one
+      def sh(t: String) = t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+      def j(a: String, b: String) = {
+        val (x, y) = (sh(a), sh(b)); (x & y).size.toDouble / (x | y).size
+      }
+      val texts = Map(1L -> doc("a"), 2L -> nearDup("a"), 3L -> doc("c"),
+        4L -> nearDup("a"), 5L -> doc("d"), 6L -> nearDup("d"))
+      val admitted = (b0 ++ b1).toSeq
+      for (x <- admitted; y <- admitted if x < y)
+        assert(j(texts(x), texts(y)) < 0.8, s"admitted pair $x,$y too similar")
+      for (d <- texts.keySet -- admitted.toSet)
+        assert(admitted.exists(a => j(texts(d), texts(a)) >= 0.8), s"dropped $d has no witness")
+      // state carries the admitted reps only: 8 band rows per admitted doc
+      val stBands = spark.read.parquet(s"$state/bands")
+      assert(stBands.select("rep_id").distinct().collect().map(_.getLong(0)).sorted
+        .toSeq == admitted.sorted.toSeq)
+      assert(stBands.count() == admitted.size * graft.ops.Dedup.Bands)
+    } finally q.stop()
+  }
+
   test("live dataset card equals the batch card on the same corpus") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
