@@ -256,6 +256,66 @@ object Corpus {
       FROM tf JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
       GROUP BY doc_id"""
 
+  val PmiMinCount = 5 // collocation support floor: rare pairs have unstable PMI
+  val PmiTopK = 50
+
+  /** PMI collocation mining (q114): the corpus's top-k statistically
+    * bound word pairs — bigrams whose observed count most exceeds the
+    * independence expectation c1(w1)·c1(w2)/N. The classic collocation
+    * extractor (Church & Hanks 1990), run off the SAME bigram/unigram
+    * count tables as [[bigramLmScore]].
+    *
+    * Determinism discipline: the PMI *ratio* is quantized before the log
+    * would ever be taken — `pmi_q = (c12 · N · 1e6) div (c1a · c1b)`,
+    * exact integers both engines agree on (log is monotone, so ranking
+    * by the ratio IS ranking by PMI; no float in the ORDER BY). The
+    * product widens exactly: Spark DECIMAL(38,0), DuckDB HUGEINT — a
+    * petatoken corpus's c12·N·1e6 is ~1e38, right at the wide-decimal
+    * edge, so the engine keeps the corpus-size factor inside the
+    * quantizer rather than multiplying it back later. Ties break on the
+    * pair text. Support floor `c12 ≥ PmiMinCount` applies before
+    * ranking (textbook practice — df-1 pairs are noise).
+    *
+    * Shape at scale: both count tables partial-aggregate off the one
+    * (w1, w2) rollup (q98 read-once discipline); the unigram join is
+    * vocabulary-bounded; top-k is TakeOrderedAndProject — no global
+    * sort, no window. */
+  def pmiCollocations(spark: SparkSession, dir: String,
+      minCount: Long = PmiMinCount, k: Int = PmiTopK): DataFrame = {
+    val c12 = t(spark, dir, "documents")
+      .select(split(col("text"), " ").as("toks"))
+      .select(explode(expr(
+        """transform(slice(toks, 1, size(toks) - 1),
+             (w, i) -> named_struct('w1', w, 'w2', toks[i + 1]))""")).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .localCheckpoint() // feeds both unigram margins AND the score join
+    val left = c12.groupBy("w1").agg(sum("c12").as("c1a"))
+    val right = c12.groupBy("w2").agg(sum("c12").as("c1b"))
+    val n = c12.agg(sum("c12").as("n_total"))
+    c12.filter(col("c12") >= minCount)
+      .join(left, "w1").join(right, "w2").crossJoin(broadcast(n))
+      .withColumn("pmi_q", expr(
+        s"(CAST(c12 AS DECIMAL(38,0)) * n_total * ${LmScale}L) div (c1a * c1b)"))
+      .select(col("w1"), col("w2"), col("c12"), col("pmi_q"))
+      .orderBy(col("pmi_q").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
+  def pmiCollocationsSql(minCount: Long = PmiMinCount, k: Int = PmiTopK): String =
+    s"""WITH tk AS (SELECT string_split(text, ' ') AS toks FROM documents),
+      bi AS (SELECT toks[i] AS w1, toks[i + 1] AS w2
+             FROM (SELECT toks, unnest(range(1, len(toks))) AS i FROM tk)),
+      c12 AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY 1, 2),
+      l AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1a FROM c12 GROUP BY 1),
+      r AS (SELECT w2, CAST(SUM(c12) AS BIGINT) AS c1b FROM c12 GROUP BY 1),
+      n AS (SELECT CAST(SUM(c12) AS BIGINT) AS n_total FROM c12)
+      SELECT w1, w2, CAST(c12 AS BIGINT) AS c12,
+        CAST((CAST(c12 AS HUGEINT) * n_total * $LmScale) // (c1a * c1b) AS BIGINT) AS pmi_q
+      FROM c12 JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN n
+      WHERE c12 >= $minCount
+      ORDER BY pmi_q DESC, w1, w2 LIMIT $k"""
+
   /** Hashed-ngram feature space for [[dsirScore]]: 3 hex chars of md5 =
     * 4096 buckets. The bucket key stays a STRING — fixed-length lowercase
     * hex needs no hex-to-int conversion to group/join portably (the q37
@@ -859,6 +919,10 @@ object Corpus {
     QueryDef("q111_dsir_weights",
       (s, d) => dsirScore(s, d),
       Some(dsirScoreSql)),
+
+    QueryDef("q114_pmi_collocations",
+      (s, d) => pmiCollocations(s, d),
+      Some(pmiCollocationsSql())),
 
     QueryDef("q112_length_histogram",
       (s, d) => lengthHistogram(s, d),

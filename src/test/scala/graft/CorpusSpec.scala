@@ -126,6 +126,24 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("q114 pmi collocations: top-k quantized ratios match driver recompute") {
+    val texts = docs.collect().map(_.getAs[String]("text"))
+    val bi = texts.flatMap { t => val w = t.split(" "); w.zip(w.tail) }
+    val c12 = bi.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val c1a = c12.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val c1b = c12.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    val n = c12.values.sum
+    val expect = c12.filter(_._2 >= Corpus.PmiMinCount).map { case ((a, b), c) =>
+      (a, b) -> ((c, (BigInt(c) * n * Corpus.LmScale / (BigInt(c1a(a)) * c1b(b))).toLong))
+    }.toSeq.sortBy { case ((a, b), (_, p)) => (-p, a, b) }.take(Corpus.PmiTopK)
+    val got = Corpus.pmiCollocations(spark, dir).collect()
+      .map(r => (r.getAs[String]("w1"), r.getAs[String]("w2")) ->
+        ((r.getAs[Long]("c12"), r.getAs[Long]("pmi_q")))).toSeq
+    assert(got == expect)
+    // ranked by the quantized ratio, descending — monotone in true PMI
+    assert(got.map(_._2._2).sliding(2).forall { case Seq(a, b) => a >= b; case _ => true })
+  }
+
   test("source drift: TV matches per-source driver recompute, bounded in [0,1)") {
     val got = Corpus.sourceDrift(spark, dir).collect()
       .map(r => r.getAs[String]("source") ->
