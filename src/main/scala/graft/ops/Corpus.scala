@@ -760,6 +760,64 @@ object Corpus {
         array_to_string(list(doc_id ORDER BY doc_id), ',') AS postings
       FROM pairs GROUP BY term"""
 
+  /** Positional trigram stream: one row per 3-token window with its
+    * 1-based start position — the positional index [[invertedIndex]]'s
+    * df+postings shape lacks. Pure per-row expansion above the scan
+    * (same shape as [[chunkOverlap]]): no shuffle, position derived from
+    * the slice offset, never an unnest ordinal. */
+  private def trigramStream(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), explode(expr(
+        // guard: sequence(1, 0) DESCENDS in Spark, so short docs must
+        // take the empty-array branch explicitly
+        """CASE WHEN size(toks) < 3 THEN array()
+           ELSE transform(sequence(1, size(toks) - 2),
+             i -> named_struct('pos', CAST(i AS BIGINT),
+               'phrase', concat_ws(' ', toks[i - 1], toks[i], toks[i + 1]))) END""")).as("g"))
+      .select(col("doc_id"), col("g.pos").as("pos"), col("g.phrase").as("phrase"))
+
+  /** Positional phrase search (q115): all documents containing an exact
+    * consecutive 3-token phrase, with hit count and first position — the
+    * phrase-query capability a positional inverted index exists for. The
+    * library API takes the phrase; the oracle query derives a
+    * deterministic one from the corpus itself (its most frequent
+    * trigram, count-desc then lexicographic — boilerplate detection and
+    * phrase search in one pass).
+    *
+    * Shape at scale: the trigram stream is a stateless expansion; the
+    * phrase filter collapses it BEFORE the per-doc rollup (for a
+    * constant phrase the filter is codegen'd above the scan — at index
+    * time you'd materialize the stream bucketed by phrase instead); the
+    * top-phrase subquery is a TakeOrderedAndProject over a map-side-
+    * combined count, broadcast into the hit scan. */
+  def phraseSearch(docs: DataFrame, phrase: DataFrame): DataFrame =
+    trigramStream(docs)
+      .join(broadcast(phrase), "phrase")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits"), min("pos").as("first_pos"))
+
+  /** The q115 query: search for the corpus's top trigram. */
+  def topPhraseSearch(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val stream = trigramStream(docs).localCheckpoint() // mined AND searched
+    val top = stream.groupBy("phrase").agg(count(lit(1)).as("n_total"))
+      .orderBy(col("n_total").desc, col("phrase")).limit(1)
+    stream.join(broadcast(top.select("phrase")), "phrase")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits"), min("pos").as("first_pos"))
+  }
+
+  val topPhraseSearchSql: String =
+    """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      tri AS (SELECT doc_id, i AS pos,
+                toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS phrase
+              FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i FROM tk)),
+      top AS (SELECT phrase FROM tri GROUP BY phrase
+              ORDER BY count(*) DESC, phrase LIMIT 1)
+      SELECT doc_id, count(*) AS n_hits, CAST(min(pos) AS BIGINT) AS first_pos
+      FROM tri JOIN top USING (phrase)
+      GROUP BY doc_id"""
+
   val PackCapacity = 256L
 
   /** Concat-split sequence packing (the GPT-style "concatenate the shard,
@@ -923,6 +981,10 @@ object Corpus {
     QueryDef("q114_pmi_collocations",
       (s, d) => pmiCollocations(s, d),
       Some(pmiCollocationsSql())),
+
+    QueryDef("q115_phrase_search",
+      (s, d) => topPhraseSearch(s, d),
+      Some(topPhraseSearchSql)),
 
     QueryDef("q112_length_histogram",
       (s, d) => lengthHistogram(s, d),

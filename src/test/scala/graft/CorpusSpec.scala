@@ -144,6 +144,31 @@ class CorpusSpec extends AnyFunSuite {
     assert(got.map(_._2._2).sliding(2).forall { case Seq(a, b) => a >= b; case _ => true })
   }
 
+  test("q115 phrase search: top-trigram hits match driver recompute, positions 1-based") {
+    val texts = docs.collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text"))
+    def tris(t: String): Seq[(String, Int)] = {
+      val w = t.split(" ")
+      if (w.length < 3) Seq.empty
+      else (0 to w.length - 3).map(i => (w.slice(i, i + 3).mkString(" "), i + 1))
+    }
+    val all = texts.flatMap { case (id, t) => tris(t).map { case (p, pos) => (id, p, pos) } }
+    val top = all.groupBy(_._2).view.mapValues(_.size).toSeq
+      .sortBy { case (p, n) => (-n, p) }.head._1
+    val expect = all.filter(_._2 == top).groupBy(_._1)
+      .map { case (id, hs) => id -> ((hs.size.toLong, hs.map(_._3).min.toLong)) }
+    val got = Corpus.topPhraseSearch(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_hits"), r.getAs[Long]("first_pos")))).toMap
+    assert(got == expect)
+    // the parametric API agrees with the derived-phrase query
+    import spark.implicits._
+    val viaApi = Corpus.phraseSearch(
+      spark.read.parquet(s"$dir/documents.parquet"), Seq(top).toDF("phrase"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_hits"), r.getAs[Long]("first_pos")))).toMap
+    assert(viaApi == expect)
+  }
+
   test("source drift: TV matches per-source driver recompute, bounded in [0,1)") {
     val got = Corpus.sourceDrift(spark, dir).collect()
       .map(r => r.getAs[String]("source") ->
