@@ -256,6 +256,70 @@ object Corpus {
       FROM tf JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
       GROUP BY doc_id"""
 
+  val CmsDepth = 4 // independent hash rows
+  val CmsHexChars = 2 // 256 buckets per row
+  val CmsReportK = 30 // tokens whose estimates the query reports
+
+  /** Count-Min sketch frequency estimation (q116, Cormode & Muthukrishnan
+    * 2005) — point-query token counts in FIXED memory: depth × width
+    * (4 × 256) counters instead of vocabulary-sized state, the
+    * complement to Misra–Gries' heavy-hitter list (q56: WHO is heavy;
+    * CMS: how often is ANY given token, within +εN overestimate). The
+    * query reports the sketch estimate next to the exact count for the
+    * top-k tokens, so the overestimate guarantee `cms_n ≥ exact_n` is
+    * visible in the output.
+    *
+    * Determinism discipline: row hashes are md5 hex prefixes
+    * (`substr(md5(r|term), 1, 2)` — the q37 fixed-length-hex trick), so
+    * both engines build the IDENTICAL sketch and the estimate is
+    * hash-exact, not merely distribution-equal — which is what makes a
+    * cross-engine oracle possible for a sketch (q70/q79's HLL/GK are
+    * engine-internal and stay rows-only; CMS is simple enough to BE the
+    * portable sketch).
+    *
+    * Scale/merge shape: the sketch build is a map-side-combined groupBy
+    * onto depth·width = 1024 keys — the partial aggregates ARE the
+    * mergeable sketch (counter-wise sums), so the exchange carries ≤1024
+    * rows per partition regardless of corpus size; estimates then probe
+    * it with a k·depth-row broadcast join. */
+  def cmsCounts(spark: SparkSession, dir: String,
+      k: Int = CmsReportK): DataFrame = {
+    val rows = (0 until CmsDepth).map(_.toString).mkString(", ")
+    def bkt(termCol: String) =
+      s"substr(md5(concat(r, '|', $termCol)), 1, $CmsHexChars)"
+    val toks = tokenStream(t(spark, dir, "documents")).localCheckpoint()
+    val cms = toks.withColumn("r", explode(expr(s"array($rows)")))
+      .withColumn("bkt", expr(bkt("term")))
+      .groupBy("r", "bkt").agg(count(lit(1)).as("cnt"))
+    val top = toks.groupBy("term").agg(count(lit(1)).as("exact_n"))
+      .orderBy(col("exact_n").desc, col("term")).limit(k)
+    broadcast(top).withColumn("r", explode(expr(s"array($rows)")))
+      .withColumn("bkt", expr(bkt("term")))
+      .join(cms, Seq("r", "bkt"))
+      .groupBy("term")
+      .agg(max("exact_n").as("exact_n"), min("cnt").as("cms_n"))
+  }
+
+  def cmsCountsSql(k: Int = CmsReportK): String = {
+    val rows = (0 until CmsDepth).map(_.toString).mkString(", ")
+    def bkt(termCol: String) =
+      s"substr(md5(r || '|' || $termCol), 1, $CmsHexChars)"
+    s"""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+      hashed AS (SELECT term, CAST(r AS VARCHAR) AS r FROM toks,
+                   (SELECT unnest([$rows]) AS r)),
+      cms AS (SELECT r, ${bkt("term")} AS bkt, count(*) AS cnt
+              FROM hashed GROUP BY 1, 2),
+      top AS (SELECT term, count(*) AS exact_n FROM toks
+              GROUP BY 1 ORDER BY exact_n DESC, term LIMIT $k),
+      probes AS (SELECT term, exact_n, CAST(r AS VARCHAR) AS r
+                 FROM top, (SELECT unnest([$rows]) AS r))
+      SELECT term, CAST(MAX(exact_n) AS BIGINT) AS exact_n,
+        CAST(MIN(cnt) AS BIGINT) AS cms_n
+      FROM (SELECT term, exact_n, r, ${bkt("term")} AS bkt FROM probes)
+      JOIN cms USING (r, bkt)
+      GROUP BY term"""
+  }
+
   val PmiMinCount = 5 // collocation support floor: rare pairs have unstable PMI
   val PmiTopK = 50
 
@@ -985,6 +1049,10 @@ object Corpus {
     QueryDef("q115_phrase_search",
       (s, d) => topPhraseSearch(s, d),
       Some(topPhraseSearchSql)),
+
+    QueryDef("q116_cms_counts",
+      (s, d) => cmsCounts(s, d),
+      Some(cmsCountsSql())),
 
     QueryDef("q112_length_histogram",
       (s, d) => lengthHistogram(s, d),

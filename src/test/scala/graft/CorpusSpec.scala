@@ -169,6 +169,29 @@ class CorpusSpec extends AnyFunSuite {
     assert(viaApi == expect)
   }
 
+  test("q116 cms counts: estimates match driver-built sketch, never undercount") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val toks = docs.collect().flatMap(_.getAs[String]("text").split(" "))
+    val exact = toks.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    // driver-built sketch: same md5-prefix buckets, same counter sums
+    val sketch = toks.flatMap(t => (0 until Corpus.CmsDepth).map(r =>
+      (r, md5hex(s"$r|$t").take(Corpus.CmsHexChars))))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val top = exact.toSeq.sortBy { case (t, n) => (-n, t) }.take(Corpus.CmsReportK)
+    val expect = top.map { case (t, n) =>
+      t -> ((n, (0 until Corpus.CmsDepth)
+        .map(r => sketch((r, md5hex(s"$r|$t").take(Corpus.CmsHexChars)))).min))
+    }.toMap
+    val got = Corpus.cmsCounts(spark, dir).collect()
+      .map(r => r.getAs[String]("term") ->
+        ((r.getAs[Long]("exact_n"), r.getAs[Long]("cms_n")))).toMap
+    assert(got == expect)
+    // the CMS guarantee: a sketch can only OVERcount
+    got.values.foreach { case (n, est) => assert(est >= n) }
+  }
+
   test("source drift: TV matches per-source driver recompute, bounded in [0,1)") {
     val got = Corpus.sourceDrift(spark, dir).collect()
       .map(r => r.getAs[String]("source") ->
