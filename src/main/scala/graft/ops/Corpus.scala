@@ -256,6 +256,31 @@ object Corpus {
       FROM tf JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
       GROUP BY doc_id"""
 
+  /** Tokenizer fertility report (q117): per-source mean BPE tokens per
+    * whitespace word under the trained tokenizer — THE metric a tokenizer
+    * release ships with (fertility ≈ 1 means the vocabulary fits the
+    * domain; high fertility warns of over-segmentation, e.g. code or
+    * out-of-domain text). Pure composition: q110's per-doc encode rolled
+    * up by source, with the exact-operand discipline — one BIGINT/BIGINT
+    * double division per source, no float accumulation. */
+  def tokenizerFertility(spark: SparkSession, dir: String,
+      nMerges: Int = BpeTrainMerges): DataFrame =
+    bpeEncode(spark, dir, nMerges)
+      .join(t(spark, dir, "documents").select("doc_id", "source"), "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_ws_tokens").as("n_ws"), sum("n_bpe_tokens").as("n_bpe"))
+      .withColumn("fertility", col("n_bpe").cast("double") / col("n_ws").cast("double"))
+
+  def tokenizerFertilitySql(nMerges: Int = BpeTrainMerges): String =
+    s"""WITH enc AS (${bpeEncodeSql(nMerges)})
+      SELECT source, count(*) AS n_docs,
+        CAST(SUM(n_ws_tokens) AS BIGINT) AS n_ws,
+        CAST(SUM(n_bpe_tokens) AS BIGINT) AS n_bpe,
+        CAST(SUM(n_bpe_tokens) AS DOUBLE) / CAST(SUM(n_ws_tokens) AS BIGINT) AS fertility
+      FROM enc JOIN documents USING (doc_id)
+      GROUP BY source"""
+
   val CmsDepth = 4 // independent hash rows
   val CmsHexChars = 2 // 256 buckets per row
   val CmsReportK = 30 // tokens whose estimates the query reports
@@ -1053,6 +1078,10 @@ object Corpus {
     QueryDef("q116_cms_counts",
       (s, d) => cmsCounts(s, d),
       Some(cmsCountsSql())),
+
+    QueryDef("q117_tokenizer_fertility",
+      (s, d) => tokenizerFertility(s, d),
+      Some(tokenizerFertilitySql())),
 
     QueryDef("q112_length_histogram",
       (s, d) => lengthHistogram(s, d),

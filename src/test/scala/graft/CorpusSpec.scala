@@ -169,6 +169,25 @@ class CorpusSpec extends AnyFunSuite {
     assert(viaApi == expect)
   }
 
+  test("q117 tokenizer fertility reconciles with the q110 per-doc encode") {
+    val perDoc = Corpus.bpeEncode(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_ws_tokens"), r.getAs[Long]("n_bpe_tokens")))).toMap
+    val srcOf = docs.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("source")).toMap
+    val expect = perDoc.groupBy { case (id, _) => srcOf(id) }.map { case (s, m) =>
+      val ws = m.values.map(_._1).sum; val bpe = m.values.map(_._2).sum
+      s -> ((m.size.toLong, ws, bpe, bpe.toDouble / ws))
+    }
+    val got = Corpus.tokenizerFertility(spark, dir).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_ws"),
+          r.getAs[Long]("n_bpe"), r.getAs[Double]("fertility")))).toMap
+    assert(got == expect)
+    // merges compress: fertility is below the character-split ceiling and >= 1
+    got.values.foreach { case (_, _, _, f) => assert(f >= 1.0) }
+  }
+
   test("q116 cms counts: estimates match driver-built sketch, never undercount") {
     def md5hex(s: String): String =
       java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))

@@ -122,6 +122,32 @@ class PlanSpec extends AnyFunSuite {
       "the totw scan must prune to the source column only")
   }
 
+  test("q114: pmi top-k is TakeOrderedAndProject over partial aggs, no window") {
+    val p = plan("q114_pmi_collocations")
+    assert(p.contains("TakeOrderedAndProject"), "top-k must not global-sort")
+    assert(!p.contains("Window"), "ranking is ORDER BY + LIMIT, not a window")
+    assert(!p.contains("CartesianProduct") ||
+      p.contains("BroadcastNestedLoopJoin"), // the 1-row n_total broadcast
+      "only the broadcast scalar may cross-join")
+  }
+
+  test("q115: phrase search probes a broadcast one-row phrase table") {
+    val p = plan("q115_phrase_search")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      "the derived phrase must broadcast into the hit scan")
+    assert(!p.contains("Window") && !p.contains("SortMergeJoin"),
+      "no window, no shuffled join for a one-row probe")
+  }
+
+  test("q116: cms sketch build is a map-side-combined bounded aggregate") {
+    val p = plan("q116_cms_counts")
+    // partial HashAggregates before both exchanges: the sketch merge IS
+    // the combine; nothing vocabulary-sized may cross unreduced
+    assert("HashAggregate".r.findAllIn(p).size >= 4, "sketch + top-k must partial-agg")
+    assert(p.contains("TakeOrderedAndProject"), "exact top-k must not global-sort")
+    assert(!p.contains("Window"), "no window anywhere in the sketch path")
+  }
+
   test("q111: dsir scoring joins the 4096-bucket table, no window, no nested loop") {
     val p = plan("q111_dsir_weights")
     // the distribution join is keyed on the hashed bucket — 4096 rows,
