@@ -281,6 +281,70 @@ object Corpus {
       FROM enc JOIN documents USING (doc_id)
       GROUP BY source"""
 
+  val DiversityNgram = 4 // n-gram order for the diversity report
+
+  /** N-gram diversity report (q118): per-source distinct-4-gram ratio —
+    * the corpus-level diversity measurement (the distinct-n-grams side
+    * of self-BLEU) that catches template/synthetic text whose documents
+    * pass per-doc quality but repeat each other. `distinct_ratio` near 1
+    * = healthy variety; low = boilerplate or generator collapse. Also
+    * reports the top n-gram's share (`top_share`) — the q56 heavy-hitter
+    * question asked of phrases.
+    *
+    * All-integer counts; two double divisions per source at the end on
+    * exact operands. Shape at scale: occurrences collapse map-side to
+    * (source, gram) rows — the only corpus-sized exchange; the rollup
+    * and the max are (source)-keyed off those rows (q98 read-once). */
+  def ngramDiversity(spark: SparkSession, dir: String,
+      n: Int = DiversityNgram): DataFrame = {
+    val grams = t(spark, dir, "documents")
+      .select(col("source"), split(col("text"), " ").as("toks"))
+      .select(col("source"), explode(expr(
+        s"""CASE WHEN size(toks) < $n THEN array()
+           ELSE transform(sequence(1, size(toks) - ${n - 1}),
+             i -> concat_ws(' ', ${(0 until n).map(j => s"toks[i + ${j - 1}]").mkString(", ")})) END"""))
+        .as("g"))
+      .groupBy("source", "g").agg(count(lit(1)).as("cnt"))
+    grams.groupBy("source")
+      .agg(count(lit(1)).as("n_distinct"), sum("cnt").as("n_total"),
+        max("cnt").as("top_cnt"))
+      .withColumn("distinct_ratio",
+        col("n_distinct").cast("double") / col("n_total").cast("double"))
+      .withColumn("top_share",
+        col("top_cnt").cast("double") / col("n_total").cast("double"))
+  }
+
+  def ngramDiversitySql(n: Int = DiversityNgram): String =
+    s"""WITH tk AS (SELECT source, string_split(text, ' ') AS toks FROM documents),
+      gr AS (SELECT source, ${(0 until n).map(j => s"toks[i + $j]").mkString(" || ' ' || ")} AS g
+             FROM (SELECT source, toks, unnest(range(1, len(toks) - ${n - 2})) AS i FROM tk)),
+      c AS (SELECT source, g, count(*) AS cnt FROM gr GROUP BY 1, 2)
+      SELECT source, count(*) AS n_distinct, CAST(sum(cnt) AS BIGINT) AS n_total,
+        CAST(max(cnt) AS BIGINT) AS top_cnt,
+        CAST(count(*) AS DOUBLE) / CAST(sum(cnt) AS BIGINT) AS distinct_ratio,
+        CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS BIGINT) AS top_share
+      FROM c GROUP BY source"""
+
+  /** Frequency-of-frequency histogram (q119): how many distinct tokens
+    * occur k times, k in power-of-two bands — the Zipf/vocabulary-health
+    * diagnostic behind OOV planning and Good–Turing smoothing (N_k
+    * counts). Uses q112's binary-digit-count bucket (no float log).
+    * Shape: vocabulary rollup (the only corpus-sized exchange), then a
+    * ~40-bucket rollup — both map-side combined. */
+  def freqOfFreq(spark: SparkSession, dir: String): DataFrame =
+    tokenStream(t(spark, dir, "documents"))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+      .withColumn("freq_bucket", length(expr("bin(cnt)")).cast("long"))
+      .groupBy("freq_bucket")
+      .agg(count(lit(1)).as("n_terms"), sum("cnt").as("n_occurrences"))
+
+  val freqOfFreqSql: String =
+    """WITH c AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+      v AS (SELECT term, count(*) AS cnt FROM c GROUP BY 1)
+      SELECT CAST(length(bin(cnt)) AS BIGINT) AS freq_bucket,
+        count(*) AS n_terms, CAST(sum(cnt) AS BIGINT) AS n_occurrences
+      FROM v GROUP BY 1"""
+
   val CmsDepth = 4 // independent hash rows
   val CmsHexChars = 2 // 256 buckets per row
   val CmsReportK = 30 // tokens whose estimates the query reports
@@ -1082,6 +1146,14 @@ object Corpus {
     QueryDef("q117_tokenizer_fertility",
       (s, d) => tokenizerFertility(s, d),
       Some(tokenizerFertilitySql())),
+
+    QueryDef("q118_ngram_diversity",
+      (s, d) => ngramDiversity(s, d),
+      Some(ngramDiversitySql())),
+
+    QueryDef("q119_freq_of_freq",
+      (s, d) => freqOfFreq(s, d),
+      Some(freqOfFreqSql)),
 
     QueryDef("q112_length_histogram",
       (s, d) => lengthHistogram(s, d),

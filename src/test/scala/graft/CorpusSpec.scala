@@ -188,6 +188,41 @@ class CorpusSpec extends AnyFunSuite {
     got.values.foreach { case (_, _, _, f) => assert(f >= 1.0) }
   }
 
+  test("q118 ngram diversity == driver recompute; ratios bounded") {
+    val n = Corpus.DiversityNgram
+    val rows = docs.collect().map(r => (r.getAs[String]("source"), r.getAs[String]("text")))
+    val grams = rows.flatMap { case (s, t) =>
+      val w = t.split(" ")
+      if (w.length < n) Seq.empty
+      else (0 to w.length - n).map(i => (s, w.slice(i, i + n).mkString(" ")))
+    }
+    val expect = grams.groupBy(_._1).map { case (s, gs) =>
+      val byGram = gs.groupBy(_._2).view.mapValues(_.size.toLong)
+      s -> ((byGram.size.toLong, gs.size.toLong, byGram.values.max))
+    }
+    val got = Corpus.ngramDiversity(spark, dir).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_distinct"), r.getAs[Long]("n_total"), r.getAs[Long]("top_cnt")))).toMap
+    assert(got == expect)
+    Corpus.ngramDiversity(spark, dir).collect().foreach { r =>
+      val (dr, ts) = (r.getAs[Double]("distinct_ratio"), r.getAs[Double]("top_share"))
+      assert(dr > 0.0 && dr <= 1.0 && ts > 0.0 && ts <= 1.0)
+    }
+  }
+
+  test("q119 freq-of-freq: buckets partition the vocabulary; occurrences conserve") {
+    val toks = docs.collect().flatMap(_.getAs[String]("text").split(" "))
+    val cnt = toks.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val expect = cnt.values.groupBy(c => 64 - java.lang.Long.numberOfLeadingZeros(c))
+      .map { case (b, cs) => b.toLong -> ((cs.size.toLong, cs.sum)) }
+    val got = Corpus.freqOfFreq(spark, dir).collect()
+      .map(r => r.getAs[Long]("freq_bucket") ->
+        ((r.getAs[Long]("n_terms"), r.getAs[Long]("n_occurrences")))).toMap
+    assert(got == expect)
+    assert(got.values.map(_._1).sum == cnt.size.toLong) // vocabulary partitioned
+    assert(got.values.map(_._2).sum == toks.length.toLong) // occurrences conserved
+  }
+
   test("q116 cms counts: estimates match driver-built sketch, never undercount") {
     def md5hex(s: String): String =
       java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
