@@ -483,6 +483,45 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming near-dedup: a replayed batch ignores its own partial state writes") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    import graft.ops.Dedup
+    import graft.streaming.CorpusStream
+    val text = (1 to 30).map(i => s"r$i").mkString(" ")
+    val out = java.nio.file.Files.createTempDirectory("replay-out").toString
+    val state = java.nio.file.Files.createTempDirectory("replay-state").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("replay-ckpt").toString
+    // simulate a crash AFTER batch 0 wrote its state but BEFORE the
+    // checkpoint committed: plant doc 1's own band keys and shingles
+    // under batch_id=0 (attributed to a bogus rep) — on replay, batch 0
+    // must NOT drop doc 1 against them (batch_id < 0 prunes everything)
+    val one = Seq((1L, "s", text)).toDF("doc_id", "source", "text")
+    val sh = Dedup.shingled(one).withColumn("sorted", sort_array(col("grams")))
+      .withColumn("n", size(col("grams")).cast("long"))
+    sh.select(explode(expr(
+        s"minhash_bands(grams, ${Dedup.NumHashes}, ${Dedup.Rows})")).as("bkey"),
+        lit(999L).as("rep_id"))
+      .write.parquet(s"$state/bands/batch_id=0")
+    sh.select(lit(999L).as("rep_id"), col("sorted").as("gb"), col("n").as("nb"))
+      .write.parquet(s"$state/grams/batch_id=0")
+    val mem = MemoryStream[(Long, String, String)]
+    val q = CorpusStream.dedupeNearToShards(
+      mem.toDF().toDF("doc_id", "source", "text"), state, out, ckpt, 0.8)
+    try {
+      mem.addData((1L, "s", text))
+      q.processAllAvailable()
+      val b0 = spark.read.parquet(s"$out/batch_id=0")
+        .select("doc_id").collect().map(_.getLong(0)).toSeq
+      assert(b0 == Seq(1L), s"replayed batch dropped its own doc: $b0")
+      // the replay overwrote the planted partial state with the real one
+      val reps = spark.read.parquet(s"$state/bands")
+        .select("rep_id").distinct().collect().map(_.getLong(0)).toSeq
+      assert(reps == Seq(1L), s"partial state survived the replay: $reps")
+    } finally q.stop()
+  }
+
   test("live dataset card equals the batch card on the same corpus") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
