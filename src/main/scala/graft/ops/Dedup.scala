@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.queries.QueryDef
@@ -609,6 +609,64 @@ object Dedup {
     labels
   }
 
+  /** Per-source near-dup rate report (q120): the NEAR-dup line a dataset
+    * card should carry next to its exact-dup rate (q105 only counts
+    * byte-identical text) — for each source, how many of its documents
+    * sit in a verified near-dup pair (Jaccard ≥ t), split into
+    * within-source and cross-source involvement. Cross-source dups are a
+    * distinct signal (syndication/mirroring between providers) from
+    * within-source ones (crawler revisits, boilerplate).
+    *
+    * Composition: [[minhashLshPairs]] verbatim for pairs; docs touch the
+    * pair set via one explode + source join; rollup is source-keyed.
+    * Output is source-cardinality; the pair mine dominates (and its
+    * SCALE.md lesson-1 caveat applies unchanged — run [[exact]] first on
+    * duplicate-heavy corpora). */
+  def nearDupRates(spark: SparkSession, dir: String,
+      threshold: Double = 0.8): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val src = docs.select(col("doc_id"), col("source"))
+    val pairs = minhashLshPairs(docs, threshold)
+      .join(src.select(col("doc_id").as("id_a"), col("source").as("src_a")), "id_a")
+      .join(src.select(col("doc_id").as("id_b"), col("source").as("src_b")), "id_b")
+    val involved = pairs
+      .select(explode(array(
+        struct(col("id_a").as("doc_id"), (col("src_a") === col("src_b")).as("within")),
+        struct(col("id_b").as("doc_id"), (col("src_a") === col("src_b")).as("within")))).as("e"))
+      .select(col("e.doc_id").as("doc_id"), col("e.within").as("within"))
+      .groupBy("doc_id")
+      .agg(max(when(col("within"), 1L).otherwise(0L)).as("has_within"),
+        max(when(!col("within"), 1L).otherwise(0L)).as("has_cross"))
+    src.join(involved, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("has_within", "has_cross"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("has_within").as("n_within_dup"), sum("has_cross").as("n_cross_dup"))
+      .withColumn("within_rate", col("n_within_dup").cast("double") / col("n_docs"))
+      .withColumn("cross_rate", col("n_cross_dup").cast("double") / col("n_docs"))
+  }
+
+  def nearDupRatesSql(threshold: Double = 0.8): String =
+    s"""WITH $minhashPairsCtes,
+      p AS (SELECT v.id_a, v.id_b, da.source AS src_a, db.source AS src_b
+            FROM verified v
+            JOIN documents da ON v.id_a = da.doc_id
+            JOIN documents db ON v.id_b = db.doc_id
+            WHERE v.jaccard >= $threshold),
+      inv AS (SELECT doc_id, MAX(CASE WHEN within THEN 1 ELSE 0 END) AS has_within,
+                MAX(CASE WHEN within THEN 0 ELSE 1 END) AS has_cross
+              FROM (SELECT id_a AS doc_id, src_a = src_b AS within FROM p
+                    UNION ALL
+                    SELECT id_b AS doc_id, src_a = src_b AS within FROM p)
+              GROUP BY doc_id)
+      SELECT d.source, count(*) AS n_docs,
+        CAST(SUM(COALESCE(has_within, 0)) AS BIGINT) AS n_within_dup,
+        CAST(SUM(COALESCE(has_cross, 0)) AS BIGINT) AS n_cross_dup,
+        CAST(SUM(COALESCE(has_within, 0)) AS DOUBLE) / count(*) AS within_rate,
+        CAST(SUM(COALESCE(has_cross, 0)) AS DOUBLE) / count(*) AS cross_rate
+      FROM documents d LEFT JOIN inv ON d.doc_id = inv.doc_id
+      GROUP BY d.source"""
+
   /** q42's oracle CTE chain ending in `verified` (id_a, id_b, jaccard) —
     * shared by the pair query and the cluster query built on it. */
   private def minhashPairsCtes: String = {
@@ -705,6 +763,10 @@ object Dedup {
     QueryDef("q100_source_overlap",
       (s, d) => sourceOverlap(t(s, d, "documents")),
       Some(sourceOverlapSql(SpanWidth))),
+
+    QueryDef("q120_near_dup_rates",
+      (s, d) => nearDupRates(s, d),
+      Some(nearDupRatesSql())),
 
     QueryDef("q88_decontaminate_reps",
       (s, d) => decontaminate(t(s, d, "documents"), 0.8, dedupFirst = true),

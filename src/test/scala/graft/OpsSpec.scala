@@ -402,6 +402,29 @@ class OpsSpec extends AnyFunSuite {
     assert(got.values.map(_._2).toSet.size > 1)
   }
 
+  test("q120 near-dup rates reconcile with the q42 pair mine") {
+    import graft.ops.Dedup
+    val srcOf = docs.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("source")).toMap
+    val pairs = Dedup.minhashLshPairs(docs, 0.8).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+    val within = pairs.filter { case (a, b) => srcOf(a) == srcOf(b) }
+      .flatMap { case (a, b) => Seq(a, b) }.toSet
+    val cross = pairs.filter { case (a, b) => srcOf(a) != srcOf(b) }
+      .flatMap { case (a, b) => Seq(a, b) }.toSet
+    val expect = srcOf.groupBy(_._2).map { case (s, m) =>
+      val ids = m.keySet
+      s -> ((ids.size.toLong, (ids & within).size.toLong, (ids & cross).size.toLong))
+    }
+    val got = Dedup.nearDupRates(spark, dir).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_within_dup"),
+          r.getAs[Long]("n_cross_dup")))).toMap
+    assert(got == expect)
+    // the planted near-dup runs make the report non-degenerate
+    assert(got.values.exists(v => v._2 + v._3 > 0))
+  }
+
   test("q111 dsir weights == driver recompute of smoothed bucket likelihood ratios") {
     def md5b(s: String): String =
       java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
