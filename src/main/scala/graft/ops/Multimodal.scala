@@ -21,6 +21,9 @@ case class FrameSample(doc_id: Long, frame_idx: Long, frame_off: Long, frame_len
 case class MediaResized(doc_id: Long, orig_len: Long, new_len: Long,
     width: Int, height: Int, resized_md5: String)
 
+/** One asset's perceptual hash (aHash bit string). */
+case class MediaHash(doc_id: Long, ahash: String)
+
 /** Multimodal columns (★ SURVEY §2c): binary payloads with typed
   * metadata, decoded/feature-extracted in batch over `mapPartitions` —
   * the Scala analog of a Pandas-UDF/`mapInPandas` stage: typed rows in,
@@ -116,6 +119,119 @@ object Multimodal {
     }
   }
 
+  val AHashCells = 64
+  // 4 bands × 16 bits: pigeonhole guarantees recall for hamming ≤ 3.
+  // Band width is a candidate-volume knob: 8-bit bands (hamming ≤ 7)
+  // have only 256 key values per position, and perceptual hashes of a
+  // homogeneous corpus cluster — measured 55 s at sf0.1 from bucket
+  // blowup; 16-bit bands cut candidates ~256× for a tighter threshold.
+  val AHashBands = 4
+  val AHashMaxHamming = 3
+
+  /** Average-hash (aHash) of one asset — the published perceptual-hash
+    * recipe (downscale to an 8×8 grid, threshold each cell against the
+    * global mean) applied at the same stubbed decode boundary as
+    * [[decodeStub]]: cells are contiguous byte ranges of the payload
+    * standing in for pixel blocks. The threshold is the cross-multiplied
+    * integer comparison `cell_sum · n_total > total_sum · cell_n`
+    * (strict) — no division, exact in both engines. Emitted as a bit
+    * STRING (cells with no bytes in sub-64-byte payloads are simply
+    * absent — both engines build from the same cell set). */
+  def aHashStub(r: MediaRecord): MediaHash = {
+    val n = r.media.length
+    val sums = new Array[Long](AHashCells)
+    val cnts = new Array[Long](AHashCells)
+    var total = 0L
+    var i = 0
+    while (i < n) {
+      val c = (i.toLong * AHashCells / n).toInt
+      val v = (r.media(i) & 0xff).toLong
+      sums(c) += v; cnts(c) += 1; total += v
+      i += 1
+    }
+    val sb = new StringBuilder
+    var c = 0
+    while (c < AHashCells) {
+      if (cnts(c) > 0) sb.append(if (sums(c) * n > total * cnts(c)) '1' else '0')
+      c += 1
+    }
+    MediaHash(r.doc_id, sb.toString)
+  }
+
+  def imageHashes(media: Dataset[MediaRecord]): Dataset[MediaHash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(aHashStub))
+  }
+
+  /** Perceptual near-dup pairs over media payloads (q121): aHash +
+    * pigeonhole banding + exact Hamming verify ≤ [[AHashMaxHamming]] —
+    * [[graft.ops.Dedup.simhashPairs]]'s shape applied to the multimodal
+    * column (image dedup is a first-class 100 TB training-data stage).
+    * Bands are 16-bit substrings; hamming ≤ [[AHashMaxHamming]] = 3 < 4
+    * bands forces a band collision, so candidate recall is exact at the
+    * shipped threshold. The verify is a codegen'd per-pair bit
+    * comparison; candidates only, never all pairs. */
+  def imageNearDups(spark: SparkSession, dir: String,
+      maxHamming: Int = AHashMaxHamming): DataFrame =
+    imageNearDupsOn(t(spark, dir, "documents"), maxHamming)
+
+  /** Frame-level variant: SCALE.md lesson 1 applies verbatim — byte-
+    * identical payloads share an aHash, so a duplicate-heavy corpus must
+    * collapse exact dups ([[graft.ops.Dedup.exact]]) BEFORE perceptual
+    * pair mining, or the band self-join's output is quadratic in the
+    * duplicate-group size (measured: the 10× replicated corpus runs
+    * >600 s naive vs seconds on representatives). */
+  def imageNearDupsOn(docs: DataFrame,
+      maxHamming: Int = AHashMaxHamming): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val w = AHashCells / AHashBands
+    val hashes = imageHashes(attachMedia(docs).as[MediaRecord])
+      .toDF().localCheckpoint() // feeds bands AND both verify sides
+    val bands = hashes.select(col("doc_id"), col("ahash"),
+      explode(expr((0 until AHashBands)
+        .map(b => s"concat('$b:', substr(ahash, ${b * w + 1}, $w))")
+        .mkString("array(", ", ", ")"))).as("bkey"))
+    bands.as("a").join(bands.as("b"),
+        col("a.bkey") === col("b.bkey") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.ahash").as("ha"), col("b.ahash").as("hb"))
+      .distinct()
+      .withColumn("hamming", expr(
+        s"""size(filter(sequence(1, least(length(ha), length(hb))),
+             i -> substr(ha, i, 1) != substr(hb, i, 1)))""").cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  def imageNearDupsSql(maxHamming: Int = AHashMaxHamming): String = {
+    val w = AHashCells / AHashBands
+    s"""WITH b AS (SELECT doc_id, text, length(text) AS n FROM documents),
+      cells AS (SELECT doc_id, (i - 1) * $AHashCells // n AS c,
+                  ascii(substr(text, CAST(i AS INT), 1)) AS v
+                FROM (SELECT doc_id, text, n, unnest(range(1, n + 1)) AS i FROM b)),
+      agg AS (SELECT doc_id, c, SUM(v) AS s, COUNT(*) AS k FROM cells GROUP BY 1, 2),
+      tot AS (SELECT doc_id, CAST(SUM(s) AS BIGINT) AS ts,
+                CAST(SUM(k) AS BIGINT) AS tn FROM agg GROUP BY 1),
+      hash AS (SELECT doc_id,
+                 string_agg(CASE WHEN s * tn > ts * k THEN '1' ELSE '0' END,
+                   '' ORDER BY c) AS ahash
+               FROM agg JOIN tot USING (doc_id) GROUP BY doc_id),
+      bands AS (SELECT doc_id, ahash, CAST(bb AS VARCHAR) || ':' ||
+                  substr(ahash, CAST(bb * $w + 1 AS INT), $w) AS bkey
+                FROM hash, range(0, $AHashBands) t(bb)),
+      cand AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b,
+                 a.ahash AS ha, b2.ahash AS hb
+               FROM bands a JOIN bands b2
+                 ON a.bkey = b2.bkey AND a.doc_id < b2.doc_id)
+      SELECT id_a, id_b,
+        CAST(len(list_filter(range(1, least(length(ha), length(hb)) + 1),
+          i -> substr(ha, CAST(i AS INT), 1) != substr(hb, CAST(i AS INT), 1))) AS BIGINT) AS hamming
+      FROM cand
+      WHERE len(list_filter(range(1, least(length(ha), length(hb)) + 1),
+        i -> substr(ha, CAST(i AS INT), 1) != substr(hb, CAST(i AS INT), 1))) <= $maxHamming"""
+  }
+
   /** Full pipeline on documents, histogram exploded to rows so results
     * stay flat for the oracle. */
   def mediaPipeline(spark: SparkSession, dir: String): DataFrame = {
@@ -187,6 +303,10 @@ object Multimodal {
           md5(array_to_string(list_transform(
             generate_series(1, length(text), $ResizeFactor),
             i -> substr(text, CAST(i AS INT), 1)), '')) AS resized_md5
-        FROM documents"""))
+        FROM documents""")),
+
+    QueryDef("q121_image_near_dups",
+      (s, d) => imageNearDups(s, d),
+      Some(imageNearDupsSql()))
   )
 }

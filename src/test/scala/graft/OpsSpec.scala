@@ -682,6 +682,43 @@ class OpsSpec extends AnyFunSuite {
     assert(got.forall(r => keepIds(r._1)))
   }
 
+  test("q121 image near-dups: pairs == brute-force hamming over driver-built aHashes") {
+    import spark.implicits._
+    def ahash(bytes: Array[Byte]): String = {
+      val n = bytes.length
+      val sums = new Array[Long](Multimodal.AHashCells)
+      val cnts = new Array[Long](Multimodal.AHashCells)
+      var total = 0L
+      bytes.zipWithIndex.foreach { case (b, i) =>
+        val c = (i.toLong * Multimodal.AHashCells / n).toInt
+        val v = (b & 0xff).toLong
+        sums(c) += v; cnts(c) += 1; total += v
+      }
+      (0 until Multimodal.AHashCells).collect {
+        case c if cnts(c) > 0 => if (sums(c) * n > total * cnts(c)) '1' else '0'
+      }.mkString
+    }
+    def hamming(a: String, b: String): Long =
+      a.zip(b).count { case (x, y) => x != y }.toLong
+    val hs = docs.collect().map(r =>
+      r.getAs[Long]("doc_id") -> ahash(r.getAs[String]("text").getBytes("UTF-8"))).toMap
+    // engine hashes must equal the driver recompute exactly
+    val engineHs = Multimodal.imageHashes(
+      Multimodal.attachMedia(docs).as[MediaRecord]).collect()
+      .map(h => h.doc_id -> h.ahash).toMap
+    assert(engineHs == hs)
+    // pairs: brute force — banding must lose nothing at hamming <= 6 < 8 bands
+    val expect = (for {
+      a <- hs.keys; b <- hs.keys if a < b
+      h = hamming(hs(a), hs(b)) if h <= Multimodal.AHashMaxHamming
+    } yield (a, b) -> h).toMap
+    val got = Multimodal.imageNearDups(spark, dir).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        r.getAs[Long]("hamming")).toMap
+    assert(got == expect)
+    assert(got.nonEmpty, "planted near-dup texts must collide perceptually")
+  }
+
   test("q83 frame sampling: stride selection, offsets, and tail truncation") {
     import spark.implicits._
     val frames = Multimodal.sampleFrames(
