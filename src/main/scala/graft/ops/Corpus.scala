@@ -256,6 +256,75 @@ object Corpus {
       FROM tf JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
       GROUP BY doc_id"""
 
+  val RrfConst = 60L // the published reciprocal-rank-fusion constant
+  val RrfPoolK = 50 // per-channel candidate pool
+  val RrfTopK = 10
+  val RrfScale = 1000000L
+
+  /** Hybrid retrieval with reciprocal-rank fusion (q123, Cormack et al.
+    * 2009) — the modern RAG pattern: a sparse channel (BM25 over the
+    * fixed term query, q64's scorer verbatim) and a dense channel
+    * (integer-quantized cosine against the corpus's min-vec_id query
+    * embedding, the q45 discipline) each contribute their top-50 pool,
+    * and documents are fused by `Σ RrfScale div (60 + rank)` — RRF's
+    * 1/(k+rank) quantized to an exact integer, so the fused ORDER BY
+    * never touches a float and both engines agree bit-for-bit. Rank ties
+    * inside each channel break on doc_id; the query vector itself is
+    * excluded from its channel.
+    *
+    * Shape at scale: each channel is its existing operator's plan (BM25:
+    * broadcast stats + TakeOrderedAndProject; dense: broadcast 1-row
+    * query + TakeOrderedAndProject); fusion is a full-outer join of two
+    * ≤50-row frames — driver-trivial, executor-bounded. The rank
+    * windows run over ≤ pool-size rows, never the corpus. */
+  def hybridSearch(spark: SparkSession, dir: String): DataFrame = {
+    val sparse = bm25TopK(spark, dir, Bm25Terms, RrfPoolK)
+      .withColumn("r_sparse", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id").asc)))
+      .select("doc_id", "r_sparse")
+    val q = Similarity.quantized(spark, dir)
+    val minId = q.agg(min("vec_id")).head().getLong(0) // 1-row driver scalar
+    val qvec = broadcast(q.filter(col("vec_id") === minId)
+      .select(col("qv").as("qq"), col("nrm").as("nq")))
+    val dense = q.filter(col("vec_id") =!= minId).crossJoin(qvec)
+      .withColumn("sim", expr("CAST(quantized_dot(qv, qq) AS DOUBLE)") /
+        (sqrt(col("nrm").cast("double")) * sqrt(col("nq").cast("double"))))
+      .orderBy(col("sim").desc, col("vec_id").asc).limit(RrfPoolK)
+      .withColumn("r_dense", row_number().over(
+        Window.orderBy(col("sim").desc, col("vec_id").asc)))
+      .select(col("vec_id").as("doc_id"), col("r_dense"))
+    sparse.join(dense, Seq("doc_id"), "full_outer")
+      .withColumn("rrf_q",
+        coalesce(expr(s"$RrfScale div ($RrfConst + r_sparse)"), lit(0L)) +
+          coalesce(expr(s"$RrfScale div ($RrfConst + r_dense)"), lit(0L)))
+      .orderBy(col("rrf_q").desc, col("doc_id").asc).limit(RrfTopK)
+      .select("doc_id", "r_sparse", "r_dense", "rrf_q")
+  }
+
+  def hybridSearchSql: String =
+    s"""WITH sp AS (${bm25Sql(Bm25Terms, RrfPoolK)}),
+      spr AS (SELECT doc_id,
+                CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS r_sparse
+              FROM sp),
+      qv AS (SELECT vec_id, ${Similarity.quantSql} AS qv FROM embeddings),
+      nn AS (SELECT vec_id, qv, list_sum(list_transform(qv, x -> x * x)) AS nrm FROM qv),
+      mq AS (SELECT min(vec_id) AS mid FROM embeddings),
+      qq AS (SELECT qv AS qq, nrm AS nq FROM nn WHERE vec_id = (SELECT mid FROM mq)),
+      ds AS (SELECT vec_id,
+               CAST(list_sum(list_transform(range(1, len(qv) + 1),
+                 i -> qv[i] * qq[i])) AS DOUBLE)
+                 / (sqrt(CAST(nrm AS DOUBLE)) * sqrt(CAST(nq AS DOUBLE))) AS sim
+             FROM nn CROSS JOIN qq WHERE vec_id <> (SELECT mid FROM mq)),
+      dp AS (SELECT vec_id, sim FROM ds ORDER BY sim DESC, vec_id LIMIT $RrfPoolK),
+      dr AS (SELECT vec_id AS doc_id,
+               CAST(row_number() OVER (ORDER BY sim DESC, vec_id) AS INT) AS r_dense
+             FROM dp)
+      SELECT COALESCE(spr.doc_id, dr.doc_id) AS doc_id, r_sparse, r_dense,
+        CAST(COALESCE($RrfScale // ($RrfConst + r_sparse), 0)
+           + COALESCE($RrfScale // ($RrfConst + r_dense), 0) AS BIGINT) AS rrf_q
+      FROM spr FULL OUTER JOIN dr ON spr.doc_id = dr.doc_id
+      ORDER BY rrf_q DESC, doc_id LIMIT $RrfTopK"""
+
   /** Tokenizer fertility report (q117): per-source mean BPE tokens per
     * whitespace word under the trained tokenizer — THE metric a tokenizer
     * release ships with (fertility ≈ 1 means the vocabulary fits the
@@ -1154,6 +1223,10 @@ object Corpus {
     QueryDef("q119_freq_of_freq",
       (s, d) => freqOfFreq(s, d),
       Some(freqOfFreqSql)),
+
+    QueryDef("q123_hybrid_search",
+      (s, d) => hybridSearch(s, d),
+      Some(hybridSearchSql)),
 
     QueryDef("q112_length_histogram",
       (s, d) => lengthHistogram(s, d),

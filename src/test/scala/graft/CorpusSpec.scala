@@ -367,6 +367,36 @@ class CorpusSpec extends AnyFunSuite {
     assert(c.map(_.getAs[Long]("n_vecs")).sum == total)
   }
 
+  test("q123 hybrid search: rrf fusion reconciles with its two channels") {
+    import graft.ops.Similarity
+    val sparse = Corpus.bm25TopK(spark, dir, Corpus.Bm25Terms, Corpus.RrfPoolK).collect()
+      .sortBy(r => (-r.getAs[Double]("score"), r.getAs[Long]("doc_id")))
+      .map(_.getAs[Long]("doc_id")).zipWithIndex.map { case (id, i) => id -> (i + 1) }.toMap
+    val q = Similarity.quantized(spark, dir)
+      .select("vec_id", "qv", "nrm").collect()
+      .map(r => (r.getAs[Long]("vec_id"),
+        r.getAs[scala.collection.Seq[Long]]("qv").toArray, r.getAs[Long]("nrm")))
+    val minId = q.map(_._1).min
+    val (_, qq, nq) = q.find(_._1 == minId).get
+    val dense = q.filter(_._1 != minId).map { case (id, qv, nrm) =>
+      val dot = qv.zip(qq).map { case (a, b) => a * b }.sum
+      id -> dot.toDouble / (math.sqrt(nrm.toDouble) * math.sqrt(nq.toDouble))
+    }.sortBy { case (id, sim) => (-sim, id) }.take(Corpus.RrfPoolK)
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1) }.toMap
+    def rrf(id: Long): Long =
+      sparse.get(id).map(r => Corpus.RrfScale / (Corpus.RrfConst + r)).getOrElse(0L) +
+        dense.get(id).map(r => Corpus.RrfScale / (Corpus.RrfConst + r)).getOrElse(0L)
+    val expect = (sparse.keySet ++ dense.keySet).toSeq
+      .map(id => (id, rrf(id))).sortBy { case (id, s) => (-s, id) }
+      .take(Corpus.RrfTopK).toMap
+    val got = Corpus.hybridSearch(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("rrf_q")).toMap
+    assert(got == expect)
+    // fusion must actually mix: the top-10 draws from both channels
+    val gotIds = got.keySet
+    assert(gotIds.exists(sparse.contains) && gotIds.exists(dense.contains))
+  }
+
   test("q122 label outliers: bottom-k per label matches driver recompute") {
     import graft.ops.Similarity
     val vecs = spark.read.parquet(s"$dir/embeddings.parquet").collect()
