@@ -122,6 +122,25 @@ class PlanSpec extends AnyFunSuite {
       "the totw scan must prune to the source column only")
   }
 
+  test("q122: outlier rank filter plans as WindowGroupLimit with broadcast centroids") {
+    val p = plan("q122_label_outliers")
+    // rank <= k must cap per-partition BEFORE the label exchange — the
+    // q68 gate: without it the window sorts every label's full membership
+    assert(p.contains("WindowGroupLimit"), "bottom-k must pre-shuffle cap")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      "label centroids are label-cardinality and must broadcast")
+  }
+
+  test("q123: hybrid fusion keeps both channels bounded, no corpus-sized window") {
+    val p = plan("q123_hybrid_search")
+    assert(p.contains("TakeOrderedAndProject"), "channel pools must be top-k, not global sorts")
+    // the only Window operators run over <= pool-size rows AFTER a limit;
+    // a window directly above a corpus-sized scan would show no limit
+    assert(p.contains("BroadcastExchange"), "stats/query-vector sides must broadcast")
+    assert(!p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"),
+      "only broadcast scalar cross-joins allowed")
+  }
+
   test("q114: pmi top-k is TakeOrderedAndProject over partial aggs, no window") {
     val p = plan("q114_pmi_collocations")
     assert(p.contains("TakeOrderedAndProject"), "top-k must not global-sort")
