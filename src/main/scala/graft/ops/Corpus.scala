@@ -494,7 +494,10 @@ object Corpus {
     * product widens exactly: Spark DECIMAL(38,0), DuckDB HUGEINT — a
     * petatoken corpus's c12·N·1e6 is ~1e38, right at the wide-decimal
     * edge, so the engine keeps the corpus-size factor inside the
-    * quantizer rather than multiplying it back later. Ties break on the
+    * quantizer rather than multiplying it back later. The DENOMINATOR
+    * widens the same way (c1a cast before the multiply): two ~3e9-count
+    * words would overflow a BIGINT product long before the numerator
+    * headroom runs out, and silently in Spark's non-ANSI mode. Ties break on the
     * pair text. Support floor `c12 ≥ PmiMinCount` applies before
     * ranking (textbook practice — df-1 pairs are noise).
     *
@@ -518,7 +521,8 @@ object Corpus {
     c12.filter(col("c12") >= minCount)
       .join(left, "w1").join(right, "w2").crossJoin(broadcast(n))
       .withColumn("pmi_q", expr(
-        s"(CAST(c12 AS DECIMAL(38,0)) * n_total * ${LmScale}L) div (c1a * c1b)"))
+        s"(CAST(c12 AS DECIMAL(38,0)) * n_total * ${LmScale}L)" +
+          " div (CAST(c1a AS DECIMAL(38,0)) * c1b)"))
       .select(col("w1"), col("w2"), col("c12"), col("pmi_q"))
       .orderBy(col("pmi_q").desc, col("w1"), col("w2"))
       .limit(k)
@@ -533,7 +537,7 @@ object Corpus {
       r AS (SELECT w2, CAST(SUM(c12) AS BIGINT) AS c1b FROM c12 GROUP BY 1),
       n AS (SELECT CAST(SUM(c12) AS BIGINT) AS n_total FROM c12)
       SELECT w1, w2, CAST(c12 AS BIGINT) AS c12,
-        CAST((CAST(c12 AS HUGEINT) * n_total * $LmScale) // (c1a * c1b) AS BIGINT) AS pmi_q
+        CAST((CAST(c12 AS HUGEINT) * n_total * $LmScale) // (CAST(c1a AS HUGEINT) * c1b) AS BIGINT) AS pmi_q
       FROM c12 JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN n
       WHERE c12 >= $minCount
       ORDER BY pmi_q DESC, w1, w2 LIMIT $k"""

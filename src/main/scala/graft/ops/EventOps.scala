@@ -32,10 +32,14 @@ object EventOps {
 
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The NTZ→TIMESTAMP cast below interprets wall-clock time in the
+    // SESSION time zone; enforce UTC here (not just in Main/Bench/Verify)
+    // so library callers on a non-UTC JVM don't silently shift events.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     val raw = t(spark, dir, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => raw // ns-parquet read as nanos
-      case _ => // timestamp[us] (NTZ or not; session tz is UTC) → epoch nanos
+      case _ => // timestamp[us] (NTZ or not) → epoch nanos, UTC enforced above
         raw.withColumn("ts", expr("unix_micros(CAST(ts AS TIMESTAMP)) * 1000"))
     }
   }

@@ -136,7 +136,14 @@ object Multimodal {
     * integer comparison `cell_sum · n_total > total_sum · cell_n`
     * (strict) — no division, exact in both engines. Emitted as a bit
     * STRING (cells with no bytes in sub-64-byte payloads are simply
-    * absent — both engines build from the same cell set). */
+    * absent — both engines build from the same cell set).
+    *
+    * Oracle-parity assumption (documented like the other decode stubs):
+    * the stand-in payload bytes are ASCII — the DuckDB oracle walks
+    * characters with `ascii()` while this side walks UTF-8 BYTES, so the
+    * two index payloads identically only when chars == bytes. Real
+    * deployments replace this stub with a pixel decode and the
+    * assumption disappears with it. */
   def aHashStub(r: MediaRecord): MediaHash = {
     val n = r.media.length
     val sums = new Array[Long](AHashCells)
@@ -158,9 +165,15 @@ object Multimodal {
     MediaHash(r.doc_id, sb.toString)
   }
 
+  /** Zero-length payloads are filtered out, not hashed: an empty hash
+    * string would share every band key with every other empty doc (a
+    * hamming-0 "near-dup" clique of blanks), while the oracle's cell CTE
+    * inner-joins n=0 docs out entirely — dropping them keeps both
+    * engines' pair sets identical and is the right semantic anyway (an
+    * empty asset has no perceptual content to match). */
   def imageHashes(media: Dataset[MediaRecord]): Dataset[MediaHash] = {
     import media.sparkSession.implicits._
-    media.mapPartitions(_.map(aHashStub))
+    media.filter(_.media.length > 0).mapPartitions(_.map(aHashStub))
   }
 
   /** Perceptual near-dup pairs over media payloads (q121): aHash +

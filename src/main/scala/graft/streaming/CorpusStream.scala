@@ -159,9 +159,14 @@ object CorpusStream {
         val bands = sh.select(col("doc_id"), explode(
           expr(s"minhash_bands(grams, ${Dedup.NumHashes}, ${Dedup.Rows})")).as("bkey"))
           .localCheckpoint()
-        val dropped = readState(spark, s"$stateDir/bands", batchId) match {
-          case Some(stBands) =>
-            val stGrams = readState(spark, s"$stateDir/grams", batchId).get
+        // Match on BOTH state tables together: a crash between the two
+        // state writes of the very first batch leaves bands/ on disk with
+        // no grams/ — that partial state is by construction empty after
+        // batch_id pruning, so a missing table means "no admitted state",
+        // never an error (replay-idempotence would otherwise wedge here).
+        val dropped = (readState(spark, s"$stateDir/bands", batchId),
+            readState(spark, s"$stateDir/grams", batchId)) match {
+          case (Some(stBands), Some(stGrams)) =>
             bands.join(stBands.select("bkey", "rep_id"), "bkey")
               .select("doc_id", "rep_id").distinct()
               .join(sh.select(col("doc_id"), col("sorted").as("ga"), col("n").as("na")), "doc_id")
@@ -170,7 +175,7 @@ object CorpusStream {
               .filter(col("inter").cast("double") /
                 (col("na") + col("nb") - col("inter")) >= threshold)
               .select("doc_id").distinct()
-          case None => bands.select("doc_id").limit(0)
+          case _ => bands.select("doc_id").limit(0)
         }
         val survivors = b.join(dropped, Seq("doc_id"), "left_anti")
         val reps = Dedup.nearDupClusters(survivors, threshold)

@@ -127,6 +127,22 @@ class OpsSpec extends AnyFunSuite {
     assert(lsh.forall(brute.contains))
   }
 
+  test("events() is session-timezone independent (forces UTC for the NTZ cast)") {
+    val tzBefore = spark.conf.get("spark.sql.session.timeZone")
+    val utcTs = try {
+      spark.conf.set("spark.sql.session.timeZone", "UTC")
+      EventOps.events(spark, dir).agg(org.apache.spark.sql.functions.min("ts"))
+        .head().getLong(0)
+    } finally spark.conf.set("spark.sql.session.timeZone", tzBefore)
+    val shiftedTs = try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      EventOps.events(spark, dir).agg(org.apache.spark.sql.functions.min("ts"))
+        .head().getLong(0)
+    } finally spark.conf.set("spark.sql.session.timeZone", tzBefore)
+    assert(utcTs == shiftedTs,
+      s"events() shifted by session tz: UTC=$utcTs vs NY=$shiftedTs")
+  }
+
   test("sessionize: per-user event counts are preserved") {
     val ev = EventOps.events(spark, dir)
     val sessions = EventOps.sessionize(ev, 1800L)
@@ -717,6 +733,18 @@ class OpsSpec extends AnyFunSuite {
         r.getAs[Long]("hamming")).toMap
     assert(got == expect)
     assert(got.nonEmpty, "planted near-dup texts must collide perceptually")
+  }
+
+  test("image hashing drops zero-length payloads (no empty-hash near-dup clique)") {
+    import spark.implicits._
+    val mixed = Seq((1L, "", 0L), (2L, "", 0L), (3L, "solid content words here", 24L))
+      .toDF("doc_id", "text", "n_chars")
+    val hs = Multimodal.imageHashes(
+      Multimodal.attachMedia(mixed).as[MediaRecord]).collect()
+    assert(hs.map(_.doc_id).toSet == Set(3L),
+      "empty payloads must not be hashed — they would band-collide as hamming-0 pairs")
+    val pairs = Multimodal.imageNearDupsOn(mixed).collect()
+    assert(pairs.isEmpty, s"empty docs reported as near-dups: ${pairs.toSeq}")
   }
 
   test("q83 frame sampling: stride selection, offsets, and tail truncation") {

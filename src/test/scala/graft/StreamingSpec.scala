@@ -522,6 +522,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming near-dedup: bands-only partial state (no grams table) does not wedge") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    import graft.ops.Dedup
+    import graft.streaming.CorpusStream
+    // The exact ADVICE-r4 crash: batch 0 died AFTER writing bands/ but
+    // BEFORE grams/ ever existed. Replay must treat the missing grams
+    // table as empty state (not throw on .get) and admit normally.
+    val text = (1 to 30).map(i => s"w$i").mkString(" ")
+    val out = java.nio.file.Files.createTempDirectory("wedge-out").toString
+    val state = java.nio.file.Files.createTempDirectory("wedge-state").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("wedge-ckpt").toString
+    val one = Seq((1L, "s", text)).toDF("doc_id", "source", "text")
+    Dedup.shingled(one).select(explode(expr(
+        s"minhash_bands(grams, ${Dedup.NumHashes}, ${Dedup.Rows})")).as("bkey"),
+        lit(999L).as("rep_id"))
+      .write.parquet(s"$state/bands/batch_id=0") // grams/ deliberately absent
+    val mem = MemoryStream[(Long, String, String)]
+    val q = CorpusStream.dedupeNearToShards(
+      mem.toDF().toDF("doc_id", "source", "text"), state, out, ckpt, 0.8)
+    try {
+      mem.addData((1L, "s", text))
+      q.processAllAvailable() // throws before the fix
+      val b0 = spark.read.parquet(s"$out/batch_id=0")
+        .select("doc_id").collect().map(_.getLong(0)).toSeq
+      assert(b0 == Seq(1L), s"bands-only state wedged or dropped the doc: $b0")
+      // and the replay completed the state pair
+      assert(spark.read.parquet(s"$state/grams")
+        .select("rep_id").collect().map(_.getLong(0)).toSeq == Seq(1L))
+    } finally q.stop()
+  }
+
   test("live dataset card equals the batch card on the same corpus") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
