@@ -276,7 +276,10 @@ object Corpus {
     * broadcast stats + TakeOrderedAndProject; dense: broadcast 1-row
     * query + TakeOrderedAndProject); fusion is a full-outer join of two
     * ≤50-row frames — driver-trivial, executor-bounded. The rank
-    * windows run over ≤ pool-size rows, never the corpus. */
+    * windows reuse TakeOrderedAndProject's reported output ordering (no
+    * re-sort of the pools), and the fusion join is hinted SHUFFLE_HASH —
+    * full-outer hash join needs no sort at all, so the only Sort left in
+    * the whole plan is the final top-10. */
   def hybridSearch(spark: SparkSession, dir: String): DataFrame = {
     val sparse = bm25TopK(spark, dir, Bm25Terms, RrfPoolK)
       .withColumn("r_sparse", row_number().over(
@@ -293,7 +296,7 @@ object Corpus {
       .withColumn("r_dense", row_number().over(
         Window.orderBy(col("sim").desc, col("vec_id").asc)))
       .select(col("vec_id").as("doc_id"), col("r_dense"))
-    sparse.join(dense, Seq("doc_id"), "full_outer")
+    sparse.hint("SHUFFLE_HASH").join(dense, Seq("doc_id"), "full_outer")
       .withColumn("rrf_q",
         coalesce(expr(s"$RrfScale div ($RrfConst + r_sparse)"), lit(0L)) +
           coalesce(expr(s"$RrfScale div ($RrfConst + r_dense)"), lit(0L)))
