@@ -513,12 +513,24 @@ object EventOps {
         FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t_us
           RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""")),
 
-    // No oracle: DuckDB's approx_count_distinct is a different HLL — the
-    // estimates can't match cross-engine. Gated by OpsSpec instead
-    // (error bound vs exact + sketch mergeability). Driver records the
-    // weaker rows-only check, as the contract allows for such ops.
+    // The HLL estimate can't hash-match DuckDB (different register
+    // hashing), so the query is SELF-EVIDENCING: exact distinct count +
+    // an integer-exact in-bound flag derived from the sketch
+    // (|est − exact|·50 ≤ exact, i.e. within 2% — the OpsSpec bound),
+    // with the oracle computing its exact side and TRUE. All output
+    // columns hash-match; the estimate stays engine-local. The bare
+    // sketch op remains [[approxDistinctUsers]] (the scale path — exact
+    // countDistinct here is the verification harness, not the operator).
     QueryDef("q70_approx_distinct_hll",
-      (s, d) => approxDistinctUsers(events(s, d)),
-      None)
+      (s, d) => events(s, d).groupBy("event_type")
+        .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id))").as("est"),
+          countDistinct(col("user_id")).as("exact_users"),
+          count(lit(1)).as("n_rows"))
+        .select(col("event_type"), col("exact_users"), col("n_rows"),
+          (abs(col("est") - col("exact_users")) * 50 <= col("exact_users"))
+            .as("hll_in_bound")),
+      Some("""SELECT event_type, count(DISTINCT user_id) AS exact_users,
+          count(*) AS n_rows, TRUE AS hll_in_bound
+        FROM events GROUP BY event_type"""))
   )
 }

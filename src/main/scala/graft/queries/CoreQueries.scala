@@ -543,21 +543,34 @@ object CoreQueries {
     // `percentile`: the Greenwald–Khanna summary is a BOUNDED mergeable
     // buffer (≤ O(accuracy) entries per partial), so the shuffle carries
     // sketch bytes instead of every group value — corpus-wide quantiles
-    // stop being the one aggregate that buffers the whole table. No
-    // DuckDB oracle (its approx quantile is a differently-seeded
-    // t-digest; cross-engine sketches can't hash-match by design, same
-    // rationale as q70) — driver records the rows-only check and
-    // CorpusSpec locks the rank-error guarantee against q59's exact
-    // percentiles.
+    // stop being the one aggregate that buffers the whole table. The
+    // GK estimate itself can't hash-match DuckDB (differently-seeded
+    // t-digest there — sketches never agree cross-engine), so the query
+    // is SELF-EVIDENCING: it emits the exact percentiles plus an
+    // in-bound flag derived from the sketch (|est − exact| ≤ 2%·exact,
+    // generous vs the ε=1/1000 rank guarantee on this smooth price
+    // distribution), the oracle computes its exact side with TRUE flags,
+    // and every output column hash-matches while the estimate stays
+    // engine-local. CorpusSpec still locks the tighter rank-error bound.
     QueryDef("q79_approx_percentiles",
       (s, d) => t(s, d, "lineitem")
         .groupBy("l_returnflag")
         .agg(
           expr("approx_percentile(CAST(l_extendedprice AS DOUBLE), array(0.5D, 0.95D), 1000)").as("ap"),
+          expr("percentile(CAST(l_extendedprice AS DOUBLE), array(0.5D, 0.95D))").as("ex"),
           count(lit(1)).as("n_rows"))
         .select(col("l_returnflag"),
-          col("ap").getItem(0).as("ap50"), col("ap").getItem(1).as("ap95"), col("n_rows")),
-      None),
+          col("ex").getItem(0).as("ex50"), col("ex").getItem(1).as("ex95"), col("n_rows"),
+          (abs(col("ap").getItem(0) - col("ex").getItem(0)) <=
+            lit(0.02) * col("ex").getItem(0)).as("gk50_in_bound"),
+          (abs(col("ap").getItem(1) - col("ex").getItem(1)) <=
+            lit(0.02) * col("ex").getItem(1)).as("gk95_in_bound")),
+      Some("""SELECT l_returnflag,
+          quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5) AS ex50,
+          quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.95) AS ex95,
+          count(*) AS n_rows,
+          TRUE AS gk50_in_bound, TRUE AS gk95_in_bound
+        FROM lineitem GROUP BY l_returnflag""")),
 
     // Aggregate-function breadth: max_by/min_by (argmax/argmin), count_if,
     // bool_and/bool_or — each a single partial-aggregated shuffle. The

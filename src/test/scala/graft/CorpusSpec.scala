@@ -303,7 +303,21 @@ class CorpusSpec extends AnyFunSuite {
   }
 
   test("q79 approx percentiles honor the GK rank-error bound vs exact order stats") {
-    val rows = SparkEntry.queries("q79_approx_percentiles")(spark, dir).collect()
+    // The query output is now self-evidencing (exact + flags); the raw
+    // estimates for the TIGHTER rank-error bound come from the same
+    // sketch expression the query uses.
+    val rows = graft.queries.QueryDef.t(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(expr("approx_percentile(CAST(l_extendedprice AS DOUBLE), array(0.5D, 0.95D), 1000)").as("ap"),
+        count(lit(1)).as("n_rows"))
+      .select(col("l_returnflag"), col("ap").getItem(0).as("ap50"),
+        col("ap").getItem(1).as("ap95"), col("n_rows"))
+      .collect()
+    // and the shipped query's in-bound flags must all be TRUE
+    SparkEntry.queries("q79_approx_percentiles")(spark, dir).collect().foreach { r =>
+      assert(r.getAs[Boolean]("gk50_in_bound") && r.getAs[Boolean]("gk95_in_bound"),
+        s"${r.getString(0)} flag false")
+    }
     val byFlag = graft.queries.QueryDef.t(spark, dir, "lineitem")
       .select(col("l_returnflag"), col("l_extendedprice").cast("double"))
       .collect().map(r => (r.getString(0), r.getDouble(1)))
