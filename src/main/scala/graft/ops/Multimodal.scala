@@ -217,9 +217,10 @@ object Multimodal {
       .select("id_a", "id_b", "hamming")
   }
 
-  def imageNearDupsSql(maxHamming: Int = AHashMaxHamming): String = {
+  def imageNearDupsSql(maxHamming: Int = AHashMaxHamming,
+      table: String = "documents"): String = {
     val w = AHashCells / AHashBands
-    s"""WITH b AS (SELECT doc_id, text, length(text) AS n FROM documents),
+    s"""WITH b AS (SELECT doc_id, text, length(text) AS n FROM $table),
       cells AS (SELECT doc_id, (i - 1) * $AHashCells // n AS c,
                   ascii(substr(text, CAST(i AS INT), 1)) AS v
                 FROM (SELECT doc_id, text, n, unnest(range(1, n + 1)) AS i FROM b)),
@@ -320,6 +321,23 @@ object Multimodal {
 
     QueryDef("q121_image_near_dups",
       (s, d) => imageNearDups(s, d),
-      Some(imageNearDupsSql()))
+      Some(imageNearDupsSql())),
+
+    // The 100 TB image-dedup path (SCALE.md lesson 1 applied to media):
+    // byte-identical payloads share an aHash, so exact dedup MUST run
+    // before perceptual pair mining or the band self-join is quadratic
+    // in duplicate-group size (the naive q121 DNFs at 10× by design).
+    // Same composition discipline as q52/q88: the oracle re-runs the
+    // pair SQL over the representative subquery verbatim.
+    QueryDef("q124_image_near_dups_reps",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val reps = graft.ops.Dedup.exact(docs).select(col("keep_id").as("doc_id"))
+        imageNearDupsOn(docs.join(reps, "doc_id"))
+      },
+      Some(imageNearDupsSql(table =
+        """(SELECT d.* FROM documents d
+            JOIN (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)) r
+            USING (doc_id))""")))
   )
 }

@@ -735,6 +735,28 @@ class OpsSpec extends AnyFunSuite {
     assert(got.nonEmpty, "planted near-dup texts must collide perceptually")
   }
 
+  test("q124 image dedup-reps: exact-dup clique collapses to one perceptual pair") {
+    import spark.implicits._
+    val a = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    val b = a.replace("juliet", "juliex") // 1-char delta: near-dup of a
+    val planted = Seq((1L, a, a.length.toLong), (2L, a, a.length.toLong),
+      (3L, a, a.length.toLong), (4L, b, b.length.toLong))
+      .toDF("doc_id", "text", "n_chars")
+    // naive mining sees the dup clique: pairs (1,2)(1,3)(2,3) at hamming 0
+    val naive = Multimodal.imageNearDupsOn(planted).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(Set((1L, 2L), (1L, 3L), (2L, 3L)).subsetOf(naive))
+    // the composed path mines representatives only: the clique is gone,
+    // and the genuine perceptual pair (1, 4) survives iff hashes collide
+    val reps = Dedup.exact(planted).select(org.apache.spark.sql.functions.col("keep_id").as("doc_id"))
+    val composed = Multimodal.imageNearDupsOn(planted.join(reps, "doc_id")).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(!composed.exists(p => Set(2L, 3L)(p._1) || Set(2L, 3L)(p._2)),
+      s"non-representative ids leaked into composed pairs: $composed")
+    assert(composed == naive.filter(p => !Set(2L, 3L)(p._1) && !Set(2L, 3L)(p._2)),
+      "composed pairs must equal naive pairs restricted to representatives")
+  }
+
   test("image hashing drops zero-length payloads (no empty-hash near-dup clique)") {
     import spark.implicits._
     val mixed = Seq((1L, "", 0L), (2L, "", 0L), (3L, "solid content words here", 24L))
