@@ -27,15 +27,39 @@ class SimilarityRecallSpec extends AnyFunSuite {
     assert(r >= 0.9, f"LSH recall $r%.3f < 0.9")
   }
 
-  test("IVF recall@3 rises with nprobe; >= 0.9 at nprobe=12") {
-    val rs = Seq(2, 4, 12).map { np =>
+  test("IVF recall@3 rises with nprobe; >= 0.9 at probe fraction 3/4") {
+    // With the DERIVED cell count k ~ sqrt(n), recall on near-isotropic
+    // data tracks the probe FRACTION nprobe/k (candidate volume), so the
+    // ladder is expressed in fractions of k, not fixed cell counts —
+    // the bound stays meaningful at any corpus size.
+    val k = Similarity.ivfCentroidsFor(
+      spark.read.parquet(s"$dir/embeddings.parquet").count())
+    val probes = Seq(math.max(2, k / 8), math.max(4, k / 4), (3 * k + 3) / 4)
+    val rs = probes.map { np =>
       val r = recallOf(Similarity.knnIvf(spark, dir, 3, nprobe = np).collect())
-      info(f"ivf recall@3 (nprobe=$np%2d) = $r%.3f")
+      info(f"ivf recall@3 (k=$k nprobe=$np%2d) = $r%.3f")
       SessionHygiene.clear(spark)
       np -> r
-    }.toMap
-    assert(rs(2) < rs(4) && rs(4) < rs(12), s"recall must rise with nprobe: $rs")
-    assert(rs(12) >= 0.9, f"IVF recall ${rs(12)}%.3f < 0.9 at nprobe=12")
+    }
+    assert(rs.sliding(2).forall { case Seq(a, b) => a._2 < b._2 },
+      s"recall must rise with nprobe: $rs")
+    assert(rs.last._2 >= 0.9, f"IVF recall ${rs.last._2}%.3f < 0.9 at nprobe=${rs.last._1}")
+  }
+
+  test("derived-k recall holds at 10x: sf0.1 trains k=ceil(sqrt(n)) cells, >= 0.9 at probe fraction 3/4") {
+    val dir10 = "/root/testdata/sf0.1"
+    val n10 = spark.read.parquet(s"$dir10/embeddings.parquet").count()
+    val k = Similarity.ivfCentroidsFor(n10)
+    assert(k > Similarity.IvfCentroids, s"10x corpus must derive a larger k (got $k)")
+    val truth10 = Similarity.knnBrute(spark, dir10, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    SessionHygiene.clear(spark)
+    val rows = Similarity.knnIvf(spark, dir10, 3, nprobe = (3 * k + 3) / 4).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val r = truth10.intersect(rows).size.toDouble / truth10.size
+    info(f"ivf recall@3 at 10x (n=$n10 k=$k nprobe=${(3 * k + 3) / 4}) = $r%.3f")
+    SessionHygiene.clear(spark)
+    assert(r >= 0.9, f"derived-k recall $r%.3f < 0.9 at 10x")
   }
 
   test("IVF-PQ: uncut ADC equals plain IVF; the default cut stays close") {
@@ -72,6 +96,22 @@ class SimilarityRecallSpec extends AnyFunSuite {
     // per-dimension integer sums are order- and partitioning-independent,
     // so the trained index must be bit-identical however the data splits
     assert(cents(3) == cents(13))
+  }
+
+  test("centroid caches are semantics-free: warm re-run equals a cold run") {
+    Similarity.coarseCache.clear()
+    Similarity.pqCodebookCache.clear()
+    val cold = Similarity.clusterProfile(spark, dir).collect().map(_.toString).sorted
+    SessionHygiene.clear(spark)
+    assert(Similarity.coarseCache.nonEmpty, "cold run must seed the cache")
+    val warm = Similarity.clusterProfile(spark, dir).collect().map(_.toString).sorted
+    assert(cold.sameElements(warm), "cached centroids changed the result")
+    SessionHygiene.clear(spark)
+    val pqCold = Similarity.knnIvfPq(spark, dir, 3).collect().map(_.toString).sorted
+    SessionHygiene.clear(spark)
+    val pqWarm = Similarity.knnIvfPq(spark, dir, 3).collect().map(_.toString).sorted
+    assert(pqCold.sameElements(pqWarm), "cached PQ codebooks changed the result")
+    SessionHygiene.clear(spark)
   }
 
   test("trained centroids beat the untrained init at equal nprobe") {
