@@ -141,8 +141,8 @@ object CorpusStream {
     * shingle row per rep); the per-batch join is candidate-bounded — the
     * same equi-join shape the batch pipeline ships. At a 100 TB corpus
     * the grams table is the big side; it joins only on verified
-    * candidates' rep_ids, and a deployment can compact old batch_id
-    * partitions without changing semantics. */
+    * candidates' rep_ids, and a deployment compacts old batch_id
+    * partitions without changing semantics via [[compactState]]. */
   def dedupeNearToShards(docs: DataFrame, stateDir: String, outDir: String,
       checkpointDir: String, threshold: Double = 0.8,
       trigger: Option[Trigger] = None): StreamingQuery = {
@@ -192,6 +192,52 @@ object CorpusStream {
         } finally { admitted.unpersist(); () }
       } finally { b.unpersist(); () }
     }.start()
+  }
+
+  /** Compact the near-dedup state: rewrite every `batch_id < upToBatch`
+    * partition of both state tables into the single newest retained
+    * partition (`batch_id = upToBatch - 1`). Admission semantics are
+    * untouched — the per-batch readers only ever ask `batch_id <
+    * current`, and every retained row keeps satisfying that predicate
+    * for all future batches; a many-small-partitions state (one pair of
+    * directories per micro-batch) becomes one partition to list and
+    * scan. Call it between batches (e.g. from a maintenance window)
+    * with `upToBatch` ≤ the last COMMITTED batch id + 1 — a batch that
+    * could still replay must stay above the compaction horizon, since
+    * its `batch_id < N` prune must keep excluding its own writes.
+    *
+    * Crash-tolerant by ordering, not locking: compacted rows are
+    * APPENDED into the destination partition first, and the superseded
+    * files/partitions deleted after. A crash in between leaves some
+    * state rows present twice, which the admission joins tolerate by
+    * construction (band candidates and verified drops are `.distinct()`
+    * — re-running compactState converges). */
+  def compactState(spark: org.apache.spark.sql.SparkSession, stateDir: String,
+      upToBatch: Long): Unit = {
+    require(upToBatch > 0, s"upToBatch must be positive, got $upToBatch")
+    val keep = upToBatch - 1
+    Seq("bands", "grams").foreach { tbl =>
+      val dir = new org.apache.hadoop.fs.Path(s"$stateDir/$tbl")
+      val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(dir)) {
+        val parts = fs.listStatus(dir).filter(_.isDirectory)
+          .map(_.getPath).filter(_.getName.startsWith("batch_id="))
+        val old = parts.filter(_.getName.stripPrefix("batch_id=").toLong < keep)
+        if (old.nonEmpty) {
+          val dest = new org.apache.hadoop.fs.Path(dir, s"batch_id=$keep")
+          val preexisting =
+            if (fs.exists(dest)) fs.listStatus(dest).map(_.getPath) else Array.empty[org.apache.hadoop.fs.Path]
+          fs.mkdirs(dest)
+          // data columns only: batch_id is the partition directory
+          spark.read.parquet(dir.toString)
+            .filter(col("batch_id") < upToBatch).drop("batch_id")
+            .coalesce(1)
+            .write.mode("append").parquet(dest.toString)
+          old.foreach(p => fs.delete(p, true))
+          preexisting.foreach(p => fs.delete(p, false))
+        }
+      }
+    }
   }
 
   /** Read a batch-id-partitioned state table, pruned to batches BEFORE

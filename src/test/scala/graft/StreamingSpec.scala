@@ -522,6 +522,48 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming near-dedup: compactState folds old partitions, admission decisions unchanged") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    import graft.streaming.CorpusStream
+    def words(p: String) = (1 to 30).map(i => s"$p$i")
+    def doc(p: String) = words(p).mkString(" ")
+    def nearDup(p: String) = (words(p).init :+ "CHANGED").mkString(" ")
+    val out = java.nio.file.Files.createTempDirectory("cmp-out").toString
+    val state = java.nio.file.Files.createTempDirectory("cmp-state").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("cmp-ckpt").toString
+    val mem = MemoryStream[(Long, String, String)]
+    val q = CorpusStream.dedupeNearToShards(
+      mem.toDF().toDF("doc_id", "source", "text"), state, out, ckpt, 0.8)
+    try {
+      mem.addData((1L, "s", doc("a")), (2L, "s", nearDup("a")))
+      q.processAllAvailable() // batch 0 admits 1
+      mem.addData((3L, "s", doc("c")))
+      q.processAllAvailable() // batch 1 admits 3
+      def stateSet(tbl: String) = spark.read.parquet(s"$state/$tbl")
+        .drop("batch_id").collect().map(_.toString).sorted.toSeq
+      val bandsBefore = stateSet("bands")
+      val gramsBefore = stateSet("grams")
+      CorpusStream.compactState(spark, state, 2)
+      assert(stateSet("bands") == bandsBefore, "compaction changed the bands rows")
+      assert(stateSet("grams") == gramsBefore, "compaction changed the grams rows")
+      def partsOf(tbl: String) = new java.io.File(s"$state/$tbl").listFiles()
+        .filter(_.isDirectory).map(_.getName).sorted.toSeq
+      assert(partsOf("bands") == Seq("batch_id=1"), s"bands parts: ${partsOf("bands")}")
+      assert(partsOf("grams") == Seq("batch_id=1"), s"grams parts: ${partsOf("grams")}")
+      CorpusStream.compactState(spark, state, 2) // idempotent
+      assert(stateSet("bands") == bandsBefore && partsOf("bands") == Seq("batch_id=1"))
+      // the stream continues over the compacted state: near-dups of BOTH
+      // pre-compaction admits still drop, fresh content still admits
+      mem.addData((4L, "s", nearDup("a")), (5L, "s", nearDup("c")), (6L, "s", doc("f")))
+      q.processAllAvailable()
+      val b2 = spark.read.parquet(s"$out/batch_id=2")
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(b2 == Seq(6L), s"post-compaction admission diverged: $b2")
+    } finally q.stop()
+  }
+
   test("streaming near-dedup: bands-only partial state (no grams table) does not wedge") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
