@@ -57,13 +57,19 @@ object Bench {
     // code (dominant for the wide custom expressions — LSH keys, minhash
     // bands) is paid before any timing starts. Data cost is negligible;
     // what carries over is the compiled-class cache.
+    // Optional subset (comma-separated names): the scale campaign times
+    // individual queries against /tmp/scale* corpora without paying for
+    // the whole suite.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val names = SparkEntry.queries.keys.toSeq
+      .filter(n => only.forall(_.contains(n)))
     val warmDir = "/root/testdata/sf0.001"
-    SparkEntry.queries.values.foreach { fn =>
-      try { evaluate(fn(spark, warmDir)) } catch { case _: Throwable => () }
+    names.foreach { n =>
+      try { evaluate(SparkEntry.queries(n)(spark, warmDir)) } catch { case _: Throwable => () }
     }
     clearSessionDebris(spark)
 
-    val names = SparkEntry.queries.keys.toSeq
     val best = scala.collection.mutable.Map[String, Double]()
     val fails = scala.collection.mutable.Map[String, Int]().withDefaultValue(0)
     for (iter <- 1 to iters; name <- names) {

@@ -34,7 +34,8 @@ object Main {
       catalog: Option[String] = None,
       checkpoint: String = "/tmp/graft-checkpoint",
       apiKey: Option[Secret] = None,
-      logLevel: String = "WARN")
+      logLevel: String = "WARN",
+      project: String = "graft")
 
   def parseArgs(args: Array[String]): Config = {
     def loop(cfg: Config, rest: List[String]): Config = rest match {
@@ -51,6 +52,9 @@ object Main {
       case "--checkpoint" :: v :: t => loop(cfg.copy(checkpoint = v), t)
       case "--api-key" :: v :: t => loop(cfg.copy(apiKey = Some(Secret(v))), t)
       case "--log-level" :: v :: t => loop(cfg.copy(logLevel = v), t)
+      // project_name label on every metric (reference main.py:106-107
+      // reads it off the CDF client; standalone build takes a flag)
+      case "--project" :: v :: t => loop(cfg.copy(project = v), t)
       case other :: _ => throw new IllegalArgumentException(s"unknown flag: $other")
     }
     val cfg = loop(Config(), args.toList)
@@ -88,10 +92,12 @@ object Main {
   }
 
   def run(spark: SparkSession, cfg: Config): Unit = {
-    // Logging sink: the standalone stand-in for the reference's
-    // Prometheus push-gateway (monitoring.py:96-100)
+    // reference configure_prometheus (monitoring.py:15-31): a real
+    // push-gateway sink when the env trio is configured, else the
+    // unconfigured-dummy fallback (here: the logging stand-in)
     val metrics = Metrics(spark.sparkContext,
-      if (cfg.live) "csv_live" else "csv_hist", new MetricsSink.Logging)
+      if (cfg.live) "csv_live" else "csv_hist",
+      MetricsSink.Prometheus.fromEnv(cfg.project))
     // configure a LOCAL client instance: the key becomes instance state,
     // so the closure-serialized client carries it to executors (injecting
     // into a global/singleton would only authenticate the driver's copy)

@@ -36,6 +36,59 @@ class MainSpec extends AnyFunSuite {
     assert(!c.apiKey.get.toString.contains("s3cr3t"))
   }
 
+  test("prometheus sink: exposition-format body PUT to the gateway URL") {
+    val in = Files.createTempDirectory("prom-in")
+    write(in, "TEBIS_A_100.csv", ";41 : T9\nu;bar\n1550092501;1,5\n1550092502;2,5\n")
+    write(in, "broken_x_300.csv", ";7 : Z\nu;x\nBAD;1,0\n")
+    // recording transport: capture (url, body) with no network
+    val sent = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    val sink = new MetricsSink.Prometheus("http://gw:9091/", "csv ex",
+      "proj-1", (url, body) => { sent += ((url, body)); () })
+    val metrics = Metrics(spark.sparkContext, "csv_hist", sink)
+    val lifecycle = new graft.tebis.Discovery.Lifecycle(None, None,
+      spark.sparkContext.hadoopConfiguration)
+    Main.runHistorical(spark,
+      Main.Config(input = in.toString), metrics, lifecycle)
+
+    // push-gateway URL contract: PUT /metrics/job/<job>, job path-encoded
+    assert(sent.nonEmpty && sent.forall(_._1 == "http://gw:9091/metrics/job/csv%20ex"))
+    // the FINAL snapshot's body, exposition text format 0.0.4:
+    val body = sent.last._2
+    // counters carry the client-library _total suffix + reference HELP
+    assert(body.contains(
+      "# HELP csv_hist_posted_data_points_total Number of datapoints posted since the extractor started running\n" +
+      "# TYPE csv_hist_posted_data_points_total counter\n" +
+      """csv_hist_posted_data_points_total{project_name="proj-1"} 2""" + "\n"))
+    assert(body.contains(
+      "# TYPE csv_hist_failed_processing_files_total counter\n" +
+      """csv_hist_failed_processing_files_total{project_name="proj-1"} 1""" + "\n"))
+    // gauges: bare name, gauge type, final batch accounting
+    assert(body.contains(
+      "# TYPE csv_hist_available_csv_files gauge\n" +
+      """csv_hist_available_csv_files{project_name="proj-1"} 2""" + "\n"))
+    assert(body.contains(
+      """csv_hist_successfully_processed_files{project_name="proj-1"} 1""" + "\n"))
+    assert(body.contains(
+      """csv_hist_unprocessed_files{project_name="proj-1"} 0""" + "\n"))
+    // every line is a comment or `name{labels} value` — nothing malformed
+    val lineRe = """(# (HELP|TYPE) [a-zA-Z_:][a-zA-Z0-9_:]* .*|[a-zA-Z_:][a-zA-Z0-9_:]*\{project_name="proj-1"\} -?\d+)""".r
+    body.split("\n").filter(_.nonEmpty).foreach { l =>
+      assert(lineRe.pattern.matcher(l).matches(), s"malformed exposition line: $l")
+    }
+    // label values escape quotes/backslashes/newlines per the spec
+    val esc = MetricsSink.Prometheus.exposition(Map("ns.m" -> 1L), "a\"b\\c\nd")
+    assert(esc.contains("""ns_m{project_name="a\"b\\c\nd"} 1"""))
+    // configure_prometheus parity: missing env trio -> logging fallback
+    assert(MetricsSink.Prometheus.fromEnv("p", Map.empty)
+      .isInstanceOf[MetricsSink.Logging])
+    assert(MetricsSink.Prometheus.fromEnv("p", Map(
+      "GRAFT_PROMETHEUS_GATEWAY" -> "http://gw:9091",
+      "GRAFT_PROMETHEUS_JOBNAME" -> "j",
+      "GRAFT_PROMETHEUS_USERNAME" -> "u",
+      "GRAFT_PROMETHEUS_PASSWORD" -> "p"))
+      .isInstanceOf[MetricsSink.Prometheus])
+  }
+
   test("historical run: parquet sink, catalog upsert, dead-letter, archive") {
     val in = Files.createTempDirectory("main-in")
     val out = Files.createTempDirectory("main-out").resolve("dp").toString
