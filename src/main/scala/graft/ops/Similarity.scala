@@ -190,15 +190,42 @@ object Similarity {
   private val ivfKSqlExpr =
     s"(SELECT GREATEST($IvfCentroids, CAST(ceil(sqrt(COUNT(*))) AS BIGINT)) FROM n)"
 
-  /** Rank all centroids per vector by cosine desc (ties: cent_id asc).
-    * Centroids broadcast; a narrow n x k pass, never n². */
-  private def rankedAssign(q: DataFrame, cents: DataFrame): DataFrame = {
-    val w = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cent_id").asc)
-    q.crossJoin(broadcast(cents))
+  /** Top-`nprobe` cells per vector — (vec_id, qv, nrm, cent_id, rn),
+    * rn = 1 the home cell — by cosine desc (ties: cent_id asc).
+    *
+    * NOT a rank window: the scored frame is n·k rows, and with the
+    * derived cell count k ~ sqrt(n) that is an n^1.5 volume — a window
+    * (or any checkpoint of it) shuffles/spills n^1.5 rows CARRYING the
+    * 64-long vector payload, which is exactly what the 100x campaign
+    * caught (q66's ranked-assign checkpoint wrote ~50 GB of local
+    * checkpoint + window sort spill at 200k vectors x 448 cells and
+    * filled the disk; SCALE.md round-5 table). Instead the reduction is
+    * partial-aggregated per vector: the centroid cross-join is
+    * partition-local, so map-side combine collapses n·k scored rows to
+    * ONE row per vector per partition before any exchange — the shuffle
+    * carries n rows (vec payload once each), never n·k. rn = 1 uses
+    * `max_by(cent_id, struct(csim, -cent_id))`; deeper probes use the
+    * bounded [[graft.functions.TopKSim]] aggregator (≤ nprobe entries
+    * per buffer). Both realize the SAME total order as the rank-window
+    * form, so results — and the oracles' window SQL — are unchanged. */
+  private def assignCells(q: DataFrame, cents: DataFrame, nprobe: Int): DataFrame = {
+    val scored = q.crossJoin(broadcast(cents))
       .withColumn("csim",
         expr("CAST(quantized_dot(qv, cqv) AS DOUBLE)") /
           (sqrt(col("nrm").cast("double")) * sqrt(col("cnrm").cast("double"))))
-      .withColumn("rn", row_number().over(w))
+    if (nprobe == 1)
+      scored.groupBy("vec_id")
+        .agg(first(col("qv")).as("qv"), first(col("nrm")).as("nrm"),
+          expr("max_by(cent_id, struct(csim, -cent_id))").as("cent_id"))
+        .withColumn("rn", lit(1))
+    else
+      scored.groupBy("vec_id")
+        .agg(first(col("qv")).as("qv"), first(col("nrm")).as("nrm"),
+          graft.functions.TopKSim.topk(nprobe)(col("csim"), col("cent_id")).as("top"))
+        .select(col("vec_id"), col("qv"), col("nrm"),
+          posexplode(col("top")).as(Seq("i", "t")))
+        .select(col("vec_id"), col("qv"), col("nrm"),
+          col("t.id").as("cent_id"), (col("i") + 1).cast("int").as("rn"))
   }
 
   /** Trained centroids (cent_id, cqv, cnrm). Updates are per-dimension
@@ -296,7 +323,7 @@ object Similarity {
   def knnIvf(spark: SparkSession, dir: String, k: Int, nCents: Int = -1,
       iters: Int = KmeansIters, nprobe: Int = IvfNprobe): DataFrame = {
     val (q, cents, _) = coarseIndex(spark, dir, nCents, iters)
-    val ranked = rankedAssign(q, cents).localCheckpoint() // feeds both sides
+    val ranked = assignCells(q, cents, nprobe).localCheckpoint() // feeds both sides
     val members = ranked.filter(col("rn") === 1)
       .select(col("vec_id").as("id_b"), col("qv").as("qb"), col("nrm").as("nb"), col("cent_id").as("cell"))
     val probes = ranked.filter(col("rn") <= nprobe)
@@ -443,7 +470,7 @@ object Similarity {
       trained.collect { case (-1, cid, v) => (cid, v) }.sortBy(_._1)
         .toDF("cent_id", "cqv").withColumn("cnrm", expr("quantized_dot(cqv, cqv)"))
     }
-    val ranked = rankedAssign(q, cents).localCheckpoint()
+    val ranked = assignCells(q, cents, IvfNprobe).localCheckpoint()
     val qsub = qall.filter(col("space") >= 0)
     // trained codebook, driver-resident: spaces·k·subdim longs
     val cbook = trained.filter(_._1 >= 0).sortBy(c => (c._1, c._2))
@@ -628,7 +655,7 @@ object Similarity {
   def semanticDedup(spark: SparkSession, dir: String, threshold: Double = SemDedupThreshold,
       nCents: Int = -1, iters: Int = KmeansIters): DataFrame = {
     val (q, cents, _) = coarseIndex(spark, dir, nCents, iters)
-    val home = rankedAssign(q, cents).filter(col("rn") === 1)
+    val home = assignCells(q, cents, 1)
       .select(col("vec_id"), col("qv"), col("nrm"), col("cent_id").as("cell"))
       .localCheckpoint() // feeds both self-join sides + the final output
     val a = home.select(col("vec_id").as("id_a"), col("qv").as("qa"),
@@ -663,7 +690,7 @@ object Similarity {
   def clusterProfile(spark: SparkSession, dir: String, nCents: Int = -1,
       iters: Int = KmeansIters): DataFrame = {
     val (q, cents, _) = coarseIndex(spark, dir, nCents, iters)
-    val home = rankedAssign(q, cents).filter(col("rn") === 1)
+    val home = assignCells(q, cents, 1)
       .select(col("vec_id"), col("cent_id").as("cluster"))
     val sig = TextStats.scored(
       t(spark, dir, "documents").select("doc_id", "source", "text"), Seq("source", "text"))
@@ -716,7 +743,7 @@ object Similarity {
       budgetTokens: Long = ClusterMixBudgetTokens, nCents: Int = -1,
       iters: Int = KmeansIters): DataFrame = {
     val (q, cents, _) = coarseIndex(spark, dir, nCents, iters)
-    val home = rankedAssign(q, cents).filter(col("rn") === 1)
+    val home = assignCells(q, cents, 1)
       .select(col("vec_id"), col("cent_id").as("cluster"))
     val scored = TextStats.scored(
       t(spark, dir, "documents").select("doc_id", "source", "text"), Seq("source"))
