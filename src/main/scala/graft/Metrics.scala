@@ -166,7 +166,18 @@ object MetricsSink {
         env.get("GRAFT_PROMETHEUS_USERNAME"), env.get("GRAFT_PROMETHEUS_PASSWORD")) match {
         case (Some(gw), Some(job), Some(u), Some(p)) =>
           new Prometheus(gw, job, projectName, httpPut(Some((u, p))))
-        case _ => new Logging
+        case _ =>
+          // The reference's configure_prometheus warns with the missing
+          // configuration (monitoring.py:26-28); a silently-dropped typo'd
+          // var name would lose metrics with no signal, so name exactly
+          // which of the quartet is absent before falling back.
+          val names = Seq("GRAFT_PROMETHEUS_GATEWAY", "GRAFT_PROMETHEUS_JOBNAME",
+            "GRAFT_PROMETHEUS_USERNAME", "GRAFT_PROMETHEUS_PASSWORD")
+          val missing = names.filterNot(env.contains)
+          if (missing.size < names.size)
+            System.err.println("[graft] Prometheus push disabled — incomplete " +
+              s"configuration, missing: ${missing.mkString(", ")}; metrics fall back to logging")
+          new Logging
       }
     }
   }

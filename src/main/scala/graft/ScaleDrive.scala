@@ -21,6 +21,10 @@ object ScaleDrive {
   def main(args: Array[String]): Unit = {
     val corpusDir = args(0)
     val nBatches = args(1).toInt
+    // half = nBatches/2 must be >= 1: compactState(upTo=0) would throw
+    // AFTER the corpus prep and the whole first drive already ran
+    require(nBatches >= 2, s"nBatches must be >= 2 (got $nBatches): the drive " +
+      "splits into a pre- and post-compaction half")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -29,6 +33,10 @@ object ScaleDrive {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.codegen.cache.maxEntries", "4096")
+      // recentProgress retains only the last N updates (default 100) — a
+      // half with more micro-batches than that would silently drop the
+      // earliest per-batch timings from the report
+      .config("spark.sql.streaming.numRecentProgressUpdates", (nBatches + 8).toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -36,19 +44,30 @@ object ScaleDrive {
     val staged = s"$scratch/staged"; val in = s"$scratch/in"; val out = s"$scratch/out"
     val state = s"$scratch/state"; val ckpt = s"$scratch/ckpt"
 
-    // one parquet FILE per intended micro-batch (maxFilesPerTrigger=1)
+    // one parquet FILE per intended micro-batch (maxFilesPerTrigger=1).
+    // partitionBy("b") guarantees one directory per batch VALUE — a
+    // repartition(n, col("b")) would hash the key and could collide two
+    // batch values into one file, silently skewing the measured batches
     val docs = spark.read.parquet(s"$corpusDir/documents.parquet")
       .select("doc_id", "source", "text")
     docs.withColumn("b", pmod(col("doc_id"), lit(nBatches.toLong)))
-      .repartition(nBatches, col("b")).drop("b")
-      .write.mode("overwrite").parquet(staged)
+      .repartition(nBatches, col("b"))
+      .write.mode("overwrite").partitionBy("b").parquet(staged)
     val total = docs.count()
     val files = new java.io.File(staged).listFiles()
-      .filter(f => f.getName.startsWith("part-")).sortBy(_.getName)
+      .filter(_.getName.startsWith("b="))
+      .sortBy(d => d.getName.stripPrefix("b=").toLong)
+      .map { d =>
+        val parts = d.listFiles().filter(_.getName.startsWith("part-"))
+        require(parts.length == 1, s"expected 1 file under ${d.getName}, got ${parts.length}")
+        (d.getName, parts.head)
+      }
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
-    def stage(fs: Array[java.io.File]): Unit = fs.foreach { f =>
+    def stage(fs: Array[(String, java.io.File)]): Unit = fs.foreach { case (b, f) =>
+      // "=" kept out of the landed file name so the file source never
+      // mistakes it for a partition fragment
       java.nio.file.Files.move(f.toPath,
-        java.nio.file.Paths.get(in, f.getName)); ()
+        java.nio.file.Paths.get(in, s"${b.replace("=", "")}-${f.getName}")); ()
     }
     println(s"[scale-drive] corpus=$corpusDir docs=$total batches=${files.length}")
 

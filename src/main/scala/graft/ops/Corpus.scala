@@ -290,8 +290,8 @@ object Corpus {
     val qvec = broadcast(q.filter(col("vec_id") === minId)
       .select(col("qv").as("qq"), col("nrm").as("nq")))
     val dense = q.filter(col("vec_id") =!= minId).crossJoin(qvec)
-      .withColumn("sim", expr("CAST(quantized_dot(qv, qq) AS DOUBLE)") /
-        (sqrt(col("nrm").cast("double")) * sqrt(col("nq").cast("double"))))
+      .withColumn("sim", Similarity.cosine(
+        expr("CAST(quantized_dot(qv, qq) AS DOUBLE)"), col("nrm"), col("nq")))
       .orderBy(col("sim").desc, col("vec_id").asc).limit(RrfPoolK)
       .withColumn("r_dense", row_number().over(
         Window.orderBy(col("sim").desc, col("vec_id").asc)))

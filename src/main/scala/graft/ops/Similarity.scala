@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -49,9 +49,21 @@ object Similarity {
       .withColumn("nrm", expr("quantized_dot(qv, qv)"))
   }
 
+  /** Total cosine: try_divide(dot, |a||b|) coalesced to -Infinity. A
+    * zero-norm (all-zero) vector has no direction — it must rank LAST in
+    * every top-k / assignment argmax, and the expression must be total
+    * under BOTH ANSI modes: ANSI `/` (the Spark 4 session default)
+    * throws DIVIDE_BY_ZERO on the degenerate input, and the non-ANSI
+    * NULL that rank windows ordered last would crash the non-nullable
+    * bounded aggregators (TopKSim). try_divide == `/` bit-for-bit on
+    * every non-degenerate row, so results and oracles are unchanged. */
+  private[graft] def cosine(dot: Column, na: Column, nb: Column): Column =
+    coalesce(
+      try_divide(dot, sqrt(na.cast("double")) * sqrt(nb.cast("double"))),
+      lit(Double.NegativeInfinity))
+
   private val simCol =
-    expr("CAST(quantized_dot(qa, qb) AS DOUBLE)") /
-      (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double")))
+    cosine(expr("CAST(quantized_dot(qa, qb) AS DOUBLE)"), col("na"), col("nb"))
 
   private def pairFrames(q: DataFrame) = (
     q.select(col("vec_id").as("id_a"), col("qv").as("qa"), col("nrm").as("na")),
@@ -199,7 +211,8 @@ object Similarity {
     * 64-long vector payload, which is exactly what the 100x campaign
     * caught (q66's ranked-assign checkpoint wrote ~50 GB of local
     * checkpoint + window sort spill at 200k vectors x 448 cells and
-    * filled the disk; SCALE.md round-5 table). Instead the reduction is
+    * filled the disk; SCALE.md "Round-6: the 100x campaign, recorded").
+    * Instead the reduction is
     * partial-aggregated per vector: the centroid cross-join is
     * partition-local, so map-side combine collapses n·k scored rows to
     * ONE row per vector per partition before any exchange — the shuffle
@@ -210,9 +223,8 @@ object Similarity {
     * form, so results — and the oracles' window SQL — are unchanged. */
   private def assignCells(q: DataFrame, cents: DataFrame, nprobe: Int): DataFrame = {
     val scored = q.crossJoin(broadcast(cents))
-      .withColumn("csim",
-        expr("CAST(quantized_dot(qv, cqv) AS DOUBLE)") /
-          (sqrt(col("nrm").cast("double")) * sqrt(col("cnrm").cast("double"))))
+      .withColumn("csim", cosine(
+        expr("CAST(quantized_dot(qv, cqv) AS DOUBLE)"), col("nrm"), col("cnrm")))
     if (nprobe == 1)
       scored.groupBy("vec_id")
         .agg(first(col("qv")).as("qv"), first(col("nrm")).as("nrm"),
@@ -262,9 +274,8 @@ object Similarity {
       // group-constant so first() is deterministic (the q66 trainer's
       // shape, kept in lockstep)
       val sums = q.crossJoin(broadcast(centsDF(cents)))
-        .withColumn("csim",
-          expr("CAST(quantized_dot(qv, cqv) AS DOUBLE)") /
-            (sqrt(col("nrm").cast("double")) * sqrt(col("cnrm").cast("double"))))
+        .withColumn("csim", cosine(
+          expr("CAST(quantized_dot(qv, cqv) AS DOUBLE)"), col("nrm"), col("cnrm")))
         .groupBy("vec_id")
         .agg(expr("max_by(cent_id, struct(csim, -cent_id))").as("cent_id"),
           first(col("qv")).as("qv"))
@@ -284,14 +295,34 @@ object Similarity {
   /** The coarse index shared by the cluster family (q47/q95/q107/q109
     * and q66's coarse space): the quantized frame, the centroids trained
     * at the DERIVED cell count (nCents < 0 → [[ivfCentroidsFor]](n)),
-    * and that k. Training is deterministic per (dir, k, iters), so the
-    * trained rows (k·dim driver-local longs, kilobytes) are memoized —
-    * in a suite run the Lloyd jobs execute ONCE and every later family
-    * member reuses them; an explicit nCents bypasses the cache. */
+    * and that k. Training is deterministic per (dir contents, k, iters),
+    * so the trained rows (k·dim driver-local longs, kilobytes) are
+    * memoized keyed on [[cacheKeyDir]]'s content fingerprint — in a
+    * suite run the Lloyd jobs execute ONCE and every later family member
+    * reuses them, while overwriting the directory's parquet invalidates
+    * the entry; an explicit nCents bypasses the cache. */
   private[graft] val coarseCache = scala.collection.concurrent.TrieMap
     .empty[(String, Int, Int), Seq[(Long, Seq[Long])]]
   private[graft] val pqCodebookCache = scala.collection.concurrent.TrieMap
     .empty[(String, Int), Seq[(Int, Long, Seq[Long])]]
+
+  /** Cheap content fingerprint of `<dir>/embeddings.parquet` (total bytes
+    * + max mtime over its files): the trained-centroid caches key on
+    * `dir@fingerprint`, so overwriting a directory's parquet — even with
+    * an equal row count, where the derived k would collide — invalidates
+    * the memoized training instead of serving stale centroids. Listing a
+    * local path costs microseconds against a multi-second Lloyd train;
+    * remote paths (no local File view) fall back to the path string,
+    * i.e. the previous every-session-retrains-once behavior. */
+  private[graft] def cacheKeyDir(dir: String): String = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles()).fold(Seq.empty[java.io.File])(_.toSeq.flatMap(walk))
+      else Seq(f)
+    val root = new java.io.File(s"$dir/embeddings.parquet")
+    val fs = if (root.exists()) walk(root) else Seq.empty
+    if (fs.isEmpty) dir
+    else s"$dir@${fs.map(_.length()).sum}:${fs.map(_.lastModified()).max}"
+  }
 
   def coarseIndex(spark: SparkSession, dir: String, nCents: Int = -1,
       iters: Int = KmeansIters): (DataFrame, DataFrame, Int) = {
@@ -299,7 +330,8 @@ object Similarity {
     val k = if (nCents > 0) nCents else ivfCentroidsFor(q.count())
     val seq =
       if (nCents > 0) kmeansCentroidSeq(q, k, iters)
-      else coarseCache.getOrElseUpdate((dir, k, iters), kmeansCentroidSeq(q, k, iters))
+      else coarseCache.getOrElseUpdate((cacheKeyDir(dir), k, iters),
+        kmeansCentroidSeq(q, k, iters))
     (q, centroidFrame(spark, seq), k)
   }
 
@@ -399,8 +431,8 @@ object Similarity {
       // group-constant (it's the vector being assigned), so first() is
       // deterministic.
       val sums = qsub.join(broadcast(centsDF(cents)), "space")
-        .withColumn("csim", expr("CAST(quantized_dot(qv, cqv) AS DOUBLE)") /
-          (sqrt(col("nrm").cast("double")) * sqrt(col("cnrm").cast("double"))))
+        .withColumn("csim", cosine(
+          expr("CAST(quantized_dot(qv, cqv) AS DOUBLE)"), col("nrm"), col("cnrm")))
         .groupBy("vec_id", "space")
         .agg(expr("max_by(cent_id, struct(csim, -cent_id))").as("cent_id"),
           first(col("qv")).as("qv"))
@@ -448,21 +480,22 @@ object Similarity {
     // coarse cells with q47/q95/q107/q109 (coarseCache), PQ subspace
     // codebooks in their own map — a suite run trains each exactly once,
     // and a fresh q66 seeds both for the rest of the family
-    val coarseHit = coarseCache.get((dir, kCoarse, KmeansIters))
-    val pqHit = pqCodebookCache.get((dir, KmeansIters))
+    val ckDir = cacheKeyDir(dir)
+    val coarseHit = coarseCache.get((ckDir, kCoarse, KmeansIters))
+    val pqHit = pqCodebookCache.get((ckDir, KmeansIters))
     val trained = (coarseHit, pqHit) match {
       case (Some(cseq), Some(pseq)) =>
         pseq ++ cseq.map { case (cid, v) => (-1, cid, v) }
       case (Some(cseq), None) =>
         val pseq = kmeansCentroidsBySpace(qall.filter(col("space") >= 0),
           kCoarse, PqSubCents, KmeansIters)
-        pqCodebookCache.put((dir, KmeansIters), pseq)
+        pqCodebookCache.put((ckDir, KmeansIters), pseq)
         pseq ++ cseq.map { case (cid, v) => (-1, cid, v) }
       case (None, _) =>
         val all = kmeansCentroidsBySpace(qall, kCoarse, PqSubCents, KmeansIters)
-        coarseCache.put((dir, kCoarse, KmeansIters),
+        coarseCache.put((ckDir, kCoarse, KmeansIters),
           all.collect { case (-1, cid, v) => (cid, v) }.sortBy(_._1))
-        pqCodebookCache.put((dir, KmeansIters), all.filter(_._1 >= 0))
+        pqCodebookCache.put((ckDir, KmeansIters), all.filter(_._1 >= 0))
         all
     }
     val cents = {
@@ -482,8 +515,8 @@ object Similarity {
     // reduction in a partial-agg'd hash aggregate instead of a
     // shuffle-and-sort rank window over every (vec, space, cent) triple
     val codes = qsub.join(broadcast(subCents), "space")
-      .withColumn("csim", expr("CAST(quantized_dot(qv, cqv) AS DOUBLE)") /
-        (sqrt(col("nrm").cast("double")) * sqrt(col("cnrm").cast("double"))))
+      .withColumn("csim", cosine(
+        expr("CAST(quantized_dot(qv, cqv) AS DOUBLE)"), col("nrm"), col("cnrm")))
       .groupBy("vec_id", "space")
       .agg(expr("max_by(cent_id, struct(csim, -cent_id))").as("cent_id"))
       .groupBy("vec_id")
@@ -510,8 +543,8 @@ object Similarity {
     // per query — no 50M-row rank-window sort (see topkPairs)
     val approx = probes.join(members, Seq("cell"))
       .filter(col("id_a") =!= col("id_b"))
-      .withColumn("sim", expr("CAST(pq_adc_sum(atab, codes) AS DOUBLE)") /
-        (sqrt(col("na").cast("double")) * sqrt(col("nrec").cast("double"))))
+      .withColumn("sim", cosine(
+        expr("CAST(pq_adc_sum(atab, codes) AS DOUBLE)"), col("na"), col("nrec")))
     val survivors = topkPairs(approx, candidates)
       .select(col("vec_id").as("id_a"), col("neighbor_id").as("id_b"))
     // exact re-rank of the ≤`candidates` survivors only
@@ -607,8 +640,8 @@ object Similarity {
       .withColumn("nc", expr("quantized_dot(cv, cv)"))
     val w = Window.partitionBy("label").orderBy(col("sim").asc, col("vec_id").asc)
     q.join(broadcast(cent), "label")
-      .withColumn("sim", expr("CAST(quantized_dot(qv, cv) AS DOUBLE)") /
-        (sqrt(col("nrm").cast("double")) * sqrt(col("nc").cast("double"))))
+      .withColumn("sim", cosine(
+        expr("CAST(quantized_dot(qv, cv) AS DOUBLE)"), col("nrm"), col("nc")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("label"), col("rank"), col("vec_id"), col("sim"))

@@ -139,6 +139,12 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastExchange"), "stats/query-vector sides must broadcast")
     assert(!p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"),
       "only broadcast scalar cross-joins allowed")
+    // PLANS.md's stated invariant for the r5 re-plan: ZERO standalone Sort
+    // nodes — every ordering is a TakeOrderedAndProject (top-k) or fused
+    // into an operator (SortAggregate/SortMergeJoin are excluded by the
+    // word boundary). Reintroducing a rank-window sort must fail here.
+    assert("""\bSort\b""".r.findFirstIn(p).isEmpty,
+      "no Sort node outside TakeOrderedAndProject (PLANS.md zero-Sort claim)")
   }
 
   test("q114: pmi top-k is TakeOrderedAndProject over partial aggs, no window") {

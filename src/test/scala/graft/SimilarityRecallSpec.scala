@@ -114,6 +114,27 @@ class SimilarityRecallSpec extends AnyFunSuite {
     SessionHygiene.clear(spark)
   }
 
+  test("coarse cache invalidates when the directory's parquet content changes") {
+    import org.apache.spark.sql.functions.expr
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stale").toString
+    val src = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    src.write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val (_, c1, k1) = Similarity.coarseIndex(spark, tmp)
+    val cents1 = c1.orderBy("cent_id").collect().map(_.toString).toSeq
+    SessionHygiene.clear(spark)
+    // Same ROW COUNT — so the derived k, and with it the old
+    // (dir, k, iters) cache key, is IDENTICAL — but different content:
+    // without the content fingerprint in the key, the second call would
+    // serve the first corpus's centroids for the mutated data.
+    src.withColumn("embedding", expr("transform(embedding, x -> -x)"))
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val (_, c2, k2) = Similarity.coarseIndex(spark, tmp)
+    val cents2 = c2.orderBy("cent_id").collect().map(_.toString).toSeq
+    assert(k1 == k2, "mutation must keep the derived k (the collision under test)")
+    assert(cents1 != cents2, "mutated directory must retrain, not serve stale centroids")
+    SessionHygiene.clear(spark)
+  }
+
   test("trained centroids beat the untrained init at equal nprobe") {
     val untrained = recallOf(Similarity.knnIvf(spark, dir, 3, iters = 0, nprobe = 4).collect())
     SessionHygiene.clear(spark)
