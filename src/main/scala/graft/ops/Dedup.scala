@@ -545,6 +545,87 @@ object Dedup {
     simhashPairs(docs.join(reps, "doc_id"), maxHamming, nBands)
   }
 
+  /** [[minhashLshPairs]] over exact-dedup representatives — the q52
+    * discipline applied to the MinHash mine. On a duplicate-heavy corpus
+    * the naive mine's output is quadratic in duplicate-group size (every
+    * group of d byte-identical texts alone contributes d·(d-1)/2
+    * verified 1.0-Jaccard pairs: the 100x campaign measured ~25M pairs
+    * from 5,000 groups of 100 — SCALE.md round-6 table); over
+    * representatives the output is one pair per distinct near-dup TEXT
+    * pair. Group membership joins back through `exact`'s (fp, keep_id)
+    * table. */
+  def minhashLshPairsDeduped(docs: DataFrame, threshold: Double): DataFrame = {
+    val reps = exact(docs).select(col("keep_id").as("doc_id"))
+    minhashLshPairs(docs.join(reps, "doc_id"), threshold)
+  }
+
+  /** q120's report computed WITHOUT materializing doc-level pairs — same
+    * output, group-cardinality work. The insight: near-dup involvement is
+    * a property of a document's exact-dup GROUP. jaccard is a function of
+    * the gram SET, so every member of group g has the same verified
+    * partners: the members of g itself (identical text ⟹ jaccard 1.0,
+    * and identical minhash signatures ⟹ guaranteed band collision) plus
+    * every member of g's near-dup partner groups N(g) from the
+    * REPRESENTATIVE pair mine. A doc in cell (g, source s) is
+    * within-involved iff N(g) ∪ {g} holds ≥ 2 docs of source s, and
+    * cross-involved iff it holds ≥ 1 doc of another source — both
+    * decidable from (group, source) COUNTS alone. Work is the reps mine
+    * + exchanges keyed by group/source cardinality; the naive form's
+    * 25M-pair explode+groupBy (70.6 s at 100x, vs q42's 36.1 s mine —
+    * SCALE.md round-6) never exists.
+    *
+    * Equality with [[nearDupRates]] holds for every corpus whose texts
+    * shingle to ≥ 1 gram (< 3 tokens ⟹ empty gram set ⟹ the naive
+    * verify drops the 0/0 pair while this form counts identical texts as
+    * dups — the only, documented, divergence). The driver gates this
+    * query against q120's UNCHANGED oracle, and DedupSpec asserts
+    * row-identity with the naive form on a duplicate-heavy corpus. */
+  def nearDupRatesDeduped(spark: SparkSession, dir: String,
+      threshold: Double = 0.8): DataFrame =
+    nearDupRatesDedupedOn(t(spark, dir, "documents"), threshold)
+
+  def nearDupRatesDedupedOn(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
+    // (group, source) occupancy — the only corpus-sized aggregations;
+    // checkpointed once, feeds cells/groups/reps
+    val cells = docs.select(md5(col("text")).as("fp"), col("source"))
+      .groupBy("fp", "source").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val groups = cells.groupBy("fp").agg(sum("cnt").as("tot"))
+    val reps = docs.groupBy(md5(col("text")).as("fp"))
+      .agg(min("doc_id").as("keep_id"))
+    val repDocs = docs.join(reps.select(col("keep_id").as("doc_id")), "doc_id")
+    val idToFp = reps.select(col("keep_id"), col("fp"))
+    // representative pair mine: one row per distinct near-dup TEXT pair
+    val pairs = minhashLshPairs(repDocs, threshold)
+      .join(idToFp.select(col("keep_id").as("id_a"), col("fp").as("fp_a")), "id_a")
+      .join(idToFp.select(col("keep_id").as("id_b"), col("fp").as("fp_b")), "id_b")
+      .select("fp_a", "fp_b")
+    // undirected partner edges + each group's self-edge (identical texts
+    // are mutual near-dups at any threshold <= 1)
+    val edges = pairs
+      .union(pairs.select(col("fp_b").as("fp_a"), col("fp_a").as("fp_b")))
+      .union(groups.select(col("fp").as("fp_a"), col("fp").as("fp_b")))
+      .toDF("fp", "nfp")
+    // neighborhood occupancy sums per (group, source) / per group
+    val wsum = edges
+      .join(cells.select(col("fp").as("nfp"), col("source"), col("cnt")), "nfp")
+      .groupBy("fp", "source").agg(sum("cnt").as("wsum"))
+    val tsum = edges
+      .join(groups.select(col("fp").as("nfp"), col("tot")), "nfp")
+      .groupBy("fp").agg(sum("tot").as("tsum"))
+    val inv = cells
+      .join(wsum, Seq("fp", "source"))
+      .join(tsum, "fp")
+      .withColumn("has_within", (col("wsum") >= 2).cast("long"))
+      .withColumn("has_cross", ((col("tsum") - col("wsum")) >= 1).cast("long"))
+    inv.groupBy("source")
+      .agg(sum("cnt").as("n_docs"),
+        sum(col("cnt") * col("has_within")).as("n_within_dup"),
+        sum(col("cnt") * col("has_cross")).as("n_cross_dup"))
+      .withColumn("within_rate", col("n_within_dup").cast("double") / col("n_docs"))
+      .withColumn("cross_rate", col("n_cross_dup").cast("double") / col("n_docs"))
+  }
+
   /** DuckDB twin of simhashPairs over any document-shaped relation —
     * parameterized exactly like the Spark side so a QueryDef can never
     * pair a re-tuned operator with a stale oracle. */
@@ -669,12 +750,17 @@ object Dedup {
 
   /** q42's oracle CTE chain ending in `verified` (id_a, id_b, jaccard) —
     * shared by the pair query and the cluster query built on it. */
-  private def minhashPairsCtes: String = {
+  private def minhashPairsCtes: String = minhashPairsCtesOver("documents")
+
+  /** The q42 oracle CTE chain over any document-shaped relation (the
+    * simhashPairsSql pattern): the reps-composed queries reuse the exact
+    * mine SQL over the representative subquery. */
+  private def minhashPairsCtesOver(docsRel: String): String = {
     val bandsSql = (0 until Bands).map { b =>
       val parts = (1 to Rows).map(r => s"sig[${b * Rows + r}]").mkString(" || ")
       s"md5('$b' || ':' || $parts)"
     }.mkString(", ")
-    s"""sh AS (SELECT doc_id, $shinglesSql AS grams FROM documents),
+    s"""sh AS (SELECT doc_id, $shinglesSql AS grams FROM $docsRel dd),
         sigs AS (SELECT doc_id, grams,
             list_transform(range(0, $NumHashes),
               j -> list_aggregate(list_transform(grams, g -> md5(CAST(j AS VARCHAR) || '|' || g)), 'min')) AS sig
@@ -766,6 +852,20 @@ object Dedup {
 
     QueryDef("q120_near_dup_rates",
       (s, d) => nearDupRates(s, d),
+      Some(nearDupRatesSql())),
+
+    QueryDef("q125_dedup_minhash_reps",
+      (s, d) => minhashLshPairsDeduped(t(s, d, "documents"), 0.8),
+      Some(s"""WITH ${minhashPairsCtesOver(
+        """(SELECT d.* FROM documents d
+            JOIN (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)) r
+            USING (doc_id))""")}
+        SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= 0.8""")),
+
+    // the reps-composed rate report is gated against q120's UNCHANGED
+    // oracle: the whole point is output equality with the naive form
+    QueryDef("q126_near_dup_rates_reps",
+      (s, d) => nearDupRatesDeduped(s, d),
       Some(nearDupRatesSql())),
 
     QueryDef("q88_decontaminate_reps",

@@ -27,6 +27,40 @@ class OpsSpec extends AnyFunSuite {
     assert(exact.nonEmpty) // the corpus has planted near-dups
   }
 
+  test("reps-composed near-dup rates == naive rates on a duplicate-heavy corpus") {
+    import org.apache.spark.sql.functions._
+    // replicate sf0.001 docs 5x with offset ids AND rotated sources: exact
+    // groups span sources, so within/cross involvement must be decided
+    // from (group, source) occupancy — the hard case for the group algebra
+    val n = docs.agg(max("doc_id")).head().getLong(0) + 1
+    val sources = docs.select("source").distinct()
+      .collect().map(_.getString(0)).sorted
+    val srcExpr = sources.zipWithIndex
+      .map { case (s, i) => s"WHEN '$s' THEN ${i}L" }
+      .mkString("CASE source ", " ", " ELSE -1L END")
+    val rep = (0 until 5).map { k =>
+      docs.select((col("doc_id") + lit(k * n)).as("doc_id"), col("text"),
+        // rotate the source by k so replicas of one text live in k sources
+        element_at(lit(sources), (((expr(srcExpr) + k) % sources.length) + 1).cast("int")).as("source"))
+    }.reduce(_ unionByName _)
+    val tmp = java.nio.file.Files.createTempDirectory("ndr-reps").toString
+    rep.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    def sorted(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("source").collect().map(_.toString).toSeq
+    val naive = sorted(Dedup.nearDupRates(spark, tmp))
+    val composed = sorted(Dedup.nearDupRatesDeduped(spark, tmp))
+    assert(composed == naive, "group-algebra rates must equal the naive pair-explode rates")
+    // and the reps pair mine emits one pair per distinct TEXT pair: vs the
+    // naive mine's output-quadratic d²-per-group blowup on this corpus
+    val naivePairs = Dedup.minhashLshPairs(
+      graft.queries.QueryDef.t(spark, tmp, "documents"), 0.8).count()
+    val repPairs = Dedup.minhashLshPairsDeduped(
+      graft.queries.QueryDef.t(spark, tmp, "documents"), 0.8).count()
+    assert(repPairs < naivePairs / 10,
+      s"reps mine ($repPairs) must collapse the replicated pair space ($naivePairs)")
+    SessionHygiene.clear(spark)
+  }
+
   test("prefix filter is order-invariant: df-ordered == lexicographic output") {
     val lex = Dedup.ngramJaccardPairs(docs, 0.8)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
