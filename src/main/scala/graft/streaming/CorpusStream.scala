@@ -152,8 +152,22 @@ object CorpusStream {
       val spark = batch.sparkSession
       graft.functions.GraftFunctions.register(spark)
       val b = batch.persist()
+      // Collapse byte-identical copies to their min-id representative
+      // BEFORE shingling (the q125/q52 discipline inside every
+      // micro-batch): admission is invariant under the collapse —
+      // identical text means identical gram set, so a copy has exactly
+      // its rep's verified partners, every non-rep copy would lose the
+      // cluster-minimum election to its own rep (rep_id = group min),
+      // and the admitted set / state writes are row-identical
+      // (StreamingSpec locks stream == batch). What changes is cost: a
+      // duplicate-heavy batch's intra-batch pair mine is quadratic in
+      // per-batch group size (measured A/B at the 100x drive's 25k-doc
+      // batches: SCALE.md round-6).
+      val reps0 = b.join(
+        Dedup.exact(b).select(col("keep_id").as("doc_id")), "doc_id")
+        .persist()
       try {
-        val sh = Dedup.shingled(b)
+        val sh = Dedup.shingled(reps0)
           .withColumn("sorted", sort_array(col("grams")))
           .withColumn("n", size(col("grams")).cast("long")).localCheckpoint()
         val bands = sh.select(col("doc_id"), explode(
@@ -177,7 +191,7 @@ object CorpusStream {
               .select("doc_id").distinct()
           case _ => bands.select("doc_id").limit(0)
         }
-        val survivors = b.join(dropped, Seq("doc_id"), "left_anti")
+        val survivors = reps0.join(dropped, Seq("doc_id"), "left_anti")
         val reps = Dedup.nearDupClusters(survivors, threshold)
           .filter(col("doc_id") === col("cluster_id")).select("doc_id")
         val admitted = survivors.join(reps, Seq("doc_id"), "left_semi").persist()
@@ -190,7 +204,7 @@ object CorpusStream {
             .select(col("doc_id").as("rep_id"), col("sorted").as("gb"), col("n").as("nb"))
             .write.mode("overwrite").parquet(s"$stateDir/grams/batch_id=$batchId")
         } finally { admitted.unpersist(); () }
-      } finally { b.unpersist(); () }
+      } finally { reps0.unpersist(); b.unpersist(); () }
     }.start()
   }
 
