@@ -148,6 +148,86 @@ object Cleaning {
       FROM s2"""
 
   // --------------------------------------------------------------------
+  // Luhn-validated payment-card redaction: the checksum step every
+  // serious PII scrubber runs on card-shaped digit runs — a bare
+  // [0-9]{13,19} regex redacts order numbers, timestamps and tracking
+  // ids wholesale (the classic false-positive class), while ~90% of
+  // random digit runs FAIL the Luhn mod-10 check and must be left
+  // intact. Token-wise evaluation: candidates are whitespace tokens
+  // matching the card shape; only those passing Luhn are replaced.
+  // Pure per-row lambda projection — codegen'd, shuffle-free — and the
+  // checksum is exact integer arithmetic, so DuckDB mirrors bit-for-bit.
+  // --------------------------------------------------------------------
+
+  val CardShapeRe = "^[0-9]{13,19}$"
+
+  /** Spark SQL predicate: token `w` (all digits) passes the Luhn mod-10
+    * check. Standard doubling from the right: right-index r = len-i+1,
+    * doubled iff r is even ⟺ (len - i) odd; digits of 2d = 2d - 9 when
+    * 2d > 9. Guarded by the card-shape CASE at every call site, so the
+    * digit cast never sees a non-digit (ANSI-safe). */
+  private def luhnOk(w: String): String =
+    s"""aggregate(sequence(1, length($w)), 0L, (acc, i) -> acc +
+          (CASE WHEN (length($w) - i) % 2 = 1
+            THEN (CASE WHEN 2 * CAST(substring($w, i, 1) AS INT) > 9
+                  THEN 2 * CAST(substring($w, i, 1) AS INT) - 9
+                  ELSE 2 * CAST(substring($w, i, 1) AS INT) END)
+            ELSE CAST(substring($w, i, 1) AS INT) END)) % 10 = 0"""
+
+  private def isValidCard(w: String): String =
+    s"(CASE WHEN $w RLIKE '$CardShapeRe' THEN ${luhnOk(w)} ELSE false END)"
+
+  /** Redact Luhn-valid card numbers from `textCol`; reports candidate and
+    * valid counts per doc so the false-positive rate of the shape regex
+    * is itself a corpus signal. */
+  def redactCards(docs: DataFrame, textCol: Column): DataFrame =
+    docs.withColumn("__w", split(textCol, " "))
+      .select(col("doc_id"),
+        expr(s"CAST(size(filter(__w, w -> w RLIKE '$CardShapeRe')) AS BIGINT)")
+          .as("n_card_candidates"),
+        expr(s"CAST(size(filter(__w, w -> ${isValidCard("w")})) AS BIGINT)")
+          .as("n_valid_cards"),
+        expr(s"""array_join(transform(__w,
+            w -> CASE WHEN ${isValidCard("w")} THEN '<CARD>' ELSE w END), ' ')""")
+          .as("text_redacted"))
+
+  /** Deterministic card-shaped injections for q127 (the corpus has no
+    * digit runs): two 16-digit tokens per doc derived from doc_id by
+    * integer hashing — validity falls where the Luhn check says
+    * (~1 in 10 random runs pass), identically in both engines, so the
+    * query demonstrates true positives AND preserved false positives. */
+  private val cardInjected: Column = concat(
+    lit("card "), lpad((col("doc_id") * 2654435761L % 10000000000000000L).cast("string"), 16, "0"),
+    lit(" ref "), lpad(((col("doc_id") * 1103515245L + 12345L) % 10000000000000000L).cast("string"), 16, "0"),
+    lit(" "), col("text"))
+
+  private val cardInjectedSql =
+    """'card ' || lpad(CAST((doc_id * 2654435761) % 10000000000000000 AS VARCHAR), 16, '0')
+       || ' ref ' || lpad(CAST((doc_id * 1103515245 + 12345) % 10000000000000000 AS VARCHAR), 16, '0')
+       || ' ' || text"""
+
+  private def luhnOkSql(w: String): String =
+    s"""list_sum(list_transform(range(1, len($w) + 1), i ->
+          CASE WHEN (len($w) - i) % 2 = 1
+            THEN CASE WHEN 2 * CAST($w[i] AS INT) > 9
+                 THEN 2 * CAST($w[i] AS INT) - 9
+                 ELSE 2 * CAST($w[i] AS INT) END
+            ELSE CAST($w[i] AS INT) END)) % 10 = 0"""
+
+  private def isValidCardSql(w: String): String =
+    s"(CASE WHEN regexp_full_match($w, '[0-9]{13,19}') THEN ${luhnOkSql(w)} ELSE false END)"
+
+  val redactCardsSql: String =
+    s"""WITH inj AS (SELECT doc_id, $cardInjectedSql AS t FROM documents),
+      ws AS (SELECT doc_id, string_split(t, ' ') AS w FROM inj)
+      SELECT doc_id,
+        CAST(len(list_filter(w, x -> regexp_full_match(x, '[0-9]{13,19}'))) AS BIGINT) AS n_card_candidates,
+        CAST(len(list_filter(w, x -> ${isValidCardSql("x")})) AS BIGINT) AS n_valid_cards,
+        array_to_string(list_transform(w,
+          x -> CASE WHEN ${isValidCardSql("x")} THEN '<CARD>' ELSE x END), ' ') AS text_redacted
+      FROM ws"""
+
+  // --------------------------------------------------------------------
   // Corpus-wide line dedup: every line keeps exactly its FIRST occurrence
   // (ordered by (doc_id, line_no)); later occurrences anywhere in the
   // corpus are dropped. This is the cross-document repeated-boilerplate
@@ -206,6 +286,10 @@ object Cleaning {
 
     QueryDef("q94_line_dedup",
       (s, d) => dedupLines(t(s, d, "documents"), delim = LineDelim),
-      Some(dedupLinesSql))
+      Some(dedupLinesSql)),
+
+    QueryDef("q127_pii_card_luhn",
+      (s, d) => redactCards(t(s, d, "documents"), cardInjected),
+      Some(redactCardsSql))
   )
 }

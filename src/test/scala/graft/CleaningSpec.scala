@@ -52,6 +52,20 @@ class CleaningSpec extends AnyFunSuite {
     assert(got(3L) == ((1L, 0L, 0L, "nested <EMAIL> case")))
   }
 
+  test("redactCards: Luhn-valid card redacted, near-miss and short runs preserved") {
+    // 4532015112830366 is the canonical Luhn-valid test number; flipping
+    // its last digit breaks the checksum; "1234" is not card-shaped
+    val d = fixture(
+      1L -> "pay 4532015112830366 not 4532015112830367 or 1234 today",
+      2L -> "no digits here at all")
+    val got = Cleaning.redactCards(d, col("text")).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_card_candidates"), r.getAs[Long]("n_valid_cards"),
+          r.getAs[String]("text_redacted")))).toMap
+    assert(got(1L) == ((2L, 1L, "pay <CARD> not 4532015112830367 or 1234 today")))
+    assert(got(2L) == ((0L, 0L, "no digits here at all")))
+  }
+
   test("dedupLines: corpus-wide first occurrence wins; emptied docs survive") {
     val d = fixture(
       1L -> "shared header\nunique one\nshared footer",

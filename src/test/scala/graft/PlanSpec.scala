@@ -147,6 +147,16 @@ class PlanSpec extends AnyFunSuite {
       "no Sort node outside TakeOrderedAndProject (PLANS.md zero-Sort claim)")
   }
 
+  test("q126: group-algebra rates materialize no doc pairs — zero Window/Generate") {
+    // PLANS.md round-6 claim: the naive q120's per-doc involvement
+    // explode never exists in the composed plan; every post-mine
+    // exchange is group-/cell-keyed. A Generate (explode) or Window
+    // reappearing here means someone reintroduced doc-pair processing.
+    val p = plan("q126_near_dup_rates_reps")
+    assert(!p.contains("Window"), "no window over pair or doc rows")
+    assert(!p.contains("Generate"), "no explode: involvement comes from occupancy sums")
+  }
+
   test("q114: pmi top-k is TakeOrderedAndProject over partial aggs, no window") {
     val p = plan("q114_pmi_collocations")
     assert(p.contains("TakeOrderedAndProject"), "top-k must not global-sort")
