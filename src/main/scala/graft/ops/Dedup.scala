@@ -470,6 +470,121 @@ object Dedup {
       FROM ov JOIN ns na ON ov.source_a = na.source
               JOIN ns nb ON ov.source_b = nb.source"""
 
+  // --------------------------------------------------------------------
+  // Content-defined chunking (CDC): sub-document dedup at boundaries the
+  // CONTENT chooses. Fixed-width spans (q89/q90) shift under a one-token
+  // insertion — every downstream w-gram changes. CDC cuts where a
+  // rolling window fingerprint hits a mask (h % 2^b == 0, E[chunk] =
+  // 2^b tokens), so an edit only perturbs its own chunk and its
+  // immediate neighbor; shared remainder re-aligns — the property
+  // storage dedup (LBFS/Venti lineage) and long-document near-dup
+  // pipelines rely on. Everything is exact integer arithmetic: per-token
+  // rolling_hash, then a degree-(w-1) polynomial over the window's token
+  // hashes via a LITERAL 31^k mod p powers table — identical in DuckDB.
+  // --------------------------------------------------------------------
+
+  val CdcWindow = 8 // tokens per boundary window
+  val CdcMaskBits = 6 // boundary when window-hash % 64 == 0 -> E[chunk] ~ 64 tokens
+
+  /** 31^k mod 1e9+7 for k = 0..CdcWindow-1 (literal in both engines). */
+  private val CdcPows: Seq[Long] = {
+    val p = 1000000007L
+    Iterator.iterate(1L)(x => x * 31 % p).take(CdcWindow).toSeq
+  }
+
+  /** Per-doc chunk list: (fp = md5(chunk text), len in tokens) between
+    * consecutive bounds. Pure per-row lambda, no shuffle. */
+  private val cdcChunkCol: String =
+    """filter(
+        transform(sequence(2, size(bounds)), j ->
+          struct(md5(concat_ws(' ', slice(toks, element_at(bounds, j - 1) + 1,
+              element_at(bounds, j) - element_at(bounds, j - 1)))) AS fp,
+            CAST(element_at(bounds, j) - element_at(bounds, j - 1) AS BIGINT) AS len)),
+        c -> c.len > 0)"""
+
+  /** Per-source CDC chunk dedup report: chunk volume, distinct volume,
+    * and the token fraction sitting in duplicate chunk copies — the
+    * sub-document dedup signal at chunk (not fixed-span) granularity.
+    *
+    * Shape at scale: chunking is a codegen'd per-row lambda pipeline
+    * above the scan; the only exchanges are the map-side-combined
+    * (source, fp) rollup and the source-cardinality final — q89's
+    * discipline with shift-robust boundaries. */
+  /** The chunk stream: one row per chunk, (doc_id, source, fp, len). */
+  def cdcChunks(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    QueryDef.cpuBound(docs.sparkSession)
+    val p = 1000000007L
+    val mask = (1 << CdcMaskBits) - 1
+    val pows = CdcPows.mkString("array(", "L, ", "L)")
+    val wh = s"aggregate(sequence(0, ${CdcWindow - 1}), 0L, " +
+      s"(a, k) -> a + element_at(th, i - k) * element_at($pows, k + 1) % $p) % $p"
+    QueryDef.spread(docs.select(col("doc_id"), col("source"), col("text")))
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("th", expr("transform(toks, t -> rolling_hash(t))"))
+      .withColumn("n", size(col("toks")))
+      .withColumn("bounds", expr(
+        s"""concat(array(0),
+            CASE WHEN n >= $CdcWindow
+              THEN filter(sequence($CdcWindow, n), i -> ($wh) % ${mask + 1} = 0)
+              ELSE CAST(array() AS ARRAY<INT>) END,
+            array(n))"""))
+      .select(col("doc_id"), col("source"), explode(expr(cdcChunkCol)).as("c"))
+      .select(col("doc_id"), col("source"), col("c.fp").as("fp"), col("c.len").as("len"))
+  }
+
+  def cdcChunkStats(docs: DataFrame): DataFrame =
+    cdcChunks(docs).groupBy("source", "fp")
+      .agg(count(lit(1)).as("cnt"), max("len").as("len"))
+      .groupBy("source")
+      .agg(sum("cnt").as("n_chunks"), count(lit(1)).as("n_distinct_chunks"),
+        sum(col("cnt") * col("len")).as("n_tokens"),
+        sum((col("cnt") - 1) * col("len")).as("n_dup_tokens"))
+      .withColumn("dup_chunk_rate",
+        (col("n_chunks") - col("n_distinct_chunks")).cast("double") / col("n_chunks"))
+      .withColumn("dup_token_frac",
+        col("n_dup_tokens").cast("double") / col("n_tokens"))
+
+  def cdcChunkStatsSql: String = {
+    val p = 1000000007L
+    val mask = (1 << CdcMaskBits) - 1
+    val pows = CdcPows.mkString("[", ", ", "]")
+    // the q35 oracle's char fold (0-prepended list_reduce — also covers
+    // the empty token, where the fold returns the 0 seed), per token
+    val tokHash = "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      "list_transform(range(1, len(t) + 1), " +
+      "q -> CAST(ascii(substr(t, CAST(q AS INT), 1)) AS BIGINT))), " +
+      s"(a, x) -> (a * 31 + x) % $p)"
+    val wh = s"list_sum(list_transform(range(0, $CdcWindow), " +
+      s"k -> th[i - k] * ($pows)[k + 1] % $p)) % $p"
+    s"""WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+      t AS (SELECT doc_id, source, toks, len(toks) AS n,
+              list_transform(toks, t -> $tokHash) AS th
+            FROM d),
+      b AS (SELECT doc_id, source, toks,
+              list_concat(list_concat([0],
+                CASE WHEN n >= $CdcWindow
+                  THEN list_filter(range($CdcWindow, n + 1), i -> ($wh) % ${mask + 1} = 0)
+                  ELSE [] END), [n]) AS bounds
+            FROM t),
+      ch AS (SELECT source, unnest(list_filter(
+               list_transform(range(2, len(bounds) + 1), j ->
+                 struct_pack(fp := md5(array_to_string(
+                     toks[bounds[j - 1] + 1 : bounds[j]], ' ')),
+                   len := CAST(bounds[j] - bounds[j - 1] AS BIGINT))),
+               c -> c.len > 0)) AS c
+             FROM b),
+      pf AS (SELECT source, c.fp AS fp, count(*) AS cnt, max(c.len) AS len
+             FROM ch GROUP BY 1, 2)
+      SELECT source, CAST(sum(cnt) AS BIGINT) AS n_chunks,
+        CAST(count(*) AS BIGINT) AS n_distinct_chunks,
+        CAST(sum(cnt * len) AS BIGINT) AS n_tokens,
+        CAST(sum((cnt - 1) * len) AS BIGINT) AS n_dup_tokens,
+        CAST(sum(cnt) - count(*) AS DOUBLE) / sum(cnt) AS dup_chunk_rate,
+        CAST(sum((cnt - 1) * len) AS DOUBLE) / sum(cnt * len) AS dup_token_frac
+      FROM pf GROUP BY source"""
+  }
+
   /** Hex digits whose bit k is set, for k = 0..3 — turns md5 hex chars
     * into hash bits without any hex->int conversion. */
   private val HexBit = Array("13579bdf", "2367abef", "4567cdef", "89abcdef")
@@ -867,6 +982,10 @@ object Dedup {
     QueryDef("q126_near_dup_rates_reps",
       (s, d) => nearDupRatesDeduped(s, d),
       Some(nearDupRatesSql())),
+
+    QueryDef("q128_cdc_chunks",
+      (s, d) => cdcChunkStats(t(s, d, "documents")),
+      Some(cdcChunkStatsSql)),
 
     QueryDef("q88_decontaminate_reps",
       (s, d) => decontaminate(t(s, d, "documents"), 0.8, dedupFirst = true),

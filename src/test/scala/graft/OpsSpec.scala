@@ -61,6 +61,30 @@ class OpsSpec extends AnyFunSuite {
     SessionHygiene.clear(spark)
   }
 
+  test("cdc chunking: boundaries re-align after a prepended token (shift robustness)") {
+    import org.apache.spark.sql.functions._
+    // the same long text, once verbatim and once with one token
+    // prepended: fixed-width spans all shift (every w-gram changes);
+    // CDC boundaries are content-chosen, so all chunks after the first
+    // boundary re-align and share fingerprints
+    val base = docs.orderBy("doc_id").limit(60)
+      .agg(concat_ws(" ", collect_list("text"))).head().getString(0)
+    val d = {
+      import spark.implicits._
+      Seq((1L, "a", base), (2L, "b", "inserted " + base))
+        .toDF("doc_id", "source", "text")
+    }
+    val byDoc = Dedup.cdcChunks(d).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getString(2)).toSet).toMap
+    val shared = byDoc(1L).intersect(byDoc(2L)).size.toDouble
+    assert(byDoc(1L).size > 10, s"corpus slice too short for the property (${byDoc(1L).size} chunks)")
+    assert(shared / byDoc(1L).size >= 0.8,
+      f"CDC must re-align after an insertion: only ${shared / byDoc(1L).size}%.2f shared")
+    // and the chunking partitions the token stream exactly
+    val stats = Dedup.cdcChunkStats(d).agg(sum("n_tokens")).head().getLong(0)
+    assert(stats == d.select(sum(size(split(col("text"), " ")))).head().getLong(0))
+  }
+
   test("prefix filter is order-invariant: df-ordered == lexicographic output") {
     val lex = Dedup.ngramJaccardPairs(docs, 0.8)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
