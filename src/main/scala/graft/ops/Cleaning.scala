@@ -179,16 +179,21 @@ object Cleaning {
 
   /** Redact Luhn-valid card numbers from `textCol`; reports candidate and
     * valid counts per doc so the false-positive rate of the shape regex
-    * is itself a corpus signal. */
+    * is itself a corpus signal. The checksum lambda runs ONCE per token
+    * (`__v` is a bound column): counts and the redaction both read the
+    * precomputed validity array instead of re-folding the digits (the
+    * QueryDef.spread discipline: never re-evaluate an expensive
+    * expression inside multiple lambda pipelines; 100x A/B in
+    * SCALE.md round-6). */
   def redactCards(docs: DataFrame, textCol: Column): DataFrame =
     docs.withColumn("__w", split(textCol, " "))
+      .withColumn("__v", expr(s"transform(__w, w -> ${isValidCard("w")})"))
       .select(col("doc_id"),
         expr(s"CAST(size(filter(__w, w -> w RLIKE '$CardShapeRe')) AS BIGINT)")
           .as("n_card_candidates"),
-        expr(s"CAST(size(filter(__w, w -> ${isValidCard("w")})) AS BIGINT)")
-          .as("n_valid_cards"),
-        expr(s"""array_join(transform(__w,
-            w -> CASE WHEN ${isValidCard("w")} THEN '<CARD>' ELSE w END), ' ')""")
+        expr("CAST(size(filter(__v, v -> v)) AS BIGINT)").as("n_valid_cards"),
+        expr("""array_join(zip_with(__w, __v,
+            (w, v) -> CASE WHEN v THEN '<CARD>' ELSE w END), ' ')""")
           .as("text_redacted"))
 
   /** Deterministic card-shaped injections for q127 (the corpus has no

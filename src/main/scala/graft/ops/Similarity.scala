@@ -335,6 +335,43 @@ object Similarity {
     (q, centroidFrame(spark, seq), k)
   }
 
+  /** Persist the trained coarse index as parquet: `centroids` (cent_id,
+    * cqv, cnrm) and `assignments` (vec_id, qv, nrm, cent_id, rn — the
+    * [[assignCells]] output for nprobe probes). The production
+    * deployment shape at 100 TB: Lloyd training and the assignment pass
+    * amortize across every query batch that follows, and the
+    * assignments table — written here unpartitioned; a deployment
+    * partitions by cent_id — is the cell-prunable index file. */
+  def saveIvfIndex(spark: SparkSession, dir: String, indexDir: String,
+      nprobe: Int = IvfNprobe): Unit = {
+    val (q, cents, _) = coarseIndex(spark, dir)
+    cents.write.mode("overwrite").parquet(s"$indexDir/centroids")
+    assignCells(q, cents, nprobe).write.mode("overwrite")
+      .parquet(s"$indexDir/assignments")
+  }
+
+  /** Top-k straight off a [[saveIvfIndex]] directory: no training jobs,
+    * no assignment pass — the cell equi-join + exact re-rank only.
+    * Row-identical to [[knnIvf]] at the same nprobe (q129 is gated
+    * against q47's exact oracle). */
+  def knnIvfPersisted(spark: SparkSession, indexDir: String, k: Int,
+      nprobe: Int = IvfNprobe): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    QueryDef.cpuBound(spark)
+    val ranked = spark.read.parquet(s"$indexDir/assignments")
+    val members = ranked.filter(col("rn") === 1)
+      .select(col("vec_id").as("id_b"), col("qv").as("qb"),
+        col("nrm").as("nb"), col("cent_id").as("cell"))
+    val probes = ranked.filter(col("rn") <= nprobe)
+      .select(col("vec_id").as("id_a"), col("qv").as("qa"),
+        col("nrm").as("na"), col("cent_id").as("cell"))
+    topkPairs(
+      probes.join(members, Seq("cell"))
+        .filter(col("id_a") =!= col("id_b"))
+        .withColumn("sim", simCol),
+      k)
+  }
+
   /** Per-query top-k over scored candidate pairs via the bounded
     * [[graft.functions.TopKSim]] aggregator — map partitions reduce to
     * ≤ k pairs per query BEFORE the exchange, where the rank-window
@@ -847,6 +884,26 @@ object Similarity {
       FROM prof p JOIN tops t ON p.cluster = t.cluster AND t.rn = 1"""
   }
 
+  /** q47's exact oracle — shared verbatim by q129 (the persisted index
+    * must answer identically to the freshly built one). */
+  private lazy val knnIvfOracleSql: String = {
+    val (kmeans, cf) = kmeansSqlAuto()
+    s"""WITH $quantCte,
+    $kmeans,
+    af AS (SELECT n.vec_id, n.qv, n.nrm, c.cent_id,
+          row_number() OVER (PARTITION BY n.vec_id ORDER BY
+            CAST(list_sum(list_transform(range(1, len(n.qv) + 1), i -> n.qv[i] * c.cqv[i])) AS DOUBLE)
+            / (sqrt(CAST(n.nrm AS DOUBLE)) * sqrt(CAST(c.cnrm AS DOUBLE))) DESC, c.cent_id) AS rn
+          FROM n CROSS JOIN $cf c),
+    mem AS (SELECT vec_id, qv, nrm, cent_id AS cell FROM af WHERE rn = 1),
+    pr AS (SELECT vec_id, qv, nrm, cent_id AS cell FROM af WHERE rn <= $IvfNprobe),
+    p AS (SELECT a.vec_id, b.vec_id AS neighbor_id, $simSql AS sim
+          FROM pr a JOIN mem b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+    r AS (SELECT vec_id, neighbor_id, sim,
+          row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, neighbor_id) AS rank FROM p)
+    SELECT vec_id, rank, neighbor_id, sim FROM r WHERE rank <= 3"""
+  }
+
   val queries: Seq[QueryDef] = Seq(
     // The driver's pandas compare can't sort ARRAY columns, so the query
     // projects the centroid through array_join; labelCentroids keeps the
@@ -898,23 +955,21 @@ object Similarity {
 
     QueryDef("q47_knn_ivf",
       (s, d) => knnIvf(s, d, 3),
-      Some {
-        val (kmeans, cf) = kmeansSqlAuto()
-        s"""WITH $quantCte,
-        $kmeans,
-        af AS (SELECT n.vec_id, n.qv, n.nrm, c.cent_id,
-              row_number() OVER (PARTITION BY n.vec_id ORDER BY
-                CAST(list_sum(list_transform(range(1, len(n.qv) + 1), i -> n.qv[i] * c.cqv[i])) AS DOUBLE)
-                / (sqrt(CAST(n.nrm AS DOUBLE)) * sqrt(CAST(c.cnrm AS DOUBLE))) DESC, c.cent_id) AS rn
-              FROM n CROSS JOIN $cf c),
-        mem AS (SELECT vec_id, qv, nrm, cent_id AS cell FROM af WHERE rn = 1),
-        pr AS (SELECT vec_id, qv, nrm, cent_id AS cell FROM af WHERE rn <= $IvfNprobe),
-        p AS (SELECT a.vec_id, b.vec_id AS neighbor_id, $simSql AS sim
-              FROM pr a JOIN mem b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
-        r AS (SELECT vec_id, neighbor_id, sim,
-              row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, neighbor_id) AS rank FROM p)
-        SELECT vec_id, rank, neighbor_id, sim FROM r WHERE rank <= 3"""
-      }),
+      Some(knnIvfOracleSql)),
+
+    // the persisted index round-trips through parquet and MUST return the
+    // exact same answer — gated against q47's identical oracle
+    QueryDef("q129_knn_ivf_persisted",
+      (s, d) => {
+        // deterministic per-corpus scratch path, mode=overwrite inside:
+        // repeated bench iterations reuse ONE directory instead of
+        // leaking a fresh temp index per call
+        val idx = s"${System.getProperty("java.io.tmpdir")}/graft-ivf-idx-" +
+          d.replaceAll("[^A-Za-z0-9._-]", "_")
+        saveIvfIndex(s, d, idx)
+        knnIvfPersisted(s, idx, 3)
+      },
+      Some(knnIvfOracleSql)),
 
     QueryDef("q66_knn_ivf_pq",
       (s, d) => knnIvfPq(s, d, 3),
