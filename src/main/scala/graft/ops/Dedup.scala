@@ -690,11 +690,16 @@ object Dedup {
     * SCALE.md round-6) never exists.
     *
     * Equality with [[nearDupRates]] holds for every corpus whose texts
-    * shingle to ≥ 1 gram (< 3 tokens ⟹ empty gram set ⟹ the naive
-    * verify drops the 0/0 pair while this form counts identical texts as
-    * dups — the only, documented, divergence). The driver gates this
-    * query against q120's UNCHANGED oracle, and DedupSpec asserts
-    * row-identity with the naive form on a duplicate-heavy corpus. */
+    * shingle to ≥ 1 gram. Sub-3-token texts have an EMPTY gram set, so
+    * the mine never pairs them (their minhash bands are null — null keys
+    * don't join — so no candidate, no 0/0 verify), while this form's
+    * group self-edge counts identical such texts as dups. That is the
+    * only divergence, it is spec-locked (OpsSpec "degenerate
+    * sub-shingle docs"), and this form's answer — byte-identical texts
+    * ARE duplicates whether or not they shingle — is the defensible one.
+    * The driver gates this query against q120's UNCHANGED oracle, and
+    * OpsSpec asserts row-identity with the naive form on a
+    * duplicate-heavy corpus. */
   def nearDupRatesDeduped(spark: SparkSession, dir: String,
       threshold: Double = 0.8): DataFrame =
     nearDupRatesDedupedOn(t(spark, dir, "documents"), threshold)

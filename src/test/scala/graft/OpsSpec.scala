@@ -61,6 +61,32 @@ class OpsSpec extends AnyFunSuite {
     SessionHygiene.clear(spark)
   }
 
+  test("degenerate sub-shingle docs: mine is total (null bands); reps rates count exact dups") {
+    import org.apache.spark.sql.functions._
+    // "x y" shingles to an EMPTY gram set: its minhash bands are null,
+    // null keys never join, so the mine forms no candidate and no 0/0
+    // verify — total under ANSI, zero pairs. The group-algebra report
+    // (q126) counts the two byte-identical copies as within-dups via the
+    // group self-edge: the one documented divergence from the naive form.
+    val tmp = java.nio.file.Files.createTempDirectory("degen").toString
+    val d = {
+      import spark.implicits._
+      Seq((1L, "a", "x y"), (2L, "a", "x y"),
+        (3L, "b", "a perfectly ordinary document with enough tokens to shingle"))
+        .toDF("doc_id", "source", "text")
+    }
+    d.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    assert(Dedup.minhashLshPairs(d, 0.8).count() == 0, "no pairs, no crash")
+    val naive = Dedup.nearDupRates(spark, tmp).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_within_dup")).toMap
+    val comp = Dedup.nearDupRatesDeduped(spark, tmp).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_within_dup")).toMap
+    assert(naive("a") == 0L, "naive form cannot see sub-shingle exact dups")
+    assert(comp("a") == 2L, "group algebra counts byte-identical texts as dups")
+    assert(naive("b") == 0L && comp("b") == 0L)
+    SessionHygiene.clear(spark)
+  }
+
   test("cdc chunking: boundaries re-align after a prepended token (shift robustness)") {
     import org.apache.spark.sql.functions._
     // the same long text, once verbatim and once with one token
