@@ -545,7 +545,9 @@ object Dedup {
       .withColumn("dup_token_frac",
         col("n_dup_tokens").cast("double") / col("n_tokens"))
 
-  def cdcChunkStatsSql: String = {
+  /** The CDC chunk-stream CTE chain over any document-shaped relation,
+    * ending in `ch(doc_id, source, c{fp, len})`. */
+  private def cdcChunkCtesOver(docsRel: String): String = {
     val p = 1000000007L
     val mask = (1 << CdcMaskBits) - 1
     val pows = CdcPows.mkString("[", ", ", "]")
@@ -557,7 +559,7 @@ object Dedup {
       s"(a, x) -> (a * 31 + x) % $p)"
     val wh = s"list_sum(list_transform(range(0, $CdcWindow), " +
       s"k -> th[i - k] * ($pows)[k + 1] % $p)) % $p"
-    s"""WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+    s"""d AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM $docsRel dd),
       t AS (SELECT doc_id, source, toks, len(toks) AS n,
               list_transform(toks, t -> $tokHash) AS th
             FROM d),
@@ -567,13 +569,17 @@ object Dedup {
                   THEN list_filter(range($CdcWindow, n + 1), i -> ($wh) % ${mask + 1} = 0)
                   ELSE [] END), [n]) AS bounds
             FROM t),
-      ch AS (SELECT source, unnest(list_filter(
+      ch AS (SELECT doc_id, source, unnest(list_filter(
                list_transform(range(2, len(bounds) + 1), j ->
                  struct_pack(fp := md5(array_to_string(
                      toks[bounds[j - 1] + 1 : bounds[j]], ' ')),
                    len := CAST(bounds[j] - bounds[j - 1] AS BIGINT))),
                c -> c.len > 0)) AS c
-             FROM b),
+             FROM b)"""
+  }
+
+  def cdcChunkStatsSql: String =
+    s"""WITH ${cdcChunkCtesOver("documents")},
       pf AS (SELECT source, c.fp AS fp, count(*) AS cnt, max(c.len) AS len
              FROM ch GROUP BY 1, 2)
       SELECT source, CAST(sum(cnt) AS BIGINT) AS n_chunks,
@@ -583,7 +589,61 @@ object Dedup {
         CAST(sum(cnt) - count(*) AS DOUBLE) / sum(cnt) AS dup_chunk_rate,
         CAST(sum((cnt - 1) * len) AS DOUBLE) / sum(cnt * len) AS dup_token_frac
       FROM pf GROUP BY source"""
+
+  /** Chunk-level CONTAINMENT pairs: representatives sharing ≥ `threshold`
+    * of the smaller side's distinct chunks. Containment — not symmetric
+    * Jaccard — is the partial-copy detector: a long document quoting a
+    * short one wholesale scores near 1.0 here while its Jaccard is tiny,
+    * and CDC boundaries keep the shared chunks aligned however the
+    * surrounding text shifts. Built reps-first from the start (lesson 1:
+    * exact copies collapse before any pair forms) with a df cap on
+    * chunks (lesson from q49: boilerplate chunks shared by > cap docs
+    * generate candidate volume without signal — drop them BEFORE the
+    * self-join).
+    *
+    * Shape at scale: distinct (doc, fp) rows through a df-capped
+    * fp-keyed self-join — candidate volume is Σ df² over kept chunks,
+    * cap-bounded per chunk; rollups are pair- and doc-cardinality. */
+  def cdcContainmentPairs(docs: DataFrame, threshold: Double = 0.5,
+      maxDocFreq: Long = 50): DataFrame = {
+    val reps = exact(docs).select(col("keep_id").as("doc_id"))
+    val ch = cdcChunks(docs.join(reps, "doc_id"))
+      .select("doc_id", "fp").distinct().localCheckpoint()
+    val kept = ch.join(
+      ch.groupBy("fp").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxDocFreq).select("fp"), "fp")
+      .localCheckpoint() // feeds sizes + both self-join sides
+    val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
+    kept.as("a").join(kept.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(sizes.select(col("doc_id").as("id_a"), col("n_chunks").as("na")), "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("n_chunks").as("nb")), "id_b")
+      .withColumn("containment",
+        col("n_shared").cast("double") / least(col("na"), col("nb")))
+      .filter(col("containment") >= threshold)
+      .select("id_a", "id_b", "n_shared", "containment")
   }
+
+  def cdcContainmentPairsSql(threshold: Double = 0.5,
+      maxDocFreq: Long = 50): String =
+    s"""WITH ${cdcChunkCtesOver(
+        """(SELECT d.* FROM documents d
+            JOIN (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)) r
+            USING (doc_id))""")},
+      chd AS (SELECT DISTINCT doc_id, c.fp AS fp FROM ch),
+      dfq AS (SELECT fp FROM chd GROUP BY fp HAVING count(*) <= $maxDocFreq),
+      kept AS (SELECT chd.* FROM chd JOIN dfq USING (fp)),
+      sizes AS (SELECT doc_id, count(*) AS n_chunks FROM kept GROUP BY doc_id),
+      shared AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+                 FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2)
+      SELECT id_a, id_b, CAST(n_shared AS BIGINT) AS n_shared,
+        CAST(n_shared AS DOUBLE) / least(sa.n_chunks, sb.n_chunks) AS containment
+      FROM shared JOIN sizes sa ON shared.id_a = sa.doc_id
+                  JOIN sizes sb ON shared.id_b = sb.doc_id
+      WHERE CAST(n_shared AS DOUBLE) / least(sa.n_chunks, sb.n_chunks) >= $threshold"""
 
   /** Hex digits whose bit k is set, for k = 0..3 — turns md5 hex chars
     * into hash bits without any hex->int conversion. */
@@ -991,6 +1051,10 @@ object Dedup {
     QueryDef("q128_cdc_chunks",
       (s, d) => cdcChunkStats(t(s, d, "documents")),
       Some(cdcChunkStatsSql)),
+
+    QueryDef("q130_cdc_containment",
+      (s, d) => cdcContainmentPairs(t(s, d, "documents")),
+      Some(cdcContainmentPairsSql())),
 
     QueryDef("q88_decontaminate_reps",
       (s, d) => decontaminate(t(s, d, "documents"), 0.8, dedupFirst = true),

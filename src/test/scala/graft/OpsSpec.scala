@@ -111,6 +111,33 @@ class OpsSpec extends AnyFunSuite {
     assert(stats == d.select(sum(size(split(col("text"), " ")))).head().getLong(0))
   }
 
+  test("cdc containment: a wholesale quote scores high containment at tiny jaccard") {
+    import org.apache.spark.sql.functions._
+    val toks = docs.orderBy("doc_id").limit(60)
+      .agg(concat_ws(" ", collect_list("text"))).head().getString(0).split(" ")
+    val long = toks.mkString(" ")
+    // a ~400-token contiguous slice: every interior CDC boundary is
+    // content-chosen identically in both docs, so the quote's chunks
+    // align with the original's — high containment; chunk-Jaccard
+    // against the full doc stays small
+    val quote = toks.slice(1000, 1400).mkString(" ")
+    val d = {
+      import spark.implicits._
+      Seq((1L, "a", long), (2L, "b", quote)).toDF("doc_id", "source", "text")
+    }
+    val rows = Dedup.cdcContainmentPairs(d, threshold = 0.3).collect()
+    assert(rows.length == 1, s"expected the containment pair, got ${rows.length}")
+    val r = rows.head
+    val (shared, cont) = (r.getAs[Long]("n_shared"), r.getAs[Double]("containment"))
+    assert(cont >= 0.5, f"quote containment $cont%.2f < 0.5")
+    // and the symmetric overlap against the LONG side is genuinely small
+    val chunksLong = Dedup.cdcChunks(d.filter(col("doc_id") === 1L))
+      .select("fp").distinct().count()
+    assert(shared.toDouble / chunksLong < 0.35,
+      "jaccard-style overlap must be small — containment is the signal here")
+    SessionHygiene.clear(spark)
+  }
+
   test("prefix filter is order-invariant: df-ordered == lexicographic output") {
     val lex = Dedup.ngramJaccardPairs(docs, 0.8)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
