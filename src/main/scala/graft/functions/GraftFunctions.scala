@@ -3,7 +3,7 @@ package graft.functions
 import java.security.MessageDigest
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, BloomFilterMightContain, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -473,7 +473,18 @@ object GraftFunctions {
     "lsh_keys" -> (es => HyperplaneKeys(es.head,
       intArg(es, 1), intArg(es, 2), intArg(es, 3), intArg(es, 4))),
     "pq_adc_sum" -> (es => PqAdcSum(es.head, es(1))),
-    "rolling_hash" -> (es => RollingHash(es.head)))
+    "rolling_hash" -> (es => RollingHash(es.head)),
+    // Spark ships BloomFilterAggregate/BloomFilterMightContain for its
+    // own runtime-filter injection but keeps both out of the public
+    // FunctionRegistry; registering them here lets the bloom
+    // decontamination path build the filter with a plain aggregate and
+    // consume it via a scalar subquery — the only shapes might_contain
+    // accepts. (The bare AggregateFunction is wrapped into an
+    // AggregateExpression by the analyzer, same as built-in aggregates.)
+    "bloom_filter_agg" -> (es =>
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        es.head, es(1), es(2))),
+    "might_contain" -> (es => BloomFilterMightContain(es.head, es(1))))
 
   /** Session-scoped registration so `expr("quantized_dot(a, b)")` etc.
     * resolve; idempotent. */

@@ -303,6 +303,78 @@ object Dedup {
       FROM v WHERE jaccard >= $threshold GROUP BY test_id"""
   }
 
+  /** Bloom sizing for [[bloomDecontaminate]]. Fixed here because
+    * `bloom_filter_agg`'s sizing arguments must be literals; 8 M bits
+    * (1 MB serialized) holds ~1 M expected grams under 3% false
+    * positives. At 100 TB the TEST side stays benchmark-sized (test
+    * suites are fixed corpora, not corpus-sized), so the filter stays
+    * ~MBs however large the train corpus grows — size it from one
+    * cheap `COUNT(DISTINCT gram)` pass over the test split when the
+    * suite is not known in advance. */
+  val BloomExpectedGrams = 1000000L
+  val BloomNumBits = 8000000L
+
+  /** (train gram stream, bloom-surviving slice of it) — split out of
+    * [[bloomDecontaminate]] so ScaleTechniquesSpec can gate the pruning
+    * ratio its scaladoc claims. */
+  private[graft] def bloomTrainSurvivors(spark: SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
+    graft.functions.GraftFunctions.register(spark)
+    QueryDef.cpuBound(spark)
+    val sh = shingled(t(spark, dir, "documents"))
+      .withColumn("split", expr(Sampling.splitCase("doc_id")))
+      .localCheckpoint() // feeds the bloom build, the verify join AND the train stream
+    sh.filter(col("split") === "test")
+      .select(explode(col("grams")).as("gram")).distinct()
+      .createOrReplaceTempView("graft_test_grams")
+    val trainGrams = sh.filter(col("split") === "train")
+      .select(col("doc_id"), explode(col("grams")).as("gram"))
+    val survivors = trainGrams.filter(expr(
+      s"""might_contain((SELECT bloom_filter_agg(xxhash64(gram),
+            ${BloomExpectedGrams}L, ${BloomNumBits}L) FROM graft_test_grams),
+          xxhash64(gram))"""))
+    (trainGrams, survivors)
+  }
+
+  /** Exact-gram decontamination with a Bloom prefilter — the 100 TB
+    * shape of the "does a train document share ANY shingle with the
+    * test suite" question (q74 answers the fuzzier Jaccard form).
+    *
+    * Semantics (exact, fully oracled): a train document is reported,
+    * with its shared-gram count, iff at least one of its word 3-gram
+    * shingles also occurs in some test-split document.
+    *
+    * Scale shape: the naive plan equi-joins the full train gram stream
+    * (token volume — at 100 TB, trillions of rows) against the test
+    * gram table, shuffling BOTH sides on `gram`. Here the test grams
+    * fold into one ~1 MB Bloom filter (`bloom_filter_agg`, one scalar
+    * subquery job), which reaches every train partition as a literal —
+    * the train stream is then filtered MAP-SIDE to bloom survivors
+    * (true positives + the ~3% false-positive tail), and only that
+    * sliver pays the exact verify join. No false negatives by
+    * construction (both sides hash with the same `xxhash64`), so the
+    * result is identical to the naive join — the DuckDB oracle computes
+    * the naive form and must hash-match. ScaleTechniquesSpec gates the
+    * pruning (survivor rows << train gram rows) so the prefilter can't
+    * silently degrade to a pass-through. */
+  def bloomDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val (_, survivors) = bloomTrainSurvivors(spark, dir)
+    survivors
+      .join(spark.table("graft_test_grams"), "gram") // exact verify: survivors only
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared"), min(col("gram")).as("first_gram"))
+  }
+
+  /** DuckDB twin of [[bloomDecontaminate]] — the NAIVE exact join (the
+    * bloom is a pure prefilter, so the answers must be identical). */
+  def bloomDecontaminateSql(source: String = "documents"): String =
+    s"""WITH sh AS (SELECT doc_id, ${Sampling.splitCaseDuck("doc_id")} AS split,
+            $shinglesSql AS grams FROM $source),
+      tg AS (SELECT DISTINCT unnest(grams) AS gram FROM sh WHERE split = 'test'),
+      tr AS (SELECT doc_id, unnest(grams) AS gram FROM sh WHERE split = 'train')
+      SELECT doc_id, count(*) AS n_shared, min(gram) AS first_gram
+      FROM tr JOIN tg USING (gram) GROUP BY doc_id"""
+
   // ----------------------------------------------------------------------
   // Exact-substring span analysis: the token-window twin of the whole-doc
   // paths above. Whole-doc MinHash (q42/q74) misses a copied PARAGRAPH
@@ -1017,6 +1089,10 @@ object Dedup {
     QueryDef("q74_decontaminate",
       (s, d) => decontaminate(t(s, d, "documents"), 0.8),
       Some(decontaminateSql(0.8))),
+
+    QueryDef("q131_bloom_decontaminate",
+      (s, d) => bloomDecontaminate(s, d),
+      Some(bloomDecontaminateSql())),
 
     QueryDef("q89_dup_spans",
       (s, d) => dupSpans(t(s, d, "documents")),

@@ -102,6 +102,31 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     }
   }
 
+  test("q131 bloom decontamination: prefilter prunes the train gram stream, result stays exact") {
+    // The explicit counterpart of the injected runtime filter above:
+    // ops.Dedup.bloomDecontaminate folds the TEST gram set into one
+    // bloom_filter_agg scalar and map-side-filters the train gram stream
+    // before the exact verify join. Two claims, both gated: the filter
+    // actually prunes (survivors are a strict minority of train grams —
+    // otherwise the "100 TB shape" scaladoc is fiction), and pruning is
+    // lossless (bloom has no false negatives, so the per-doc report
+    // equals the naive full equi-join computed WITHOUT the bloom).
+    val (trainGrams, survivors) = ops.Dedup.bloomTrainSurvivors(spark, dir)
+    val total = trainGrams.count()
+    val kept = survivors.count()
+    assert(kept > 0 && kept < total / 2,
+      s"bloom prefilter must prune most train grams (kept $kept of $total)")
+    val viaBloom = SparkEntry.queries("q131_bloom_decontaminate")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted
+    val naive = trainGrams
+      .join(spark.table("graft_test_grams"), "gram")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared"), min(col("gram")).as("first_gram"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted
+    assert(viaBloom.nonEmpty && viaBloom.sameElements(naive),
+      "bloom prefilter must not change the decontamination report")
+  }
+
   private def withConfsResult[A](kvs: (String, String)*)(body: => A): A = {
     var out: Option[A] = None
     withConfs(kvs: _*) { out = Some(body) }
