@@ -256,6 +256,42 @@ object Corpus {
       FROM tf JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
       GROUP BY doc_id"""
 
+  /** CCNet-style quality bucketing: rank every document by its corpus
+    * bigram-LM score ([[bigramLmScore]] — the engine's stand-in for
+    * CCNet's KenLM perplexity) WITHIN its source and cut each source
+    * into head/middle/tail terciles. The published recipe keeps `head`
+    * (and often `middle`) for pre-training and drops `tail`; reporting
+    * per-(source, bucket) counts and score bounds is the audit view a
+    * curation run signs off on.
+    *
+    * Scale shape: everything up to the per-doc score is q99's plan (one
+    * doc-keyed aggregation tree over token volume); the tercile cut
+    * adds ONE window shuffle keyed by source over doc-count rows (not
+    * token rows) and a source-keyed rollup. Ties broken by doc_id so
+    * the ntile frontier is deterministic on both engines. */
+  def ccnetBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val sc = bigramLmScore(spark, dir).select("doc_id", "avg_p")
+    val w = Window.partitionBy("source").orderBy(col("avg_p").desc, col("doc_id"))
+    sc.join(t(spark, dir, "documents").select("doc_id", "source"), "doc_id")
+      .withColumn("nt", ntile(3).over(w))
+      .withColumn("bucket", when(col("nt") === 1, "head")
+        .when(col("nt") === 2, "middle").otherwise("tail"))
+      .groupBy("source", "bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("avg_p")).as("min_p"), max(col("avg_p")).as("max_p"))
+  }
+
+  val ccnetBucketsSql: String =
+    s"""WITH sc AS ($bigramLmScoreSql),
+      b AS (SELECT d.source, sc.doc_id, sc.avg_p,
+            ntile(3) OVER (PARTITION BY d.source
+                           ORDER BY sc.avg_p DESC, sc.doc_id) AS nt
+            FROM sc JOIN documents d USING (doc_id))
+      SELECT source,
+        CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket,
+        count(*) AS n_docs, min(avg_p) AS min_p, max(avg_p) AS max_p
+      FROM b GROUP BY 1, 2"""
+
   val RrfConst = 60L // the published reciprocal-rank-fusion constant
   val RrfPoolK = 50 // per-channel candidate pool
   val RrfTopK = 10
@@ -1202,6 +1238,10 @@ object Corpus {
     QueryDef("q99_bigram_lm_score",
       (s, d) => bigramLmScore(s, d),
       Some(bigramLmScoreSql)),
+
+    QueryDef("q132_ccnet_buckets",
+      (s, d) => ccnetBuckets(s, d),
+      Some(ccnetBucketsSql)),
 
     QueryDef("q111_dsir_weights",
       (s, d) => dsirScore(s, d),

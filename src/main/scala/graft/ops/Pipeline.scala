@@ -130,6 +130,36 @@ object Pipeline {
       SELECT m.doc_id, m.source, m.n_tokens, m.epochs, s.shard, s.sortkey
       FROM mix m JOIN shuf s USING (doc_id)"""
 
+  /** JSONL ingest roundtrip ([[graft.sources.JsonlCorpus]]): land the
+    * corpus as JSONL (the interchange format training corpora actually
+    * arrive in), read it back with a PINNED schema + corrupt-line
+    * quarantine, and prove fidelity against the parquet truth — per
+    * source: doc count, char volume, and the md5 extremes of the text
+    * payload (order-free exact integrity probes). `n_corrupt` rides
+    * along as a broadcast scalar and must be 0: a self-writing
+    * roundtrip has no torn lines (the quarantine path itself is
+    * exercised with deliberately malformed fixtures in OpsSpec). */
+  def jsonlRoundtrip(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    // deterministic per-corpus scratch path, overwrite inside (the q129
+    // discipline: bench iterations reuse ONE directory, no temp leak)
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft-jsonl-" +
+      dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    graft.sources.JsonlCorpus.write(docs, path)
+    val (parsed, bad) = graft.sources.JsonlCorpus.quarantine(
+      graft.sources.JsonlCorpus.read(spark, path, docs.schema))
+    parsed.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+        min(md5(col("text"))).as("min_md5"), max(md5(col("text"))).as("max_md5"))
+      .crossJoin(broadcast(bad.agg(count(lit(1)).as("n_corrupt"))))
+  }
+
+  val jsonlRoundtripSql: String =
+    """SELECT source, count(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        min(md5(text)) AS min_md5, max(md5(text)) AS max_md5,
+        CAST(0 AS BIGINT) AS n_corrupt
+       FROM documents GROUP BY source"""
+
   val queries: Seq[QueryDef] = Seq(
     QueryDef("q91_train_shard",
       (s, d) => prepareTrainShard(t(s, d, "documents")),
@@ -140,5 +170,9 @@ object Pipeline {
         weight = Sampling.srcNameWeight, delim = Cleaning.LineDelim,
         lineBlockToken = Cleaning.LineBlockToken,
         docBlockPhrase = Cleaning.DocBlockPhrase),
-      Some(preparePretrainCorpusSql(3L, Dedup.SpanWidth))))
+      Some(preparePretrainCorpusSql(3L, Dedup.SpanWidth))),
+
+    QueryDef("q134_jsonl_roundtrip",
+      (s, d) => jsonlRoundtrip(s, d),
+      Some(jsonlRoundtripSql)))
 }

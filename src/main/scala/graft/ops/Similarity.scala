@@ -89,6 +89,26 @@ object Similarity {
       .select(col("id_a").as("vec_id"), col("rank"), col("id_b").as("neighbor_id"), col("sim"))
   }
 
+  /** Reciprocal (mutual) top-1 pairs: (a, b) reported iff b is a's
+    * single nearest neighbor AND a is b's — the standard high-precision
+    * curation signal (a mutual pair is a near-certain duplicate or a
+    * tight semantic twin, where one-directional top-1 is often just a
+    * hub vector). Takes ANY (vec_id, rank, neighbor_id, sim) knn frame,
+    * so at 100 TB it composes over the IVF paths (q47/q129) exactly as
+    * the q133 query composes it over the exact brute-force frame — the
+    * mutuality join itself is one doc-count-sized self-equi-join on
+    * (vec_id, neighbor_id), trivially distributed. */
+  def mutualTop1(knn: DataFrame): DataFrame = {
+    val t1 = knn.filter(col("rank") === 1)
+      .select(col("vec_id"), col("neighbor_id"), col("sim"))
+    t1.as("x").join(t1.as("y"),
+        col("x.vec_id") === col("y.neighbor_id") &&
+          col("x.neighbor_id") === col("y.vec_id") &&
+          col("x.vec_id") < col("x.neighbor_id"))
+      .select(col("x.vec_id").as("id_a"),
+        col("x.neighbor_id").as("id_b"), col("x.sim").as("sim"))
+  }
+
   // ----------------------------------------------------------------------
   // Random-hyperplane LSH: `LshTables` hash tables of `LshBits` sign bits
   // each. Each bit is the sign of <qv, h> for a seeded ±1 hyperplane h —
@@ -938,6 +958,18 @@ object Similarity {
         r AS (SELECT vec_id, neighbor_id, sim,
               row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, neighbor_id) AS rank FROM p)
         SELECT vec_id, rank, neighbor_id, sim FROM r WHERE rank <= 5""")),
+
+    QueryDef("q133_mutual_top1",
+      (s, d) => mutualTop1(knnBrute(s, d, 1)),
+      Some(s"""WITH $quantCte,
+        p AS (SELECT a.vec_id, b.vec_id AS neighbor_id, $simSql AS sim
+              FROM n a JOIN n b ON a.vec_id <> b.vec_id),
+        r AS (SELECT vec_id, neighbor_id, sim,
+              row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, neighbor_id) AS rank FROM p),
+        t1 AS (SELECT vec_id, neighbor_id, sim FROM r WHERE rank = 1)
+        SELECT x.vec_id AS id_a, x.neighbor_id AS id_b, x.sim AS sim
+        FROM t1 x JOIN t1 y ON x.vec_id = y.neighbor_id AND x.neighbor_id = y.vec_id
+        WHERE x.vec_id < x.neighbor_id""")),
 
     QueryDef("q46_knn_lsh",
       (s, d) => knnLsh(s, d, 3),

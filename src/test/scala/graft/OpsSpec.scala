@@ -899,4 +899,27 @@ class OpsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("jsonl ingest: malformed lines quarantine with the raw text, good lines parse") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("jsonl").toString
+    // two good objects (one with an unknown extra field — must be
+    // dropped, not fatal), one torn line, one non-JSON line
+    java.nio.file.Files.write(java.nio.file.Paths.get(tmp, "part-0.jsonl"),
+      java.util.Arrays.asList(
+        """{"doc_id": 1, "text": "alpha beta", "lang": "en", "source": "web", "n_chars": 10}""",
+        """{"doc_id": 2, "text": "gamma", "lang": "de", "source": "web", "n_chars": 5, "extra": true}""",
+        """{"doc_id": 3, "text": "torn""",
+        """not json at all"""))
+    val schema = docs.schema
+    val (parsed, bad) = graft.sources.JsonlCorpus.quarantine(
+      graft.sources.JsonlCorpus.read(spark, tmp, schema))
+    assert(parsed.columns.toSeq == schema.fieldNames.toSeq, "pinned schema, no corrupt col")
+    val good = parsed.orderBy("doc_id").collect()
+    assert(good.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L, 2L))
+    assert(good.map(_.getAs[String]("text")).toSeq == Seq("alpha beta", "gamma"))
+    val raw = bad.collect().map(_.getAs[String]("raw_line")).sorted
+    assert(raw.toSeq == Seq("""{"doc_id": 3, "text": "torn""", "not json at all").sorted,
+      s"quarantine must preserve the raw malformed lines, got ${raw.toSeq}")
+  }
 }
