@@ -241,6 +241,80 @@ object Sampling {
       SELECT doc_id, source, n_tokens, share_tokens, CAST(epochs AS BIGINT) AS epochs
       FROM e WHERE epochs > 0"""
 
+  /** Per-source epoch-cap cycle for [[unimaxAlloc]]: source `srcN` may be
+    * repeated at most `N % 4 + 1` epochs. A real pipeline assigns these
+    * caps editorially (books repeat more than crawl); the deterministic
+    * name-derived cycle gives the synthetic corpus the cap SKEW the
+    * water-filling frontier needs (the corpus's token counts alone are
+    * near-uniform, which would never exercise the capped branch). */
+  val UnimaxEpochCycle = 4L
+
+  /** UniMax budget allocation (Chung et al. 2023): spread a global token
+    * budget as UNIFORMLY as possible across sources, capping each source
+    * at `avail_s × epoch-cap_s` — the anti-skew alternative to the
+    * weight-proportional [[sourceMix]] (q96), which starves small
+    * sources exactly where repeating them a little would be free.
+    *
+    * Closed-form water-filling, no iteration: sort sources by cap
+    * ascending; a PREFIX of that order is capped (proof: if the
+    * remaining-uniform share already exceeds cap_i it exceeds every
+    * earlier cap too), and the frontier k is the largest i with
+    * `cap_i · (n−i+1) ≤ B − cum_{i−1}`. Capped sources take their cap;
+    * the rest split the remainder exactly — `DIV` share plus one token
+    * to the first `rem MOD m` of them, so Σalloc == B to the token, all
+    * integer arithmetic on both engines.
+    *
+    * Scale shape: one map-side-combined groupBy over token volume; the
+    * window chain after it runs on SOURCE-COUNT rows (tens), so its
+    * single-partition OVER () frames are deliberate — never put them on
+    * a corpus-sized frame. Budget B = one epoch of the whole corpus. */
+  def unimaxAlloc(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("tok"))
+      .groupBy("source").agg(sum("tok").as("toks"))
+      .withColumn("mult", expr(s"CAST(substr(source, 4) AS BIGINT) % $UnimaxEpochCycle + 1"))
+      .withColumn("cap", col("toks") * col("mult"))
+      .withColumn("bdg", expr("sum(toks) OVER ()"))
+      .withColumn("n", expr("count(*) OVER ()"))
+      .withColumn("i", expr("row_number() OVER (ORDER BY cap, source)"))
+      .withColumn("cum", expr(
+        "sum(cap) OVER (ORDER BY cap, source ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"))
+      .withColumn("capped", expr("cap * (n - i + 1) <= bdg - (cum - cap)"))
+      .withColumn("k", expr("max(CASE WHEN capped THEN i ELSE 0 END) OVER ()"))
+      .withColumn("spent", expr("sum(CASE WHEN capped THEN cap ELSE 0L END) OVER ()"))
+      .withColumn("alloc", expr(
+        """CASE WHEN capped THEN cap
+           ELSE (bdg - spent) div (n - k)
+                + (CASE WHEN i - k <= (bdg - spent) % (n - k) THEN 1 ELSE 0 END) END"""))
+      .select("source", "toks", "mult", "cap", "alloc", "capped")
+
+  def unimaxAllocSql(table: String = "documents"): String =
+    s"""WITH tok AS (SELECT source,
+          CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS toks
+        FROM $table GROUP BY 1),
+      c AS (SELECT source, toks,
+          CAST(substr(source, 4) AS BIGINT) % $UnimaxEpochCycle + 1 AS mult,
+          toks * (CAST(substr(source, 4) AS BIGINT) % $UnimaxEpochCycle + 1) AS cap
+        FROM tok),
+      w AS (SELECT source, toks, mult, cap,
+          CAST(SUM(toks) OVER () AS BIGINT) AS bdg,
+          COUNT(*) OVER () AS n,
+          row_number() OVER (ORDER BY cap, source) AS i,
+          CAST(SUM(cap) OVER (ORDER BY cap, source
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        FROM c),
+      f AS (SELECT *, (cap * (n - i + 1) <= bdg - (cum - cap)) AS capped FROM w),
+      g AS (SELECT *, MAX(CASE WHEN capped THEN i ELSE 0 END) OVER () AS k,
+          CAST(SUM(CASE WHEN capped THEN cap ELSE 0 END) OVER () AS BIGINT) AS spent
+        FROM f)
+      SELECT source, toks, mult, cap,
+        CAST(CASE WHEN capped THEN cap
+          ELSE (bdg - spent) // (n - k)
+               + (CASE WHEN i - k <= (bdg - spent) % (n - k) THEN 1 ELSE 0 END) END
+          AS BIGINT) AS alloc,
+        capped
+      FROM g"""
+
   /** Filter-funnel diagnostic: per source, how many documents each
     * [[qualityFilter]] predicate rejects (independently — a doc failing
     * two predicates counts in both columns) and how many pass all four.
@@ -330,6 +404,10 @@ object Sampling {
     QueryDef("q101_shuffle_assign",
       (s, d) => shuffleAssign(t(s, d, "documents")),
       Some(shuffleAssignSql())),
+
+    QueryDef("q135_unimax_alloc",
+      (s, d) => unimaxAlloc(s, d),
+      Some(unimaxAllocSql())),
 
     QueryDef("q96_source_mix",
       (s, d) => sourceMix(t(s, d, "documents"), weight = srcNameWeight),

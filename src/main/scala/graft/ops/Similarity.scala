@@ -65,9 +65,11 @@ object Similarity {
   private val simCol =
     cosine(expr("CAST(quantized_dot(qa, qb) AS DOUBLE)"), col("na"), col("nb"))
 
-  private def pairFrames(q: DataFrame) = (
-    q.select(col("vec_id").as("id_a"), col("qv").as("qa"), col("nrm").as("na")),
-    q.select(col("vec_id").as("id_b"), col("qv").as("qb"), col("nrm").as("nb")))
+  private def pairFrames(qa: DataFrame, qb: DataFrame): (DataFrame, DataFrame) = (
+    qa.select(col("vec_id").as("id_a"), col("qv").as("qa"), col("nrm").as("na")),
+    qb.select(col("vec_id").as("id_b"), col("qv").as("qb"), col("nrm").as("nb")))
+
+  private def pairFrames(q: DataFrame): (DataFrame, DataFrame) = pairFrames(q, q)
 
   /** All near-duplicate pairs (id_a < id_b) with cosine >= threshold. */
   def nearDupPairs(spark: SparkSession, dir: String, threshold: Double): DataFrame = {
@@ -88,6 +90,40 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("id_a").as("vec_id"), col("rank"), col("id_b").as("neighbor_id"), col("sim"))
   }
+
+  /** Embedding-space decontamination: for every TRAIN vector, count the
+    * TEST-split vectors within cosine `threshold` and report the max —
+    * the semantic sibling of the gram-exact q131/q74 paths (catches a
+    * paraphrased benchmark answer no shingle or span ever will). Splits
+    * ride the shared hash split ([[Sampling.splitCase]]) on vec_id, so
+    * doc-keyed and embedding-keyed decontamination agree on membership
+    * (vec_id == doc_id, the q50 join contract).
+    *
+    * Scale shape: the TEST side is benchmark-sized however big the
+    * train corpus is (the q131 argument), so it BROADCASTS and the
+    * train side streams through map-side — no shuffle of train rows at
+    * all; the plan is scan → broadcast-nest-join → partial agg. */
+  def semanticDecontaminate(spark: SparkSession, dir: String,
+      threshold: Double): DataFrame = {
+    val q = quantized(spark, dir)
+      .withColumn("split", expr(Sampling.splitCase("vec_id")))
+    val (a, b) = pairFrames(q.filter(col("split") === "train"),
+      q.filter(col("split") === "test"))
+    a.join(broadcast(b), col("id_a") =!= col("id_b"))
+      .withColumn("sim", simCol)
+      .filter(col("sim") >= threshold)
+      .groupBy(col("id_a").as("vec_id"))
+      .agg(count(lit(1)).as("n_test_sims"), max(col("sim")).as("max_sim"))
+  }
+
+  def semanticDecontaminateSql(threshold: Double): String =
+    s"""WITH $quantCte,
+      s AS (SELECT vec_id, qv, nrm, ${Sampling.splitCaseDuck("vec_id")} AS split FROM n),
+      p AS (SELECT a.vec_id, $simSql AS sim
+            FROM s a JOIN s b ON a.split = 'train' AND b.split = 'test'
+              AND a.vec_id <> b.vec_id)
+      SELECT vec_id, count(*) AS n_test_sims, max(sim) AS max_sim
+      FROM p WHERE sim >= $threshold GROUP BY vec_id"""
 
   /** Reciprocal (mutual) top-1 pairs: (a, b) reported iff b is a's
     * single nearest neighbor AND a is b's — the standard high-precision
@@ -958,6 +994,10 @@ object Similarity {
         r AS (SELECT vec_id, neighbor_id, sim,
               row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, neighbor_id) AS rank FROM p)
         SELECT vec_id, rank, neighbor_id, sim FROM r WHERE rank <= 5""")),
+
+    QueryDef("q136_semantic_decontaminate",
+      (s, d) => semanticDecontaminate(s, d, 0.4),
+      Some(semanticDecontaminateSql(0.4))),
 
     QueryDef("q133_mutual_top1",
       (s, d) => mutualTop1(knnBrute(s, d, 1)),

@@ -900,6 +900,26 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("unimax allocation: water-filling invariants hold and the frontier is exercised") {
+    val rows = Sampling.unimaxAlloc(spark, dir).collect().map(r =>
+      (r.getAs[String]("source"), r.getAs[Long]("toks"), r.getAs[Long]("cap"),
+        r.getAs[Long]("alloc"), r.getAs[Boolean]("capped")))
+    val budget = rows.map(_._2).sum // B = one epoch of the corpus
+    assert(rows.map(_._4).sum == budget, "allocations must spend the budget exactly")
+    assert(rows.forall { case (_, _, cap, alloc, _) => alloc <= cap },
+      "no source may exceed its epoch cap")
+    val (capped, free) = rows.partition(_._5)
+    assert(capped.nonEmpty && free.nonEmpty,
+      s"the cap frontier must be exercised (capped=${capped.length} free=${free.length})")
+    // uniform fill: uncapped allocations differ by at most the 1-token
+    // remainder, and sit at or above every capped source's cap (that is
+    // WHY those sources are capped)
+    val fa = free.map(_._4)
+    assert(fa.max - fa.min <= 1, s"uncapped allocs must be uniform ±1: ${fa.toSeq}")
+    assert(fa.min >= capped.map(_._3).max,
+      "uniform share must dominate every capped source's cap")
+  }
+
   test("jsonl ingest: malformed lines quarantine with the raw text, good lines parse") {
     import org.apache.spark.sql.functions._
     val tmp = java.nio.file.Files.createTempDirectory("jsonl").toString

@@ -267,6 +267,24 @@ class PlanSpec extends AnyFunSuite {
       s"centroids must attach as a broadcast cross: $loops")
   }
 
+  test("q136: test split broadcasts, train rows never shuffle") {
+    // semanticDecontaminate's scale contract: the benchmark-sized TEST
+    // side is the broadcast build, the train stream is map-side only —
+    // the plan must carry exactly one broadcast loop join building the
+    // RIGHT (test) side, and no Exchange may sit below the join on the
+    // train path (the only exchanges allowed are the broadcast itself
+    // and the final partial-agg rollup above the join).
+    val p = plan("q136_semantic_decontaminate")
+    // tree lines only — the formatted detail section repeats the node
+    // name without its BuildRight argument
+    val loops = p.linesIterator
+      .filter(l => l.contains("BroadcastNestedLoopJoin") && l.contains("- ")).toSeq
+    assert(loops.nonEmpty && loops.forall(_.contains("BuildRight")),
+      s"test side must be the broadcast build: $loops")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "train side must never shuffle into the join")
+  }
+
   test("catalog missing-series plans as broadcast left-anti") {
     import spark.implicits._
     val headers = Seq((0, "1", "n", 0)).toDF("fileOrd", "externalId", "name", "colIndex")
