@@ -479,6 +479,29 @@ object Dedup {
         .otherwise(col("n_train_spans").cast("double") / col("n_spans")))
   }
 
+  /** Train-side view of [[spanContamination]]: per TRAIN document, how
+    * many of its `w`-token span positions collide with any TEST-split
+    * span — the "which train docs must be dropped/trimmed" direction
+    * (q90 reports the test side's exposure; a curation pass acts on
+    * THIS side). Same shape discipline: fp-keyed equi-join of the span
+    * stream against the distinct test fps, no pair output. */
+  def trainSpanContamination(docs: DataFrame, w: Int = SpanWidth): DataFrame = {
+    val spans = spanFps(docs, w)
+      .withColumn("split", expr(Sampling.splitCase("doc_id")))
+    val testFps = spans.filter(col("split") === "test").select("fp").distinct()
+    spans.filter(col("split") === "train")
+      .join(testFps, "fp")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_test_spans"))
+  }
+
+  def trainSpanContaminationSql(w: Int, source: String = "documents"): String =
+    s"""WITH ${spanFpsSql(w, source)},
+      sp AS (SELECT doc_id, fp, ${Sampling.splitCaseDuck("doc_id")} AS split FROM spans),
+      test_fps AS (SELECT DISTINCT fp FROM sp WHERE split = 'test')
+      SELECT s.doc_id, count(*) AS n_test_spans
+      FROM sp s JOIN test_fps t ON s.fp = t.fp
+      WHERE s.split = 'train' GROUP BY s.doc_id"""
+
   def spanContaminationSql(w: Int): String =
     s"""WITH ${spanFpsSql(w, "documents")},
       sp AS (SELECT doc_id, fp, ${Sampling.splitCaseDuck("doc_id")} AS split FROM spans),

@@ -160,6 +160,58 @@ object Pipeline {
         CAST(0 AS BIGINT) AS n_corrupt
        FROM documents GROUP BY source"""
 
+  /** Unified contamination report — every train document flagged by ANY
+    * of the three decontamination lenses, side by side:
+    *
+    *   - `n_shared_grams`: exact 3-gram overlap with the test split
+    *     (bloom-prefiltered, q131) — catches copied phrases;
+    *   - `n_test_spans`: 13-token verbatim span collisions
+    *     ([[Dedup.trainSpanContamination]]) — catches copied passages
+    *     too long to be chance;
+    *   - `n_test_sims`: embedding cosine hits (q136) — catches
+    *     paraphrase the other two can't see.
+    *
+    * One row per train doc with ≥1 signal; `signals` counts how many
+    * lenses fired (a 3-signal doc is a certain leak; a semantic-only
+    * doc is a review candidate). The full-outer composition is two
+    * doc-keyed joins of already-aggregated doc-count frames — the three
+    * underlying sweeps dominate, and each keeps its own gated scale
+    * shape. */
+  def contaminationReport(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val g = Dedup.bloomDecontaminate(spark, dir)
+      .select(col("doc_id"), col("n_shared").as("n_shared_grams"))
+    val sp = Dedup.trainSpanContamination(t(spark, dir, "documents"))
+    val se = Similarity.semanticDecontaminate(spark, dir, 0.4)
+      .select(col("vec_id").as("doc_id"), col("n_test_sims"))
+    g.join(sp, Seq("doc_id"), "full_outer")
+      .join(se, Seq("doc_id"), "full_outer")
+      .na.fill(0L, Seq("n_shared_grams", "n_test_spans", "n_test_sims"))
+      .withColumn("signals", expr(
+        """CAST((CASE WHEN n_shared_grams > 0 THEN 1 ELSE 0 END)
+             + (CASE WHEN n_test_spans > 0 THEN 1 ELSE 0 END)
+             + (CASE WHEN n_test_sims > 0 THEN 1 ELSE 0 END) AS BIGINT)"""))
+  }
+
+  val contaminationReportSql: String =
+    s"""WITH g AS (SELECT doc_id, n_shared AS n_shared_grams
+          FROM (${Dedup.bloomDecontaminateSql()})),
+      sp AS (${Dedup.trainSpanContaminationSql(Dedup.SpanWidth)}),
+      se AS (SELECT vec_id AS doc_id, n_test_sims
+          FROM (${Similarity.semanticDecontaminateSql(0.4)})),
+      u AS (SELECT COALESCE(g.doc_id, sp.doc_id, se.doc_id) AS doc_id,
+          COALESCE(g.n_shared_grams, 0) AS n_shared_grams,
+          COALESCE(sp.n_test_spans, 0) AS n_test_spans,
+          COALESCE(se.n_test_sims, 0) AS n_test_sims
+        FROM g
+        FULL OUTER JOIN sp ON g.doc_id = sp.doc_id
+        FULL OUTER JOIN se ON COALESCE(g.doc_id, sp.doc_id) = se.doc_id)
+      SELECT doc_id, n_shared_grams, n_test_spans, n_test_sims,
+        CAST((CASE WHEN n_shared_grams > 0 THEN 1 ELSE 0 END)
+          + (CASE WHEN n_test_spans > 0 THEN 1 ELSE 0 END)
+          + (CASE WHEN n_test_sims > 0 THEN 1 ELSE 0 END) AS BIGINT) AS signals
+      FROM u"""
+
   val queries: Seq[QueryDef] = Seq(
     QueryDef("q91_train_shard",
       (s, d) => prepareTrainShard(t(s, d, "documents")),
@@ -174,5 +226,9 @@ object Pipeline {
 
     QueryDef("q134_jsonl_roundtrip",
       (s, d) => jsonlRoundtrip(s, d),
-      Some(jsonlRoundtripSql)))
+      Some(jsonlRoundtripSql)),
+
+    QueryDef("q139_contamination_report",
+      (s, d) => contaminationReport(s, d),
+      Some(contaminationReportSql)))
 }

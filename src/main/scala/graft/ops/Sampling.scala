@@ -23,6 +23,10 @@ object Sampling {
 
   private def bucket(idCol: String) = s"substr(md5(CAST($idCol AS STRING)), 1, 4)"
 
+  /** Hex char → value, Spark SQL flavor (shared by the shard-byte
+    * derivations in [[shuffleAssign]] and [[epochOrder]]). */
+  private def hexValSpark(c: String) = s"(instr('0123456789abcdef', $c) - 1)"
+
   private def hex(k: Int) = f"'$k%04x'"
 
   /** Bernoulli-by-hash sample keeping ~`num`/65536 of the corpus. */
@@ -315,6 +319,44 @@ object Sampling {
         capped
       FROM g"""
 
+  /** Per-epoch training-order manifest: expand the epoch counts of
+    * [[sourceMixEpochs]] (q102) into one row per (document, epoch) with
+    * a FRESH shuffle key per epoch — `md5("epoch:" e ":" doc_id)` — so
+    * every epoch visits the corpus in an independent deterministic
+    * order (the standard reshuffle-each-epoch training discipline; a
+    * single fixed order correlates gradient noise across epochs). The
+    * shard byte comes from the same key, so a document lands on
+    * DIFFERENT shards in different epochs — no shard is ever a repeat
+    * of a previous epoch's shard content.
+    *
+    * Scale shape: one explode of doc-count rows by their (small) epoch
+    * multiplicity above q102's plan; the manifest writer then sorts
+    * within (epoch, shard) — a bounded-partition sort, never global. */
+  def epochOrder(docs: DataFrame, factor: Long = 3L,
+      weight: org.apache.spark.sql.Column = lit(1L)): DataFrame =
+    sourceMixEpochs(docs, factor, weight)
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        explode(expr("sequence(1L, epochs)")).as("epoch"))
+      .withColumn("sortkey", md5(concat_ws(":",
+        lit("epoch"), col("epoch").cast("string"), col("doc_id").cast("string"))))
+      .withColumn("shard", expr(
+        s"CAST(${hexValSpark("substr(sortkey, 1, 1)")} * 16 + ${hexValSpark("substr(sortkey, 2, 1)")} AS BIGINT)"))
+      .select("doc_id", "source", "n_tokens", "epoch", "shard", "sortkey")
+
+  def epochOrderSql(factor: Long = 3L, table: String = "documents"): String = {
+    val hexVal = (c: String) => s"(strpos('0123456789abcdef', $c) - 1)"
+    s"""WITH mix AS (${sourceMixEpochsSql(factor, table)}),
+      e AS (SELECT doc_id, source, n_tokens,
+          unnest(range(1, epochs + 1)) AS epoch FROM mix),
+      k AS (SELECT doc_id, source, n_tokens, CAST(epoch AS BIGINT) AS epoch,
+          md5('epoch:' || CAST(epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)) AS sortkey
+        FROM e)
+      SELECT doc_id, source, n_tokens, epoch,
+        CAST(${hexVal("substr(sortkey, 1, 1)")} * 16 + ${hexVal("substr(sortkey, 2, 1)")} AS BIGINT) AS shard,
+        sortkey
+      FROM k"""
+  }
+
   /** Filter-funnel diagnostic: per source, how many documents each
     * [[qualityFilter]] predicate rejects (independently — a doc failing
     * two predicates counts in both columns) and how many pass all four.
@@ -408,6 +450,10 @@ object Sampling {
     QueryDef("q135_unimax_alloc",
       (s, d) => unimaxAlloc(s, d),
       Some(unimaxAllocSql())),
+
+    QueryDef("q137_epoch_order",
+      (s, d) => epochOrder(t(s, d, "documents"), weight = srcNameWeight),
+      Some(epochOrderSql())),
 
     QueryDef("q96_source_mix",
       (s, d) => sourceMix(t(s, d, "documents"), weight = srcNameWeight),

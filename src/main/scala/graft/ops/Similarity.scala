@@ -125,6 +125,62 @@ object Similarity {
       SELECT vec_id, count(*) AS n_test_sims, max(sim) AS max_sim
       FROM p WHERE sim >= $threshold GROUP BY vec_id"""
 
+  /** Triplet mining for contrastive/metric training: per anchor vector,
+    * the hardest POSITIVE (most-similar vector sharing its label,
+    * self excluded) and the hardest NEGATIVE (most-similar vector of a
+    * DIFFERENT label), with the margin between them. Anchors with a
+    * non-positive margin (`neg_sim >= pos_sim`) are the batch-mining
+    * targets — the "semi-hard/hard" set every triplet-loss recipe
+    * feeds on; margin ranking is also the label-noise audit (a negative
+    * closer than every positive is very often a mislabeled point).
+    *
+    * Scale shape: scoring is the exact O(n²) sweep (the q45 caveat —
+    * at 100 TB mine within IVF cells or label-stratified blocks); the
+    * per-anchor reduction is ONE window per group kind over the scored
+    * stream, then a pivot to one row per anchor — no pair output
+    * survives the operator. */
+  def hardTriplets(spark: SparkSession, dir: String): DataFrame = {
+    val q = quantized(spark, dir)
+    val a = q.select(col("vec_id").as("id_a"), col("qv").as("qa"),
+      col("nrm").as("na"), col("label").as("label_a"))
+    val b = q.select(col("vec_id").as("id_b"), col("qv").as("qb"),
+      col("nrm").as("nb"), col("label").as("label_b"))
+    val w = Window.partitionBy("id_a", "grp").orderBy(col("sim").desc, col("id_b").asc)
+    val top = a.join(b, col("id_a") =!= col("id_b"))
+      .withColumn("sim", simCol)
+      .withColumn("grp", when(col("label_a") === col("label_b"), "pos").otherwise("neg"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+    top.groupBy(col("id_a").as("vec_id"))
+      .agg(
+        max(when(col("grp") === "pos", col("id_b"))).as("pos_id"),
+        max(when(col("grp") === "pos", col("sim"))).as("pos_sim"),
+        max(when(col("grp") === "neg", col("id_b"))).as("neg_id"),
+        max(when(col("grp") === "neg", col("sim"))).as("neg_sim"))
+      .withColumn("margin", col("pos_sim") - col("neg_sim"))
+  }
+
+  // def, not val: quantCte/simSql are declared later in this object and
+  // would still be null during a val's initialization
+  def hardTripletsSql: String =
+    s"""WITH $quantCte,
+      l AS (SELECT n.vec_id, n.qv, n.nrm, e.label
+            FROM n JOIN embeddings e USING (vec_id)),
+      p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, $simSql AS sim,
+            CASE WHEN a.label = b.label THEN 'pos' ELSE 'neg' END AS grp
+            FROM l a JOIN l b ON a.vec_id <> b.vec_id),
+      r AS (SELECT id_a, id_b, sim, grp,
+            row_number() OVER (PARTITION BY id_a, grp ORDER BY sim DESC, id_b) AS rn
+            FROM p)
+      SELECT id_a AS vec_id,
+        max(CASE WHEN grp = 'pos' THEN id_b END) AS pos_id,
+        max(CASE WHEN grp = 'pos' THEN sim END) AS pos_sim,
+        max(CASE WHEN grp = 'neg' THEN id_b END) AS neg_id,
+        max(CASE WHEN grp = 'neg' THEN sim END) AS neg_sim,
+        max(CASE WHEN grp = 'pos' THEN sim END)
+          - max(CASE WHEN grp = 'neg' THEN sim END) AS margin
+      FROM r WHERE rn = 1 GROUP BY id_a"""
+
   /** Reciprocal (mutual) top-1 pairs: (a, b) reported iff b is a's
     * single nearest neighbor AND a is b's — the standard high-precision
     * curation signal (a mutual pair is a near-certain duplicate or a
@@ -998,6 +1054,10 @@ object Similarity {
     QueryDef("q136_semantic_decontaminate",
       (s, d) => semanticDecontaminate(s, d, 0.4),
       Some(semanticDecontaminateSql(0.4))),
+
+    QueryDef("q138_hard_triplets",
+      (s, d) => hardTriplets(s, d),
+      Some(hardTripletsSql)),
 
     QueryDef("q133_mutual_top1",
       (s, d) => mutualTop1(knnBrute(s, d, 1)),
