@@ -357,6 +357,23 @@ object Dedup {
     * the naive form and must hash-match. ScaleTechniquesSpec gates the
     * pruning (survivor rows << train gram rows) so the prefilter can't
     * silently degrade to a pass-through. */
+  /** The serialized test-gram Bloom filter on its own — the handoff
+    * artifact for STREAMING admission
+    * ([[graft.streaming.CorpusStream.contaminationGuard]]): built once
+    * from the (static) test suite, then applied as a stateless per-row
+    * probe over any stream. ~`numBits/8` bytes on the driver — the same
+    * k·dim-bounded collect discipline as the centroid caches. */
+  def testGramBloomBytes(spark: SparkSession, dir: String,
+      expected: Long = BloomExpectedGrams, numBits: Long = BloomNumBits): Array[Byte] = {
+    graft.functions.GraftFunctions.register(spark)
+    shingled(t(spark, dir, "documents"))
+      .withColumn("split", expr(Sampling.splitCase("doc_id")))
+      .filter(col("split") === "test")
+      .select(explode(col("grams")).as("gram"))
+      .agg(expr(s"bloom_filter_agg(xxhash64(gram), ${expected}L, ${numBits}L)").as("bf"))
+      .head().getAs[Array[Byte]](0)
+  }
+
   def bloomDecontaminate(spark: SparkSession, dir: String): DataFrame = {
     val (_, survivors) = bloomTrainSurvivors(spark, dir)
     survivors

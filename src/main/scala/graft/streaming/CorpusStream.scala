@@ -79,6 +79,28 @@ object CorpusStream {
     dedupeExact(qualityGate(clean(docs, delim, minWords, lineBlockToken, docBlockPhrase)),
       tsCol, delay)
 
+  /** Stateless STREAMING decontamination gate: flag every incoming
+    * document that shares any word 3-gram with the (static) test suite,
+    * probing the serialized Bloom filter built batch-side by
+    * [[graft.ops.Dedup.testGramBloomBytes]]. The filter rides into the
+    * plan as a base64 literal, so the probe is a pure per-row
+    * projection — no state store, no join, append-mode safe, and the
+    * stream never touches the test corpus itself. No false negatives
+    * (same `xxhash64` both sides): a `contaminated = false` document is
+    * CERTAIN to share no gram; `true` carries the bloom's small
+    * false-positive tail, which an offline exact pass (q131) settles —
+    * the right asymmetry for admission, where a false drop costs one
+    * document and a false admit costs an eval leak. */
+  def contaminationGuard(docs: DataFrame, bloom: Array[Byte]): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val b64 = java.util.Base64.getEncoder.encodeToString(bloom)
+    docs.withColumn("toks", split(col("text"), " "))
+      .withColumn("contaminated", expr(
+        s"""exists(${Dedup.shinglesExpr},
+            g -> might_contain(unbase64('$b64'), xxhash64(g)))"""))
+      .drop("toks")
+  }
+
   /** Production terminal for [[ingest]]: land each micro-batch of
     * admitted documents as a parquet shard under `outDir/batch_id=N/`
     * and push a per-source accounting snapshot to the pluggable
