@@ -702,6 +702,96 @@ object Dedup {
         CAST(sum((cnt - 1) * len) AS DOUBLE) / sum(cnt * len) AS dup_token_frac
       FROM pf GROUP BY source"""
 
+  /** Winnowing parameters: `WinK`-token grams hashed, windows of
+    * `WinW` consecutive gram hashes — the published guarantee is that
+    * any verbatim match of at least `WinW + WinK - 1` tokens shares a
+    * selected fingerprint (Schleimer, Wilkerson & Aiken 2003, the MOSS
+    * algorithm). */
+  val WinK = 4
+  val WinW = 4
+  /** (pos, h) pack base — strictly above the rolling-hash modulus. */
+  val WinPack = 2000000000L
+
+  /** Winnowing fingerprint dedup report — the third point on the
+    * sub-document-dedup design space next to fixed-stride spans (q89:
+    * every position indexed, w·corpus fingerprints) and
+    * content-defined chunks (q128: boundaries from content, variable
+    * guarantee). Winnowing keeps the q89-style GUARANTEE (no match of
+    * ≥ 7 tokens escapes) at ~1/WinW the index size: per window of
+    * `WinW` gram hashes only the minimum (ties: rightmost — the
+    * original paper's rule, maximizing window-to-window reuse) is
+    * selected. Per document: gram count, selected-fingerprint count,
+    * and how many selected fingerprints also occur in ANOTHER document.
+    *
+    * Scale shape: selection is a per-row lambda (O(m·w) like q128);
+    * the cross-doc stage is the q89 discipline verbatim — one fp-keyed
+    * df rollup + join-back over SELECTED rows only (≈ token volume
+    * / WinW), no pair output. */
+  def winnowing(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    QueryDef.cpuBound(docs.sparkSession)
+    val sel = QueryDef.spread(docs.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("m", greatest(size(col("toks")) - lit(WinK - 1), lit(0)).cast("long"))
+      .filter(col("m") > 0)
+      .withColumn("gh", expr(
+        s"""transform(sequence(1L, m), i -> named_struct('pos', i,
+            'h', rolling_hash(concat_ws(' ', slice(toks, CAST(i AS INT), $WinK)))))"""))
+      // the selected SET is distinct (pos, h) pairs; packed into one
+      // BIGINT (pos·2e9 + h — injective: h < 1e9+7) because DuckDB's
+      // list_distinct can't hash STRUCTs, and parity beats elegance
+      .withColumn("sel", expr(
+        s"""array_distinct(transform(
+            transform(sequence(1L, greatest(m - ${WinW - 1}, 1L)), j ->
+              aggregate(slice(gh, CAST(j AS INT), $WinW),
+                named_struct('pos', 0L, 'h', ${Long.MaxValue}L),
+                (acc, x) -> IF(x.h < acc.h OR (x.h = acc.h AND x.pos > acc.pos), x, acc))),
+            s -> s.pos * ${WinPack}L + s.h))"""))
+      .select(col("doc_id"), col("m"), explode(col("sel")).as("v"))
+      .select(col("doc_id"), col("m"), (col("v") % lit(WinPack)).as("h"))
+      .localCheckpoint() // feeds the df rollup AND the join-back
+    val nd = sel.groupBy("h").agg(countDistinct(col("doc_id")).as("nd"))
+    sel.join(nd, "h")
+      .groupBy("doc_id")
+      .agg(max(col("m")).as("n_grams"), count(lit(1)).as("n_selected"),
+        expr("count_if(nd >= 2)").as("n_dup_sel"))
+      .withColumn("dup_sel_frac",
+        col("n_dup_sel").cast("double") / col("n_selected"))
+  }
+
+  def winnowingSql(source: String = "documents"): String = {
+    val p = 1000000007L
+    // bind the joined gram string once (single-element list_transform),
+    // then the q35/q128 char fold over it
+    val gramHash = (i: String) =>
+      s"""list_transform([array_to_string(toks[$i : $i + ${WinK - 1}], ' ')],
+          g -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(range(1, len(g) + 1),
+              q -> CAST(ascii(substr(g, CAST(q AS INT), 1)) AS BIGINT))),
+            (a, x) -> (a * 31 + x) % $p))[1]"""
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM $source),
+      t AS (SELECT doc_id, toks,
+              CAST(len(toks) - ${WinK - 1} AS BIGINT) AS m
+            FROM d WHERE len(toks) >= $WinK),
+      g AS (SELECT doc_id, m, list_transform(range(1, m + 1),
+              i -> struct_pack(pos := CAST(i AS BIGINT), h := ${gramHash("i")})) AS gh
+            FROM t),
+      s AS (SELECT doc_id, m, unnest(list_distinct(list_transform(
+              list_transform(range(1, greatest(m - ${WinW - 1}, 1) + 1),
+                j -> list_reduce(gh[j : j + ${WinW - 1}],
+                  (acc, x) -> CASE WHEN x.h < acc.h
+                      OR (x.h = acc.h AND x.pos > acc.pos)
+                    THEN x ELSE acc END)),
+              s -> s.pos * $WinPack + s.h))) AS v
+            FROM g),
+      sel AS (SELECT doc_id, m, v % $WinPack AS h FROM s),
+      nd AS (SELECT h, count(DISTINCT doc_id) AS nd FROM sel GROUP BY h)
+      SELECT doc_id, max(m) AS n_grams, count(*) AS n_selected,
+        CAST(count_if(nd >= 2) AS BIGINT) AS n_dup_sel,
+        CAST(count_if(nd >= 2) AS DOUBLE) / count(*) AS dup_sel_frac
+      FROM sel JOIN nd USING (h) GROUP BY doc_id"""
+  }
+
   /** Chunk-level CONTAINMENT pairs: representatives sharing ≥ `threshold`
     * of the smaller side's distinct chunks. Containment — not symmetric
     * Jaccard — is the partial-copy detector: a long document quoting a
@@ -1137,6 +1227,10 @@ object Dedup {
     QueryDef("q89_dup_spans",
       (s, d) => dupSpans(t(s, d, "documents")),
       Some(dupSpansSql(SpanWidth))),
+
+    QueryDef("q141_winnowing",
+      (s, d) => winnowing(t(s, d, "documents")),
+      Some(winnowingSql())),
 
     QueryDef("q90_span_contamination",
       (s, d) => spanContamination(t(s, d, "documents")),

@@ -173,6 +173,29 @@ object TextStats {
       FROM (SELECT doc_id, lang, $langScoresSql FROM documents)"""
   }
 
+  /** Label-noise audit over the q32 language ID: per (source, labeled
+    * lang), how many documents the n-gram heuristic disagrees with and
+    * the disagreement rate — the table a curation owner reads before
+    * trusting the corpus's `lang` column for per-language mixing
+    * (q96/q135 key on it). Pure rollup above q32's stateless scoring:
+    * one (source, lang)-keyed exchange of doc-count rows. */
+  def langMismatch(docs: DataFrame): DataFrame =
+    withLangScores(docs.select(col("doc_id"), col("source"), col("lang"), col("text")))
+      .withColumn("lang_guess", langGuessCol)
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        expr("count_if(lang_guess <> lang)").as("n_mismatch"))
+      .withColumn("mismatch_rate",
+        col("n_mismatch").cast("double") / col("n_docs"))
+
+  def langMismatchSql: String =
+    s"""SELECT source, lang, count(*) AS n_docs,
+        CAST(count_if(lang_guess <> lang) AS BIGINT) AS n_mismatch,
+        CAST(count_if(lang_guess <> lang) AS DOUBLE) / count(*) AS mismatch_rate
+      FROM (SELECT source, lang, $langGuessCaseSql AS lang_guess
+            FROM (SELECT doc_id, source, lang, $langScoresSql FROM documents))
+      GROUP BY source, lang"""
+
   /** BPE-ish tokenizer: count of `[a-z]+|[0-9]+|[^a-z0-9 ]` matches. */
   val BpePattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"
 
@@ -297,6 +320,10 @@ object TextStats {
     QueryDef("q32_langid",
       (s, d) => langId(t(s, d, "documents")),
       Some(langIdSql)),
+
+    QueryDef("q140_lang_mismatch",
+      (s, d) => langMismatch(t(s, d, "documents")),
+      Some(langMismatchSql)),
 
     QueryDef("q33_token_bpe",
       (s, d) => bpeTokenCount(t(s, d, "documents")),

@@ -900,6 +900,32 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("winnowing: shared >= w+k-1 token run is always caught, index shrinks vs spans") {
+    import spark.implicits._
+    // two docs sharing EXACTLY a 7-token run (w + k - 1 = 4 + 4 - 1) in
+    // otherwise disjoint text: the published guarantee says a selected
+    // fingerprint must land inside the shared run in BOTH docs
+    val shared = "alpha beta gamma delta epsilon zeta eta"
+    val d = Seq(
+      (1L, s"one two three four $shared five six seven eight"),
+      (2L, s"red green blue $shared yellow purple orange cyan pink")).toDF("doc_id", "text")
+    val rows = Dedup.winnowing(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_dup_sel")).toMap
+    assert(rows(1L) >= 1 && rows(2L) >= 1,
+      s"the shared 7-token run must be fingerprinted in both docs: $rows")
+    // disjoint docs must share nothing
+    val e = Seq(
+      (1L, "aa bb cc dd ee ff gg hh ii jj"),
+      (2L, "kk ll mm nn oo pp qq rr ss tt")).toDF("doc_id", "text")
+    assert(Dedup.winnowing(e).collect().forall(_.getAs[Long]("n_dup_sel") == 0))
+    // the point of winnowing: selected index is a small fraction of the
+    // gram count on the real corpus (q89 indexes EVERY position)
+    val real = Dedup.winnowing(docs).agg(
+      org.apache.spark.sql.functions.expr(
+        "CAST(sum(n_selected) AS DOUBLE) / sum(n_grams)")).head.getDouble(0)
+    assert(real < 0.55, s"winnowing density must shrink the index, got $real")
+  }
+
   test("unimax allocation: water-filling invariants hold and the frontier is exercised") {
     val rows = Sampling.unimaxAlloc(spark, dir).collect().map(r =>
       (r.getAs[String]("source"), r.getAs[Long]("toks"), r.getAs[Long]("cap"),
