@@ -227,6 +227,65 @@ case class WordShingles(child: Expression, n: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken) over a
+  * bound token array: rolling-hash every `k`-token gram (space-joined —
+  * EXACTLY [[RollingHash.hash]] of the joined string, which the DuckDB
+  * oracle mirrors char-by-char), slide a window of `w` consecutive gram
+  * hashes, keep the minimum per window with ties to the RIGHTMOST
+  * position, and return the distinct selections packed as
+  * `pos·packBase + h`. One tight loop per row — with the lambda-composed
+  * formulation (transform → aggregate over named_structs per window)
+  * q141 measured 15.65 s at sf0.1; with this expression the same query
+  * is 1.5 s end-to-end. GraftFunctionsSpec locks the two equal. Fewer
+  * than `k` tokens → empty array; `m < w` grams → one window over what
+  * exists. */
+case class WinnowSelect(child: Expression, k: Int, w: Int, packBase: Long)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any = {
+    val toks = v.asInstanceOf[ArrayData]
+    val n = toks.numElements()
+    val m = n - k + 1
+    if (m <= 0) return new GenericArrayData(Array.empty[Any])
+    val h = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      val sb = new StringBuilder
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks.getUTF8String(i + j).toString)
+        j += 1
+      }
+      h(i) = RollingHash.hash(sb.toString)
+      i += 1
+    }
+    val seen = new java.util.LinkedHashSet[Long]()
+    val nWin = math.max(m - w + 1, 1)
+    var j0 = 0
+    while (j0 < nWin) {
+      val end = math.min(j0 + w, m)
+      var best = j0
+      var p = j0 + 1
+      while (p < end) {
+        // strict < keeps the earlier min; <= moves ties RIGHT
+        if (h(p) <= h(best)) best = p
+        p += 1
+      }
+      seen.add((best + 1).toLong * packBase + h(best)) // pos is 1-based
+      j0 += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var q = 0
+    while (it.hasNext) { out(q) = it.next(); q += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** LSH band keys straight from the shingle set: computes the MinHash
   * signature internally (same algorithm as MinHashSig) and returns
   * md5(band || ':' || hex(sig[b*rows]) .. hex(sig[b*rows+rows-1])) per
@@ -481,6 +540,8 @@ object GraftFunctions {
     // consume it via a scalar subquery — the only shapes might_contain
     // accepts. (The bare AggregateFunction is wrapped into an
     // AggregateExpression by the analyzer, same as built-in aggregates.)
+    "winnow_select" -> (es => WinnowSelect(es.head,
+      intArg(es, 1), intArg(es, 2), es(3).eval().asInstanceOf[Long])),
     "bloom_filter_agg" -> (es =>
       new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
         es.head, es(1), es(2))),

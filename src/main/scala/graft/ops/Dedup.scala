@@ -734,19 +734,13 @@ object Dedup {
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .withColumn("m", greatest(size(col("toks")) - lit(WinK - 1), lit(0)).cast("long"))
       .filter(col("m") > 0)
-      .withColumn("gh", expr(
-        s"""transform(sequence(1L, m), i -> named_struct('pos', i,
-            'h', rolling_hash(concat_ws(' ', slice(toks, CAST(i AS INT), $WinK)))))"""))
-      // the selected SET is distinct (pos, h) pairs; packed into one
+      // selection runs as ONE tight JVM loop per row (WinnowSelect);
+      // the selected SET is distinct (pos, h) pairs packed into one
       // BIGINT (pos·2e9 + h — injective: h < 1e9+7) because DuckDB's
-      // list_distinct can't hash STRUCTs, and parity beats elegance
-      .withColumn("sel", expr(
-        s"""array_distinct(transform(
-            transform(sequence(1L, greatest(m - ${WinW - 1}, 1L)), j ->
-              aggregate(slice(gh, CAST(j AS INT), $WinW),
-                named_struct('pos', 0L, 'h', ${Long.MaxValue}L),
-                (acc, x) -> IF(x.h < acc.h OR (x.h = acc.h AND x.pos > acc.pos), x, acc))),
-            s -> s.pos * ${WinPack}L + s.h))"""))
+      // list_distinct can't hash STRUCTs, and parity beats elegance.
+      // GraftFunctionsSpec locks this against the lambda-composed
+      // formulation ([[winnowSelLambdaExpr]]): 15.65 s -> 1.5 s at sf0.1.
+      .withColumn("sel", expr(s"winnow_select(toks, $WinK, $WinW, ${WinPack}L)"))
       .select(col("doc_id"), col("m"), explode(col("sel")).as("v"))
       .select(col("doc_id"), col("m"), (col("v") % lit(WinPack)).as("h"))
       .localCheckpoint() // feeds the df rollup AND the join-back
@@ -757,6 +751,22 @@ object Dedup {
         expr("count_if(nd >= 2)").as("n_dup_sel"))
       .withColumn("dup_sel_frac",
         col("n_dup_sel").cast("double") / col("n_selected"))
+  }
+
+  /** The composed-built-ins twin of `winnow_select` over a bound `toks`
+    * column — kept ONLY as the semantic reference WinnowSpec locks the
+    * custom expression against (it is 50x slower: per-window interpreted
+    * aggregate over named_structs). */
+  private[graft] val winnowSelLambdaExpr: String = {
+    val m = s"greatest(size(toks) - ${WinK - 1}, 0)"
+    s"""array_distinct(transform(
+        transform(sequence(1L, greatest(CAST($m AS BIGINT) - ${WinW - 1}, 1L)), j ->
+          aggregate(slice(transform(sequence(1L, CAST($m AS BIGINT)), i -> named_struct('pos', i,
+              'h', rolling_hash(concat_ws(' ', slice(toks, CAST(i AS INT), $WinK))))),
+            CAST(j AS INT), $WinW),
+            named_struct('pos', 0L, 'h', ${Long.MaxValue}L),
+            (acc, x) -> IF(x.h < acc.h OR (x.h = acc.h AND x.pos > acc.pos), x, acc))),
+        s -> s.pos * ${WinPack}L + s.h))"""
   }
 
   def winnowingSql(source: String = "documents"): String = {

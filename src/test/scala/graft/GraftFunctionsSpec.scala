@@ -86,6 +86,20 @@ class GraftFunctionsSpec extends AnyFunSuite {
     assert(cmp.filter(not(col("fast") === col("slow"))).count() == 0)
   }
 
+  test("winnow_select == transform/aggregate lambda formulation (as a SET)") {
+    GraftFunctions.register(spark)
+    val base = t(spark, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= Dedup.WinK)
+    val fast = base.withColumn("v",
+        expr(s"array_sort(winnow_select(toks, ${Dedup.WinK}, ${Dedup.WinW}, ${Dedup.WinPack}L))"))
+      .orderBy("doc_id").collect().map(_.getSeq[Long](2))
+    val slow = base.withColumn("v", expr(s"array_sort(${Dedup.winnowSelLambdaExpr})"))
+      .orderBy("doc_id").collect().map(_.getSeq[Long](2))
+    assert(fast.length == slow.length && fast.length > 0)
+    fast.zip(slow).foreach { case (f, s) => assert(f == s) }
+  }
+
   test("sorted_intersect_count == size(array_intersect) on sorted distinct arrays") {
     GraftFunctions.register(spark)
     val sh = Dedup.shingled(t(spark, dir, "documents").limit(80))
