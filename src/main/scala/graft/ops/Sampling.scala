@@ -273,10 +273,17 @@ object Sampling {
     * single-partition OVER () frames are deliberate — never put them on
     * a corpus-sized frame. Budget B = one epoch of the whole corpus. */
   def unimaxAlloc(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
-    t(spark, dir, "documents")
-      .select(col("source"), size(split(col("text"), " ")).cast("long").as("tok"))
-      .groupBy("source").agg(sum("tok").as("toks"))
-      .withColumn("mult", expr(s"CAST(substr(source, 4) AS BIGINT) % $UnimaxEpochCycle + 1"))
+    unimaxAllocFromCaps(
+      t(spark, dir, "documents")
+        .select(col("source"), size(split(col("text"), " ")).cast("long").as("tok"))
+        .groupBy("source").agg(sum("tok").as("toks"))
+        .withColumn("mult", expr(s"CAST(substr(source, 4) AS BIGINT) % $UnimaxEpochCycle + 1")))
+
+  /** The water-filling frontier over an already-aggregated
+    * (source, toks, mult) frame — split out so PropertySpec can drive
+    * it against a plain-Scala greedy reference on random inputs. */
+  def unimaxAllocFromCaps(caps: DataFrame): DataFrame =
+    caps
       .withColumn("cap", col("toks") * col("mult"))
       .withColumn("bdg", expr("sum(toks) OVER ()"))
       .withColumn("n", expr("count(*) OVER ()"))

@@ -137,6 +137,87 @@ class PropertySpec extends AnyFunSuite {
       6 -> Gen.oneOf("aa", "bb", "cc", "dd"), 1 -> Gen.const("slow")))
   } yield ws.mkString(" ")
 
+  /** Random (source, toks, mult) cap tables for the water-filling
+    * frontier — skew drawn wide so capped/uncapped frontiers of every
+    * shape appear, including all-capped-but-one and none-capped. */
+  val capsGen: Gen[List[(String, Long, Long)]] = for {
+    n <- Gen.choose(1, 12)
+    rows <- Gen.listOfN(n, for {
+      toks <- Gen.choose(1L, 5000L)
+      mult <- Gen.choose(1L, 4L)
+    } yield (toks, mult))
+  } yield rows.zipWithIndex.map { case ((t, m), i) => (s"s$i", t, m) }
+
+  /** Plain-Scala greedy water-filling: repeatedly cap every source whose
+    * cap is below the current uniform share until a fixpoint — the
+    * textbook iterative form the closed-form window chain must equal. */
+  private def greedyWaterfill(rows: List[(String, Long, Long)]): Map[String, Long] = {
+    val caps = rows.map { case (s, t, m) => s -> t * m }.toMap
+    val budget = rows.map(_._2).sum
+    var capped = Map.empty[String, Long]
+    var free = caps.keySet
+    var changed = true
+    while (changed && free.nonEmpty) {
+      changed = false
+      val rem = budget - capped.values.sum
+      val share = rem / free.size // floor — any source strictly below it is capped
+      val newly = free.filter(s => caps(s) <= share && caps(s) * free.size <= rem)
+      // textbook: cap the SMALLEST first, then recompute (one at a time
+      // keeps the share arithmetic exact)
+      newly.toSeq.sortBy(s => (caps(s), s)).headOption.foreach { s =>
+        capped += s -> caps(s); free -= s; changed = true
+      }
+    }
+    val rem = budget - capped.values.sum
+    val m = free.size
+    val freeSorted = free.toSeq.sortBy(s => (caps(s), s))
+    val base = if (m == 0) 0L else rem / m
+    val extra = if (m == 0) 0L else rem % m
+    capped ++ freeSorted.zipWithIndex.map { case (s, i) =>
+      s -> (base + (if (i < extra) 1L else 0L))
+    }
+  }
+
+  test("unimax closed-form frontier == iterative greedy water-filling (random caps)") {
+    val spark = SparkSpec.spark
+    import spark.implicits._
+    forAll(capsGen, n = 30) { rows =>
+      val out = graft.ops.Sampling.unimaxAllocFromCaps(
+          rows.toDF("source", "toks", "mult")).collect()
+        .map(r => r.getAs[String]("source") -> r.getAs[Long]("alloc")).toMap
+      val ref = greedyWaterfill(rows)
+      assert(out == ref, s"caps=$rows\nclosed=$out\ngreedy=$ref")
+      assert(out.values.sum == rows.map(_._2).sum, "budget spent exactly")
+    }
+  }
+
+  test("winnowing guarantee: a planted >= w+k-1 token run is caught in both docs (random)") {
+    val spark = SparkSpec.spark
+    import spark.implicits._
+    val word: Gen[String] = Gen.choose(0, 400).map(i => s"w$i")
+    val gen = for {
+      runLen <- Gen.choose(graft.ops.Dedup.WinW + graft.ops.Dedup.WinK - 1, 12)
+      run <- Gen.listOfN(runLen, word)
+      pre1 <- Gen.listOfN(5, word); post1 <- Gen.listOfN(5, word)
+      pre2 <- Gen.listOfN(7, word); post2 <- Gen.listOfN(3, word)
+    } yield (
+      (pre1 ++ run ++ post1).mkString(" "),
+      (pre2 ++ run ++ post2).mkString(" "))
+    forAll(gen, n = 25) { case (a, b) =>
+      val rows = graft.ops.Dedup.winnowing(
+          Seq((1L, a), (2L, b)).toDF("doc_id", "text")).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Long]("n_dup_sel"), r.getAs[Long]("n_grams"), r.getAs[Long]("n_selected")))
+        .toMap
+      assert(rows(1L)._1 >= 1 && rows(2L)._1 >= 1,
+        s"planted run escaped: a='$a' b='$b' rows=$rows")
+      rows.values.foreach { case (_, m, sel) =>
+        assert(sel <= math.max(m - graft.ops.Dedup.WinW + 1, 1),
+          "cannot select more than one fingerprint per window")
+      }
+    }
+  }
+
   test("cleanLines is idempotent: a second pass keeps every line (random corpora)") {
     val spark = SparkSpec.spark
     import spark.implicits._
