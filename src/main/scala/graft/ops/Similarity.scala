@@ -125,6 +125,93 @@ object Similarity {
       SELECT vec_id, count(*) AS n_test_sims, max(sim) AS max_sim
       FROM p WHERE sim >= $threshold GROUP BY vec_id"""
 
+  val RpSeed = 137
+  val RpDim = 16
+  /** Seeded ±1 projection planes for [[rpDistortion]] — same generator
+    * as the LSH hyperplanes, literal-baked into the oracle SQL. LAZY:
+    * `Dim` is declared later in this object and would still be 0 during
+    * an eager val's initialization (the init-order trap that silently
+    * produced EMPTY planes and a NULL-cascade before). */
+  lazy val rpPlanes: IndexedSeq[IndexedSeq[Int]] =
+    graft.functions.Hyperplanes.planes(RpSeed, 1, RpDim, Dim)(0)
+
+  /** Johnson–Lindenstrauss distortion audit: project every embedding to
+    * `RpDim` dimensions through a seeded ±1 matrix (exact integer dots —
+    * 16 codegen'd `quantized_dot`s against literal arrays per row) and
+    * report, for every exact near-dup pair (the q44 cut), the original
+    * cosine, the projected cosine, and their absolute gap. This is the
+    * go/no-go table for running ANN on cheap projected vectors: if the
+    * distortion at the dedup threshold is small, candidate generation
+    * can run at RpDim/Dim the memory bandwidth and re-rank exactly.
+    *
+    * Scale shape: the projection is a stateless per-row map; pair
+    * scoring rides q44's join; the join-backs are id-keyed. */
+  def rpDistortion(spark: SparkSession, dir: String): DataFrame = {
+    val rpArr = rpPlanes.map(p =>
+      s"quantized_dot(qv, array(${p.map(_ + "L").mkString(", ")}))").mkString(", ")
+    // well-formed vectors only: the corpus's degenerate fixtures (short
+    // or null-element vectors) would otherwise split the engines —
+    // quantized_dot nulls the whole dot, DuckDB's list_sum skips the
+    // missing tail. An audit over malformed vectors is meaningless
+    // anyway; they drop from both sides identically.
+    val proj = quantized(spark, dir)
+      .filter(expr(s"size(qv) = $Dim AND NOT exists(qv, x -> x IS NULL)"))
+      .select(col("vec_id"), expr(s"array($rpArr)").as("py"))
+      .withColumn("pn", expr("quantized_dot(py, py)"))
+      .localCheckpoint() // joined twice (both pair sides)
+    nearDupPairs(spark, dir, 0.4)
+      .join(proj.select(col("vec_id").as("id_a"), col("py").as("pa"), col("pn").as("pna")), "id_a")
+      .join(proj.select(col("vec_id").as("id_b"), col("py").as("pb"), col("pn").as("pnb")), "id_b")
+      .withColumn("psim", cosine(
+        expr("CAST(quantized_dot(pa, pb) AS DOUBLE)"), col("pna"), col("pnb")))
+      .withColumn("err", abs(col("sim") - col("psim")))
+      .select("id_a", "id_b", "sim", "psim", "err")
+  }
+
+  def rpDistortionSql: String = {
+    val comp = rpPlanes.map { p =>
+      val arr = p.mkString("[", ",", "]")
+      s"CAST(list_sum(list_transform(range(1, ${Dim + 1}), i -> qv[i] * ($arr)[i])) AS BIGINT)"
+    }.mkString(", ")
+    s"""WITH $quantCte,
+      pr AS (SELECT vec_id, [$comp] AS py FROM n
+            WHERE len(qv) = $Dim
+              AND len(list_filter(qv, x -> x IS NULL)) = 0),
+      pj AS (SELECT vec_id, py,
+            CAST(list_sum(list_transform(py, x -> x * x)) AS BIGINT) AS pn FROM pr),
+      pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, $simSql AS sim
+            FROM n a JOIN n b ON a.vec_id < b.vec_id
+            WHERE $simSql >= 0.4)
+      SELECT p.id_a, p.id_b, p.sim,
+        CAST(list_sum(list_transform(range(1, $RpDim + 1), i -> x.py[i] * y.py[i])) AS DOUBLE)
+          / (sqrt(CAST(x.pn AS DOUBLE)) * sqrt(CAST(y.pn AS DOUBLE))) AS psim,
+        abs(p.sim - CAST(list_sum(list_transform(range(1, $RpDim + 1), i -> x.py[i] * y.py[i])) AS DOUBLE)
+          / (sqrt(CAST(x.pn AS DOUBLE)) * sqrt(CAST(y.pn AS DOUBLE)))) AS err
+      FROM pairs p JOIN pj x ON x.vec_id = p.id_a JOIN pj y ON y.vec_id = p.id_b"""
+  }
+
+  /** Per-dimension corpus statistics over the quantized embeddings —
+    * the whitening/normalization audit (a dimension with runaway
+    * variance dominates every cosine; a near-constant one is dead
+    * weight): exact integer count / sum / sum-of-squares per dim plus
+    * the truncated mean. One posexplode and ONE dim-keyed exchange of
+    * (dim-count × partitions) partially-aggregated rows. */
+  def embedDimStats(spark: SparkSession, dir: String): DataFrame =
+    quantized(spark, dir)
+      .select(posexplode(col("qv")).as(Seq("pos", "x")))
+      .groupBy((col("pos") + 1).cast("long").as("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sum_x"),
+        sum(col("x") * col("x")).as("sum_x2"))
+      .withColumn("mean_t", expr("sum_x div n"))
+
+  def embedDimStatsSql: String =
+    s"""WITH q AS (SELECT vec_id, $quantSql AS qv FROM embeddings),
+      m AS (SELECT unnest(range(1, len(qv) + 1)) AS dim, unnest(qv) AS x FROM q)
+      SELECT CAST(dim AS BIGINT) AS dim, count(*) AS n,
+        CAST(SUM(x) AS BIGINT) AS sum_x, CAST(SUM(x * x) AS BIGINT) AS sum_x2,
+        CAST(SUM(x) AS BIGINT) // count(*) AS mean_t
+      FROM m GROUP BY dim"""
+
   /** Triplet mining for contrastive/metric training: per anchor vector,
     * the hardest POSITIVE (most-similar vector sharing its label,
     * self excluded) and the hardest NEGATIVE (most-similar vector of a
@@ -1058,6 +1145,14 @@ object Similarity {
     QueryDef("q138_hard_triplets",
       (s, d) => hardTriplets(s, d),
       Some(hardTripletsSql)),
+
+    QueryDef("q142_rp_distortion",
+      (s, d) => rpDistortion(s, d),
+      Some(rpDistortionSql)),
+
+    QueryDef("q143_embed_dim_stats",
+      (s, d) => embedDimStats(s, d),
+      Some(embedDimStatsSql)),
 
     QueryDef("q133_mutual_top1",
       (s, d) => mutualTop1(knnBrute(s, d, 1)),
