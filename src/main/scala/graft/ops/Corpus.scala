@@ -581,6 +581,69 @@ object Corpus {
       WHERE c12 >= $minCount
       ORDER BY pmi_q DESC, w1, w2 LIMIT $k"""
 
+  val SkipWindow = 2
+
+  /** Windowed skip-gram PMI — [[pmiCollocations]] widened from adjacent
+    * bigrams to unordered co-occurrence within ±`SkipWindow` tokens (the
+    * word2vec-era association extractor: "neural … networks" with an
+    * adjective between them scores here, never in q114). Pairs are
+    * canonicalized (lexicographic min first) so (a,b) and (b,a) pool;
+    * the ranking stays the q114 discipline — the EXACT quantized
+    * rational `(c12·N·scale) div (c1a·c1b)`, log-free because log is
+    * monotone, so no float enters the ORDER BY. Margins are symmetric
+    * occurrence counts over the pair table.
+    *
+    * Scale shape: token volume × SkipWindow pair rows through one
+    * (w1, w2)-keyed map-side-combined exchange, then margins off the
+    * pooled pair table (vocabulary-sized), broadcast total, top-k via
+    * TakeOrderedAndProject. */
+  def skipgramPmi(spark: SparkSession, dir: String,
+      minCount: Long = PmiMinCount, k: Int = PmiTopK): DataFrame = {
+    val c12 = t(spark, dir, "documents")
+      .select(split(col("text"), " ").as("toks"))
+      .select(explode(expr(
+        s"""flatten(transform(slice(toks, 1, greatest(size(toks) - 1, 0)),
+             (w, i) -> transform(slice(toks, i + 2, $SkipWindow),
+               v -> named_struct('w1', IF(w <= v, w, v), 'w2', IF(w <= v, v, w)))))""")).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .localCheckpoint() // feeds the symmetric margins AND the score join
+    // symmetric margin: occurrences of w on EITHER side of a pooled pair
+    val occ = c12.select(col("w1").as("w"), col("c12"))
+      .unionAll(c12.select(col("w2").as("w"), col("c12")))
+      .groupBy("w").agg(sum("c12").as("cw"))
+    val n = c12.agg(sum("c12").as("n_total"))
+    c12.filter(col("c12") >= minCount)
+      .join(occ.select(col("w").as("w1"), col("cw").as("c1a")), "w1")
+      .join(occ.select(col("w").as("w2"), col("cw").as("c1b")), "w2")
+      .crossJoin(broadcast(n))
+      .withColumn("pmi_q", expr(
+        s"(CAST(c12 AS DECIMAL(38,0)) * n_total * ${LmScale}L)" +
+          " div (CAST(c1a AS DECIMAL(38,0)) * c1b)"))
+      .select(col("w1"), col("w2"), col("c12"), col("pmi_q"))
+      .orderBy(col("pmi_q").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
+  def skipgramPmiSql(minCount: Long = PmiMinCount, k: Int = PmiTopK): String =
+    s"""WITH tk AS (SELECT string_split(text, ' ') AS toks FROM documents),
+      pr AS (SELECT least(toks[i], toks[i + d]) AS w1,
+                    greatest(toks[i], toks[i + d]) AS w2
+             FROM (SELECT toks, unnest(range(1, len(toks))) AS i FROM tk),
+                  (SELECT unnest(range(1, $SkipWindow + 1)) AS d)
+             WHERE i + d <= len(toks)),
+      c12 AS (SELECT w1, w2, count(*) AS c12 FROM pr GROUP BY 1, 2),
+      occ AS (SELECT w, CAST(SUM(c12) AS BIGINT) AS cw FROM (
+                SELECT w1 AS w, c12 FROM c12
+                UNION ALL SELECT w2 AS w, c12 FROM c12) GROUP BY w),
+      n AS (SELECT CAST(SUM(c12) AS BIGINT) AS n_total FROM c12)
+      SELECT w1, w2, CAST(c12 AS BIGINT) AS c12,
+        CAST((CAST(c12 AS HUGEINT) * n_total * $LmScale)
+          // (CAST(a.cw AS HUGEINT) * b.cw) AS BIGINT) AS pmi_q
+      FROM c12 JOIN occ a ON a.w = c12.w1 JOIN occ b ON b.w = c12.w2 CROSS JOIN n
+      WHERE c12 >= $minCount
+      ORDER BY pmi_q DESC, w1, w2 LIMIT $k"""
+
   /** Hashed-ngram feature space for [[dsirScore]]: 3 hex chars of md5 =
     * 4096 buckets. The bucket key stays a STRING — fixed-length lowercase
     * hex needs no hex-to-int conversion to group/join portably (the q37
@@ -1250,6 +1313,10 @@ object Corpus {
     QueryDef("q114_pmi_collocations",
       (s, d) => pmiCollocations(s, d),
       Some(pmiCollocationsSql())),
+
+    QueryDef("q144_skipgram_pmi",
+      (s, d) => skipgramPmi(s, d),
+      Some(skipgramPmiSql())),
 
     QueryDef("q115_phrase_search",
       (s, d) => topPhraseSearch(s, d),

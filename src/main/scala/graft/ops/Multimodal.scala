@@ -188,6 +188,62 @@ object Multimodal {
       maxHamming: Int = AHashMaxHamming): DataFrame =
     imageNearDupsOn(t(spark, dir, "documents"), maxHamming)
 
+  val FrameOverlapCap = 50L
+  val FrameOverlapMinShared = 2L
+
+  /** Cross-video duplicated-footage pairs: representative videos sharing
+    * ≥ `minShared` sampled-frame fingerprints — the multimodal twin of
+    * the chunk-containment detector (q130): re-encoded uploads, clips
+    * embedded in compilations, and shared intros surface as pairs with
+    * high shared-frame counts. Built on the q83 frame-sampling boundary
+    * (every FrameStride-th FrameBytes slice, md5'd), so it inherits the
+    * honest stand-in decode.
+    *
+    * The two scale disciplines arrive by construction: exact-duplicate
+    * videos collapse to min-id representatives FIRST (lesson 1 — else
+    * pair volume is quadratic in duplicate-group size), and frames
+    * appearing in > `cap` representatives are dropped as boilerplate
+    * (black frames, title cards) BEFORE the self-join (the q49/q130 df
+    * cap) — candidate volume is Σ df² over kept frames, cap-bounded. */
+  def frameOverlapPairs(spark: SparkSession, dir: String,
+      cap: Long = FrameOverlapCap, minShared: Long = FrameOverlapMinShared): DataFrame = {
+    import spark.implicits._
+    val docs = t(spark, dir, "documents")
+    val reps = docs.join(
+      graft.ops.Dedup.exact(docs).select(col("keep_id").as("doc_id")), "doc_id")
+    val frames = sampleFrames(attachMedia(reps).as[MediaRecord]).toDF()
+      .select(col("doc_id"), col("frame_md5")).distinct()
+      .localCheckpoint() // feeds the df cap AND both join sides
+    val kept = frames.join(
+      frames.groupBy("frame_md5").agg(count(lit(1)).as("dfc"))
+        .filter(col("dfc") <= cap).select("frame_md5"),
+      "frame_md5")
+    kept.as("a").join(kept.as("b"),
+        col("a.frame_md5") === col("b.frame_md5") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  def frameOverlapPairsSql(cap: Long = FrameOverlapCap,
+      minShared: Long = FrameOverlapMinShared): String =
+    s"""WITH reps AS (SELECT d.* FROM documents d
+          JOIN (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)) r
+          USING (doc_id)),
+      fr AS (SELECT doc_id, text,
+            unnest(generate_series(0, (length(text) + ${FrameBytes - 1}) // $FrameBytes - 1,
+              $FrameStride)) AS fidx
+          FROM reps),
+      fp AS (SELECT DISTINCT doc_id,
+            md5(substr(text, CAST(fidx * $FrameBytes + 1 AS INT), $FrameBytes)) AS frame_md5
+          FROM fr),
+      kept AS (SELECT fp.* FROM fp JOIN (
+            SELECT frame_md5 FROM fp GROUP BY frame_md5 HAVING count(*) <= $cap) c
+          USING (frame_md5))
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+      FROM kept a JOIN kept b ON a.frame_md5 = b.frame_md5 AND a.doc_id < b.doc_id
+      GROUP BY 1, 2 HAVING count(*) >= $minShared"""
+
   /** Frame-level variant: SCALE.md lesson 1 applies verbatim — byte-
     * identical payloads share an aHash, so a duplicate-heavy corpus must
     * collapse exact dups ([[graft.ops.Dedup.exact]]) BEFORE perceptual
@@ -338,6 +394,10 @@ object Multimodal {
       Some(imageNearDupsSql(table =
         """(SELECT d.* FROM documents d
             JOIN (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)) r
-            USING (doc_id))""")))
+            USING (doc_id))"""))),
+
+    QueryDef("q145_frame_overlap",
+      (s, d) => frameOverlapPairs(s, d),
+      Some(frameOverlapPairsSql()))
   )
 }
