@@ -146,7 +146,17 @@ object Similarity {
     *
     * Scale shape: the projection is a stateless per-row map; pair
     * scoring rides q44's join; the join-backs are id-keyed. */
-  def rpDistortion(spark: SparkSession, dir: String): DataFrame = {
+  def rpDistortion(spark: SparkSession, dir: String): DataFrame =
+    rpDistortionOn(spark, dir, nearDupPairs(spark, dir, 0.4))
+
+  /** [[rpDistortion]] over ANY (id_a, id_b, sim) pair frame — the
+    * projection and scoring are linear in pairs + vectors; what sets
+    * the cost is the PAIR SOURCE. q142 feeds it the exact brute sweep
+    * (its 434 s at 100x is entirely the q44/q45 O(n²) mine — the
+    * projection stages are seconds); at scale feed it LSH or IVF
+    * candidates (q46/q47/q129) exactly as [[mutualTop1]] composes. */
+  def rpDistortionOn(spark: SparkSession, dir: String,
+      pairs: DataFrame): DataFrame = {
     val rpArr = rpPlanes.map(p =>
       s"quantized_dot(qv, array(${p.map(_ + "L").mkString(", ")}))").mkString(", ")
     // well-formed vectors only: the corpus's degenerate fixtures (short
@@ -159,7 +169,7 @@ object Similarity {
       .select(col("vec_id"), expr(s"array($rpArr)").as("py"))
       .withColumn("pn", expr("quantized_dot(py, py)"))
       .localCheckpoint() // joined twice (both pair sides)
-    nearDupPairs(spark, dir, 0.4)
+    pairs
       .join(proj.select(col("vec_id").as("id_a"), col("py").as("pa"), col("pn").as("pna")), "id_a")
       .join(proj.select(col("vec_id").as("id_b"), col("py").as("pb"), col("pn").as("pnb")), "id_b")
       .withColumn("psim", cosine(
