@@ -279,6 +279,56 @@ object Cleaning {
         coalesce(string_agg(line, chr(10) ORDER BY line_no) FILTER (keep), '') AS text_dedup
       FROM flagged GROUP BY doc_id"""
 
+  /** Default blocklist for [[blocklistScan]] — word-boundary PHRASES of
+    * mixed lengths over the corpus vocabulary (a real deployment loads
+    * its abuse/boilerplate list; the mechanics are what's under test). */
+  val BlockPhrases: Seq[String] = Seq(
+    "fast hash merge", "a row data", "merge sort window",
+    "table scan", "join filter", "hash column", "batch", "query")
+
+  /** Multi-phrase blocklist scan — the "which documents contain any of
+    * these N phrases, where, how often" primitive behind abuse
+    * filtering, boilerplate detection, and policy audits. NOT a regex
+    * alternation (N phrases compiled into one pattern stops being
+    * codegen-friendly and word-boundary-correct fast): every w-token
+    * window for each DISTINCT phrase length w is materialized as a gram
+    * and filtered against the phrase set MAP-SIDE (an `In` predicate
+    * over string literals — semantically a broadcast join with a
+    * set-sized build). Exact word-boundary matches only; one row per
+    * (document, phrase) with the occurrence count.
+    *
+    * Scale shape: gram volume is (#distinct lengths)·token volume
+    * through a stateless projection + filter; the only exchange is the
+    * (doc, phrase)-keyed rollup of HITS — abuse-list hits are sparse,
+    * so the shuffle is tiny however large the corpus. */
+  def blocklistScan(docs: DataFrame,
+      phrases: Seq[String] = BlockPhrases): DataFrame = {
+    val lens = phrases.map(_.split(" ").length).distinct.sorted
+    val gramsByLen = lens.map(w =>
+      s"""transform(sequence(1, greatest(size(toks) - ${w - 1}, 0)),
+          i -> concat_ws(' ', slice(toks, i, $w)))""").mkString(", ")
+    QueryDef.spread(docs.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), explode(expr(s"flatten(array($gramsByLen))")).as("phrase"))
+      .filter(col("phrase").isin(phrases: _*))
+      .groupBy("doc_id", "phrase")
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
+  def blocklistScanSql(phrases: Seq[String] = BlockPhrases,
+      table: String = "documents"): String = {
+    val lens = phrases.map(_.split(" ").length).distinct.sorted
+    val inList = phrases.map(p => s"'$p'").mkString(", ")
+    s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM $table),
+      g AS (SELECT doc_id, array_to_string(toks[i : i + w - 1], ' ') AS phrase
+            FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i FROM tk),
+                 (SELECT unnest([${lens.mkString(", ")}]) AS w)
+            WHERE i + w - 1 <= len(toks))
+      SELECT doc_id, phrase, count(*) AS n_hits
+      FROM g WHERE phrase IN ($inList)
+      GROUP BY doc_id, phrase"""
+  }
+
   val queries: Seq[QueryDef] = Seq(
     QueryDef("q92_clean_lines",
       (s, d) => cleanLines(t(s, d, "documents"), delim = LineDelim,
@@ -295,6 +345,10 @@ object Cleaning {
 
     QueryDef("q127_pii_card_luhn",
       (s, d) => redactCards(t(s, d, "documents"), cardInjected),
-      Some(redactCardsSql))
+      Some(redactCardsSql)),
+
+    QueryDef("q146_blocklist_scan",
+      (s, d) => blocklistScan(t(s, d, "documents")),
+      Some(blocklistScanSql()))
   )
 }
