@@ -47,6 +47,27 @@ object JsonlCorpus {
       .json(path)
   }
 
+  /** Streaming twin of [[read]]: a drop-folder of JSONL shards as a
+    * Structured Streaming source, same pinned schema + corrupt-line
+    * column. Split with [[quarantine]] INSIDE a `foreachBatch` (the
+    * split needs a batch frame: it materializes once and the
+    * corrupt-only pruned scan Spark refuses cannot occur on the
+    * checkpointed copy) — landing parsed shards and a dead-letter
+    * table per micro-batch, the reference's failed-file routing at
+    * line granularity. */
+  def readStream(spark: SparkSession, path: String, schema: StructType,
+      maxFilesPerTrigger: Int = 20): DataFrame = {
+    val withCorrupt =
+      if (schema.fieldNames.contains(CorruptCol)) schema
+      else schema.add(CorruptCol, StringType, nullable = true)
+    spark.readStream
+      .schema(withCorrupt)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", CorruptCol)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(path)
+  }
+
   /** Split a read frame into (parsed rows, quarantined raw lines).
     * The parse is materialized ONCE (localCheckpoint) and both halves
     * read the materialization: the two consumers would otherwise scan

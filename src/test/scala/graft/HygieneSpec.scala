@@ -20,6 +20,20 @@ class HygieneSpec extends AnyFunSuite {
       "hygiene must leave zero pinned RDD blocks")
   }
 
+  test("no oracle SQL carries an interpolated Scala null (val-init-order trap)") {
+    // Twice this round a string-interpolated oracle captured a
+    // not-yet-initialized val (`s"WITH $quantCte"` before quantCte's
+    // declaration) and silently baked the literal text "null" into the
+    // SQL. Engine SQL spells the SQL constant in UPPERCASE everywhere,
+    // so a lowercase standalone `null` token can only be the trap.
+    val bad = "\\bnull\\b".r
+    SparkEntry.oracleSql.foreach { case (name, sql) =>
+      assert(bad.findFirstIn(sql).isEmpty,
+        s"$name's oracle contains a lowercase 'null' — an uninitialized " +
+          "val was interpolated; make the SQL a def or lazy val")
+    }
+  }
+
   test("Catalog.save releases its own checkpoint blocks") {
     import spark.implicits._
     SessionHygiene.clear(spark)

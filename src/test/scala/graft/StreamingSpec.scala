@@ -381,6 +381,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming jsonl drop folder: parsed shards land, torn lines dead-letter per batch") {
+    import graft.sources.JsonlCorpus
+    val in = Files.createTempDirectory("jsdrop")
+    val docsSchema = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").schema
+    Files.write(in.resolve("a.jsonl"), java.util.Arrays.asList(
+      """{"doc_id": 1, "text": "alpha beta", "lang": "en", "source": "web", "n_chars": 10}""",
+      """{"doc_id": 2, "text": "torn"""))
+    Files.write(in.resolve("b.jsonl"), java.util.Arrays.asList(
+      """{"doc_id": 3, "text": "gamma", "lang": "de", "source": "web", "n_chars": 5}"""))
+    var good = Vector.empty[Long]
+    var bad = Vector.empty[String]
+    val q = JsonlCorpus.readStream(spark, in.toString, docsSchema, maxFilesPerTrigger = 1)
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val (p, b) = JsonlCorpus.quarantine(batch)
+        good ++= p.collect().map(_.getAs[Long]("doc_id"))
+        bad ++= b.collect().map(_.getAs[String]("raw_line"))
+        (): Unit
+      }.start()
+    try {
+      q.processAllAvailable()
+      assert(good.sorted == Vector(1L, 3L), s"parsed ids: $good")
+      assert(bad == Vector("""{"doc_id": 2, "text": "torn"""), s"dead letters: $bad")
+    } finally q.stop()
+  }
+
   test("streaming contamination guard: bloom flags reproduce the exact gram overlap") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
