@@ -364,6 +364,52 @@ object Sampling {
       FROM k"""
   }
 
+  /** Length-distribution-matched sampling: resample the POOL (every
+    * other source) so its token-length histogram is a `factor`-scaled
+    * copy of a TARGET source's — the de-biasing step before mixing
+    * (naive mixing lets a long-document source dominate the token
+    * budget even at matched doc counts). Buckets are q112's log2
+    * classes; per bucket the pool keeps `factor · target_count` docs
+    * (fewer only if the pool bucket is smaller), chosen by md5-hash
+    * rank — deterministic like every sampler here. Pool docs in
+    * buckets the target never occupies are dropped entirely: that IS
+    * the matching.
+    *
+    * Scale shape: the target histogram is bucket-count rows
+    * (broadcast); the pool pays ONE bucket-keyed window shuffle. */
+  def lengthMatchedSample(spark: org.apache.spark.sql.SparkSession,
+      dir: String, targetSource: String = "src1", factor: Long = 3L): DataFrame = {
+    val base = t(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .withColumn("len_bucket", length(expr("bin(n_tok)")).cast("long"))
+    val tb = base.filter(col("source") === targetSource)
+      .groupBy("len_bucket").agg(count(lit(1)).as("t_b"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("len_bucket")
+      .orderBy(md5(concat(lit("lm:"), col("doc_id").cast("string"))), col("doc_id"))
+    base.filter(col("source") =!= targetSource)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .join(broadcast(tb), "len_bucket")
+      .filter(col("rk") <= lit(factor) * col("t_b"))
+      .select("doc_id", "source", "len_bucket")
+  }
+
+  def lengthMatchedSampleSql(targetSource: String = "src1",
+      factor: Long = 3L): String =
+    s"""WITH base AS (SELECT doc_id, source,
+          CAST(length(bin(CAST(len(string_split(text, ' ')) AS BIGINT))) AS BIGINT) AS len_bucket
+        FROM documents),
+      tb AS (SELECT len_bucket, count(*) AS t_b FROM base
+             WHERE source = '$targetSource' GROUP BY 1),
+      pool AS (SELECT doc_id, source, len_bucket,
+          CAST(row_number() OVER (PARTITION BY len_bucket
+            ORDER BY md5('lm:' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk
+        FROM base WHERE source <> '$targetSource')
+      SELECT doc_id, source, len_bucket
+      FROM pool JOIN tb USING (len_bucket)
+      WHERE rk <= $factor * t_b"""
+
   /** Filter-funnel diagnostic: per source, how many documents each
     * [[qualityFilter]] predicate rejects (independently — a doc failing
     * two predicates counts in both columns) and how many pass all four.
@@ -457,6 +503,10 @@ object Sampling {
     QueryDef("q135_unimax_alloc",
       (s, d) => unimaxAlloc(s, d),
       Some(unimaxAllocSql())),
+
+    QueryDef("q147_length_matched_sample",
+      (s, d) => lengthMatchedSample(s, d),
+      Some(lengthMatchedSampleSql())),
 
     QueryDef("q137_epoch_order",
       (s, d) => epochOrder(t(s, d, "documents"), weight = srcNameWeight),

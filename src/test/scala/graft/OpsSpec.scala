@@ -926,6 +926,26 @@ class OpsSpec extends AnyFunSuite {
     assert(real < 0.55, s"winnowing density must shrink the index, got $real")
   }
 
+  test("length-matched sample: per bucket keeps exactly min(factor * target, pool)") {
+    import org.apache.spark.sql.functions._
+    val factor = 3L
+    val kept = Sampling.lengthMatchedSample(spark, dir, "src1", factor)
+      .groupBy("len_bucket").count().collect()
+      .map(r => r.getAs[Long]("len_bucket") -> r.getAs[Long]("count")).toMap
+    val base = docs.select(col("doc_id"), col("source"),
+        expr("CAST(length(bin(CAST(size(split(text, ' ')) AS BIGINT))) AS BIGINT)").as("b"))
+      .collect().map(r => (r.getAs[String]("source"), r.getAs[Long]("b")))
+    val tb = base.filter(_._1 == "src1").groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val pool = base.filter(_._1 != "src1").groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    assert(kept.nonEmpty)
+    kept.keySet.foreach(b => assert(tb.contains(b), s"bucket $b absent from target"))
+    tb.foreach { case (b, t) =>
+      val expect = math.min(factor * t, pool.getOrElse(b, 0L))
+      assert(kept.getOrElse(b, 0L) == expect,
+        s"bucket $b: kept ${kept.getOrElse(b, 0L)}, expected $expect")
+    }
+  }
+
   test("unimax allocation: water-filling invariants hold and the frontier is exercised") {
     val rows = Sampling.unimaxAlloc(spark, dir).collect().map(r =>
       (r.getAs[String]("source"), r.getAs[Long]("toks"), r.getAs[Long]("cap"),
