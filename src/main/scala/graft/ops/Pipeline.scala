@@ -96,6 +96,51 @@ object Pipeline {
         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
       FROM clean GROUP BY source"""
 
+  /** Per-source data-yield funnel over the TRAIN split: how many
+    * documents and tokens survive each stage of the q91 chain —
+    * raw → quality gate → exact-dedup representatives → span
+    * decontamination. The q103 filter-funnel answers "which RULE costs
+    * what"; this answers the budgeting question above it: "how many
+    * trainable tokens does each source actually yield", which is what
+    * [[Sampling.sourceMix]]/[[Sampling.unimaxAlloc]] budgets should be
+    * fed with (raw token counts overstate a duplicate-heavy source).
+    *
+    * Stage frames are successive semi-join restrictions (each stage one
+    * rollup of doc-count rows); `stage_ord` makes the funnel ordering
+    * explicit so consumers need not know stage names. */
+  def tokenYieldFunnel(docs: DataFrame, w: Int = Dedup.SpanWidth): DataFrame = {
+    val trainOf = (df: DataFrame) =>
+      df.withColumn("split", expr(Sampling.splitCase("doc_id")))
+        .filter(col("split") === "train").drop("split")
+    val rollup = (df: DataFrame, ord: Int, stage: String) =>
+      df.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+        .withColumn("stage_ord", lit(ord.toLong)).withColumn("stage", lit(stage))
+    val kept = docs.join(
+      Sampling.qualityFilter(docs).select("doc_id"), Seq("doc_id"), "left_semi")
+      .localCheckpoint() // feeds its own rollup AND the reps stage
+    val reps = kept.join(
+      Dedup.exact(kept).select(col("keep_id").as("doc_id")), Seq("doc_id"), "left_semi")
+    rollup(trainOf(docs), 1, "raw")
+      .unionAll(rollup(trainOf(kept), 2, "quality"))
+      .unionAll(rollup(trainOf(reps), 3, "dedup"))
+      .unionAll(rollup(cleanTrainDocs(docs, w), 4, "decontaminated"))
+  }
+
+  def tokenYieldFunnelSql(w: Int = Dedup.SpanWidth): String = {
+    def roll(rel: String, ord: Int, stage: String, cond: String) =
+      s"""SELECT source, count(*) AS n_docs,
+          CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+          CAST($ord AS BIGINT) AS stage_ord, '$stage' AS stage
+        FROM $rel WHERE $cond GROUP BY source"""
+    s"""WITH ${cleanTrainDocsSql(w, "documents")}
+      ${roll("documents", 1, "raw", s"${Sampling.splitCaseDuck("doc_id")} = 'train'")}
+      UNION ALL ${roll("kept", 2, "quality", s"${Sampling.splitCaseDuck("doc_id")} = 'train'")}
+      UNION ALL ${roll("kd", 3, "dedup", "split = 'train'")}
+      UNION ALL ${roll("clean", 4, "decontaminated", "TRUE")}"""
+  }
+
   /** The full modern chain: line cleaning → stages 1-3 → epoch mixing →
     * shuffle assignment. One row per kept TRAIN document: its epoch
     * count in the mixture, its hash shard, and its within-shard sort key
@@ -230,5 +275,9 @@ object Pipeline {
 
     QueryDef("q139_contamination_report",
       (s, d) => contaminationReport(s, d),
-      Some(contaminationReportSql)))
+      Some(contaminationReportSql)),
+
+    QueryDef("q148_token_yield_funnel",
+      (s, d) => tokenYieldFunnel(t(s, d, "documents")),
+      Some(tokenYieldFunnelSql())))
 }
