@@ -279,6 +279,84 @@ object Cleaning {
         coalesce(string_agg(line, chr(10) ORDER BY line_no) FILTER (keep), '') AS text_dedup
       FROM flagged GROUP BY doc_id"""
 
+  // --------------------------------------------------------------------
+  // Per-source boilerplate stripping (the CCNet / RefinedWeb "remove the
+  // navigation chrome" pass): a line is boilerplate WITHIN a source when
+  // it appears in many of that source's documents — here >= 3 documents
+  // AND >= 5% of the source's docs — and then EVERY occurrence of it is
+  // dropped from that source (unlike q94's first-occurrence-wins dedup,
+  // which keeps one copy and is blind to "frequent in src3, normal in
+  // src7" structure).
+  // --------------------------------------------------------------------
+
+  /** Per-source boilerplate-line strip. Detection is ONE exchange keyed
+    * by (source, line) with a partial-aggregated distinct-doc count; the
+    * threshold is pure integer arithmetic (`df >= 3 AND df * 20 >=
+    * n_docs`, i.e. 5% — no float boundary for engines to disagree on).
+    * The boilerplate set is frequency-thresholded and therefore tiny
+    * relative to the corpus (at most 20 lines per source at the 5%
+    * floor × line slots), so the strip join back onto the line stream is
+    * a BROADCAST hash join — the corpus-sized side never re-shuffles for
+    * the lookup; the only other exchange is the doc-keyed reassembly.
+    * Source doc counts are a source-cardinality aggregate joined in the
+    * same broadcast fashion. Documents whose every line was boilerplate
+    * survive with n_kept = 0 and empty text. */
+  /** Deterministic chrome injection for the q149 query: the word-salad
+    * corpus has no exact repeated lines, so the query plants a per-source
+    * navigation line in 2/3 of each source's docs (over threshold —
+    * stripped) and a rarer promo line in ~1% (under threshold — kept),
+    * derived from (doc_id, source) alone, identically in both engines.
+    * Library callers on real corpora skip the injection. */
+  private val boilerInjected: Column =
+    concat(
+      when(pmod(col("doc_id"), lit(3)) =!= 0,
+        concat(lit("chrome nav of "), col("source"), lit(LineDelim))).otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(97)) === 1,
+        concat(lit("promo banner of "), col("source"), lit(LineDelim))).otherwise(lit("")),
+      col("text"))
+
+  private val boilerInjectedSql =
+    s"""(CASE WHEN doc_id % 3 <> 0 THEN 'chrome nav of ' || source || '$LineDelim' ELSE '' END)
+       || (CASE WHEN doc_id % 97 = 1 THEN 'promo banner of ' || source || '$LineDelim' ELSE '' END)
+       || text"""
+
+  def boilerplateStrip(docs: DataFrame, delim: String = "\n"): DataFrame = {
+    val lines = docs.select(col("doc_id"), col("source"),
+      posexplode(linesOf(col("text"), delim)).as(Seq("line_no", "line")))
+    val srcSizes = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val boiler = lines
+      .groupBy("source", "line")
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .join(broadcast(srcSizes), Seq("source"))
+      .filter(col("df") >= 3 && col("df") * 20 >= col("n_docs"))
+      .select(col("source"), col("line"), lit(true).as("boiler"))
+    lines.join(broadcast(boiler), Seq("source", "line"), "left")
+      .withColumn("keep", col("boiler").isNull)
+      .groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        array_join(expr(
+          "transform(array_sort(collect_list(CASE WHEN keep THEN struct(line_no, line) END)), t -> t.line)"),
+          "\n").as("text_clean"))
+  }
+
+  val boilerplateStripSql: String =
+    s"""WITH inj AS (SELECT doc_id, source, $boilerInjectedSql AS text FROM documents),
+      ls AS (SELECT doc_id, source, string_split(text, '$LineDelim') AS ls FROM inj),
+      lines AS (SELECT doc_id, source, CAST(t.i - 1 AS INT) AS line_no, ls[t.i] AS line
+                FROM ls, LATERAL (SELECT unnest(range(1, len(ls) + 1)) AS i) t),
+      src AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+      boiler AS (SELECT d.source, d.line
+                 FROM (SELECT source, line, count(DISTINCT doc_id) AS df
+                       FROM lines GROUP BY source, line) d
+                 JOIN src USING (source)
+                 WHERE d.df >= 3 AND d.df * 20 >= src.n_docs)
+      SELECT doc_id, l.source AS source, CAST(count(*) AS BIGINT) AS n_lines,
+        CAST(count(*) FILTER (b.line IS NULL) AS BIGINT) AS n_kept,
+        coalesce(string_agg(l.line, chr(10) ORDER BY line_no) FILTER (b.line IS NULL), '') AS text_clean
+      FROM lines l LEFT JOIN boiler b ON l.source = b.source AND l.line = b.line
+      GROUP BY doc_id, l.source"""
+
   /** Default blocklist for [[blocklistScan]] — word-boundary PHRASES of
     * mixed lengths over the corpus vocabulary (a real deployment loads
     * its abuse/boilerplate list; the mechanics are what's under test). */
@@ -349,6 +427,11 @@ object Cleaning {
 
     QueryDef("q146_blocklist_scan",
       (s, d) => blocklistScan(t(s, d, "documents")),
-      Some(blocklistScanSql()))
+      Some(blocklistScanSql())),
+
+    QueryDef("q149_boilerplate_strip",
+      (s, d) => boilerplateStrip(
+        t(s, d, "documents").withColumn("text", boilerInjected), delim = LineDelim),
+      Some(boilerplateStripSql))
   )
 }

@@ -82,6 +82,30 @@ class CleaningSpec extends AnyFunSuite {
     assert(got.values.map(_._2).sum == 4L)
   }
 
+  test("boilerplateStrip: per-source frequency threshold; all occurrences drop") {
+    import spark.implicits._
+    // srcA: 4 docs, "nav bar" in 3 of them (df=3 >= 3 and 3*20 >= 4) -> boiler.
+    // "rare line" df=1 -> kept. srcB: same "nav bar" text but df=1 there -> kept
+    // (the per-SOURCE scoping q94 cannot express).
+    val d = Seq(
+      (1L, "srcA", "nav bar\nreal content one"),
+      (2L, "srcA", "nav bar\nreal content two\nnav bar"),
+      (3L, "srcA", "nav bar"),
+      (4L, "srcA", "rare line\nreal content three"),
+      (5L, "srcB", "nav bar\nother text")
+    ).toDF("doc_id", "source", "text")
+    val got = Cleaning.boilerplateStrip(d, delim = "\n").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("source"), r.getAs[Long]("n_lines"),
+          r.getAs[Long]("n_kept"), r.getAs[String]("text_clean")))).toMap
+    assert(got(1L) == (("srcA", 2L, 1L, "real content one")))
+    // BOTH occurrences inside doc 2 drop (q94 would have kept the first)
+    assert(got(2L) == (("srcA", 3L, 1L, "real content two")))
+    assert(got(3L) == (("srcA", 1L, 0L, ""))) // emptied doc survives
+    assert(got(4L) == (("srcA", 2L, 2L, "rare line\nreal content three")))
+    assert(got(5L) == (("srcB", 2L, 2L, "nav bar\nother text"))) // df=1 in srcB
+  }
+
   test("q95 semantic dedup: verdicts match a per-cell brute-force recheck") {
     val rows = Similarity.semanticDedup(spark, dir).collect()
       .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cell"), r.getAs[Boolean]("kept")))
