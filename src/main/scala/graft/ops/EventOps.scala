@@ -371,6 +371,116 @@ object EventOps {
             FROM e JOIN t USING (user_id) WHERE sd > 0.0)
       SELECT user_id, event_id, value, z FROM z WHERE abs(z) >= $zThreshold"""
 
+  // --------------------------------------------------------------------
+  // Multi-touch attribution: split each purchase's revenue across the
+  // clicks that preceded it (since the user's previous purchase). The
+  // split is EXACT integer money math — cents div k to every click,
+  // remainder to the LATEST click — so conservation (attributed sums
+  // back to the purchase, to the cent) is a structural invariant, not a
+  // float hope, and the oracle hash-matches with no double division.
+  // --------------------------------------------------------------------
+
+  /** Equal-split multi-touch attribution. Window boundaries: a click at
+    * `prev_t <= ct < t` attributes to THIS purchase (a click stamped
+    * exactly at the previous purchase belongs to the next window — never
+    * double-counted). Purchases with no prior click keep their full
+    * revenue with a NULL click_id, so total attributed cents == total
+    * purchase cents corpus-wide.
+    *
+    * Scale shape: ONE user-keyed exchange carries everything — the
+    * prev-purchase lag, the per-user click range join (sort-merge on
+    * user_id with the time band as residual predicate), and the
+    * per-purchase rank window all run inside user partitions
+    * (HashPartitioning(user_id) satisfies the (user_id, purchase_id)
+    * clustering, so Spark plans sorts, not re-shuffles). Per-user volume
+    * bounds the work; a pathological single-user firehose is the q-skew
+    * salting case, not this plan's default. */
+  def attribution(ev: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val e = ev.select(col("event_id"), col("user_id"), col("event_type"),
+      col("value"), expr("ts DIV 1000").as("t_us"))
+    val wp = Window.partitionBy("user_id").orderBy(col("t_us"), col("event_id"))
+    val p = e.filter(col("event_type") === "purchase")
+      .withColumn("cents", (col("value").cast(DecimalType(12, 2)) * lit(100)).cast("long"))
+      .withColumn("prev_t", coalesce(lag(col("t_us"), 1).over(wp), lit(Long.MinValue)))
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("t_us").as("pt"), col("prev_t"), col("cents"))
+    // p and c share lineage (both derive from e): rename c's key instead
+    // of relying on p("user_id")/c("user_id") disambiguation, which is
+    // unreliable across a self-derived join (same attribute ids).
+    val c = e.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("t_us").as("ct"))
+    val wr = Window.partitionBy("user_id", "purchase_id")
+    val j = p.join(c,
+      col("user_id") === col("c_user") && col("ct") >= col("prev_t") && col("ct") < col("pt"),
+      "left").drop("c_user")
+    j.withColumn("n_clicks", count(col("click_id")).over(wr))
+      .withColumn("rn", row_number().over(
+        wr.orderBy(col("ct").desc_nulls_last, col("click_id").desc_nulls_last)))
+      .select(col("purchase_id"), col("user_id"), col("click_id"),
+        col("n_clicks"),
+        when(col("click_id").isNull, col("cents"))
+          .otherwise(expr("cents div n_clicks") +
+            when(col("rn") === 1, pmod(col("cents"), col("n_clicks"))).otherwise(lit(0L)))
+          .as("attributed_cents"))
+  }
+
+  val attributionSql: String =
+    s"""WITH e AS (SELECT event_id, user_id, event_type, value, epoch_us(ts) AS t_us FROM events),
+      p AS (SELECT event_id AS purchase_id, user_id, t_us AS pt,
+              CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+              coalesce(lag(t_us) OVER (PARTITION BY user_id ORDER BY t_us, event_id),
+                       ${Long.MinValue}) AS prev_t
+            FROM e WHERE event_type = 'purchase'),
+      c AS (SELECT event_id AS click_id, user_id, t_us AS ct FROM e WHERE event_type = 'click'),
+      j AS (SELECT p.purchase_id, p.user_id, p.cents, c.click_id, c.ct
+            FROM p LEFT JOIN c ON p.user_id = c.user_id AND c.ct >= p.prev_t AND c.ct < p.pt),
+      r AS (SELECT *, count(click_id) OVER (PARTITION BY user_id, purchase_id) AS n_clicks,
+              row_number() OVER (PARTITION BY user_id, purchase_id
+                ORDER BY ct DESC NULLS LAST, click_id DESC NULLS LAST) AS rn
+            FROM j)
+      SELECT purchase_id, user_id, click_id, CAST(n_clicks AS BIGINT) AS n_clicks,
+        CAST(CASE WHEN click_id IS NULL THEN cents
+             ELSE cents // n_clicks + (CASE WHEN rn = 1 THEN cents % n_clicks ELSE 0 END)
+             END AS BIGINT) AS attributed_cents
+      FROM r"""
+
+  // --------------------------------------------------------------------
+  // Robust (median/MAD) outliers — q80's z-score flags drown when the
+  // contamination itself inflates the std; median and MAD are order
+  // statistics, immune to the outliers they hunt AND exactly portable
+  // (no accumulation-order-dependent double sums: an interpolated median
+  // is one correctly-rounded average of two selected elements).
+  // --------------------------------------------------------------------
+
+  /** Median/MAD outliers per user: flag events with
+    * `|value - median| > k * MAD`. Two grouped exact-median passes (one
+    * over values, one over |value - med|), each ONE user-keyed exchange;
+    * the per-user stats frame is tiny and joins back broadcast-style
+    * under AQE. Users with MAD = 0 (constant or near-constant streams)
+    * are excluded — every deviation would be infinite-sigma. */
+  def madOutliers(ev: DataFrame, k: Double = 3.0): DataFrame = {
+    val e = ev.select(col("event_id"), col("user_id"), col("value"))
+    val med = e.groupBy("user_id").agg(median(col("value")).as("med"))
+    val mad = e.join(med, "user_id")
+      .groupBy("user_id").agg(median(abs(col("value") - col("med"))).as("mad"))
+      .filter(col("mad") > 0.0)
+    e.join(med, "user_id").join(mad, "user_id")
+      .filter(abs(col("value") - col("med")) > lit(k) * col("mad"))
+      .select(col("user_id"), col("event_id"), col("value"), col("med"), col("mad"))
+  }
+
+  def madOutliersSql(k: Double = 3.0): String =
+    s"""WITH e AS (SELECT event_id, user_id, value FROM events),
+      m AS (SELECT user_id, median(value) AS med FROM e GROUP BY 1),
+      d AS (SELECT e.user_id, median(abs(value - med)) AS mad
+            FROM e JOIN m USING (user_id) GROUP BY 1),
+      s AS (SELECT user_id, med, mad FROM m JOIN d USING (user_id) WHERE mad > 0.0)
+      SELECT e.user_id, e.event_id, e.value, s.med, s.mad
+      FROM e JOIN s USING (user_id)
+      WHERE abs(e.value - s.med) > $k * s.mad"""
+
   val queries: Seq[QueryDef] = Seq(
     QueryDef("q78_funnel_stages",
       (s, d) => funnelStages(events(s, d)),
@@ -379,6 +489,14 @@ object EventOps {
     QueryDef("q80_value_outliers",
       (s, d) => valueOutliers(events(s, d)),
       Some(valueOutliersSql())),
+
+    QueryDef("q150_attribution",
+      (s, d) => attribution(events(s, d)),
+      Some(attributionSql)),
+
+    QueryDef("q151_mad_outliers",
+      (s, d) => madOutliers(events(s, d)),
+      Some(madOutliersSql())),
 
     QueryDef("q81_session_patterns",
       (s, d) => sessionPatterns(events(s, d), PatternGapSec, "v.*c.*p"),

@@ -264,6 +264,58 @@ class OpsSpec extends AnyFunSuite {
     assert(perUserSess == perUser)
   }
 
+  test("attribution: cents conserve per purchase; boundary click moves to next window; remainder to latest") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // user 7: p1 at t=100s (cents 100, 3 prior clicks -> 33/33/34, 34 on the
+    // latest), a click stamped EXACTLY at p1 (t=100s) must attribute to p2,
+    // not p1; p2 at t=200s. user 8: purchase with no clicks keeps all cents.
+    def ns(sec: Long) = sec * 1000000000L
+    val ev = Seq(
+      (1L, 7L, "click", 0.0, ns(10)), (2L, 7L, "click", 0.0, ns(20)),
+      (3L, 7L, "click", 0.0, ns(30)), (4L, 7L, "purchase", 1.00, ns(100)),
+      (5L, 7L, "click", 0.0, ns(100)), // boundary: == p1's ts
+      (6L, 7L, "purchase", 0.50, ns(200)),
+      (7L, 8L, "purchase", 2.00, ns(50))
+    ).toDF("event_id", "user_id", "event_type", "value", "ts")
+    val rows = EventOps.attribution(ev).collect()
+      .map(r => (r.getAs[Long]("purchase_id"), Option(r.getAs[Any]("click_id")),
+        r.getAs[Long]("n_clicks"), r.getAs[Long]("attributed_cents")))
+    val p1 = rows.filter(_._1 == 4L)
+    assert(p1.map(_._4).sorted.toSeq == Seq(33L, 33L, 34L))
+    assert(p1.find(_._4 == 34L).get._2.contains(3L), "remainder goes to the LATEST click")
+    assert(!p1.exists(_._2.contains(5L)), "boundary click is not in p1's window")
+    val p2 = rows.filter(_._1 == 6L)
+    assert(p2.map(_._2.get).toSeq == Seq(5L) && p2.head._4 == 50L, "boundary click attributes to p2")
+    assert(rows.filter(_._1 == 7L).toSeq == Seq((7L, None, 0L, 200L)), "no-click purchase keeps all cents")
+    // corpus-wide conservation on real testdata: attributed == purchase cents
+    val full = EventOps.attribution(EventOps.events(spark, dir))
+    val attributed = full.agg(sum("attributed_cents")).head().getLong(0)
+    val purchases = EventOps.events(spark, dir).filter(col("event_type") === "purchase")
+      .agg(sum((col("value").cast("decimal(12,2)") * 100).cast("long"))).head().getLong(0)
+    assert(attributed == purchases, s"conservation: $attributed != $purchases")
+    // no click attributed twice
+    val dupClicks = full.filter(col("click_id").isNotNull)
+      .groupBy("click_id").count().filter(col("count") > 1).count()
+    assert(dupClicks == 0L)
+  }
+
+  test("mad outliers: catches the spike classic z-score dilutes away") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 5L, 8.0), (2L, 5L, 9.0), (3L, 5L, 10.0),
+      (4L, 5L, 11.0), (5L, 5L, 12.0), (6L, 5L, 1000.0)
+    ).map { case (e, u, v) => (e, u, "view", v, e * 1000000000L) }
+      .toDF("event_id", "user_id", "event_type", "value", "ts")
+    val mad = EventOps.madOutliers(ev).collect()
+    assert(mad.map(_.getAs[Long]("event_id")).toSeq == Seq(6L),
+      "exactly the spike is MAD-flagged")
+    assert(mad.head.getAs[Double]("med") == 10.5 && mad.head.getAs[Double]("mad") == 1.5)
+    // the same spike inflates mean AND std enough that q80's z-test misses it
+    val z = EventOps.valueOutliers(ev).collect()
+    assert(z.isEmpty, "z-score is diluted by its own contamination")
+  }
+
   test("asof join: matched click is strictly earlier, same user") {
     val ev = EventOps.events(spark, dir)
     val m = EventOps.asofJoin(ev, "purchase", "click").collect()
