@@ -283,6 +283,53 @@ object TextStats {
       .filter(col("rank") <= k)
   }
 
+  // --------------------------------------------------------------------
+  // Hashed-feature linear classifier inference (the fastText/Vowpal
+  // "hashing trick" shape): tokens hash into a FIXED number of feature
+  // buckets, each bucket carries a learned weight, a document's score is
+  // the sum of its tokens' bucket weights. Memory is O(buckets) however
+  // large the vocabulary — the property that lets a quality/toxicity
+  // classifier ride along a 100 TB scan with no vocab table, no join,
+  // no shuffle. Weights here are derived from md5 (a stand-in for a
+  // trained model shipped as a broadcast array); both engines derive the
+  // IDENTICAL integers, so the oracle stays a strict hash compare.
+  // --------------------------------------------------------------------
+
+  /** Feature buckets for [[hashedClassifier]] (2^12 — collisions are the
+    * point of the trick, not a bug). */
+  val ClfBuckets = 4096
+  /** Integer weights in [-20, 20] per bucket, md5-derived. */
+  private def weightSparkExpr(tok: String): String =
+    s"CAST(conv(substr(md5(concat('w:', CAST((CAST(conv(substr(md5($tok), 1, 4), 16, 10) AS BIGINT) % $ClfBuckets) AS STRING))), 1, 4), 16, 10) AS BIGINT) % 41 - 20"
+  private def weightDuckExpr(tok: String): String =
+    s"CAST(('0x' || substr(md5('w:' || CAST((CAST(('0x' || substr(md5($tok), 1, 4)) AS BIGINT) % $ClfBuckets) AS VARCHAR)), 1, 4)) AS BIGINT) % 41 - 20"
+
+  /** Linear scorer over hashed token features. Entirely ONE stateless
+    * codegen'd projection per row — the token→bucket→weight chain runs
+    * inside an array-aggregate lambda, so there is no explode, no
+    * distinct-token frame, and NO exchange anywhere in the plan (the
+    * whole operator pipelines inside the scan stage). `keep` is an
+    * integer-arithmetic threshold on the mean weight (score*5 >= n_toks
+    * ⇔ mean >= 0.2) — no float boundary. */
+  def hashedClassifier(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("source"),
+      split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), col("source"),
+        expr("CAST(size(toks) AS BIGINT)").as("n_toks"),
+        expr(s"aggregate(toks, 0L, (acc, t) -> acc + (${weightSparkExpr("t")}))").as("score_int"))
+      .withColumn("mean_w", col("score_int").cast("double") / col("n_toks"))
+      .withColumn("keep", col("score_int") * 5 >= col("n_toks"))
+
+  val hashedClassifierSql: String =
+    s"""WITH s AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents)
+      SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS n_toks,
+        CAST(list_sum(list_transform(toks, t -> ${weightDuckExpr("t")})) AS BIGINT) AS score_int,
+        CAST(list_sum(list_transform(toks, t -> ${weightDuckExpr("t")})) AS DOUBLE)
+          / len(toks) AS mean_w,
+        CAST(list_sum(list_transform(toks, t -> ${weightDuckExpr("t")})) AS BIGINT) * 5
+          >= len(toks) AS keep
+      FROM s"""
+
   val queries: Seq[QueryDef] = Seq(
     QueryDef("q36_top_bigrams",
       (s, d) => topBigrams(t(s, d, "documents"), 5),
@@ -334,6 +381,10 @@ object TextStats {
       (s, d) => fingerprintMd5(t(s, d, "documents")),
       Some("""SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
         FROM documents""")),
+
+    QueryDef("q152_hashed_classifier",
+      (s, d) => hashedClassifier(t(s, d, "documents")),
+      Some(hashedClassifierSql)),
 
     QueryDef("q71_repetition_signals",
       (s, d) => repetitionSignals(t(s, d, "documents")),
