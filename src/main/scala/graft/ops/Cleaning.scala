@@ -293,11 +293,14 @@ object Cleaning {
     * by (source, line) with a partial-aggregated distinct-doc count; the
     * threshold is pure integer arithmetic (`df >= 3 AND df * 20 >=
     * n_docs`, i.e. 5% — no float boundary for engines to disagree on).
-    * The boilerplate set is frequency-thresholded and therefore tiny
-    * relative to the corpus (at most 20 lines per source at the 5%
-    * floor × line slots), so the strip join back onto the line stream is
-    * a BROADCAST hash join — the corpus-sized side never re-shuffles for
-    * the lookup; the only other exchange is the doc-keyed reassembly.
+    * The boilerplate set is frequency-thresholded: each boiler line
+    * occupies ≥ 5% of a source's docs, so distinct boiler lines per
+    * source are bounded by 20 × (avg lines per doc) — small for typical
+    * web chrome, but NOT a constant, so the strip join back onto the
+    * line stream is left to AQE (it broadcasts while the set fits and
+    * degrades to a shuffle join on a pathologically line-heavy source
+    * instead of OOMing a forced broadcast); the only other exchange is
+    * the doc-keyed reassembly.
     * Source doc counts are a source-cardinality aggregate joined in the
     * same broadcast fashion. Documents whose every line was boilerplate
     * survive with n_kept = 0 and empty text. */
@@ -330,7 +333,7 @@ object Cleaning {
       .join(broadcast(srcSizes), Seq("source"))
       .filter(col("df") >= 3 && col("df") * 20 >= col("n_docs"))
       .select(col("source"), col("line"), lit(true).as("boiler"))
-    lines.join(broadcast(boiler), Seq("source", "line"), "left")
+    lines.join(boiler, Seq("source", "line"), "left")
       .withColumn("keep", col("boiler").isNull)
       .groupBy("doc_id", "source")
       .agg(count(lit(1)).as("n_lines"),

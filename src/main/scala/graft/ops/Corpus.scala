@@ -1011,7 +1011,7 @@ object Corpus {
     val qtoks = toks.filter(col("term").isin(terms: _*))
     val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
     val stats = toks.agg(count(lit(1)).cast("double").as("n_tokens"))
-      .crossJoin(docs.agg(count(lit(1)).cast("double").as("n_docs")))
+      .crossJoin(broadcast(docs.agg(count(lit(1)).cast("double").as("n_docs"))))
       .select((col("n_tokens") / col("n_docs")).as("avgdl"), col("n_docs"))
     val tf = qtoks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val dfq = qtoks.select("doc_id", "term").distinct()

@@ -422,7 +422,7 @@ object EventOps {
         col("n_clicks"),
         when(col("click_id").isNull, col("cents"))
           .otherwise(expr("cents div n_clicks") +
-            when(col("rn") === 1, pmod(col("cents"), col("n_clicks"))).otherwise(lit(0L)))
+            when(col("rn") === 1, expr("cents % n_clicks")).otherwise(lit(0L)))
           .as("attributed_cents"))
   }
 

@@ -276,7 +276,13 @@ class OpsSpec extends AnyFunSuite {
       (3L, 7L, "click", 0.0, ns(30)), (4L, 7L, "purchase", 1.00, ns(100)),
       (5L, 7L, "click", 0.0, ns(100)), // boundary: == p1's ts
       (6L, 7L, "purchase", 0.50, ns(200)),
-      (7L, 8L, "purchase", 2.00, ns(50))
+      (7L, 8L, "purchase", 2.00, ns(50)),
+      // user 9: REFUND (negative cents). -100 div 3 = -33 truncating and
+      // -100 % 3 = -1 (sign of dividend) in BOTH Spark and DuckDB, so the
+      // split is -33/-33/-34 and conservation holds; pmod would have paired
+      // +2 with the truncating div and leaked 3 cents.
+      (8L, 9L, "click", 0.0, ns(10)), (9L, 9L, "click", 0.0, ns(20)),
+      (10L, 9L, "click", 0.0, ns(30)), (11L, 9L, "purchase", -1.00, ns(100))
     ).toDF("event_id", "user_id", "event_type", "value", "ts")
     val rows = EventOps.attribution(ev).collect()
       .map(r => (r.getAs[Long]("purchase_id"), Option(r.getAs[Any]("click_id")),
@@ -288,6 +294,10 @@ class OpsSpec extends AnyFunSuite {
     val p2 = rows.filter(_._1 == 6L)
     assert(p2.map(_._2.get).toSeq == Seq(5L) && p2.head._4 == 50L, "boundary click attributes to p2")
     assert(rows.filter(_._1 == 7L).toSeq == Seq((7L, None, 0L, 200L)), "no-click purchase keeps all cents")
+    val refund = rows.filter(_._1 == 11L)
+    assert(refund.map(_._4).sorted.toSeq == Seq(-34L, -33L, -33L),
+      s"refund splits -33/-33/-34 with truncating div + sign-of-dividend remainder: ${refund.toSeq}")
+    assert(refund.map(_._4).sum == -100L, "refund cents conserve")
     // corpus-wide conservation on real testdata: attributed == purchase cents
     val full = EventOps.attribution(EventOps.events(spark, dir))
     val attributed = full.agg(sum("attributed_cents")).head().getLong(0)

@@ -285,6 +285,29 @@ class PlanSpec extends AnyFunSuite {
       "train side must never shuffle into the join")
   }
 
+  test("q150: attribution carries ONE user-keyed exchange end to end") {
+    // the scale claim in EventOps.attribution's scaladoc (and SURVEY's
+    // q150 row): HashPartitioning(user_id) from the single shuffle
+    // satisfies the lag window, the per-user click range join, and the
+    // (user, purchase) rank window — Spark plans sorts above it, never
+    // a re-shuffle. Tree lines only (the formatted detail section
+    // repeats node names).
+    val p = plan("q150_attribution")
+    val exchanges = p.linesIterator
+      .filter(_.matches(""".*\(\d+\) Exchange.*""")).toSeq
+    assert(exchanges.size == 1, s"expected exactly 1 Exchange, got: $exchanges")
+    // the tree line is bare; the key lives in the detail section
+    assert(p.contains("hashpartitioning(user_id"), "the one exchange must key on user_id")
+  }
+
+  test("q152: hashed classifier is a pure scan-stage projection — zero exchanges") {
+    // the whole token→bucket→weight chain runs inside one array-aggregate
+    // lambda per row: no explode, no distinct-token frame, no shuffle.
+    val p = plan("q152_hashed_classifier")
+    assert(!p.contains("Exchange"), "classifier must pipeline inside the scan stage")
+    assert(!p.contains("Generate"), "no explode: tokens fold inside the lambda")
+  }
+
   test("catalog missing-series plans as broadcast left-anti") {
     import spark.implicits._
     val headers = Seq((0, "1", "n", 0)).toDF("fileOrd", "externalId", "name", "colIndex")
