@@ -222,19 +222,31 @@ object Corpus {
     * same rows (never the raw stream twice — the q98 discipline); both
     * joins are bigram-/term-keyed and vocabulary²-sized, size-adaptive
     * (AQE broadcasts while the vocab fits). Docs with < 2 tokens emit
-    * no bigrams and drop out — both engines agree. */
+    * no bigrams and drop out — both engines agree.
+    *
+    * Key representation: every exchange and join is keyed by the
+    * `xxhash64` of the bigram (`bh = xxhash64(w1, w2)`, `h1 =
+    * xxhash64(w1)` — the multi-arg form chains seeds, so ("a","bc") and
+    * ("ab","c") never alias), NOT the strings themselves — at 100x the
+    * (doc, bigram) partial agg was the suite's dominant single exchange
+    * and the string keys were most of its bytes. The score only ever
+    * consumed the strings as equality keys, so the output is unchanged
+    * up to 64-bit collisions (~n²/2^65 ≈ 5e-8 at a 10^6 vocabulary);
+    * the ORACLE keeps the exact string form, so a collision would
+    * surface as a hash mismatch at the correctness gate. */
   def bigramLmScore(spark: SparkSession, dir: String): DataFrame = {
     val tf = t(spark, dir, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), explode(expr(
         """transform(slice(toks, 1, size(toks) - 1),
              (w, i) -> named_struct('w1', w, 'w2', toks[i + 1]))""")).as("b"))
-      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-      .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("bf"))
+      .select(col("doc_id"), xxhash64(col("b.w1"), col("b.w2")).as("bh"),
+        xxhash64(col("b.w1")).as("h1"))
+      .groupBy("doc_id", "bh", "h1").agg(count(lit(1)).as("bf"))
       .localCheckpoint() // feeds c12 (and through it c1) AND the score join
-    val c12 = tf.groupBy("w1", "w2").agg(sum("bf").as("c12"))
-    val c1 = c12.groupBy("w1").agg(sum("c12").as("c1"))
-    tf.join(c12, Seq("w1", "w2")).join(c1, Seq("w1"))
+    val c12 = tf.groupBy("bh", "h1").agg(sum("bf").as("c12"))
+    val c1 = c12.groupBy("h1").agg(sum("c12").as("c1"))
+    tf.join(c12, Seq("bh", "h1")).join(c1, Seq("h1"))
       .groupBy("doc_id")
       .agg(sum("bf").as("n_bigrams"),
         sum(col("bf") * expr(s"(CAST(c12 AS DECIMAL(38,0)) * ${LmScale}L) div c1")).as("score_num"))
