@@ -40,8 +40,22 @@ object Pipeline {
 
   /** Stages 1-3: quality filter → exact-dedup representatives →
     * span-collision decontamination. Returns the clean TRAIN documents
-    * (full rows of the input frame, `split` dropped). */
+    * (full rows of the input frame, `split` dropped).
+    *
+    * The span stage is bloom-prefiltered (the q131 discipline composed
+    * in, per the 100x campaign: the span join dominated q104's 178 s
+    * and q148's 32.5 s): the DISTINCT test-side fps — benchmark-sized
+    * at any corpus scale — fold into one serialized Bloom filter
+    * carried into the train plan as a base64 LITERAL (the
+    * contaminationGuard handoff shape; `might_contain` requires a
+    * foldable/scalar bloom, which a cross-joined column is not), so the
+    * token-volume train span stream filters MAP-SIDE to bloom survivors
+    * before the exact verify join. No false negatives by construction
+    * (both sides hash the fp with the same `xxhash64`), so the
+    * contaminated-id set — and every q91/q104/q148 oracle — is
+    * IDENTICAL to the naive full equi-join the DuckDB twins compute. */
   def cleanTrainDocs(docs: DataFrame, w: Int = Dedup.SpanWidth): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     // 1. quality cut, as a semi-join on the gated operator's survivors
     val kept = docs.join(
       Sampling.qualityFilter(docs).select("doc_id"), Seq("doc_id"), "left_semi")
@@ -51,11 +65,18 @@ object Pipeline {
     val bySplit = deduped.withColumn("split", expr(Sampling.splitCase("doc_id")))
     // 3. span-collision decontamination of the train side: any train doc
     // sharing one w-token span with a test doc is dropped (anti-join on
-    // the contaminated-id set; test fps collapse to DISTINCT first)
+    // the contaminated-id set; test fps collapse to DISTINCT first and
+    // feed BOTH the bloom build and the exact verify join — checkpointed
+    // so the test span sweep runs once)
     val spans = Dedup.spanFps(bySplit, w)
       .withColumn("split", expr(Sampling.splitCase("doc_id")))
     val testFps = spans.filter(col("split") === "test").select("fp").distinct()
+      .localCheckpoint()
+    val bloomB64 = java.util.Base64.getEncoder.encodeToString(
+      testFps.agg(expr(s"bloom_filter_agg(xxhash64(fp), ${Dedup.BloomExpectedGrams}L, " +
+        s"${Dedup.BloomNumBits}L)").as("bf")).head().getAs[Array[Byte]]("bf"))
     val contaminated = spans.filter(col("split") === "train")
+      .filter(expr(s"might_contain(unbase64('$bloomB64'), xxhash64(fp))"))
       .join(testFps, "fp").select("doc_id").distinct()
     bySplit.filter(col("split") === "train")
       .join(contaminated, Seq("doc_id"), "left_anti")

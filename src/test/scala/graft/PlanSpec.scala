@@ -308,6 +308,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Generate"), "no explode: tokens fold inside the lambda")
   }
 
+  test("q91: span decontamination is bloom-prefiltered map-side") {
+    // the q131 composition into the pipeline: the train span stream must
+    // probe the literal test-fp bloom BEFORE the exact verify join, so
+    // the token-volume side only pays the join for survivors.
+    val p = plan("q91_train_shard")
+    // (the base64 bloom literal itself constant-folds to a binary
+    // literal, so only the probe call is visible in explain output)
+    assert(p.contains("might_contain"), "train spans must probe the test-fp bloom map-side")
+  }
+
   test("catalog missing-series plans as broadcast left-anti") {
     import spark.implicits._
     val headers = Seq((0, "1", "n", 0)).toDF("fileOrd", "externalId", "name", "colIndex")
