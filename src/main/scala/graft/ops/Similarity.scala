@@ -178,27 +178,34 @@ object Similarity {
       .select("id_a", "id_b", "sim", "psim", "err")
   }
 
-  def rpDistortionSql: String = {
+  /** Projection CTEs + final distortion select, over already-declared
+    * CTEs `n` (the quantized frame) and `pairs` (id_a, id_b, sim) —
+    * shared by the brute (q142) and IVF-composed (q153) oracles. CTE
+    * names rproj/rpj avoid the `pr` name the IVF prefix uses. */
+  private def rpDistortionTailSql: String = {
     val comp = rpPlanes.map { p =>
       val arr = p.mkString("[", ",", "]")
       s"CAST(list_sum(list_transform(range(1, ${Dim + 1}), i -> qv[i] * ($arr)[i])) AS BIGINT)"
     }.mkString(", ")
-    s"""WITH $quantCte,
-      pr AS (SELECT vec_id, [$comp] AS py FROM n
+    s"""rproj AS (SELECT vec_id, [$comp] AS py FROM n
             WHERE len(qv) = $Dim
               AND len(list_filter(qv, x -> x IS NULL)) = 0),
-      pj AS (SELECT vec_id, py,
-            CAST(list_sum(list_transform(py, x -> x * x)) AS BIGINT) AS pn FROM pr),
-      pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, $simSql AS sim
-            FROM n a JOIN n b ON a.vec_id < b.vec_id
-            WHERE $simSql >= 0.4)
+      rpj AS (SELECT vec_id, py,
+            CAST(list_sum(list_transform(py, x -> x * x)) AS BIGINT) AS pn FROM rproj)
       SELECT p.id_a, p.id_b, p.sim,
         CAST(list_sum(list_transform(range(1, $RpDim + 1), i -> x.py[i] * y.py[i])) AS DOUBLE)
           / (sqrt(CAST(x.pn AS DOUBLE)) * sqrt(CAST(y.pn AS DOUBLE))) AS psim,
         abs(p.sim - CAST(list_sum(list_transform(range(1, $RpDim + 1), i -> x.py[i] * y.py[i])) AS DOUBLE)
           / (sqrt(CAST(x.pn AS DOUBLE)) * sqrt(CAST(y.pn AS DOUBLE)))) AS err
-      FROM pairs p JOIN pj x ON x.vec_id = p.id_a JOIN pj y ON y.vec_id = p.id_b"""
+      FROM pairs p JOIN rpj x ON x.vec_id = p.id_a JOIN rpj y ON y.vec_id = p.id_b"""
   }
+
+  def rpDistortionSql: String =
+    s"""WITH $quantCte,
+      pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, $simSql AS sim
+            FROM n a JOIN n b ON a.vec_id < b.vec_id
+            WHERE $simSql >= 0.4),
+      $rpDistortionTailSql"""
 
   /** Per-dimension corpus statistics over the quantized embeddings —
     * the whitening/normalization audit (a dimension with runaway
@@ -559,11 +566,14 @@ object Similarity {
       .parquet(s"$indexDir/assignments")
   }
 
-  /** Top-k straight off a [[saveIvfIndex]] directory: no training jobs,
-    * no assignment pass — the cell equi-join + exact re-rank only.
-    * Row-identical to [[knnIvf]] at the same nprobe (q129 is gated
-    * against q47's exact oracle). */
-  def knnIvfPersisted(spark: SparkSession, indexDir: String, k: Int,
+  /** Directed scored candidate pairs (id_a, id_b, sim) straight off a
+    * [[saveIvfIndex]] directory: probes (rn ≤ nprobe) equi-joined with
+    * home-cell members, exact cosine per pair. This frame is the shared
+    * substrate of the whole persisted-index family — top-k (q129),
+    * mutual-top-1 (q154), distortion audit (q153), triplet mining
+    * (q155) — each of which pays the cell join, never O(n²). A pair
+    * meets at most once per direction (b lives in exactly one cell). */
+  def ivfScoredPairs(spark: SparkSession, indexDir: String,
       nprobe: Int = IvfNprobe): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     QueryDef.cpuBound(spark)
@@ -574,11 +584,73 @@ object Similarity {
     val probes = ranked.filter(col("rn") <= nprobe)
       .select(col("vec_id").as("id_a"), col("qv").as("qa"),
         col("nrm").as("na"), col("cent_id").as("cell"))
-    topkPairs(
-      probes.join(members, Seq("cell"))
-        .filter(col("id_a") =!= col("id_b"))
-        .withColumn("sim", simCol),
-      k)
+    probes.join(members, Seq("cell"))
+      .filter(col("id_a") =!= col("id_b"))
+      .withColumn("sim", simCol)
+      .select("id_a", "id_b", "sim")
+  }
+
+  /** Top-k straight off a [[saveIvfIndex]] directory: no training jobs,
+    * no assignment pass — the cell equi-join + exact re-rank only.
+    * Row-identical to [[knnIvf]] at the same nprobe (q129 is gated
+    * against q47's exact oracle). */
+  def knnIvfPersisted(spark: SparkSession, indexDir: String, k: Int,
+      nprobe: Int = IvfNprobe): DataFrame =
+    topkPairs(ivfScoredPairs(spark, indexDir, nprobe), k)
+
+  /** The suite's one persisted index per corpus version: [[saveIvfIndex]]
+    * into a deterministic scratch path, memoized on the SAME content
+    * fingerprint as the centroid caches — q129/q153/q154/q155 share one
+    * build (the amortization point of a persisted index: train + assign
+    * once per corpus version, every consumer pays only its own join),
+    * while overwriting the corpus parquet invalidates the entry. */
+  private[graft] val ivfIndexCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  def persistedIvfIndexDir(spark: SparkSession, dir: String): String = {
+    val idx = s"${System.getProperty("java.io.tmpdir")}/graft-ivf-idx-" +
+      dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    ivfIndexCache.getOrElseUpdate(s"${cacheKeyDir(dir)}->$idx", {
+      saveIvfIndex(spark, dir, idx); idx
+    })
+  }
+
+  /** Undirected near-dup pairs over the persisted IVF candidates — the
+    * scale-path pair source for [[rpDistortionOn]] (q153): canonicalize
+    * the directed cell pairs (least/greatest + DISTINCT — sim is
+    * bit-identical in both directions, the dot sums the same products in
+    * the same index order) and keep those at/above the q44 threshold. */
+  def ivfNearDupPairs(spark: SparkSession, indexDir: String,
+      threshold: Double, nprobe: Int = IvfNprobe): DataFrame =
+    ivfScoredPairs(spark, indexDir, nprobe)
+      .filter(col("sim") >= threshold)
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"), col("sim"))
+      .distinct()
+
+  /** [[hardTriplets]] over ANY directed (id_a, id_b, sim) candidate
+    * frame — per anchor, hardest same-label positive and hardest
+    * other-label negative WITHIN the candidates. q155 feeds it the
+    * persisted-IVF cell pairs ([[ivfScoredPairs]]), replacing q138's
+    * O(n²) sweep with the cell-bounded candidate volume; anchors whose
+    * cells hold no positive (or no negative) report NULL on that side,
+    * exactly as the restricted oracle does. */
+  def hardTripletsOn(spark: SparkSession, dir: String,
+      pairs: DataFrame): DataFrame = {
+    val lab = t(spark, dir, "embeddings").select(col("vec_id"), col("label"))
+    val w = Window.partitionBy("id_a", "grp").orderBy(col("sim").desc, col("id_b").asc)
+    val top = pairs
+      .join(lab.select(col("vec_id").as("id_a"), col("label").as("label_a")), "id_a")
+      .join(lab.select(col("vec_id").as("id_b"), col("label").as("label_b")), "id_b")
+      .withColumn("grp", when(col("label_a") === col("label_b"), "pos").otherwise("neg"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+    top.groupBy(col("id_a").as("vec_id"))
+      .agg(
+        max(when(col("grp") === "pos", col("id_b"))).as("pos_id"),
+        max(when(col("grp") === "pos", col("sim"))).as("pos_sim"),
+        max(when(col("grp") === "neg", col("id_b"))).as("neg_id"),
+        max(when(col("grp") === "neg", col("sim"))).as("neg_sim"))
+      .withColumn("margin", col("pos_sim") - col("neg_sim"))
   }
 
   /** Per-query top-k over scored candidate pairs via the bounded
@@ -1093,11 +1165,14 @@ object Similarity {
       FROM prof p JOIN tops t ON p.cluster = t.cluster AND t.rn = 1"""
   }
 
-  /** q47's exact oracle — shared verbatim by q129 (the persisted index
-    * must answer identically to the freshly built one). */
-  private lazy val knnIvfOracleSql: String = {
+  /** The persisted-index family's shared oracle substrate: CTEs through
+    * `p` — the directed scored cell pairs (vec_id, neighbor_id, sim),
+    * the DuckDB twin of [[ivfScoredPairs]]. q47/q129 rank it; q153
+    * canonicalizes + audits it; q154 takes mutual top-1; q155 mines
+    * triplets within it. */
+  private lazy val ivfPairCtes: String = {
     val (kmeans, cf) = kmeansSqlAuto()
-    s"""WITH $quantCte,
+    s"""$quantCte,
     $kmeans,
     af AS (SELECT n.vec_id, n.qv, n.nrm, c.cent_id,
           row_number() OVER (PARTITION BY n.vec_id ORDER BY
@@ -1107,11 +1182,56 @@ object Similarity {
     mem AS (SELECT vec_id, qv, nrm, cent_id AS cell FROM af WHERE rn = 1),
     pr AS (SELECT vec_id, qv, nrm, cent_id AS cell FROM af WHERE rn <= $IvfNprobe),
     p AS (SELECT a.vec_id, b.vec_id AS neighbor_id, $simSql AS sim
-          FROM pr a JOIN mem b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+          FROM pr a JOIN mem b ON a.cell = b.cell AND a.vec_id <> b.vec_id)"""
+  }
+
+  /** q47's exact oracle — shared verbatim by q129 (the persisted index
+    * must answer identically to the freshly built one). */
+  private lazy val knnIvfOracleSql: String =
+    s"""WITH $ivfPairCtes,
     r AS (SELECT vec_id, neighbor_id, sim,
           row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, neighbor_id) AS rank FROM p)
     SELECT vec_id, rank, neighbor_id, sim FROM r WHERE rank <= 3"""
-  }
+
+  /** q153: the rp-distortion audit fed by IVF candidates instead of the
+    * brute O(n²) sweep — the composition SCALE.md prescribed. */
+  private lazy val rpDistortionIvfSql: String =
+    s"""WITH $ivfPairCtes,
+    pairs AS (SELECT DISTINCT least(vec_id, neighbor_id) AS id_a,
+          greatest(vec_id, neighbor_id) AS id_b, sim
+        FROM p WHERE sim >= 0.4),
+    $rpDistortionTailSql"""
+
+  /** q154: mutual top-1 within the IVF candidates. */
+  private lazy val mutualTop1IvfSql: String =
+    s"""WITH $ivfPairCtes,
+    r AS (SELECT vec_id, neighbor_id, sim,
+          row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, neighbor_id) AS rank FROM p),
+    t1 AS (SELECT vec_id, neighbor_id, sim FROM r WHERE rank = 1)
+    SELECT x.vec_id AS id_a, x.neighbor_id AS id_b, x.sim AS sim
+    FROM t1 x JOIN t1 y ON x.vec_id = y.neighbor_id AND x.neighbor_id = y.vec_id
+    WHERE x.vec_id < x.neighbor_id"""
+
+  /** q155: hardest positive/negative per anchor within the IVF
+    * candidates. */
+  private lazy val hardTripletsIvfSql: String =
+    s"""WITH $ivfPairCtes,
+    l AS (SELECT vec_id, label FROM embeddings),
+    pp AS (SELECT p.vec_id AS id_a, p.neighbor_id AS id_b, p.sim,
+          CASE WHEN la.label = lb.label THEN 'pos' ELSE 'neg' END AS grp
+        FROM p JOIN l la ON la.vec_id = p.vec_id
+               JOIN l lb ON lb.vec_id = p.neighbor_id),
+    rr AS (SELECT id_a, id_b, sim, grp,
+          row_number() OVER (PARTITION BY id_a, grp ORDER BY sim DESC, id_b) AS rn
+        FROM pp)
+    SELECT id_a AS vec_id,
+      max(CASE WHEN grp = 'pos' THEN id_b END) AS pos_id,
+      max(CASE WHEN grp = 'pos' THEN sim END) AS pos_sim,
+      max(CASE WHEN grp = 'neg' THEN id_b END) AS neg_id,
+      max(CASE WHEN grp = 'neg' THEN sim END) AS neg_sim,
+      max(CASE WHEN grp = 'pos' THEN sim END)
+        - max(CASE WHEN grp = 'neg' THEN sim END) AS margin
+    FROM rr WHERE rn = 1 GROUP BY id_a"""
 
   val queries: Seq[QueryDef] = Seq(
     // The driver's pandas compare can't sort ARRAY columns, so the query
@@ -1195,18 +1315,31 @@ object Similarity {
       Some(knnIvfOracleSql)),
 
     // the persisted index round-trips through parquet and MUST return the
-    // exact same answer — gated against q47's identical oracle
+    // exact same answer — gated against q47's identical oracle. The
+    // build is memoized on the corpus content fingerprint
+    // (persistedIvfIndexDir), so q129/q153/q154/q155 share ONE
+    // train+assign per corpus version.
     QueryDef("q129_knn_ivf_persisted",
-      (s, d) => {
-        // deterministic per-corpus scratch path, mode=overwrite inside:
-        // repeated bench iterations reuse ONE directory instead of
-        // leaking a fresh temp index per call
-        val idx = s"${System.getProperty("java.io.tmpdir")}/graft-ivf-idx-" +
-          d.replaceAll("[^A-Za-z0-9._-]", "_")
-        saveIvfIndex(s, d, idx)
-        knnIvfPersisted(s, idx, 3)
-      },
+      (s, d) => knnIvfPersisted(s, persistedIvfIndexDir(s, d), 3),
       Some(knnIvfOracleSql)),
+
+    // the q125 discipline applied to the embedding family (VERDICT r6
+    // ask #2): the three brute-pair audits re-composed over the
+    // persisted IVF candidates, each a first-class gated query whose
+    // oracle computes the SAME candidate restriction in DuckDB.
+    QueryDef("q153_rp_distortion_ivf",
+      (s, d) => rpDistortionOn(s, d,
+        ivfNearDupPairs(s, persistedIvfIndexDir(s, d), 0.4)),
+      Some(rpDistortionIvfSql)),
+
+    QueryDef("q154_mutual_top1_ivf",
+      (s, d) => mutualTop1(knnIvfPersisted(s, persistedIvfIndexDir(s, d), 1)),
+      Some(mutualTop1IvfSql)),
+
+    QueryDef("q155_hard_triplets_ivf",
+      (s, d) => hardTripletsOn(s, d,
+        ivfScoredPairs(s, persistedIvfIndexDir(s, d))),
+      Some(hardTripletsIvfSql)),
 
     QueryDef("q66_knn_ivf_pq",
       (s, d) => knnIvfPq(s, d, 3),

@@ -142,4 +142,41 @@ class SimilarityRecallSpec extends AnyFunSuite {
     info(f"ivf recall@3 nprobe=4: trained=$trained%.3f untrained=$untrained%.3f")
     assert(trained > untrained)
   }
+
+  test("IVF-composed audits restrict the brute ones: q153 pairs a subset with identical scores; q155 sims bounded") {
+    import org.apache.spark.sql.functions._
+    // q153's pair source (IVF candidates at the q44 threshold) must be a
+    // subset of the brute sim>=0.4 pair set, and on the shared pairs the
+    // distortion columns must be IDENTICAL (same vectors, same planes).
+    val idx = Similarity.persistedIvfIndexDir(spark, dir)
+    val ivfAudit = Similarity.rpDistortionOn(spark, dir,
+      Similarity.ivfNearDupPairs(spark, idx, 0.4)).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    SessionHygiene.clear(spark)
+    val brute = Similarity.rpDistortion(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(ivfAudit.nonEmpty, "the IVF candidate set must surface some near-dup pairs")
+    assert(ivfAudit.keySet.subsetOf(brute.keySet), "IVF pairs must be brute pairs")
+    ivfAudit.foreach { case (k, v) =>
+      assert(brute(k) == v, s"pair $k: distortion must be bit-identical, ${brute(k)} != $v") }
+    SessionHygiene.clear(spark)
+    // q155: per anchor, the candidate-restricted hardest pos/neg can
+    // never out-score the exact sweep's.
+    val exact = Similarity.hardTriplets(spark, dir).collect()
+      .map(r => r.getLong(0) -> (Option(r.get(2)).map(_.asInstanceOf[Double]),
+        Option(r.get(4)).map(_.asInstanceOf[Double]))).toMap
+    SessionHygiene.clear(spark)
+    val ivfTrip = Similarity.hardTripletsOn(spark, dir,
+      Similarity.ivfScoredPairs(spark, idx)).collect()
+      .map(r => r.getLong(0) -> (Option(r.get(2)).map(_.asInstanceOf[Double]),
+        Option(r.get(4)).map(_.asInstanceOf[Double]))).toMap
+    ivfTrip.foreach { case (id, (pos, neg)) =>
+      val (ep, en) = exact(id)
+      pos.foreach(p => assert(p <= ep.get + 1e-12, s"anchor $id: ivf pos $p > exact ${ep.get}"))
+      neg.foreach(n => assert(n <= en.get + 1e-12, s"anchor $id: ivf neg $n > exact ${en.get}"))
+    }
+    SessionHygiene.clear(spark)
+  }
 }
