@@ -857,6 +857,119 @@ object Dedup {
                   JOIN sizes sb ON shared.id_b = sb.doc_id
       WHERE CAST(n_shared AS DOUBLE) / least(sa.n_chunks, sb.n_chunks) >= $threshold"""
 
+  /** Leakage-safe k-fold assignment (q158): folds are hashed from the
+    * near-dup CLUSTER id ([[nearDupClusters]]' min-label component), not
+    * the document id — so a document and all its near-duplicates land in
+    * the SAME fold by construction, and cross-validation / train-holdout
+    * splits cannot leak a near-copy of a validation doc into train (the
+    * failure mode a doc-id hash split (q38) has on any corpus with
+    * duplication, which is every web corpus). The fold hash is the q38
+    * md5-prefix discipline applied to the cluster id, so the assignment
+    * is deterministic, engine-portable, and uniform across clusters;
+    * singleton docs hash on their own id (they ARE their cluster).
+    *
+    * Scale shape: the cluster pass is q53's (band mine over candidates +
+    * min-label propagation, diameter-bounded rounds); the fold stamp is
+    * a stateless projection above it. */
+  def leakageSafeFolds(docs: DataFrame, threshold: Double = 0.8,
+      k: Int = 5): DataFrame =
+    nearDupClusters(docs, threshold)
+      .withColumn("fold", expr(
+        s"CAST(conv(substr(md5(CAST(cluster_id AS STRING)), 1, 4), 16, 10) AS BIGINT) % $k"))
+
+  def leakageSafeFoldsSql(threshold: Double = 0.8, k: Int = 5): String =
+    s"""WITH RECURSIVE $minhashPairsCtes,
+      pairs AS (SELECT id_a, id_b FROM verified WHERE jaccard >= $threshold),
+      edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION ALL SELECT id_b, id_a FROM pairs),
+      walk(node, lbl) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.node
+      ),
+      cl AS (SELECT node AS doc_id, CAST(MIN(lbl) AS BIGINT) AS cluster_id
+             FROM walk GROUP BY node)
+      SELECT doc_id, cluster_id,
+        CAST(('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 4)) AS BIGINT) % $k AS fold
+      FROM cl"""
+
+  /** Edit-distance verified near-dup pairs (q157): CHARACTER-level
+    * similarity — `1 − levenshtein/max(len)` — which catches the dups
+    * token-set metrics structurally miss (a deleted space or a typo
+    * merges/splits tokens, cratering word-shingle Jaccard while the
+    * texts stay one edit apart). Blocking must therefore be
+    * edit-robust too: candidates are representative pairs sharing ≥ 1
+    * content-defined chunk ([[cdcChunks]] — a k-char edit perturbs only
+    * the chunk containing it, every other chunk fp survives verbatim),
+    * NOT MinHash bands (which inherit the token-set fragility this
+    * operator exists to escape).
+    *
+    * Scale shape: exact reps first (lesson 1), the chunk fp self-join
+    * is df-capped (Σ df² bounded per chunk, the q130 discipline), and
+    * the O(len²) Levenshtein DP runs on candidate pairs only — never
+    * n². The verify cut is integer arithmetic (`dist·100 ≤ max_len·pct`
+    * — no float boundary); `sim` is one double division of exact
+    * integers, portable. Both engines' `levenshtein` is the classic
+    * unit-cost DP over characters. */
+  def editNearDupPairs(docs: DataFrame, maxDistPct: Int = 20,
+      maxDocFreq: Long = 50): DataFrame = {
+    val reps = exact(docs).select(col("keep_id").as("doc_id"))
+    val repDocs = docs.join(reps, "doc_id").localCheckpoint() // chunks + both text sides
+    val ch = cdcChunks(repDocs).select("doc_id", "fp").distinct()
+    val kept = ch.join(
+      ch.groupBy("fp").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxDocFreq).select("fp"), "fp")
+      .localCheckpoint() // both candidate self-join sides
+    val cands = kept.as("a").join(kept.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    val txt = repDocs.select(col("doc_id"), col("text"))
+    cands
+      .join(txt.select(col("doc_id").as("id_a"), col("text").as("ta")), "id_a")
+      .join(txt.select(col("doc_id").as("id_b"), col("text").as("tb")), "id_b")
+      .withColumn("dist", levenshtein(col("ta"), col("tb")).cast("long"))
+      .withColumn("max_len", greatest(length(col("ta")), length(col("tb"))).cast("long"))
+      .filter(col("dist") * 100 <= col("max_len") * maxDistPct)
+      .withColumn("sim",
+        lit(1.0) - col("dist").cast("double") / col("max_len").cast("double"))
+      .select("id_a", "id_b", "dist", "max_len", "sim")
+  }
+
+  /** DuckDB twin over an injected-variant relation: the word-salad
+    * corpus has no organic character-level near-dups, so the q157 query
+    * plants a deterministic 1-edit variant (first char dropped) of
+    * every 50th document — the q93/q149 injection pattern; library
+    * callers on real corpora pass their frames straight to
+    * [[editNearDupPairs]]. */
+  def editNearDupPairsSql(maxDistPct: Int = 20, maxDocFreq: Long = 50): String =
+    s"""WITH inj AS (SELECT doc_id, source, text FROM documents
+           UNION ALL
+           SELECT doc_id + ${EditInjOffset}, source, substr(text, 2)
+           FROM documents WHERE doc_id % 50 = 1),
+      repsq AS (SELECT i.* FROM inj i
+           JOIN (SELECT min(doc_id) AS doc_id FROM inj GROUP BY md5(text)) r
+           USING (doc_id)),
+      ${cdcChunkCtesOver("repsq")},
+      chd AS (SELECT DISTINCT doc_id, c.fp AS fp FROM ch),
+      dfq AS (SELECT fp FROM chd GROUP BY fp HAVING count(*) <= $maxDocFreq),
+      kept AS (SELECT chd.* FROM chd JOIN dfq USING (fp)),
+      cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+               FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id),
+      ed AS (SELECT c.id_a, c.id_b,
+               CAST(levenshtein(x.text, y.text) AS BIGINT) AS dist,
+               CAST(greatest(length(x.text), length(y.text)) AS BIGINT) AS max_len
+             FROM cand c JOIN repsq x ON x.doc_id = c.id_a
+                         JOIN repsq y ON y.doc_id = c.id_b)
+      SELECT id_a, id_b, dist, max_len,
+        1.0 - CAST(dist AS DOUBLE) / CAST(max_len AS DOUBLE) AS sim
+      FROM ed WHERE dist * 100 <= max_len * $maxDistPct"""
+
+  /** Injected-variant id offset for the q157 query (far above any
+    * testdata doc_id; the injection lives in the QUERY, not the
+    * operator). */
+  val EditInjOffset = 10000000L
+
   /** Hex digits whose bit k is set, for k = 0..3 — turns md5 hex chars
     * into hash bits without any hex->int conversion. */
   private val HexBit = Array("13579bdf", "2367abef", "4567cdef", "89abcdef")
@@ -1229,6 +1342,23 @@ object Dedup {
     QueryDef("q74_decontaminate",
       (s, d) => decontaminate(t(s, d, "documents"), 0.8),
       Some(decontaminateSql(0.8))),
+
+    // the corpus has no organic character-level near-dups, so the query
+    // injects a deterministic 1-edit variant of every 50th doc (the
+    // q93/q149 pattern) — the operator itself takes any frame
+    QueryDef("q157_edit_near_dups",
+      (s, d) => {
+        val docs = t(s, d, "documents").select("doc_id", "source", "text")
+        val inj = docs.filter(expr("doc_id % 50 = 1"))
+          .select((col("doc_id") + lit(EditInjOffset)).as("doc_id"),
+            col("source"), expr("substr(text, 2)").as("text"))
+        editNearDupPairs(docs.unionByName(inj))
+      },
+      Some(editNearDupPairsSql())),
+
+    QueryDef("q158_leakage_safe_folds",
+      (s, d) => leakageSafeFolds(t(s, d, "documents")),
+      Some(leakageSafeFoldsSql())),
 
     QueryDef("q131_bloom_decontaminate",
       (s, d) => bloomDecontaminate(s, d),

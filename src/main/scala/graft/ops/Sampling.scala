@@ -170,6 +170,51 @@ object Sampling {
       .select("doc_id", "source", "n_tokens", "cum_tokens", "share_tokens")
   }
 
+  /** Temperature-scaled source mixing (q156, α = 1/2): each source's
+    * token share is ∝ avail^α — the published multilingual/multi-domain
+    * recipe (exponentiated sampling, XLM-R/mT5 style): α < 1 flattens
+    * the mixture, upweighting small sources a proportional split
+    * starves and capping the dominance of the largest. α = 1/2 keeps
+    * the weights PORTABLE with no float policy knob: `ws =
+    * floor(sqrt(avail) · 1e6)` — sqrt of an exactly-representable
+    * BIGINT is correctly rounded in both engines, the 1e6 scale and
+    * floor are exact, and from there shares are `(budget·ws) DIV Σws`
+    * pure integers. Fill is q96's greedy-by-quality window.
+    *
+    * Scale shape: q96's — ONE window shuffle keyed by source; the
+    * per-source weight table is source-cardinality and broadcasts. */
+  def temperatureMix(docs: DataFrame, budgetTokens: Long = MixBudgetTokens): DataFrame = {
+    val scored = graft.ops.TextStats.scored(docs, Seq("source"))
+    val aw = scored.groupBy("source").agg(sum("n_tokens").as("avail"))
+      .withColumn("ws", expr("CAST(floor(sqrt(CAST(avail AS DOUBLE)) * 1000000) AS BIGINT)"))
+    val totw = aw.agg(sum("ws").as("totw"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("score").desc, col("doc_id").asc)
+    scored.join(broadcast(aw), "source").crossJoin(broadcast(totw))
+      .withColumn("share_tokens", expr(s"($budgetTokens * ws) DIV totw"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(win))
+      .filter(col("cum_tokens") <= col("share_tokens"))
+      .select("doc_id", "source", "n_tokens", "cum_tokens", "share_tokens")
+  }
+
+  def temperatureMixSql(budgetTokens: Long = MixBudgetTokens): String =
+    s"""WITH base AS (SELECT doc_id, source, ${TextStats.scoreSignalsDuck}
+      FROM documents),
+      scored AS (SELECT doc_id, source, n_tokens,
+          ${TextStats.scoreExprDuck} AS score
+        FROM base),
+      aw AS (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS avail,
+          CAST(floor(sqrt(CAST(CAST(SUM(n_tokens) AS BIGINT) AS DOUBLE)) * 1000000) AS BIGINT) AS ws
+        FROM scored GROUP BY source),
+      tw AS (SELECT SUM(ws) AS totw FROM aw),
+      c AS (SELECT s.doc_id, s.source, s.n_tokens,
+          CAST(($budgetTokens * aw.ws) // (SELECT totw FROM tw) AS BIGINT) AS share_tokens,
+          CAST(SUM(s.n_tokens) OVER (PARTITION BY s.source ORDER BY s.score DESC, s.doc_id)
+            AS BIGINT) AS cum_tokens
+        FROM scored s JOIN aw USING (source))
+      SELECT doc_id, source, n_tokens, cum_tokens, share_tokens
+      FROM c WHERE cum_tokens <= share_tokens"""
+
   def sourceMixSql(budgetTokens: Long = MixBudgetTokens): String =
     s"""WITH base AS (SELECT doc_id, source, ${TextStats.scoreSignalsDuck}
       FROM documents),
@@ -515,6 +560,10 @@ object Sampling {
     QueryDef("q96_source_mix",
       (s, d) => sourceMix(t(s, d, "documents"), weight = srcNameWeight),
       Some(sourceMixSql())),
+
+    QueryDef("q156_temperature_mix",
+      (s, d) => temperatureMix(t(s, d, "documents")),
+      Some(temperatureMixSql())),
 
     QueryDef("q102_source_mix_epochs",
       (s, d) => sourceMixEpochs(t(s, d, "documents"), weight = srcNameWeight),

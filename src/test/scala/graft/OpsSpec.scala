@@ -111,6 +111,79 @@ class OpsSpec extends AnyFunSuite {
     assert(stats == d.select(sum(size(split(col("text"), " ")))).head().getLong(0))
   }
 
+  test("edit near-dups: a merged-token region is caught by edit verify where token-set jaccard craters") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // a contiguous region of dropped spaces (60 token merges in tokens
+    // 100-220 of a ~600-token doc): ~120 word-3-gram shingles change, so
+    // jaccard falls below the 0.8 cut — but the CHARACTER edit is just
+    // 60 deletions (sim ~0.98), and CDC chunks outside the region
+    // re-align, so the pair still blocks together
+    val toksAll = docs.orderBy("doc_id").limit(40)
+      .agg(concat_ws(" ", collect_list("text"))).head().getString(0).split(" ")
+    val baseToks = toksAll.slice(0, 600)
+    val base = baseToks.mkString(" ")
+    val mutated = (baseToks.slice(0, 100) ++
+      baseToks.slice(100, 220).grouped(2).map(_.mkString("")) ++
+      baseToks.slice(220, 600)).mkString(" ")
+    val d = Seq((1L, "a", base), (2L, "b", mutated)).toDF("doc_id", "source", "text")
+    val jac = Dedup.ngramJaccardPairs(d, 0.8).count()
+    assert(jac == 0L, "the token-set mine must miss the merged-boundary pair")
+    val ed = Dedup.editNearDupPairs(d).collect()
+    assert(ed.length == 1, s"edit verify must catch the pair, got ${ed.length}")
+    assert(ed.head.getAs[Long]("dist") == 60L, s"60 dropped spaces, got ${ed.head.getAs[Long]("dist")}")
+    assert(ed.head.getAs[Double]("sim") > 0.95)
+    // and a genuinely different pair is NOT reported even when CDC
+    // blocks them together via a shared chunk (quote + unrelated tail)
+    val toks = docs.orderBy("doc_id").limit(40)
+      .agg(concat_ws(" ", collect_list("text"))).head().getString(0).split(" ")
+    val d2 = Seq(
+      (1L, "a", toks.slice(0, 600).mkString(" ")),
+      (2L, "b", (toks.slice(0, 200) ++ toks.slice(3000, 3400)).mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    assert(Dedup.editNearDupPairs(d2).count() == 0L,
+      "a shared-prefix pair far apart in edit distance must fail the verify")
+  }
+
+  test("leakage-safe folds: every near-dup pair lands in one fold, folds in range") {
+    import org.apache.spark.sql.functions._
+    val folds = Dedup.leakageSafeFolds(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(folds.values.forall { case (_, f) => f >= 0 && f < 5 })
+    assert(folds.values.map(_._2).toSet.size > 1, "multiple folds must be populated")
+    val pairs = Dedup.minhashLshPairs(docs, 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    pairs.foreach { case (a, b) =>
+      assert(folds(a)._2 == folds(b)._2, s"near-dup pair ($a, $b) split across folds")
+      assert(folds(a)._1 == folds(b)._1, s"pair ($a, $b) in different clusters")
+    }
+  }
+
+  test("temperature mix: flattening upweights small sources, shares and budget hold") {
+    import org.apache.spark.sql.functions._
+    val rows = Sampling.temperatureMix(docs).collect()
+    assert(rows.nonEmpty)
+    // per-source kept tokens never exceed the share
+    rows.groupBy(_.getString(1)).foreach { case (_, rs) =>
+      val share = rs.head.getAs[Long]("share_tokens")
+      assert(rs.map(_.getAs[Long]("n_tokens")).sum <= share)
+    }
+    // flattening: share/avail is (weakly) decreasing in avail — the
+    // smallest source gets a strictly larger fraction of itself than
+    // the largest (sqrt weights), which proportional mixing never does
+    val avail = docs.select(col("source"),
+        size(split(col("text"), " ")).cast("long").as("n"))
+      .groupBy("source").agg(sum("n").as("avail")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val shares = rows.groupBy(_.getString(1)).view
+      .mapValues(_.head.getAs[Long]("share_tokens")).toMap
+    val bySize = shares.keys.toSeq.sortBy(avail)
+    val (small, big) = (bySize.head, bySize.last)
+    assert(avail(small) < avail(big), "corpus must have unequal sources for the property")
+    assert(shares(small) * avail(big) > shares(big) * avail(small),
+      s"sqrt temperature must favor the small source: $small ${shares(small)}/${avail(small)} vs $big ${shares(big)}/${avail(big)}")
+  }
+
   test("cdc containment: a wholesale quote scores high containment at tiny jaccard") {
     import org.apache.spark.sql.functions._
     val toks = docs.orderBy("doc_id").limit(60)
