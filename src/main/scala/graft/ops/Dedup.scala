@@ -857,6 +857,45 @@ object Dedup {
                   JOIN sizes sb ON shared.id_b = sb.doc_id
       WHERE CAST(n_shared AS DOUBLE) / least(sa.n_chunks, sb.n_chunks) >= $threshold"""
 
+  /** Near-dup cluster-size histogram (q159): how much of the corpus
+    * lives in duplicate clusters of what size — the release-card view
+    * of duplication STRUCTURE (the q105 card's dup counts say how many
+    * docs are copies; this says whether they form a few mega-clusters —
+    * one boilerplate page syndicated everywhere, the dedup jackpot — or
+    * a long tail of pairs). `pct_docs` is exact-operand division.
+    *
+    * Scale shape: q53's cluster pass + two cluster-/size-keyed rollups
+    * of doc-count rows and a broadcast scalar total. */
+  def clusterSizeHistogram(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
+    val sizes = nearDupClusters(docs, threshold)
+      .groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+    sizes.groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+      .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
+      .crossJoin(broadcast(docs.agg(count(lit(1)).as("n_total"))))
+      .withColumn("pct_docs", col("n_docs").cast("double") / col("n_total").cast("double"))
+      .select("cluster_size", "n_clusters", "n_docs", "pct_docs")
+  }
+
+  def clusterSizeHistogramSql(threshold: Double = 0.8): String =
+    s"""WITH RECURSIVE $minhashPairsCtes,
+      pairs AS (SELECT id_a, id_b FROM verified WHERE jaccard >= $threshold),
+      edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION ALL SELECT id_b, id_a FROM pairs),
+      walk(node, lbl) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.node
+      ),
+      cl AS (SELECT node AS doc_id, CAST(MIN(lbl) AS BIGINT) AS cluster_id
+             FROM walk GROUP BY node),
+      sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+             FROM cl GROUP BY cluster_id)
+      SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+        CAST(cluster_size * count(*) AS BIGINT) AS n_docs,
+        CAST(cluster_size * count(*) AS DOUBLE)
+          / CAST((SELECT count(*) FROM documents) AS DOUBLE) AS pct_docs
+      FROM sz GROUP BY cluster_size"""
+
   /** Leakage-safe k-fold assignment (q158): folds are hashed from the
     * near-dup CLUSTER id ([[nearDupClusters]]' min-label component), not
     * the document id — so a document and all its near-duplicates land in
@@ -1359,6 +1398,10 @@ object Dedup {
     QueryDef("q158_leakage_safe_folds",
       (s, d) => leakageSafeFolds(t(s, d, "documents")),
       Some(leakageSafeFoldsSql())),
+
+    QueryDef("q159_cluster_size_histogram",
+      (s, d) => clusterSizeHistogram(t(s, d, "documents")),
+      Some(clusterSizeHistogramSql())),
 
     QueryDef("q131_bloom_decontaminate",
       (s, d) => bloomDecontaminate(s, d),

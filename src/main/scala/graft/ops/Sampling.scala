@@ -170,6 +170,43 @@ object Sampling {
       .select("doc_id", "source", "n_tokens", "cum_tokens", "share_tokens")
   }
 
+  /** Per-source length-outlier trim (q160): keep documents whose token
+    * count lies within their SOURCE's [p05, p95] exact percentile band —
+    * the tail-trimming pass before length statistics feed packing or
+    * curriculum decisions (a crawl source's length tail is scrapes and
+    * concatenation accidents, not prose; a global cut would mis-trim
+    * every source whose natural length differs). Percentiles are q59's
+    * exact weighted interpolation — Spark `percentile` == DuckDB
+    * `quantile_cont` bit-for-bit (interpolation-parity spec-locked
+    * there) — so the band edges are portable doubles and the filter is
+    * one comparison per row.
+    *
+    * Scale shape: ONE source-keyed exact-percentile aggregation (q59's
+    * buffering caveat applies per source), the band table is
+    * source-cardinality and broadcasts, the filter is map-side. */
+  def lengthTrim(docs: DataFrame, lo: Double = 0.05, hi: Double = 0.95): DataFrame = {
+    val lens = docs.select(col("doc_id"), col("source"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val cuts = lens.groupBy("source").agg(
+      expr(s"percentile(n_tokens, CAST($lo AS DOUBLE))").as("lo_cut"),
+      expr(s"percentile(n_tokens, CAST($hi AS DOUBLE))").as("hi_cut"))
+    lens.join(broadcast(cuts), "source")
+      .filter(col("n_tokens").cast("double") >= col("lo_cut") &&
+        col("n_tokens").cast("double") <= col("hi_cut"))
+      .select("doc_id", "source", "n_tokens", "lo_cut", "hi_cut")
+  }
+
+  def lengthTrimSql(lo: Double = 0.05, hi: Double = 0.95): String =
+    s"""WITH l AS (SELECT doc_id, source,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+      c AS (SELECT source, quantile_cont(n_tokens, $lo) AS lo_cut,
+              quantile_cont(n_tokens, $hi) AS hi_cut
+            FROM l GROUP BY source)
+      SELECT doc_id, l.source AS source, n_tokens, lo_cut, hi_cut
+      FROM l JOIN c USING (source)
+      WHERE CAST(n_tokens AS DOUBLE) >= lo_cut
+        AND CAST(n_tokens AS DOUBLE) <= hi_cut"""
+
   /** Temperature-scaled source mixing (q156, α = 1/2): each source's
     * token share is ∝ avail^α — the published multilingual/multi-domain
     * recipe (exponentiated sampling, XLM-R/mT5 style): α < 1 flattens
@@ -564,6 +601,10 @@ object Sampling {
     QueryDef("q156_temperature_mix",
       (s, d) => temperatureMix(t(s, d, "documents")),
       Some(temperatureMixSql())),
+
+    QueryDef("q160_length_trim",
+      (s, d) => lengthTrim(t(s, d, "documents")),
+      Some(lengthTrimSql())),
 
     QueryDef("q102_source_mix_epochs",
       (s, d) => sourceMixEpochs(t(s, d, "documents"), weight = srcNameWeight),

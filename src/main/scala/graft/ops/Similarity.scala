@@ -91,6 +91,112 @@ object Similarity {
       .select(col("id_a").as("vec_id"), col("rank"), col("id_b").as("neighbor_id"), col("sim"))
   }
 
+  /** MMR literals — kept as STRINGS so both engines parse the identical
+    * double (never compute 1−λ at runtime: `1 - 0.7` is
+    * 0.30000000000000004 in IEEE, silently diverging from a literal
+    * `0.3`). */
+  val MmrLambda = "0.7"
+  val MmrOneMinusLambda = "0.3"
+  val MmrPoolK = 50
+  val MmrTopK = 10
+
+  /** Maximal-marginal-relevance re-ranking (q161, Carbonell & Goldstein
+    * 1998): greedily select `k` results maximizing `λ·rel − (1−λ)·max
+    * sim-to-already-selected` — the standard retrieval diversification
+    * (a plain top-k over a corpus with near-dups returns the same
+    * passage k times; MMR spends each slot on new information). Query =
+    * the corpus's min well-formed vector (deterministic, the q115
+    * derived-phrase discipline); relevance and inter-candidate
+    * similarity are the exact quantized cosines, so every score is a
+    * portable double and the oracle unrolls the SAME greedy steps.
+    *
+    * Scale shape: the pool selection is the distributed part — exact
+    * top-`poolK` by relevance via TakeOrderedAndProject (at 100 TB,
+    * compose the pool from the persisted IVF index like q153-q155); the
+    * greedy re-rank is inherently sequential over the POOL, which is
+    * bounded by `poolK` (50), so it runs on the driver over collected
+    * pool rows — the k·dim-bounded collect discipline of the k-means
+    * trainer, and the same shape every production reranker uses (pools
+    * are request-sized, never corpus-sized). */
+  def mmrRerank(spark: SparkSession, dir: String,
+      k: Int = MmrTopK, poolK: Int = MmrPoolK): DataFrame = {
+    val wf = quantized(spark, dir)
+      .filter(expr(s"size(qv) = $Dim AND NOT exists(qv, x -> x IS NULL)"))
+      .select("vec_id", "qv", "nrm").localCheckpoint()
+    val qRow = wf.orderBy("vec_id").limit(1)
+      .select(col("vec_id").as("q_id"), col("qv").as("qqv"), col("nrm").as("qnrm"))
+    val pool = wf.crossJoin(broadcast(qRow))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("rel", cosine(
+        expr("CAST(quantized_dot(qv, qqv) AS DOUBLE)"), col("nrm"), col("qnrm")))
+      .orderBy(col("rel").desc, col("vec_id").asc).limit(poolK)
+      .select("vec_id", "qv", "nrm", "rel")
+      .collect()
+    // driver greedy over <= poolK rows: exact Long dots, IEEE doubles —
+    // the identical arithmetic the unrolled oracle performs
+    case class C(id: Long, qv: Array[Long], nrm: Long, rel: Double)
+    val cs = pool.map(r => C(r.getLong(0),
+      r.getSeq[Long](1).toArray, r.getLong(2), r.getDouble(3)))
+    def cos(a: C, b: C): Double = {
+      var dot = 0L; var i = 0
+      while (i < a.qv.length) { dot += a.qv(i) * b.qv(i); i += 1 }
+      dot.toDouble / (math.sqrt(a.nrm.toDouble) * math.sqrt(b.nrm.toDouble))
+    }
+    val lam = MmrLambda.toDouble; val oml = MmrOneMinusLambda.toDouble
+    val picked = scala.collection.mutable.ArrayBuffer.empty[(Int, C, Double)]
+    val remaining = scala.collection.mutable.ArrayBuffer(cs: _*)
+    for (step <- 1 to math.min(k, cs.length)) {
+      val scored = remaining.map { c =>
+        val pen = if (picked.isEmpty) 0.0 else picked.map(p => cos(c, p._2)).max
+        (c, lam * c.rel - oml * pen)
+      }
+      val best = scored.minBy { case (c, s) => (-s, c.id) }
+      picked += ((step, best._1, best._2))
+      remaining -= best._1
+    }
+    import spark.implicits._
+    picked.toSeq.map { case (r, c, s) => (r.toLong, c.id, c.rel, s) }
+      .toDF("rank", "vec_id", "rel", "score")
+  }
+
+  def mmrRerankSql(k: Int = MmrTopK, poolK: Int = MmrPoolK): String = {
+    val lam = MmrLambda; val oml = MmrOneMinusLambda
+    def cosTo(a: String, b: String) =
+      s"""CAST(list_sum(list_transform(range(1, $Dim + 1), i -> $a.qv[i] * $b.qv[i])) AS DOUBLE)
+          / (sqrt(CAST($a.nrm AS DOUBLE)) * sqrt(CAST($b.nrm AS DOUBLE)))"""
+    // the penalty is a join+max, never a correlated subquery: DuckDB
+    // rejects outer-column references inside list lambdas, but a lambda
+    // over two joined columns is the proven af-CTE pattern
+    val steps = (1 to k).map { i =>
+      val prevSel = (1 until i).map(j => s"SELECT vec_id FROM s$j").mkString(" UNION ALL ")
+      val prevAll = (1 until i)
+        .map(j => s"SELECT vec_id, qv, nrm FROM s$j").mkString(" UNION ALL ")
+      if (i == 1)
+        s"""s$i AS MATERIALIZED (SELECT $i AS rank, p.vec_id, p.qv, p.nrm, p.rel,
+              $lam * p.rel - $oml * 0.0 AS score
+            FROM pool p
+            ORDER BY score DESC, p.vec_id LIMIT 1)"""
+      else
+        s"""pen$i AS MATERIALIZED (SELECT p.vec_id, max(${cosTo("p", "s")}) AS pen
+              FROM pool p, ($prevAll) s GROUP BY p.vec_id),
+        s$i AS MATERIALIZED (SELECT $i AS rank, p.vec_id, p.qv, p.nrm, p.rel,
+              $lam * p.rel - $oml * pp.pen AS score
+            FROM pool p JOIN pen$i pp USING (vec_id)
+            WHERE p.vec_id NOT IN ($prevSel)
+            ORDER BY score DESC, p.vec_id LIMIT 1)"""
+    }.mkString(",\n      ")
+    s"""WITH $quantCte,
+      wf AS (SELECT vec_id, qv, nrm FROM n
+             WHERE len(qv) = $Dim AND len(list_filter(qv, x -> x IS NULL)) = 0),
+      q0 AS (SELECT vec_id AS q_id, qv, nrm FROM wf ORDER BY vec_id LIMIT 1),
+      pool AS MATERIALIZED (SELECT p.vec_id, p.qv, p.nrm, ${cosTo("p", "q")} AS rel
+               FROM wf p, q0 q WHERE p.vec_id <> q.q_id
+               ORDER BY rel DESC, p.vec_id LIMIT $poolK),
+      $steps
+      SELECT CAST(rank AS BIGINT) AS rank, vec_id, rel, score
+      FROM (${(1 to k).map(j => s"SELECT * FROM s$j").mkString(" UNION ALL ")})"""
+  }
+
   /** Embedding-space decontamination: for every TRAIN vector, count the
     * TEST-split vectors within cosine `threshold` and report the max —
     * the semantic sibling of the gram-exact q131/q74 paths (catches a
@@ -1340,6 +1446,10 @@ object Similarity {
       (s, d) => hardTripletsOn(s, d,
         ivfScoredPairs(s, persistedIvfIndexDir(s, d))),
       Some(hardTripletsIvfSql)),
+
+    QueryDef("q161_mmr_rerank",
+      (s, d) => mmrRerank(s, d),
+      Some(mmrRerankSql())),
 
     QueryDef("q66_knn_ivf_pq",
       (s, d) => knnIvfPq(s, d, 3),

@@ -184,6 +184,22 @@ class OpsSpec extends AnyFunSuite {
       s"sqrt temperature must favor the small source: $small ${shares(small)}/${avail(small)} vs $big ${shares(big)}/${avail(big)}")
   }
 
+  test("mmr rerank: greedy invariants (argmax-rel first pick, bounded scores, distinct ranks)") {
+    val rows = Similarity.mmrRerank(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.map(_._1).sorted.toSeq == (1L to rows.length).toSeq, "ranks must be 1..k")
+    assert(rows.map(_._2).distinct.length == rows.length, "no vec_id selected twice")
+    val first = rows.find(_._1 == 1L).get
+    assert(first._3 == rows.map(_._3).max, "step 1 must pick the pure relevance argmax")
+    // penalty = max cosine to selected, which lives in [-1, 1] (a random
+    // corpus yields NEGATIVE sims, which raise the score above λ·rel)
+    val lam = Similarity.MmrLambda.toDouble
+    val oml = Similarity.MmrOneMinusLambda.toDouble
+    rows.foreach { case (_, id, rel, score) =>
+      assert(score <= lam * rel + oml + 1e-12 && score >= lam * rel - oml - 1e-12,
+        s"vec $id: score $score outside lambda*rel +/- (1-lambda)") }
+  }
+
   test("cdc containment: a wholesale quote scores high containment at tiny jaccard") {
     import org.apache.spark.sql.functions._
     val toks = docs.orderBy("doc_id").limit(60)
