@@ -896,6 +896,58 @@ object Dedup {
           / CAST((SELECT count(*) FROM documents) AS DOUBLE) AS pct_docs
       FROM sz GROUP BY cluster_size"""
 
+  /** [[clusterSizeHistogram]] via the q126 group algebra (q162): cluster
+    * membership is a property of the exact-dup GROUP (identical text =
+    * identical gram set = identical verified partners, and a copy always
+    * pairs with its own representative at jaccard 1), so the component
+    * walk runs over the REPRESENTATIVE pair graph — group-cardinality
+    * nodes, distinct-text-pair edges — and each full cluster's size is
+    * the SUM of its member groups' sizes. `cluster_id` equals the naive
+    * form's (a group's min doc_id IS its representative id, so the
+    * component min is the same doc), and the histogram is identical for
+    * every corpus whose texts shingle to ≥ 1 gram (the q126 sub-shingle
+    * caveat carries verbatim: byte-identical un-shingleable texts are
+    * one cluster here, singletons in the naive mine — this form's answer
+    * is the defensible one). The driver gates this against q159's
+    * UNCHANGED naive oracle. */
+  def clusterSizeHistogramDeduped(docs: DataFrame,
+      threshold: Double = 0.8): DataFrame = {
+    val groups = docs.groupBy(md5(col("text")).as("fp"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("tot"))
+      .localCheckpoint() // feeds the rep restriction AND the size join
+    val repDocs = docs.join(groups.select(col("keep_id").as("doc_id")), "doc_id")
+    val repClusters = nearDupClusters(repDocs, threshold)
+      .withColumnRenamed("doc_id", "keep_id")
+    groups.join(repClusters, "keep_id")
+      .groupBy("cluster_id").agg(sum("tot").as("cluster_size"))
+      .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+      .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
+      .crossJoin(broadcast(docs.agg(count(lit(1)).as("n_total"))))
+      .withColumn("pct_docs", col("n_docs").cast("double") / col("n_total").cast("double"))
+      .select("cluster_size", "n_clusters", "n_docs", "pct_docs")
+  }
+
+  /** [[leakageSafeFolds]] via the same group algebra (q163): the
+    * component walk runs over the representative graph, then every
+    * document inherits its GROUP's cluster id (and hence fold) through
+    * one fp equi-join — doc-level pairs never exist. Identical output to
+    * the naive form on any ≥1-gram corpus (same caveat and gate
+    * discipline as q162/q126); the driver gates it against q158's
+    * UNCHANGED oracle. */
+  def leakageSafeFoldsDeduped(docs: DataFrame, threshold: Double = 0.8,
+      k: Int = 5): DataFrame = {
+    val withFp = docs.select(col("doc_id"), md5(col("text")).as("fp"))
+    val groups = withFp.groupBy("fp").agg(min("doc_id").as("keep_id"))
+      .localCheckpoint()
+    val repDocs = docs.join(groups.select(col("keep_id").as("doc_id")), "doc_id")
+    val repClusters = nearDupClusters(repDocs, threshold)
+      .withColumnRenamed("doc_id", "keep_id")
+    withFp.join(groups.join(repClusters, "keep_id"), "fp")
+      .select(col("doc_id"), col("cluster_id"))
+      .withColumn("fold", expr(
+        s"CAST(conv(substr(md5(CAST(cluster_id AS STRING)), 1, 4), 16, 10) AS BIGINT) % $k"))
+  }
+
   /** Leakage-safe k-fold assignment (q158): folds are hashed from the
     * near-dup CLUSTER id ([[nearDupClusters]]' min-label component), not
     * the document id — so a document and all its near-duplicates land in
@@ -1402,6 +1454,16 @@ object Dedup {
     QueryDef("q159_cluster_size_histogram",
       (s, d) => clusterSizeHistogram(t(s, d, "documents")),
       Some(clusterSizeHistogramSql())),
+
+    // gated against q159's UNCHANGED naive oracle — the q126 discipline:
+    // the composed form must return the identical histogram
+    QueryDef("q162_cluster_histogram_reps",
+      (s, d) => clusterSizeHistogramDeduped(t(s, d, "documents")),
+      Some(clusterSizeHistogramSql())),
+
+    QueryDef("q163_leakage_folds_reps",
+      (s, d) => leakageSafeFoldsDeduped(t(s, d, "documents")),
+      Some(leakageSafeFoldsSql())),
 
     QueryDef("q131_bloom_decontaminate",
       (s, d) => bloomDecontaminate(s, d),

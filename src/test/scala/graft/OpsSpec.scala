@@ -184,6 +184,28 @@ class OpsSpec extends AnyFunSuite {
       s"sqrt temperature must favor the small source: $small ${shares(small)}/${avail(small)} vs $big ${shares(big)}/${avail(big)}")
   }
 
+  test("cluster histogram + folds: reps-composed forms equal the naive ones on a replicated corpus") {
+    import org.apache.spark.sql.functions._
+    // the q126 equality corpus: 5x replication with offset ids — exact
+    // groups of 5, plus whatever near-dup structure the slice has
+    val n = docs.agg(max("doc_id")).head().getLong(0) + 1
+    val tmp = java.nio.file.Files.createTempDirectory("chist-reps").toString
+    (0 until 5).map { k =>
+      docs.select((col("doc_id") + lit(k * n)).as("doc_id"), col("text"), col("source"))
+    }.reduce(_ unionByName _).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    def rep = spark.read.parquet(s"$tmp/documents.parquet")
+    def sorted(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    assert(sorted(Dedup.clusterSizeHistogramDeduped(rep)) ==
+      sorted(Dedup.clusterSizeHistogram(rep)),
+      "group-algebra histogram must equal the naive one")
+    SessionHygiene.clear(spark)
+    assert(sorted(Dedup.leakageSafeFoldsDeduped(rep)) ==
+      sorted(Dedup.leakageSafeFolds(rep)),
+      "group-algebra folds must equal the naive ones")
+    SessionHygiene.clear(spark)
+  }
+
   test("mmr rerank: greedy invariants (argmax-rel first pick, bounded scores, distinct ranks)") {
     val rows = Similarity.mmrRerank(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
