@@ -196,6 +196,55 @@ object Pipeline {
       SELECT m.doc_id, m.source, m.n_tokens, m.epochs, s.shard, s.sortkey
       FROM mix m JOIN shuf s USING (doc_id)"""
 
+  /** Corpus-version diff card (q164): given two versions of a corpus,
+    * report per source how many documents were added, removed, changed
+    * (same doc_id, different text), and unchanged — the data-ops view a
+    * release pipeline signs off on between crawl refreshes (a source
+    * whose refresh CHANGES most texts in place is re-extracting, not
+    * appending — a different risk than growth, and invisible in row
+    * counts). Texts compare by md5 fingerprint; classification is one
+    * full-outer doc_id join of (doc_id, source, fp) projections — never
+    * text payloads — and one source-keyed rollup.
+    *
+    * The q164 query derives v2 from the corpus deterministically
+    * (removed: doc_id % 97 = 0; changed: % 13 = 0, text → substr(text,
+    * 2); added: fresh ids at +[[Dedup.EditInjOffset]] for % 41 = 0) —
+    * the q93/q149 injection pattern; library callers pass two real
+    * frames. */
+  def corpusDiff(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
+    def fp(df: DataFrame, pfx: String) = df.select(
+      col("doc_id"), col("source").as(s"${pfx}_source"),
+      md5(col("text")).as(s"${pfx}_fp"))
+    fp(oldDocs, "old").join(fp(newDocs, "new"), Seq("doc_id"), "full_outer")
+      .withColumn("source", coalesce(col("new_source"), col("old_source")))
+      .groupBy("source")
+      .agg(
+        sum(when(col("old_fp").isNull, 1L).otherwise(0L)).as("n_added"),
+        sum(when(col("new_fp").isNull, 1L).otherwise(0L)).as("n_removed"),
+        sum(when(col("old_fp").isNotNull && col("new_fp").isNotNull &&
+          col("old_fp") =!= col("new_fp"), 1L).otherwise(0L)).as("n_changed"),
+        sum(when(col("old_fp") === col("new_fp"), 1L).otherwise(0L)).as("n_unchanged"))
+  }
+
+  val corpusDiffSql: String =
+    s"""WITH v2 AS (
+        SELECT doc_id, source, CASE WHEN doc_id % 13 = 0 THEN substr(text, 2) ELSE text END AS text
+        FROM documents WHERE doc_id % 97 <> 0
+        UNION ALL
+        SELECT doc_id + ${graft.ops.Dedup.EditInjOffset}, source, text
+        FROM documents WHERE doc_id % 41 = 0),
+      o AS (SELECT doc_id, source AS old_source, md5(text) AS old_fp FROM documents),
+      n AS (SELECT doc_id, source AS new_source, md5(text) AS new_fp FROM v2),
+      j AS (SELECT COALESCE(n.new_source, o.old_source) AS source, o.old_fp, n.new_fp
+            FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+      SELECT source,
+        CAST(SUM(CASE WHEN old_fp IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+        CAST(SUM(CASE WHEN new_fp IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+        CAST(SUM(CASE WHEN old_fp IS NOT NULL AND new_fp IS NOT NULL
+          AND old_fp <> new_fp THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+        CAST(SUM(CASE WHEN old_fp = new_fp THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged
+      FROM j GROUP BY source"""
+
   /** JSONL ingest roundtrip ([[graft.sources.JsonlCorpus]]): land the
     * corpus as JSONL (the interchange format training corpora actually
     * arrive in), read it back with a PINNED schema + corrupt-line
@@ -300,5 +349,19 @@ object Pipeline {
 
     QueryDef("q148_token_yield_funnel",
       (s, d) => tokenYieldFunnel(t(s, d, "documents")),
-      Some(tokenYieldFunnelSql())))
+      Some(tokenYieldFunnelSql())),
+
+    QueryDef("q164_corpus_diff",
+      (s, d) => {
+        val docs = t(s, d, "documents").select("doc_id", "source", "text")
+        val v2 = docs.filter(expr("doc_id % 97 <> 0"))
+          .select(col("doc_id"), col("source"),
+            when(expr("doc_id % 13 = 0"), expr("substr(text, 2)"))
+              .otherwise(col("text")).as("text"))
+          .unionByName(docs.filter(expr("doc_id % 41 = 0"))
+            .select((col("doc_id") + lit(graft.ops.Dedup.EditInjOffset)).as("doc_id"),
+              col("source"), col("text")))
+        corpusDiff(docs, v2)
+      },
+      Some(corpusDiffSql)))
 }

@@ -330,6 +330,77 @@ object TextStats {
           >= len(toks) AS keep
       FROM s"""
 
+  /** Gopher-style quality-rule report (q165, Rae et al. 2021 §A1.1
+    * adapted to the engine's token model): the five integer-exact rules —
+    *
+    *   1. word count in [GopherMinWords, GopherMaxWords]
+    *   2. mean word length in [3, 10] (cross-multiplied:
+    *      `3·n ≤ Σlen ≤ 10·n` — no float boundary)
+    *   3. symbol-to-word ratio ≤ 0.1 for '#' and '…'/'...'
+    *      (`10·n_sym ≤ n`)
+    *   4. ≥ 80% of words contain ≥ 1 alphabetic character
+    *      (`5·n_alpha ≥ 4·n`)
+    *   5. ≥ 2 stopword hits (the published "stop word" rule, shared
+    *      [[Stopwords]] set)
+    *
+    * reported as per-SOURCE pass counts per rule plus the conjunction —
+    * the q103 funnel's shape over the published rule set (q103 ablates
+    * the engine's own C4-style predicates; this audits the Gopher ones).
+    * One stateless signal projection, one source-keyed partial-agg
+    * rollup. */
+  val GopherMinWords = 20L
+  val GopherMaxWords = 100000L
+  def gopherRules(docs: DataFrame): DataFrame = {
+    val sig = docs.select(col("source"),
+      expr("CAST(size(split(text, ' ')) AS BIGINT)").as("n"),
+      expr(sumLenExpr).as("sum_len"),
+      expr("CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)" +
+        " + CAST(regexp_count(text, '\\\\.\\\\.\\\\.') AS BIGINT)").as("n_sym"),
+      expr("CAST(size(filter(split(text, ' '), w -> w rlike '[a-zA-Z]')) AS BIGINT)").as("n_alpha"),
+      expr(stopCountExpr).as("n_stop"))
+      .withColumn("r_count", col("n") >= GopherMinWords && col("n") <= GopherMaxWords)
+      .withColumn("r_meanlen", lit(3) * col("n") <= col("sum_len") &&
+        col("sum_len") <= lit(10) * col("n"))
+      .withColumn("r_symbol", lit(10) * col("n_sym") <= col("n"))
+      .withColumn("r_alpha", lit(5) * col("n_alpha") >= lit(4) * col("n"))
+      .withColumn("r_stop", col("n_stop") >= 2L)
+    def cnt(c: String) = sum(when(col(c), 1L).otherwise(0L)).as(s"pass_${c.drop(2)}")
+    sig.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      cnt("r_count"), cnt("r_meanlen"), cnt("r_symbol"), cnt("r_alpha"), cnt("r_stop"),
+      sum(when(col("r_count") && col("r_meanlen") && col("r_symbol") &&
+        col("r_alpha") && col("r_stop"), 1L).otherwise(0L)).as("pass_all"))
+  }
+
+  def gopherRulesSql: String = {
+    val sumLenDuck = "CAST(list_sum(list_transform(string_split(text, ' '), w -> length(w))) AS BIGINT)"
+    s"""WITH sig AS (SELECT source,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+          $sumLenDuck AS sum_len,
+          CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+            + CAST(len(regexp_extract_all(text, '\\.\\.\\.')) AS BIGINT) AS n_sym,
+          CAST(len(list_filter(string_split(text, ' '),
+            w -> regexp_matches(w, '[a-zA-Z]'))) AS BIGINT) AS n_alpha,
+          CAST(len(list_filter(string_split(text, ' '), w -> ${inSet("w", Stopwords)})) AS BIGINT) AS n_stop
+        FROM documents),
+      r AS (SELECT source,
+          (n >= $GopherMinWords AND n <= $GopherMaxWords) AS r_count,
+          (3 * n <= sum_len AND sum_len <= 10 * n) AS r_meanlen,
+          (10 * n_sym <= n) AS r_symbol,
+          (5 * n_alpha >= 4 * n) AS r_alpha,
+          (n_stop >= 2) AS r_stop
+        FROM sig)
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(SUM(CASE WHEN r_count THEN 1 ELSE 0 END) AS BIGINT) AS pass_count,
+        CAST(SUM(CASE WHEN r_meanlen THEN 1 ELSE 0 END) AS BIGINT) AS pass_meanlen,
+        CAST(SUM(CASE WHEN r_symbol THEN 1 ELSE 0 END) AS BIGINT) AS pass_symbol,
+        CAST(SUM(CASE WHEN r_alpha THEN 1 ELSE 0 END) AS BIGINT) AS pass_alpha,
+        CAST(SUM(CASE WHEN r_stop THEN 1 ELSE 0 END) AS BIGINT) AS pass_stop,
+        CAST(SUM(CASE WHEN r_count AND r_meanlen AND r_symbol AND r_alpha AND r_stop
+          THEN 1 ELSE 0 END) AS BIGINT) AS pass_all
+      FROM r GROUP BY source"""
+  }
+
   val queries: Seq[QueryDef] = Seq(
     QueryDef("q36_top_bigrams",
       (s, d) => topBigrams(t(s, d, "documents"), 5),
@@ -385,6 +456,10 @@ object TextStats {
     QueryDef("q152_hashed_classifier",
       (s, d) => hashedClassifier(t(s, d, "documents")),
       Some(hashedClassifierSql)),
+
+    QueryDef("q165_gopher_rules",
+      (s, d) => gopherRules(t(s, d, "documents")),
+      Some(gopherRulesSql)),
 
     QueryDef("q71_repetition_signals",
       (s, d) => repetitionSignals(t(s, d, "documents")),
