@@ -1292,7 +1292,84 @@ object Corpus {
         md5(array_to_string(toks[s:s + ${ChunkSize - 1}], ' ')) AS chunk_md5
       FROM st"""
 
+  /** RAKE keyphrase extraction (q167, Rose et al. 2010): candidate
+    * phrases are maximal stopword-free token runs (≤ `maxLen` tokens —
+    * the standard practical cap); each word scores `deg/freq` within its
+    * document (deg = Σ length of candidate phrases containing it, freq =
+    * its occurrence count — co-occurrence-favoring, the paper's default
+    * metric) and a phrase scores the sum of its words' scores; top-k
+    * phrase occurrences per doc. Scores are quantized to
+    * `(deg·1e6) div freq` exact integers and summed as BIGINTs — no
+    * float enters any ORDER BY (the q114 discipline).
+    *
+    * Scale shape: phrase segmentation needs a running stop-count, ONE
+    * doc-keyed window over token rows (unique `pos` makes the default
+    * RANGE frame deterministic and portable); everything after is
+    * (doc, word)- / (doc, phrase)-keyed partial-agg rollups and
+    * equi-joins; the top-k rank window plans as WindowGroupLimit. */
+  val RakeMaxLen = 4
+  val RakeTopK = 3
+  def rakeKeyphrases(docs: DataFrame, k: Int = RakeTopK,
+      maxLen: Int = RakeMaxLen): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+      .withColumn("is_stop", expr(TextStats.inSet("w", TextStats.Stopwords)))
+    val wDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val tok2 = toks
+      .withColumn("phrase_id", sum(when(col("is_stop"), 1L).otherwise(0L)).over(wDoc))
+      .filter(!col("is_stop"))
+      .select("doc_id", "phrase_id", "pos", "w")
+      .localCheckpoint() // feeds phrases, word stats, and the score join
+    val phrases = tok2.groupBy("doc_id", "phrase_id")
+      .agg(count(lit(1)).as("plen"),
+        array_join(expr("transform(array_sort(collect_list(struct(pos, w))), t -> t.w)"),
+          " ").as("phrase"))
+      .filter(col("plen") <= maxLen)
+    val tokKept = tok2.join(phrases.select("doc_id", "phrase_id", "plen"),
+      Seq("doc_id", "phrase_id"))
+    val wstats = tokKept.groupBy("doc_id", "w")
+      .agg(count(lit(1)).as("freq"), sum("plen").as("deg"))
+      .withColumn("wscore", expr("(deg * 1000000L) div freq"))
+    val scored = tokKept.join(wstats.select("doc_id", "w", "wscore"), Seq("doc_id", "w"))
+      .groupBy("doc_id", "phrase_id")
+      .agg(sum("wscore").as("score_q"))
+      .join(phrases, Seq("doc_id", "phrase_id"))
+    val wr = Window.partitionBy("doc_id")
+      .orderBy(col("score_q").desc, col("phrase").asc, col("phrase_id").asc)
+    scored.withColumn("rank", row_number().over(wr)).filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank").cast("long").as("rank"),
+        col("phrase"), col("plen"), col("score_q"))
+  }
+
+  def rakeKeyphrasesSql(k: Int = RakeTopK, maxLen: Int = RakeMaxLen): String =
+    s"""WITH ls AS (SELECT doc_id, string_split(text, ' ') AS ls FROM documents),
+      tk AS (SELECT doc_id, CAST(t.i - 1 AS BIGINT) AS pos, ls[t.i] AS w
+             FROM ls, LATERAL (SELECT unnest(range(1, len(ls) + 1)) AS i) t),
+      st AS (SELECT *, ${TextStats.inSet("w", TextStats.Stopwords)} AS is_stop FROM tk),
+      ph AS (SELECT *, SUM(CASE WHEN is_stop THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos) AS phrase_id FROM st),
+      tok2 AS (SELECT doc_id, phrase_id, pos, w FROM ph WHERE NOT is_stop),
+      phr AS (SELECT doc_id, phrase_id, CAST(count(*) AS BIGINT) AS plen,
+                string_agg(w, ' ' ORDER BY pos) AS phrase
+              FROM tok2 GROUP BY 1, 2 HAVING count(*) <= $maxLen),
+      tkk AS (SELECT t.*, p.plen FROM tok2 t JOIN phr p USING (doc_id, phrase_id)),
+      ws AS (SELECT doc_id, w, count(*) AS freq, CAST(SUM(plen) AS BIGINT) AS deg
+             FROM tkk GROUP BY 1, 2),
+      ws2 AS (SELECT doc_id, w, (deg * 1000000) // freq AS wscore FROM ws),
+      sc AS (SELECT t.doc_id, t.phrase_id, CAST(SUM(ws2.wscore) AS BIGINT) AS score_q
+             FROM tkk t JOIN ws2 ON t.doc_id = ws2.doc_id AND t.w = ws2.w
+             GROUP BY 1, 2),
+      r AS (SELECT sc.doc_id, sc.score_q, p.phrase, p.plen,
+              row_number() OVER (PARTITION BY sc.doc_id
+                ORDER BY sc.score_q DESC, p.phrase, sc.phrase_id) AS rank
+            FROM sc JOIN phr p USING (doc_id, phrase_id))
+      SELECT doc_id, CAST(rank AS BIGINT) AS rank, phrase, plen, score_q
+      FROM r WHERE rank <= $k"""
+
   val queries: Seq[QueryDef] = Seq(
+    QueryDef("q167_rake_keyphrases",
+      (s, d) => rakeKeyphrases(t(s, d, "documents")),
+      Some(rakeKeyphrasesSql())),
     QueryDef("q72_pack_sequences",
       (s, d) => packSequences(t(s, d, "documents")),
       Some(packSequencesSql())),

@@ -87,6 +87,49 @@ object EventOps {
         dsum(col("value")).as("sum_value"))
   }
 
+  /** Session transition matrix (q166): within-session Markov transition
+    * counts and probabilities between event types — the journey-shape
+    * summary a funnel definition (q78) is hand-built from, computed for
+    * ALL type pairs at once (which transitions exist, which dominate,
+    * where sessions leak). Transitions never cross a session boundary
+    * (the q21 gap rule). `p` is the row-stochastic estimate quantized to
+    * `(n·1e6) div n_from` exact integers then one portable double
+    * division — the q99 determinism discipline.
+    *
+    * Scale shape: ONE user-keyed exchange carries the session-id lag
+    * window AND the within-session lead (same partitioning); the
+    * transition rollup is (type × type)-bounded with map-side combine;
+    * the row-total join is type-cardinality and broadcasts. */
+  def sessionTransitions(ev: DataFrame, gapSec: Long = 1800L): DataFrame = {
+    val w = Window.partitionBy("user_id", "sess_seq")
+      .orderBy(col("t_us").asc, col("event_id").asc)
+    val trans = withSessionIds(ev, gapSec)
+      .withColumn("next_type", lead("event_type", 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = trans.groupBy("from_type").agg(sum("n").as("n_from"))
+    trans.join(broadcast(totals), "from_type")
+      .withColumn("p", expr("CAST((n * 1000000L) div n_from AS DOUBLE)") / lit(1000000.0))
+      .select("from_type", "to_type", "n", "n_from", "p")
+  }
+
+  def sessionTransitionsSql(gapSec: Long = 1800L): String =
+    s"""WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS t_us FROM events),
+      f AS (SELECT *, CASE WHEN lag(t_us) OVER w IS NULL OR t_us - lag(t_us) OVER w > ${gapSec}000000
+              THEN 1 ELSE 0 END AS new_sess
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id)),
+      g AS (SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY t_us, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_seq FROM f),
+      h AS (SELECT event_type, lead(event_type) OVER (PARTITION BY user_id, sess_seq
+              ORDER BY t_us, event_id) AS next_type FROM g),
+      tr AS (SELECT event_type AS from_type, next_type AS to_type, count(*) AS n
+             FROM h WHERE next_type IS NOT NULL GROUP BY 1, 2),
+      tot AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_from FROM tr GROUP BY 1)
+      SELECT from_type, to_type, CAST(n AS BIGINT) AS n, n_from,
+        CAST((n * 1000000) // n_from AS DOUBLE) / 1000000.0 AS p
+      FROM tr JOIN tot USING (from_type)"""
+
   /** As-of join: for each `leftType` event, the most recent STRICTLY
     * earlier `rightType` event of the same user (ties on time broken by
     * max event_id). Implemented as union + last(ignoreNulls) over a
@@ -570,6 +613,10 @@ object EventOps {
           MIN(t_us // 1000000) AS session_start, MAX(t_us // 1000000) AS session_end,
           count(*) AS n_events, ${dsumSql("value")} AS sum_value
         FROM g GROUP BY user_id, sess_seq""")),
+
+    QueryDef("q166_session_transitions",
+      (s, d) => sessionTransitions(events(s, d)),
+      Some(sessionTransitionsSql())),
 
     QueryDef("q22_asof_purchase_click",
       (s, d) => asofJoin(events(s, d), "purchase", "click"),

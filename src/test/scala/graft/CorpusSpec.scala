@@ -570,5 +570,31 @@ class CorpusSpec extends AnyFunSuite {
     assert(got.head._2 > got(1)._2 || got.head._1 < got(1)._1)
   }
 
+  test("rake keyphrases: classic deg/freq scoring on a hand-computed fixture") {
+    import spark.implicits._
+    // stopwords {the, a, of, and, to}: phrases "deep learning" and
+    // "deep net"; deep: freq 2, deg 4 -> 2e6; learning/net: freq 1,
+    // deg 2 -> 2e6; both phrases score 4e6, tie broken by phrase text
+    val d = Seq((1L, "deep learning of the deep net")).toDF("doc_id", "text")
+    val rows = graft.ops.Corpus.rakeKeyphrases(d).collect()
+      .map(r => (r.getLong(1), r.getString(2), r.getLong(4)))
+    assert(rows.toSeq == Seq((1L, "deep learning", 4000000L), (2L, "deep net", 4000000L)),
+      s"got ${rows.toSeq}")
+  }
+
+  test("session transitions: counts conserve against per-session event counts") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.ops.EventOps.events(spark, dir)
+    val total = graft.ops.EventOps.sessionTransitions(ev)
+      .agg(sum("n")).head().getLong(0)
+    val expected = graft.ops.EventOps.sessionize(ev, 1800L)
+      .agg(sum(col("n_events") - 1)).head().getLong(0)
+    assert(total == expected, s"transitions $total != sum(n_events - 1) $expected")
+    // row-stochastic: per from_type, sum(n) == n_from on every row
+    val rows = graft.ops.EventOps.sessionTransitions(ev).collect()
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      assert(rs.map(_.getLong(2)).sum == rs.head.getLong(3)) }
+  }
+
   private def docs = graft.queries.QueryDef.t(spark, dir, "documents")
 }
