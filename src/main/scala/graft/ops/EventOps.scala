@@ -577,6 +577,30 @@ object EventOps {
           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts))
         ) WHERE gap_start IS NOT NULL AND gap_ms > 3600000""")),
 
+    QueryDef("q168_series_derivative",
+      (s, d) => graft.tebis.Datapoints.derivative(asSeries(events(s, d)))
+        .select(col("externalId").cast("long").as("user_id"),
+          col("timestampMs").as("ts"), col("rate_per_s")),
+      Some("""WITH e AS (SELECT user_id, epoch_ms(ts) AS t_ms, value FROM events),
+        l AS (SELECT user_id, t_ms, value,
+                lag(t_ms) OVER w AS p_ms, lag(value) OVER w AS p_v
+              FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t_ms, value))
+        SELECT user_id, t_ms AS ts,
+          (value - p_v) * 1000.0 / CAST(t_ms - p_ms AS DOUBLE) AS rate_per_s
+        FROM l WHERE p_ms IS NOT NULL AND t_ms > p_ms""")),
+
+    QueryDef("q169_series_rolling_mean",
+      (s, d) => graft.tebis.Datapoints.rollingMean(asSeries(events(s, d)))
+        .select(col("externalId").cast("long").as("user_id"),
+          col("timestampMs").as("ts"), col("n_in_frame"), col("mean_v")),
+      Some("""WITH e AS (SELECT user_id, epoch_ms(ts) AS t_ms, value FROM events)
+        SELECT user_id, t_ms AS ts,
+          CAST(COUNT(*) OVER w AS BIGINT) AS n_in_frame,
+          CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+            / CAST(COUNT(*) OVER w AS DOUBLE) AS mean_v
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t_ms, value
+          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)""")),
+
     QueryDef("q18_events_json",
       (s, d) => events(s, d)
         .select(col("event_type"), get_json_object(col("props"), "$.k").cast("long").as("k"))

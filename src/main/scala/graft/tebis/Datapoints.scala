@@ -89,6 +89,44 @@ object Datapoints {
         (col("timestampMs") - col("prev_ts")).as("gap_ms"))
   }
 
+  /** Per-series first derivative (q168): rate of change between
+    * consecutive datapoints, `(Δvalue · 1000) / Δt_ms` per second. Ties
+    * on timestamp break by value (the resample discipline); a zero-Δt
+    * successor (duplicate timestamp) emits no rate — division by zero
+    * is not a datapoint. One per-series window, no other exchange. The
+    * rate is a single IEEE expression over exactly-ordered operands, so
+    * it is engine-portable bit-for-bit. */
+  def derivative(datapoints: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("externalId").orderBy(col("timestampMs").asc, col("value").asc)
+    datapoints
+      .withColumn("prev_ts", lag("timestampMs", 1).over(w))
+      .withColumn("prev_v", lag("value", 1).over(w))
+      .filter(col("prev_ts").isNotNull && col("timestampMs") > col("prev_ts"))
+      .select(col("externalId"), col("timestampMs"),
+        ((col("value") - col("prev_v")) * lit(1000.0) /
+          (col("timestampMs") - col("prev_ts")).cast("double")).as("rate_per_s"))
+  }
+
+  /** Per-series trailing rolling mean (q169): mean of the last `n`
+    * datapoints (ROWS frame). The sum is DECIMAL — a double window sum
+    * is accumulation-order-dependent AND engines disagree on sliding-
+    * frame evaluation strategies (recompute vs segment tree), so only an
+    * exact sum makes the rolling mean portable; one double division per
+    * row at the end. One per-series window. */
+  def rollingMean(datapoints: DataFrame, n: Int = 4): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("externalId").orderBy(col("timestampMs").asc, col("value").asc)
+      .rowsBetween(-(n - 1), 0)
+    datapoints
+      .withColumn("n_in_frame", count(lit(1)).over(w))
+      .withColumn("mean_v",
+        sum(col("value").cast(DecimalType(18, 2))).over(w).cast("double") /
+          col("n_in_frame").cast("double"))
+      .select(col("externalId"), col("timestampMs"), col("n_in_frame"), col("mean_v"))
+  }
+
   /** Resample each series onto a regular `stepMs` grid with
     * last-observation-carried-forward fill.
     *
