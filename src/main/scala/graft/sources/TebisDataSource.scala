@@ -10,9 +10,10 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, In}
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, In, IsNotNull}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -97,12 +98,32 @@ private class TebisTable(roots: Seq[String]) extends Table with SupportsRead {
     new TebisScanBuilder(roots)
 }
 
+/** One pushed aggregate function over the long-form schema. Partial
+  * semantics: the reader emits PER-FILE partials (count as LONG, min/max
+  * as the column type); Spark's final aggregate merges them (sum of
+  * counts, min of mins, max of maxes) — `supportCompletePushDown` stays
+  * false, so correctness never depends on the file split. */
+private sealed trait TebisAggFunc { def name: String }
+private case object FCountStar extends TebisAggFunc { val name = "count(*)" }
+private case class FCount(col: String) extends TebisAggFunc { def name = s"count($col)" }
+private case class FMin(col: String) extends TebisAggFunc { def name = s"min($col)" }
+private case class FMax(col: String) extends TebisAggFunc { def name = s"max($col)" }
+
+private case class TebisPushedAgg(groupByExternalId: Boolean, funcs: Seq[TebisAggFunc]) {
+  def describe: String = {
+    val g = if (groupByExternalId) " group by externalId" else ""
+    s"PushedAggregates: [${funcs.map(_.name).mkString(", ")}]$g"
+  }
+}
+
 private class TebisScanBuilder(roots: Seq[String])
-    extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+    extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters
+    with SupportsPushDownAggregates {
 
   private var required: StructType = TebisDataSource.Schema
   private var keepIds: Option[Set[String]] = None
   private var pushed: Array[Filter] = Array.empty
+  private var agg: Option[TebisPushedAgg] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -113,6 +134,11 @@ private class TebisScanBuilder(roots: Seq[String])
     val (ours, rest) = filters.partition {
       case EqualTo("externalId", _: String) => true
       case In("externalId", vs) => vs.forall(_.isInstanceOf[String])
+      // externalId is never null by construction (header cells parse to
+      // strings), so the implied not-null guard is absorbed too — a
+      // residual post-scan Filter would otherwise block aggregate
+      // pushdown above this scan
+      case IsNotNull("externalId") => true
       case _ => false
     }
     ours.foreach {
@@ -128,7 +154,43 @@ private class TebisScanBuilder(roots: Seq[String])
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new TebisScan(roots, required, keepIds)
+  /** Aggregate pushdown (partial): COUNT(*) / COUNT(col) / MIN / MAX,
+    * optionally grouped by externalId. The win is volume: the scan emits
+    * group-cardinality partial rows per FILE instead of datapoint-volume
+    * long rows, so the exchange above a 100 TB file tree carries series
+    * counts, not points. Spark only attempts this when every filter was
+    * absorbed (our externalId pushdown), and the final merge stays in
+    * Spark (`supportCompletePushDown = false`), so a file split can
+    * never change an answer. */
+  override def supportCompletePushDown(aggregation: Aggregation): Boolean = false
+
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match {
+        case f: NamedReference if f.fieldNames().length == 1 => Some(f.fieldNames()(0))
+        case _ => None
+      }
+    val gb = aggregation.groupByExpressions()
+    val groupOk = gb.isEmpty ||
+      (gb.length == 1 && colOf(gb(0)).contains("externalId"))
+    if (!groupOk) return false
+    val numeric = Set("timestampMs", "value")
+    val all = TebisDataSource.Schema.fieldNames.toSet
+    val fs: Seq[Option[TebisAggFunc]] = aggregation.aggregateExpressions().toSeq.map {
+      case _: CountStar => Some(FCountStar)
+      case c: Count if !c.isDistinct => colOf(c.column).filter(all).map(FCount.apply)
+      case m: Min => colOf(m.column).filter(numeric).map(FMin.apply)
+      case m: Max => colOf(m.column).filter(numeric).map(FMax.apply)
+      case _ => None
+    }
+    if (fs.isEmpty || fs.exists(_.isEmpty)) false
+    else { agg = Some(TebisPushedAgg(gb.nonEmpty, fs.flatten)); true }
+  }
+
+  override def build(): Scan = agg match {
+    case Some(a) => new TebisAggScan(roots, keepIds, a)
+    case None => new TebisScan(roots, required, keepIds)
+  }
 }
 
 private class TebisScan(roots: Seq[String], required: StructType, keepIds: Option[Set[String]])
@@ -146,6 +208,102 @@ private class TebisScan(roots: Seq[String], required: StructType, keepIds: Optio
 }
 
 private case class TebisInputPartition(path: String) extends InputPartition
+
+/** Scan for a pushed (partial) aggregation: schema = group columns then
+  * one column per aggregate, matching V2ScanRelationPushDown's
+  * positional contract. */
+private class TebisAggScan(roots: Seq[String], keepIds: Option[Set[String]],
+    agg: TebisPushedAgg) extends Scan with Batch {
+  override def readSchema(): StructType = {
+    import org.apache.spark.sql.types._
+    val group = if (agg.groupByExternalId)
+      Seq(StructField("externalId", StringType)) else Seq.empty
+    val aggs = agg.funcs.map {
+      case FCountStar => StructField("count(*)", LongType)
+      case FCount(c) => StructField(s"count($c)", LongType)
+      case FMin("value") => StructField("min(value)", DoubleType)
+      case FMin(c) => StructField(s"min($c)", LongType)
+      case FMax("value") => StructField("max(value)", DoubleType)
+      case FMax(c) => StructField(s"max($c)", LongType)
+    }
+    StructType(group ++ aggs)
+  }
+  override def toBatch: Batch = this
+  override def description(): String = {
+    val f = keepIds.fold("")(s => s", pushedExternalIds=[${s.toSeq.sorted.mkString(",")}]")
+    s"tebis ${agg.describe}$f"
+  }
+  override def planInputPartitions(): Array[InputPartition] =
+    TebisDataSource.listFiles(roots).map(TebisInputPartition.apply).toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    new TebisAggReaderFactory(keepIds, agg)
+}
+
+private class TebisAggReaderFactory(keepIds: Option[Set[String]], agg: TebisPushedAgg)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new TebisAggPartitionReader(
+      partition.asInstanceOf[TebisInputPartition].path, keepIds, agg)
+}
+
+/** Per-task aggregating reader: parse ONE file, fold its surviving
+  * datapoints into per-group (or global) partial aggregates, emit
+  * group-cardinality rows. */
+private class TebisAggPartitionReader(
+    path: String, keepIds: Option[Set[String]], agg: TebisPushedAgg)
+    extends PartitionReader[InternalRow] {
+
+  private final class Acc {
+    var n = 0L
+    var minTs = Long.MaxValue; var maxTs = Long.MinValue
+    var minV = Double.NaN; var maxV = Double.NaN
+  }
+
+  private val rows: Iterator[InternalRow] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(new Configuration())
+    val in = fs.open(p)
+    val bytes = try in.readAllBytes() finally in.close()
+    val file = TebisCsv.parseContent(path, new String(bytes, Charset.forName(TebisCsv.Encoding)))
+    val accs = scala.collection.mutable.LinkedHashMap.empty[String, Acc]
+    if (file.error.isEmpty) {
+      file.columns.iterator
+        .filter(c => keepIds.forall(_.contains(c.externalId)))
+        .foreach { c =>
+          val key = if (agg.groupByExternalId) c.externalId else ""
+          val a = accs.getOrElseUpdate(key, new Acc)
+          c.datapoints.foreach { d =>
+            a.n += 1
+            if (d.timestampMs < a.minTs) a.minTs = d.timestampMs
+            if (d.timestampMs > a.maxTs) a.maxTs = d.timestampMs
+            if (a.minV.isNaN || d.value < a.minV) a.minV = d.value
+            if (a.maxV.isNaN || d.value > a.maxV) a.maxV = d.value
+          }
+        }
+    }
+    val nGroup = if (agg.groupByExternalId) 1 else 0
+    accs.iterator.filter(_._2.n > 0).map { case (key, a) =>
+      val row = new GenericInternalRow(nGroup + agg.funcs.length)
+      if (agg.groupByExternalId) row.update(0, UTF8String.fromString(key))
+      agg.funcs.zipWithIndex.foreach { case (f, i) =>
+        row.update(nGroup + i, f match {
+          case FCountStar | FCount(_) => a.n
+          case FMin("timestampMs") => a.minTs
+          case FMax("timestampMs") => a.maxTs
+          case FMin("value") => a.minV
+          case FMax("value") => a.maxV
+          case FMin(_) | FMax(_) => a.n // unreachable: builder filters to numeric
+        })
+      }
+      row: InternalRow
+    }
+  }
+
+  private var current: InternalRow = _
+  override def next(): Boolean = { val h = rows.hasNext; if (h) current = rows.next(); h }
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
+}
 
 private class TebisReaderFactory(fields: Array[String], keepIds: Option[Set[String]])
     extends PartitionReaderFactory {

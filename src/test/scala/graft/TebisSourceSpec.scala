@@ -81,4 +81,48 @@ class TebisSourceSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     assert(got.toSeq == Seq(("33", 5L, 1000000L), ("34", 3L, 2000000L), ("35", 3L, 2000000L)))
   }
+
+  test("aggregate pushdown: count/min/max reach the scan, partial rows per file, answers unchanged") {
+    import org.apache.spark.sql.functions._
+    val df = spark.read.format("tebis").load(dir.toString)
+      .groupBy("externalId")
+      .agg(count(lit(1)).as("n"), min("timestampMs").as("t0"),
+        max("timestampMs").as("t1"), min("value").as("v0"), max("value").as("v1"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregates:"), s"aggregation must reach the scan:\n$plan")
+    val got = df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getDouble(4), r.getDouble(5))).sortBy(_._1).toSeq
+    // series 33: 5 pts 0,0..0,4 (value j,i with j=0); 34: 0,0..0,2; 35: 1,0..1,2
+    assert(got == Seq(
+      ("33", 5L, 1000000L, 1004000L, 0.0, 0.4),
+      ("34", 3L, 2000000L, 2002000L, 0.0, 0.2),
+      ("35", 3L, 2000000L, 2002000L, 1.0, 1.2)), s"got $got")
+    // the partial rows the scan emits are group-cardinality, not
+    // datapoint-volume: 3 files x their local groups = 1 + 2 = 3 rows
+    // (the dead-lettered file emits none)
+    val partialRows = spark.read.format("tebis").load(dir.toString)
+      .groupBy("externalId").agg(count(lit(1)).as("n"))
+      .queryExecution.executedPlan.collectLeaves().head.execute().count()
+    assert(partialRows == 3L, s"scan must emit partial aggregate rows, got $partialRows")
+
+    // global (no group-by) count(*) also pushes and agrees
+    val g = spark.read.format("tebis").load(dir.toString).agg(count(lit(1)).as("n"))
+    assert(g.queryExecution.executedPlan.toString.contains("PushedAggregates:"))
+    assert(g.head().getLong(0) == 11L)
+
+    // composes with the externalId filter pushdown
+    val f = spark.read.format("tebis").load(dir.toString)
+      .filter(col("externalId") === "34")
+      .groupBy("externalId").agg(count(lit(1)).as("n"))
+    val fPlan = f.queryExecution.executedPlan.toString
+    assert(fPlan.contains("PushedAggregates:") && fPlan.contains("pushedExternalIds=[34]"))
+    assert(f.collect().map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("34", 3L)))
+
+    // an unsupported aggregate (avg) falls back to the row scan, same answer
+    val avg = spark.read.format("tebis").load(dir.toString)
+      .groupBy("externalId").agg(sum("value").as("s"))
+    assert(!avg.queryExecution.executedPlan.toString.contains("PushedAggregates:"),
+      "sum must NOT push (not in the supported set) and must still answer")
+    assert(avg.collect().length == 3)
+  }
 }
