@@ -704,6 +704,36 @@ object Similarity {
       nprobe: Int = IvfNprobe): DataFrame =
     topkPairs(ivfScoredPairs(spark, indexDir, nprobe), k)
 
+  /** [[saveIvfIndex]] from an EXPLICIT quantized frame (vec_id, qv,
+    * nrm) — the index-over-a-subset path q170 builds its incremental
+    * base from. No cache: ad-hoc frames have no content fingerprint. */
+  def saveIvfIndexOn(spark: SparkSession, q: DataFrame, indexDir: String,
+      nprobe: Int = IvfNprobe): Unit = {
+    val qc = q.select("vec_id", "qv", "nrm").localCheckpoint()
+    val k = ivfCentroidsFor(qc.count())
+    val cents = centroidFrame(spark, kmeansCentroidSeq(qc, k, KmeansIters))
+    cents.write.mode("overwrite").parquet(s"$indexDir/centroids")
+    assignCells(qc, cents, nprobe).write.mode("overwrite")
+      .parquet(s"$indexDir/assignments")
+  }
+
+  /** Incremental index maintenance (q170): assign NEW vectors against
+    * the persisted centroids — NO retraining — and append their
+    * assignment rows. The production shape for a growing corpus: the
+    * Lloyd train amortizes over every append, each batch pays only its
+    * own n×k broadcast assignment pass, and the index stays
+    * answer-identical to "assign everything against the base
+    * centroids" BY CONSTRUCTION (assignment is per-vector, so
+    * append-then-query == assign-union-then-query row for row). Retrain
+    * when drift warrants it — the signal is the cell-occupancy skew a
+    * [[clusterProfile]]-style audit reads off the assignments table. */
+  def appendToIvfIndex(spark: SparkSession, indexDir: String,
+      newQ: DataFrame, nprobe: Int = IvfNprobe): Unit = {
+    val cents = spark.read.parquet(s"$indexDir/centroids")
+    assignCells(newQ.select("vec_id", "qv", "nrm"), cents, nprobe)
+      .write.mode("append").parquet(s"$indexDir/assignments")
+  }
+
   /** The suite's one persisted index per corpus version: [[saveIvfIndex]]
     * into a deterministic scratch path, memoized on the SAME content
     * fingerprint as the centroid caches — q129/q153/q154/q155 share one
@@ -1291,6 +1321,30 @@ object Similarity {
           FROM pr a JOIN mem b ON a.cell = b.cell AND a.vec_id <> b.vec_id)"""
   }
 
+  /** q170's oracle: centroids trained on the EVEN-id half only (the
+    * incremental base — same init cut and derived k, over that half),
+    * then EVERY vector assigned against those frozen centroids — the
+    * append-without-retrain semantics, computed from scratch. */
+  private lazy val knnIvfIncrementalSql: String = {
+    val kHalf = s"(SELECT GREATEST($IvfCentroids, CAST(ceil(sqrt(COUNT(*))) AS BIGINT)) FROM nb)"
+    val (kmeans, cf) = kmeansSqlFor("nb", "b", kHalf, KmeansIters)
+    s"""WITH $quantCte,
+    nb AS (SELECT * FROM n WHERE vec_id % 2 = 0),
+    $kmeans,
+    af AS (SELECT n.vec_id, n.qv, n.nrm, c.cent_id,
+          row_number() OVER (PARTITION BY n.vec_id ORDER BY
+            CAST(list_sum(list_transform(range(1, len(n.qv) + 1), i -> n.qv[i] * c.cqv[i])) AS DOUBLE)
+            / (sqrt(CAST(n.nrm AS DOUBLE)) * sqrt(CAST(c.cnrm AS DOUBLE))) DESC, c.cent_id) AS rn
+          FROM n CROSS JOIN $cf c),
+    mem AS (SELECT vec_id, qv, nrm, cent_id AS cell FROM af WHERE rn = 1),
+    pr AS (SELECT vec_id, qv, nrm, cent_id AS cell FROM af WHERE rn <= $IvfNprobe),
+    p AS (SELECT a.vec_id, b.vec_id AS neighbor_id, $simSql AS sim
+          FROM pr a JOIN mem b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+    r AS (SELECT vec_id, neighbor_id, sim,
+          row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, neighbor_id) AS rank FROM p)
+    SELECT vec_id, rank, neighbor_id, sim FROM r WHERE rank <= 3"""
+  }
+
   /** q47's exact oracle — shared verbatim by q129 (the persisted index
     * must answer identically to the freshly built one). */
   private lazy val knnIvfOracleSql: String =
@@ -1450,6 +1504,20 @@ object Similarity {
     QueryDef("q161_mmr_rerank",
       (s, d) => mmrRerank(s, d),
       Some(mmrRerankSql())),
+
+    // incremental maintenance round-trip: build on the even half, append
+    // the odd half with the centroids FROZEN, query the result — must
+    // equal assigning the union against the half-trained centroids
+    QueryDef("q170_ivf_incremental",
+      (s, d) => {
+        val q = quantized(s, d).select("vec_id", "qv", "nrm").localCheckpoint()
+        val idx = s"${System.getProperty("java.io.tmpdir")}/graft-ivf-incr-" +
+          d.replaceAll("[^A-Za-z0-9._-]", "_")
+        saveIvfIndexOn(s, q.filter(expr("vec_id % 2 = 0")), idx)
+        appendToIvfIndex(s, idx, q.filter(expr("vec_id % 2 = 1")))
+        knnIvfPersisted(s, idx, 3)
+      },
+      Some(knnIvfIncrementalSql)),
 
     QueryDef("q66_knn_ivf_pq",
       (s, d) => knnIvfPq(s, d, 3),

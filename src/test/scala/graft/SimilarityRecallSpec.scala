@@ -143,6 +143,24 @@ class SimilarityRecallSpec extends AnyFunSuite {
     assert(trained > untrained)
   }
 
+  test("ivf incremental append: two smaller appends equal one (assignment is per-vector)") {
+    import org.apache.spark.sql.functions._
+    val q = Similarity.quantized(spark, dir)
+      .select("vec_id", "qv", "nrm").localCheckpoint()
+    val base = q.filter(expr("vec_id % 2 = 0"))
+    val i1 = java.nio.file.Files.createTempDirectory("ivf-incr-1").toString
+    Similarity.saveIvfIndexOn(spark, base, i1)
+    Similarity.appendToIvfIndex(spark, i1, q.filter(expr("vec_id % 2 = 1")))
+    val i2 = java.nio.file.Files.createTempDirectory("ivf-incr-2").toString
+    Similarity.saveIvfIndexOn(spark, base, i2)
+    Similarity.appendToIvfIndex(spark, i2, q.filter(expr("vec_id % 4 = 1")))
+    Similarity.appendToIvfIndex(spark, i2, q.filter(expr("vec_id % 4 = 3")))
+    def res(idx: String) = Similarity.knnIvfPersisted(spark, idx, 3)
+      .collect().map(_.toString).sorted.toSeq
+    assert(res(i1) == res(i2), "append batching must not change any answer")
+    SessionHygiene.clear(spark)
+  }
+
   test("IVF-composed audits restrict the brute ones: q153 pairs a subset with identical scores; q155 sims bounded") {
     import org.apache.spark.sql.functions._
     // q153's pair source (IVF candidates at the q44 threshold) must be a
