@@ -734,6 +734,50 @@ object Similarity {
       .write.mode("append").parquet(s"$indexDir/assignments")
   }
 
+  /** IVF cell-occupancy audit (q171): per home cell, member count and
+    * occupancy share of a persisted index, plus the corpus-wide skew
+    * summary every row carries (max-cell share and the max/mean ratio —
+    * a balanced index sits near 1; a hot cell both degrades recall at
+    * fixed nprobe and concentrates candidate work). This is the number
+    * the [[appendToIvfIndex]] retrain decision reads: appends assign
+    * against frozen centroids, so drifted data piles into few cells and
+    * the ratio climbs. One cell-keyed rollup of the assignments table +
+    * a broadcast scalar summary — never touches vectors. */
+  def ivfCellOccupancy(spark: SparkSession, indexDir: String): DataFrame = {
+    val mem = spark.read.parquet(s"$indexDir/assignments")
+      .filter(col("rn") === 1)
+    val cells = mem.groupBy("cent_id").agg(count(lit(1)).as("n_vecs"))
+    val summary = cells.agg(max("n_vecs").as("max_vecs"),
+      sum("n_vecs").as("n_total"), count(lit(1)).as("n_cells"))
+    cells.crossJoin(broadcast(summary))
+      .withColumn("share", col("n_vecs").cast("double") / col("n_total").cast("double"))
+      .withColumn("skew", col("max_vecs").cast("double") * col("n_cells").cast("double") /
+        col("n_total").cast("double"))
+      .select("cent_id", "n_vecs", "share", "n_cells", "skew")
+  }
+
+  /** q171's oracle: the q47 assignment CTEs + the same rollup. */
+  private lazy val ivfCellOccupancySql: String = {
+    val (kmeans, cf) = kmeansSqlAuto()
+    s"""WITH $quantCte,
+    $kmeans,
+    af AS (SELECT n.vec_id, c.cent_id,
+          row_number() OVER (PARTITION BY n.vec_id ORDER BY
+            CAST(list_sum(list_transform(range(1, len(n.qv) + 1), i -> n.qv[i] * c.cqv[i])) AS DOUBLE)
+            / (sqrt(CAST(n.nrm AS DOUBLE)) * sqrt(CAST(c.cnrm AS DOUBLE))) DESC, c.cent_id) AS rn
+          FROM n CROSS JOIN $cf c),
+    cells AS (SELECT cent_id, CAST(count(*) AS BIGINT) AS n_vecs
+              FROM af WHERE rn = 1 GROUP BY cent_id),
+    s AS (SELECT CAST(max(n_vecs) AS BIGINT) AS max_vecs,
+            CAST(sum(n_vecs) AS BIGINT) AS n_total,
+            CAST(count(*) AS BIGINT) AS n_cells FROM cells)
+    SELECT cent_id, n_vecs,
+      CAST(n_vecs AS DOUBLE) / CAST(n_total AS DOUBLE) AS share,
+      n_cells,
+      CAST(max_vecs AS DOUBLE) * CAST(n_cells AS DOUBLE) / CAST(n_total AS DOUBLE) AS skew
+    FROM cells, s"""
+  }
+
   /** The suite's one persisted index per corpus version: [[saveIvfIndex]]
     * into a deterministic scratch path, memoized on the SAME content
     * fingerprint as the centroid caches — q129/q153/q154/q155 share one
@@ -1504,6 +1548,10 @@ object Similarity {
     QueryDef("q161_mmr_rerank",
       (s, d) => mmrRerank(s, d),
       Some(mmrRerankSql())),
+
+    QueryDef("q171_ivf_cell_occupancy",
+      (s, d) => ivfCellOccupancy(s, persistedIvfIndexDir(s, d)),
+      Some(ivfCellOccupancySql)),
 
     // incremental maintenance round-trip: build on the even half, append
     // the odd half with the centroids FROZEN, query the result — must

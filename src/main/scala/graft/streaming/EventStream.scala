@@ -18,6 +18,13 @@ case class FunnelState(v_ts: Long, c_ts: Long, done: Boolean, p_ts: Long = -1L)
 /** One completed view→click→purchase conversion (epoch micros). */
 case class Conversion(user_id: Long, v_ts: Long, c_ts: Long, p_ts: Long)
 
+/** Per-user cursor for [[EventStream.transitions]]: the last seen event
+  * type and its event time — fixed-size, no event buffering. */
+case class TransCursor(last_type: String, last_us: Long)
+
+/** One within-session transition (q166's unit of count). */
+case class Transition(user_id: Long, from_type: String, to_type: String)
+
 /** Structured-Streaming event analytics (★ SURVEY §2b streaming row):
   * event-time windows with watermarks and session windows over an
   * unbounded event stream. Batch twins of these semantics are oracle-
@@ -108,6 +115,37 @@ object EventStream {
           val (st, out) = advanceFunnel(user, st0, rows.toSeq.sortBy(_._3), windowUs)
           state.update(st)
           out.iterator
+      }
+  }
+
+  /** Streaming within-session transition stream — the incremental twin
+    * of the batch transition matrix (q166,
+    * [[graft.ops.EventOps.sessionTransitions]]): per-user state is ONE
+    * fixed-size cursor (last event type + time); each arriving event
+    * within `gapSec` of the cursor emits a (from, to) transition, a gap
+    * beyond it starts a new session silently — exactly the q21/q166 gap
+    * rule, evaluated incrementally. Downstream aggregation (the count
+    * matrix) is an ordinary streaming groupBy over the emitted
+    * transitions. Same in-order contract as [[funnel]]: events sort by
+    * event time within each micro-batch; for in-order streams the
+    * emitted multiset equals the batch q166 counts exactly (spec). */
+  def transitions(events: DataFrame, gapSec: Long = 1800L): Dataset[Transition] = {
+    import events.sparkSession.implicits._
+    events
+      .select(col("user_id").as[Long], col("event_type").as[String],
+        unix_micros(col("ts")).as[Long])
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, String, Long)], state: GroupState[TransCursor]) =>
+          var st = state.getOption.getOrElse(TransCursor(null, Long.MinValue))
+          val out = Seq.newBuilder[Transition]
+          rows.toSeq.sortBy(_._3).foreach { case (_, tpe, t) =>
+            if (st.last_type != null && t - st.last_us <= gapSec * 1000000L)
+              out += Transition(user, st.last_type, tpe)
+            st = TransCursor(tpe, t)
+          }
+          state.update(st)
+          out.result().iterator
       }
   }
 

@@ -252,6 +252,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming transitions: cross-batch emissions aggregate to the batch q166 matrix") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    import graft.streaming.Transition
+    // user 1: two sessions (gap > 1800 s between t=3000 and t=10000);
+    // user 2: one session; distinct times so ordering is unambiguous
+    val evts = Seq(
+      (1L, 1L, "view", 1000L), (2L, 1L, "click", 2000L), (3L, 1L, "purchase", 3000L),
+      (4L, 1L, "view", 10000L), (5L, 1L, "click", 10100L),
+      (6L, 2L, "view", 1500L), (7L, 2L, "view", 1600L), (8L, 2L, "click", 1700L))
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val stream = mem.toDF().toDF("user_id", "event_type", "ts")
+    val q = EventStream.transitions(stream)
+      .writeStream.outputMode("append").format("memory").queryName("trans").start()
+    try {
+      val (b1, b2) = evts.partition(_._4 < 1700L)
+      mem.addData(b1.map { case (_, u, t, s) => (u, t, new Timestamp(s * 1000L)) }: _*)
+      q.processAllAvailable()
+      mem.addData(b2.map { case (_, u, t, s) => (u, t, new Timestamp(s * 1000L)) }: _*)
+      q.processAllAvailable()
+      val got = spark.table("trans").as[Transition].collect()
+        .groupBy(t => (t.from_type, t.to_type)).view.mapValues(_.length.toLong).toMap
+      val batchDf = evts.map { case (e, u, t, s) => (e, u, t, 0.0, s * 1000000000L) }
+        .toDF("event_id", "user_id", "event_type", "value", "ts")
+      val expect = graft.ops.EventOps.sessionTransitions(batchDf).collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(got == expect, s"streaming $got != batch $expect")
+      // the session boundary was exercised: no purchase->view transition
+      assert(!got.contains(("purchase", "view")))
+    } finally q.stop()
+  }
+
   test("streaming funnel contract: a cross-batch out-of-order view cannot rewind state") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
