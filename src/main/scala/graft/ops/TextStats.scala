@@ -401,6 +401,47 @@ object TextStats {
       FROM r GROUP BY source"""
   }
 
+  /** Classifier-vs-rules agreement audit (q172): the hashed classifier's
+    * keep verdict (q152) cross-tabulated against the C4-style rule gate
+    * (q39's predicate) per source — the calibration view before trusting
+    * a learned filter to replace (or run ahead of) the rule stack:
+    * `n_both` / `n_clf_only` / `n_rules_only` / `n_neither` plus the
+    * exact agreement rate. A source where `n_clf_only` dominates is
+    * where the classifier's threshold (or its training data) disagrees
+    * with the rules — the rows a human reviews. One stateless projection
+    * computing BOTH verdicts per row (shared signal columns), one
+    * source-keyed partial-agg rollup. */
+  def classifierAgreement(docs: DataFrame): DataFrame = {
+    val sig = docs.select(col("source") +: signalCols :+
+      expr("CAST(size(split(text, ' ')) AS BIGINT)").as("n") :+
+      expr(s"aggregate(split(text, ' '), 0L, (acc, t) -> acc + (${weightSparkExpr("t")}))").as("score_int"): _*)
+      .withColumn("clf", col("score_int") * 5 >= col("n"))
+      .withColumn("rules", expr(QualityPassCond))
+    sig.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(when(col("clf") && col("rules"), 1L).otherwise(0L)).as("n_both"),
+      sum(when(col("clf") && !col("rules"), 1L).otherwise(0L)).as("n_clf_only"),
+      sum(when(!col("clf") && col("rules"), 1L).otherwise(0L)).as("n_rules_only"),
+      sum(when(!col("clf") && !col("rules"), 1L).otherwise(0L)).as("n_neither"))
+      .withColumn("agree_rate",
+        (col("n_both") + col("n_neither")).cast("double") / col("n_docs").cast("double"))
+  }
+
+  val classifierAgreementSql: String =
+    s"""WITH sig AS (SELECT source, $scoreSignalsDuck, $sumLenDuck,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+          CAST(list_sum(list_transform(string_split(text, ' '),
+            t -> ${weightDuckExpr("t")})) AS BIGINT) AS score_int
+        FROM documents),
+      v AS (SELECT source, (score_int * 5 >= n) AS clf, ($QualityPassCond) AS rules FROM sig)
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(SUM(CASE WHEN clf AND rules THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+        CAST(SUM(CASE WHEN clf AND NOT rules THEN 1 ELSE 0 END) AS BIGINT) AS n_clf_only,
+        CAST(SUM(CASE WHEN NOT clf AND rules THEN 1 ELSE 0 END) AS BIGINT) AS n_rules_only,
+        CAST(SUM(CASE WHEN NOT clf AND NOT rules THEN 1 ELSE 0 END) AS BIGINT) AS n_neither,
+        CAST(SUM(CASE WHEN clf = rules THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS agree_rate
+      FROM v GROUP BY source"""
+
   val queries: Seq[QueryDef] = Seq(
     QueryDef("q36_top_bigrams",
       (s, d) => topBigrams(t(s, d, "documents"), 5),
@@ -460,6 +501,10 @@ object TextStats {
     QueryDef("q165_gopher_rules",
       (s, d) => gopherRules(t(s, d, "documents")),
       Some(gopherRulesSql)),
+
+    QueryDef("q172_classifier_agreement",
+      (s, d) => classifierAgreement(t(s, d, "documents")),
+      Some(classifierAgreementSql)),
 
     QueryDef("q71_repetition_signals",
       (s, d) => repetitionSignals(t(s, d, "documents")),
