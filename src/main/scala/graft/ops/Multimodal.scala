@@ -17,6 +17,11 @@ case class MediaFeatures(doc_id: Long, byte_len: Long, checksum: Long, histogram
 /** One sampled frame: position + content fingerprint. */
 case class FrameSample(doc_id: Long, frame_idx: Long, frame_off: Long, frame_len: Long, frame_md5: String)
 
+/** One silence-trimmed asset: frame counts trimmed at each edge + the
+  * kept slice's length and fingerprint. */
+case class MediaTrimmed(doc_id: Long, n_frames: Long, lead_trimmed: Long,
+    tail_trimmed: Long, kept_len: Long, kept_md5: String)
+
 /** One resized asset: new dimensions + payload fingerprint. */
 case class MediaResized(doc_id: Long, orig_len: Long, new_len: Long,
     width: Int, height: Int, resized_md5: String)
@@ -93,6 +98,50 @@ object Multimodal {
             .map("%02x".format(_)).mkString
           FrameSample(r.doc_id, f.toLong, off.toLong, len.toLong, hex)
         }
+      }
+    }
+  }
+
+  /** A frame is "silent" when its mean byte value sits below this —
+    * integer form `sum < cut·len`, no float boundary. */
+  val SilenceCut = 100
+
+  /** VAD-style silence trim (q173): drop leading and trailing silent
+    * [[FrameBytes]] frames of the payload — the audio preprocessing
+    * shape (a real pipeline trims low-energy frames before feature
+    * extraction; the stub's "energy" is the byte sum, deterministic
+    * from the payload, so the oracle recomputes it from the ASCII
+    * text). Interior silence survives — only the edges trim, exactly
+    * like the standard leading/trailing VAD pass. 1→1 typed
+    * mapPartitions, zero shuffle; emits the kept-slice length and md5
+    * so fidelity is checkable without moving payloads. */
+  def trimSilence(media: Dataset[MediaRecord],
+      cut: Int = SilenceCut): Dataset[MediaTrimmed] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      val digest = java.security.MessageDigest.getInstance("MD5")
+      it.map { r =>
+        val n = r.media.length
+        val nFrames = (n + FrameBytes - 1) / FrameBytes
+        def silent(f: Int): Boolean = {
+          val off = f * FrameBytes
+          val len = math.min(FrameBytes, n - off)
+          var s = 0L; var i = off
+          while (i < off + len) { s += (r.media(i) & 0xff); i += 1 }
+          s < cut.toLong * len
+        }
+        var lead = 0
+        while (lead < nFrames && silent(lead)) lead += 1
+        var tail = 0
+        while (tail < nFrames - lead && silent(nFrames - 1 - tail)) tail += 1
+        val from = lead * FrameBytes
+        val until = math.min(n, (nFrames - tail) * FrameBytes)
+        val kept =
+          if (from >= until) Array.empty[Byte]
+          else java.util.Arrays.copyOfRange(r.media, from, until)
+        val hex = digest.digest(kept).map("%02x".format(_)).mkString
+        MediaTrimmed(r.doc_id, nFrames.toLong, lead.toLong, tail.toLong,
+          kept.length.toLong, hex)
       }
     }
   }
@@ -358,6 +407,44 @@ object Multimodal {
           CAST(least($FrameBytes, length(text) - fidx * $FrameBytes) AS BIGINT) AS frame_len,
           md5(substr(text, CAST(fidx * $FrameBytes + 1 AS INT), $FrameBytes)) AS frame_md5
         FROM fr""")),
+
+    // Silence trim through the same typed boundary. The corpus text has
+    // no silent edges (letters sit well above the cut), so the query
+    // pads deterministic "silence" (spaces — byte 32) around the
+    // payload: 2 exact leading frames and a ragged 3-frame tail. The
+    // oracle recomputes frame energies from the ASCII text.
+    QueryDef("q173_media_silence_trim",
+      (s, d) => {
+        import s.implicits._
+        val padded = t(s, d, "documents").withColumn("text",
+          concat(lit(" " * 128), col("text"), lit(" " * 192)))
+        trimSilence(attachMedia(padded).as[MediaRecord]).toDF()
+      },
+      Some(s"""WITH p AS (SELECT doc_id, repeat(' ', 128) || text || repeat(' ', 192) AS t
+            FROM documents),
+        f AS (SELECT doc_id, t, length(t) AS n,
+              (length(t) + ${FrameBytes - 1}) // $FrameBytes AS nf FROM p),
+        en AS (SELECT doc_id, t, n, nf, fi,
+              CAST(least($FrameBytes, n - fi * $FrameBytes) AS BIGINT) AS flen,
+              list_sum(list_transform(
+                range(1, CAST(least($FrameBytes, n - fi * $FrameBytes) AS BIGINT) + 1),
+                q -> CAST(ascii(substr(t, CAST(fi * $FrameBytes + q AS INT), 1)) AS BIGINT))) AS s
+            FROM (SELECT *, unnest(range(0, nf)) AS fi FROM f)),
+        sil AS (SELECT doc_id, t, n, nf, fi, (s < $SilenceCut * flen) AS silent FROM en),
+        agg AS (SELECT doc_id, any_value(t) AS t, any_value(n) AS n, any_value(nf) AS nf,
+              COALESCE(MIN(CASE WHEN NOT silent THEN fi END), any_value(nf)) AS lead,
+              CASE WHEN COUNT(*) FILTER (NOT silent) = 0 THEN 0
+                   ELSE any_value(nf) - 1 - MAX(CASE WHEN NOT silent THEN fi END) END AS tail
+            FROM sil GROUP BY doc_id),
+        cut AS (SELECT doc_id, nf, lead, tail,
+              CAST(lead * $FrameBytes AS BIGINT) AS frm,
+              least(n, (nf - tail) * $FrameBytes) AS til, t, n FROM agg)
+        SELECT doc_id, CAST(nf AS BIGINT) AS n_frames,
+          CAST(lead AS BIGINT) AS lead_trimmed, CAST(tail AS BIGINT) AS tail_trimmed,
+          CAST(greatest(til - frm, 0) AS BIGINT) AS kept_len,
+          md5(CASE WHEN til <= frm THEN ''
+              ELSE substr(t, CAST(frm + 1 AS INT), CAST(til - frm AS INT)) END) AS kept_md5
+        FROM cut""")),
 
     // Resize through the same boundary; the oracle takes every k-th char
     // of the (ASCII) text and halves the attachMedia dimensions.

@@ -206,6 +206,29 @@ class OpsSpec extends AnyFunSuite {
     SessionHygiene.clear(spark)
   }
 
+  test("silence trim: edges trim, interior silence survives, round-trip md5") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val loud = "x" * 64 // one full high-energy frame
+    val d = Seq(
+      (1L, " " * 128 + loud + " " * 64, 0L),        // 2 lead + 1 tail silent frames
+      (2L, loud + " " * 192 + loud, 0L),             // interior silence only
+      (3L, " " * 256, 0L)                            // all silence
+    ).toDF("doc_id", "text", "n_chars")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val rows = Multimodal.trimSilence(
+      Multimodal.attachMedia(d).as[graft.ops.MediaRecord]).collect()
+      .map(r => r.doc_id -> r).toMap
+    assert(rows(1L).lead_trimmed == 2 && rows(1L).tail_trimmed == 1)
+    assert(rows(1L).kept_len == 64 &&
+      rows(1L).kept_md5 == java.security.MessageDigest.getInstance("MD5")
+        .digest(loud.getBytes("UTF-8")).map("%02x".format(_)).mkString)
+    assert(rows(2L).lead_trimmed == 0 && rows(2L).tail_trimmed == 0 &&
+      rows(2L).kept_len == 64 + 192 + 64, "interior silence must survive")
+    assert(rows(3L).lead_trimmed == 4 && rows(3L).tail_trimmed == 0 &&
+      rows(3L).kept_len == 0, "all-silent payload empties with lead consuming everything")
+  }
+
   test("mmr rerank: greedy invariants (argmax-rel first pick, bounded scores, distinct ranks)") {
     val rows = Similarity.mmrRerank(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
