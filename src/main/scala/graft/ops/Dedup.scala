@@ -857,6 +857,39 @@ object Dedup {
                   JOIN sizes sb ON shared.id_b = sb.doc_id
       WHERE CAST(n_shared AS DOUBLE) / least(sa.n_chunks, sb.n_chunks) >= $threshold"""
 
+  /** Per-source dedup storage savings (q175): the BYTES view of exact
+    * dedup — every copy beyond a text's min-id representative costs its
+    * `n_chars`, attributed to the copy's own source (syndicated content
+    * bills the re-publisher, not the origin). The capacity-planning
+    * line next to the q105 card's doc counts: how much storage/compute
+    * the dedup pass actually reclaims, per source. One fp-keyed join
+    * against the exact-group table + one source rollup. */
+  def dedupSavings(docs: DataFrame): DataFrame = {
+    val reps = exact(docs).select(col("fp"), col("keep_id"))
+    docs.select(col("doc_id"), col("source"), col("n_chars"), md5(col("text")).as("fp"))
+      .join(reps, "fp")
+      .groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("doc_id") =!= col("keep_id"), 1L).otherwise(0L)).as("n_dropped"),
+        sum(when(col("doc_id") =!= col("keep_id"), col("n_chars")).otherwise(0L)).as("bytes_saved"),
+        sum(col("n_chars")).as("bytes_total"))
+      .withColumn("save_frac",
+        col("bytes_saved").cast("double") / col("bytes_total").cast("double"))
+  }
+
+  val dedupSavingsSql: String =
+    """WITH reps AS (SELECT md5(text) AS fp, min(doc_id) AS keep_id
+          FROM documents GROUP BY md5(text)),
+      j AS (SELECT d.doc_id, d.source, d.n_chars, r.keep_id
+            FROM documents d JOIN reps r ON md5(d.text) = r.fp)
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(SUM(CASE WHEN doc_id <> keep_id THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+        CAST(SUM(CASE WHEN doc_id <> keep_id THEN n_chars ELSE 0 END) AS BIGINT) AS bytes_saved,
+        CAST(SUM(n_chars) AS BIGINT) AS bytes_total,
+        CAST(SUM(CASE WHEN doc_id <> keep_id THEN n_chars ELSE 0 END) AS DOUBLE)
+          / CAST(SUM(n_chars) AS DOUBLE) AS save_frac
+      FROM j GROUP BY source"""
+
   /** Near-dup cluster-size histogram (q159): how much of the corpus
     * lives in duplicate clusters of what size — the release-card view
     * of duplication STRUCTURE (the q105 card's dup counts say how many
@@ -1351,7 +1384,7 @@ object Dedup {
   /** The q42 oracle CTE chain over any document-shaped relation (the
     * simhashPairsSql pattern): the reps-composed queries reuse the exact
     * mine SQL over the representative subquery. */
-  private def minhashPairsCtesOver(docsRel: String): String = {
+  private[ops] def minhashPairsCtesOver(docsRel: String): String = {
     val bandsSql = (0 until Bands).map { b =>
       val parts = (1 to Rows).map(r => s"sig[${b * Rows + r}]").mkString(" || ")
       s"md5('$b' || ':' || $parts)"
@@ -1464,6 +1497,10 @@ object Dedup {
     QueryDef("q163_leakage_folds_reps",
       (s, d) => leakageSafeFoldsDeduped(t(s, d, "documents")),
       Some(leakageSafeFoldsSql())),
+
+    QueryDef("q175_dedup_savings",
+      (s, d) => dedupSavings(t(s, d, "documents")),
+      Some(dedupSavingsSql)),
 
     QueryDef("q131_bloom_decontaminate",
       (s, d) => bloomDecontaminate(s, d),

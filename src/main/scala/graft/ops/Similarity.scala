@@ -91,6 +91,58 @@ object Similarity {
       .select(col("id_a").as("vec_id"), col("rank"), col("id_b").as("neighbor_id"), col("sim"))
   }
 
+  /** Contrastive-pair training manifest (q174): anchors are the
+    * near-dup TEXT pairs the reps MinHash mine surfaces (q125 — the
+    * natural positives for contrastive/embedding training: same content,
+    * different bytes), and each anchor's hard negative is its
+    * most-similar OTHER-LABEL vector from the IVF candidates (q155's
+    * mining set). One row per (anchor, positive) pair that has an
+    * embedding and an in-cell negative — the (anchor, pos, neg) triple
+    * file a contrastive trainer consumes directly. Pure composition of
+    * two gated operators joined on the shared doc_id == vec_id key;
+    * both inputs keep their own scale shapes. */
+  def contrastivePairs(spark: SparkSession, dir: String,
+      threshold: Double = 0.8): DataFrame = {
+    val pos = graft.ops.Dedup.minhashLshPairsDeduped(
+      t(spark, dir, "documents"), threshold)
+      .select(col("id_a").as("anchor_id"), col("id_b").as("positive_id"),
+        col("jaccard"))
+    val neg = hardTripletsOn(spark, dir,
+      ivfScoredPairs(spark, persistedIvfIndexDir(spark, dir)))
+      .filter(col("neg_id").isNotNull)
+      .select(col("vec_id").as("anchor_id"), col("neg_id").as("negative_id"),
+        col("neg_sim"))
+    pos.join(neg, "anchor_id")
+      .select("anchor_id", "positive_id", "jaccard", "negative_id", "neg_sim")
+  }
+
+  /** q174's oracle: q125's reps-mine CTEs joined with q155's
+    * IVF-triplet CTEs on the anchor id. */
+  private lazy val contrastivePairsSql: String = {
+    val repsRel =
+      "(SELECT d.* FROM documents d " +
+        "JOIN (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)) r " +
+        "USING (doc_id))"
+    s"""WITH $ivfPairCtes,
+    l AS (SELECT vec_id, label FROM embeddings),
+    pp AS (SELECT p.vec_id AS id_a, p.neighbor_id AS id_b, p.sim,
+          CASE WHEN la.label = lb.label THEN 'pos' ELSE 'neg' END AS grp
+        FROM p JOIN l la ON la.vec_id = p.vec_id
+               JOIN l lb ON lb.vec_id = p.neighbor_id),
+    rr AS (SELECT id_a, id_b, sim, grp,
+          row_number() OVER (PARTITION BY id_a, grp ORDER BY sim DESC, id_b) AS rn
+        FROM pp),
+    trip AS (SELECT id_a AS anchor_id,
+          max(CASE WHEN grp = 'neg' THEN id_b END) AS negative_id,
+          max(CASE WHEN grp = 'neg' THEN sim END) AS neg_sim
+        FROM rr WHERE rn = 1 GROUP BY id_a),
+    ${graft.ops.Dedup.minhashPairsCtesOver(repsRel)}
+    SELECT v.id_a AS anchor_id, v.id_b AS positive_id, v.jaccard,
+      t.negative_id, t.neg_sim
+    FROM verified v JOIN trip t ON t.anchor_id = v.id_a
+    WHERE v.jaccard >= 0.8 AND t.negative_id IS NOT NULL"""
+  }
+
   /** MMR literals — kept as STRINGS so both engines parse the identical
     * double (never compute 1−λ at runtime: `1 - 0.7` is
     * 0.30000000000000004 in IEEE, silently diverging from a literal
@@ -1552,6 +1604,10 @@ object Similarity {
     QueryDef("q171_ivf_cell_occupancy",
       (s, d) => ivfCellOccupancy(s, persistedIvfIndexDir(s, d)),
       Some(ivfCellOccupancySql)),
+
+    QueryDef("q174_contrastive_pairs",
+      (s, d) => contrastivePairs(s, d),
+      Some(contrastivePairsSql)),
 
     // incremental maintenance round-trip: build on the even half, append
     // the odd half with the centroids FROZEN, query the result — must
