@@ -362,6 +362,69 @@ object EventOps {
         CAST(count(*) AS DOUBLE) / sz.cohort_size AS retention
       FROM act a JOIN sz USING (cohort) GROUP BY a.cohort, a.k, sz.cohort_size"""
 
+  /** DAU / trailing-7-day WAU / stickiness (q176): daily active users,
+    * the distinct actives of the trailing week, and their ratio — the
+    * product-analytics engagement line. WAU is EXACT: the per-(user,
+    * day) distinct frame (bounded by users × active days, q84's bound)
+    * explodes each active day into the ≤7 trailing report days it
+    * serves (a stateless 1→7 projection — never a range self-join of
+    * event rows), then one (day)-keyed distinct-user count. Report days
+    * are days with ≥1 event (DAU > 0, so stickiness never divides by
+    * zero). */
+  def engagement(ev: DataFrame): DataFrame = {
+    val act = ev.select(col("user_id"), expr("ts DIV 86400000000000").as("day"))
+      .distinct().localCheckpoint() // feeds DAU and the WAU explode
+    val dau = act.groupBy("day").agg(count(lit(1)).as("dau"))
+    val wau = act
+      .select(col("user_id"), explode(expr("sequence(day, day + 6)")).as("day"))
+      .distinct()
+      .groupBy("day").agg(count(lit(1)).as("wau"))
+    dau.join(wau, "day")
+      .withColumn("stickiness", col("dau").cast("double") / col("wau").cast("double"))
+      .select("day", "dau", "wau", "stickiness")
+  }
+
+  val engagementSql: String =
+    """WITH act AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+      dau AS (SELECT day, count(*) AS dau FROM act GROUP BY 1),
+      w AS (SELECT DISTINCT user_id, day + k AS day
+            FROM act, LATERAL (SELECT unnest(range(0, 7)) AS k) t),
+      wau AS (SELECT day, count(*) AS wau FROM w GROUP BY 1)
+      SELECT d.day, CAST(d.dau AS BIGINT) AS dau, CAST(wau.wau AS BIGINT) AS wau,
+        CAST(d.dau AS DOUBLE) / CAST(wau.wau AS DOUBLE) AS stickiness
+      FROM dau d JOIN wau USING (day)"""
+
+  /** Cohort revenue / LTV matrix (q177): purchase revenue by (first-seen
+    * cohort day, age-in-days), in exact integer cents with the running
+    * cumulative per cohort — the money twin of the q84 retention table
+    * (which counts heads; budgeting wants the cents). Cents sums are
+    * BIGINTs; the cumulative is ONE cohort-keyed window over the
+    * (cohort × age)-bounded matrix rows, never event rows. */
+  def cohortLtv(ev: DataFrame): DataFrame = {
+    val e = ev.select(col("user_id"), col("event_type"), col("value"),
+      expr("ts DIV 86400000000000").as("day"))
+    val first = e.groupBy("user_id").agg(min(col("day")).as("cohort"))
+    val rev = e.filter(col("event_type") === "purchase")
+      .join(first, "user_id")
+      .groupBy(col("cohort"), (col("day") - col("cohort")).as("k"))
+      .agg(sum((col("value").cast(org.apache.spark.sql.types.DecimalType(12, 2)) * lit(100))
+        .cast("long")).as("cents"))
+    val w = Window.partitionBy("cohort").orderBy("k")
+    rev.withColumn("cum_cents", sum("cents").over(w))
+      .select("cohort", "k", "cents", "cum_cents")
+  }
+
+  val cohortLtvSql: String =
+    """WITH e AS (SELECT user_id, event_type, value, epoch_us(ts) // 86400000000 AS day FROM events),
+      first AS (SELECT user_id, min(day) AS cohort FROM e GROUP BY 1),
+      rev AS (SELECT f.cohort, e.day - f.cohort AS k,
+              CAST(SUM(CAST(CAST(e.value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+            FROM e JOIN first f USING (user_id)
+            WHERE e.event_type = 'purchase' GROUP BY 1, 2)
+      SELECT cohort, CAST(k AS BIGINT) AS k, cents,
+        CAST(SUM(cents) OVER (PARTITION BY cohort ORDER BY k) AS BIGINT) AS cum_cents
+      FROM rev"""
+
   /** Per-user z-score outliers over `value` — the standard data-cleaning
     * cut before aggregating sensor/metric streams. Same exactness
     * discipline as q62: `value` is exact cents (locked by the oracle), so
@@ -548,6 +611,14 @@ object EventOps {
     QueryDef("q84_retention",
       (s, d) => retention(events(s, d)),
       Some(retentionSql)),
+
+    QueryDef("q176_engagement",
+      (s, d) => engagement(events(s, d)),
+      Some(engagementSql)),
+
+    QueryDef("q177_cohort_ltv",
+      (s, d) => cohortLtv(events(s, d)),
+      Some(cohortLtvSql)),
 
     QueryDef("q25_resample_events",
       (s, d) => graft.tebis.Datapoints.resample(asSeries(events(s, d)), 3600000L)
