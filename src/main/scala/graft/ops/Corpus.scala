@@ -1158,6 +1158,47 @@ object Corpus {
       FROM tri JOIN top USING (phrase)
       GROUP BY doc_id"""
 
+  /** Context tokens kept on each side of a hit in [[searchSnippets]]. */
+  val SnippetCtx = 5
+
+  /** Search-result snippets (q178): for every positional hit of the
+    * corpus's top trigram (the q115 derived phrase), the ±[[SnippetCtx]]-
+    * token context window re-joined as text — the retrieval-UX step
+    * above q115's hit counts. The context slice is a stateless
+    * projection over the doc's token array (the positional stream
+    * already carries `toks` nowhere — the slice re-reads via an id
+    * join so hit rows stay narrow); one broadcast of the 1-row phrase,
+    * one id-keyed join, everything else map-side. */
+  def searchSnippets(spark: SparkSession, dir: String,
+      ctx: Int = SnippetCtx): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val stream = trigramStream(docs).localCheckpoint() // mined AND searched
+    val top = stream.groupBy("phrase").agg(count(lit(1)).as("n_total"))
+      .orderBy(col("n_total").desc, col("phrase")).limit(1)
+    val hits = stream.join(broadcast(top.select("phrase")), "phrase")
+      .select("doc_id", "pos", "phrase")
+    hits.join(docs.select(col("doc_id"), split(col("text"), " ").as("toks")), "doc_id")
+      .withColumn("snip_from", greatest(col("pos") - ctx, lit(1)))
+      .withColumn("snippet", array_join(
+        expr(s"slice(toks, snip_from, pos + 2 + $ctx - snip_from + 1)"), " "))
+      .select(col("doc_id"), col("pos"), col("phrase"),
+        col("snip_from"), col("snippet"))
+  }
+
+  def searchSnippetsSql(ctx: Int = SnippetCtx): String =
+    s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      tri AS (SELECT doc_id, i AS pos,
+                toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS phrase
+              FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i FROM tk)),
+      top AS (SELECT phrase FROM tri GROUP BY phrase
+              ORDER BY count(*) DESC, phrase LIMIT 1),
+      h AS (SELECT doc_id, pos, phrase FROM tri JOIN top USING (phrase))
+      SELECT h.doc_id, CAST(h.pos AS BIGINT) AS pos, h.phrase,
+        CAST(greatest(h.pos - $ctx, 1) AS BIGINT) AS snip_from,
+        array_to_string(tk.toks[greatest(h.pos - $ctx, 1) :
+          CAST(h.pos + 2 + $ctx AS INT)], ' ') AS snippet
+      FROM h JOIN tk USING (doc_id)"""
+
   val PackCapacity = 256L
 
   /** Concat-split sequence packing (the GPT-style "concatenate the shard,
@@ -1370,6 +1411,9 @@ object Corpus {
     QueryDef("q167_rake_keyphrases",
       (s, d) => rakeKeyphrases(t(s, d, "documents")),
       Some(rakeKeyphrasesSql())),
+    QueryDef("q178_search_snippets",
+      (s, d) => searchSnippets(s, d),
+      Some(searchSnippetsSql())),
     QueryDef("q72_pack_sequences",
       (s, d) => packSequences(t(s, d, "documents")),
       Some(packSequencesSql())),

@@ -425,6 +425,37 @@ object EventOps {
         CAST(SUM(cents) OVER (PARTITION BY cohort ORDER BY k) AS BIGINT) AS cum_cents
       FROM rev"""
 
+  /** Rate-spike detection (q180): the q168 per-series derivative fed
+    * through the q151 median/MAD gate — flags datapoints whose RATE OF
+    * CHANGE is a robust outlier within their series (a step change in a
+    * sensor stream whose absolute values stay in range; level-based
+    * outlier cuts miss it by construction). Pure composition: one
+    * per-series window (derivative) + two user-keyed exact-median
+    * passes; both stages keep their gated shapes. */
+  def rateSpikes(ev: DataFrame, k: Double = 3.0): DataFrame =
+    madOutliers(
+      graft.tebis.Datapoints.derivative(asSeries(ev))
+        .select(col("externalId").cast("long").as("user_id"),
+          col("timestampMs").as("event_id"), col("rate_per_s").as("value")), k)
+      .select(col("user_id"), col("event_id").as("ts"),
+        col("value").as("rate_per_s"), col("med"), col("mad"))
+
+  def rateSpikesSql(k: Double = 3.0): String =
+    s"""WITH e AS (SELECT user_id, epoch_ms(ts) AS t_ms, value FROM events),
+      l AS (SELECT user_id, t_ms, value,
+              lag(t_ms) OVER w AS p_ms, lag(value) OVER w AS p_v
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t_ms, value)),
+      d AS (SELECT user_id, t_ms AS ts,
+              (value - p_v) * 1000.0 / CAST(t_ms - p_ms AS DOUBLE) AS rate_per_s
+            FROM l WHERE p_ms IS NOT NULL AND t_ms > p_ms),
+      m AS (SELECT user_id, median(rate_per_s) AS med FROM d GROUP BY 1),
+      dd AS (SELECT d.user_id, median(abs(rate_per_s - med)) AS mad
+             FROM d JOIN m USING (user_id) GROUP BY 1),
+      s AS (SELECT user_id, med, mad FROM m JOIN dd USING (user_id) WHERE mad > 0.0)
+      SELECT d.user_id, d.ts, d.rate_per_s, s.med, s.mad
+      FROM d JOIN s USING (user_id)
+      WHERE abs(d.rate_per_s - s.med) > $k * s.mad"""
+
   /** Per-user z-score outliers over `value` — the standard data-cleaning
     * cut before aggregating sensor/metric streams. Same exactness
     * discipline as q62: `value` is exact cents (locked by the oracle), so
@@ -615,6 +646,10 @@ object EventOps {
     QueryDef("q176_engagement",
       (s, d) => engagement(events(s, d)),
       Some(engagementSql)),
+
+    QueryDef("q180_rate_spikes",
+      (s, d) => rateSpikes(events(s, d)),
+      Some(rateSpikesSql())),
 
     QueryDef("q177_cohort_ltv",
       (s, d) => cohortLtv(events(s, d)),

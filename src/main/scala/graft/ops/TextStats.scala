@@ -442,6 +442,48 @@ object TextStats {
         CAST(SUM(CASE WHEN clf = rules THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS agree_rate
       FROM v GROUP BY source"""
 
+  /** Classifier calibration curve (q179): fixed integer buckets over the
+    * classifier's quantized mean weight (`(score_int·1e6) div n` — the
+    * weights live in [-20, 20] structurally, so
+    * `((mean_q + 20e6)·10) div (40e6+1)` lands every doc in 0..9 with
+    * pure integer arithmetic and NO global ntile window — a corpus-wide
+    * rank sort is exactly the single-partition funnel a calibration
+    * report must not pay), with the rule-gate pass rate per bucket. Read
+    * next to q172: agreement says IF the filters disagree, this says
+    * WHERE on the score axis — i.e., where the keep threshold should
+    * sit. One stateless projection + one ≤10-key rollup. */
+  def classifierCalibration(docs: DataFrame): DataFrame = {
+    val sig = docs.select(signalCols :+
+      expr("CAST(size(split(text, ' ')) AS BIGINT)").as("n") :+
+      expr(s"aggregate(split(text, ' '), 0L, (acc, t) -> acc + (${weightSparkExpr("t")}))").as("score_int"): _*)
+      .withColumn("mean_q", expr("(score_int * 1000000L) div n"))
+      .withColumn("rules", expr(QualityPassCond))
+      .withColumn("bucket", expr("((mean_q + 20000000L) * 10L) div 40000001L"))
+    sig.groupBy("bucket").agg(
+      count(lit(1)).as("n_docs"),
+      sum(when(col("rules"), 1L).otherwise(0L)).as("n_rules_pass"),
+      min("mean_q").as("min_mean_q"), max("mean_q").as("max_mean_q"))
+      .withColumn("pass_rate",
+        col("n_rules_pass").cast("double") / col("n_docs").cast("double"))
+  }
+
+  val classifierCalibrationSql: String =
+    s"""WITH sig AS (SELECT $scoreSignalsDuck, $sumLenDuck,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+          CAST(list_sum(list_transform(string_split(text, ' '),
+            t -> ${weightDuckExpr("t")})) AS BIGINT) AS score_int
+        FROM documents),
+      b AS (SELECT ($QualityPassCond) AS rules,
+          ((((score_int * 1000000) // n) + 20000000) * 10) // 40000001 AS bucket,
+          (score_int * 1000000) // n AS mean_q
+        FROM sig)
+      SELECT CAST(bucket AS BIGINT) AS bucket, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(SUM(CASE WHEN rules THEN 1 ELSE 0 END) AS BIGINT) AS n_rules_pass,
+        CAST(min(mean_q) AS BIGINT) AS min_mean_q,
+        CAST(max(mean_q) AS BIGINT) AS max_mean_q,
+        CAST(SUM(CASE WHEN rules THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS pass_rate
+      FROM b GROUP BY bucket"""
+
   val queries: Seq[QueryDef] = Seq(
     QueryDef("q36_top_bigrams",
       (s, d) => topBigrams(t(s, d, "documents"), 5),
@@ -505,6 +547,10 @@ object TextStats {
     QueryDef("q172_classifier_agreement",
       (s, d) => classifierAgreement(t(s, d, "documents")),
       Some(classifierAgreementSql)),
+
+    QueryDef("q179_classifier_calibration",
+      (s, d) => classifierCalibration(t(s, d, "documents")),
+      Some(classifierCalibrationSql)),
 
     QueryDef("q71_repetition_signals",
       (s, d) => repetitionSignals(t(s, d, "documents")),
