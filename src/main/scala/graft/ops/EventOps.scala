@@ -425,6 +425,67 @@ object EventOps {
         CAST(SUM(cents) OVER (PARTITION BY cohort ORDER BY k) AS BIGINT) AS cum_cents
       FROM rev"""
 
+  /** Time-to-conversion latency stats (q181): per user, the first view
+    * and the first purchase STRICTLY after it; the corpus-wide latency
+    * distribution as exact percentiles (q59's weighted interpolation —
+    * portable) plus count and mean (integer-microsecond sum, one double
+    * division). The funnel tells conversion RATE; this is the speed.
+    * Two user-keyed aggregations + one report-sized global percentile
+    * reduce (the output is one row — buffering is report-bounded, not
+    * corpus-bounded). */
+  def conversionLatency(ev: DataFrame): DataFrame = {
+    val e = ev.select(col("user_id"), col("event_type"), expr("ts DIV 1000").as("t_us"))
+    val firstView = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("t_us").as("v_us"))
+    val lat = e.filter(col("event_type") === "purchase")
+      .join(firstView, "user_id")
+      .filter(col("t_us") > col("v_us"))
+      .groupBy("user_id").agg((min("t_us") - first("v_us")).as("lat_us"))
+    lat.agg(
+      count(lit(1)).as("n_users"),
+      sum("lat_us").as("sum_lat_us"),
+      expr("percentile(lat_us, CAST(0.5 AS DOUBLE))").as("p50_us"),
+      expr("percentile(lat_us, CAST(0.9 AS DOUBLE))").as("p90_us"))
+      .withColumn("mean_us", col("sum_lat_us").cast("double") / col("n_users").cast("double"))
+  }
+
+  val conversionLatencySql: String =
+    """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t_us FROM events),
+      fv AS (SELECT user_id, min(t_us) AS v_us FROM e WHERE event_type = 'view' GROUP BY 1),
+      lat AS (SELECT e.user_id, min(e.t_us) - any_value(fv.v_us) AS lat_us
+              FROM e JOIN fv USING (user_id)
+              WHERE e.event_type = 'purchase' AND e.t_us > fv.v_us
+              GROUP BY e.user_id)
+      SELECT CAST(count(*) AS BIGINT) AS n_users,
+        CAST(SUM(lat_us) AS BIGINT) AS sum_lat_us,
+        quantile_cont(lat_us, 0.5) AS p50_us,
+        quantile_cont(lat_us, 0.9) AS p90_us,
+        CAST(SUM(lat_us) AS DOUBLE) / count(*) AS mean_us
+      FROM lat"""
+
+  /** Hour-of-day seasonality profile (q182): event counts per (UTC hour,
+    * event type) with each type's within-type share — the traffic-shape
+    * report capacity planning and anomaly baselines read. One
+    * (24 × types)-bounded rollup + a broadcast per-type total. */
+  def hourlySeasonality(ev: DataFrame): DataFrame = {
+    val h = ev.select(col("event_type"),
+      expr("(ts DIV 3600000000000) % 24").as("hour"))
+      .groupBy("event_type", "hour").agg(count(lit(1)).as("n"))
+    val tot = h.groupBy("event_type").agg(sum("n").as("n_type"))
+    h.join(broadcast(tot), "event_type")
+      .withColumn("share", col("n").cast("double") / col("n_type").cast("double"))
+      .select("event_type", "hour", "n", "n_type", "share")
+  }
+
+  val hourlySeasonalitySql: String =
+    """WITH h AS (SELECT event_type, (epoch_us(ts) // 3600000000) % 24 AS hour,
+            count(*) AS n
+          FROM events GROUP BY 1, 2),
+      t AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS n_type FROM h GROUP BY 1)
+      SELECT event_type, CAST(hour AS BIGINT) AS hour, CAST(n AS BIGINT) AS n, n_type,
+        CAST(n AS DOUBLE) / CAST(n_type AS DOUBLE) AS share
+      FROM h JOIN t USING (event_type)"""
+
   /** Rate-spike detection (q180): the q168 per-series derivative fed
     * through the q151 median/MAD gate — flags datapoints whose RATE OF
     * CHANGE is a robust outlier within their series (a step change in a
@@ -650,6 +711,14 @@ object EventOps {
     QueryDef("q180_rate_spikes",
       (s, d) => rateSpikes(events(s, d)),
       Some(rateSpikesSql())),
+
+    QueryDef("q181_conversion_latency",
+      (s, d) => conversionLatency(events(s, d)),
+      Some(conversionLatencySql)),
+
+    QueryDef("q182_hourly_seasonality",
+      (s, d) => hourlySeasonality(events(s, d)),
+      Some(hourlySeasonalitySql)),
 
     QueryDef("q177_cohort_ltv",
       (s, d) => cohortLtv(events(s, d)),
