@@ -245,6 +245,51 @@ object Pipeline {
         CAST(SUM(CASE WHEN old_fp = new_fp THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged
       FROM j GROUP BY source"""
 
+  /** Cross-version quality drift (q184): per source, the exact
+    * micro-unit mean quality (the q105 card discipline — floor(score·1e6)
+    * BIGINT sums, one double division per side) of two corpus versions
+    * and the delta — the companion to [[corpusDiff]]'s counts: a refresh
+    * can keep every doc_id and still silently degrade (truncated
+    * extractions score lower, not fewer). Inner join on source: the
+    * drift question presumes the source exists in both versions
+    * (appearing/vanishing sources are q164's added/removed counts). */
+  def qualityDrift(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
+    def roll(df: DataFrame, pfx: String) =
+      graft.ops.TextStats.scored(df, Seq("source"))
+        .withColumn("q_micro", expr("CAST(floor(score * 1000000.0) AS BIGINT)"))
+        .groupBy("source").agg(count(lit(1)).as(s"${pfx}_docs"),
+          sum("q_micro").as(s"${pfx}_q"))
+    roll(oldDocs, "old").join(roll(newDocs, "new"), "source")
+      .withColumn("old_avg", col("old_q").cast("double") /
+        (col("old_docs") * lit(1000000L)).cast("double"))
+      .withColumn("new_avg", col("new_q").cast("double") /
+        (col("new_docs") * lit(1000000L)).cast("double"))
+      .withColumn("drift", col("new_avg") - col("old_avg"))
+      .select("source", "old_docs", "new_docs", "old_avg", "new_avg", "drift")
+  }
+
+  val qualityDriftSql: String =
+    s"""WITH v2 AS (
+        SELECT doc_id, source, CASE WHEN doc_id % 13 = 0 THEN substr(text, 2) ELSE text END AS text
+        FROM documents WHERE doc_id % 97 <> 0
+        UNION ALL
+        SELECT doc_id + ${graft.ops.Dedup.EditInjOffset}, source, text
+        FROM documents WHERE doc_id % 41 = 0),
+      so AS (SELECT source, count(*) AS old_docs,
+            CAST(SUM(CAST(floor((${graft.ops.TextStats.scoreExprDuck}) * 1000000.0) AS BIGINT)) AS BIGINT) AS old_q
+          FROM (SELECT source, ${graft.ops.TextStats.scoreSignalsDuck} FROM documents)
+          GROUP BY source),
+      sn AS (SELECT source, count(*) AS new_docs,
+            CAST(SUM(CAST(floor((${graft.ops.TextStats.scoreExprDuck}) * 1000000.0) AS BIGINT)) AS BIGINT) AS new_q
+          FROM (SELECT source, ${graft.ops.TextStats.scoreSignalsDuck} FROM v2)
+          GROUP BY source)
+      SELECT source, CAST(old_docs AS BIGINT) AS old_docs, CAST(new_docs AS BIGINT) AS new_docs,
+        CAST(old_q AS DOUBLE) / CAST(old_docs * 1000000 AS DOUBLE) AS old_avg,
+        CAST(new_q AS DOUBLE) / CAST(new_docs * 1000000 AS DOUBLE) AS new_avg,
+        CAST(new_q AS DOUBLE) / CAST(new_docs * 1000000 AS DOUBLE)
+          - CAST(old_q AS DOUBLE) / CAST(old_docs * 1000000 AS DOUBLE) AS drift
+      FROM so JOIN sn USING (source)"""
+
   /** JSONL ingest roundtrip ([[graft.sources.JsonlCorpus]]): land the
     * corpus as JSONL (the interchange format training corpora actually
     * arrive in), read it back with a PINNED schema + corrupt-line
@@ -350,6 +395,20 @@ object Pipeline {
     QueryDef("q148_token_yield_funnel",
       (s, d) => tokenYieldFunnel(t(s, d, "documents")),
       Some(tokenYieldFunnelSql())),
+
+    QueryDef("q184_quality_drift",
+      (s, d) => {
+        val docs = t(s, d, "documents").select("doc_id", "source", "text")
+        val v2 = docs.filter(expr("doc_id % 97 <> 0"))
+          .select(col("doc_id"), col("source"),
+            when(expr("doc_id % 13 = 0"), expr("substr(text, 2)"))
+              .otherwise(col("text")).as("text"))
+          .unionByName(docs.filter(expr("doc_id % 41 = 0"))
+            .select((col("doc_id") + lit(graft.ops.Dedup.EditInjOffset)).as("doc_id"),
+              col("source"), col("text")))
+        qualityDrift(docs, v2)
+      },
+      Some(qualityDriftSql)),
 
     QueryDef("q164_corpus_diff",
       (s, d) => {

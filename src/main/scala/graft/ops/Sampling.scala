@@ -207,6 +207,32 @@ object Sampling {
       WHERE CAST(n_tokens AS DOUBLE) >= lo_cut
         AND CAST(n_tokens AS DOUBLE) <= hi_cut"""
 
+  /** Token exposure under epoching (q185): per source, the unique tokens
+    * the q102 mixture keeps, the EXPOSURE tokens the trainer actually
+    * sees (Σ n_tokens·epochs), and their ratio (effective epochs) — the
+    * data-constrained-regime budget line (Muennighoff et al.: repeated
+    * tokens buy less; this is the report that says HOW repeated each
+    * source's contribution is). One source rollup over q102's kept-doc
+    * output — doc-count rows, map-side combined. */
+  def tokenExposure(docs: DataFrame, factor: Long = 3L,
+      weight: org.apache.spark.sql.Column = lit(1L)): DataFrame =
+    sourceMixEpochs(docs, factor, weight)
+      .groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("unique_tokens"),
+        sum(col("n_tokens") * col("epochs")).as("exposure_tokens"))
+      .withColumn("eff_epochs",
+        col("exposure_tokens").cast("double") / col("unique_tokens").cast("double"))
+
+  def tokenExposureSql(factor: Long = 3L): String =
+    s"""WITH mix AS (${sourceMixEpochsSql(factor, "documents")})
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(SUM(n_tokens) AS BIGINT) AS unique_tokens,
+        CAST(SUM(n_tokens * epochs) AS BIGINT) AS exposure_tokens,
+        CAST(SUM(n_tokens * epochs) AS DOUBLE)
+          / CAST(SUM(n_tokens) AS DOUBLE) AS eff_epochs
+      FROM mix GROUP BY source"""
+
   /** Temperature-scaled source mixing (q156, α = 1/2): each source's
     * token share is ∝ avail^α — the published multilingual/multi-domain
     * recipe (exponentiated sampling, XLM-R/mT5 style): α < 1 flattens
@@ -609,6 +635,10 @@ object Sampling {
     QueryDef("q102_source_mix_epochs",
       (s, d) => sourceMixEpochs(t(s, d, "documents"), weight = srcNameWeight),
       Some(sourceMixEpochsSql())),
+
+    QueryDef("q185_token_exposure",
+      (s, d) => tokenExposure(t(s, d, "documents"), weight = srcNameWeight),
+      Some(tokenExposureSql())),
 
     QueryDef("q103_filter_funnel",
       (s, d) => filterFunnel(t(s, d, "documents")),

@@ -442,6 +442,39 @@ object TextStats {
         CAST(SUM(CASE WHEN clf = rules THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS agree_rate
       FROM v GROUP BY source"""
 
+  /** Per-source language purity (q183): the heuristically-dominant
+    * language of each source (deterministic count+argmax, the q76 mode
+    * discipline — ties break by lang asc) and its share — the one-line
+    * "is this source monolingual enough for per-language mixing"
+    * answer above q140's per-label disagreement detail. One stateless
+    * guess projection + one (source × langs)-bounded rollup + an argmax
+    * window over rollup rows. */
+  def langPurity(docs: DataFrame): DataFrame = {
+    val guessed = withLangScores(docs.select(col("doc_id"), col("source"), col("text")))
+      .withColumn("lang_guess", langGuessCol)
+    val counts = guessed.groupBy("source", "lang_guess").agg(count(lit(1)).as("n"))
+    val tot = counts.groupBy("source").agg(sum("n").as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("n").desc, col("lang_guess").asc)
+    counts.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .join(broadcast(tot), "source")
+      .withColumn("purity", col("n").cast("double") / col("n_docs").cast("double"))
+      .select(col("source"), col("lang_guess").as("dominant_lang"),
+        col("n").as("n_dominant"), col("n_docs"), col("purity"))
+  }
+
+  val langPuritySql: String =
+    s"""WITH g AS (SELECT source, $langScoresSql FROM documents),
+      gg AS (SELECT source, $langGuessCaseSql AS lang_guess FROM g),
+      c AS (SELECT source, lang_guess, count(*) AS n FROM gg GROUP BY 1, 2),
+      t AS (SELECT source, CAST(SUM(n) AS BIGINT) AS n_docs FROM c GROUP BY 1),
+      r AS (SELECT source, lang_guess, n,
+            row_number() OVER (PARTITION BY source ORDER BY n DESC, lang_guess) AS rn
+          FROM c)
+      SELECT r.source, r.lang_guess AS dominant_lang, CAST(r.n AS BIGINT) AS n_dominant,
+        t.n_docs, CAST(r.n AS DOUBLE) / CAST(t.n_docs AS DOUBLE) AS purity
+      FROM r JOIN t USING (source) WHERE rn = 1"""
+
   /** Classifier calibration curve (q179): fixed integer buckets over the
     * classifier's quantized mean weight (`(score_int·1e6) div n` — the
     * weights live in [-20, 20] structurally, so
@@ -551,6 +584,10 @@ object TextStats {
     QueryDef("q179_classifier_calibration",
       (s, d) => classifierCalibration(t(s, d, "documents")),
       Some(classifierCalibrationSql)),
+
+    QueryDef("q183_lang_purity",
+      (s, d) => langPurity(t(s, d, "documents")),
+      Some(langPuritySql)),
 
     QueryDef("q71_repetition_signals",
       (s, d) => repetitionSignals(t(s, d, "documents")),
