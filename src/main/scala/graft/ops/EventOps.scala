@@ -486,6 +486,115 @@ object EventOps {
         CAST(n AS DOUBLE) / CAST(n_type AS DOUBLE) AS share
       FROM h JOIN t USING (event_type)"""
 
+  /** Within-session event-type co-occurrence PMI (q187): for each
+    * unordered pair of DISTINCT event types, how much more often they
+    * co-occur in one session than independence predicts — the
+    * association view next to q166's adjacency view (a type pair can
+    * never be adjacent yet strongly co-sessioned). Counts are
+    * session-level presence (distinct (session, type) rows); PMI ranks
+    * by the exact quantized rational `(c12·N·1e6) div (c1a·c1b)` — the
+    * q114 discipline, log-free because log is monotone, DECIMAL-widened
+    * so the product can't overflow. The pair self-join is keyed by
+    * session and bounded by types² per session. */
+  def sessionTypePmi(ev: DataFrame, gapSec: Long = 1800L): DataFrame = {
+    val st = withSessionIds(ev, gapSec)
+      .select(col("user_id"), col("sess_seq"), col("event_type"))
+      .distinct().localCheckpoint() // feeds margins, total, AND both pair sides
+    val nTot = st.select("user_id", "sess_seq").distinct()
+      .agg(count(lit(1)).as("n_sessions"))
+    val m = st.groupBy("event_type").agg(count(lit(1)).as("c1"))
+    val pairs = st.as("a").join(st.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.sess_seq") === col("b.sess_seq") &&
+          col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("t1"), col("b.event_type").as("t2"))
+      .agg(count(lit(1)).as("c12"))
+    pairs
+      .join(broadcast(m.select(col("event_type").as("t1"), col("c1").as("c1a"))), "t1")
+      .join(broadcast(m.select(col("event_type").as("t2"), col("c1").as("c1b"))), "t2")
+      .crossJoin(broadcast(nTot))
+      .withColumn("pmi_q", expr(
+        "(CAST(c12 AS DECIMAL(38,0)) * n_sessions * 1000000L)" +
+          " div (CAST(c1a AS DECIMAL(38,0)) * c1b)"))
+      .select("t1", "t2", "c12", "c1a", "c1b", "n_sessions", "pmi_q")
+  }
+
+  def sessionTypePmiSql(gapSec: Long = 1800L): String =
+    s"""WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS t_us FROM events),
+      f AS (SELECT *, CASE WHEN lag(t_us) OVER w IS NULL OR t_us - lag(t_us) OVER w > ${gapSec}000000
+              THEN 1 ELSE 0 END AS new_sess
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id)),
+      g AS (SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY t_us, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_seq FROM f),
+      st AS (SELECT DISTINCT user_id, sess_seq, event_type FROM g),
+      nt AS (SELECT count(*) AS n_sessions
+             FROM (SELECT DISTINCT user_id, sess_seq FROM st)),
+      m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS c1 FROM st GROUP BY 1),
+      p AS (SELECT a.event_type AS t1, b.event_type AS t2, count(*) AS c12
+            FROM st a JOIN st b ON a.user_id = b.user_id AND a.sess_seq = b.sess_seq
+              AND a.event_type < b.event_type
+            GROUP BY 1, 2)
+      SELECT t1, t2, CAST(c12 AS BIGINT) AS c12,
+        ma.c1 AS c1a, mb.c1 AS c1b,
+        CAST((SELECT n_sessions FROM nt) AS BIGINT) AS n_sessions,
+        CAST((CAST(c12 AS HUGEINT) * (SELECT n_sessions FROM nt) * 1000000)
+          // (CAST(ma.c1 AS HUGEINT) * mb.c1) AS BIGINT) AS pmi_q
+      FROM p JOIN m ma ON ma.event_type = p.t1 JOIN m mb ON mb.event_type = p.t2"""
+
+  /** Inter-event burstiness (q186, Goh & Barabási 2008): per user, the
+    * coefficient-of-variation form `B = (σ − µ)/(σ + µ)` over the
+    * inter-event gaps — B → 1 is bursty (human sessions), B ≈ 0 is
+    * Poisson, B → −1 is metronome-regular (bots, heartbeats). Gaps are
+    * integer microseconds, so µ and σ come from the q62 exact-moment
+    * discipline: BIGINT Σgap and Σgap² per user (order-independent),
+    * ONE int64→double cast each, then the identical rounded expression
+    * tree in both engines — portable without trusting float
+    * accumulation. Population σ (÷n) keeps the single-gap user at
+    * σ = 0, B = −1 rather than NULL. One user-keyed window (lag) + one
+    * user rollup. */
+  def burstiness(ev: DataFrame): DataFrame = {
+    // gaps in MILLISECONDS: a µs gap squares past int64 (a 70-minute
+    // gap is 4.2e9 µs; its square overflows), ms gaps square to ~1.8e13
+    // with per-user sums far inside the BIGINT range
+    val w = Window.partitionBy("user_id").orderBy(col("t_ms").asc, col("event_id").asc)
+    val gaps = ev.select(col("user_id"), col("event_id"), expr("ts DIV 1000000").as("t_ms"))
+      .withColumn("gap", col("t_ms") - lag("t_ms", 1).over(w))
+      .filter(col("gap").isNotNull)
+    gaps.groupBy("user_id")
+      .agg(count(lit(1)).as("n_gaps"), sum("gap").as("s1"),
+        sum(col("gap") * col("gap")).as("s2"))
+      .filter(col("s1") > 0)
+      .withColumn("mean_ms", col("s1").cast("double") / col("n_gaps").cast("double"))
+      .withColumn("sd_ms", sqrt(
+        col("s2").cast("double") / col("n_gaps").cast("double") -
+          (col("s1").cast("double") / col("n_gaps").cast("double")) *
+          (col("s1").cast("double") / col("n_gaps").cast("double"))))
+      .withColumn("b", (col("sd_ms") - col("mean_ms")) / (col("sd_ms") + col("mean_ms")))
+      .select("user_id", "n_gaps", "mean_ms", "sd_ms", "b")
+  }
+
+  val burstinessSql: String =
+    """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS t_ms FROM events),
+      g AS (SELECT user_id, t_ms - lag(t_ms) OVER w AS gap
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t_ms, event_id)),
+      m AS (SELECT user_id, count(*) AS n_gaps,
+              CAST(SUM(gap) AS BIGINT) AS s1, CAST(SUM(gap * gap) AS BIGINT) AS s2
+            FROM g WHERE gap IS NOT NULL GROUP BY 1)
+      SELECT user_id, n_gaps,
+        CAST(s1 AS DOUBLE) / CAST(n_gaps AS DOUBLE) AS mean_ms,
+        sqrt(CAST(s2 AS DOUBLE) / CAST(n_gaps AS DOUBLE)
+          - (CAST(s1 AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+            * (CAST(s1 AS DOUBLE) / CAST(n_gaps AS DOUBLE))) AS sd_ms,
+        (sqrt(CAST(s2 AS DOUBLE) / CAST(n_gaps AS DOUBLE)
+          - (CAST(s1 AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+            * (CAST(s1 AS DOUBLE) / CAST(n_gaps AS DOUBLE)))
+         - CAST(s1 AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+        / (sqrt(CAST(s2 AS DOUBLE) / CAST(n_gaps AS DOUBLE)
+          - (CAST(s1 AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+            * (CAST(s1 AS DOUBLE) / CAST(n_gaps AS DOUBLE)))
+         + CAST(s1 AS DOUBLE) / CAST(n_gaps AS DOUBLE)) AS b
+      FROM m WHERE s1 > 0"""
+
   /** Rate-spike detection (q180): the q168 per-series derivative fed
     * through the q151 median/MAD gate — flags datapoints whose RATE OF
     * CHANGE is a robust outlier within their series (a step change in a
@@ -711,6 +820,14 @@ object EventOps {
     QueryDef("q180_rate_spikes",
       (s, d) => rateSpikes(events(s, d)),
       Some(rateSpikesSql())),
+
+    QueryDef("q186_burstiness",
+      (s, d) => burstiness(events(s, d)),
+      Some(burstinessSql)),
+
+    QueryDef("q187_session_type_pmi",
+      (s, d) => sessionTypePmi(events(s, d)),
+      Some(sessionTypePmiSql())),
 
     QueryDef("q181_conversion_latency",
       (s, d) => conversionLatency(events(s, d)),
