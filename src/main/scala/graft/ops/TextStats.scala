@@ -517,6 +517,121 @@ object TextStats {
         CAST(SUM(CASE WHEN rules THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS pass_rate
       FROM b GROUP BY bucket"""
 
+  // --------------------------------------------------------------------
+  // Gopher REPETITION rules (q188, Rae et al. 2021 §A1.1 "repetition
+  // removal", adapted to the engine's single-line token model: occurrence
+  // fraction instead of character fraction). Three published thresholds:
+  //
+  //   1. top 2-gram share ≤ 0.20         (`5·top2 ≤ n2`)
+  //   2. top 3-gram share ≤ 0.18 = 9/50  (`50·top3 ≤ 9·n3`)
+  //   3. duplicated-5-gram positional fraction ≤ 0.15 = 3/20
+  //      (`20·dup5 ≤ 3·n5`, dup5 = positions whose 5-gram occurs ≥ 2×)
+  //
+  // q71's distinct-ratio signals can't see these: a doc repeating ONE
+  // phrase 50× and a doc with 50 distinct repeated phrases have the same
+  // dup_bigram_frac, but only the first trips the top-share rule. The
+  // whole computation is a scan-resident array pass: per doc, sort the
+  // gram array once and read run lengths off adjacent-start indices
+  // (starts = positions where g[i] ≠ g[i-1]; run lengths = diffs of
+  // successive starts) — max run = top count, count of 1-runs = the
+  // singleton count that turns n5 into dup5. ZERO per-doc exchange; the
+  // only shuffle is the final (source)-bounded rollup. The oracle
+  // recomputes every count independently via unnest + GROUP BY.
+
+  /** HASHED k-gram array over `toks`, guarded for short docs (Spark's
+    * `sequence(1, 0)` is DESCENDING — the q115 guard). The q99 xxhash64
+    * discipline: run counts only need gram IDENTITY within a doc, so the
+    * sort/run pass works on int64 keys, never on concat'd strings (the
+    * string form was 1.5× slower at 100×); 64-bit collisions inside a
+    * ≤10³-gram doc are negligible, and the oracle recomputes every count
+    * from the STRING grams independently. */
+  private def gramsExpr(k: Int): String = {
+    val parts = (0 until k).map(j => s"element_at(toks, i + $j)").mkString(", ")
+    s"CASE WHEN size(toks) >= $k THEN transform(sequence(1, size(toks) - ${k - 1}), " +
+      s"i -> xxhash64($parts)) ELSE CAST(array() AS ARRAY<BIGINT>) END"
+  }
+
+  /** Per-gram-size run statistics as ONE expression: (n, top, singles)
+    * off a single sorted pass. The sorted array / starts / run-length
+    * intermediates are LET-BOUND via single-element `transform(array(e),
+    * v -> …)` wrappers, so each is evaluated exactly once per row —
+    * naming them as chained `withColumn`s lets CollapseProject inline the
+    * O(L log L) sort into every downstream reference (the named-column
+    * form measured 1.23× slower at 100×: 59.3 s vs 48.3 s). */
+  private def runStatsExpr(k: Int): String = {
+    val starts = "CASE WHEN size(g) = 0 THEN CAST(array() AS ARRAY<INT>) ELSE " +
+      "filter(sequence(1, size(g)), i -> i = 1 OR NOT (element_at(g, i) <=> element_at(g, i - 1))) END"
+    val runlens = "zip_with(s, concat(slice(s, 2, size(s)), array(size(g) + 1)), (a, b) -> CAST(b - a AS BIGINT))"
+    s"""element_at(transform(array(array_sort(${gramsExpr(k)})), g ->
+         element_at(transform(array($starts), s ->
+           element_at(transform(array($runlens), rl -> named_struct(
+             'n', CAST(size(g) AS BIGINT),
+             'top', coalesce(array_max(rl), 0L),
+             'singles', CAST(size(filter(rl, x -> x = 1L)) AS BIGINT))), 1)), 1)), 1)"""
+  }
+
+  def gopherRepetition(docs: DataFrame): DataFrame = {
+    val sig = docs.select(col("source"), split(col("text"), " ").as("toks"))
+      .select(col("source"),
+        expr(runStatsExpr(2)).as("st2"),
+        expr(runStatsExpr(3)).as("st3"),
+        expr(runStatsExpr(5)).as("st5"))
+      .select(col("source"),
+        col("st2.n").as("n2"), col("st2.top").as("top2"),
+        col("st3.n").as("n3"), col("st3.top").as("top3"),
+        col("st5.n").as("n5"),
+        (col("st5.n") - col("st5.singles")).as("dup5"))
+      .withColumn("r_top2", col("top2") * 5 <= col("n2"))
+      .withColumn("r_top3", col("top3") * 50 <= col("n3") * 9)
+      .withColumn("r_dup5", col("dup5") * 20 <= col("n5") * 3)
+    def cnt(c: String) = sum(when(col(c), 1L).otherwise(0L)).as(s"pass_${c.drop(2)}")
+    sig.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      cnt("r_top2"), cnt("r_top3"), cnt("r_dup5"),
+      sum(when(col("r_top2") && col("r_top3") && col("r_dup5"), 1L).otherwise(0L)).as("pass_rep"),
+      sum("dup5").as("rep5_num"), sum("n5").as("rep5_den"))
+  }
+
+  val gopherRepetitionSql: String = {
+    def grams(k: Int): String = {
+      val parts = (0 until k).map(j => s"toks[i + $j]").mkString(" || ' ' || ")
+      s"CASE WHEN len(toks) >= $k THEN list_transform(range(1, len(toks) - ${k - 2}), i -> $parts) ELSE [] END"
+    }
+    s"""WITH tk AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+      a2 AS (SELECT doc_id, CAST(max(n) AS BIGINT) AS top2, CAST(sum(n) AS BIGINT) AS n2
+             FROM (SELECT doc_id, g, count(*) AS n
+                   FROM (SELECT doc_id, unnest(${grams(2)}) AS g FROM tk) gr
+                   GROUP BY doc_id, g) c GROUP BY doc_id),
+      a3 AS (SELECT doc_id, CAST(max(n) AS BIGINT) AS top3, CAST(sum(n) AS BIGINT) AS n3
+             FROM (SELECT doc_id, g, count(*) AS n
+                   FROM (SELECT doc_id, unnest(${grams(3)}) AS g FROM tk) gr
+                   GROUP BY doc_id, g) c GROUP BY doc_id),
+      a5 AS (SELECT doc_id,
+               CAST(sum(CASE WHEN n >= 2 THEN n ELSE 0 END) AS BIGINT) AS dup5,
+               CAST(sum(n) AS BIGINT) AS n5
+             FROM (SELECT doc_id, g, count(*) AS n
+                   FROM (SELECT doc_id, unnest(${grams(5)}) AS g FROM tk) gr
+                   GROUP BY doc_id, g) c GROUP BY doc_id),
+      j AS (SELECT tk.source,
+              coalesce(a2.top2, 0) AS top2, coalesce(a2.n2, 0) AS n2,
+              coalesce(a3.top3, 0) AS top3, coalesce(a3.n3, 0) AS n3,
+              coalesce(a5.dup5, 0) AS dup5, coalesce(a5.n5, 0) AS n5
+            FROM tk LEFT JOIN a2 USING (doc_id) LEFT JOIN a3 USING (doc_id)
+              LEFT JOIN a5 USING (doc_id)),
+      r AS (SELECT source, n5, dup5,
+              (top2 * 5 <= n2) AS r_top2,
+              (top3 * 50 <= n3 * 9) AS r_top3,
+              (dup5 * 20 <= n5 * 3) AS r_dup5
+            FROM j)
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(SUM(CASE WHEN r_top2 THEN 1 ELSE 0 END) AS BIGINT) AS pass_top2,
+        CAST(SUM(CASE WHEN r_top3 THEN 1 ELSE 0 END) AS BIGINT) AS pass_top3,
+        CAST(SUM(CASE WHEN r_dup5 THEN 1 ELSE 0 END) AS BIGINT) AS pass_dup5,
+        CAST(SUM(CASE WHEN r_top2 AND r_top3 AND r_dup5 THEN 1 ELSE 0 END) AS BIGINT) AS pass_rep,
+        CAST(SUM(dup5) AS BIGINT) AS rep5_num, CAST(SUM(n5) AS BIGINT) AS rep5_den
+      FROM r GROUP BY source"""
+  }
+
   val queries: Seq[QueryDef] = Seq(
     QueryDef("q36_top_bigrams",
       (s, d) => topBigrams(t(s, d, "documents"), 5),
@@ -576,6 +691,10 @@ object TextStats {
     QueryDef("q165_gopher_rules",
       (s, d) => gopherRules(t(s, d, "documents")),
       Some(gopherRulesSql)),
+
+    QueryDef("q188_gopher_repetition",
+      (s, d) => gopherRepetition(t(s, d, "documents")),
+      Some(gopherRepetitionSql)),
 
     QueryDef("q172_classifier_agreement",
       (s, d) => classifierAgreement(t(s, d, "documents")),

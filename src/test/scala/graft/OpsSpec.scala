@@ -594,6 +594,41 @@ class OpsSpec extends AnyFunSuite {
     assert(s.getAs[Double]("dup_bigram_frac") > 0.9)
   }
 
+  test("q188 gopher repetition: run-length pass == hand counts; catches the doc q71's distinct-ratio can't") {
+    import org.apache.spark.sql.functions._
+    // "a b" repeated: toks = [a b a b a b], bigrams = [a b, b a, a b, b a, a b]
+    // → n2 = 5, top2 = 3 (15 > 5 fails rule 1); 5-grams [a b a b a, b a b a b]
+    // → n5 = 2 distinct singles → dup5 = 0 (rule 3 passes).
+    // The salad doc has every phrase ≤ 2× → top shares tiny, all rules pass —
+    // yet BOTH docs have dup_bigram_frac > 0.5, the pair q71 cannot split.
+    val spam = "a b " * 3
+    val salad = (1 to 30).flatMap(i => Seq(s"w$i x$i", s"w$i x$i")).mkString(" ")
+    val d = spark.createDataFrame(Seq(
+      (1L, spam.trim, "spam_src"), (2L, salad, "salad_src")))
+      .toDF("doc_id", "text", "source")
+    val r = TextStats.gopherRepetition(d).collect()
+      .map(row => row.getAs[String]("source") -> row).toMap
+    assert(r("spam_src").getAs[Long]("pass_top2") == 0L, "repeated phrase must trip the top-2-gram rule")
+    assert(r("spam_src").getAs[Long]("pass_dup5") == 1L)
+    assert(r("salad_src").getAs[Long]("pass_rep") == 1L, "diverse-but-doubled phrases must pass all rules")
+    // q71 blindness witness: BOTH docs read as repetitive on the
+    // distinct-ratio axis (dup_bigram_frac well above a 0.2 cut) — only
+    // the top-share rule separates one-phrase spam from doubled variety
+    val q71 = TextStats.repetitionSignals(d.select("doc_id", "text")).collect()
+    q71.foreach(row => assert(row.getAs[Double]("dup_bigram_frac") > 0.2))
+    // invariants over the real corpus: counts bounded, conjunction ≤ each rule
+    val corpus = TextStats.gopherRepetition(docs).collect()
+    assert(corpus.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    corpus.foreach { row =>
+      val n = row.getAs[Long]("n_docs")
+      Seq("pass_top2", "pass_top3", "pass_dup5").foreach { c =>
+        assert(row.getAs[Long](c) >= 0L && row.getAs[Long](c) <= n)
+        assert(row.getAs[Long]("pass_rep") <= row.getAs[Long](c))
+      }
+      assert(row.getAs[Long]("rep5_num") <= row.getAs[Long]("rep5_den"))
+    }
+  }
+
   test("q72 packing: bins conserve tokens and docs per source; no bin starts past capacity runout") {
     import org.apache.spark.sql.functions._
     val bins = Corpus.packSequences(docs).collect()
