@@ -465,6 +465,65 @@ object Corpus {
         count(*) AS n_terms, CAST(sum(cnt) AS BIGINT) AS n_occurrences
       FROM v GROUP BY 1"""
 
+  /** Heaps'-law vocabulary-growth curve (q189): distinct-vocabulary size
+    * at power-of-two corpus prefixes — the empirical V(n) ≈ K·n^β curve
+    * that sizes tokenizer vocabularies and predicts OOV decay as the
+    * corpus grows (Heaps 1978). q119 answers "how is frequency mass
+    * distributed NOW"; this answers "how fast does new vocabulary keep
+    * arriving" — the two sides of the same planning decision.
+    *
+    * Prefixes are deterministic doc_id ranges: bucket b = binary digit
+    * count of doc_id+1 (q112's no-float-log trick), so prefix b = all
+    * docs with doc_id+1 < 2^b and the curve needs NO global sort — a
+    * word's prefix of first appearance is just `min(doc_id)` per word.
+    * Shape: one vocabulary-bounded rollup keyed by xxhash64(term) (the
+    * q99/q188 discipline — bucket COUNTS only need term identity; the
+    * oracle recomputes from strings), one (≤64-bucket) doc rollup, and
+    * cumulative sums over ≤64 rollup rows. The heaps_q column is the
+    * quantized V/n ratio (`cum_vocab·1e6 div cum_tokens`) — monotone
+    * decreasing on natural text, the sanity line a template-collapsed
+    * or synthetic-flooded corpus visibly breaks. */
+  def heapsCurve(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val firstB = toks.select(expr("xxhash64(term)").as("th"), col("doc_id"))
+      .groupBy("th").agg(min("doc_id").as("first_doc"))
+      .withColumn("bucket", length(expr("bin(first_doc + 1)")).cast("long"))
+      .groupBy("bucket").agg(count(lit(1)).as("new_terms"))
+    val docB = docs.select(
+      length(expr("bin(doc_id + 1)")).cast("long").as("bucket"),
+      expr("CAST(size(split(text, ' ')) AS BIGINT)").as("n_toks"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_docs"), sum("n_toks").as("n_tokens"))
+    val w = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docB.join(broadcast(firstB), Seq("bucket"), "left")
+      .na.fill(0L, Seq("new_terms"))
+      .withColumn("cum_docs", sum("n_docs").over(w))
+      .withColumn("cum_tokens", sum("n_tokens").over(w))
+      .withColumn("cum_vocab", sum("new_terms").over(w))
+      .withColumn("heaps_q", expr("(cum_vocab * 1000000L) div cum_tokens"))
+      .select("bucket", "n_docs", "cum_docs", "cum_tokens", "cum_vocab", "heaps_q")
+  }
+
+  val heapsCurveSql: String =
+    """WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      f AS (SELECT term, min(doc_id) AS first_doc FROM tk GROUP BY 1),
+      fb AS (SELECT CAST(length(bin(first_doc + 1)) AS BIGINT) AS bucket,
+             count(*) AS new_terms FROM f GROUP BY 1),
+      db AS (SELECT CAST(length(bin(doc_id + 1)) AS BIGINT) AS bucket,
+             count(*) AS n_docs,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+           FROM documents GROUP BY 1),
+      j AS (SELECT db.bucket, db.n_docs, db.n_tokens,
+             coalesce(fb.new_terms, 0) AS new_terms
+           FROM db LEFT JOIN fb USING (bucket))
+      SELECT bucket, CAST(n_docs AS BIGINT) AS n_docs,
+        CAST(sum(n_docs) OVER (ORDER BY bucket) AS BIGINT) AS cum_docs,
+        CAST(sum(n_tokens) OVER (ORDER BY bucket) AS BIGINT) AS cum_tokens,
+        CAST(sum(new_terms) OVER (ORDER BY bucket) AS BIGINT) AS cum_vocab,
+        (CAST(sum(new_terms) OVER (ORDER BY bucket) AS BIGINT) * 1000000)
+          // CAST(sum(n_tokens) OVER (ORDER BY bucket) AS BIGINT) AS heaps_q
+      FROM j"""
+
   val CmsDepth = 4 // independent hash rows
   val CmsHexChars = 2 // 256 buckets per row
   val CmsReportK = 30 // tokens whose estimates the query reports
@@ -1466,6 +1525,10 @@ object Corpus {
     QueryDef("q118_ngram_diversity",
       (s, d) => ngramDiversity(s, d),
       Some(ngramDiversitySql())),
+
+    QueryDef("q189_heaps_curve",
+      (s, d) => heapsCurve(t(s, d, "documents")),
+      Some(heapsCurveSql)),
 
     QueryDef("q119_freq_of_freq",
       (s, d) => freqOfFreq(s, d),

@@ -223,6 +223,33 @@ class CorpusSpec extends AnyFunSuite {
     assert(got.values.map(_._2).sum == toks.length.toLong) // occurrences conserved
   }
 
+  test("q189 heaps curve: hand-computed fixture; totals reconcile with the corpus") {
+    import spark.implicits._
+    // buckets = binary digits of doc_id+1: id 0 → 1, ids 1-2 → 2, id 3 → 3
+    val d = Seq((0L, "a a"), (1L, "a b"), (2L, "c"), (3L, "a d"))
+      .toDF("doc_id", "text")
+    val got = Corpus.heapsCurve(d).collect()
+      .map(r => r.getAs[Long]("bucket") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("cum_docs"),
+          r.getAs[Long]("cum_tokens"), r.getAs[Long]("cum_vocab")))).toMap
+    assert(got == Map(
+      1L -> ((1L, 1L, 2L, 1L)),   // "a a": vocab {a}
+      2L -> ((2L, 3L, 5L, 3L)),   // +"a b","c": vocab {a,b,c}
+      3L -> ((1L, 4L, 7L, 4L))))  // +"a d": vocab {a,b,c,d}
+    // corpus-level reconciliation: the last row's cumulatives are the totals
+    val rows = Corpus.heapsCurve(docs).collect().sortBy(_.getAs[Long]("bucket"))
+    val all = docs.collect().map(_.getAs[String]("text"))
+    val last = rows.last
+    assert(last.getAs[Long]("cum_docs") == all.length.toLong)
+    assert(last.getAs[Long]("cum_tokens") == all.map(_.split(" ").length.toLong).sum)
+    assert(last.getAs[Long]("cum_vocab") == all.flatMap(_.split(" ")).distinct.length.toLong)
+    // cumulatives are monotone by construction
+    rows.sliding(2).foreach { case Array(p, n) =>
+      assert(p.getAs[Long]("cum_vocab") <= n.getAs[Long]("cum_vocab"))
+      assert(p.getAs[Long]("cum_tokens") < n.getAs[Long]("cum_tokens"))
+    }
+  }
+
   test("q116 cms counts: estimates match driver-built sketch, never undercount") {
     def md5hex(s: String): String =
       java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
