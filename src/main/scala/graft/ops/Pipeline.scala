@@ -268,6 +268,75 @@ object Pipeline {
       .select("source", "old_docs", "new_docs", "old_avg", "new_avg", "drift")
   }
 
+  /** Cross-version LENGTH-DISTRIBUTION drift (q190): per source, the
+    * total-variation distance between the two versions' token-length
+    * histograms (q112's power-of-two buckets), in exact micro-units —
+    * `tv2_micro = Σ_b |share_new − share_old|` with shares quantized as
+    * `(n_b·1e6) div N` integers, so both engines sum identical integers
+    * (2×TV; TV itself halves it). The SHAPE complement to q184's mean
+    * drift: a refresh that holds the mean but bimodalizes lengths (truncated
+    * extractions + concatenated pages) moves TV while q184 reads flat.
+    * Also reports the worst bucket (deterministic argmax: |Δ| desc, bucket
+    * asc) with its signed micro-share delta — WHERE the mass moved.
+    * Shape: two (source × ≤64-bucket)-bounded map-side-combined rollups,
+    * a full-outer join of rollup rows, one source rollup + an argmax
+    * window over rollup rows. Version texts never co-shuffle. */
+  def lengthDrift(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
+    def hist(df: DataFrame, pfx: String) = {
+      val b = df.select(col("source"),
+        length(expr("bin(size(split(text, ' ')))")).cast("long").as("bucket"))
+        .groupBy("source", "bucket").agg(count(lit(1)).as(s"${pfx}_n"))
+      val tot = b.groupBy("source").agg(sum(s"${pfx}_n").as(s"${pfx}_docs"))
+      b.join(broadcast(tot), "source")
+        .withColumn(s"${pfx}_share", expr(s"(${pfx}_n * 1000000L) div ${pfx}_docs"))
+    }
+    val o = hist(oldDocs, "old")
+    val n = hist(newDocs, "new")
+    val j = o.join(n, Seq("source", "bucket"), "full_outer")
+      .na.fill(0L, Seq("old_share", "new_share"))
+      .withColumn("delta", col("new_share") - col("old_share"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(abs(col("delta")).desc, col("bucket").asc)
+    j.withColumn("rn", row_number().over(w))
+      .groupBy("source").agg(
+        max("old_docs").as("old_docs"), max("new_docs").as("new_docs"),
+        sum(abs(col("delta"))).as("tv2_micro"),
+        max(when(col("rn") === 1, col("bucket"))).as("worst_bucket"),
+        max(when(col("rn") === 1, col("delta"))).as("worst_delta_micro"))
+  }
+
+  val lengthDriftSql: String =
+    s"""WITH v2 AS (
+        SELECT doc_id, source, CASE WHEN doc_id % 13 = 0 THEN substr(text, 2) ELSE text END AS text
+        FROM documents WHERE doc_id % 97 <> 0
+        UNION ALL
+        SELECT doc_id + ${graft.ops.Dedup.EditInjOffset}, source, text
+        FROM documents WHERE doc_id % 41 = 0),
+      ho AS (SELECT source, CAST(length(bin(len(string_split(text, ' ')))) AS BIGINT) AS bucket,
+             count(*) AS old_n FROM documents GROUP BY 1, 2),
+      hoT AS (SELECT source, CAST(sum(old_n) AS BIGINT) AS old_docs FROM ho GROUP BY 1),
+      hn AS (SELECT source, CAST(length(bin(len(string_split(text, ' ')))) AS BIGINT) AS bucket,
+             count(*) AS new_n FROM v2 GROUP BY 1, 2),
+      hnT AS (SELECT source, CAST(sum(new_n) AS BIGINT) AS new_docs FROM hn GROUP BY 1),
+      so AS (SELECT ho.source, ho.bucket, (old_n * 1000000) // old_docs AS old_share, old_docs
+           FROM ho JOIN hoT USING (source)),
+      sn AS (SELECT hn.source, hn.bucket, (new_n * 1000000) // new_docs AS new_share, new_docs
+           FROM hn JOIN hnT USING (source)),
+      j AS (SELECT coalesce(so.source, sn.source) AS source,
+             coalesce(so.bucket, sn.bucket) AS bucket,
+             coalesce(old_share, 0) AS old_share, coalesce(new_share, 0) AS new_share,
+             old_docs, new_docs
+           FROM so FULL OUTER JOIN sn ON so.source = sn.source AND so.bucket = sn.bucket),
+      d AS (SELECT source, bucket, new_share - old_share AS delta, old_docs, new_docs,
+             row_number() OVER (PARTITION BY source ORDER BY abs(new_share - old_share) DESC, bucket) AS rn
+           FROM j)
+      SELECT source, CAST(max(old_docs) AS BIGINT) AS old_docs,
+        CAST(max(new_docs) AS BIGINT) AS new_docs,
+        CAST(sum(abs(delta)) AS BIGINT) AS tv2_micro,
+        CAST(max(CASE WHEN rn = 1 THEN bucket END) AS BIGINT) AS worst_bucket,
+        CAST(max(CASE WHEN rn = 1 THEN delta END) AS BIGINT) AS worst_delta_micro
+      FROM d GROUP BY source"""
+
   val qualityDriftSql: String =
     s"""WITH v2 AS (
         SELECT doc_id, source, CASE WHEN doc_id % 13 = 0 THEN substr(text, 2) ELSE text END AS text
@@ -409,6 +478,20 @@ object Pipeline {
         qualityDrift(docs, v2)
       },
       Some(qualityDriftSql)),
+
+    QueryDef("q190_length_drift",
+      (s, d) => {
+        val docs = t(s, d, "documents").select("doc_id", "source", "text")
+        val v2 = docs.filter(expr("doc_id % 97 <> 0"))
+          .select(col("doc_id"), col("source"),
+            when(expr("doc_id % 13 = 0"), expr("substr(text, 2)"))
+              .otherwise(col("text")).as("text"))
+          .unionByName(docs.filter(expr("doc_id % 41 = 0"))
+            .select((col("doc_id") + lit(graft.ops.Dedup.EditInjOffset)).as("doc_id"),
+              col("source"), col("text")))
+        lengthDrift(docs, v2)
+      },
+      Some(lengthDriftSql)),
 
     QueryDef("q164_corpus_diff",
       (s, d) => {

@@ -629,6 +629,28 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q190 length drift: TV catches a mean-preserving shape split; identical versions read zero") {
+    import org.apache.spark.sql.functions._
+    def mk(rows: Seq[(Long, String, String)]) =
+      spark.createDataFrame(rows).toDF("doc_id", "source", "text")
+    // v1: two 8-token docs (bucket 4). v2: a 4-token + a 12-token doc —
+    // SAME total tokens (16) and doc count, so every mean-based view is
+    // flat, but the mass split across buckets 3 and 4: 2×TV = 1e6.
+    val v1 = mk(Seq((1L, "s", Seq.fill(8)("w").mkString(" ")),
+                    (2L, "s", Seq.fill(8)("w").mkString(" "))))
+    val v2 = mk(Seq((1L, "s", Seq.fill(4)("w").mkString(" ")),
+                    (2L, "s", Seq.fill(12)("w").mkString(" "))))
+    val r = Pipeline.lengthDrift(v1, v2).collect().head
+    assert(r.getAs[Long]("tv2_micro") == 1000000L)
+    assert(r.getAs[Long]("worst_bucket") == 3L) // |±500000| ties break bucket-asc
+    assert(r.getAs[Long]("worst_delta_micro") == 500000L)
+    // identical versions: zero drift, every source
+    Pipeline.lengthDrift(docs, docs).collect().foreach { row =>
+      assert(row.getAs[Long]("tv2_micro") == 0L)
+      assert(row.getAs[Long]("worst_delta_micro") == 0L)
+    }
+  }
+
   test("q72 packing: bins conserve tokens and docs per source; no bin starts past capacity runout") {
     import org.apache.spark.sql.functions._
     val bins = Corpus.packSequences(docs).collect()
