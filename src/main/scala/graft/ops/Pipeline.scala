@@ -337,6 +337,54 @@ object Pipeline {
         CAST(max(CASE WHEN rn = 1 THEN delta END) AS BIGINT) AS worst_delta_micro
       FROM d GROUP BY source"""
 
+  /** Crawl-refresh n-gram NOVELTY (q191): per source, how much of the
+    * new version's distinct 5-gram set is unseen ANYWHERE in the old
+    * corpus — the "did the refresh add content or just recrawl" line.
+    * q164 diffs documents by fingerprint (a doc with one changed line
+    * reads as 'changed'); this measures how much genuinely new TEXT
+    * arrived, robust to re-chunking/re-segmentation because 5-grams
+    * don't care where document boundaries fall. Grams ride as xxhash64
+    * int64s (the q99/q188 identity-only discipline; the oracle
+    * recomputes from strings); shape: two distinct-gram exchanges + one
+    * left-anti join on the gram key + source-bounded rollups. The
+    * quantized novelty ratio is exact-integer portable. */
+  def ngramNovelty(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
+    def grams(df: DataFrame) = df
+      .select(col("source"), split(col("text"), " ").as("toks"))
+      .select(col("source"), explode(expr(graft.ops.TextStats.gramsExpr(5))).as("gh"))
+    val v1 = grams(oldDocs).select("gh").distinct()
+    val v2 = grams(newDocs).distinct()
+    val novel = v2.join(v1, Seq("gh"), "left_anti")
+      .groupBy("source").agg(count(lit(1)).as("n_novel"))
+    v2.groupBy("source").agg(count(lit(1)).as("n_grams"))
+      .join(novel, Seq("source"), "left").na.fill(0L, Seq("n_novel"))
+      .withColumn("novelty_q", expr("(n_novel * 1000000L) div n_grams"))
+  }
+
+  val ngramNoveltySql: String = {
+    val gram5 = "CASE WHEN len(toks) >= 5 THEN list_transform(range(1, len(toks) - 3), " +
+      "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4]) ELSE [] END"
+    s"""WITH v2d AS (
+        SELECT doc_id, source, CASE WHEN doc_id % 13 = 0 THEN substr(text, 2) ELSE text END AS text
+        FROM documents WHERE doc_id % 97 <> 0
+        UNION ALL
+        SELECT doc_id + ${graft.ops.Dedup.EditInjOffset}, source, text
+        FROM documents WHERE doc_id % 41 = 0),
+      g1 AS (SELECT DISTINCT g FROM (
+          SELECT unnest($gram5) AS g
+          FROM (SELECT string_split(text, ' ') AS toks FROM documents) t) u),
+      g2 AS (SELECT DISTINCT source, g FROM (
+          SELECT source, unnest($gram5) AS g
+          FROM (SELECT source, string_split(text, ' ') AS toks FROM v2d) t) u),
+      nv AS (SELECT source, count(*) AS n_novel
+           FROM g2 ANTI JOIN g1 USING (g) GROUP BY source),
+      tg AS (SELECT source, count(*) AS n_grams FROM g2 GROUP BY source)
+      SELECT tg.source, CAST(tg.n_grams AS BIGINT) AS n_grams,
+        CAST(coalesce(nv.n_novel, 0) AS BIGINT) AS n_novel,
+        (CAST(coalesce(nv.n_novel, 0) AS BIGINT) * 1000000) // tg.n_grams AS novelty_q
+      FROM tg LEFT JOIN nv USING (source)"""
+  }
+
   val qualityDriftSql: String =
     s"""WITH v2 AS (
         SELECT doc_id, source, CASE WHEN doc_id % 13 = 0 THEN substr(text, 2) ELSE text END AS text
@@ -492,6 +540,20 @@ object Pipeline {
         lengthDrift(docs, v2)
       },
       Some(lengthDriftSql)),
+
+    QueryDef("q191_ngram_novelty",
+      (s, d) => {
+        val docs = t(s, d, "documents").select("doc_id", "source", "text")
+        val v2 = docs.filter(expr("doc_id % 97 <> 0"))
+          .select(col("doc_id"), col("source"),
+            when(expr("doc_id % 13 = 0"), expr("substr(text, 2)"))
+              .otherwise(col("text")).as("text"))
+          .unionByName(docs.filter(expr("doc_id % 41 = 0"))
+            .select((col("doc_id") + lit(graft.ops.Dedup.EditInjOffset)).as("doc_id"),
+              col("source"), col("text")))
+        ngramNovelty(docs, v2)
+      },
+      Some(ngramNoveltySql)),
 
     QueryDef("q164_corpus_diff",
       (s, d) => {

@@ -545,7 +545,7 @@ object TextStats {
     * string form was 1.5× slower at 100×); 64-bit collisions inside a
     * ≤10³-gram doc are negligible, and the oracle recomputes every count
     * from the STRING grams independently. */
-  private def gramsExpr(k: Int): String = {
+  private[ops] def gramsExpr(k: Int): String = {
     val parts = (0 until k).map(j => s"element_at(toks, i + $j)").mkString(", ")
     s"CASE WHEN size(toks) >= $k THEN transform(sequence(1, size(toks) - ${k - 1}), " +
       s"i -> xxhash64($parts)) ELSE CAST(array() AS ARRAY<BIGINT>) END"

@@ -651,6 +651,27 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q191 ngram novelty: identical = zero; concatenated docs cost only seam grams; fresh text counts full") {
+    import org.apache.spark.sql.functions._
+    def mk(rows: Seq[(Long, String, String)]) =
+      spark.createDataFrame(rows).toDF("doc_id", "source", "text")
+    val v1 = mk(Seq((1L, "s", "a b c d e f"), (2L, "s", "g h i j k l")))
+    // identical versions → novelty 0
+    val same = Pipeline.ngramNovelty(v1, v1).collect().head
+    assert(same.getAs[Long]("n_novel") == 0L && same.getAs[Long]("novelty_q") == 0L)
+    // a refresh that CONCATENATES the two docs re-chunks but adds no
+    // content: only the 4 seam-crossing 5-grams are novel (q164 would
+    // call the whole thing changed)
+    val cat = mk(Seq((1L, "s", "a b c d e f g h i j k l")))
+    val r = Pipeline.ngramNovelty(v1, cat).collect().head
+    assert(r.getAs[Long]("n_grams") == 8L) // 12 - 4 positions
+    assert(r.getAs[Long]("n_novel") == 4L, "only grams spanning the seam are new")
+    // genuinely fresh text counts in full
+    val fresh = mk(Seq((1L, "s", "a b c d e f"), (2L, "s", "p q r s t u")))
+    val f = Pipeline.ngramNovelty(v1, fresh).collect().head
+    assert(f.getAs[Long]("n_novel") == 2L && f.getAs[Long]("novelty_q") == 500000L)
+  }
+
   test("q72 packing: bins conserve tokens and docs per source; no bin starts past capacity runout") {
     import org.apache.spark.sql.functions._
     val bins = Corpus.packSequences(docs).collect()
