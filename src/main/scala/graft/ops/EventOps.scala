@@ -733,6 +733,103 @@ object EventOps {
           .as("attributed_cents"))
   }
 
+  /** Attribution-model comparison (q192): the SAME purchase windows as
+    * q150, allocated under three position rules — `linear` (q150's
+    * equal split, remainder to latest), `first_touch` (all cents to the
+    * earliest click), `last_touch` (all cents to the latest) — rolled up
+    * by click-position class (`first`/`middle`/`last`/`only`/`none`).
+    * The sensitivity view a channel-budget decision needs: if the three
+    * models disagree wildly, position effects dominate and the linear
+    * number alone is not safe to act on. Money math stays exact-integer
+    * cents; per model the position sums rebuild total purchase cents —
+    * conservation is structural, and the models agree by construction on
+    * `only` and `none` rows (spec-locked).
+    * Scale shape: q150's ONE user-keyed exchange (lag + range join +
+    * both rank windows run inside user partitions), then a stateless 3×
+    * model expand and a ≤15-key rollup. */
+  def attributionModels(ev: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val e = ev.select(col("event_id"), col("user_id"), col("event_type"),
+      col("value"), expr("ts DIV 1000").as("t_us"))
+    val wp = Window.partitionBy("user_id").orderBy(col("t_us"), col("event_id"))
+    val p = e.filter(col("event_type") === "purchase")
+      .withColumn("cents", (col("value").cast(DecimalType(12, 2)) * lit(100)).cast("long"))
+      .withColumn("prev_t", coalesce(lag(col("t_us"), 1).over(wp), lit(Long.MinValue)))
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("t_us").as("pt"), col("prev_t"), col("cents"))
+    val c = e.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("t_us").as("ct"))
+    val wr = Window.partitionBy("user_id", "purchase_id")
+    val j = p.join(c,
+      col("user_id") === col("c_user") && col("ct") >= col("prev_t") && col("ct") < col("pt"),
+      "left").drop("c_user")
+      .withColumn("n_clicks", count(col("click_id")).over(wr))
+      .withColumn("rn_desc", row_number().over(
+        wr.orderBy(col("ct").desc_nulls_last, col("click_id").desc_nulls_last)))
+      .withColumn("rn_asc", row_number().over(
+        wr.orderBy(col("ct").asc_nulls_last, col("click_id").asc_nulls_last)))
+      .withColumn("position",
+        when(col("click_id").isNull, lit("none"))
+          .when(col("n_clicks") === 1, lit("only"))
+          .when(col("rn_asc") === 1, lit("first"))
+          .when(col("rn_desc") === 1, lit("last"))
+          .otherwise(lit("middle")))
+      .withColumn("linear_cents",
+        when(col("click_id").isNull, col("cents"))
+          .otherwise(expr("cents div n_clicks") +
+            when(col("rn_desc") === 1, expr("cents % n_clicks")).otherwise(lit(0L))))
+      .withColumn("first_cents",
+        when(col("click_id").isNull, col("cents"))
+          .otherwise(when(col("rn_asc") === 1, col("cents")).otherwise(lit(0L))))
+      .withColumn("last_cents",
+        when(col("click_id").isNull, col("cents"))
+          .otherwise(when(col("rn_desc") === 1, col("cents")).otherwise(lit(0L))))
+    j.select(col("position"), explode(expr(
+        """array(named_struct('model', 'linear', 'c', linear_cents),
+                 named_struct('model', 'first_touch', 'c', first_cents),
+                 named_struct('model', 'last_touch', 'c', last_cents))""")).as("m"))
+      .select(col("m.model").as("model"), col("position"), col("m.c").as("c"))
+      .groupBy("model", "position")
+      .agg(sum("c").as("cents"), count(lit(1)).as("n_rows"))
+  }
+
+  val attributionModelsSql: String =
+    s"""WITH e AS (SELECT event_id, user_id, event_type, value, epoch_us(ts) AS t_us FROM events),
+      p AS (SELECT event_id AS purchase_id, user_id, t_us AS pt,
+              CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+              coalesce(lag(t_us) OVER (PARTITION BY user_id ORDER BY t_us, event_id),
+                       ${Long.MinValue}) AS prev_t
+            FROM e WHERE event_type = 'purchase'),
+      c AS (SELECT event_id AS click_id, user_id, t_us AS ct FROM e WHERE event_type = 'click'),
+      j AS (SELECT p.purchase_id, p.user_id, p.cents, c.click_id, c.ct
+            FROM p LEFT JOIN c ON p.user_id = c.user_id AND c.ct >= p.prev_t AND c.ct < p.pt),
+      r AS (SELECT *, count(click_id) OVER (PARTITION BY user_id, purchase_id) AS n_clicks,
+              row_number() OVER (PARTITION BY user_id, purchase_id
+                ORDER BY ct DESC NULLS LAST, click_id DESC NULLS LAST) AS rn_desc,
+              row_number() OVER (PARTITION BY user_id, purchase_id
+                ORDER BY ct ASC NULLS LAST, click_id ASC NULLS LAST) AS rn_asc
+            FROM j),
+      x AS (SELECT CASE WHEN click_id IS NULL THEN 'none'
+                   WHEN n_clicks = 1 THEN 'only'
+                   WHEN rn_asc = 1 THEN 'first'
+                   WHEN rn_desc = 1 THEN 'last'
+                   ELSE 'middle' END AS position,
+              CASE WHEN click_id IS NULL THEN cents
+                   ELSE cents // n_clicks + (CASE WHEN rn_desc = 1 THEN cents % n_clicks ELSE 0 END)
+                   END AS linear_cents,
+              CASE WHEN click_id IS NULL THEN cents
+                   WHEN rn_asc = 1 THEN cents ELSE 0 END AS first_cents,
+              CASE WHEN click_id IS NULL THEN cents
+                   WHEN rn_desc = 1 THEN cents ELSE 0 END AS last_cents
+            FROM r),
+      u AS (SELECT 'linear' AS model, position, linear_cents AS c FROM x
+            UNION ALL SELECT 'first_touch', position, first_cents FROM x
+            UNION ALL SELECT 'last_touch', position, last_cents FROM x)
+      SELECT model, position, CAST(sum(c) AS BIGINT) AS cents,
+        CAST(count(*) AS BIGINT) AS n_rows
+      FROM u GROUP BY model, position"""
+
   val attributionSql: String =
     s"""WITH e AS (SELECT event_id, user_id, event_type, value, epoch_us(ts) AS t_us FROM events),
       p AS (SELECT event_id AS purchase_id, user_id, t_us AS pt,
@@ -800,6 +897,10 @@ object EventOps {
     QueryDef("q150_attribution",
       (s, d) => attribution(events(s, d)),
       Some(attributionSql)),
+
+    QueryDef("q192_attribution_models",
+      (s, d) => attributionModels(events(s, d)),
+      Some(attributionModelsSql)),
 
     QueryDef("q151_mad_outliers",
       (s, d) => madOutliers(events(s, d)),

@@ -444,6 +444,41 @@ class OpsSpec extends AnyFunSuite {
     assert(dupClicks == 0L)
   }
 
+  test("q192 attribution models: every model conserves total cents; fixture allocations; position zeroes") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def ns(sec: Long) = sec * 1000000000L
+    // user 7: 3 clicks (10,20,30) then purchase 100c — linear 33/33/34,
+    // first-touch 100 to click 1, last-touch 100 to click 3.
+    // user 8: single-click purchase ('only') and a no-click purchase ('none').
+    val ev = Seq(
+      (1L, 7L, "click", 0.0, ns(10)), (2L, 7L, "click", 0.0, ns(20)),
+      (3L, 7L, "click", 0.0, ns(30)), (4L, 7L, "purchase", 1.00, ns(100)),
+      (5L, 8L, "click", 0.0, ns(10)), (6L, 8L, "purchase", 0.70, ns(50)),
+      (7L, 8L, "purchase", 0.30, ns(60))
+    ).toDF("event_id", "user_id", "event_type", "value", "ts")
+    val m = EventOps.attributionModels(ev).collect()
+      .map(r => (r.getAs[String]("model"), r.getAs[String]("position")) ->
+        r.getAs[Long]("cents")).toMap.withDefaultValue(0L)
+    // per-model conservation: 100 + 70 + 30 everywhere
+    Seq("linear", "first_touch", "last_touch").foreach { mod =>
+      val tot = Seq("first", "middle", "last", "only", "none").map(p => m((mod, p))).sum
+      assert(tot == 200L, s"$mod conserves: $tot")
+      assert(m((mod, "only")) == 70L && m((mod, "none")) == 30L,
+        "models agree on only/none by construction")
+    }
+    assert(m(("linear", "first")) == 33L && m(("linear", "middle")) == 33L
+      && m(("linear", "last")) == 34L)
+    assert(m(("first_touch", "first")) == 100L && m(("first_touch", "middle")) == 0L
+      && m(("first_touch", "last")) == 0L)
+    assert(m(("last_touch", "last")) == 100L && m(("last_touch", "first")) == 0L)
+    // real-corpus conservation: all three models rebuild q150's total
+    val full = EventOps.attributionModels(EventOps.events(spark, dir)).collect()
+    val byModel = full.groupBy(_.getAs[String]("model"))
+      .view.mapValues(_.map(_.getAs[Long]("cents")).sum).toMap
+    assert(byModel.values.toSet.size == 1, s"models must agree on the total: $byModel")
+  }
+
   test("mad outliers: catches the spike classic z-score dilutes away") {
     import spark.implicits._
     val ev = Seq(
