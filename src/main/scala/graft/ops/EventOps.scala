@@ -733,6 +733,70 @@ object EventOps {
           .as("attributed_cents"))
   }
 
+  /** User-activity concentration (q193): per event type, the exact Gini
+    * coefficient and top-1%/top-10% user shares of event volume — the
+    * bot-detection / platform-health card (organic traffic sits near
+    * Gini ~0.3–0.6; a scripted flood or a dead long tail pushes it
+    * toward 1). All integer-exact: Gini comes from the GROUPED
+    * count-of-counts distribution, not a per-user ranking — for users
+    * tied at activity level c occupying ranks [R+1, R+m], Σ rank·x over
+    * the group is c·(m·R + m(m+1)/2) in closed form, so the ranking
+    * window runs over (type × distinct-activity-level) rollup rows, NEVER
+    * over user-cardinality rows (a per-type total order of users is the
+    * single-partition sort this card must not pay at 100 TB). Top-k
+    * shares fall out of the same cumulative: take = min(m, max(0,
+    * k − usersAbove)). The only quantization wide enough to overflow
+    * int64 (gini_num·1e6 at web-scale n·S) runs through DECIMAL(38,0)
+    * in both engines. Shape: one (type, user) rollup — the only
+    * event-volume exchange — then a (type, c) rollup, a window over
+    * rollup rows, broadcast totals. */
+  def activityConcentration(ev: DataFrame): DataFrame = {
+    val ucnt = ev.groupBy("event_type", "user_id").agg(count(lit(1)).as("c"))
+    val grp = ucnt.groupBy("event_type", "c").agg(count(lit(1)).as("m"))
+    val tot = grp.groupBy("event_type")
+      .agg(sum("m").as("n"), sum(expr("m * c")).as("s"))
+    val w = Window.partitionBy("event_type").orderBy("c")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = grp.withColumn("cum", sum("m").over(w))
+      .join(broadcast(tot), "event_type")
+      .withColumn("isum_part", expr("c * (m * (cum - m) + (m * (m + 1)) div 2)"))
+      .withColumn("k10", expr("(n + 9) div 10"))
+      .withColumn("k1", expr("(n + 99) div 100"))
+      .withColumn("take10", expr("least(m, greatest(0L, k10 - (n - cum)))"))
+      .withColumn("take1", expr("least(m, greatest(0L, k1 - (n - cum)))"))
+    cum.groupBy("event_type").agg(
+      max("n").as("n_users"), max("s").as("n_events"),
+      sum("isum_part").as("isum"),
+      sum(expr("take10 * c")).as("top10_sum"),
+      sum(expr("take1 * c")).as("top1_sum"))
+      .withColumn("gini_micro", expr(
+        "CAST((CAST(2 * isum - (n_users + 1) * n_events AS DECIMAL(38,0)) * 1000000) div (n_users * n_events) AS BIGINT)"))
+      .withColumn("top10_micro", expr("(top10_sum * 1000000L) div n_events"))
+      .withColumn("top1_micro", expr("(top1_sum * 1000000L) div n_events"))
+      .select("event_type", "n_users", "n_events", "gini_micro",
+        "top10_micro", "top1_micro")
+  }
+
+  val activityConcentrationSql: String =
+    """WITH uc AS (SELECT event_type, user_id, count(*) AS c FROM events GROUP BY 1, 2),
+      g AS (SELECT event_type, c, count(*) AS m FROM uc GROUP BY 1, 2),
+      t AS (SELECT event_type, CAST(sum(m) AS BIGINT) AS n, CAST(sum(m * c) AS BIGINT) AS s
+            FROM g GROUP BY 1),
+      cw AS (SELECT g.event_type, g.c, g.m, t.n, t.s,
+              CAST(sum(g.m) OVER (PARTITION BY g.event_type ORDER BY g.c) AS BIGINT) AS cum
+            FROM g JOIN t USING (event_type)),
+      x AS (SELECT event_type, n, s,
+              c * (m * (cum - m) + (m * (m + 1)) // 2) AS isum_part,
+              least(m, greatest(0, (n + 9) // 10 - (n - cum))) * c AS top10_part,
+              least(m, greatest(0, (n + 99) // 100 - (n - cum))) * c AS top1_part
+            FROM cw)
+      SELECT event_type, CAST(max(n) AS BIGINT) AS n_users, CAST(max(s) AS BIGINT) AS n_events,
+        CAST((CAST(2 * sum(isum_part) - (max(n) + 1) * max(s) AS HUGEINT) * 1000000)
+          // (max(n) * max(s)) AS BIGINT) AS gini_micro,
+        CAST((CAST(sum(top10_part) AS BIGINT) * 1000000) // max(s) AS BIGINT) AS top10_micro,
+        CAST((CAST(sum(top1_part) AS BIGINT) * 1000000) // max(s) AS BIGINT) AS top1_micro
+      FROM x GROUP BY event_type"""
+
   /** Attribution-model comparison (q192): the SAME purchase windows as
     * q150, allocated under three position rules — `linear` (q150's
     * equal split, remainder to latest), `first_touch` (all cents to the
@@ -901,6 +965,10 @@ object EventOps {
     QueryDef("q192_attribution_models",
       (s, d) => attributionModels(events(s, d)),
       Some(attributionModelsSql)),
+
+    QueryDef("q193_activity_concentration",
+      (s, d) => activityConcentration(events(s, d)),
+      Some(activityConcentrationSql)),
 
     QueryDef("q151_mad_outliers",
       (s, d) => madOutliers(events(s, d)),

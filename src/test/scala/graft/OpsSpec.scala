@@ -479,6 +479,41 @@ class OpsSpec extends AnyFunSuite {
     assert(byModel.values.toSet.size == 1, s"models must agree on the total: $byModel")
   }
 
+  test("q193 activity concentration: uniform = 0; 99%-one-user fixture exact; grouped formula == per-user brute") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def mk(rows: Seq[(Long, Long)]) = rows.zipWithIndex.map { case ((u, reps), i) =>
+      (u, reps)
+    }.flatMap { case (u, reps) => (1L to reps).map(r => (u * 100000 + r, u, "view", 0.0, r * 1000000000L)) }
+      .toDF("event_id", "user_id", "event_type", "value", "ts")
+    // uniform: 4 users × 5 events — Gini exactly 0; top-10% = 1 of 4 users = 25%
+    val uni = EventOps.activityConcentration(mk(Seq((1L, 5L), (2L, 5L), (3L, 5L), (4L, 5L)))).collect().head
+    assert(uni.getAs[Long]("gini_micro") == 0L)
+    assert(uni.getAs[Long]("top10_micro") == 250000L)
+    // concentrated: 9 users × 1 + 1 user × 991 → hand-computed gini 0.8910
+    val conc = EventOps.activityConcentration(
+      mk((1L to 9L).map(u => (u, 1L)) :+ (10L, 991L))).collect().head
+    assert(conc.getAs[Long]("gini_micro") == 891000L)
+    assert(conc.getAs[Long]("top10_micro") == 991000L)
+    assert(conc.getAs[Long]("top1_micro") == 991000L)
+    // real corpus: grouped closed form == per-user brute force, every type
+    val got = EventOps.activityConcentration(EventOps.events(spark, dir)).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    val counts = EventOps.events(spark, dir).groupBy("event_type", "user_id")
+      .agg(count(lit(1)).as("c")).collect()
+      .groupBy(_.getAs[String]("event_type"))
+    counts.foreach { case (et, rows) =>
+      val xs = rows.map(_.getAs[Long]("c")).sorted
+      val n = xs.length.toLong; val s = xs.sum
+      val isum = xs.zipWithIndex.map { case (x, i) => (i + 1) * x }.sum
+      val gini = (BigInt(2 * isum - (n + 1) * s) * 1000000 / BigInt(n * s)).toLong
+      val k10 = (n + 9) / 10
+      val top10 = (xs.reverse.take(k10.toInt).sum * 1000000L) / s
+      assert(got(et).getAs[Long]("gini_micro") == gini, s"$et gini")
+      assert(got(et).getAs[Long]("top10_micro") == top10, s"$et top10")
+    }
+  }
+
   test("mad outliers: catches the spike classic z-score dilutes away") {
     import spark.implicits._
     val ev = Seq(
