@@ -434,6 +434,90 @@ object Sampling {
         capped
       FROM g"""
 
+  /** Documents drawn in a Neyman-allocated stratified sample. */
+  val NeymanBudget = 100L
+
+  /** Neyman allocation for a stratified sample: with a fixed budget of
+    * [[NeymanBudget]] documents and strata = sources, minimum-variance
+    * estimation of a per-document metric (token count) wants n_h ∝
+    * N_h·σ_h — oversample the big AND the high-variance sources
+    * (Neyman 1934; the survey-sampling classic every eval-set builder
+    * reinvents). Kept integer-exact across engines via the identity
+    * N_h·σ_h = sqrt(N_h·Σx² − (Σx)²): ONE sqrt of an exact integer
+    * (correctly rounded on both engines, and floor(sqrt(V)) is exact
+    * for V < 2⁵² because |sqrt(V)−k| ≥ 1/(2k) ≫ ulp), then seats by
+    * largest remainder on BIGINT weights — Σalloc == budget exactly.
+    * `alloc_prop` is the proportional allocation (weight = N_h) through
+    * the same seat machinery, so the output is the side-by-side card a
+    * sampling owner reads to see what variance-awareness changes.
+    *
+    * Scale shape: one map-side-combined groupBy(source) over the corpus
+    * (count/sum/sum-of-squares partials); every window after it runs on
+    * SOURCE-COUNT rows (tens) — the single-partition OVER () frames are
+    * deliberate, never on a corpus-sized frame. At 100 TB the Σx²
+    * partial is the only thing that grows: x ≤ ~10⁶ tokens keeps the
+    * per-stratum BIGINT sum safe to ~10⁹ docs per source. */
+  def neymanAlloc(spark: org.apache.spark.sql.SparkSession, dir: String,
+      budget: Long = NeymanBudget): DataFrame =
+    neymanAllocFromMoments(
+      t(spark, dir, "documents")
+        .select(col("source"), size(split(col("text"), " ")).cast("long").as("x"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("x").as("sx"),
+          sum(expr("x * x")).as("sxx")),
+      budget)
+
+  /** The allocation over an already-aggregated (source, n_docs, sx, sxx)
+    * frame — split out so PropertySpec can drive it against a
+    * plain-Scala reference on random moment tables. */
+  def neymanAllocFromMoments(m: DataFrame, budget: Long): DataFrame =
+    m.withColumn("w_neyman", expr(
+        "CAST(floor(sqrt(CAST(n_docs * sxx - sx * sx AS DOUBLE))) AS BIGINT)"))
+      // zero-variance corpus (every stratum constant) → Σw = 0; fall
+      // back to proportional rather than divide by zero
+      .withColumn("wn", expr(
+        "CASE WHEN sum(w_neyman) OVER () = 0 THEN n_docs ELSE w_neyman END"))
+      .withColumn("tw", expr("sum(wn) OVER ()"))
+      .withColumn("tn", expr("sum(n_docs) OVER ()"))
+      .withColumn("fl", expr(s"($budget * wn) div tw"))
+      .withColumn("rem", expr(s"($budget * wn) % tw"))
+      .withColumn("flp", expr(s"($budget * n_docs) div tn"))
+      .withColumn("remp", expr(s"($budget * n_docs) % tn"))
+      .withColumn("rk", expr("row_number() OVER (ORDER BY rem DESC, source)"))
+      .withColumn("rkp", expr("row_number() OVER (ORDER BY remp DESC, source)"))
+      .withColumn("alloc", expr(s"fl + (CASE WHEN rk <= $budget - sum(fl) OVER () THEN 1 ELSE 0 END)"))
+      .withColumn("alloc_prop", expr(s"flp + (CASE WHEN rkp <= $budget - sum(flp) OVER () THEN 1 ELSE 0 END)"))
+      .select("source", "n_docs", "sx", "w_neyman", "alloc", "alloc_prop")
+
+  def neymanAllocSql(budget: Long = NeymanBudget, table: String = "documents"): String =
+    s"""WITH m AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sx,
+          CAST(SUM(len(string_split(text, ' ')) * len(string_split(text, ' '))) AS BIGINT) AS sxx
+        FROM $table GROUP BY 1),
+      w AS (SELECT *, CAST(floor(sqrt(CAST(n_docs * sxx - sx * sx AS DOUBLE))) AS BIGINT) AS w_neyman
+        FROM m),
+      w2 AS (SELECT *, CAST(CASE WHEN SUM(w_neyman) OVER () = 0
+            THEN n_docs ELSE w_neyman END AS BIGINT) AS wn
+        FROM w),
+      s AS (SELECT *,
+          CAST(SUM(wn) OVER () AS BIGINT) AS tw,
+          CAST(SUM(n_docs) OVER () AS BIGINT) AS tn
+        FROM w2),
+      f AS (SELECT *,
+          ($budget * wn) // tw AS fl, ($budget * wn) % tw AS rem,
+          ($budget * n_docs) // tn AS flp, ($budget * n_docs) % tn AS remp
+        FROM s),
+      r AS (SELECT *,
+          row_number() OVER (ORDER BY rem DESC, source) AS rk,
+          row_number() OVER (ORDER BY remp DESC, source) AS rkp,
+          CAST(SUM(fl) OVER () AS BIGINT) AS sfl,
+          CAST(SUM(flp) OVER () AS BIGINT) AS sflp
+        FROM f)
+      SELECT source, n_docs, sx, w_neyman,
+        CAST(fl + (CASE WHEN rk <= $budget - sfl THEN 1 ELSE 0 END) AS BIGINT) AS alloc,
+        CAST(flp + (CASE WHEN rkp <= $budget - sflp THEN 1 ELSE 0 END) AS BIGINT) AS alloc_prop
+      FROM r"""
+
   /** Per-epoch training-order manifest: expand the epoch counts of
     * [[sourceMixEpochs]] (q102) into one row per (document, epoch) with
     * a FRESH shuffle key per epoch — `md5("epoch:" e ":" doc_id)` — so
@@ -611,6 +695,10 @@ object Sampling {
     QueryDef("q135_unimax_alloc",
       (s, d) => unimaxAlloc(s, d),
       Some(unimaxAllocSql())),
+
+    QueryDef("q194_neyman_alloc",
+      (s, d) => neymanAlloc(s, d),
+      Some(neymanAllocSql())),
 
     QueryDef("q147_length_matched_sample",
       (s, d) => lengthMatchedSample(s, d),

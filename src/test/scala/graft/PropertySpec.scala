@@ -191,6 +191,52 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("neyman allocation == plain-Scala largest-remainder reference (random strata)") {
+    val spark = SparkSpec.spark
+    import spark.implicits._
+    val stratum: Gen[List[Long]] = Gen.oneOf(
+      Gen.choose(1, 12).flatMap(n => Gen.listOfN(n, Gen.choose(1L, 50L))),
+      // zero-variance stratum: constant length
+      Gen.choose(1, 6).flatMap(n => Gen.choose(1L, 50L).map(v => List.fill(n)(v))))
+    val gen: Gen[(Long, List[(String, List[Long])])] = for {
+      k <- Gen.choose(1, 8)
+      xs <- Gen.listOfN(k, stratum)
+      budget <- Gen.choose(1L, 500L)
+      allConst <- Gen.prob(0.15) // sometimes force the Σw=0 fallback path
+    } yield (budget,
+      xs.zipWithIndex.map { case (l, i) =>
+        (s"s$i", if (allConst) l.map(_ => 7L) else l) })
+    def seats(names: Seq[String], w: Map[String, Long], budget: Long): Map[String, Long] = {
+      val tw = names.map(w).sum
+      val fl = names.map(s => s -> (budget * w(s)) / tw).toMap
+      val rem = names.map(s => s -> (budget * w(s)) % tw).toMap
+      val extra = budget - fl.values.sum
+      names.sortBy(s => (-rem(s), s)).zipWithIndex
+        .map { case (s, i) => s -> (fl(s) + (if (i < extra) 1L else 0L)) }.toMap
+    }
+    forAll(gen, n = 40) { case (budget, strata) =>
+      val ms = strata.map { case (s, xs) =>
+        (s, xs.size.toLong, xs.sum, xs.map(x => x * x).sum) }
+      val names = ms.map(_._1)
+      val wNey = ms.map { case (s, n, sx, sxx) =>
+        s -> math.floor(math.sqrt((n * sxx - sx * sx).toDouble)).toLong }.toMap
+      val wUsed = if (names.map(wNey).sum == 0L)
+        ms.map { case (s, n, _, _) => s -> n }.toMap else wNey
+      val refN = seats(names, wUsed, budget)
+      val refP = seats(names, ms.map { case (s, n, _, _) => s -> n }.toMap, budget)
+      val out = graft.ops.Sampling.neymanAllocFromMoments(
+          ms.toDF("source", "n_docs", "sx", "sxx"), budget).collect()
+        .map(r => r.getAs[String]("source") ->
+          (r.getAs[Long]("w_neyman"), r.getAs[Long]("alloc"), r.getAs[Long]("alloc_prop")))
+        .toMap
+      assert(out.view.mapValues(_._1).toMap == wNey, s"weights differ: $ms")
+      assert(out.view.mapValues(_._2).toMap == refN, s"neyman alloc differs: $ms budget=$budget")
+      assert(out.view.mapValues(_._3).toMap == refP, s"prop alloc differs: $ms budget=$budget")
+      assert(out.values.map(_._2).sum == budget && out.values.map(_._3).sum == budget,
+        "both allocations spend the budget exactly")
+    }
+  }
+
   test("winnowing guarantee: a planted >= w+k-1 token run is caught in both docs (random)") {
     val spark = SparkSpec.spark
     import spark.implicits._
