@@ -442,6 +442,69 @@ object TextStats {
         CAST(SUM(CASE WHEN clf = rules THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS agree_rate
       FROM v GROUP BY source"""
 
+  /** Exact ROC AUC of the hashed classifier (q152) scored against the
+    * rule gate (q39) as ground truth, per source — the one number that
+    * says whether the learned score RANKS quality the way the rules
+    * judge it, before any threshold is picked (q172 audits one
+    * threshold; this audits the whole score). Tie-aware Mann–Whitney
+    * over the GROUPED (score level, label) distribution: with levels
+    * ascending, 2U = Σ_s pos_s·(2·negBelow_s + neg_s) (half credit for
+    * ties), AUC = U/(P·N). The score level is the micro-quantized mean
+    * weight `(score_int·10⁶) div n` — integer on both engines, so the
+    * grouping key and the ranking are bit-identical; the final
+    * quantization rides DECIMAL(38,0) because 2U·10⁶ can pass int64 at
+    * corpus scale (the q193 guard).
+    *
+    * Scale shape: one stateless signal projection, ONE
+    * (source × level)-keyed partial-agg exchange, then windows/rollups
+    * over distinct-level rows only — never a per-document rank. */
+  def classifierAuc(docs: DataFrame): DataFrame =
+    aucFromScored(docs.select(col("source") +: signalCols :+
+      expr("CAST(size(split(text, ' ')) AS BIGINT)").as("n") :+
+      expr(s"aggregate(split(text, ' '), 0L, (acc, t) -> acc + (${weightSparkExpr("t")}))").as("score_int"): _*)
+      .select(col("source"), expr("(score_int * 1000000L) div n").as("lvl"),
+        expr(s"CASE WHEN $QualityPassCond THEN 1L ELSE 0L END").as("pos")))
+
+  /** The rank-sum core over an already-scored (source, lvl, pos ∈ {0,1})
+    * frame — split out so PropertySpec can drive it against a
+    * brute-force all-pairs AUC on random scores. */
+  def aucFromScored(scored: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("lvl")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    scored.groupBy("source", "lvl")
+      .agg(sum("pos").as("np"), sum(expr("1 - pos")).as("ng"))
+      .withColumn("cumg", sum("ng").over(w))
+      .groupBy("source").agg(
+        sum("np").as("n_pos"), sum("ng").as("n_neg"),
+        sum(expr("np * (2 * (cumg - ng) + ng)")).as("u2"))
+      .withColumn("auc_micro", expr(
+        """CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
+           ELSE CAST((CAST(u2 AS DECIMAL(38,0)) * 1000000) div (2 * n_pos * n_neg) AS BIGINT) END"""))
+      .select("source", "n_pos", "n_neg", "auc_micro")
+  }
+
+  val classifierAucSql: String =
+    s"""WITH sig AS (SELECT source, $scoreSignalsDuck, $sumLenDuck,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+          CAST(list_sum(list_transform(string_split(text, ' '),
+            t -> ${weightDuckExpr("t")})) AS BIGINT) AS score_int
+        FROM documents),
+      v AS (SELECT source, (score_int * 1000000) // n AS lvl,
+          CASE WHEN $QualityPassCond THEN 1 ELSE 0 END AS pos
+        FROM sig),
+      g AS (SELECT source, lvl, CAST(SUM(pos) AS BIGINT) AS np,
+          CAST(SUM(1 - pos) AS BIGINT) AS ng
+        FROM v GROUP BY 1, 2),
+      c AS (SELECT *, CAST(SUM(ng) OVER (PARTITION BY source ORDER BY lvl) AS BIGINT) AS cumg
+        FROM g)
+      SELECT source, CAST(SUM(np) AS BIGINT) AS n_pos, CAST(SUM(ng) AS BIGINT) AS n_neg,
+        CASE WHEN SUM(np) = 0 OR SUM(ng) = 0 THEN NULL
+          ELSE CAST((CAST(SUM(np * (2 * (cumg - ng) + ng)) AS HUGEINT) * 1000000)
+            // (2 * SUM(np) * SUM(ng)) AS BIGINT) END AS auc_micro
+      FROM c GROUP BY source"""
+
   /** Per-source language purity (q183): the heuristically-dominant
     * language of each source (deterministic count+argmax, the q76 mode
     * discipline — ties break by lang asc) and its share — the one-line
@@ -699,6 +762,10 @@ object TextStats {
     QueryDef("q172_classifier_agreement",
       (s, d) => classifierAgreement(t(s, d, "documents")),
       Some(classifierAgreementSql)),
+
+    QueryDef("q195_classifier_auc",
+      (s, d) => classifierAuc(t(s, d, "documents")),
+      Some(classifierAucSql)),
 
     QueryDef("q179_classifier_calibration",
       (s, d) => classifierCalibration(t(s, d, "documents")),

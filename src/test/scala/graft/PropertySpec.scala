@@ -237,6 +237,43 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("grouped rank-sum AUC == brute-force all-pairs AUC with half-credit ties (random)") {
+    val spark = SparkSpec.spark
+    import spark.implicits._
+    val gen: Gen[List[(String, Long, Long)]] = for {
+      k <- Gen.choose(1, 3)
+      n <- Gen.choose(2, 60)
+      rows <- Gen.listOfN(n, for {
+        src <- Gen.choose(0, k - 1).map(i => s"s$i")
+        lvl <- Gen.choose(-5L, 5L) // narrow range → heavy ties
+        pos <- Gen.oneOf(0L, 1L)
+      } yield (src, lvl, pos))
+    } yield rows
+    forAll(gen, n = 40) { rows =>
+      val out = graft.ops.TextStats.aucFromScored(
+          rows.toDF("source", "lvl", "pos")).collect()
+        .map(r => r.getAs[String]("source") ->
+          (r.getAs[Long]("n_pos"), r.getAs[Long]("n_neg"),
+            Option(r.get(r.fieldIndex("auc_micro"))).map(_.asInstanceOf[Long])))
+        .toMap
+      rows.groupBy(_._1).foreach { case (src, rs) =>
+        val posL = rs.filter(_._3 == 1L).map(_._2)
+        val negL = rs.filter(_._3 == 0L).map(_._2)
+        val (p, n) = (posL.size.toLong, negL.size.toLong)
+        val expected =
+          if (p == 0 || n == 0) None
+          else {
+            // brute force: 2U = Σ_pairs (2·[pos>neg] + [pos==neg])
+            val u2 = (for (a <- posL; b <- negL)
+              yield if (a > b) 2L else if (a == b) 1L else 0L).sum
+            Some((BigInt(u2) * 1000000 / (2 * p * n)).toLong)
+          }
+        assert(out(src) == ((p, n, expected)),
+          s"src=$src rows=$rs got=${out(src)} want=${(p, n, expected)}")
+      }
+    }
+  }
+
   test("winnowing guarantee: a planted >= w+k-1 token run is caught in both docs (random)") {
     val spark = SparkSpec.spark
     import spark.implicits._
