@@ -1216,6 +1216,92 @@ object Similarity {
       SELECT label, CAST(rank AS BIGINT) AS rank, vec_id, sim
       FROM r WHERE rank <= $k"""
 
+  /** Centroid-form silhouette per label (q196): how separable the label
+    * clusters are in embedding space — for each vector, a = cosine
+    * distance to its OWN label centroid, b = distance to the NEAREST
+    * OTHER label centroid, s = (b−a)/max(a,b) — algebraically
+    * (sim_own − sim_other)/(1 − min(sim_own, sim_other)). The classic
+    * simplified silhouette (centroids instead of all-pairs — the only
+    * form that scales; exact silhouette is O(n²)). Reported per label:
+    * mean silhouette (micro-quantized) and the count of NEGATIVE rows
+    * (closer to a foreign centroid than their own — the label-noise
+    * set q122 ranks). Centroids are q61's exact truncated-mean integer
+    * vectors; all dots ride `quantized_dot`, so per-row doubles are
+    * bit-identical across engines, and per-row FLOOR-micro quantization
+    * happens BEFORE the label rollup so every aggregate is an
+    * order-free integer sum (a mean of raw doubles would be
+    * partial-agg-order-dependent — not hash-stable).
+    *
+    * Scale shape: one (label × dim)-keyed centroid exchange (labels·dim
+    * rows out), centroids collected driver-side (labels·dim longs —
+    * driver-bounded, the coarse-trainer pattern) and baked as literals
+    * into ONE stateless projection over the scan, then one label-keyed
+    * partial-agg rollup. No per-vector exchange anywhere. */
+  def labelSilhouette(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val q = quantized(spark, dir)
+    val cents: Seq[(Int, Seq[Long], Long)] = q
+      .select(col("label"), posexplode(col("qv")).as(Seq("pos", "x")))
+      .groupBy("label", "pos")
+      .agg(sum("x").as("s"), count(lit(1)).as("cnt"))
+      .select(col("label"), col("pos"), expr("s DIV cnt").as("m"))
+      .as[(Int, Int, Long)].collect() // labels·dim rows — driver-bounded
+      .groupBy(_._1).toSeq.map { case (l, rows) =>
+        val cv = rows.sortBy(_._2).map(_._3).toSeq
+        (l, cv, cv.map(x => x * x).sum)
+      }.sortBy(_._1)
+    val simFor = cents.map { case (l, cv, nc) =>
+      val arr = cv.mkString("array(", ",", ")")
+      l -> (s"coalesce(try_divide(CAST(quantized_dot(qv, CAST($arr AS ARRAY<BIGINT>)) AS DOUBLE), " +
+        s"sqrt(CAST(nrm AS DOUBLE)) * sqrt(CAST(${nc}L AS DOUBLE))), CAST('-Infinity' AS DOUBLE))")
+    }
+    val ownExpr = simFor.map { case (l, e) => s"WHEN $l THEN $e" }
+      .mkString("CASE label ", " ", " END")
+    val otherExpr = simFor.map { case (l, e) =>
+      s"CASE WHEN label = $l THEN CAST('-Infinity' AS DOUBLE) ELSE $e END"
+    }.mkString("greatest(", ", ", ")")
+    q.select(col("label"), expr(ownExpr).as("sim_own"), expr(otherExpr).as("sim_other"))
+      .withColumn("s_micro", expr(
+        """CAST(floor(1000000 * (CASE
+             WHEN sim_other = CAST('-Infinity' AS DOUBLE) THEN 0.0D
+             WHEN 1.0D - least(sim_own, sim_other) = 0.0D THEN 0.0D
+             ELSE (sim_own - sim_other) / (1.0D - least(sim_own, sim_other)) END)) AS BIGINT)"""))
+      .groupBy("label").agg(
+        count(lit(1)).as("n_vecs"),
+        expr("CAST(sum(s_micro) div count(1) AS BIGINT)").as("mean_sil_micro"),
+        expr("CAST(count_if(s_micro < 0) AS BIGINT)").as("n_negative"))
+      .select("label", "n_vecs", "mean_sil_micro", "n_negative")
+  }
+
+  val labelSilhouetteSql: String =
+    s"""WITH q AS (SELECT vec_id, label, $quantSql AS qv FROM embeddings),
+      n AS (SELECT vec_id, label, qv,
+              list_sum(list_transform(qv, x -> x * x)) AS nrm FROM q),
+      m AS (SELECT label, unnest(range(1, len(qv) + 1)) AS pos, unnest(qv) AS x FROM q),
+      s AS (SELECT label, pos, SUM(x) AS sm, COUNT(*) AS cnt FROM m GROUP BY 1, 2),
+      c AS (SELECT label, list(sm // cnt ORDER BY pos) AS cv FROM s GROUP BY label),
+      cn AS (SELECT label AS clabel, cv,
+              list_sum(list_transform(cv, x -> x * x)) AS nc FROM c),
+      sc AS (SELECT n.vec_id, n.label, cn.clabel,
+               CAST(list_sum(list_transform(range(1, len(n.qv) + 1),
+                 i -> n.qv[i] * cn.cv[i])) AS DOUBLE)
+                 / (sqrt(CAST(n.nrm AS DOUBLE)) * sqrt(CAST(cn.nc AS DOUBLE))) AS sim
+             FROM n CROSS JOIN cn),
+      agg AS (SELECT vec_id, label,
+               MAX(CASE WHEN clabel = label THEN sim END) AS sim_own,
+               MAX(CASE WHEN clabel <> label THEN sim END) AS sim_other
+             FROM sc GROUP BY 1, 2),
+      sil AS (SELECT label,
+               CAST(floor(1000000 * (CASE
+                 WHEN sim_other IS NULL THEN 0.0
+                 WHEN 1.0 - least(sim_own, sim_other) = 0.0 THEN 0.0
+                 ELSE (sim_own - sim_other) / (1.0 - least(sim_own, sim_other)) END)) AS BIGINT) AS s_micro
+             FROM agg)
+      SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+        CAST(SUM(s_micro) // count(*) AS BIGINT) AS mean_sil_micro,
+        CAST(count_if(s_micro < 0) AS BIGINT) AS n_negative
+      FROM sil GROUP BY label"""
+
   /** SemDeDup threshold: testdata cosines top out near 0.51, with a thin
     * >= 0.4 tail — the same cut as the q44 exact near-dup query, so the
     * two operators' drop sets are directly comparable. */
@@ -1507,6 +1593,10 @@ object Similarity {
     QueryDef("q122_label_outliers",
       (s, d) => labelOutliers(s, d),
       Some(labelOutliersSql())),
+
+    QueryDef("q196_label_silhouette",
+      (s, d) => labelSilhouette(s, d),
+      Some(labelSilhouetteSql)),
 
     QueryDef("q44_embed_near_dup",
       (s, d) => nearDupPairs(s, d, 0.4),
