@@ -1175,6 +1175,19 @@ object Corpus {
                'phrase', concat_ws(' ', toks[i - 1], toks[i], toks[i + 1]))) END""")).as("g"))
       .select(col("doc_id"), col("g.pos").as("pos"), col("g.phrase").as("phrase"))
 
+  /** The positional trigram stream over `<dir>/documents.parquet`, mined
+    * ONCE per corpus version and persisted ([[Memo.persistedFrame]] —
+    * the persistedIvfIndexDir discipline): at 100x the stream mine is
+    * token-volume (~31 s) and BOTH q115 and q178 were re-paying it.
+    * This IS the positional index materialization the q115 Scaladoc
+    * points at ("at index time you'd materialize the stream") — a
+    * deployment would additionally bucket it by phrase; here one
+    * parquet suffices and consumers pay a 3-column scan. */
+  private[graft] def trigramStreamPersisted(spark: SparkSession,
+      dir: String): DataFrame =
+    Memo.persistedFrame(spark, dir, "documents", "tri-stream")(
+      trigramStream(t(spark, dir, "documents")))
+
   /** Positional phrase search (q115): all documents containing an exact
     * consecutive 3-token phrase, with hit count and first position — the
     * phrase-query capability a positional inverted index exists for. The
@@ -1195,10 +1208,11 @@ object Corpus {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_hits"), min("pos").as("first_pos"))
 
-  /** The q115 query: search for the corpus's top trigram. */
+  /** The q115 query: search for the corpus's top trigram. Reads the
+    * persisted stream — the mine runs once per corpus version, shared
+    * with q178. */
   def topPhraseSearch(spark: SparkSession, dir: String): DataFrame = {
-    val docs = t(spark, dir, "documents")
-    val stream = trigramStream(docs).localCheckpoint() // mined AND searched
+    val stream = trigramStreamPersisted(spark, dir)
     val top = stream.groupBy("phrase").agg(count(lit(1)).as("n_total"))
       .orderBy(col("n_total").desc, col("phrase")).limit(1)
     stream.join(broadcast(top.select("phrase")), "phrase")
@@ -1231,7 +1245,7 @@ object Corpus {
   def searchSnippets(spark: SparkSession, dir: String,
       ctx: Int = SnippetCtx): DataFrame = {
     val docs = t(spark, dir, "documents")
-    val stream = trigramStream(docs).localCheckpoint() // mined AND searched
+    val stream = trigramStreamPersisted(spark, dir) // shared with q115
     val top = stream.groupBy("phrase").agg(count(lit(1)).as("n_total"))
       .orderBy(col("n_total").desc, col("phrase")).limit(1)
     val hits = stream.join(broadcast(top.select("phrase")), "phrase")

@@ -1,0 +1,64 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Content-fingerprint memoization for shared heavy intermediates — the
+  * generalization of [[Similarity.persistedIvfIndexDir]]'s pattern (which
+  * turned four 53.5 s index builds into one 65.8 s family at 100x).
+  *
+  * An "artifact" is any derived frame that (a) is expensive to compute,
+  * (b) is consumed by several independent queries, and (c) is a pure
+  * function of one input table's CONTENT. Such a frame is computed once
+  * per corpus version, written to a deterministic scratch path, and
+  * loaded by every consumer; the cache key carries a cheap content
+  * fingerprint of the input parquet (total bytes + max mtime over its
+  * files), so overwriting the corpus — even with an equal row count —
+  * invalidates the entry instead of serving stale rows.
+  *
+  * This mirrors the production deployment shape at 100 TB: a pipeline
+  * DAG materializes classifier scores / positional indexes / trained
+  * centroids once per ingest version in a shared store, and downstream
+  * jobs read the artifact instead of re-folding the corpus. The in-JVM
+  * map here stands in for that store's catalog: one build per JVM per
+  * corpus version, consumers pay a parquet scan.
+  *
+  * Correctness contract: the builder and the direct (un-persisted) form
+  * share the SAME construction code, so consumer oracles are unchanged —
+  * the driver's hash compare is the gate that the persisted path is
+  * answer-identical.
+  */
+object Memo {
+
+  private val cache = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Cheap content fingerprint of `<dir>/<table>.parquet`: total bytes +
+    * max mtime over its files. Listing a local path costs microseconds
+    * against a multi-second fold; remote paths (no local File view) fall
+    * back to the path string, i.e. build-once-per-JVM behavior. */
+  private[graft] def fingerprint(dir: String, table: String): String = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles()).fold(Seq.empty[java.io.File])(_.toSeq.flatMap(walk))
+      else Seq(f)
+    val root = new java.io.File(s"$dir/$table.parquet")
+    val fs = if (root.exists()) walk(root) else Seq.empty
+    if (fs.isEmpty) s"$dir/$table"
+    else s"$dir/$table@${fs.map(_.length()).sum}:${fs.map(_.lastModified()).max}"
+  }
+
+  /** The artifact `name` derived from `<dir>/<table>.parquet`: built and
+    * written once per (JVM, corpus version), loaded thereafter. The
+    * scratch path is deterministic per (name, dir), so a fresh JVM
+    * overwrites rather than accumulates. */
+  def persistedFrame(spark: SparkSession, dir: String, table: String,
+      name: String)(build: => DataFrame): DataFrame = {
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft-memo-$name-" +
+      dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    cache.getOrElseUpdate(s"${fingerprint(dir, table)}->$name->$path", {
+      build.write.mode("overwrite").parquet(path); path
+    })
+    spark.read.parquet(path)
+  }
+
+  /** Test hook: drop all entries (forces rebuilds). */
+  private[graft] def clear(): Unit = cache.clear()
+}

@@ -304,19 +304,46 @@ object TextStats {
   private def weightDuckExpr(tok: String): String =
     s"CAST(('0x' || substr(md5('w:' || CAST((CAST(('0x' || substr(md5($tok), 1, 4)) AS BIGINT) % $ClfBuckets) AS VARCHAR)), 1, 4)) AS BIGINT) % 41 - 20"
 
-  /** Linear scorer over hashed token features. Entirely ONE stateless
-    * codegen'd projection per row — the token→bucket→weight chain runs
-    * inside an array-aggregate lambda, so there is no explode, no
-    * distinct-token frame, and NO exchange anywhere in the plan (the
+  /** The ONE fold every classifier consumer shares: per doc, the hashed
+    * linear score (`score_int` — the md5-per-token chain, the suite's
+    * single most expensive stateless projection) and the rule-gate
+    * verdict (`rules`, q39's [[QualityPassCond]] over the four signal
+    * folds). q152/q172/q179/q195 are all pure arithmetic over this
+    * frame — so in a suite run it is computed ONCE per corpus version
+    * via [[clfScoredPersisted]] and each consumer pays a 5-column
+    * parquet scan instead of re-folding every token (the
+    * [[Memo]]/persistedIvfIndexDir discipline; at 100x the fold was
+    * ~30 s per consumer, ~100 s of pure recomputation). One stateless
+    * codegen'd projection per row; no exchange anywhere. */
+  private[graft] def clfScored(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id") +: col("source") +: signalCols :+
+      expr(s"aggregate(split(text, ' '), 0L, (acc, t) -> acc + (${weightSparkExpr("t")}))").as("score_int"): _*)
+      .withColumn("rules", expr(QualityPassCond))
+      .select("doc_id", "source", "n_tokens", "score_int", "rules")
+
+  /** [[clfScored]] over `<dir>/documents.parquet`, built once per corpus
+    * version and persisted ([[Memo.persistedFrame]]); every classifier
+    * consumer below loads this. Oracles are unchanged — they recompute
+    * from text, and the driver's hash compare gates identity. */
+  private[graft] def clfScoredPersisted(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    Memo.persistedFrame(spark, dir, "documents", "clf-scored")(
+      clfScored(t(spark, dir, "documents")))
+
+  /** Linear scorer over hashed token features (q152). Entirely ONE
+    * stateless codegen'd projection per row — the token→bucket→weight
+    * chain runs inside an array-aggregate lambda, so there is no explode,
+    * no distinct-token frame, and NO exchange anywhere in the plan (the
     * whole operator pipelines inside the scan stage). `keep` is an
     * integer-arithmetic threshold on the mean weight (score*5 >= n_toks
     * ⇔ mean >= 0.2) — no float boundary. */
   def hashedClassifier(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), col("source"),
-      split(col("text"), " ").as("toks"))
-      .select(col("doc_id"), col("source"),
-        expr("CAST(size(toks) AS BIGINT)").as("n_toks"),
-        expr(s"aggregate(toks, 0L, (acc, t) -> acc + (${weightSparkExpr("t")}))").as("score_int"))
+    hashedClassifierFrom(clfScored(docs))
+
+  /** q152's report off the shared scored frame. */
+  private[graft] def hashedClassifierFrom(scored: DataFrame): DataFrame =
+    scored.select(col("doc_id"), col("source"),
+      col("n_tokens").as("n_toks"), col("score_int"))
       .withColumn("mean_w", col("score_int").cast("double") / col("n_toks"))
       .withColumn("keep", col("score_int") * 5 >= col("n_toks"))
 
@@ -411,12 +438,13 @@ object TextStats {
     * with the rules — the rows a human reviews. One stateless projection
     * computing BOTH verdicts per row (shared signal columns), one
     * source-keyed partial-agg rollup. */
-  def classifierAgreement(docs: DataFrame): DataFrame = {
-    val sig = docs.select(col("source") +: signalCols :+
-      expr("CAST(size(split(text, ' ')) AS BIGINT)").as("n") :+
-      expr(s"aggregate(split(text, ' '), 0L, (acc, t) -> acc + (${weightSparkExpr("t")}))").as("score_int"): _*)
-      .withColumn("clf", col("score_int") * 5 >= col("n"))
-      .withColumn("rules", expr(QualityPassCond))
+  def classifierAgreement(docs: DataFrame): DataFrame =
+    classifierAgreementFrom(clfScored(docs))
+
+  /** q172 off the shared scored frame: both verdicts are arithmetic over
+    * (n_tokens, score_int, rules) — no token fold here at all. */
+  private[graft] def classifierAgreementFrom(scored: DataFrame): DataFrame = {
+    val sig = scored.withColumn("clf", col("score_int") * 5 >= col("n_tokens"))
     sig.groupBy("source").agg(
       count(lit(1)).as("n_docs"),
       sum(when(col("clf") && col("rules"), 1L).otherwise(0L)).as("n_both"),
@@ -459,11 +487,13 @@ object TextStats {
     * (source × level)-keyed partial-agg exchange, then windows/rollups
     * over distinct-level rows only — never a per-document rank. */
   def classifierAuc(docs: DataFrame): DataFrame =
-    aucFromScored(docs.select(col("source") +: signalCols :+
-      expr("CAST(size(split(text, ' ')) AS BIGINT)").as("n") :+
-      expr(s"aggregate(split(text, ' '), 0L, (acc, t) -> acc + (${weightSparkExpr("t")}))").as("score_int"): _*)
-      .select(col("source"), expr("(score_int * 1000000L) div n").as("lvl"),
-        expr(s"CASE WHEN $QualityPassCond THEN 1L ELSE 0L END").as("pos")))
+    classifierAucFrom(clfScored(docs))
+
+  /** q195 off the shared scored frame. */
+  private[graft] def classifierAucFrom(scored: DataFrame): DataFrame =
+    aucFromScored(scored.select(col("source"),
+      expr("(score_int * 1000000L) div n_tokens").as("lvl"),
+      expr("CASE WHEN rules THEN 1L ELSE 0L END").as("pos")))
 
   /** The rank-sum core over an already-scored (source, lvl, pos ∈ {0,1})
     * frame — split out so PropertySpec can drive it against a
@@ -548,12 +578,13 @@ object TextStats {
     * next to q172: agreement says IF the filters disagree, this says
     * WHERE on the score axis — i.e., where the keep threshold should
     * sit. One stateless projection + one ≤10-key rollup. */
-  def classifierCalibration(docs: DataFrame): DataFrame = {
-    val sig = docs.select(signalCols :+
-      expr("CAST(size(split(text, ' ')) AS BIGINT)").as("n") :+
-      expr(s"aggregate(split(text, ' '), 0L, (acc, t) -> acc + (${weightSparkExpr("t")}))").as("score_int"): _*)
-      .withColumn("mean_q", expr("(score_int * 1000000L) div n"))
-      .withColumn("rules", expr(QualityPassCond))
+  def classifierCalibration(docs: DataFrame): DataFrame =
+    classifierCalibrationFrom(clfScored(docs))
+
+  /** q179 off the shared scored frame. */
+  private[graft] def classifierCalibrationFrom(scored: DataFrame): DataFrame = {
+    val sig = scored
+      .withColumn("mean_q", expr("(score_int * 1000000L) div n_tokens"))
       .withColumn("bucket", expr("((mean_q + 20000000L) * 10L) div 40000001L"))
     sig.groupBy("bucket").agg(
       count(lit(1)).as("n_docs"),
@@ -747,8 +778,11 @@ object TextStats {
       Some("""SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
         FROM documents""")),
 
+    // q152/q172/q195/q179 all read the ONE persisted scored frame
+    // (clfScoredPersisted): the md5-per-token fold runs once per corpus
+    // version; oracles recompute from text — the hash compare gates it.
     QueryDef("q152_hashed_classifier",
-      (s, d) => hashedClassifier(t(s, d, "documents")),
+      (s, d) => hashedClassifierFrom(clfScoredPersisted(s, d)),
       Some(hashedClassifierSql)),
 
     QueryDef("q165_gopher_rules",
@@ -760,15 +794,15 @@ object TextStats {
       Some(gopherRepetitionSql)),
 
     QueryDef("q172_classifier_agreement",
-      (s, d) => classifierAgreement(t(s, d, "documents")),
+      (s, d) => classifierAgreementFrom(clfScoredPersisted(s, d)),
       Some(classifierAgreementSql)),
 
     QueryDef("q195_classifier_auc",
-      (s, d) => classifierAuc(t(s, d, "documents")),
+      (s, d) => classifierAucFrom(clfScoredPersisted(s, d)),
       Some(classifierAucSql)),
 
     QueryDef("q179_classifier_calibration",
-      (s, d) => classifierCalibration(t(s, d, "documents")),
+      (s, d) => classifierCalibrationFrom(clfScoredPersisted(s, d)),
       Some(classifierCalibrationSql)),
 
     QueryDef("q183_lang_purity",

@@ -303,9 +303,17 @@ class PlanSpec extends AnyFunSuite {
   test("q152: hashed classifier is a pure scan-stage projection — zero exchanges") {
     // the whole token→bucket→weight chain runs inside one array-aggregate
     // lambda per row: no explode, no distinct-token frame, no shuffle.
-    val p = plan("q152_hashed_classifier")
-    assert(!p.contains("Exchange"), "classifier must pipeline inside the scan stage")
+    // Gate the BUILD plan (clfScored, the fold that gets persisted) —
+    // the registered query reads the memoized artifact, gated below.
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = graft.ops.TextStats.clfScored(docs).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!p.contains("Exchange"), "classifier fold must pipeline inside the scan stage")
     assert(!p.contains("Generate"), "no explode: tokens fold inside the lambda")
+    // the consumer plan: a narrow scan of the persisted artifact, still
+    // exchange-free (pure arithmetic over 4 columns)
+    val pq = plan("q152_hashed_classifier")
+    assert(!pq.contains("Exchange"), "consumer must stay a scan-stage projection")
   }
 
   test("q91: span decontamination is bloom-prefiltered map-side") {
