@@ -1237,14 +1237,50 @@ object Similarity {
     * driver-bounded, the coarse-trainer pattern) and baked as literals
     * into ONE stateless projection over the scan, then one label-keyed
     * partial-agg rollup. No per-vector exchange anywhere. */
+  /** Beyond this many labels, [[labelSilhouette]] switches from the
+    * baked-literal projection to the broadcast-array form: the chained
+    * CASE inlines labels·(dim+2) literals and its codegen'd method grows
+    * linearly with label count — in the hundreds it trips Janino method
+    * limits / constant-pool pressure and Spark degrades to interpreted
+    * evaluation. The broadcast form's plan size is CONSTANT in label
+    * count (centroids arrive as DATA through a 1-row broadcast), at the
+    * cost of a higher-order-function loop per row. Both forms compute
+    * the identical IEEE expression per (vector, label) — spec'd equal
+    * either side of the threshold at an adversarial 200 labels. */
+  val SilhouetteLiteralMaxLabels = 32
+
   def labelSilhouette(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
+    val (q, rollup) = silhouetteInputs(spark, dir)
+    val nLabels = rollup.select("label").distinct().count()
+    if (nLabels <= SilhouetteLiteralMaxLabels)
+      labelSilhouetteLiteral(spark, q, rollup)
+    else labelSilhouetteBroadcast(spark, q, rollup)
+  }
+
+  /** The quantized frame + per-(label, pos) centroid rollup both
+    * silhouette forms consume. The rollup is labels·dim rows — tiny;
+    * checkpointed so the branch count and centroid consumption don't
+    * recompute it. */
+  private[graft] def silhouetteInputs(spark: SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
     val q = quantized(spark, dir)
-    val cents: Seq[(Int, Seq[Long], Long)] = q
+    val rollup = q
       .select(col("label"), posexplode(col("qv")).as(Seq("pos", "x")))
       .groupBy("label", "pos")
       .agg(sum("x").as("s"), count(lit(1)).as("cnt"))
       .select(col("label"), col("pos"), expr("s DIV cnt").as("m"))
+      .localCheckpoint()
+    (q, rollup)
+  }
+
+  /** The literal form: centroids collected driver-side (labels·dim
+    * longs — driver-bounded, the coarse-trainer pattern) and baked as a
+    * chained-CASE literal projection — zero per-vector exchange, fully
+    * codegen'd at small label counts. */
+  private[graft] def labelSilhouetteLiteral(spark: SparkSession, q: DataFrame,
+      rollup: DataFrame): DataFrame = {
+    import spark.implicits._
+    val cents: Seq[(Int, Seq[Long], Long)] = rollup
       .as[(Int, Int, Long)].collect() // labels·dim rows — driver-bounded
       .groupBy(_._1).toSeq.map { case (l, rows) =>
         val cv = rows.sortBy(_._2).map(_._3).toSeq
@@ -1260,8 +1296,45 @@ object Similarity {
     val otherExpr = simFor.map { case (l, e) =>
       s"CASE WHEN label = $l THEN CAST('-Infinity' AS DOUBLE) ELSE $e END"
     }.mkString("greatest(", ", ", ")")
-    q.select(col("label"), expr(ownExpr).as("sim_own"), expr(otherExpr).as("sim_other"))
-      .withColumn("s_micro", expr(
+    silhouetteRollup(
+      q.select(col("label"), expr(ownExpr).as("sim_own"), expr(otherExpr).as("sim_other")))
+  }
+
+  /** The high-cardinality form: the centroid table collapses to ONE row
+    * carrying an array of (l, cv, nc) structs, broadcast and cross-joined
+    * (1-row side — no replication), and per row a `transform` lambda
+    * computes the same cosine against every centroid with `aggregate`
+    * maxes splitting own/other. Still zero per-vector exchange; plan
+    * size constant in label count. Sim values are bit-identical to the
+    * literal form (same quantized_dot / try_divide tree; max over
+    * identical doubles is order-free). */
+  private[graft] def labelSilhouetteBroadcast(spark: SparkSession, q: DataFrame,
+      rollup: DataFrame): DataFrame = {
+    val centArr = rollup
+      .groupBy("label")
+      .agg(expr("transform(array_sort(array_agg(struct(pos, m))), s -> s.m)").as("cv"))
+      .select(col("label").as("l"), col("cv"),
+        expr("aggregate(cv, 0L, (a, x) -> a + x * x)").as("nc"))
+      .agg(expr("array_sort(array_agg(struct(l, cv, nc)))").as("cents")) // 1 row
+    val simLambda =
+      "transform(cents, c -> named_struct('l', c.l, 'sim', " +
+        "coalesce(try_divide(CAST(quantized_dot(qv, c.cv) AS DOUBLE), " +
+        "sqrt(CAST(nrm AS DOUBLE)) * sqrt(CAST(c.nc AS DOUBLE))), " +
+        "CAST('-Infinity' AS DOUBLE))))"
+    silhouetteRollup(
+      q.crossJoin(broadcast(centArr))
+        .withColumn("sims", expr(simLambda))
+        .select(col("label"),
+          expr("aggregate(sims, CAST('-Infinity' AS DOUBLE), " +
+            "(a, s) -> CASE WHEN s.l = label THEN greatest(a, s.sim) ELSE a END)").as("sim_own"),
+          expr("aggregate(sims, CAST('-Infinity' AS DOUBLE), " +
+            "(a, s) -> CASE WHEN s.l <> label THEN greatest(a, s.sim) ELSE a END)").as("sim_other")))
+  }
+
+  /** Shared tail: per-row FLOOR-micro quantization BEFORE the label
+    * rollup so every aggregate is an order-free integer sum. */
+  private def silhouetteRollup(sims: DataFrame): DataFrame =
+    sims.withColumn("s_micro", expr(
         """CAST(floor(1000000 * (CASE
              WHEN sim_other = CAST('-Infinity' AS DOUBLE) THEN 0.0D
              WHEN 1.0D - least(sim_own, sim_other) = 0.0D THEN 0.0D
@@ -1271,7 +1344,6 @@ object Similarity {
         expr("CAST(sum(s_micro) div count(1) AS BIGINT)").as("mean_sil_micro"),
         expr("CAST(count_if(s_micro < 0) AS BIGINT)").as("n_negative"))
       .select("label", "n_vecs", "mean_sil_micro", "n_negative")
-  }
 
   val labelSilhouetteSql: String =
     s"""WITH q AS (SELECT vec_id, label, $quantSql AS qv FROM embeddings),

@@ -197,4 +197,39 @@ class SimilarityRecallSpec extends AnyFunSuite {
     }
     SessionHygiene.clear(spark)
   }
+
+  test("q196 silhouette: literal and broadcast forms agree at 10 labels and at an adversarial 200") {
+    import org.apache.spark.sql.functions._
+    def rowsOf(df: org.apache.spark.sql.DataFrame): Seq[(Int, Long, Long, Long)] =
+      df.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSeq.sortBy(_._1)
+    // testdata (10 labels): the default dispatch takes the literal path;
+    // the broadcast form must agree row for row (the oracle gates the
+    // literal form, so this transitively gates the fallback).
+    val (q, rollup) = Similarity.silhouetteInputs(spark, dir)
+    assert(rollup.select("label").distinct().count() <= Similarity.SilhouetteLiteralMaxLabels)
+    val lit10 = rowsOf(Similarity.labelSilhouetteLiteral(spark, q, rollup))
+    val bc10 = rowsOf(Similarity.labelSilhouetteBroadcast(spark, q, rollup))
+    assert(lit10 == bc10, s"forms diverge at 10 labels:\n$lit10\n$bc10")
+    SessionHygiene.clear(spark)
+    // adversarial label cardinality: 200 labels x 2000 vectors x 16 dims.
+    // The chained-CASE literal plan here is exactly the codegen-pressure
+    // shape the threshold exists for — both forms must still agree.
+    val adv = java.nio.file.Files.createTempDirectory("sil200").toString
+    val rnd = new scala.util.Random(196)
+    val rows = (0 until 2000).map { i =>
+      (i.toLong, Array.fill(16)(rnd.nextFloat() * 2f - 1f), i % 200)
+    }
+    spark.createDataFrame(rows).toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$adv/embeddings.parquet")
+    val (q2, rollup2) = Similarity.silhouetteInputs(spark, adv)
+    assert(rollup2.select("label").distinct().count() > Similarity.SilhouetteLiteralMaxLabels)
+    val lit200 = rowsOf(Similarity.labelSilhouetteLiteral(spark, q2, rollup2))
+    val bc200 = rowsOf(Similarity.labelSilhouetteBroadcast(spark, q2, rollup2))
+    assert(lit200.size == 200 && lit200 == bc200, "forms diverge at 200 labels")
+    // and the public entry dispatches to the broadcast form here
+    val dispatched = rowsOf(Similarity.labelSilhouette(spark, adv))
+    assert(dispatched == bc200)
+    SessionHygiene.clear(spark)
+  }
 }
