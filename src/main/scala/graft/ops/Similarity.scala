@@ -1178,8 +1178,14 @@ object Similarity {
     * shuffle per-partition cap, the q68 gate), so the exchange carries
     * ≤ k·labels candidate rows, not the corpus. */
   def labelOutliers(spark: SparkSession, dir: String,
-      k: Int = OutlierK): DataFrame = {
-    val q = quantized(spark, dir)
+      k: Int = OutlierK): DataFrame =
+    labelOutliersOn(quantized(spark, dir), k)
+
+  /** [[labelOutliers]] over an EXPLICIT quantized frame (vec_id, label,
+    * qv, nrm) — the composition point [[embedCuration]] uses to prune
+    * over stage-1 SURVIVORS (centroids recomputed on the restricted
+    * set, as the pipeline semantics require). */
+  private[graft] def labelOutliersOn(q: DataFrame, k: Int = OutlierK): DataFrame = {
     val cent = q
       .select(col("label"), posexplode(col("qv")).as(Seq("pos", "x")))
       .groupBy("label", "pos")
@@ -1524,6 +1530,112 @@ object Similarity {
       FROM c WHERE cum_tokens <= share_tokens"""
   }
 
+  /** D4-style embedding-curation capstone (q197; Tirumala et al. 2023,
+    * arXiv:2308.12284 — "D4: Improving LLM Pretraining via Document
+    * De-Duplication and Diversification"): the embedding-side twin of
+    * the q104 pretrain chain, composing the three gated stages into one
+    * curated training manifest —
+    *
+    *   1. SemDeDup ([[semanticDedup]], q95): drop every vector with an
+    *      earlier similar cluster-mate (cosine ≥ threshold).
+    *   2. Prototype prune ([[labelOutliersOn]], q122's machinery over
+    *      the SURVIVORS): per-label centroids recomputed on the deduped
+    *      set, the k least-prototypical per label (mislabeled / noisy /
+    *      boundary points) removed.
+    *   3. Cluster-balanced greedy-quality fill ([[clusterMix]]'s q109
+    *      window, budget split across the clusters that SURVIVE both
+    *      prunes): equal token share per latent domain.
+    *
+    * One row per selected document: (doc_id, cluster, source, n_tokens,
+    * cum_tokens, share_tokens) — what a shard writer materializes.
+    *
+    * Scale shape — strictly the sum of its parts, no new exchanges: the
+    * coarse index is the memoized shared build; stage 1 is the
+    * cell-blocked self-join; stage 2 is one (label × dim) rollup +
+    * a labels-bounded broadcast join + a WindowGroupLimit rank; stage 3
+    * is ONE cluster-keyed window over the curated docs. The stage-1/2
+    * survivor frames are id projections (vec_id, cell) — vectors and
+    * text never co-shuffle. */
+  def embedCuration(spark: SparkSession, dir: String,
+      threshold: Double = SemDedupThreshold, k: Int = OutlierK,
+      budgetTokens: Long = ClusterMixBudgetTokens): DataFrame = {
+    // Stage 1 — SemDeDup survivors with their home cell. Checkpointed:
+    // feeds the stage-2 restriction, the stage-3 join, and the cluster
+    // count (id+cell rows only — kilobytes per million vectors).
+    val dedup = semanticDedup(spark, dir, threshold)
+      .filter(col("kept")).select("vec_id", "cell")
+      .localCheckpoint()
+    // Stage 2 — prune the k least-prototypical per label, centroids
+    // recomputed over the survivors.
+    val qSurv = quantized(spark, dir)
+      .join(dedup.select("vec_id"), Seq("vec_id"), "left_semi")
+    val pruned = dedup
+      .join(labelOutliersOn(qSurv, k).select("vec_id"), Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("cell").as("cluster"))
+      .localCheckpoint() // feeds the fill join AND the cluster count
+    // Stage 3 — q109's greedy-quality fill over the curated docs.
+    val scored = TextStats.scored(
+      t(spark, dir, "documents").select("doc_id", "source", "text"), Seq("source"))
+    val j = pruned.join(scored, pruned("vec_id") === scored("doc_id"))
+    val kc = pruned.agg(countDistinct("cluster").as("kc"))
+    val win = Window.partitionBy("cluster").orderBy(col("score").desc, col("doc_id").asc)
+    j.crossJoin(broadcast(kc))
+      .withColumn("share_tokens", expr(s"$budgetTokens DIV kc"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(win))
+      .filter(col("cum_tokens") <= col("share_tokens"))
+      .select("doc_id", "cluster", "source", "n_tokens", "cum_tokens", "share_tokens")
+  }
+
+  /** q197's oracle: the q95 CTEs → survivor-restricted q122 CTEs → the
+    * q109 fill, chained — each stage is its standalone oracle's SQL over
+    * the previous stage's survivor set. */
+  def embedCurationSql(threshold: Double = SemDedupThreshold,
+      k: Int = OutlierK,
+      budgetTokens: Long = ClusterMixBudgetTokens): String = {
+    val (kmeans, cf) = kmeansSqlAuto()
+    s"""WITH $quantCte,
+      $kmeans,
+      af AS (SELECT n.vec_id, n.qv, n.nrm, c.cent_id,
+            row_number() OVER (PARTITION BY n.vec_id ORDER BY
+              CAST(list_sum(list_transform(range(1, len(n.qv) + 1), i -> n.qv[i] * c.cqv[i])) AS DOUBLE)
+              / (sqrt(CAST(n.nrm AS DOUBLE)) * sqrt(CAST(c.cnrm AS DOUBLE))) DESC, c.cent_id) AS rn
+            FROM n CROSS JOIN $cf c),
+      mem AS (SELECT vec_id, qv, nrm, cent_id AS cell FROM af WHERE rn = 1),
+      blk AS (SELECT DISTINCT a.vec_id
+            FROM mem a JOIN mem b ON a.cell = b.cell AND b.vec_id < a.vec_id
+            WHERE $simSql >= $threshold),
+      kept AS (SELECT m.vec_id, m.qv, m.nrm, m.cell
+            FROM mem m LEFT JOIN blk b ON m.vec_id = b.vec_id
+            WHERE b.vec_id IS NULL),
+      kl AS (SELECT kt.vec_id, e.label, kt.qv, kt.nrm, kt.cell
+            FROM kept kt JOIN embeddings e USING (vec_id)),
+      mm AS (SELECT label, unnest(range(1, len(qv) + 1)) AS pos, unnest(qv) AS x FROM kl),
+      ss AS (SELECT label, pos, SUM(x) AS s, COUNT(*) AS cnt FROM mm GROUP BY 1, 2),
+      cc AS (SELECT label, list(s // cnt ORDER BY pos) AS cv FROM ss GROUP BY label),
+      cn2 AS (SELECT label, cv, list_sum(list_transform(cv, x -> x * x)) AS nc FROM cc),
+      sc2 AS (SELECT kl.vec_id, kl.label, kl.cell,
+            CAST(list_sum(list_transform(range(1, len(kl.qv) + 1),
+              i -> kl.qv[i] * cn2.cv[i])) AS DOUBLE)
+              / (sqrt(CAST(kl.nrm AS DOUBLE)) * sqrt(CAST(cn2.nc AS DOUBLE))) AS sim
+          FROM kl JOIN cn2 USING (label)),
+      rk AS (SELECT vec_id, cell,
+            row_number() OVER (PARTITION BY label ORDER BY sim ASC, vec_id ASC) AS rank
+          FROM sc2),
+      pruned AS (SELECT vec_id, cell AS cluster FROM rk WHERE rank > $k),
+      base AS (SELECT doc_id, source, ${TextStats.scoreSignalsDuck} FROM documents),
+      scored AS (SELECT doc_id, source, n_tokens, ${TextStats.scoreExprDuck} AS score
+          FROM base),
+      jj AS (SELECT p.cluster, d.* FROM pruned p JOIN scored d ON d.doc_id = p.vec_id),
+      kc AS (SELECT count(DISTINCT cluster) AS kc FROM pruned),
+      cw AS (SELECT doc_id, cluster, source, n_tokens,
+            CAST($budgetTokens // (SELECT kc FROM kc) AS BIGINT) AS share_tokens,
+            CAST(SUM(n_tokens) OVER (PARTITION BY cluster ORDER BY score DESC, doc_id)
+              AS BIGINT) AS cum_tokens
+          FROM jj)
+      SELECT doc_id, cluster, source, n_tokens, cum_tokens, share_tokens
+      FROM cw WHERE cum_tokens <= share_tokens"""
+  }
+
   def clusterProfileSql(nCents: Int = -1, iters: Int = KmeansIters): String = {
     val (kmeans, cf) =
       if (nCents > 0) kmeansSql(nCents, iters) else kmeansSqlAuto(iters)
@@ -1859,6 +1971,10 @@ object Similarity {
               WHERE $simSql >= $SemDedupThreshold)
         SELECT m.vec_id, m.cell, k.vec_id IS NULL AS kept
         FROM mem m LEFT JOIN blk k ON m.vec_id = k.vec_id"""
-      })
+      }),
+
+    QueryDef("q197_embed_curation",
+      (s, d) => embedCuration(s, d),
+      Some(embedCurationSql()))
   )
 }

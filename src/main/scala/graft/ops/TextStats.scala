@@ -88,7 +88,7 @@ object TextStats {
     * [0,1] score (length term + vocabulary-diversity term + stopword-
     * presence term). SINGLE definition of the quality formula — q31,
     * the weighted sampler, and the source mixer all rank by this. */
-  private[ops] def scored(docs: DataFrame, keep: Seq[String]): DataFrame =
+  private[graft] def scored(docs: DataFrame, keep: Seq[String]): DataFrame =
     docs.select(col("doc_id") +: keep.map(col) :+
       size(tokens(col("text"))).cast("long").as("n_tokens") :+
       size(array_distinct(tokens(col("text")))).cast("long").as("n_distinct") :+

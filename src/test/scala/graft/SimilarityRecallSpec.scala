@@ -198,6 +198,58 @@ class SimilarityRecallSpec extends AnyFunSuite {
     SessionHygiene.clear(spark)
   }
 
+  test("q197 embed curation == driver recompute of prune + fill over the q95 survivors") {
+    import org.apache.spark.sql.functions._
+    val d001 = "/root/testdata/sf0.001"
+    // stage-1 survivors and their cells straight from the gated q95 op
+    val surv = Similarity.semanticDedup(spark, d001).filter(col("kept"))
+      .select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val qRows = Similarity.quantized(spark, d001)
+      .select("vec_id", "label", "qv", "nrm").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Long](2), r.getLong(3)))
+      .filter(t => surv.contains(t._1))
+    // stage 2, by hand: integer truncated-mean centroids per label over
+    // survivors; IEEE cosine; drop the OutlierK least-prototypical
+    val cents = qRows.groupBy(_._2).map { case (l, rows) =>
+      val dim = rows.head._3.size
+      val cv = (0 until dim).map { i =>
+        val xs = rows.map(_._3(i))
+        Math.floorDiv(xs.sum, xs.size.toLong)
+      }
+      l -> (cv, cv.map(x => x * x).sum)
+    }
+    val simOf = qRows.map { case (id, l, qv, nrm) =>
+      val (cv, nc) = cents(l)
+      val dot = qv.zip(cv).map { case (a, b) => a * b }.sum
+      (id, l, dot.toDouble / (math.sqrt(nrm.toDouble) * math.sqrt(nc.toDouble)))
+    }
+    val dropped = simOf.groupBy(_._2).values.flatMap(
+      _.sortBy(t => (t._3, t._1)).take(Similarity.OutlierK).map(_._1)).toSet
+    val pruned = qRows.map(_._1).filterNot(dropped).toSet
+    // stage 3, by hand: greedy fill per cluster by (score desc, id asc)
+    val scoredRows = graft.ops.TextStats.scored(
+      spark.read.parquet(s"$d001/documents.parquet").select("doc_id", "source", "text"),
+      Seq("source")).select("doc_id", "source", "n_tokens", "score").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .filter(t => pruned.contains(t._1))
+    val kcDistinct = pruned.map(surv(_)).toSet.size.toLong
+    val share = Similarity.ClusterMixBudgetTokens / kcDistinct
+    val expect = scoredRows.groupBy(t => surv(t._1)).toSeq.flatMap { case (cl, rows) =>
+      var cum = 0L
+      rows.sortBy(t => (-t._4, t._1)).toSeq.flatMap { case (id, src, nt, _) =>
+        cum += nt
+        if (cum <= share) Some((id, cl, src, nt, cum, share)) else None
+      }
+    }.toSet
+    val got = Similarity.embedCuration(spark, d001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(got.nonEmpty, "curated manifest must be non-empty")
+    assert(got == expect, s"driver recompute mismatch:\nonly-got=${got -- expect}\nonly-exp=${expect -- got}")
+    SessionHygiene.clear(spark)
+  }
+
   test("q196 silhouette: literal and broadcast forms agree at 10 labels and at an adversarial 200") {
     import org.apache.spark.sql.functions._
     def rowsOf(df: org.apache.spark.sql.DataFrame): Seq[(Int, Long, Long, Long)] =
