@@ -595,7 +595,7 @@ object Similarity {
     * bounded [[graft.functions.TopKSim]] aggregator (≤ nprobe entries
     * per buffer). Both realize the SAME total order as the rank-window
     * form, so results — and the oracles' window SQL — are unchanged. */
-  private def assignCells(q: DataFrame, cents: DataFrame, nprobe: Int): DataFrame = {
+  private[graft] def assignCells(q: DataFrame, cents: DataFrame, nprobe: Int): DataFrame = {
     val scored = q.crossJoin(broadcast(cents))
       .withColumn("csim", cosine(
         expr("CAST(quantized_dot(qv, cqv) AS DOUBLE)"), col("nrm"), col("cnrm")))
@@ -732,10 +732,17 @@ object Similarity {
     * (q155) — each of which pays the cell join, never O(n²). A pair
     * meets at most once per direction (b lives in exactly one cell). */
   def ivfScoredPairs(spark: SparkSession, indexDir: String,
+      nprobe: Int = IvfNprobe): DataFrame =
+    ivfScoredPairsOn(spark, spark.read.parquet(s"$indexDir/assignments"), nprobe)
+
+  /** [[ivfScoredPairs]] over an EXPLICIT assignments frame (vec_id, qv,
+    * nrm, cent_id, rn) — the reader hook for streamed indexes, whose
+    * live view is base assignments ∪ batch-id-partitioned appends
+    * ([[graft.streaming.IndexStream.assignments]]). */
+  private[graft] def ivfScoredPairsOn(spark: SparkSession, ranked: DataFrame,
       nprobe: Int = IvfNprobe): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     QueryDef.cpuBound(spark)
-    val ranked = spark.read.parquet(s"$indexDir/assignments")
     val members = ranked.filter(col("rn") === 1)
       .select(col("vec_id").as("id_b"), col("qv").as("qb"),
         col("nrm").as("nb"), col("cent_id").as("cell"))
@@ -755,6 +762,14 @@ object Similarity {
   def knnIvfPersisted(spark: SparkSession, indexDir: String, k: Int,
       nprobe: Int = IvfNprobe): DataFrame =
     topkPairs(ivfScoredPairs(spark, indexDir, nprobe), k)
+
+  /** Top-k over an explicit assignments frame — the query surface of a
+    * STREAMED index ([[graft.streaming.IndexStream]]): row-identical to
+    * [[knnIvfPersisted]] on the equivalent batch-appended index, because
+    * assignment is per-vector (the q170 invariant). */
+  private[graft] def knnIvfOnAssignments(spark: SparkSession, ranked: DataFrame,
+      k: Int, nprobe: Int = IvfNprobe): DataFrame =
+    topkPairs(ivfScoredPairsOn(spark, ranked, nprobe), k)
 
   /** [[saveIvfIndex]] from an EXPLICIT quantized frame (vec_id, qv,
     * nrm) — the index-over-a-subset path q170 builds its incremental

@@ -848,4 +848,54 @@ class StreamingSpec extends AnyFunSuite {
       assert(rows.map(_.getAs[Long]("n_events")).sorted.toSeq == Seq(1L, 2L))
     } finally q.stop()
   }
+
+  test("streaming IVF append: N streamed appends == batch q170 assign-union; replay leaves the index unchanged") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    import graft.ops.Similarity
+    import graft.streaming.IndexStream
+    val dir = "/root/testdata/sf0.001"
+    val q = Similarity.quantized(spark, dir).select("vec_id", "qv", "nrm")
+    val odd = q.filter(expr("vec_id % 2 = 1"))
+      .as[(Long, Seq[Long], Long)].collect().sortBy(_._1)
+    assert(odd.length >= 4, "need enough odd vectors to split across batches")
+    val (oddA, oddB) = odd.splitAt(odd.length / 2)
+    def freshDir(p: String) = Files.createTempDirectory(p).toString
+    // batch twin: base on evens + ONE bulk append of all odds (q170's shape)
+    val idxBatch = freshDir("ivf-batch")
+    Similarity.saveIvfIndexOn(spark, q.filter(expr("vec_id % 2 = 0")), idxBatch)
+    Similarity.appendToIvfIndex(spark, idxBatch, q.filter(expr("vec_id % 2 = 1")))
+    val want = Similarity.knnIvfPersisted(spark, idxBatch, 3).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    // streamed twin: same base, odds arrive as TWO micro-batches
+    val idxStream = freshDir("ivf-stream")
+    Similarity.saveIvfIndexOn(spark, q.filter(expr("vec_id % 2 = 0")), idxStream)
+    val mem = MemoryStream[(Long, Seq[Long], Long)]
+    val sq = IndexStream.appendStream(
+      mem.toDF().toDF("vec_id", "qv", "nrm"), idxStream, freshDir("ivf-ckpt"))
+    try {
+      mem.addData(oddA.toSeq: _*); sq.processAllAvailable()
+      mem.addData(oddB.toSeq: _*); sq.processAllAvailable()
+    } finally sq.stop()
+    def knnRows() = IndexStream.knn(spark, idxStream, 3).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val streamed = knnRows()
+    assert(streamed == want,
+      s"streamed index diverges from batch append:\nonly-stream=${streamed -- want}\nonly-batch=${want -- streamed}")
+    val rowsBeforeReplay = IndexStream.assignments(spark, idxStream).count()
+    // replay: a restarted source re-delivers the same batches with the
+    // same ids — each overwrites its own batch_id partition with
+    // bit-identical rows, so the live view (and every query) is unchanged
+    val mem2 = MemoryStream[(Long, Seq[Long], Long)]
+    val sq2 = IndexStream.appendStream(
+      mem2.toDF().toDF("vec_id", "qv", "nrm"), idxStream, freshDir("ivf-ckpt2"))
+    try {
+      mem2.addData(oddA.toSeq: _*); sq2.processAllAvailable()
+      mem2.addData(oddB.toSeq: _*); sq2.processAllAvailable()
+    } finally sq2.stop()
+    assert(IndexStream.assignments(spark, idxStream)
+      .count() == rowsBeforeReplay, "replay must not grow the index")
+    assert(knnRows() == want, "replayed batches must leave every answer unchanged")
+    SessionHygiene.clear(spark)
+  }
 }
