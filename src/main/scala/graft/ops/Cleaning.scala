@@ -251,13 +251,21 @@ object Cleaning {
     * Documents whose every line was dropped remain with n_kept = 0 and
     * empty text. */
   def dedupLines(docs: DataFrame, delim: String = "\n"): DataFrame = {
+    // the q99 xxhash64 discipline: winner election only needs line
+    // IDENTITY, so the detection rollup and the flag join key on int64
+    // `lh` — line CONTENT never enters an exchange as a key (it still
+    // rides the lines side once as reassembly payload, which no layout
+    // can avoid). The ORACLE keeps the exact string form, so a 64-bit
+    // collision (which could mis-elect a winner) fails the hash compare
+    // instead of shipping.
     val lines = docs.select(col("doc_id"),
       posexplode(linesOf(col("text"), delim)).as(Seq("line_no", "line")))
-    val winners = lines.groupBy("line")
+      .withColumn("lh", xxhash64(col("line")))
+    val winners = lines.groupBy("lh")
       .agg(min(struct(col("doc_id"), col("line_no"))).as("w"))
-      .select(col("line"), col("w.doc_id").as("doc_id"),
+      .select(col("lh"), col("w.doc_id").as("doc_id"),
         col("w.line_no").as("line_no"), lit(true).as("keep"))
-    lines.join(winners, Seq("line", "doc_id", "line_no"), "left")
+    lines.join(winners, Seq("lh", "doc_id", "line_no"), "left")
       .withColumn("keep", coalesce(col("keep"), lit(false)))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_lines"),
@@ -324,16 +332,23 @@ object Cleaning {
        || text"""
 
   def boilerplateStrip(docs: DataFrame, delim: String = "\n"): DataFrame = {
+    // the q99 xxhash64 discipline (as dedupLines): the heaviest exchange
+    // here is the (source, line) detection rollup — boilerplate lines by
+    // definition repeat across most of a source's docs, so keying it (and
+    // the strip join) by int64 `lh` both shrinks exchange bytes and makes
+    // the map-side distinct-doc combine hash integers instead of chrome
+    // strings. The string-form oracle is the collision tripwire.
     val lines = docs.select(col("doc_id"), col("source"),
       posexplode(linesOf(col("text"), delim)).as(Seq("line_no", "line")))
+      .withColumn("lh", xxhash64(col("line")))
     val srcSizes = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
     val boiler = lines
-      .groupBy("source", "line")
+      .groupBy("source", "lh")
       .agg(countDistinct(col("doc_id")).as("df"))
       .join(broadcast(srcSizes), Seq("source"))
       .filter(col("df") >= 3 && col("df") * 20 >= col("n_docs"))
-      .select(col("source"), col("line"), lit(true).as("boiler"))
-    lines.join(boiler, Seq("source", "line"), "left")
+      .select(col("source"), col("lh"), lit(true).as("boiler"))
+    lines.join(boiler, Seq("source", "lh"), "left")
       .withColumn("keep", col("boiler").isNull)
       .groupBy("doc_id", "source")
       .agg(count(lit(1)).as("n_lines"),
