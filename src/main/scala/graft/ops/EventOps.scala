@@ -949,7 +949,113 @@ object EventOps {
       FROM e JOIN s USING (user_id)
       WHERE abs(e.value - s.med) > $k * s.mad"""
 
+  /** CUSUM change-point detection over daily event rates (q199; Page
+    * 1954's one-sided cumulative sum, the standard drift detector a
+    * rate monitor runs above q180's point-spike view — a slow 20%%
+    * drift never trips a per-day MAD gate but accumulates here): per
+    * event type over daily counts, S_t = max(0, S_{t-1} + (x_t − μ)) in
+    * CLOSED FORM — S_t = P_t − min(0, min_{j≤t} P_j) with P the prefix
+    * sum of deviations — so the recursive scan becomes two windows
+    * (cumulative sum + running min) over day-level rows. Deviations in
+    * exact micro units (x·1e6 − μ_micro, μ_micro = (Σx·1e6) div n_days)
+    * — bit-portable; a day is flagged when S exceeds 3 days' worth of
+    * the mean rate.
+    *
+    * Scale shape: ONE (type × day)-bounded map-side-combined rollup is
+    * the only event-volume exchange; the mean attaches as a broadcast
+    * (type-cardinality) join; both windows run over day-level rows. */
+  def rateCusum(ev: DataFrame): DataFrame = {
+    val daily = ev.select(col("event_type"), expr("ts DIV 86400000000000").as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
+    val mu = daily.groupBy("event_type")
+      .agg(expr("(sum(n) * 1000000L) div count(1)").as("mu_micro"))
+    val wCum = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.join(broadcast(mu), "event_type")
+      .withColumn("p", sum(col("n") * lit(1000000L) - col("mu_micro")).over(wCum))
+      .withColumn("cusum_micro", col("p") - least(lit(0L), min("p").over(wCum)))
+      .withColumn("spike", col("cusum_micro") > lit(3L) * col("mu_micro"))
+      .select("event_type", "day", "n", "cusum_micro", "spike")
+  }
+
+  val rateCusumSql: String =
+    """WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+            CAST(count(*) AS BIGINT) AS n
+          FROM events GROUP BY 1, 2),
+      mu AS (SELECT event_type,
+            CAST((SUM(n) * 1000000) // COUNT(*) AS BIGINT) AS mu_micro
+          FROM daily GROUP BY 1),
+      p AS (SELECT d.event_type, d.day, d.n, mu.mu_micro,
+            CAST(SUM(d.n * 1000000 - mu.mu_micro) OVER
+              (PARTITION BY d.event_type ORDER BY d.day) AS BIGINT) AS p
+          FROM daily d JOIN mu USING (event_type))
+      SELECT event_type, day, n,
+        CAST(p - LEAST(0, MIN(p) OVER (PARTITION BY event_type ORDER BY day)) AS BIGINT)
+          AS cusum_micro,
+        (p - LEAST(0, MIN(p) OVER (PARTITION BY event_type ORDER BY day)))
+          > 3 * mu_micro AS spike
+      FROM p"""
+
+  /** Rule-based RFM user segmentation (q200): per user — recency (days
+    * since last activity, against the corpus max day), frequency (event
+    * count), monetary (exact integer cents, the q177 discipline) —
+    * bucketed into 3×3×3 segments and rolled up to segment counts +
+    * cents volume. FIXED integer thresholds instead of corpus quantiles
+    * BY DESIGN: exact terciles over per-user values would rank a
+    * user-cardinality frame in one global window (the single-partition
+    * funnel q179/q193 design out), while rule cuts keep the operator at
+    * ONE user-keyed exchange, a broadcast max-day scalar, a stateless
+    * CASE projection, and a ≤27-row rollup — the shape that survives
+    * 1e9 users. The cut constants here sit at the testdata's engagement
+    * terciles (its synthetic users are uniformly hyperactive — recency
+    * 0–2 days, 62–99 events) so the query exercises real segmentation;
+    * a deployment tunes them to its own profile. */
+  def rfmSegments(ev: DataFrame): DataFrame = {
+    val peru = ev.select(col("user_id"), expr("ts DIV 86400000000000").as("day"),
+        expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)").as("cents"))
+      .groupBy("user_id")
+      .agg(max("day").as("last_day"), count(lit(1)).as("freq"),
+        sum("cents").as("cents"))
+    val maxd = peru.agg(max("last_day").as("max_day"))
+    peru.crossJoin(broadcast(maxd))
+      .withColumn("recency", col("max_day") - col("last_day"))
+      .withColumn("r_seg", expr(
+        "CASE WHEN recency <= 0 THEN 'hot' WHEN recency <= 1 THEN 'warm' ELSE 'cold' END"))
+      .withColumn("f_seg", expr(
+        "CASE WHEN freq >= 71 THEN 'high' WHEN freq >= 64 THEN 'mid' ELSE 'low' END"))
+      .withColumn("m_seg", expr(
+        "CASE WHEN cents >= 360000 THEN 'high' WHEN cents >= 310000 THEN 'mid' ELSE 'low' END"))
+      .groupBy("r_seg", "f_seg", "m_seg")
+      .agg(count(lit(1)).as("n_users"), sum("cents").as("seg_cents"))
+  }
+
+  val rfmSegmentsSql: String =
+    """WITH peru AS (SELECT user_id,
+            CAST(max(epoch_us(ts) // 86400000000) AS BIGINT) AS last_day,
+            CAST(count(*) AS BIGINT) AS freq,
+            CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+          FROM events GROUP BY user_id),
+      m AS (SELECT max(last_day) AS max_day FROM peru),
+      seg AS (SELECT
+            CASE WHEN max_day - last_day <= 0 THEN 'hot'
+                 WHEN max_day - last_day <= 1 THEN 'warm' ELSE 'cold' END AS r_seg,
+            CASE WHEN freq >= 71 THEN 'high' WHEN freq >= 64 THEN 'mid' ELSE 'low' END AS f_seg,
+            CASE WHEN cents >= 360000 THEN 'high' WHEN cents >= 310000 THEN 'mid' ELSE 'low' END AS m_seg,
+            cents
+          FROM peru, m)
+      SELECT r_seg, f_seg, m_seg, CAST(count(*) AS BIGINT) AS n_users,
+        CAST(SUM(cents) AS BIGINT) AS seg_cents
+      FROM seg GROUP BY 1, 2, 3"""
+
   val queries: Seq[QueryDef] = Seq(
+    QueryDef("q199_rate_cusum",
+      (s, d) => rateCusum(events(s, d)),
+      Some(rateCusumSql)),
+
+    QueryDef("q200_rfm_segments",
+      (s, d) => rfmSegments(events(s, d)),
+      Some(rfmSegmentsSql)),
+
     QueryDef("q78_funnel_stages",
       (s, d) => funnelStages(events(s, d)),
       Some(funnelStagesSql)),

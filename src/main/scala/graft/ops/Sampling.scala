@@ -687,7 +687,81 @@ object Sampling {
       .sortWithinPartitions("shard", "sortkey")
       .write.mode("overwrite").parquet(outDir)
 
+  /** Learning rate for [[doremiStep]]: micro-excess multiplier. */
+  val DoremiEta = 4L
+  /** Update-factor floor (0.1×): no domain zeroes out of the mixture. */
+  val DoremiFloorMicro = 100000L
+
+  /** One DoReMi-style multiplicative-weights mixture step (q198; Xie et
+    * al. 2023, arXiv:2305.10429 "DoReMi": train a small proxy, reweight
+    * domains by EXCESS LOSS vs a reference, iterate). This operator is
+    * one EXACT step of that update with the per-source quality DEFICIT
+    * standing in for measured excess loss (a low-mean-quality source ≈
+    * a hard/high-loss domain → upweighted), the composition point a
+    * deployment feeds real per-domain proxy losses into.
+    *
+    * Integer-exact throughout: per-source micro mean quality
+    * `(Σ floor(score·1e6)) div n` (the q105 card discipline), excess =
+    * corpus mean − source mean, update factor `1e6 + η·excess` floored
+    * at [[DoremiFloorMicro]], new share = (n_tokens·factor·1e6) div
+    * Σ(n_tokens·factor) with the products on DECIMAL(38,0) — n_tokens ·
+    * factor·1e6 passes int64 at corpus scale (the q193 guard).
+    *
+    * Scale shape: ONE source-keyed partial-agg rollup is the only
+    * corpus exchange; corpus totals and the factor sum are
+    * source-cardinality rollup-of-rollup aggregates broadcast back. */
+  def doremiStep(docs: DataFrame, eta: Long = DoremiEta): DataFrame = {
+    val perSrc = graft.ops.TextStats.scored(docs, Seq("source"))
+      .withColumn("q_micro", expr("CAST(floor(score * 1000000.0) AS BIGINT)"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"),
+        sum("q_micro").as("q_sum"))
+      .withColumn("mean_q_micro", expr("q_sum div n_docs"))
+      .localCheckpoint() // source-cardinality; feeds totals + the update
+    val tot = perSrc.agg(
+      expr("(CAST(sum(q_sum) AS DECIMAL(38,0)) div sum(n_docs))").cast("long").as("corpus_mean_micro"))
+    val upd = perSrc.crossJoin(broadcast(tot))
+      .withColumn("excess_micro", col("corpus_mean_micro") - col("mean_q_micro"))
+      .withColumn("factor_micro",
+        greatest(lit(DoremiFloorMicro), lit(1000000L) + lit(eta) * col("excess_micro")))
+      .withColumn("w", expr("CAST(n_tokens AS DECIMAL(38,0)) * factor_micro"))
+    val wtot = upd.agg(sum("w").as("wtot"))
+    upd.crossJoin(broadcast(wtot))
+      .withColumn("share_micro", expr("CAST((w * 1000000) div wtot AS BIGINT)"))
+      .select("source", "n_docs", "n_tokens", "mean_q_micro",
+        "excess_micro", "factor_micro", "share_micro")
+  }
+
+  def doremiStepSql(eta: Long = DoremiEta): String =
+    s"""WITH base AS (SELECT doc_id, source, ${graft.ops.TextStats.scoreSignalsDuck} FROM documents),
+      scored AS (SELECT source, n_tokens,
+            CAST(floor((${graft.ops.TextStats.scoreExprDuck}) * 1000000.0) AS BIGINT) AS q_micro
+          FROM base),
+      per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+            CAST(sum(q_micro) AS BIGINT) AS q_sum
+          FROM scored GROUP BY source),
+      per2 AS (SELECT *, CAST(q_sum // n_docs AS BIGINT) AS mean_q_micro FROM per),
+      tot AS (SELECT CAST(CAST(SUM(q_sum) AS HUGEINT) // SUM(n_docs) AS BIGINT)
+            AS corpus_mean_micro FROM per2),
+      upd AS (SELECT per2.*,
+            corpus_mean_micro - mean_q_micro AS excess_micro,
+            GREATEST($DoremiFloorMicro, 1000000 + $eta * (corpus_mean_micro - mean_q_micro))
+              AS factor_micro
+          FROM per2, tot),
+      w AS (SELECT *, CAST(n_tokens AS HUGEINT) * factor_micro AS w FROM upd),
+      wt AS (SELECT SUM(w) AS wtot FROM w)
+      SELECT source, n_docs, n_tokens, mean_q_micro,
+        CAST(excess_micro AS BIGINT) AS excess_micro,
+        CAST(factor_micro AS BIGINT) AS factor_micro,
+        CAST((w * 1000000) // wtot AS BIGINT) AS share_micro
+      FROM w, wt"""
+
   val queries: Seq[QueryDef] = Seq(
+    QueryDef("q198_doremi_step",
+      (s, d) => doremiStep(t(s, d, "documents")),
+      Some(doremiStepSql())),
+
     QueryDef("q101_shuffle_assign",
       (s, d) => shuffleAssign(t(s, d, "documents")),
       Some(shuffleAssignSql())),

@@ -1332,4 +1332,51 @@ class OpsSpec extends AnyFunSuite {
     assert(raw.toSeq == Seq("""{"doc_id": 3, "text": "torn""", "not json at all").sorted,
       s"quarantine must preserve the raw malformed lines, got ${raw.toSeq}")
   }
+
+  test("q199 CUSUM closed form == the recursive definition, per type") {
+    // the operator computes S_t = P_t − min(0, min_{j≤t} P_j); the
+    // definition is S_t = max(0, S_{t-1} + dev_t). Recompute recursively
+    // from the same daily rollup and compare every (type, day).
+    val ev = graft.ops.EventOps.events(spark, dir)
+    val daily = ev.selectExpr("event_type", "ts DIV 86400000000000 AS day")
+      .groupBy("event_type", "day").count()
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expect = daily.groupBy(_._1).toSeq.flatMap { case (t, rows) =>
+      val sorted = rows.toSeq.sortBy(_._2)
+      val mu = sorted.map(_._3).sum * 1000000L / sorted.length
+      var s = 0L
+      sorted.map { case (_, day, n) =>
+        s = math.max(0L, s + (n * 1000000L - mu))
+        (t, day) -> s
+      }
+    }.toMap
+    val got = graft.ops.EventOps.rateCusum(ev).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(3)).toMap
+    assert(got.keySet == expect.keySet)
+    got.foreach { case (k, v) =>
+      assert(v == expect(k), s"$k: closed form $v != recursive ${expect(k)}") }
+  }
+
+  test("q198 DoReMi step: shares sum to ~1e6 and low-quality sources are upweighted") {
+    val rows = graft.ops.Sampling.doremiStep(
+      spark.read.parquet(s"$dir/documents.parquet")).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3), r.getLong(5), r.getLong(6)))
+    val shareSum = rows.map(_._5).sum
+    // floor-division share per source loses < 1 micro each
+    assert(math.abs(shareSum - 1000000L) <= rows.length,
+      s"shares must sum to ~1e6, got $shareSum")
+    // monotone: among equal-token sources, lower mean quality -> >= share
+    for (Seq(a, b) <- rows.toSeq.sortBy(_._3).sliding(2) if a._2 == b._2)
+      assert(a._4 >= b._4, s"factor must not increase with quality: $a vs $b")
+    // the update factor is exactly 1e6 + eta*excess (floored)
+    rows.foreach { case (_, _, _, f, _) => assert(f >= graft.ops.Sampling.DoremiFloorMicro) }
+  }
+
+  test("q200 RFM: segment counts conserve the user universe") {
+    val ev = graft.ops.EventOps.events(spark, dir)
+    val users = ev.select("user_id").distinct().count()
+    val segs = graft.ops.EventOps.rfmSegments(ev).collect()
+    assert(segs.map(_.getAs[Long]("n_users")).sum == users)
+    assert(segs.length > 1, "the tuned cuts must actually segment the corpus")
+  }
 }
