@@ -1403,6 +1403,72 @@ object Dedup {
           FROM cand c JOIN sh sa ON sa.doc_id = c.id_a JOIN sh sb ON sb.doc_id = c.id_b)"""
   }
 
+  /** Duplicate-quality audit (q203): is duplicated content skewing low
+    * quality? Per source — the doc/quality split between members of
+    * multi-copy exact groups and unique docs, with the exact micro-mean
+    * of each side and the lift. The curation question behind q175's
+    * byte savings: if dup quality ≈ unique quality, dedup only saves
+    * compute; if dups skew low (scraped chrome, error pages), dedup is
+    * ALSO a quality filter and its effect must be separated from the
+    * gate's in any ablation.
+    *
+    * Scale shape: one scan computes score + xxhash64(text) group key
+    * (the q94/q99 int64 discipline — text never keys an exchange); group
+    * sizes are a map-side-combined fp rollup (100-copy groups collapse
+    * before the shuffle); the size join carries (fp, source, q_micro)
+    * rows — no text; the final rollup is source-bounded. Means stay
+    * NULL-guarded integer micro units. */
+  def dupQualityAudit(docs: DataFrame): DataFrame = {
+    val base = graft.ops.TextStats.scored(docs, Seq("source", "text"))
+      .withColumn("q_micro", expr("CAST(floor(score * 1000000.0) AS BIGINT)"))
+      .withColumn("fp", xxhash64(col("text")))
+      .select("fp", "source", "q_micro")
+    val sizes = base.groupBy("fp").agg(count(lit(1)).as("gsz"))
+    base.join(sizes, "fp")
+      .withColumn("dup", col("gsz") >= 2)
+      .groupBy("source").agg(
+        sum(when(col("dup"), 1L).otherwise(0L)).as("n_dup_docs"),
+        sum(when(!col("dup"), 1L).otherwise(0L)).as("n_uniq_docs"),
+        sum(when(col("dup"), col("q_micro")).otherwise(0L)).as("dup_q_sum"),
+        sum(when(!col("dup"), col("q_micro")).otherwise(0L)).as("uniq_q_sum"))
+      .withColumn("mean_q_dup_micro",
+        expr("CASE WHEN n_dup_docs = 0 THEN NULL ELSE dup_q_sum div n_dup_docs END"))
+      .withColumn("mean_q_uniq_micro",
+        expr("CASE WHEN n_uniq_docs = 0 THEN NULL ELSE uniq_q_sum div n_uniq_docs END"))
+      .withColumn("lift_micro", col("mean_q_dup_micro") - col("mean_q_uniq_micro"))
+      .select("source", "n_dup_docs", "n_uniq_docs",
+        "mean_q_dup_micro", "mean_q_uniq_micro", "lift_micro")
+  }
+
+  /** q203's oracle over the injected corpus — groups by raw TEXT (the
+    * xxhash64 collision tripwire, as q94/q149). */
+  val dupQualityAuditSql: String =
+    s"""WITH inj AS (SELECT doc_id, source, text FROM documents
+          UNION ALL
+          SELECT doc_id + $EditInjOffset, source, text FROM documents WHERE doc_id % 7 = 0),
+      base AS (SELECT source, text, ${graft.ops.TextStats.scoreSignalsDuck} FROM inj),
+      scored AS (SELECT source, text,
+            CAST(floor((${graft.ops.TextStats.scoreExprDuck}) * 1000000.0) AS BIGINT) AS q_micro
+          FROM base),
+      sz AS (SELECT text, count(*) AS gsz FROM scored GROUP BY text),
+      j AS (SELECT s.source, s.q_micro, (sz.gsz >= 2) AS dup
+            FROM scored s JOIN sz USING (text)),
+      agg AS (SELECT source,
+            CAST(SUM(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+            CAST(SUM(CASE WHEN dup THEN 0 ELSE 1 END) AS BIGINT) AS n_uniq_docs,
+            CAST(SUM(CASE WHEN dup THEN q_micro ELSE 0 END) AS BIGINT) AS dup_q_sum,
+            CAST(SUM(CASE WHEN dup THEN 0 ELSE q_micro END) AS BIGINT) AS uniq_q_sum
+          FROM j GROUP BY source)
+      SELECT source, n_dup_docs, n_uniq_docs,
+        CASE WHEN n_dup_docs = 0 THEN NULL ELSE CAST(dup_q_sum // n_dup_docs AS BIGINT) END
+          AS mean_q_dup_micro,
+        CASE WHEN n_uniq_docs = 0 THEN NULL ELSE CAST(uniq_q_sum // n_uniq_docs AS BIGINT) END
+          AS mean_q_uniq_micro,
+        CASE WHEN n_dup_docs = 0 OR n_uniq_docs = 0 THEN NULL
+          ELSE CAST(dup_q_sum // n_dup_docs - uniq_q_sum // n_uniq_docs AS BIGINT) END
+          AS lift_micro
+      FROM agg"""
+
   val queries: Seq[QueryDef] = Seq(
     QueryDef("q40_dedup_exact",
       (s, d) => exact(t(s, d, "documents")),
@@ -1501,6 +1567,19 @@ object Dedup {
     QueryDef("q175_dedup_savings",
       (s, d) => dedupSavings(t(s, d, "documents")),
       Some(dedupSavingsSql)),
+
+    // the q149 injection pattern: the word-salad corpus has no organic
+    // exact dups at 1x, so the query plants a copy of every 7th doc
+    // (fresh ids at +EditInjOffset) — library callers pass real frames
+    QueryDef("q203_dup_quality_audit",
+      (s, d) => {
+        val docs = t(s, d, "documents").select("doc_id", "source", "text")
+        dupQualityAudit(docs.unionAll(
+          docs.filter(expr("doc_id % 7 = 0"))
+            .select((col("doc_id") + lit(EditInjOffset)).as("doc_id"),
+              col("source"), col("text"))))
+      },
+      Some(dupQualityAuditSql)),
 
     QueryDef("q131_bloom_decontaminate",
       (s, d) => bloomDecontaminate(s, d),

@@ -1047,7 +1047,46 @@ object EventOps {
         CAST(SUM(cents) AS BIGINT) AS seg_cents
       FROM seg GROUP BY 1, 2, 3"""
 
+  /** Top event-type path trigrams (q202): the most common 3-step
+    * behavioral paths — every 3 consecutive events of a user, ordered by
+    * (ts, event_id), forms a (t1, t2, t3) path; report the top-k by
+    * frequency. The path-mining view above q166's 2-step transition
+    * matrix (a funnel designer reads 3-step paths to find the detours
+    * q78's fixed stages can't see).
+    *
+    * Scale shape: the q150 discipline — ONE user-keyed exchange carries
+    * BOTH leads (Spark plans the two lead() calls in one Window over
+    * one sort); the path rollup is (types³)-bounded and map-side
+    * combines; top-k is a TakeOrderedAndProject over rollup rows on the
+    * deterministic (n desc, path asc) total order. */
+  def pathTrigrams(ev: DataFrame, k: Int = 20): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    ev.select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("t2", lead("event_type", 1).over(w))
+      .withColumn("t3", lead("event_type", 2).over(w))
+      .filter(col("t3").isNotNull)
+      .groupBy(col("event_type").as("t1"), col("t2"), col("t3"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("t1"), col("t2"), col("t3"))
+      .limit(k)
+  }
+
+  def pathTrigramsSql(k: Int = 20): String =
+    s"""WITH l AS (SELECT event_type AS t1,
+          lead(event_type, 1) OVER w AS t2,
+          lead(event_type, 2) OVER w AS t3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS n
+      FROM l WHERE t3 IS NOT NULL
+      GROUP BY 1, 2, 3
+      ORDER BY n DESC, t1, t2, t3 LIMIT $k"""
+
   val queries: Seq[QueryDef] = Seq(
+    QueryDef("q202_path_trigrams",
+      (s, d) => pathTrigrams(events(s, d)),
+      Some(pathTrigramsSql())),
+
     QueryDef("q199_rate_cusum",
       (s, d) => rateCusum(events(s, d)),
       Some(rateCusumSql)),

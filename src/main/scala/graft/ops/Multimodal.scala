@@ -29,6 +29,10 @@ case class MediaResized(doc_id: Long, orig_len: Long, new_len: Long,
 /** One asset's perceptual hash (aHash bit string). */
 case class MediaHash(doc_id: Long, ahash: String)
 
+/** One selected keyframe: its shot, frame index, energy, fingerprint. */
+case class Keyframe(doc_id: Long, shot: Long, keyframe: Long, energy: Long,
+    frame_md5: String)
+
 /** Multimodal columns (★ SURVEY §2c): binary payloads with typed
   * metadata, decoded/feature-extracted in batch over `mapPartitions` —
   * the Scala analog of a Pandas-UDF/`mapInPandas` stage: typed rows in,
@@ -97,6 +101,54 @@ object Multimodal {
           val hex = digest.digest(java.util.Arrays.copyOfRange(r.media, off, off + len))
             .map("%02x".format(_)).mkString
           FrameSample(r.doc_id, f.toLong, off.toLong, len.toLong, hex)
+        }
+      }
+    }
+  }
+
+  /** Frames per shot for [[selectKeyframes]]. */
+  val ShotFrames = 4
+
+  /** Shot-level keyframe selection (q201): the payload as
+    * [[FrameBytes]]-byte frames grouped into shots of [[ShotFrames]],
+    * one representative frame emitted per shot — the max-energy frame
+    * (byte-sum energy, the stub's deterministic stand-in for decoded
+    * luma variance; ties to the EARLIEST frame) with its energy and
+    * slice md5. The video "one keyframe per shot" preprocessing step a
+    * frame-level captioner or embedder runs on, the 1→shots sibling of
+    * [[sampleFrames]]'s fixed-stride pass.
+    *
+    * Scale shape: 1→N typed mapPartitions, ZERO shuffle — the per-shot
+    * argmax runs inside the row's own byte array (a window formulation
+    * would shuffle frame rows to rank them; frames of one asset never
+    * need to leave their row). The oracle recomputes energies from the
+    * ASCII text with a rank window — the engine-side plan stays
+    * window-free. */
+  def selectKeyframes(media: Dataset[MediaRecord]): Dataset[Keyframe] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      val digest = java.security.MessageDigest.getInstance("MD5")
+      it.flatMap { r =>
+        val n = r.media.length
+        val nFrames = (n + FrameBytes - 1) / FrameBytes
+        val nShots = (nFrames + ShotFrames - 1) / ShotFrames
+        (0 until nShots).iterator.map { s =>
+          var bestF = -1; var bestE = -1L
+          var f = s * ShotFrames
+          val fEnd = math.min(nFrames, (s + 1) * ShotFrames)
+          while (f < fEnd) {
+            val off = f * FrameBytes
+            val len = math.min(FrameBytes, n - off)
+            var e = 0L; var i = off
+            while (i < off + len) { e += (r.media(i) & 0xff); i += 1 }
+            if (e > bestE) { bestE = e; bestF = f }
+            f += 1
+          }
+          val off = bestF * FrameBytes
+          val len = math.min(FrameBytes, n - off)
+          val hex = digest.digest(java.util.Arrays.copyOfRange(r.media, off, off + len))
+            .map("%02x".format(_)).mkString
+          Keyframe(r.doc_id, s.toLong, bestF.toLong, bestE, hex)
         }
       }
     }
@@ -413,6 +465,26 @@ object Multimodal {
     // pads deterministic "silence" (spaces — byte 32) around the
     // payload: 2 exact leading frames and a ragged 3-frame tail. The
     // oracle recomputes frame energies from the ASCII text.
+    QueryDef("q201_keyframe_select",
+      (s, d) => {
+        import s.implicits._
+        selectKeyframes(attachMedia(t(s, d, "documents")).as[MediaRecord]).toDF()
+      },
+      Some(s"""WITH f AS (SELECT doc_id, text AS t, length(text) AS n,
+              (length(text) + ${FrameBytes - 1}) // $FrameBytes AS nf FROM documents),
+        en AS (SELECT doc_id, t, fi, fi // $ShotFrames AS shot,
+              CAST(least($FrameBytes, n - fi * $FrameBytes) AS BIGINT) AS flen,
+              list_sum(list_transform(
+                range(1, CAST(least($FrameBytes, n - fi * $FrameBytes) AS BIGINT) + 1),
+                q -> CAST(ascii(substr(t, CAST(fi * $FrameBytes + q AS INT), 1)) AS BIGINT))) AS e
+            FROM (SELECT *, unnest(range(0, nf)) AS fi FROM f)),
+        r AS (SELECT *, row_number() OVER (PARTITION BY doc_id, shot
+              ORDER BY e DESC, fi) AS rn FROM en)
+        SELECT doc_id, CAST(shot AS BIGINT) AS shot, CAST(fi AS BIGINT) AS keyframe,
+          CAST(e AS BIGINT) AS energy,
+          md5(substr(t, CAST(fi * $FrameBytes + 1 AS INT), CAST(flen AS INT))) AS frame_md5
+        FROM r WHERE rn = 1""")),
+
     QueryDef("q173_media_silence_trim",
       (s, d) => {
         import s.implicits._
