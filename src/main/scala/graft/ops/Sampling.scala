@@ -757,10 +757,51 @@ object Sampling {
         CAST((w * 1000000) // wtot AS BIGINT) AS share_micro
       FROM w, wt"""
 
+  /** DoReMi-weighted source mix (q204): [[doremiStep]]'s updated mixture
+    * actually DRIVING the q96 mixer — the composition the step exists
+    * for. Each source's token share is `budget·share_micro DIV 1e6`
+    * (the step's normalized integer share), filled greedily by the
+    * shared q31 quality order. Upweighted (low-quality ≈ hard) domains
+    * get more of the budget, exactly the DoReMi training mixture shape.
+    *
+    * Scale: the step's one source rollup + q96's ONE source-keyed
+    * window; the weight table is source-cardinality and broadcasts. */
+  def doremiWeightedMix(docs: DataFrame, budgetTokens: Long = MixBudgetTokens,
+      eta: Long = DoremiEta): DataFrame = {
+    val wts = doremiStep(docs, eta).select(col("source"), col("share_micro"))
+    val scored = graft.ops.TextStats.scored(docs, Seq("source"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("score").desc, col("doc_id").asc)
+    scored.join(broadcast(wts), "source")
+      .withColumn("share_tokens", expr(s"($budgetTokens * share_micro) DIV 1000000"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(win))
+      .filter(col("cum_tokens") <= col("share_tokens"))
+      .select("doc_id", "source", "n_tokens", "cum_tokens", "share_tokens")
+  }
+
+  def doremiWeightedMixSql(budgetTokens: Long = MixBudgetTokens,
+      eta: Long = DoremiEta): String =
+    s"""WITH wts AS (SELECT source, share_micro FROM (${doremiStepSql(eta)})),
+      base2 AS (SELECT doc_id, source, ${graft.ops.TextStats.scoreSignalsDuck} FROM documents),
+      scored2 AS (SELECT doc_id, source, n_tokens,
+          ${graft.ops.TextStats.scoreExprDuck} AS score
+        FROM base2),
+      c AS (SELECT s.doc_id, s.source, s.n_tokens,
+          CAST(($budgetTokens * w.share_micro) // 1000000 AS BIGINT) AS share_tokens,
+          CAST(SUM(s.n_tokens) OVER (PARTITION BY s.source ORDER BY s.score DESC, s.doc_id)
+            AS BIGINT) AS cum_tokens
+        FROM scored2 s JOIN wts w USING (source))
+      SELECT doc_id, source, n_tokens, cum_tokens, share_tokens
+      FROM c WHERE cum_tokens <= share_tokens"""
+
   val queries: Seq[QueryDef] = Seq(
     QueryDef("q198_doremi_step",
       (s, d) => doremiStep(t(s, d, "documents")),
       Some(doremiStepSql())),
+
+    QueryDef("q204_doremi_mix",
+      (s, d) => doremiWeightedMix(t(s, d, "documents")),
+      Some(doremiWeightedMixSql())),
 
     QueryDef("q101_shuffle_assign",
       (s, d) => shuffleAssign(t(s, d, "documents")),
