@@ -326,6 +326,43 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("might_contain"), "train spans must probe the test-fp bloom map-side")
   }
 
+  test("q201: keyframe selection is shuffle-free — the per-shot argmax never leaves the row") {
+    // a window formulation would exchange frame rows to rank them; the
+    // typed mapPartitions keeps the whole argmax inside the scan stage
+    val p = plan("q201_keyframe_select")
+    assert(!p.contains("Exchange"), "keyframe selection must not shuffle")
+    assert(p.contains("MapPartitions"), "typed per-partition decode boundary expected")
+  }
+
+  test("q202: path mining carries ONE user-keyed exchange for both leads") {
+    // the q150 discipline: both lead() calls plan into one Window over
+    // one (user_id)-keyed sort; the only other exchange is the bounded
+    // (t1,t2,t3) rollup, and top-k is TakeOrderedAndProject, never a
+    // rangepartitioning sort
+    val p = plan("q202_path_trigrams")
+    val exchanges = p.linesIterator
+      .filter(_.matches(""".*\(\d+\) Exchange.*""")).toSeq
+    assert(exchanges.size == 2, s"expected window + rollup exchanges only, got: $exchanges")
+    assert(p.contains("hashpartitioning(user_id"), "the window exchange must key on user_id")
+    assert(p.linesIterator.count(_.contains("Window")) >= 1 &&
+      p.linesIterator.filter(_.contains("Window")).forall(!_.contains("Exchange")),
+      "both leads must share one Window")
+    assert(p.contains("TakeOrderedAndProject"), "top-k must not global-sort")
+    assert(!p.contains("rangepartitioning"), "no range exchange anywhere")
+  }
+
+  test("q199: CUSUM never exchanges event rows beyond the (type, day) rollup") {
+    // the daily rollup partial-aggregates map-side; the mean join is a
+    // broadcast; both windows run over day-level rows (keyed by
+    // event_type — already co-located by the rollup's exchange)
+    val p = plan("q199_rate_cusum")
+    assert(!p.contains("rangepartitioning"), "no global sort")
+    assert(!p.contains("SortMergeJoin"), "the type-cardinality mean must broadcast")
+    val exchanges = p.linesIterator
+      .filter(_.matches(""".*\(\d+\) Exchange.*""")).toSeq
+    assert(exchanges.size <= 3, s"rollup/mean/window exchanges only, got: $exchanges")
+  }
+
   test("catalog missing-series plans as broadcast left-anti") {
     import spark.implicits._
     val headers = Seq((0, "1", "n", 0)).toDF("fileOrd", "externalId", "name", "colIndex")
