@@ -965,8 +965,12 @@ object EventOps {
     * the only event-volume exchange; the mean attaches as a broadcast
     * (type-cardinality) join; both windows run over day-level rows. */
   def rateCusum(ev: DataFrame): DataFrame = {
+    // day-level rows, checkpointed: the frame feeds both the mean branch
+    // and the join — without materialization Spark re-scans the EVENT
+    // volume for each (caught by the PlanSpec exchange-count gate)
     val daily = ev.select(col("event_type"), expr("ts DIV 86400000000000").as("day"))
       .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
+      .localCheckpoint()
     val mu = daily.groupBy("event_type")
       .agg(expr("(sum(n) * 1000000L) div count(1)").as("mu_micro"))
     val wCum = Window.partitionBy("event_type").orderBy("day")
