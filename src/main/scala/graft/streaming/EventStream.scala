@@ -25,6 +25,14 @@ case class TransCursor(last_type: String, last_us: Long)
 /** One within-session transition (q166's unit of count). */
 case class Transition(user_id: Long, from_type: String, to_type: String)
 
+/** Per-type CUSUM state: the open day's running count + the closed-form
+  * accumulators (P and min(0, min P)). Fixed-size per key. */
+case class CusumState(day: Long, n: Long, p: Long, minP: Long)
+
+/** One closed day's drift reading (the streaming twin of a q199 row). */
+case class DriftPoint(event_type: String, day: Long, n: Long,
+    cusum_micro: Long, spike: Boolean)
+
 /** Structured-Streaming event analytics (★ SURVEY §2b streaming row):
   * event-time windows with watermarks and session windows over an
   * unbounded event stream. Batch twins of these semantics are oracle-
@@ -72,6 +80,54 @@ object EventStream {
               out += Anomaly(user, v, st.sum_value / st.n_events, st.n_events)
             st = UserStats(user, st.n_events + 1, st.sum_value + v, math.max(st.max_value, v))
           }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
+  /** Streaming CUSUM drift monitor — the unbounded twin of
+    * EventOps.rateCusum (q199): per event type, the same closed-form
+    * one-sided CUSUM over daily counts, emitted live as each day CLOSES
+    * (a strictly later day arrives for that type). The reference rate
+    * `muMicro` is FROZEN and passed in — the production shape: a batch
+    * job (q199's own mean, or an SLO) sets the reference, the monitor
+    * tracks drift against it; deriving mu from the stream itself would
+    * make early days' verdicts change retroactively.
+    *
+    * State per type is FIXED-SIZE — (open day, its count, P, min-P) —
+    * and the per-batch working set is a day-cardinality count map,
+    * never buffered events. In-order contract as [[funnel]]: a day
+    * closes when a later day is observed, so an event arriving AFTER
+    * its day closed cannot be counted (document-stream late data is the
+    * watermark's job upstream); within a batch arrival order is
+    * irrelevant (counts merge by day). Spec-locked: streamed DriftPoints
+    * == batch q199 rows at the same frozen mu, however the stream is
+    * batched. Input columns: (event_type STRING, ts TIMESTAMP). */
+  def driftMonitor(events: DataFrame, muMicro: Map[String, Long],
+      spikeFactor: Long = 3L): Dataset[DriftPoint] = {
+    import events.sparkSession.implicits._
+    events
+      .select(col("event_type").as[String],
+        expr("unix_micros(ts) div 86400000000").as[Long])
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (tpe: String, rows: Iterator[(String, Long)], state: GroupState[CusumState]) =>
+          val mu = muMicro.getOrElse(tpe, 0L)
+          val counts = scala.collection.mutable.Map.empty[Long, Long]
+          rows.foreach { case (_, d) => counts(d) = counts.getOrElse(d, 0L) + 1L }
+          var st = state.getOption.getOrElse(CusumState(Long.MinValue, 0L, 0L, 0L))
+          if (st.day != Long.MinValue)
+            counts(st.day) = counts.getOrElse(st.day, 0L) + st.n
+          val out = Seq.newBuilder[DriftPoint]
+          val days = counts.keys.toSeq.sorted
+          days.dropRight(1).foreach { d =>
+            val p = st.p + (counts(d) * 1000000L - mu)
+            val minP = math.min(st.minP, p) // minP starts at 0 == P_0
+            val cusum = p - minP
+            out += DriftPoint(tpe, d, counts(d), cusum, cusum > spikeFactor * mu)
+            st = CusumState(Long.MinValue, 0L, p, minP)
+          }
+          days.lastOption.foreach(d => st = st.copy(day = d, n = counts(d)))
           state.update(st)
           out.result().iterator
       }

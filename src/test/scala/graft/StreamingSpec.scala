@@ -849,6 +849,47 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming CUSUM: closed days == batch q199 at the same frozen reference, across batches") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    import graft.ops.EventOps
+    import graft.streaming.EventStream
+    val ev = EventOps.events(spark, "/root/testdata/sf0.001")
+    val rows = ev.selectExpr("event_type", "ts").collect()
+      .map(r => (r.getString(0), r.getLong(1))) // ts is epoch ns
+    // frozen reference: the same integer mean the batch op derives
+    val mu = rows.groupBy(_._1).map { case (t, rs) =>
+      val perDay = rs.groupBy(_._2 / 86400000000000L).view.mapValues(_.length.toLong)
+      t -> perDay.values.sum * 1000000L / perDay.size
+    }
+    val batch = EventOps.rateCusum(ev).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4))).toSet
+    def tsOf(ns: Long) = java.sql.Timestamp.from(
+      java.time.Instant.ofEpochSecond(ns / 1000000000L, ns % 1000000000L))
+    val days = rows.map(_._2 / 86400000000000L)
+    val (minD, maxD) = (days.min, days.max)
+    val mid = (minD + maxD) / 2
+    val b1 = rows.filter(_._2 / 86400000000000L <= mid).map { case (t, ns) => (t, tsOf(ns)) }
+    val b2 = rows.filter(_._2 / 86400000000000L > mid).map { case (t, ns) => (t, tsOf(ns)) }
+    // one sentinel event per type on a far-future day closes every real day
+    val flush = rows.map(_._1).distinct.map(t =>
+      (t, tsOf((maxD + 1000L) * 86400000000000L)))
+    val mem = MemoryStream[(String, java.sql.Timestamp)]
+    val q = EventStream.driftMonitor(mem.toDF().toDF("event_type", "ts"), mu)
+      .writeStream.outputMode("append").format("memory").queryName("drift").start()
+    try {
+      mem.addData(b1.toSeq: _*); q.processAllAvailable()
+      mem.addData(b2.toSeq: _*); q.processAllAvailable()
+      mem.addData(flush.toSeq: _*); q.processAllAvailable()
+      val streamed = spark.table("drift").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getBoolean(4))).toSet
+      assert(streamed == batch,
+        s"streamed CUSUM diverges:\nonly-stream=${streamed -- batch}\nonly-batch=${batch -- streamed}")
+    } finally q.stop()
+  }
+
   test("streaming IVF append: N streamed appends == batch q170 assign-union; replay leaves the index unchanged") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
