@@ -1086,7 +1086,51 @@ object EventOps {
       GROUP BY 1, 2, 3
       ORDER BY n DESC, t1, t2, t3 LIMIT $k"""
 
+  /** Population floor for [[suppressSmallCells]] (q205). */
+  val SuppressK = 10L
+
+  /** Small-cell suppression (q205): the k-anonymity publishing gate a
+    * grouped report passes through before leaving the platform — any
+    * row whose population sits below `k` collapses into ONE combined
+    * row (every key column → '~'), with counts and sums preserved
+    * EXACTLY, so the published table never isolates a cohort smaller
+    * than k users yet still reconciles to the unsuppressed totals. The
+    * q205 query gates q200's RFM segments (population = n_users); the
+    * operator is generic over any (keys, population, sums) rollup.
+    *
+    * Standard single-pass cell suppression: the combined row itself may
+    * aggregate fewer than k rows-worth of cohorts but never exposes an
+    * individual cohort below k. Cost: a stateless CASE + one re-rollup
+    * over REPORT rows (the corpus was already reduced upstream) —
+    * governance is free at any scale. */
+  def suppressSmallCells(report: DataFrame, keyCols: Seq[String],
+      popCol: String, sumCols: Seq[String], k: Long = SuppressK): DataFrame = {
+    val masked = keyCols.foldLeft(report) { (df, c) =>
+      df.withColumn(c, when(col(popCol) < k, lit("~")).otherwise(col(c)))
+    }
+    masked.groupBy(keyCols.map(col): _*)
+      .agg(sum(popCol).as(popCol),
+        sumCols.map(c => sum(c).as(c)): _*)
+  }
+
+  def suppressedRfmSql(k: Long = SuppressK): String =
+    s"""WITH seg AS (${rfmSegmentsSql}),
+      m AS (SELECT
+            CASE WHEN n_users < $k THEN '~' ELSE r_seg END AS r_seg,
+            CASE WHEN n_users < $k THEN '~' ELSE f_seg END AS f_seg,
+            CASE WHEN n_users < $k THEN '~' ELSE m_seg END AS m_seg,
+            n_users, seg_cents
+          FROM seg)
+      SELECT r_seg, f_seg, m_seg, CAST(SUM(n_users) AS BIGINT) AS n_users,
+        CAST(SUM(seg_cents) AS BIGINT) AS seg_cents
+      FROM m GROUP BY 1, 2, 3"""
+
   val queries: Seq[QueryDef] = Seq(
+    QueryDef("q205_suppressed_rfm",
+      (s, d) => suppressSmallCells(rfmSegments(events(s, d)),
+        Seq("r_seg", "f_seg", "m_seg"), "n_users", Seq("seg_cents")),
+      Some(suppressedRfmSql())),
+
     QueryDef("q202_path_trigrams",
       (s, d) => pathTrigrams(events(s, d)),
       Some(pathTrigramsSql())),

@@ -1372,6 +1372,23 @@ class OpsSpec extends AnyFunSuite {
     rows.foreach { case (_, _, _, f, _) => assert(f >= graft.ops.Sampling.DoremiFloorMicro) }
   }
 
+  test("q205 suppression: no published cohort below k; totals conserve exactly") {
+    val ev = graft.ops.EventOps.events(spark, dir)
+    val raw = graft.ops.EventOps.rfmSegments(ev).collect()
+    val sup = graft.ops.EventOps.suppressSmallCells(
+      graft.ops.EventOps.rfmSegments(ev),
+      Seq("r_seg", "f_seg", "m_seg"), "n_users", Seq("seg_cents")).collect()
+    val k = graft.ops.EventOps.SuppressK
+    // every published non-combined row has population >= k
+    sup.filter(r => r.getString(0) != "~").foreach { r =>
+      assert(r.getAs[Long]("n_users") >= k, s"published small cohort: $r") }
+    // exact conservation of both measures
+    assert(sup.map(_.getAs[Long]("n_users")).sum == raw.map(_.getAs[Long]("n_users")).sum)
+    assert(sup.map(_.getAs[Long]("seg_cents")).sum == raw.map(_.getAs[Long]("seg_cents")).sum)
+    // something was actually suppressed on this corpus
+    assert(sup.exists(_.getString(0) == "~"), "tuned cuts must produce small cells to suppress")
+  }
+
   test("q200 RFM: segment counts conserve the user universe") {
     val ev = graft.ops.EventOps.events(spark, dir)
     val users = ev.select("user_id").distinct().count()
