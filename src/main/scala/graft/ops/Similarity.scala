@@ -966,6 +966,83 @@ object Similarity {
       .select(col("vec_id"), col("sub.space").as("space"), col("sub.sqv").as("qv"))
       .withColumn("nrm", expr("quantized_dot(qv, qv)"))
 
+  /** PQ reconstruction audit (q206): the codebook-quality signal for the
+    * q66 IVF-PQ index, the sibling of q171's cell-occupancy audit — per
+    * subspace, the EXACT mean and max squared reconstruction error of
+    * nearest-codeword encoding, next to the corpus energy baseline and
+    * their ratio (the operational number: relative distortion rising
+    * across corpus versions means the frozen codebooks stopped fitting
+    * and ADC scores are degrading — retrain). The error needs no
+    * per-dimension subtraction pass: ‖x−c‖² = ‖x‖² + ‖c‖² − 2⟨x,c⟩,
+    * all three terms already-exact BIGINTs (nrm, cnrm, quantized_dot),
+    * so per-vector errors are exact integers and the corpus sums ride
+    * DECIMAL(38,0) (n·err can pass int64 — the q193 guard).
+    *
+    * Scale shape: codebooks come from the shared training cache (a
+    * suite run trains once, q66 or this — whoever runs first); the
+    * assignment is the established broadcast cross-join with the
+    * max_by(struct(csim, −cent_id)) partial-agg argmax — the exchange
+    * carries one row per (vector × subspace), never n·k; the rollup is
+    * subspace-bounded. */
+  def pqReconstructionAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val qraw = quantized(spark, dir).select("vec_id", "qv", "nrm")
+    val subs = subspaceRows(qraw).localCheckpoint()
+    val pseq = pqCodebookCache.getOrElseUpdate((cacheKeyDir(dir), KmeansIters),
+      kmeansCentroidsBySpace(subs, 0, PqSubCents, KmeansIters))
+    val books = pseq.toDF("space", "cent_id", "cqv")
+      .withColumn("cnrm", expr("quantized_dot(cqv, cqv)"))
+    subs.join(broadcast(books), "space")
+      .withColumn("csim", cosine(
+        expr("CAST(quantized_dot(qv, cqv) AS DOUBLE)"), col("nrm"), col("cnrm")))
+      .withColumn("err", col("nrm") + col("cnrm") -
+        lit(2L) * expr("CAST(quantized_dot(qv, cqv) AS BIGINT)"))
+      .groupBy("vec_id", "space")
+      .agg(expr("max_by(err, struct(csim, -cent_id))").as("err"),
+        first(col("nrm")).as("nrm"))
+      .groupBy("space").agg(
+        count(lit(1)).as("n_vecs"),
+        expr("CAST(sum(CAST(err AS DECIMAL(38,0))) div count(1) AS BIGINT)").as("mean_err"),
+        max("err").as("max_err"),
+        expr("CAST(sum(CAST(nrm AS DECIMAL(38,0))) div count(1) AS BIGINT)").as("mean_energy"))
+      .withColumn("rel_distortion",
+        col("mean_err").cast("double") / col("mean_energy").cast("double"))
+  }
+
+  /** q206's oracle: the q66 per-subspace CTE chains + the same
+    * argmax-assignment and error identity. */
+  def pqReconstructionAuditSql: String = {
+    val subs = (0 until PqSubspaces).map { s =>
+      val lo = s * PqSubDim + 1; val hi = (s + 1) * PqSubDim
+      val src =
+        s"""ns$s AS (SELECT vec_id, qv[$lo:$hi] AS qv,
+            CAST(list_sum(list_transform(qv[$lo:$hi], x -> x * x)) AS BIGINT) AS nrm FROM n)"""
+      val (chain, last) = kmeansSqlFor(s"ns$s", s"p$s", PqSubCents.toString, KmeansIters)
+      val assign =
+        s"""asr$s AS (SELECT n.vec_id, n.nrm,
+              CAST(list_sum(list_transform(range(1, len(n.qv) + 1), i -> n.qv[i] * c.cqv[i])) AS BIGINT) AS dot,
+              c.cnrm,
+              row_number() OVER (PARTITION BY n.vec_id ORDER BY
+                CAST(list_sum(list_transform(range(1, len(n.qv) + 1), i -> n.qv[i] * c.cqv[i])) AS DOUBLE)
+                / (sqrt(CAST(n.nrm AS DOUBLE)) * sqrt(CAST(c.cnrm AS DOUBLE))) DESC, c.cent_id) AS rn
+            FROM ns$s n CROSS JOIN $last c),
+          er$s AS (SELECT $s AS space, vec_id, nrm, nrm + cnrm - 2 * dot AS err
+            FROM asr$s WHERE rn = 1)"""
+      s"$src,\n        $chain,\n        $assign"
+    }.mkString(",\n        ")
+    val union = (0 until PqSubspaces).map(s => s"SELECT * FROM er$s").mkString(" UNION ALL ")
+    s"""WITH $quantCte,
+      $subs,
+      allerr AS ($union)
+      SELECT space, CAST(count(*) AS BIGINT) AS n_vecs,
+        CAST(CAST(SUM(err) AS HUGEINT) // COUNT(*) AS BIGINT) AS mean_err,
+        CAST(MAX(err) AS BIGINT) AS max_err,
+        CAST(CAST(SUM(nrm) AS HUGEINT) // COUNT(*) AS BIGINT) AS mean_energy,
+        CAST(CAST(CAST(SUM(err) AS HUGEINT) // COUNT(*) AS BIGINT) AS DOUBLE)
+          / CAST(CAST(CAST(SUM(nrm) AS HUGEINT) // COUNT(*) AS BIGINT) AS DOUBLE) AS rel_distortion
+      FROM allerr GROUP BY space"""
+  }
+
   /** All sub-codebooks trained in ONE grouped Lloyd loop: centroids keyed
     * (space, cent_id), assignment joined on `space` and ranked within
     * (vec, space) — per-space math identical to running
@@ -1911,6 +1988,10 @@ object Similarity {
         knnIvfPersisted(s, idx, 3)
       },
       Some(knnIvfIncrementalSql)),
+
+    QueryDef("q206_pq_reconstruction",
+      (s, d) => pqReconstructionAudit(s, d),
+      Some(pqReconstructionAuditSql)),
 
     QueryDef("q66_knn_ivf_pq",
       (s, d) => knnIvfPq(s, d, 3),

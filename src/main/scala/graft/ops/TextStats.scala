@@ -428,6 +428,53 @@ object TextStats {
       FROM r GROUP BY source"""
   }
 
+  // --------------------------------------------------------------------
+  // Readability (q207): integer-quantized Flesch reading ease per source.
+  // Syllables ≈ maximal vowel groups [aeiouy]+ (the standard cheap
+  // heuristic; spaces are not vowels, so counting groups over the WHOLE
+  // text equals the per-word sum in one regexp pass). Sentences = count
+  // of [.!?] floored at 1. The score is computed entirely in micro-unit
+  // integer arithmetic — both inner divisions have positive operands
+  // (truncation == floor, portable across engines; a signed div would
+  // not be: Spark `div` truncates toward zero, DuckDB `//` floors) —
+  // and clamped to the conventional [0, 100] band, which also keeps the
+  // per-source mean's sum/div positive-exact.
+  // --------------------------------------------------------------------
+
+  /** Per-source readability report: doc count + mean/min/max clamped
+    * micro-Flesch. One stateless projection (two regexp passes per doc)
+    * + one source-keyed partial-agg rollup — scan-resident at any
+    * scale, the q165 shape. */
+  def readability(docs: DataFrame): DataFrame =
+    docs.select(col("source"),
+      expr("CAST(size(split(text, ' ')) AS BIGINT)").as("w"),
+      expr("CAST(size(regexp_extract_all(lower(text), '[aeiouy]+', 0)) AS BIGINT)").as("syl"),
+      expr("greatest(1L, CAST(regexp_count(text, '[.!?]') AS BIGINT))").as("sen"))
+      .withColumn("flesch_micro", expr(
+        """greatest(0L, least(100000000L,
+           206835000L - (1015000L * w) div sen - (84600000L * syl) div w))"""))
+      .groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        expr("CAST(sum(flesch_micro) div count(1) AS BIGINT)").as("mean_flesch_micro"),
+        min("flesch_micro").as("min_flesch_micro"),
+        max("flesch_micro").as("max_flesch_micro"))
+
+  val readabilitySql: String =
+    """WITH sig AS (SELECT source,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+          CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS syl,
+          GREATEST(1, CAST(len(regexp_extract_all(text, '[.!?]')) AS BIGINT)) AS sen
+        FROM documents),
+      f AS (SELECT source,
+          GREATEST(0, LEAST(100000000,
+            206835000 - (1015000 * w) // sen - (84600000 * syl) // w)) AS flesch_micro
+        FROM sig)
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(SUM(flesch_micro) // COUNT(*) AS BIGINT) AS mean_flesch_micro,
+        CAST(MIN(flesch_micro) AS BIGINT) AS min_flesch_micro,
+        CAST(MAX(flesch_micro) AS BIGINT) AS max_flesch_micro
+      FROM f GROUP BY source"""
+
   /** Classifier-vs-rules agreement audit (q172): the hashed classifier's
     * keep verdict (q152) cross-tabulated against the C4-style rule gate
     * (q39's predicate) per source — the calibration view before trusting
@@ -784,6 +831,10 @@ object TextStats {
     QueryDef("q152_hashed_classifier",
       (s, d) => hashedClassifierFrom(clfScoredPersisted(s, d)),
       Some(hashedClassifierSql)),
+
+    QueryDef("q207_readability",
+      (s, d) => readability(t(s, d, "documents")),
+      Some(readabilitySql)),
 
     QueryDef("q165_gopher_rules",
       (s, d) => gopherRules(t(s, d, "documents")),
