@@ -188,6 +188,70 @@ object Corpus {
           / (2.0 * CAST(MIN(n_src) AS DOUBLE) * (SELECT CAST(n_total AS DOUBLE) FROM n)) AS tv
       FROM diffs GROUP BY source"""
 
+  /** Pairwise source-distribution distance matrix (q208): EXACT total
+    * variation distance between every two sources' unigram term
+    * distributions — the redundancy/diversity matrix a mixture designer
+    * reads next to q98's source-vs-corpus drift (two sources at small
+    * TVD are distributionally interchangeable: upweighting both buys no
+    * diversity; a source at large TVD from everything is the coverage
+    * it uniquely supplies). Log-free per the suite's determinism
+    * discipline (no KL): TVD(a,b) = 1 − Σ_t min(p_a(t), p_b(t)), and
+    * the min-identity needs only the SHARED vocabulary — an absent
+    * term's whole mass lands in the distance automatically — so the
+    * term join stays an inner equi-join (the outer-join blowup q98's
+    * note avoids is avoided here by algebra, with nothing restricted).
+    * min compared by cross-multiplication (c·N on DECIMAL — passes
+    * int64 at corpus scale), one ×1e6 quantization at the end.
+    *
+    * Scale shape: one (source × term-hash) rollup off the scan (int64
+    * xxhash64 keys — the q99 discipline; the oracle joins by the raw
+    * term string, the collision tripwire); the matrix join's volume is
+    * Σ_t (#sources carrying t)² ≤ sources × vocab-rollup rows; totals
+    * broadcast; output is source²-bounded. */
+  def sourceSimilarityMatrix(spark: SparkSession, dir: String): DataFrame =
+    sourceSimilarityMatrixOn(t(spark, dir, "documents"))
+
+  private[graft] def sourceSimilarityMatrixOn(docs: DataFrame): DataFrame = {
+    val st = docs
+      .select(col("source"), explode(split(col("text"), " ")).as("term"))
+      .select(col("source"), xxhash64(col("term")).as("th"))
+      .groupBy("source", "th").agg(count(lit(1)).as("c"))
+      .localCheckpoint() // feeds totals + both matrix sides
+    val ns = st.groupBy("source").agg(sum("c").as("n"))
+    val a = st.select(col("source").as("src_a"), col("th"), col("c").as("ca"))
+    val b = st.select(col("source").as("src_b"), col("th"), col("c").as("cb"))
+    a.join(b, "th").filter(col("src_a") < col("src_b"))
+      .join(broadcast(ns.select(col("source").as("src_a"), col("n").as("na"))), "src_a")
+      .join(broadcast(ns.select(col("source").as("src_b"), col("n").as("nb"))), "src_b")
+      .withColumn("minc", least(
+        col("ca").cast("decimal(19,0)") * col("nb").cast("decimal(19,0)"),
+        col("cb").cast("decimal(19,0)") * col("na").cast("decimal(19,0)")))
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("n_shared_terms"),
+        first(col("na")).as("na"), first(col("nb")).as("nb"),
+        sum(col("minc")).as("summin"))
+      .withColumn("tvd_micro", expr(
+        """CAST(1000000L - (summin * 1000000) div
+           (CAST(na AS DECIMAL(19,0)) * CAST(nb AS DECIMAL(19,0))) AS BIGINT)"""))
+      .select("src_a", "src_b", "n_shared_terms", "tvd_micro")
+  }
+
+  val sourceSimilarityMatrixSql: String =
+    """WITH st AS (SELECT source, term, CAST(count(*) AS BIGINT) AS c
+          FROM (SELECT source, unnest(string_split(text, ' ')) AS term FROM documents)
+          GROUP BY 1, 2),
+      ns AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM st GROUP BY 1),
+      j AS (SELECT a.source AS src_a, b.source AS src_b, a.c AS ca, b.c AS cb
+            FROM st a JOIN st b ON a.term = b.term AND a.source < b.source),
+      m AS (SELECT j.src_a, j.src_b,
+            LEAST(CAST(j.ca AS HUGEINT) * nb.n, CAST(j.cb AS HUGEINT) * na.n) AS minc,
+            na.n AS na, nb.n AS nb
+          FROM j JOIN ns na ON na.source = j.src_a JOIN ns nb ON nb.source = j.src_b)
+      SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_shared_terms,
+        CAST(1000000 - (SUM(minc) * 1000000)
+          // (CAST(MIN(na) AS HUGEINT) * MIN(nb)) AS BIGINT) AS tvd_micro
+      FROM m GROUP BY 1, 2"""
+
   /** Fixed-point scale for the q99 bigram conditional probabilities:
     * each p(w2|w1) is quantized to `(c12 · 1e6) div c1` — an exact
     * integer both engines compute identically. */
@@ -1499,6 +1563,10 @@ object Corpus {
     QueryDef("q97_token_freq_score",
       (s, d) => tokenFrequencyScore(s, d),
       Some(tokenFrequencyScoreSql)),
+
+    QueryDef("q208_source_tvd_matrix",
+      (s, d) => sourceSimilarityMatrix(s, d),
+      Some(sourceSimilarityMatrixSql)),
 
     QueryDef("q98_source_drift",
       (s, d) => sourceDrift(s, d),

@@ -1372,6 +1372,35 @@ class OpsSpec extends AnyFunSuite {
     rows.foreach { case (_, _, _, f, _) => assert(f >= graft.ops.Sampling.DoremiFloorMicro) }
   }
 
+  test("q208 TVD min-identity == brute half-sum over the UNION vocabulary") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, explode, split}
+    // partly-disjoint vocabularies: the min-form inner join must still
+    // charge absent terms' full mass (the identity under test)
+    val docs = Seq(
+      (1L, "a", "x x y z w"), (2L, "a", "x y y q"),
+      (3L, "b", "x z z z r r"), (4L, "b", "y r s")).toDF("doc_id", "source", "text")
+    val got = graft.ops.Corpus.sourceSimilarityMatrixOn(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(3)).toMap
+    // brute: ½ Σ_t∈union |ca/na − cb/nb| with exact BigInt cross-products
+    val counts = docs.select(col("source"), explode(split(col("text"), " ")).as("t"))
+      .groupBy("source", "t").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val na = counts.collect { case (("a", _), c) => c }.sum
+    val nb = counts.collect { case (("b", _), c) => c }.sum
+    val vocab = counts.keys.map(_._2).toSet
+    val num = vocab.toSeq.map { t =>
+      val ca = BigInt(counts.getOrElse(("a", t), 0L))
+      val cb = BigInt(counts.getOrElse(("b", t), 0L))
+      (ca * nb - cb * na).abs
+    }.sum
+    val brute = BigInt(1000000) - ((BigInt(2) * na * nb - num) * 1000000) / (BigInt(2) * na * nb)
+    // op: 1e6 − floor(Σmin·1e6/(na·nb)); brute via Σ|…| and
+    // Σmin = (2·na·nb − Σ|…|)/2 — same floor, so exact equality
+    assert(got(("a", "b")) == brute.toLong,
+      s"min-identity ${got(("a", "b"))} != brute $brute")
+  }
+
   test("q205 suppression: no published cohort below k; totals conserve exactly") {
     val ev = graft.ops.EventOps.events(spark, dir)
     val raw = graft.ops.EventOps.rfmSegments(ev).collect()
