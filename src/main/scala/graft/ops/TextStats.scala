@@ -319,7 +319,13 @@ object TextStats {
     docs.select(col("doc_id") +: col("source") +: signalCols :+
       expr(s"aggregate(split(text, ' '), 0L, (acc, t) -> acc + (${weightSparkExpr("t")}))").as("score_int"): _*)
       .withColumn("rules", expr(QualityPassCond))
-      .select("doc_id", "source", "n_tokens", "score_int", "rules")
+      // q31's continuous score rides along (same signal columns, zero
+      // extra fold) — the q209 rank-correlation consumer reads it
+      .withColumn("q_micro", expr(
+        """CAST(floor(((CAST(least(n_tokens, 100L) AS DOUBLE) / 100.0) * 0.5
+           + (CAST(n_distinct AS DOUBLE) / n_tokens) * 0.3
+           + (CAST(least(n_stop, 10L) AS DOUBLE) / 10.0) * 0.2) * 1000000.0) AS BIGINT)"""))
+      .select("doc_id", "source", "n_tokens", "score_int", "rules", "q_micro")
 
   /** [[clfScored]] over `<dir>/documents.parquet`, built once per corpus
     * version and persisted ([[Memo.persistedFrame]]); every classifier
@@ -437,8 +443,9 @@ object TextStats {
   // integer arithmetic — both inner divisions have positive operands
   // (truncation == floor, portable across engines; a signed div would
   // not be: Spark `div` truncates toward zero, DuckDB `//` floors) —
-  // and clamped to the conventional [0, 100] band, which also keeps the
-  // per-source mean's sum/div positive-exact.
+  // (both engines truncate integer division toward zero, so signedness
+  // would be portable too — positivity just removes the question) — and
+  // clamped to the conventional [0, 100] band.
   // --------------------------------------------------------------------
 
   /** Per-source readability report: doc count + mean/min/max clamped
@@ -516,6 +523,95 @@ object TextStats {
         CAST(SUM(CASE WHEN NOT clf AND NOT rules THEN 1 ELSE 0 END) AS BIGINT) AS n_neither,
         CAST(SUM(CASE WHEN clf = rules THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS agree_rate
       FROM v GROUP BY source"""
+
+  /** Filter-agreement rank correlation (q209): exact tie-aware Spearman
+    * ρ per source between the hashed classifier's quantized mean weight
+    * (q152's score axis) and q31's continuous quality score. q195's AUC
+    * asks whether the classifier ranks docs above/below the BINARY rule
+    * gate; this asks how faithfully it reproduces the continuous
+    * score's full ORDER — the number that says a cheap scan-resident
+    * scorer can replace an expensive one for ranked selection (q87/q96)
+    * rather than just thresholding.
+    *
+    * Tie-aware ranks via the count-of-counts closed form: per source,
+    * each signal's DISTINCT levels get their average rank from one
+    * cumulative window over level rows (never a per-document rank —
+    * the q193/q195 discipline), kept integer as DOUBLE-ranks
+    * (2·avgrank = 2·cumBefore + cnt + 1) and centered by the exact
+    * mean (n+1), so every moment is an exact DECIMAL(38,0) sum (fits
+    * below ~4·10¹² docs/source). ρ = Σcxcy / (√Σcx² · √Σcy²) — one
+    * double division of exact operands at the very end (the cosine
+    * discipline; both engines evaluate the identical tree).
+    *
+    * Scale shape: reads the persisted scored artifact (no token fold);
+    * two (source × level) rollups, windows over level rows, two
+    * level-keyed joins back (narrow rows), one doc-keyed pairing is
+    * avoided entirely — both ranks attach to the SAME row. One moment
+    * rollup per source ends the plan. */
+  def filterRankCorrelation(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    filterRankCorrelationFrom(clfScoredPersisted(spark, dir))
+
+  private[graft] def filterRankCorrelationFrom(scored: DataFrame): DataFrame = {
+    val d = scored.select(col("doc_id"), col("source"),
+      expr("(score_int * 1000000L) div n_tokens").as("x"), col("q_micro").as("y"))
+      .localCheckpoint() // feeds two level rollups + the rank joins
+    def drTable(c: String) = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy(col(c))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      d.groupBy(col("source"), col(c)).agg(count(lit(1)).as("cnt"))
+        .withColumn("cum", sum("cnt").over(w))
+        .select(col("source"), col(c),
+          (lit(2L) * (col("cum") - col("cnt")) + col("cnt") + 1L).as(s"dr_$c"))
+    }
+    val nsrc = d.groupBy("source").agg(count(lit(1)).as("nsrc"))
+    d.join(drTable("x"), Seq("source", "x"))
+      .join(drTable("y"), Seq("source", "y"))
+      .join(broadcast(nsrc), "source")
+      .withColumn("cx", (col("dr_x") - (col("nsrc") + 1)).cast("decimal(19,0)"))
+      .withColumn("cy", (col("dr_y") - (col("nsrc") + 1)).cast("decimal(19,0)"))
+      .groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("cx") * col("cy")).as("sxy"),
+        sum(col("cx") * col("cx")).as("sxx"),
+        sum(col("cy") * col("cy")).as("syy"))
+      .withColumn("rho", col("sxy").cast("double") /
+        (sqrt(col("sxx").cast("double")) * sqrt(col("syy").cast("double"))))
+      .select("source", "n_docs", "rho")
+  }
+
+  val filterRankCorrelationSql: String =
+    s"""WITH sig AS (SELECT doc_id, source, $scoreSignalsDuck,
+          CAST(list_sum(list_transform(string_split(text, ' '),
+            t -> ${weightDuckExpr("t")})) AS BIGINT) AS score_int
+        FROM documents),
+      d AS (SELECT doc_id, source,
+          (score_int * 1000000) // n_tokens AS x,
+          CAST(floor(((CAST(LEAST(n_tokens, 100) AS DOUBLE) / 100.0) * 0.5
+            + (CAST(n_distinct AS DOUBLE) / n_tokens) * 0.3
+            + (CAST(LEAST(n_stop, 10) AS DOUBLE) / 10.0) * 0.2) * 1000000.0) AS BIGINT) AS y
+        FROM sig),
+      lx AS (SELECT source, x, count(*) AS cnt FROM d GROUP BY 1, 2),
+      rx AS (SELECT source, x,
+            2 * (CAST(SUM(cnt) OVER (PARTITION BY source ORDER BY x) AS BIGINT) - cnt)
+              + cnt + 1 AS dr_x FROM lx),
+      ly AS (SELECT source, y, count(*) AS cnt FROM d GROUP BY 1, 2),
+      ry AS (SELECT source, y,
+            2 * (CAST(SUM(cnt) OVER (PARTITION BY source ORDER BY y) AS BIGINT) - cnt)
+              + cnt + 1 AS dr_y FROM ly),
+      ns AS (SELECT source, CAST(count(*) AS BIGINT) AS nsrc FROM d GROUP BY 1),
+      c AS (SELECT d.source,
+            CAST(rx.dr_x - (ns.nsrc + 1) AS HUGEINT) AS cx,
+            CAST(ry.dr_y - (ns.nsrc + 1) AS HUGEINT) AS cy
+          FROM d JOIN rx ON d.source = rx.source AND d.x = rx.x
+                 JOIN ry ON d.source = ry.source AND d.y = ry.y
+                 JOIN ns ON d.source = ns.source)
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(SUM(cx * cy) AS DOUBLE)
+          / (sqrt(CAST(SUM(cx * cx) AS DOUBLE)) * sqrt(CAST(SUM(cy * cy) AS DOUBLE))) AS rho
+      FROM c GROUP BY source"""
 
   /** Exact ROC AUC of the hashed classifier (q152) scored against the
     * rule gate (q39) as ground truth, per source — the one number that
@@ -851,6 +947,10 @@ object TextStats {
     QueryDef("q195_classifier_auc",
       (s, d) => classifierAucFrom(clfScoredPersisted(s, d)),
       Some(classifierAucSql)),
+
+    QueryDef("q209_rank_correlation",
+      (s, d) => filterRankCorrelation(s, d),
+      Some(filterRankCorrelationSql)),
 
     QueryDef("q179_classifier_calibration",
       (s, d) => classifierCalibrationFrom(clfScoredPersisted(s, d)),

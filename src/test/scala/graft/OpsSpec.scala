@@ -1372,6 +1372,33 @@ class OpsSpec extends AnyFunSuite {
     rows.foreach { case (_, _, _, f, _) => assert(f >= graft.ops.Sampling.DoremiFloorMicro) }
   }
 
+  test("q209 Spearman closed form == plain average-rank Pearson on random tied data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(209)
+    // small value ranges force heavy ties — the case the closed form is for
+    val rows = (1 to 400).map(i =>
+      (i.toLong, s"s${i % 3}", 1L, rnd.nextInt(7).toLong, true, rnd.nextInt(9).toLong))
+    val df = rows.toDF("doc_id", "source", "n_tokens", "score_int", "rules", "q_micro")
+    val got = graft.ops.TextStats.filterRankCorrelationFrom(df).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    def avgRanks(vs: Seq[Long]): Seq[Double] = {
+      val sorted = vs.sorted.zipWithIndex.groupBy(_._1)
+        .map { case (v, g) => v -> (g.map(_._2 + 1).sum.toDouble / g.size) }
+      vs.map(sorted)
+    }
+    rows.groupBy(_._2).foreach { case (src, rs) =>
+      val xs = avgRanks(rs.map(t => t._4 * 1000000L)) // x = (score_int*1e6) div 1
+      val ys = avgRanks(rs.map(_._6))
+      val n = xs.size
+      val (mx, my) = (xs.sum / n, ys.sum / n)
+      val num = xs.zip(ys).map { case (a, b) => (a - mx) * (b - my) }.sum
+      val den = math.sqrt(xs.map(a => (a - mx) * (a - mx)).sum) *
+        math.sqrt(ys.map(b => (b - my) * (b - my)).sum)
+      assert(math.abs(got(src) - num / den) < 1e-12,
+        s"$src: closed form ${got(src)} != brute ${num / den}")
+    }
+  }
+
   test("q208 TVD min-identity == brute half-sum over the UNION vocabulary") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, explode, split}
