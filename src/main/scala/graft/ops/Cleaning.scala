@@ -159,6 +159,96 @@ object Cleaning {
   // checksum is exact integer arithmetic, so DuckDB mirrors bit-for-bit.
   // --------------------------------------------------------------------
 
+  /** PII density report (q210): the per-source governance dashboard
+    * above q93/q127's row-level redaction — token volume, the
+    * sequential-chain PII counts (emails, then phones on the
+    * email-redacted text, then IPs — q93's overlap-free semantics),
+    * Luhn-VALID card tokens (q127's checksum, never the bare card-shape
+    * regex), the combined rate per million tokens, and the share of
+    * documents carrying any PII. The release-review number ("source X
+    * ships 40 PII hits/Mtok") and the trend input for
+    * redaction-regression alerts.
+    *
+    * Scale shape: one stateless chain of regexp/lambda passes per row
+    * (the q93 and q127 shapes composed, scan-resident) + ONE
+    * source-keyed partial-agg rollup. */
+  def piiDensity(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("ne", regexp_count(col("text"), lit(EmailRe)).cast("long"))
+      .withColumn("__t1", regexp_replace(col("text"), EmailRe, "<EMAIL>"))
+      .withColumn("np", regexp_count(col("__t1"), lit(PhoneRe)).cast("long"))
+      .withColumn("__t2", regexp_replace(col("__t1"), PhoneRe, "<PHONE>"))
+      .withColumn("ni", regexp_count(col("__t2"), lit(Ipv4Re)).cast("long"))
+      .withColumn("nc", expr(
+        s"CAST(size(filter(split(__t2, ' '), w -> ${isValidCard("w")})) AS BIGINT)"))
+      .withColumn("n_toks", expr("CAST(size(split(text, ' ')) AS BIGINT)"))
+      .groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_toks").as("n_tokens"),
+        sum("ne").as("n_emails"), sum("np").as("n_phones"),
+        sum("ni").as("n_ips"), sum("nc").as("n_cards"),
+        sum(when(col("ne") + col("np") + col("ni") + col("nc") > 0L, 1L)
+          .otherwise(0L)).as("n_pii_docs"))
+      .withColumn("pii_per_mtok",
+        expr("((n_emails + n_phones + n_ips + n_cards) * 1000000L) div n_tokens"))
+      .withColumn("pii_doc_share",
+        col("n_pii_docs").cast("double") / col("n_docs").cast("double"))
+
+  /** q210's deterministic mixed injection: each PII kind lands in its own
+    * doc_id residue class (3/5/7/11), so sources differ in density and
+    * most docs carry none — the q93/q127/q149 injection pattern. */
+  private val piiMixInjected: Column = concat(
+    when(pmod(col("doc_id"), lit(3)) === 0,
+      concat(lit("contact u"), col("doc_id").cast("string"), lit("@example.com ")))
+      .otherwise(lit("")),
+    when(pmod(col("doc_id"), lit(5)) === 0,
+      concat(lit("call +1-555-"),
+        lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"), lit(" ")))
+      .otherwise(lit("")),
+    when(pmod(col("doc_id"), lit(7)) === 0,
+      concat(lit("ip 10.0."), pmod(col("doc_id"), lit(256)).cast("string"),
+        lit("."), pmod(col("doc_id") * 7, lit(256)).cast("string"), lit(" ")))
+      .otherwise(lit("")),
+    when(pmod(col("doc_id"), lit(11)) === 0,
+      concat(lit("card "),
+        lpad((col("doc_id") * 2654435761L % 10000000000000000L).cast("string"), 16, "0"),
+        lit(" ")))
+      .otherwise(lit("")),
+    col("text"))
+
+  private val piiMixInjectedSql =
+    """(CASE WHEN doc_id % 3 = 0 THEN 'contact u' || CAST(doc_id AS VARCHAR) || '@example.com ' ELSE '' END)
+       || (CASE WHEN doc_id % 5 = 0 THEN 'call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' ' ELSE '' END)
+       || (CASE WHEN doc_id % 7 = 0 THEN 'ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST((doc_id * 7) % 256 AS VARCHAR) || ' ' ELSE '' END)
+       || (CASE WHEN doc_id % 11 = 0 THEN 'card ' || lpad(CAST((doc_id * 2654435761) % 10000000000000000 AS VARCHAR), 16, '0') || ' ' ELSE '' END)
+       || text"""
+
+  def piiDensitySql: String =
+    s"""WITH inj AS (SELECT doc_id, source, $piiMixInjectedSql AS text FROM documents),
+      s1 AS (SELECT source, text,
+            CAST(len(regexp_extract_all(text, '$EmailRe')) AS BIGINT) AS ne,
+            regexp_replace(text, '$EmailRe', '<EMAIL>', 'g') AS t1
+          FROM inj),
+      s2 AS (SELECT source, text, ne,
+            CAST(len(regexp_extract_all(t1, '$PhoneRe')) AS BIGINT) AS np,
+            regexp_replace(t1, '$PhoneRe', '<PHONE>', 'g') AS t2
+          FROM s1),
+      s3 AS (SELECT source,
+            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks, ne, np,
+            CAST(len(regexp_extract_all(t2, '$Ipv4Re')) AS BIGINT) AS ni,
+            CAST(len(list_filter(string_split(t2, ' '), x -> ${isValidCardSql("x")})) AS BIGINT) AS nc
+          FROM s2),
+      agg AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+            CAST(SUM(ne) AS BIGINT) AS n_emails, CAST(SUM(np) AS BIGINT) AS n_phones,
+            CAST(SUM(ni) AS BIGINT) AS n_ips, CAST(SUM(nc) AS BIGINT) AS n_cards,
+            CAST(SUM(CASE WHEN ne + np + ni + nc > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pii_docs
+          FROM s3 GROUP BY source)
+      SELECT *,
+        ((n_emails + n_phones + n_ips + n_cards) * 1000000) // n_tokens AS pii_per_mtok,
+        CAST(n_pii_docs AS DOUBLE) / CAST(n_docs AS DOUBLE) AS pii_doc_share
+      FROM agg"""
+
   val CardShapeRe = "^[0-9]{13,19}$"
 
   /** Spark SQL predicate: token `w` (all digits) passes the Luhn mod-10
@@ -442,6 +532,11 @@ object Cleaning {
     QueryDef("q127_pii_card_luhn",
       (s, d) => redactCards(t(s, d, "documents"), cardInjected),
       Some(redactCardsSql)),
+
+    QueryDef("q210_pii_density",
+      (s, d) => piiDensity(t(s, d, "documents")
+        .select(col("doc_id"), col("source"), piiMixInjected.as("text"))),
+      Some(piiDensitySql)),
 
     QueryDef("q146_blocklist_scan",
       (s, d) => blocklistScan(t(s, d, "documents")),
