@@ -661,6 +661,57 @@ object Sampling {
       .select("doc_id", "source", "n_tokens", "shard", "sortkey")
   }
 
+  /** Shard source-balance audit (q211): the quality gate on
+    * [[shuffleAssign]]'s writer — per shard, the worst absolute
+    * deviation of any source's within-shard share from its global
+    * share, in exact micro units. A hash shuffle should leave every
+    * shard a miniature of the corpus mix; a shard whose deviation
+    * spikes means the shard key correlates with source (a broken salt,
+    * a skewed id range) and training batches drawn shard-sequentially
+    * would see a drifting mixture. dev = |c_ss·N − c_s·n_shard| ·1e6 /
+    * (n_shard·N) — cross-multiplied on DECIMAL (exact at corpus scale),
+    * one truncation at the end; argmax source reported with the usual
+    * deterministic tie-break.
+    *
+    * Scale shape: ONE (shard × source)-bounded partial-agg rollup off
+    * the assignment projection; global marginals are rollup-of-rollup
+    * broadcasts; the max/argmax windows run over (shard × source)
+    * rows. */
+  def shardBalanceAudit(docs: DataFrame): DataFrame = {
+    val ss = shuffleAssign(docs).groupBy("shard", "source")
+      .agg(count(lit(1)).as("c")).localCheckpoint()
+    val perShard = ss.groupBy("shard").agg(sum("c").as("n_shard"))
+    val perSrc = ss.groupBy("source").agg(sum("c").as("c_src"))
+    val n = ss.agg(sum("c").as("n_total"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(col("dev_micro").desc, col("source").asc)
+    ss.join(broadcast(perShard), "shard")
+      .join(broadcast(perSrc), "source")
+      .crossJoin(broadcast(n))
+      .withColumn("dev_micro", expr(
+        """CAST((abs(CAST(c AS DECIMAL(19,0)) * n_total - CAST(c_src AS DECIMAL(19,0)) * n_shard)
+           * 1000000) div (CAST(n_shard AS DECIMAL(19,0)) * n_total) AS BIGINT)"""))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("shard"), col("n_shard").as("n_docs"),
+        col("source").as("worst_source"), col("dev_micro").as("max_dev_micro"))
+  }
+
+  def shardBalanceAuditSql: String =
+    s"""WITH a AS (${shuffleAssignSql()}),
+      ss AS (SELECT shard, source, CAST(count(*) AS BIGINT) AS c FROM a GROUP BY 1, 2),
+      ps AS (SELECT shard, CAST(SUM(c) AS BIGINT) AS n_shard FROM ss GROUP BY 1),
+      pr AS (SELECT source, CAST(SUM(c) AS BIGINT) AS c_src FROM ss GROUP BY 1),
+      n AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total FROM ss),
+      d AS (SELECT ss.shard, ss.source, ps.n_shard,
+            CAST((abs(CAST(ss.c AS HUGEINT) * n.n_total - CAST(pr.c_src AS HUGEINT) * ps.n_shard)
+              * 1000000) // (CAST(ps.n_shard AS HUGEINT) * n.n_total) AS BIGINT) AS dev_micro
+          FROM ss JOIN ps USING (shard) JOIN pr USING (source) CROSS JOIN n),
+      r AS (SELECT *, row_number() OVER (PARTITION BY shard
+            ORDER BY dev_micro DESC, source ASC) AS rn FROM d)
+      SELECT shard, n_shard AS n_docs, source AS worst_source, dev_micro AS max_dev_micro
+      FROM r WHERE rn = 1"""
+
   def shuffleAssignSql(table: String = "documents"): String = {
     val hexVal = (c: String) => s"(strpos('0123456789abcdef', $c) - 1)"
     s"""WITH k AS (SELECT doc_id, source,
@@ -818,6 +869,10 @@ object Sampling {
     QueryDef("q101_shuffle_assign",
       (s, d) => shuffleAssign(t(s, d, "documents")),
       Some(shuffleAssignSql())),
+
+    QueryDef("q211_shard_balance",
+      (s, d) => shardBalanceAudit(t(s, d, "documents")),
+      Some(shardBalanceAuditSql)),
 
     QueryDef("q135_unimax_alloc",
       (s, d) => unimaxAlloc(s, d),
