@@ -197,7 +197,7 @@ object Cleaning {
   /** q210's deterministic mixed injection: each PII kind lands in its own
     * doc_id residue class (3/5/7/11), so sources differ in density and
     * most docs carry none — the q93/q127/q149 injection pattern. */
-  private val piiMixInjected: Column = concat(
+  private[graft] val piiMixInjected: Column = concat(
     when(pmod(col("doc_id"), lit(3)) === 0,
       concat(lit("contact u"), col("doc_id").cast("string"), lit("@example.com ")))
       .otherwise(lit("")),
@@ -216,7 +216,7 @@ object Cleaning {
       .otherwise(lit("")),
     col("text"))
 
-  private val piiMixInjectedSql =
+  private[graft] val piiMixInjectedSql =
     """(CASE WHEN doc_id % 3 = 0 THEN 'contact u' || CAST(doc_id AS VARCHAR) || '@example.com ' ELSE '' END)
        || (CASE WHEN doc_id % 5 = 0 THEN 'call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' ' ELSE '' END)
        || (CASE WHEN doc_id % 7 = 0 THEN 'ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST((doc_id * 7) % 256 AS VARCHAR) || ' ' ELSE '' END)

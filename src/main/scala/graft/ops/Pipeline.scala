@@ -489,7 +489,72 @@ object Pipeline {
           + (CASE WHEN n_test_sims > 0 THEN 1 ELSE 0 END) AS BIGINT) AS signals
       FROM u"""
 
+  /** Corpus release sign-off report (q212): the ONE table a data-release
+    * review reads before shipping a corpus version — per source, the
+    * dataset card's volume/quality numbers (q105), the MULTI-LENS-confirmed
+    * contaminated-doc count (q139's signals ≥ 2 — one lens alone is
+    * noise-prone on gram-dense corpora; two independent lenses agreeing
+    * is the actionable set), exact-dup savings
+    * (q175), and PII density (q210, same injected profile), capped by a
+    * deterministic `release_ok` verdict over three integer-exact gates:
+    * quality pass-rate ≥ 90%, confirmed-contaminated share ≤ 20%, PII ≤ 10000
+    * hits/Mtok (thresholds sit at the corpus's natural spread so the
+    * verdict genuinely splits sources; a deployment tunes them).
+    * Pure composition: four source-keyed gated reports, three
+    * broadcastable joins — the governance twin of q104's data chain.
+    *
+    * Scale: the sum of its parts (the q139 lenses dominate); every
+    * joined table is source-cardinality. */
+  def releaseReport(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val card = Corpus.datasetCard(spark, dir)
+      .select("source", "n_docs", "n_tokens", "n_exact_dups", "n_pass", "avg_quality")
+    val contam = contaminationReport(spark, dir).filter(col("signals") >= 2)
+      .join(docs.select("doc_id", "source"), "doc_id")
+      .groupBy("source").agg(count(lit(1)).as("n_contaminated"))
+    val savings = Dedup.dedupSavings(docs)
+      .select(col("source"), col("n_dropped").as("n_dup_dropped"), col("save_frac"))
+    val pii = Cleaning.piiDensity(docs
+        .select(col("doc_id"), col("source"), Cleaning.piiMixInjected.as("text")))
+      .select("source", "pii_per_mtok", "pii_doc_share")
+    card.join(broadcast(contam), Seq("source"), "left")
+      .na.fill(0L, Seq("n_contaminated"))
+      .join(broadcast(savings), "source")
+      .join(broadcast(pii), "source")
+      .withColumn("release_ok",
+        col("n_pass") * 10 >= col("n_docs") * 9 &&
+          col("n_contaminated") * 5 <= col("n_docs") &&
+          col("pii_per_mtok") <= 10000L)
+  }
+
+  val releaseReportSql: String =
+    s"""WITH card AS (
+        SELECT source, n_docs, n_tokens, n_exact_dups, n_pass, avg_quality
+        FROM (${Corpus.datasetCardSql})),
+      crx AS (SELECT * FROM (${contaminationReportSql})),
+      contam AS (SELECT d.source, CAST(count(*) AS BIGINT) AS n_contaminated
+          FROM crx JOIN documents d ON crx.doc_id = d.doc_id
+          WHERE crx.signals >= 2 GROUP BY d.source),
+      sav AS (SELECT source, n_dropped AS n_dup_dropped, save_frac
+          FROM (${Dedup.dedupSavingsSql})),
+      pii AS (SELECT source, pii_per_mtok, pii_doc_share
+          FROM (${Cleaning.piiDensitySql}))
+      SELECT card.*, COALESCE(contam.n_contaminated, 0) AS n_contaminated,
+        sav.n_dup_dropped, sav.save_frac, pii.pii_per_mtok, pii.pii_doc_share,
+        (card.n_pass * 10 >= card.n_docs * 9
+          AND COALESCE(contam.n_contaminated, 0) * 5 <= card.n_docs
+          AND pii.pii_per_mtok <= 10000) AS release_ok
+      FROM card
+      LEFT JOIN contam USING (source)
+      JOIN sav USING (source)
+      JOIN pii USING (source)"""
+
   val queries: Seq[QueryDef] = Seq(
+    QueryDef("q212_release_report",
+      (s, d) => releaseReport(s, d),
+      Some(releaseReportSql)),
+
     QueryDef("q91_train_shard",
       (s, d) => prepareTrainShard(t(s, d, "documents")),
       Some(prepareTrainShardSql(Dedup.SpanWidth))),
