@@ -1403,6 +1403,51 @@ object Dedup {
           FROM cand c JOIN sh sa ON sa.doc_id = c.id_a JOIN sh sb ON sb.doc_id = c.id_b)"""
   }
 
+  /** Effective-token budget (q213): per source, raw token volume vs the
+    * EFFECTIVE volume — each distinct text's token mass counted ONCE
+    * per source — and the effective fraction. This is the number the
+    * mixers (q96/q135/q198) should budget against: raw counts overstate
+    * a duplicate-heavy source by its copy factor, so a "15%" raw share
+    * can be a 2% share of distinct text (the q148 yield funnel's dedup
+    * stage, reduced to the one budgeting ratio and computed WITHOUT the
+    * pipeline). Source-local view: a text appearing in two sources
+    * counts once in EACH (each source really does hold that mass).
+    *
+    * Scale shape: one scan computes (source, xxhash64(text), n_tok);
+    * raw is a source rollup; effective collapses (source, fp) first —
+    * both map-side-combined, text never past the scan; the final join
+    * is source-cardinality. String-form oracle = collision tripwire. */
+  def effectiveTokens(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("source"), xxhash64(col("text")).as("fp"),
+      size(split(col("text"), " ")).cast("long").as("n_tok"))
+    val raw = base.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens_raw"))
+    val eff = base.groupBy("source", "fp").agg(min("n_tok").as("n_tok"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_distinct_texts"), sum("n_tok").as("n_tokens_effective"))
+    raw.join(eff, "source")
+      .withColumn("effective_frac_micro",
+        expr("(n_tokens_effective * 1000000L) div n_tokens_raw"))
+  }
+
+  /** q213's oracle over the q203-style injected corpus (every 7th doc
+    * duplicated) — groups by raw text. */
+  val effectiveTokensSql: String =
+    s"""WITH inj AS (SELECT doc_id, source, text FROM documents
+          UNION ALL
+          SELECT doc_id + $EditInjOffset, source, text FROM documents WHERE doc_id % 7 = 0),
+      base AS (SELECT source, text,
+            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM inj),
+      raw AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(SUM(n_tok) AS BIGINT) AS n_tokens_raw FROM base GROUP BY 1),
+      eff0 AS (SELECT source, text, MIN(n_tok) AS n_tok FROM base GROUP BY 1, 2),
+      eff AS (SELECT source, CAST(count(*) AS BIGINT) AS n_distinct_texts,
+            CAST(SUM(n_tok) AS BIGINT) AS n_tokens_effective FROM eff0 GROUP BY 1)
+      SELECT raw.source, raw.n_docs, raw.n_tokens_raw,
+        eff.n_distinct_texts, eff.n_tokens_effective,
+        (eff.n_tokens_effective * 1000000) // raw.n_tokens_raw AS effective_frac_micro
+      FROM raw JOIN eff USING (source)"""
+
   /** Duplicate-quality audit (q203): is duplicated content skewing low
     * quality? Per source — the doc/quality split between members of
     * multi-copy exact groups and unique docs, with the exact micro-mean
@@ -1571,6 +1616,16 @@ object Dedup {
     // the q149 injection pattern: the word-salad corpus has no organic
     // exact dups at 1x, so the query plants a copy of every 7th doc
     // (fresh ids at +EditInjOffset) — library callers pass real frames
+    QueryDef("q213_effective_tokens",
+      (s, d) => {
+        val docs = t(s, d, "documents").select("doc_id", "source", "text")
+        effectiveTokens(docs.unionAll(
+          docs.filter(expr("doc_id % 7 = 0"))
+            .select((col("doc_id") + lit(EditInjOffset)).as("doc_id"),
+              col("source"), col("text"))))
+      },
+      Some(effectiveTokensSql)),
+
     QueryDef("q203_dup_quality_audit",
       (s, d) => {
         val docs = t(s, d, "documents").select("doc_id", "source", "text")

@@ -1086,6 +1086,44 @@ object EventOps {
       GROUP BY 1, 2, 3
       ORDER BY n DESC, t1, t2, t3 LIMIT $k"""
 
+  /** Transition latency matrix (q214): for every adjacent (from → to)
+    * event-type pair, how LONG the step takes — count, exact mean gap
+    * (µs sums, integer division) and max gap. q166's matrix says WHICH
+    * transitions happen; this says how long each takes — the dwell-time
+    * view that finds the slow step a funnel's fixed stages can't
+    * localize. Adjacency is per user ordered by (ts, event_id), q166's
+    * exact ordering contract.
+    *
+    * Scale shape: the q150/q166 discipline — ONE user-keyed exchange
+    * carries both lags (one Window, one sort); the rollup is
+    * (types²)-bounded and map-side combines. Gap sums are µs BIGINTs
+    * (pass int64 to ~292k user-years per cell). */
+  def transitionLatency(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    ev.select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag("event_type", 1).over(w))
+      .withColumn("prev_ts", lag("ts", 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .withColumn("gap_us", expr("(ts - prev_ts) DIV 1000"))
+      .groupBy(col("prev_type").as("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"),
+        expr("CAST(sum(gap_us) div count(1) AS BIGINT)").as("mean_gap_us"),
+        max("gap_us").as("max_gap_us"))
+  }
+
+  val transitionLatencySql: String =
+    """WITH l AS (SELECT event_type,
+          lag(event_type, 1) OVER w AS prev_type,
+          epoch_us(ts) - lag(epoch_us(ts), 1) OVER w AS gap_us
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      SELECT prev_type AS from_type, event_type AS to_type,
+        CAST(count(*) AS BIGINT) AS n,
+        CAST(SUM(gap_us) // COUNT(*) AS BIGINT) AS mean_gap_us,
+        CAST(MAX(gap_us) AS BIGINT) AS max_gap_us
+      FROM l WHERE prev_type IS NOT NULL
+      GROUP BY 1, 2"""
+
   /** Population floor for [[suppressSmallCells]] (q205). */
   val SuppressK = 10L
 
@@ -1134,6 +1172,10 @@ object EventOps {
     QueryDef("q202_path_trigrams",
       (s, d) => pathTrigrams(events(s, d)),
       Some(pathTrigramsSql())),
+
+    QueryDef("q214_transition_latency",
+      (s, d) => transitionLatency(events(s, d)),
+      Some(transitionLatencySql)),
 
     QueryDef("q199_rate_cusum",
       (s, d) => rateCusum(events(s, d)),
