@@ -588,6 +588,108 @@ object Corpus {
           // CAST(sum(n_tokens) OVER (ORDER BY bucket) AS BIGINT) AS heaps_q
       FROM j"""
 
+  /** Head-mass concentration (q217): per source, the share of token mass
+    * covered by its top-10/100/1000 terms — the rank-frequency HEAD view
+    * next to q189's Heaps tail view (vocabulary growth) and q208's
+    * pairwise TVD: a source whose top-10 terms carry half its mass is
+    * boilerplate/template-heavy (navigation chrome, log lines) even when
+    * every document is textually unique, which is exactly the failure
+    * mode exact/near dedup cannot see and q149's per-source line
+    * thresholds can (this is the term-level screen that says WHERE to
+    * point q149). Log-free Zipf-head summary — shares are exact
+    * DECIMAL-widened micro rationals, no slope fit, no ln.
+    *
+    * Scale shape: occurrences collapse to (source, term) counts
+    * map-side; the rank window runs over those ROLLUP rows partitioned
+    * by source (vocab-bounded, never the occurrence stream — the
+    * q195/q209 distinct-level discipline); the share rollup is
+    * source-bounded. */
+  def headMass(docs: DataFrame): DataFrame = {
+    val st = docs.select(col("source"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("source", "term").agg(count(lit(1)).as("cnt"))
+    st.withColumn("rnk", expr(
+        "row_number() OVER (PARTITION BY source ORDER BY cnt DESC, term)"))
+      .groupBy("source").agg(
+        count(lit(1)).as("n_terms"),
+        sum("cnt").as("n_tokens"),
+        sum(when(col("rnk") <= 10, col("cnt")).otherwise(0L)).as("top10"),
+        sum(when(col("rnk") <= 100, col("cnt")).otherwise(0L)).as("top100"),
+        sum(when(col("rnk") <= 1000, col("cnt")).otherwise(0L)).as("top1000"))
+      .withColumn("top10_micro",
+        expr("CAST((CAST(top10 AS DECIMAL(38,0)) * 1000000) div n_tokens AS BIGINT)"))
+      .withColumn("top100_micro",
+        expr("CAST((CAST(top100 AS DECIMAL(38,0)) * 1000000) div n_tokens AS BIGINT)"))
+      .withColumn("top1000_micro",
+        expr("CAST((CAST(top1000 AS DECIMAL(38,0)) * 1000000) div n_tokens AS BIGINT)"))
+      .select("source", "n_terms", "n_tokens",
+        "top10_micro", "top100_micro", "top1000_micro")
+  }
+
+  val headMassSql: String =
+    """WITH st AS (SELECT source, unnest(string_split(text, ' ')) AS term FROM documents),
+      cnts AS (SELECT source, term, CAST(count(*) AS BIGINT) AS cnt FROM st GROUP BY 1, 2),
+      rk AS (SELECT *, row_number() OVER (PARTITION BY source ORDER BY cnt DESC, term) AS rnk
+           FROM cnts)
+      SELECT source, CAST(count(*) AS BIGINT) AS n_terms,
+        CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+        CAST((CAST(SUM(CASE WHEN rnk <= 10 THEN cnt ELSE 0 END) AS HUGEINT) * 1000000)
+          // SUM(cnt) AS BIGINT) AS top10_micro,
+        CAST((CAST(SUM(CASE WHEN rnk <= 100 THEN cnt ELSE 0 END) AS HUGEINT) * 1000000)
+          // SUM(cnt) AS BIGINT) AS top100_micro,
+        CAST((CAST(SUM(CASE WHEN rnk <= 1000 THEN cnt ELSE 0 END) AS HUGEINT) * 1000000)
+          // SUM(cnt) AS BIGINT) AS top1000_micro
+      FROM rk GROUP BY source"""
+
+  val VocabCoverageV = 1000 // the "tokenizer vocabulary" stand-in size
+
+  /** Vocabulary-coverage / OOV audit (q221): fix the corpus top-V terms
+    * (V=1000 by corpus count, the tokenizer-vocab stand-in) and report
+    * per source how much of its token mass that vocabulary covers, plus
+    * its distinct out-of-vocabulary term count. The tokenizer-sizing
+    * twin of q117's fertility: fertility measures how hard the LEARNED
+    * BPE works per word; coverage measures how much of each source a
+    * FIXED head vocabulary would leave out-of-vocab — the number that
+    * says whether a new source needs a tokenizer retrain before it can
+    * join the mix.
+    *
+    * Scale shape: ONE (source, term) rollup feeds both the corpus vocab
+    * (a term-keyed second agg of the same rows) and the coverage rollup;
+    * top-V rides orderBy+limit (TakeOrderedAndProject — distributed
+    * top-k, never a single-partition rank window) with the (cnt DESC,
+    * term ASC) deterministic tie-break; the V-row vocab broadcasts back
+    * onto rollup rows; output is source-bounded. */
+  def vocabCoverage(docs: DataFrame, v: Int = VocabCoverageV): DataFrame = {
+    val st = docs.select(col("source"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("source", "term").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // feeds the vocab agg AND the coverage rollup
+    val vocab = st.groupBy("term").agg(sum("cnt").as("ccnt"))
+      .orderBy(col("ccnt").desc, col("term")).limit(v)
+      .select(col("term"), lit(1L).as("in_v"))
+    st.join(broadcast(vocab), Seq("term"), "left")
+      .groupBy("source").agg(
+        sum("cnt").as("n_tokens"),
+        sum(when(col("in_v").isNotNull, col("cnt")).otherwise(0L)).as("covered"),
+        expr("CAST(count_if(in_v IS NULL) AS BIGINT)").as("n_oov_terms"))
+      .withColumn("oov_micro", expr(
+        "CAST((CAST(n_tokens - covered AS DECIMAL(38,0)) * 1000000) div n_tokens AS BIGINT)"))
+      .select("source", "n_tokens", "covered", "n_oov_terms", "oov_micro")
+  }
+
+  def vocabCoverageSql(v: Int = VocabCoverageV): String =
+    s"""WITH st AS (SELECT source, unnest(string_split(text, ' ')) AS term FROM documents),
+      cnts AS (SELECT source, term, CAST(count(*) AS BIGINT) AS cnt FROM st GROUP BY 1, 2),
+      vocab AS (SELECT term, 1 AS in_v FROM
+          (SELECT term, CAST(SUM(cnt) AS BIGINT) AS ccnt FROM cnts GROUP BY 1
+           ORDER BY ccnt DESC, term LIMIT $v)),
+      cov AS (SELECT c.source, c.cnt, v.in_v
+          FROM cnts c LEFT JOIN vocab v USING (term))
+      SELECT source, CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+        CAST(SUM(CASE WHEN in_v = 1 THEN cnt ELSE 0 END) AS BIGINT) AS covered,
+        CAST(count(*) FILTER (WHERE in_v IS NULL) AS BIGINT) AS n_oov_terms,
+        CAST((CAST(SUM(cnt) - SUM(CASE WHEN in_v = 1 THEN cnt ELSE 0 END) AS HUGEINT)
+          * 1000000) // SUM(cnt) AS BIGINT) AS oov_micro
+      FROM cov GROUP BY source"""
+
   val CmsDepth = 4 // independent hash rows
   val CmsHexChars = 2 // 256 buckets per row
   val CmsReportK = 30 // tokens whose estimates the query reports
@@ -1611,6 +1713,14 @@ object Corpus {
     QueryDef("q189_heaps_curve",
       (s, d) => heapsCurve(t(s, d, "documents")),
       Some(heapsCurveSql)),
+
+    QueryDef("q217_head_mass",
+      (s, d) => headMass(t(s, d, "documents")),
+      Some(headMassSql)),
+
+    QueryDef("q221_vocab_coverage",
+      (s, d) => vocabCoverage(t(s, d, "documents")),
+      Some(vocabCoverageSql())),
 
     QueryDef("q119_freq_of_freq",
       (s, d) => freqOfFreq(s, d),

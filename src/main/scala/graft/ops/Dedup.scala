@@ -1430,6 +1430,156 @@ object Dedup {
         expr("(n_tokens_effective * 1000000L) div n_tokens_raw"))
   }
 
+  /** Cross-source duplication matrix (q216): for every source pair that
+    * shares at least one exact text, the shared distinct-text count and
+    * the Jaccard overlap of their distinct-text sets (micro-quantized) —
+    * the provenance question q100's gram-level overlap asks at span
+    * granularity, answered at whole-document granularity: which sources
+    * are mirrors/re-crawls of each other (keep one), which merely quote
+    * each other (keep both, dedup across). Feeds the mixer the same way
+    * q208's vocabulary TVD does — two sources can have near-zero TVD
+    * (same language) yet zero text overlap, or identical text at high
+    * TVD after boilerplate injection; mixture design needs both axes.
+    *
+    * Scale shape: texts collapse to DISTINCT (source, fp) rows map-side
+    * (xxhash64 int64 keys — the q94/q99 discipline; at 100-copy skew the
+    * combine removes the volume before the exchange); the self-join is
+    * fp-keyed over distinct rows only; per-source distinct counts are a
+    * rollup of the SAME rows, broadcast back; output is sources²-bounded.
+    * String-form oracle = collision tripwire. */
+  def sourceDupMatrix(docs: DataFrame): DataFrame = {
+    val sf = docs.select(col("source"), xxhash64(col("text")).as("fp"))
+      .distinct().localCheckpoint() // feeds margins AND both join sides
+    val marg = sf.groupBy("source").agg(count(lit(1)).as("n_texts"))
+    sf.as("a").join(sf.as("b"),
+        col("a.fp") === col("b.fp") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(marg.select(col("source").as("source_a"), col("n_texts").as("n_a"))),
+        "source_a")
+      .join(broadcast(marg.select(col("source").as("source_b"), col("n_texts").as("n_b"))),
+        "source_b")
+      .withColumn("jaccard_micro",
+        expr("(n_shared * 1000000L) div (n_a + n_b - n_shared)"))
+      .select("source_a", "source_b", "n_shared", "n_a", "n_b", "jaccard_micro")
+  }
+
+  /** q216's oracle over the mirror-source injection (every 7th doc's
+    * text replayed under source 'mirror' — the corpus has no organic
+    * cross-source exact dups at 1x, the q149/q213 injection pattern). */
+  val sourceDupMatrixSql: String =
+    s"""WITH inj AS (SELECT source, text FROM documents
+          UNION ALL
+          SELECT 'mirror' AS source, text FROM documents WHERE doc_id % 7 = 0),
+      sf AS (SELECT DISTINCT source, text FROM inj),
+      marg AS (SELECT source, CAST(count(*) AS BIGINT) AS n_texts FROM sf GROUP BY 1),
+      pairs AS (SELECT a.source AS source_a, b.source AS source_b,
+            CAST(count(*) AS BIGINT) AS n_shared
+          FROM sf a JOIN sf b ON a.text = b.text AND a.source < b.source
+          GROUP BY 1, 2)
+      SELECT p.source_a, p.source_b, p.n_shared,
+        ma.n_texts AS n_a, mb.n_texts AS n_b,
+        (p.n_shared * 1000000) // (ma.n_texts + mb.n_texts - p.n_shared) AS jaccard_micro
+      FROM pairs p
+        JOIN marg ma ON ma.source = p.source_a
+        JOIN marg mb ON mb.source = p.source_b"""
+
+  /** MinHash estimator calibration (q218): over every LSH-candidate
+    * representative pair, the signature-estimated Jaccard (matching
+    * coordinates / $NumHashes) against the exact gram Jaccard, rolled up
+    * to ONE corpus row — pair count, mean of each axis, mean/max
+    * absolute error and the signed bias sum. THE parameter-tuning gate
+    * for the q42/q52/q88 family: the band/row trade (8×4 here) is chosen
+    * from textbook collision curves, and this audit measures what the
+    * estimator actually does on THIS corpus's shingle distribution —
+    * a drifting mean error or a one-sided bias says re-tune bands before
+    * trusting near-dup rates (q120) built on the mine.
+    *
+    * Determinism discipline: both axes are exact integer rationals
+    * floor-micro'd per pair — est = matches·1e6 div 32, exact =
+    * inter·1e6 div union — so errors are integer subtractions; means
+    * divide non-negative DECIMAL sums once (signed bias is reported as
+    * the SUM — integral division of negatives is truncate-vs-floor
+    * trapdoor across engines, so it never divides).
+    *
+    * Scale shape: the candidate mine is exactly q52's reps-first form
+    * (identical-text pairs estimate perfectly — they'd only dilute the
+    * audit); signatures ride the checkpointed shingle frame, so the
+    * audit adds one zip_with per candidate pair over what the mine
+    * already pays. */
+  def minhashCalibration(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    QueryDef.cpuBound(docs.sparkSession)
+    val reps = docs.join(exact(docs).select(col("keep_id").as("doc_id")), "doc_id")
+    val sh = shingled(reps)
+      .withColumn("sorted", sort_array(col("grams")))
+      .withColumn("sig", expr(s"minhash_sig(grams, $NumHashes)"))
+      .localCheckpoint()
+    val bands = sh
+      .select(col("doc_id"), explode(expr(s"minhash_bands(grams, $NumHashes, $Rows)")).as("bkey"))
+      .localCheckpoint()
+    val cands = bands.as("a")
+      .join(bands.as("b"), col("a.bkey") === col("b.bkey") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    cands
+      .join(sh.select(col("doc_id").as("id_a"), col("sorted").as("ga"),
+        size(col("grams")).cast("long").as("na"), col("sig").as("siga")), "id_a")
+      .join(sh.select(col("doc_id").as("id_b"), col("sorted").as("gb"),
+        size(col("grams")).cast("long").as("nb"), col("sig").as("sigb")), "id_b")
+      .withColumn("inter", expr("sorted_intersect_count(ga, gb)"))
+      .withColumn("exact_micro", expr("(inter * 1000000L) div (na + nb - inter)"))
+      .withColumn("matches", expr(
+        "aggregate(zip_with(siga, sigb, (x, y) -> IF(x = y, 1L, 0L)), 0L, (a, x) -> a + x)"))
+      .withColumn("est_micro", expr(s"(matches * 1000000L) div ${NumHashes}L"))
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("CAST(sum(CAST(est_micro AS DECIMAL(38,0))) div count(1) AS BIGINT)")
+          .as("mean_est_micro"),
+        expr("CAST(sum(CAST(exact_micro AS DECIMAL(38,0))) div count(1) AS BIGINT)")
+          .as("mean_exact_micro"),
+        expr("CAST(sum(CAST(abs(est_micro - exact_micro) AS DECIMAL(38,0))) div count(1) AS BIGINT)")
+          .as("mean_abs_err_micro"),
+        max(expr("abs(est_micro - exact_micro)")).as("max_abs_err_micro"),
+        sum(expr("est_micro - exact_micro")).as("sum_bias_micro"))
+  }
+
+  /** q218's oracle: the q125 reps subquery + the q42 mine chain carrying
+    * signatures through to the per-pair match count. */
+  val minhashCalibrationSql: String = {
+    val bandsSql = (0 until Bands).map { b =>
+      val parts = (1 to Rows).map(r => s"sig[${b * Rows + r}]").mkString(" || ")
+      s"md5('$b' || ':' || $parts)"
+    }.mkString(", ")
+    s"""WITH sh AS (SELECT doc_id, $shinglesSql AS grams FROM
+          (SELECT d.* FROM documents d
+            JOIN (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)) r
+            USING (doc_id)) dd),
+      sigs AS (SELECT doc_id, grams,
+          list_transform(range(0, $NumHashes),
+            j -> list_aggregate(list_transform(grams, g -> md5(CAST(j AS VARCHAR) || '|' || g)), 'min')) AS sig
+        FROM sh),
+      bands AS (SELECT doc_id, unnest([$bandsSql]) AS bkey FROM sigs),
+      cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b ON a.bkey = b.bkey AND a.doc_id < b.doc_id),
+      pr AS (SELECT c.id_a, c.id_b,
+          CAST(len(list_intersect(sa.grams, sb.grams)) AS BIGINT) AS inter,
+          CAST(len(sa.grams) AS BIGINT) AS na, CAST(len(sb.grams) AS BIGINT) AS nb,
+          CAST(len(list_filter(range(1, $NumHashes + 1),
+            i -> sa.sig[i] = sb.sig[i])) AS BIGINT) AS matches
+        FROM cand c JOIN sigs sa ON sa.doc_id = c.id_a JOIN sigs sb ON sb.doc_id = c.id_b),
+      mm AS (SELECT id_a, id_b,
+          (inter * 1000000) // (na + nb - inter) AS exact_micro,
+          (matches * 1000000) // $NumHashes AS est_micro
+        FROM pr)
+      SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        CAST(CAST(SUM(est_micro) AS HUGEINT) // count(*) AS BIGINT) AS mean_est_micro,
+        CAST(CAST(SUM(exact_micro) AS HUGEINT) // count(*) AS BIGINT) AS mean_exact_micro,
+        CAST(CAST(SUM(abs(est_micro - exact_micro)) AS HUGEINT) // count(*) AS BIGINT) AS mean_abs_err_micro,
+        CAST(MAX(abs(est_micro - exact_micro)) AS BIGINT) AS max_abs_err_micro,
+        CAST(SUM(est_micro - exact_micro) AS BIGINT) AS sum_bias_micro
+      FROM mm"""
+  }
+
   /** q213's oracle over the q203-style injected corpus (every 7th doc
     * duplicated) — groups by raw text. */
   val effectiveTokensSql: String =
@@ -1625,6 +1775,19 @@ object Dedup {
               col("source"), col("text"))))
       },
       Some(effectiveTokensSql)),
+
+    QueryDef("q218_minhash_calibration",
+      (s, d) => minhashCalibration(t(s, d, "documents")),
+      Some(minhashCalibrationSql)),
+
+    QueryDef("q216_source_dup_matrix",
+      (s, d) => {
+        val docs = t(s, d, "documents").select("doc_id", "source", "text")
+        sourceDupMatrix(docs.select("source", "text").unionAll(
+          docs.filter(expr("doc_id % 7 = 0"))
+            .select(lit("mirror").as("source"), col("text"))))
+      },
+      Some(sourceDupMatrixSql)),
 
     QueryDef("q203_dup_quality_audit",
       (s, d) => {

@@ -1000,6 +1000,62 @@ object EventOps {
           > 3 * mu_micro AS spike
       FROM p"""
 
+  /** Seasonality-adjusted rate anomalies (q219): q182's hour-of-day
+    * profile turned into the BASELINE for anomaly detection — each
+    * (type, day, hour) cell is compared to its type's expected count for
+    * THAT HOUR (n_hour / n_days), and cells at ≥3× or ≤⅓ of expectation
+    * are flagged. The diurnal complement to q180 (point spikes vs a
+    * global per-type mean) and q199 (slow drift): a 2 am traffic level
+    * that is normal at 2 pm IS an anomaly at 2 am, and a flat detector
+    * either misses it or alarms every rush hour.
+    *
+    * Determinism discipline: the comparison is the exact cross-multiplied
+    * rational n·n_days·1e6 div n_hour (DECIMAL-widened), thresholds are
+    * integer micro constants on the floored ratio — no per-cell division
+    * of doubles anywhere.
+    *
+    * Scale shape: the (type × day × hour) rollup is the ONLY
+    * event-volume exchange (map-side combined, checkpointed — it feeds
+    * the profile, the day count, and the screen); the profile is a
+    * 24·types-row second agg of those rows, broadcast back; the day
+    * count is a 1-row broadcast. Output is flagged-cells-bounded. */
+  def seasonalityAnomalies(ev: DataFrame): DataFrame = {
+    val cells = ev.select(col("event_type"),
+        expr("ts DIV 86400000000000").as("day"),
+        expr("(ts DIV 3600000000000) % 24").as("hour"))
+      .groupBy("event_type", "day", "hour").agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val nd = cells.select("day").distinct().agg(count(lit(1)).as("n_days"))
+    val prof = cells.groupBy("event_type", "hour").agg(sum("n").as("n_hour"))
+    cells.join(broadcast(prof), Seq("event_type", "hour"))
+      .crossJoin(broadcast(nd))
+      .filter(col("n_hour") >= col("n_days")) // support: ≥1 event/day expected
+      .withColumn("ratio_micro", expr(
+        "CAST((CAST(n AS DECIMAL(38,0)) * n_days * 1000000) div n_hour AS BIGINT)"))
+      .filter(col("ratio_micro") >= 3000000L || col("ratio_micro") <= 333333L)
+      .withColumn("direction",
+        when(col("ratio_micro") >= 3000000L, lit("spike")).otherwise(lit("drought")))
+      .select("event_type", "day", "hour", "n", "n_hour", "n_days",
+        "ratio_micro", "direction")
+  }
+
+  val seasonalityAnomaliesSql: String =
+    """WITH cells AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+            (epoch_us(ts) // 3600000000) % 24 AS hour, CAST(count(*) AS BIGINT) AS n
+          FROM events GROUP BY 1, 2, 3),
+      nd AS (SELECT CAST(count(DISTINCT day) AS BIGINT) AS n_days FROM cells),
+      prof AS (SELECT event_type, hour, CAST(SUM(n) AS BIGINT) AS n_hour
+          FROM cells GROUP BY 1, 2),
+      r AS (SELECT c.event_type, c.day, c.hour, c.n, p.n_hour, nd.n_days,
+            CAST((CAST(c.n AS HUGEINT) * nd.n_days * 1000000) // p.n_hour AS BIGINT)
+              AS ratio_micro
+          FROM cells c JOIN prof p USING (event_type, hour) CROSS JOIN nd
+          WHERE p.n_hour >= nd.n_days)
+      SELECT event_type, day, hour, n, n_hour, n_days, ratio_micro,
+        CASE WHEN ratio_micro >= 3000000 THEN 'spike' ELSE 'drought' END AS direction
+      FROM r
+      WHERE ratio_micro >= 3000000 OR ratio_micro <= 333333"""
+
   /** Rule-based RFM user segmentation (q200): per user — recency (days
     * since last activity, against the corpus max day), frequency (event
     * count), monetary (exact integer cents, the q177 discipline) —
@@ -1240,6 +1296,10 @@ object EventOps {
     QueryDef("q182_hourly_seasonality",
       (s, d) => hourlySeasonality(events(s, d)),
       Some(hourlySeasonalitySql)),
+
+    QueryDef("q219_seasonal_anomalies",
+      (s, d) => seasonalityAnomalies(events(s, d)),
+      Some(seasonalityAnomaliesSql)),
 
     QueryDef("q177_cohort_ltv",
       (s, d) => cohortLtv(events(s, d)),

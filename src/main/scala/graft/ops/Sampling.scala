@@ -857,7 +857,71 @@ object Sampling {
       SELECT doc_id, source, n_tokens, cum_tokens, share_tokens
       FROM c WHERE cum_tokens <= share_tokens"""
 
+  /** Quality-curriculum phase plan (q220): split the corpus into three
+    * training phases by quality tercile — phase 0 = top tercile (clean
+    * text first), phase 2 = bottom (seen last, or dropped by trainers
+    * that anneal) — and report each (phase, source) cell's doc and token
+    * budget. Curriculum/annealing schedules (cleanest data late or
+    * early, both are practiced) need exactly this table plus q137's
+    * epoch order to become a loader plan.
+    *
+    * Tie-aware EXACT terciles without ranking docs: boundaries come from
+    * cumulative counts over DISTINCT q_micro levels (the q195/q209
+    * count-of-counts discipline) — b1 = min level with cum ≥ ceil(N/3),
+    * b2 = min level with cum ≥ ceil(2N/3); every doc at a boundary level
+    * gets that level's phase, so the split is deterministic under ties
+    * (a row_number tercile would break ties arbitrarily AND global-sort
+    * a doc-cardinality frame).
+    *
+    * Scale shape: reads the persisted scored artifact (no token fold);
+    * the level rollup + its cumulative window run over DISTINCT-level
+    * rows; boundaries collapse to a 1-row broadcast; phase assignment is
+    * a stateless CASE; the final rollup is (3 × sources)-bounded. */
+  def curriculumPhases(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val sc = TextStats.clfScoredPersisted(spark, dir)
+      .select("doc_id", "source", "n_tokens", "q_micro")
+    val levels = sc.groupBy("q_micro").agg(count(lit(1)).as("cnt"))
+    val wCum = org.apache.spark.sql.expressions.Window.orderBy("q_micro")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val bounds = levels.withColumn("cum", sum("cnt").over(wCum))
+      .crossJoin(broadcast(levels.agg(sum("cnt").as("n"))))
+      .agg(
+        min(when(expr("cum >= (n + 2) div 3"), col("q_micro"))).as("b1"),
+        min(when(expr("cum >= (2 * n + 2) div 3"), col("q_micro"))).as("b2"))
+    sc.crossJoin(broadcast(bounds))
+      .withColumn("phase",
+        when(col("q_micro") <= col("b1"), lit(2L))
+          .when(col("q_micro") <= col("b2"), lit(1L)).otherwise(lit(0L)))
+      .groupBy("phase", "source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+  }
+
+  /** q220's oracle recomputes q31's q_micro from text (the artifact is
+    * engine-internal; the hash compare gates identity). */
+  val curriculumPhasesSql: String =
+    s"""WITH sig AS (SELECT doc_id, source, ${TextStats.scoreSignalsDuck}
+          FROM documents),
+      sc AS (SELECT doc_id, source, n_tokens,
+            CAST(floor((${TextStats.scoreExprDuck}) * 1000000.0) AS BIGINT) AS q_micro
+          FROM sig),
+      lv AS (SELECT q_micro, CAST(count(*) AS BIGINT) AS cnt FROM sc GROUP BY 1),
+      cu AS (SELECT q_micro, SUM(cnt) OVER (ORDER BY q_micro) AS cum,
+            (SELECT SUM(cnt) FROM lv) AS n FROM lv),
+      b AS (SELECT MIN(CASE WHEN cum >= (n + 2) // 3 THEN q_micro END) AS b1,
+            MIN(CASE WHEN cum >= (2 * n + 2) // 3 THEN q_micro END) AS b2 FROM cu)
+      SELECT CASE WHEN sc.q_micro <= b.b1 THEN 2
+                  WHEN sc.q_micro <= b.b2 THEN 1 ELSE 0 END AS phase,
+        sc.source, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(SUM(sc.n_tokens) AS BIGINT) AS n_tokens
+      FROM sc CROSS JOIN b GROUP BY 1, 2"""
+
   val queries: Seq[QueryDef] = Seq(
+    QueryDef("q220_curriculum_phases",
+      (s, d) => curriculumPhases(s, d),
+      Some(curriculumPhasesSql)),
+
     QueryDef("q198_doremi_step",
       (s, d) => doremiStep(t(s, d, "documents")),
       Some(doremiStepSql())),

@@ -1043,6 +1043,106 @@ object Similarity {
       FROM allerr GROUP BY space"""
   }
 
+  /** Davies-Bouldin cluster-separation audit over the label clusters
+    * (q215): for each label l, the scatter S_l = mean Euclidean distance
+    * of its vectors to the label centroid (in the exact quantized
+    * integer space), and for each other label m the centroid separation
+    * M_lm; the per-label DB component is R_l = max_{m≠l} (S_l+S_m)/M_lm
+    * — lower is better-separated (Davies & Bouldin 1979). The sibling of
+    * q196's silhouette: the silhouette reads per-VECTOR misassignment,
+    * DB reads per-CLUSTER compactness vs separation — the form k-means
+    * sweeps optimize, so this is the k/retrain tuning signal next to
+    * q171's occupancy drift and q206's PQ distortion.
+    *
+    * Determinism discipline: dist² = nrm + nc − 2·dot is the exact
+    * BIGINT identity (the q206 trick — no per-dimension subtraction
+    * pass); sqrt is the one correctly-rounded IEEE op, so per-row
+    * floor(1e6·sqrt) matches across engines; scatter sums ride
+    * DECIMAL(38,0); the final ratio is ONE integral division of exact
+    * micro operands (HUGEINT/DECIMAL-widened — two ~1.6e13 scatters
+    * ×1e6 exceeds int64).
+    *
+    * Scale shape: centroids are q196's (label × dim) rollup collected
+    * driver-side (labels·dim longs — the coarse-trainer pattern) and
+    * baked as ONE literal CASE giving each row its OWN-centroid
+    * distance — zero per-vector exchange; the pairwise M matrix is
+    * labels² driver math; everything past the label-keyed scatter
+    * rollup is labels-bounded. */
+  def daviesBouldin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (q, rollup) = silhouetteInputs(spark, dir)
+    val cents: Seq[(Int, Seq[Long], Long)] = rollup
+      .as[(Int, Int, Long)].collect() // labels·dim rows — driver-bounded
+      .groupBy(_._1).toSeq.map { case (l, rows) =>
+        val cv = rows.sortBy(_._2).map(_._3).toSeq
+        (l, cv, cv.map(x => x * x).sum)
+      }.sortBy(_._1)
+    val d2Expr = cents.map { case (l, cv, nc) =>
+      val arr = cv.mkString("array(", ",", ")")
+      s"WHEN $l THEN nrm + ${nc}L - 2L * quantized_dot(qv, CAST($arr AS ARRAY<BIGINT>))"
+    }.mkString("CASE label ", " ", " END")
+    val scatter = q
+      .withColumn("dist_micro",
+        expr(s"CAST(floor(1000000.0D * sqrt(CAST(($d2Expr) AS DOUBLE))) AS BIGINT)"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        expr("CAST(sum(CAST(dist_micro AS DECIMAL(38,0))) div count(1) AS BIGINT)")
+          .as("s_micro"))
+      .localCheckpoint() // labels rows; feeds both ratio sides
+    val seps = for {
+      (l, cvL, ncL) <- cents; (m, cvM, ncM) <- cents if l != m
+    } yield {
+      val dot = cvL.zip(cvM).map { case (a, b) => a * b }.sum
+      (l, m, math.floor(1e6 * math.sqrt((ncL + ncM - 2L * dot).toDouble)).toLong)
+    }
+    val ratios = scatter.select(col("label"), col("s_micro"))
+      .join(broadcast(seps.toDF("label", "other", "m_micro")), "label")
+      .join(broadcast(scatter.select(col("label").as("other"),
+        col("s_micro").as("s_other"))), "other")
+      .withColumn("r_micro", expr(
+        "CAST(((CAST(s_micro AS DECIMAL(38,0)) + s_other) * 1000000) div m_micro AS BIGINT)"))
+      .withColumn("rn", expr(
+        "row_number() OVER (PARTITION BY label ORDER BY r_micro DESC, other)"))
+      .filter(col("rn") === 1) // labels² rows — the window is free
+      .select(col("label"), col("other").as("worst_other"),
+        col("r_micro").as("r_max_micro"))
+    scatter.join(broadcast(ratios), "label")
+      .select("label", "n_vecs", "s_micro", "worst_other", "r_max_micro")
+  }
+
+  /** q215's oracle: brute per-vector distances + the same micro-exact
+    * ratio, HUGEINT-widened where the engine rides DECIMAL(38,0). */
+  val daviesBouldinSql: String =
+    s"""WITH q AS (SELECT vec_id, label, $quantSql AS qv FROM embeddings),
+      n AS (SELECT vec_id, label, qv,
+              CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS nrm FROM q),
+      m AS (SELECT label, unnest(range(1, len(qv) + 1)) AS pos, unnest(qv) AS x FROM q),
+      s AS (SELECT label, pos, SUM(x) AS sm, COUNT(*) AS cnt FROM m GROUP BY 1, 2),
+      c AS (SELECT label, list(sm // cnt ORDER BY pos) AS cv FROM s GROUP BY label),
+      cn AS (SELECT label, cv,
+              CAST(list_sum(list_transform(cv, x -> x * x)) AS BIGINT) AS nc FROM c),
+      d AS (SELECT n.label,
+              CAST(floor(1000000.0 * sqrt(CAST(n.nrm + cn.nc
+                - 2 * list_sum(list_transform(range(1, len(n.qv) + 1),
+                    i -> n.qv[i] * cn.cv[i])) AS DOUBLE))) AS BIGINT) AS dist_micro
+            FROM n JOIN cn USING (label)),
+      sc AS (SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+              CAST(CAST(SUM(dist_micro) AS HUGEINT) // count(*) AS BIGINT) AS s_micro
+            FROM d GROUP BY 1),
+      sep AS (SELECT a.label AS label, b.label AS other,
+              CAST(floor(1000000.0 * sqrt(CAST(a.nc + b.nc
+                - 2 * list_sum(list_transform(range(1, len(a.cv) + 1),
+                    i -> a.cv[i] * b.cv[i])) AS DOUBLE))) AS BIGINT) AS m_micro
+            FROM cn a JOIN cn b ON a.label <> b.label),
+      r AS (SELECT sep.label, sep.other,
+              CAST(((CAST(sa.s_micro AS HUGEINT) + sb.s_micro) * 1000000) // sep.m_micro AS BIGINT) AS r_micro
+            FROM sep JOIN sc sa ON sa.label = sep.label
+              JOIN sc sb ON sb.label = sep.other),
+      w AS (SELECT *, row_number() OVER (PARTITION BY label ORDER BY r_micro DESC, other) AS rn FROM r)
+      SELECT sc.label, sc.n_vecs, sc.s_micro,
+        w.other AS worst_other, w.r_micro AS r_max_micro
+      FROM sc JOIN w ON w.label = sc.label AND w.rn = 1"""
+
   /** All sub-codebooks trained in ONE grouped Lloyd loop: centroids keyed
     * (space, cent_id), assignment joined on `space` and ranked within
     * (vec, space) — per-space math identical to running
@@ -1992,6 +2092,10 @@ object Similarity {
     QueryDef("q206_pq_reconstruction",
       (s, d) => pqReconstructionAudit(s, d),
       Some(pqReconstructionAuditSql)),
+
+    QueryDef("q215_davies_bouldin",
+      (s, d) => daviesBouldin(s, d),
+      Some(daviesBouldinSql)),
 
     QueryDef("q66_knn_ivf_pq",
       (s, d) => knnIvfPq(s, d, 3),

@@ -25,6 +25,11 @@ case class TransCursor(last_type: String, last_us: Long)
 /** One within-session transition (q166's unit of count). */
 case class Transition(user_id: Long, from_type: String, to_type: String)
 
+/** Emitted row of [[EventStream.transitionLatencies]] — q214's per-pair
+  * dwell time, one row per adjacent same-user event pair. */
+case class TransitionLat(user_id: Long, from_type: String, to_type: String,
+  gap_us: Long)
+
 /** Per-type CUSUM state: the open day's running count + the closed-form
   * accumulators (P and min(0, min P)). Fixed-size per key. */
 case class CusumState(day: Long, n: Long, p: Long, minP: Long)
@@ -198,6 +203,35 @@ object EventStream {
           rows.toSeq.sortBy(_._3).foreach { case (_, tpe, t) =>
             if (st.last_type != null && t - st.last_us <= gapSec * 1000000L)
               out += Transition(user, st.last_type, tpe)
+            st = TransCursor(tpe, t)
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
+  /** Streaming twin of q214's transition-LATENCY matrix: the same
+    * fixed-size per-user cursor as [[transitions]], but every adjacent
+    * pair (NO session gap cut — q214's contract) emits its dwell time in
+    * µs; the (from, to, count, sum, max) matrix is an ordinary streaming
+    * groupBy over the emissions. Ties on event time break by event_id,
+    * matching the batch window's (ts, event_id) order; same in-order
+    * contract as [[transitions]] — for in-order streams the aggregated
+    * emissions equal batch q214 exactly (spec). */
+  def transitionLatencies(events: DataFrame): Dataset[TransitionLat] = {
+    import events.sparkSession.implicits._
+    events
+      .select(col("user_id").as[Long], col("event_type").as[String],
+        unix_micros(col("ts")).as[Long], col("event_id").as[Long])
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, String, Long, Long)],
+            state: GroupState[TransCursor]) =>
+          var st = state.getOption.getOrElse(TransCursor(null, Long.MinValue))
+          val out = Seq.newBuilder[TransitionLat]
+          rows.toSeq.sortBy(r => (r._3, r._4)).foreach { case (_, tpe, t, _) =>
+            if (st.last_type != null)
+              out += TransitionLat(user, st.last_type, tpe, t - st.last_us)
             st = TransCursor(tpe, t)
           }
           state.update(st)

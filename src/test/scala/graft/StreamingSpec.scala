@@ -284,6 +284,43 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming transition latencies: cross-batch emissions aggregate to batch q214") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    import graft.streaming.TransitionLat
+    // includes a cross-session-size gap (3000 -> 10000 s): q214 has NO
+    // gap cut, so unlike q166 the pair must still be emitted
+    val evts = Seq(
+      (1L, 1L, "view", 1000L), (2L, 1L, "click", 2000L), (3L, 1L, "purchase", 3000L),
+      (4L, 1L, "view", 10000L), (5L, 1L, "click", 10100L),
+      (6L, 2L, "view", 1500L), (7L, 2L, "view", 1600L), (8L, 2L, "click", 1700L))
+    val mem = MemoryStream[(Long, Long, String, Timestamp)]
+    val stream = mem.toDF().toDF("event_id", "user_id", "event_type", "ts")
+    val q = EventStream.transitionLatencies(stream)
+      .writeStream.outputMode("append").format("memory").queryName("translat").start()
+    try {
+      val (b1, b2) = evts.partition(_._4 < 1700L)
+      def rows(b: Seq[(Long, Long, String, Long)]) =
+        b.map { case (e, u, t, s) => (e, u, t, new Timestamp(s * 1000L)) }
+      mem.addData(rows(b1): _*)
+      q.processAllAvailable()
+      mem.addData(rows(b2): _*)
+      q.processAllAvailable()
+      val got = spark.table("translat").as[TransitionLat].collect()
+        .groupBy(t => (t.from_type, t.to_type)).view
+        .mapValues(g => (g.length.toLong,
+          g.map(_.gap_us).sum / g.length, g.map(_.gap_us).max)).toMap
+      val batchDf = evts.map { case (e, u, t, s) => (e, u, t, 0.0, s * 1000000000L) }
+        .toDF("event_id", "user_id", "event_type", "value", "ts")
+      val expect = graft.ops.EventOps.transitionLatency(batchDf).collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+      assert(got == expect, s"streaming $got != batch $expect")
+      // the no-gap-cut contract was exercised: the 7000 s dwell is present
+      assert(got(("purchase", "view"))._3 == 7000L * 1000000L)
+    } finally q.stop()
+  }
+
   test("streaming funnel contract: a cross-batch out-of-order view cannot rewind state") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
