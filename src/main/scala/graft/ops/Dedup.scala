@@ -960,6 +960,69 @@ object Dedup {
       .select("cluster_size", "n_clusters", "n_docs", "pct_docs")
   }
 
+  /** Near-dup cluster source-mixing histogram (q224): how many clusters
+    * span how many SOURCES — q159 says whether duplication forms
+    * mega-clusters; this says whether those clusters cross provenance
+    * boundaries (a 40-source cluster is syndicated boilerplate and a
+    * licensing/attribution question; a single-source one is a re-crawl
+    * and just a dedup question). The cluster-level view above q216's
+    * pairwise source matrix.
+    *
+    * Scale shape: the q162 group algebra verbatim — the component walk
+    * runs over the REPRESENTATIVE pair graph; sizes are sums of member
+    * groups' counts; sources arrive as DISTINCT (fp, source) rows
+    * (map-side collapse — the 100-copy groups contribute one row per
+    * source) joined to the group→cluster map; the histogram is a
+    * cluster-then-count rollup. Doc-level pairs never exist. */
+  def clusterSourceMix(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
+    val withFp = docs.select(col("doc_id"), col("source"), md5(col("text")).as("fp"))
+    val groups = withFp.groupBy("fp")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("tot"))
+      .localCheckpoint() // feeds the rep restriction AND both joins
+    val repDocs = docs.join(groups.select(col("keep_id").as("doc_id")), "doc_id")
+    val gc = groups.join(
+      nearDupClusters(repDocs, threshold).withColumnRenamed("doc_id", "keep_id"),
+      "keep_id").localCheckpoint() // fp -> (cluster_id, tot)
+    val nSrc = withFp.select("fp", "source").distinct()
+      .join(gc.select("fp", "cluster_id"), "fp")
+      .select("cluster_id", "source").distinct()
+      .groupBy("cluster_id").agg(count(lit(1)).as("n_sources"))
+    gc.groupBy("cluster_id").agg(sum("tot").as("cluster_size"))
+      .join(nSrc, "cluster_id")
+      .groupBy("n_sources").agg(
+        count(lit(1)).as("n_clusters"),
+        sum("cluster_size").as("n_docs"),
+        max("cluster_size").as("max_cluster_size"))
+  }
+
+  /** q224's oracle: the q159 naive doc-level walk over the
+    * mirror-injected corpus (q216's injection — guarantees multi-source
+    * clusters), with per-cluster distinct sources. */
+  val clusterSourceMixSql: String =
+    s"""WITH RECURSIVE inj AS (SELECT doc_id, source, text FROM documents
+          UNION ALL
+          SELECT doc_id + $EditInjOffset, 'mirror' AS source, text
+          FROM documents WHERE doc_id % 7 = 0),
+      ${minhashPairsCtesOver("inj")},
+      prs AS (SELECT id_a, id_b FROM verified WHERE jaccard >= 0.8),
+      edges AS (SELECT id_a AS src, id_b AS dst FROM prs
+                UNION ALL SELECT id_b, id_a FROM prs),
+      walk(node, lbl) AS (
+        SELECT doc_id, doc_id FROM inj
+        UNION
+        SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.node
+      ),
+      cl AS (SELECT node AS doc_id, CAST(MIN(lbl) AS BIGINT) AS cluster_id
+             FROM walk GROUP BY node),
+      j AS (SELECT cl.cluster_id, inj.source FROM cl JOIN inj USING (doc_id)),
+      per AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size,
+             CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+           FROM j GROUP BY 1)
+      SELECT n_sources, CAST(count(*) AS BIGINT) AS n_clusters,
+        CAST(SUM(cluster_size) AS BIGINT) AS n_docs,
+        CAST(MAX(cluster_size) AS BIGINT) AS max_cluster_size
+      FROM per GROUP BY n_sources"""
+
   /** [[leakageSafeFolds]] via the same group algebra (q163): the
     * component walk runs over the representative graph, then every
     * document inherits its GROUP's cluster id (and hence fold) through
@@ -1775,6 +1838,16 @@ object Dedup {
               col("source"), col("text"))))
       },
       Some(effectiveTokensSql)),
+
+    QueryDef("q224_cluster_source_mix",
+      (s, d) => {
+        val docs = t(s, d, "documents").select("doc_id", "source", "text")
+        clusterSourceMix(docs.unionAll(
+          docs.filter(expr("doc_id % 7 = 0"))
+            .select((col("doc_id") + lit(EditInjOffset)).as("doc_id"),
+              lit("mirror").as("source"), col("text"))))
+      },
+      Some(clusterSourceMixSql)),
 
     QueryDef("q218_minhash_calibration",
       (s, d) => minhashCalibration(t(s, d, "documents")),

@@ -1056,6 +1056,62 @@ object EventOps {
       FROM r
       WHERE ratio_micro >= 3000000 OR ratio_micro <= 333333"""
 
+  /** Week-over-week event-mix drift (q225): total-variation distance
+    * between consecutive weeks' event-TYPE distributions — the
+    * "did the product's traffic shape change" screen next to q219's
+    * per-cell anomalies (a mix shift can hide in cells that are all
+    * individually in-band) and q199's per-type drift (which cannot see
+    * SHARE moving between types at constant totals). Same min-identity
+    * as q208: TVD = 1 − Σ min(p, q), so the inner type join is complete
+    * — absent-type mass lands in the distance by algebra.
+    *
+    * Determinism: Σ min(n_a·N_b, n_b·N_a) on DECIMAL(38,0) (exact
+    * cross-multiplied mins), ONE integral division per week pair.
+    *
+    * Scale shape: the (week × type) rollup is the only event-volume
+    * exchange; weekly totals are a second agg of those rows; the
+    * consecutive-week join is (weeks × types)-bounded. */
+  def weeklyMixDrift(ev: DataFrame): DataFrame = {
+    val wt = ev.select(col("event_type"), expr("ts DIV 604800000000000").as("week"))
+      .groupBy("week", "event_type").agg(count(lit(1)).as("n"))
+      .localCheckpoint() // feeds totals AND both join sides
+    val tot = wt.groupBy("week").agg(sum("n").as("nw"))
+    wt.as("a")
+      .join(wt.as("b"),
+        col("b.week") === col("a.week") + 1 &&
+          col("a.event_type") === col("b.event_type"))
+      .select(col("a.week").as("week_a"), col("b.week").as("week_b"),
+        col("a.n").as("na"), col("b.n").as("nb"))
+      .join(broadcast(tot.select(col("week").as("week_a"), col("nw").as("n_a"))), "week_a")
+      .join(broadcast(tot.select(col("week").as("week_b"), col("nw").as("n_b"))), "week_b")
+      .groupBy("week_a", "week_b", "n_a", "n_b") // totals are pair-constant
+      .agg(sum(expr(
+        "least(CAST(na AS DECIMAL(38,0)) * n_b, CAST(nb AS DECIMAL(38,0)) * n_a)"))
+        .as("summin"))
+      .withColumn("tvd_micro", expr(
+        "CAST(1000000 - (summin * 1000000) div (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)"))
+      .select("week_a", "week_b", "n_a", "n_b", "tvd_micro")
+  }
+
+  val weeklyMixDriftSql: String =
+    """WITH wt AS (SELECT epoch_us(ts) // 604800000000 AS week, event_type,
+            CAST(count(*) AS BIGINT) AS n
+          FROM events GROUP BY 1, 2),
+      tot AS (SELECT week, CAST(SUM(n) AS BIGINT) AS nw FROM wt GROUP BY 1),
+      j AS (SELECT a.week AS week_a, b.week AS week_b, a.n AS na, b.n AS nb
+          FROM wt a JOIN wt b
+            ON b.week = a.week + 1 AND a.event_type = b.event_type),
+      m AS (SELECT j.week_a, j.week_b, ta.nw AS n_a, tb.nw AS n_b,
+            SUM(LEAST(CAST(j.na AS HUGEINT) * tb.nw, CAST(j.nb AS HUGEINT) * ta.nw))
+              AS summin
+          FROM j JOIN tot ta ON ta.week = j.week_a
+            JOIN tot tb ON tb.week = j.week_b
+          GROUP BY 1, 2, 3, 4)
+      SELECT week_a, week_b, n_a, n_b,
+        CAST(1000000 - (summin * 1000000) // (CAST(n_a AS HUGEINT) * n_b) AS BIGINT)
+          AS tvd_micro
+      FROM m"""
+
   /** Rule-based RFM user segmentation (q200): per user — recency (days
     * since last activity, against the corpus max day), frequency (event
     * count), monetary (exact integer cents, the q177 discipline) —
@@ -1300,6 +1356,10 @@ object EventOps {
     QueryDef("q219_seasonal_anomalies",
       (s, d) => seasonalityAnomalies(events(s, d)),
       Some(seasonalityAnomaliesSql)),
+
+    QueryDef("q225_weekly_mix_drift",
+      (s, d) => weeklyMixDrift(events(s, d)),
+      Some(weeklyMixDriftSql)),
 
     QueryDef("q177_cohort_ltv",
       (s, d) => cohortLtv(events(s, d)),

@@ -1143,6 +1143,68 @@ object Similarity {
         w.other AS worst_other, w.r_micro AS r_max_micro
       FROM sc JOIN w ON w.label = sc.label AND w.rn = 1"""
 
+  /** Embedding-norm hygiene audit (q222): per label — vector count,
+    * zero-norm count (no direction: every cosine consumer coalesces
+    * them to rank-last, q44's contract, but an index should KNOW), exact
+    * min/max/mean micro norms, and the count of norm outliers (outside
+    * [mean/2, 2·mean]) — the intake screen an embedding table passes
+    * before the IVF build: a bimodal or zero-heavy norm profile usually
+    * means two encoder versions or failed rows landed in one table, and
+    * no downstream cosine audit (q153–q155) can see that once vectors
+    * are normalized away.
+    *
+    * Determinism: norm_micro = floor(1e6·sqrt(nrm)) per row — nrm is the
+    * exact quantized BIGINT, sqrt correctly rounded, so the rollups sum
+    * integers; the mean is one DECIMAL div; outlier bounds
+    * cross-multiply against mean_micro (no division per row).
+    *
+    * Scale shape: one scan projects (label, norm_micro) — checkpointed,
+    * vec-cardinality but 2 columns; label rollup; means broadcast back
+    * for the outlier rollup. No joins over vectors, no windows. */
+  def embeddingNormAudit(spark: SparkSession, dir: String): DataFrame = {
+    val norms = quantized(spark, dir)
+      .select(col("label"),
+        expr("CAST(floor(1000000.0D * sqrt(CAST(nrm AS DOUBLE))) AS BIGINT)")
+          .as("norm_micro"))
+      .localCheckpoint() // feeds the stats rollup AND the outlier pass
+    val stats = norms.groupBy("label").agg(
+      count(lit(1)).as("n_vecs"),
+      expr("CAST(count_if(norm_micro = 0) AS BIGINT)").as("n_zero"),
+      min("norm_micro").as("min_norm_micro"),
+      max("norm_micro").as("max_norm_micro"),
+      expr("CAST(sum(CAST(norm_micro AS DECIMAL(38,0))) div count(1) AS BIGINT)")
+        .as("mean_norm_micro"))
+    val outliers = norms.join(broadcast(stats.select("label", "mean_norm_micro")), "label")
+      .filter(col("norm_micro") * 2 < col("mean_norm_micro") ||
+        col("norm_micro") > col("mean_norm_micro") * 2)
+      .groupBy("label").agg(count(lit(1)).as("n_outliers"))
+    stats.join(broadcast(outliers), Seq("label"), "left")
+      .na.fill(0L, Seq("n_outliers"))
+      .select("label", "n_vecs", "n_zero", "min_norm_micro", "max_norm_micro",
+        "mean_norm_micro", "n_outliers")
+  }
+
+  val embeddingNormAuditSql: String =
+    s"""WITH q AS (SELECT vec_id, label, $quantSql AS qv FROM embeddings),
+      n AS (SELECT label,
+              CAST(floor(1000000.0 * sqrt(CAST(list_sum(list_transform(qv, x -> x * x))
+                AS DOUBLE))) AS BIGINT) AS norm_micro FROM q),
+      st AS (SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+              CAST(count(*) FILTER (WHERE norm_micro = 0) AS BIGINT) AS n_zero,
+              CAST(MIN(norm_micro) AS BIGINT) AS min_norm_micro,
+              CAST(MAX(norm_micro) AS BIGINT) AS max_norm_micro,
+              CAST(CAST(SUM(norm_micro) AS HUGEINT) // count(*) AS BIGINT) AS mean_norm_micro
+            FROM n GROUP BY 1),
+      o AS (SELECT n.label, CAST(count(*) AS BIGINT) AS n_outliers
+            FROM n JOIN st USING (label)
+            WHERE n.norm_micro * 2 < st.mean_norm_micro
+               OR n.norm_micro > st.mean_norm_micro * 2
+            GROUP BY 1)
+      SELECT st.label, st.n_vecs, st.n_zero, st.min_norm_micro,
+        st.max_norm_micro, st.mean_norm_micro,
+        COALESCE(o.n_outliers, 0) AS n_outliers
+      FROM st LEFT JOIN o USING (label)"""
+
   /** All sub-codebooks trained in ONE grouped Lloyd loop: centroids keyed
     * (space, cent_id), assignment joined on `space` and ranked within
     * (vec, space) — per-space math identical to running
@@ -2096,6 +2158,10 @@ object Similarity {
     QueryDef("q215_davies_bouldin",
       (s, d) => daviesBouldin(s, d),
       Some(daviesBouldinSql)),
+
+    QueryDef("q222_embedding_norm_audit",
+      (s, d) => embeddingNormAudit(s, d),
+      Some(embeddingNormAuditSql)),
 
     QueryDef("q66_knn_ivf_pq",
       (s, d) => knnIvfPq(s, d, 3),

@@ -869,6 +869,55 @@ object TextStats {
       FROM r GROUP BY source"""
   }
 
+  /** Exact tie-aware token-length percentiles per source (q223): p50 /
+    * p90 / p99 plus min/max and doc count — the data-card length profile
+    * next to q30's moments (a mean hides the bimodal scrape-vs-article
+    * shape that decides q137's trim threshold; percentiles show it).
+    * The percentile is the classic count-of-counts form: the k-th
+    * percentile is the SMALLEST distinct length level whose cumulative
+    * doc count reaches ceil(k·N/100) — integer-exact, no interpolation,
+    * portable (interpolated quantiles differ by convention across
+    * engines; order statistics never do).
+    *
+    * Scale shape: docs collapse to (source, n_tokens) LEVEL rows
+    * map-side; cumulative windows run per source over DISTINCT-level
+    * rows (the q195/q209/q220 discipline — never a doc-cardinality
+    * rank); the final rollup is source-bounded. */
+  def lengthPercentiles(docs: DataFrame): DataFrame = {
+    val levels = docs
+      .select(col("source"), size(tokens(col("text"))).cast("long").as("len"))
+      .groupBy("source", "len").agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("source")
+      .orderBy("len")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy("source")
+    levels.withColumn("cum", sum("cnt").over(w))
+      .withColumn("n", sum("cnt").over(wAll))
+      .groupBy("source").agg(
+        max("n").as("n_docs"),
+        min("len").as("min_len"),
+        max("len").as("max_len"),
+        min(when(expr("cum * 100 >= 50 * n"), col("len"))).as("p50"),
+        min(when(expr("cum * 100 >= 90 * n"), col("len"))).as("p90"),
+        min(when(expr("cum * 100 >= 99 * n"), col("len"))).as("p99"))
+  }
+
+  val lengthPercentilesSql: String =
+    """WITH lv AS (SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS len,
+            CAST(count(*) AS BIGINT) AS cnt
+          FROM documents GROUP BY 1, 2),
+      cu AS (SELECT source, len, cnt,
+            SUM(cnt) OVER (PARTITION BY source ORDER BY len) AS cum,
+            SUM(cnt) OVER (PARTITION BY source) AS n
+          FROM lv)
+      SELECT source, CAST(MAX(n) AS BIGINT) AS n_docs,
+        CAST(MIN(len) AS BIGINT) AS min_len, CAST(MAX(len) AS BIGINT) AS max_len,
+        CAST(MIN(CASE WHEN cum * 100 >= 50 * n THEN len END) AS BIGINT) AS p50,
+        CAST(MIN(CASE WHEN cum * 100 >= 90 * n THEN len END) AS BIGINT) AS p90,
+        CAST(MIN(CASE WHEN cum * 100 >= 99 * n THEN len END) AS BIGINT) AS p99
+      FROM cu GROUP BY source"""
+
   val queries: Seq[QueryDef] = Seq(
     QueryDef("q36_top_bigrams",
       (s, d) => topBigrams(t(s, d, "documents"), 5),
@@ -880,6 +929,10 @@ object TextStats {
         r AS (SELECT lang, bigram, n,
             row_number() OVER (PARTITION BY lang ORDER BY n DESC, bigram) AS rank FROM counts)
         SELECT lang, bigram, n, rank FROM r WHERE rank <= 5""")),
+
+    QueryDef("q223_length_percentiles",
+      (s, d) => lengthPercentiles(t(s, d, "documents")),
+      Some(lengthPercentilesSql)),
 
     QueryDef("q30_text_stats",
       (s, d) => stats(t(s, d, "documents")),
