@@ -690,6 +690,59 @@ object Corpus {
           * 1000000) // SUM(cnt) AS BIGINT) AS oov_micro
       FROM cov GROUP BY source"""
 
+  /** Per-label characteristic terms, c-TF-IDF style (q228): for each
+    * embedding label (= topic cluster), the top-k terms ranked by how
+    * over-represented they are in that label's documents vs the corpus —
+    * BERTopic's cluster-labeling step (Grootendorst 2022,
+    * arXiv:2203.05794) made exact and log-free: rank by the quantized
+    * rational (tf_label · n_total · 1e6) div (n_label · n_term) — the
+    * q114/q187 discipline (log is monotone, so the lift ORDER is
+    * identical and the number stays an exact integer). This is what
+    * turns q61's anonymous cluster ids into a human-readable topic
+    * card — the missing rendering step between the cluster mix (q109)
+    * and a release note.
+    *
+    * Scale shape: labels join the doc stream BEFORE tokenization
+    * explodes it (doc-keyed equi-join); occurrences collapse to
+    * (label, term) rollup rows map-side; label totals broadcast; term
+    * totals are a vocab-keyed second agg of the same rows (rollup-level
+    * exchange); the rank window partitions by label over rollup rows. */
+  def labelTerms(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val labels = t(spark, dir, "embeddings").select(col("vec_id").as("doc_id"), col("label"))
+    val lt = t(spark, dir, "documents").select("doc_id", "text")
+      .join(labels, "doc_id")
+      .select(col("label"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("label", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint() // feeds label totals, term totals, AND the rank
+    val labTot = lt.groupBy("label").agg(sum("tf").as("n_label"))
+    val termTot = lt.groupBy("term").agg(sum("tf").as("n_term"))
+    val tot = lt.agg(sum("tf").as("n_total"))
+    lt.join(broadcast(labTot), "label")
+      .join(termTot, "term")
+      .crossJoin(broadcast(tot))
+      .withColumn("score_q", expr(
+        "CAST((CAST(tf AS DECIMAL(38,0)) * n_total * 1000000) div (CAST(n_label AS DECIMAL(38,0)) * n_term) AS BIGINT)"))
+      .withColumn("rnk", expr(
+        "row_number() OVER (PARTITION BY label ORDER BY score_q DESC, term)"))
+      .filter(col("rnk") <= k)
+      .select("label", "rnk", "term", "tf", "score_q")
+  }
+
+  def labelTermsSql(k: Int = 5): String =
+    s"""WITH lt AS (SELECT e.label, unnest(string_split(d.text, ' ')) AS term
+          FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id),
+      c AS (SELECT label, term, CAST(count(*) AS BIGINT) AS tf FROM lt GROUP BY 1, 2),
+      la AS (SELECT label, CAST(SUM(tf) AS BIGINT) AS n_label FROM c GROUP BY 1),
+      te AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS n_term FROM c GROUP BY 1),
+      tt AS (SELECT CAST(SUM(tf) AS BIGINT) AS n_total FROM c),
+      s AS (SELECT c.label, c.term, c.tf,
+            CAST((CAST(c.tf AS HUGEINT) * tt.n_total * 1000000)
+              // (CAST(la.n_label AS HUGEINT) * te.n_term) AS BIGINT) AS score_q
+          FROM c JOIN la USING (label) JOIN te USING (term) CROSS JOIN tt),
+      r AS (SELECT *, row_number() OVER (PARTITION BY label ORDER BY score_q DESC, term) AS rnk
+          FROM s)
+      SELECT label, CAST(rnk AS BIGINT) AS rnk, term, tf, score_q FROM r WHERE rnk <= $k"""
+
   val CmsDepth = 4 // independent hash rows
   val CmsHexChars = 2 // 256 buckets per row
   val CmsReportK = 30 // tokens whose estimates the query reports
@@ -1717,6 +1770,10 @@ object Corpus {
     QueryDef("q217_head_mass",
       (s, d) => headMass(t(s, d, "documents")),
       Some(headMassSql)),
+
+    QueryDef("q228_label_terms",
+      (s, d) => labelTerms(s, d),
+      Some(labelTermsSql())),
 
     QueryDef("q221_vocab_coverage",
       (s, d) => vocabCoverage(t(s, d, "documents")),

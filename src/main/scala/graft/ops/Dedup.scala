@@ -975,7 +975,11 @@ object Dedup {
     * source) joined to the group→cluster map; the histogram is a
     * cluster-then-count rollup. Doc-level pairs never exist. */
   def clusterSourceMix(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
+    // 3-column checkpoint: the group rollup AND the (fp, source) distinct
+    // both read it — ONE md5-of-text pass instead of two (the fp frame is
+    // narrow; the text never materializes past this scan)
     val withFp = docs.select(col("doc_id"), col("source"), md5(col("text")).as("fp"))
+      .localCheckpoint()
     val groups = withFp.groupBy("fp")
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("tot"))
       .localCheckpoint() // feeds the rep restriction AND both joins
@@ -1570,7 +1574,10 @@ object Dedup {
     * audit); signatures ride the checkpointed shingle frame, so the
     * audit adds one zip_with per candidate pair over what the mine
     * already pays. */
-  def minhashCalibration(docs: DataFrame): DataFrame = {
+  /** The reps-first LSH candidate mine with per-pair signatures and the
+    * exact integer-micro Jaccard — q218's and q227's shared front end
+    * (one shingle/signature pass, one band join, checkpointed). */
+  private def repCalibrationPairs(docs: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     QueryDef.cpuBound(docs.sparkSession)
     val reps = docs.join(exact(docs).select(col("keep_id").as("doc_id")), "doc_id")
@@ -1592,6 +1599,10 @@ object Dedup {
         size(col("grams")).cast("long").as("nb"), col("sig").as("sigb")), "id_b")
       .withColumn("inter", expr("sorted_intersect_count(ga, gb)"))
       .withColumn("exact_micro", expr("(inter * 1000000L) div (na + nb - inter)"))
+  }
+
+  def minhashCalibration(docs: DataFrame): DataFrame = {
+    repCalibrationPairs(docs)
       .withColumn("matches", expr(
         "aggregate(zip_with(siga, sigb, (x, y) -> IF(x = y, 1L, 0L)), 0L, (a, x) -> a + x)"))
       .withColumn("est_micro", expr(s"(matches * 1000000L) div ${NumHashes}L"))
@@ -1641,6 +1652,66 @@ object Dedup {
         CAST(MAX(abs(est_micro - exact_micro)) AS BIGINT) AS max_abs_err_micro,
         CAST(SUM(est_micro - exact_micro) AS BIGINT) AS sum_bias_micro
       FROM mm"""
+  }
+
+  /** Near-dup threshold sensitivity sweep (q227): the q42 mine's tuning
+    * curve — pair count and affected-representative count at Jaccard
+    * cutoffs 0.7 / 0.8 / 0.9, all binned from ONE reps-first mine pass
+    * (the exact per-pair micro Jaccard is computed once; each threshold
+    * row is a filter over the checkpointed pair frame). The "how much
+    * does the corpus care where we draw the line" view that should be
+    * read next to q218's estimator-error row before re-tuning bands:
+    * a cliff between 0.7 and 0.8 means the threshold is load-bearing
+    * and the estimator's ±error band around it matters.
+    *
+    * Candidate-recall caveat ON the record: candidates come from the
+    * 8×4 band join, whose recall falls with true Jaccard — the 0.7 row
+    * counts pairs the bands SURFACE (s-curve ~0.76 at j=0.7), which is
+    * the operational quantity (it is what the mine at that threshold
+    * would return), not the true-pair census. */
+  def thresholdSweep(docs: DataFrame): DataFrame = {
+    val pairs = repCalibrationPairs(docs)
+      .select("id_a", "id_b", "exact_micro").localCheckpoint()
+    Seq(700000L, 800000L, 900000L).map { th =>
+      val p = pairs.filter(col("exact_micro") >= th)
+      p.agg(count(lit(1)).as("n_pairs")).withColumn("threshold_micro", lit(th))
+        .join(p.select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
+          .distinct().agg(count(lit(1)).as("n_docs"))
+          .withColumn("threshold_micro", lit(th)), "threshold_micro")
+        .select("threshold_micro", "n_pairs", "n_docs")
+    }.reduce(_ unionAll _)
+  }
+
+  /** q227's oracle: the q218 chain to per-pair exact micro Jaccard,
+    * sweep rows via UNION ALL. */
+  val thresholdSweepSql: String = {
+    val bandsSql = (0 until Bands).map { b =>
+      val parts = (1 to Rows).map(r => s"sig[${b * Rows + r}]").mkString(" || ")
+      s"md5('$b' || ':' || $parts)"
+    }.mkString(", ")
+    val row = (th: Long) =>
+      s"""SELECT CAST($th AS BIGINT) AS threshold_micro,
+          CAST((SELECT count(*) FROM mm WHERE exact_micro >= $th) AS BIGINT) AS n_pairs,
+          CAST((SELECT count(DISTINCT id) FROM
+            (SELECT unnest([id_a, id_b]) AS id FROM mm WHERE exact_micro >= $th)) AS BIGINT)
+            AS n_docs"""
+    s"""WITH sh AS (SELECT doc_id, $shinglesSql AS grams FROM
+          (SELECT d.* FROM documents d
+            JOIN (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)) r
+            USING (doc_id)) dd),
+      sigs AS (SELECT doc_id, grams,
+          list_transform(range(0, $NumHashes),
+            j -> list_aggregate(list_transform(grams, g -> md5(CAST(j AS VARCHAR) || '|' || g)), 'min')) AS sig
+        FROM sh),
+      bands AS (SELECT doc_id, unnest([$bandsSql]) AS bkey FROM sigs),
+      cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b ON a.bkey = b.bkey AND a.doc_id < b.doc_id),
+      mm AS (SELECT c.id_a, c.id_b,
+          (CAST(len(list_intersect(sa.grams, sb.grams)) AS BIGINT) * 1000000)
+            // (len(sa.grams) + len(sb.grams) - len(list_intersect(sa.grams, sb.grams)))
+            AS exact_micro
+        FROM cand c JOIN sigs sa ON sa.doc_id = c.id_a JOIN sigs sb ON sb.doc_id = c.id_b)
+      ${row(700000L)} UNION ALL ${row(800000L)} UNION ALL ${row(900000L)}"""
   }
 
   /** q213's oracle over the q203-style injected corpus (every 7th doc
@@ -1852,6 +1923,10 @@ object Dedup {
     QueryDef("q218_minhash_calibration",
       (s, d) => minhashCalibration(t(s, d, "documents")),
       Some(minhashCalibrationSql)),
+
+    QueryDef("q227_threshold_sweep",
+      (s, d) => thresholdSweep(t(s, d, "documents")),
+      Some(thresholdSweepSql)),
 
     QueryDef("q216_source_dup_matrix",
       (s, d) => {

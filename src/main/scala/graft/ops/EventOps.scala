@@ -1112,6 +1112,77 @@ object EventOps {
           AS tvd_micro
       FROM m"""
 
+  /** Daily-rate autocorrelation (q226): Pearson r between each type's
+    * daily counts and the same series lagged 1 and 7 days — the
+    * seasonality-STRENGTH scalar behind q182's hour profile and q219's
+    * anomaly flags (lag-7 ≫ lag-1 says weekly rhythm; both ≈ 0 says the
+    * q219 baseline should not assume one). Pairs are (day, day+k) where
+    * both observed — a day-keyed self-join over the same daily rollup
+    * q199 uses, never a row-number lag (row lag silently bridges gaps).
+    *
+    * Determinism: all five moments are exact DECIMAL(38,0) sums; r's
+    * numerator n·Σxy − Σx·Σy and the two variance terms are exact; the
+    * final r = num / (sqrt(a)·sqrt(b)) is three IEEE ops on
+    * identically-valued doubles (a·b could overflow 38 digits — the
+    * split-sqrt form cannot). Moments ride the output so the exactness
+    * is auditable.
+    *
+    * Scale shape: the (type × day) rollup is the only event-volume
+    * exchange (shared localCheckpoint); self-joins and rollups run over
+    * day-level rows. */
+  def rateAutocorrelation(ev: DataFrame, lags: Seq[Int] = Seq(1, 7)): DataFrame = {
+    val daily = ev.select(col("event_type"), expr("ts DIV 86400000000000").as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
+      .localCheckpoint() // feeds both sides of both lag joins
+    val pairs = lags.map { k =>
+      daily.as("a").join(daily.as("b"),
+          col("a.event_type") === col("b.event_type") &&
+            col("b.day") === col("a.day") + k)
+        .select(col("a.event_type").as("event_type"), lit(k.toLong).as("lag"),
+          col("a.n").as("x"), col("b.n").as("y"))
+    }.reduce(_ unionAll _)
+    pairs.groupBy("event_type", "lag").agg(
+        count(lit(1)).as("n_pairs"),
+        sum(expr("CAST(x AS DECIMAL(38,0))")).as("sx"),
+        sum(expr("CAST(y AS DECIMAL(38,0))")).as("sy"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"),
+        sum(expr("CAST(y AS DECIMAL(38,0)) * y")).as("syy"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"))
+      .withColumn("r", expr(
+        """CAST(n_pairs * sxy - sx * sy AS DOUBLE)
+           / (sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE))
+              * sqrt(CAST(n_pairs * syy - sy * sy AS DOUBLE)))"""))
+      .select(col("event_type"), col("lag"), col("n_pairs"),
+        col("sx").cast("long").as("sum_x"), col("sy").cast("long").as("sum_y"),
+        col("r"))
+  }
+
+  val rateAutocorrelationSql: String =
+    """WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+            CAST(count(*) AS BIGINT) AS n
+          FROM events GROUP BY 1, 2),
+      pairs AS (
+        SELECT a.event_type, CAST(1 AS BIGINT) AS lag, a.n AS x, b.n AS y
+        FROM daily a JOIN daily b
+          ON a.event_type = b.event_type AND b.day = a.day + 1
+        UNION ALL
+        SELECT a.event_type, CAST(7 AS BIGINT) AS lag, a.n AS x, b.n AS y
+        FROM daily a JOIN daily b
+          ON a.event_type = b.event_type AND b.day = a.day + 7),
+      m AS (SELECT event_type, lag, CAST(count(*) AS BIGINT) AS n_pairs,
+            CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+            CAST(SUM(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+            CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+            CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
+            CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+          FROM pairs GROUP BY 1, 2)
+      SELECT event_type, lag, n_pairs,
+        CAST(sx AS BIGINT) AS sum_x, CAST(sy AS BIGINT) AS sum_y,
+        CAST(n_pairs * sxy - sx * sy AS DOUBLE)
+          / (sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE))
+             * sqrt(CAST(n_pairs * syy - sy * sy AS DOUBLE))) AS r
+      FROM m"""
+
   /** Rule-based RFM user segmentation (q200): per user — recency (days
     * since last activity, against the corpus max day), frequency (event
     * count), monetary (exact integer cents, the q177 discipline) —
@@ -1360,6 +1431,10 @@ object EventOps {
     QueryDef("q225_weekly_mix_drift",
       (s, d) => weeklyMixDrift(events(s, d)),
       Some(weeklyMixDriftSql)),
+
+    QueryDef("q226_rate_autocorrelation",
+      (s, d) => rateAutocorrelation(events(s, d)),
+      Some(rateAutocorrelationSql)),
 
     QueryDef("q177_cohort_ltv",
       (s, d) => cohortLtv(events(s, d)),
