@@ -363,6 +363,40 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges.size <= 3, s"rollup/mean/window exchanges only, got: $exchanges")
   }
 
+  test("q217/q223: head-mass and percentile windows run over rollup rows only") {
+    // the scale claim: the rank/cumulative windows see (source, term) /
+    // (source, len) LEVEL rows — the occurrence/doc stream ends at the
+    // partial aggregate. Two exchanges max (rollup + window re-key), and
+    // never a global sort.
+    for (q <- Seq("q217_head_mass", "q223_length_percentiles")) {
+      val p = plan(q)
+      assert(!p.contains("rangepartitioning"), s"$q: no global sort")
+      val exchanges = p.linesIterator
+        .filter(_.matches(""".*\(\d+\) Exchange.*""")).toSeq
+      assert(exchanges.size <= 2, s"$q: rollup + window exchanges only, got: $exchanges")
+      assert(p.contains("hashpartitioning(source"),
+        s"$q: the window re-key must be source-partitioned, never single-partition")
+    }
+  }
+
+  test("q221: the top-V vocabulary is a distributed top-k, not a rank window") {
+    // orderBy+limit must plan TakeOrderedAndProject (per-partition heaps
+    // + driver merge of V rows); a row_number window here would funnel
+    // the vocabulary through one partition
+    val p = plan("q221_vocab_coverage")
+    assert(p.contains("TakeOrderedAndProject"), "top-V must be TakeOrderedAndProject")
+    assert(!p.contains("Window"), "no rank window anywhere in the vocab path")
+  }
+
+  test("q219: anomaly screen joins stay broadcast above the cell rollup") {
+    // profile (24 x types) and the day count (1 row) broadcast back onto
+    // cell rows; a shuffled join would re-key the rollup for nothing
+    val p = plan("q219_seasonal_anomalies")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "profile/day-count joins must broadcast")
+    assert(!p.contains("rangepartitioning"), "no global sort")
+  }
+
   test("catalog missing-series plans as broadcast left-anti") {
     import spark.implicits._
     val headers = Seq((0, "1", "n", 0)).toDF("fileOrd", "externalId", "name", "colIndex")
