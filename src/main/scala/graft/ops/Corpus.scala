@@ -743,6 +743,116 @@ object Corpus {
           FROM s)
       SELECT label, CAST(rnk AS BIGINT) AS rnk, term, tf, score_q FROM r WHERE rnk <= $k"""
 
+  /** Lexical diversity, Gini-Simpson form (q233): per source, the
+    * probability two random token occurrences are DIFFERENT terms —
+    * 1 − Σp² = (N² − Σc²)/N² — plus the inverse-Simpson "effective
+    * vocabulary" N²·1e6 div Σc² (how many equally-common terms would
+    * produce this diversity). The log-free entropy stand-in (Shannon
+    * would put a per-term log in the rollup — not portable; Simpson is
+    * ONE exact rational per source): completes the lexical triptych —
+    * q217 head mass (how top-heavy), q221 coverage (how much a fixed
+    * vocab catches), q233 diversity (how concentrated overall). A
+    * template-spam source scores low diversity even when q94/q42 find
+    * no duplicate lines or documents.
+    *
+    * Scale shape: the same (source, term) rollup as q217/q221; Σc² is
+    * one DECIMAL(38,0) partial agg over rollup rows; output is
+    * source-bounded. */
+  def simpsonDiversity(docs: DataFrame): DataFrame =
+    docs.select(col("source"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("source", "term").agg(count(lit(1)).as("cnt"))
+      .groupBy("source").agg(
+        count(lit(1)).as("n_terms"),
+        sum("cnt").as("n_tokens"),
+        sum(expr("CAST(cnt AS DECIMAL(38,0)) * cnt")).as("sum_sq"))
+      .withColumn("simpson_micro", expr(
+        """CAST(((CAST(n_tokens AS DECIMAL(38,0)) * n_tokens - sum_sq) * 1000000)
+           div (CAST(n_tokens AS DECIMAL(38,0)) * n_tokens) AS BIGINT)"""))
+      .withColumn("inv_simpson_micro", expr(
+        "CAST((CAST(n_tokens AS DECIMAL(38,0)) * n_tokens * 1000000) div sum_sq AS BIGINT)"))
+      .select("source", "n_terms", "n_tokens", "simpson_micro", "inv_simpson_micro")
+
+  val simpsonDiversitySql: String =
+    """WITH c AS (SELECT source, term, CAST(count(*) AS BIGINT) AS cnt
+          FROM (SELECT source, unnest(string_split(text, ' ')) AS term FROM documents)
+          GROUP BY 1, 2),
+      r AS (SELECT source, CAST(count(*) AS BIGINT) AS n_terms,
+            CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+            CAST(SUM(CAST(cnt AS HUGEINT) * cnt) AS HUGEINT) AS sum_sq
+          FROM c GROUP BY 1)
+      SELECT source, n_terms, n_tokens,
+        CAST(((CAST(n_tokens AS HUGEINT) * n_tokens - sum_sq) * 1000000)
+          // (CAST(n_tokens AS HUGEINT) * n_tokens) AS BIGINT) AS simpson_micro,
+        CAST((CAST(n_tokens AS HUGEINT) * n_tokens * 1000000) // sum_sq AS BIGINT)
+          AS inv_simpson_micro
+      FROM r"""
+
+  val KmvK = 256 // sketch size: k smallest hashes kept per source
+
+  /** KMV (k-minimum-values) distinct-vocabulary estimate per source
+    * (q230, Bar-Yossef et al. 2002): keep the k smallest 60-bit term
+    * hashes; the distinct count is estimated by how densely the minima
+    * pack the hash space — est = (k−1)·2⁶⁰ div h_k. The third portable
+    * sketch next to CMS (q116: how often) and Misra-Gries (q56: who is
+    * heavy) — KMV answers HOW MANY distinct, in fixed memory, and unlike
+    * Spark's HLL it is cross-engine EXACT (md5-derived hashes: both
+    * engines build the IDENTICAL sketch, so the estimate hash-matches —
+    * q70's HLL stays rows-only for exactly this reason). The query
+    * reports estimate next to exact distinct and the signed micro error,
+    * so the ±1/√k guarantee is visible in the output. KMV's union
+    * mergeability (k smallest of a union of sketches = sketch of the
+    * union) is what makes it the 100 TB shape: per-shard sketches merge
+    * on the driver without re-scanning (spec-locked below).
+    *
+    * Scale shape: occurrences collapse to DISTINCT (source, hash) rows
+    * map-side; the k-smallest selection is a rank window over those
+    * DISTINCT-level rows per source; everything after is k·sources
+    * rows. */
+  def kmvDistinct(docs: DataFrame, k: Int = KmvK): DataFrame = {
+    val hashes = docs
+      .select(col("source"), explode(split(col("text"), " ")).as("term"))
+      .select(col("source"),
+        expr("CAST(conv(substr(md5(term), 1, 15), 16, 10) AS BIGINT)").as("h"))
+      .distinct() // map-side collapse: occurrences never reach the window
+    val ranked = hashes.withColumn("rnk", expr(
+      "row_number() OVER (PARTITION BY source ORDER BY h)"))
+    val exact = hashes.groupBy("source").agg(count(lit(1)).as("n_exact"))
+    ranked.filter(col("rnk") <= k)
+      .groupBy("source").agg(count(lit(1)).as("n_kept"), max("h").as("kth_hash"))
+      .join(broadcast(exact), "source")
+      .withColumn("est", expr(
+        // n_kept < k means the source's full distinct set fits the
+        // sketch — the estimate IS the exact count
+        s"CASE WHEN n_kept < $k THEN n_kept ELSE " +
+          s"CAST(((CAST(n_kept AS DECIMAL(38,0)) - 1) * 1152921504606846976) div kth_hash AS BIGINT) END"))
+      // abs BEFORE the division: integral division of negatives is
+      // truncate-vs-floor across engines (the q218 trapdoor); the sign
+      // is readable from est vs n_exact, both in the output
+      .withColumn("err_abs_micro", expr(
+        "(abs(est - n_exact) * 1000000L) div n_exact"))
+      .select("source", "n_exact", "n_kept", "kth_hash", "est", "err_abs_micro")
+  }
+
+  def kmvDistinctSql(k: Int = KmvK): String =
+    s"""WITH h AS (SELECT DISTINCT source,
+            CAST(('0x' || substr(md5(term), 1, 15)) AS BIGINT) AS h
+          FROM (SELECT source, unnest(string_split(text, ' ')) AS term FROM documents)),
+      rk AS (SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rnk
+          FROM h),
+      sk AS (SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+            CAST(MAX(h) AS BIGINT) AS kth_hash
+          FROM rk WHERE rnk <= $k GROUP BY 1),
+      ex AS (SELECT source, CAST(count(*) AS BIGINT) AS n_exact FROM h GROUP BY 1)
+      SELECT sk.source, ex.n_exact, sk.n_kept, sk.kth_hash,
+        CASE WHEN sk.n_kept < $k THEN sk.n_kept
+             ELSE CAST(((CAST(sk.n_kept AS HUGEINT) - 1) * 1152921504606846976)
+               // sk.kth_hash AS BIGINT) END AS est,
+        (abs((CASE WHEN sk.n_kept < $k THEN sk.n_kept
+             ELSE CAST(((CAST(sk.n_kept AS HUGEINT) - 1) * 1152921504606846976)
+               // sk.kth_hash AS BIGINT) END) - ex.n_exact) * 1000000) // ex.n_exact
+          AS err_abs_micro
+      FROM sk JOIN ex USING (source)"""
+
   val CmsDepth = 4 // independent hash rows
   val CmsHexChars = 2 // 256 buckets per row
   val CmsReportK = 30 // tokens whose estimates the query reports
@@ -1774,6 +1884,14 @@ object Corpus {
     QueryDef("q228_label_terms",
       (s, d) => labelTerms(s, d),
       Some(labelTermsSql())),
+
+    QueryDef("q230_kmv_distinct",
+      (s, d) => kmvDistinct(t(s, d, "documents")),
+      Some(kmvDistinctSql())),
+
+    QueryDef("q233_simpson_diversity",
+      (s, d) => simpsonDiversity(t(s, d, "documents")),
+      Some(simpsonDiversitySql)),
 
     QueryDef("q221_vocab_coverage",
       (s, d) => vocabCoverage(t(s, d, "documents")),

@@ -1112,6 +1112,106 @@ object EventOps {
           AS tvd_micro
       FROM m"""
 
+  /** Markov next-step baseline (q229): for each event type, the single
+    * best always-predict-this next type (the argmax row of q166's
+    * transition matrix) and the accuracy that rule achieves — the
+    * order-1 predictability ceiling any sequence model must beat to
+    * justify itself, and the complement of q214's dwell times (WHAT
+    * comes next vs WHEN). Per-from accuracy is the exact micro rational
+    * max_n / Σn; argmax tie-breaks to the lexicographically first type.
+    *
+    * Scale shape: q166's one user-keyed exchange builds the transition
+    * counts; everything after is a types²-bounded rollup + a rank
+    * window over those rollup rows. */
+  def markovBaseline(ev: DataFrame, gapSec: Long = 1800L): DataFrame = {
+    val w = Window.partitionBy("user_id", "sess_seq")
+      .orderBy(col("t_us").asc, col("event_id").asc)
+    val trans = withSessionIds(ev, gapSec)
+      .withColumn("next_type", lead("event_type", 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    trans
+      .withColumn("rnk", expr(
+        "row_number() OVER (PARTITION BY from_type ORDER BY n DESC, to_type)"))
+      .groupBy("from_type").agg(
+        sum("n").as("n_trans"),
+        max(when(col("rnk") === 1, col("to_type"))).as("predicted_next"),
+        max(when(col("rnk") === 1, col("n")).otherwise(0L)).as("n_correct"))
+      .withColumn("acc_micro", expr("(n_correct * 1000000L) div n_trans"))
+  }
+
+  def markovBaselineSql(gapSec: Long = 1800L): String =
+    s"""WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS t_us FROM events),
+      f AS (SELECT *, CASE WHEN lag(t_us) OVER w IS NULL OR t_us - lag(t_us) OVER w > ${gapSec}000000
+              THEN 1 ELSE 0 END AS new_sess
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id)),
+      g AS (SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY t_us, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_seq FROM f),
+      h AS (SELECT *, lead(event_type) OVER (PARTITION BY user_id, sess_seq
+              ORDER BY t_us, event_id) AS next_type FROM g),
+      tr AS (SELECT event_type AS from_type, next_type AS to_type,
+              CAST(count(*) AS BIGINT) AS n
+            FROM h WHERE next_type IS NOT NULL GROUP BY 1, 2),
+      rk AS (SELECT *, row_number() OVER (PARTITION BY from_type ORDER BY n DESC, to_type) AS rnk
+            FROM tr)
+      SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_trans,
+        MAX(CASE WHEN rnk = 1 THEN to_type END) AS predicted_next,
+        CAST(MAX(CASE WHEN rnk = 1 THEN n ELSE 0 END) AS BIGINT) AS n_correct,
+        (CAST(MAX(CASE WHEN rnk = 1 THEN n ELSE 0 END) AS BIGINT) * 1000000)
+          // CAST(SUM(n) AS BIGINT) AS acc_micro
+      FROM rk GROUP BY from_type"""
+
+  /** Benford first-digit audit (q232): the distribution of leading
+    * digits of event values against Benford's law — the classic
+    * fabricated-/synthetic-amounts screen (Nigrini 1996) run as a data-
+    * quality gate over the `value` column. Per digit: count, observed
+    * micro share, the Benford expectation (floor-micro'd log10(1+1/d)
+    * literals — the only logs in the op are compile-time constants), and
+    * the absolute micro deviation. A uniform generator (like this
+    * corpus's) fails loudly; real transaction amounts pass — either way
+    * the table says which.
+    *
+    * Determinism: cents = round(value·100) — one IEEE multiply+round on
+    * both engines (values are 2-decimal, so nothing lands on a .5 tie);
+    * the leading digit reads the BIGINT's decimal string, which both
+    * engines format identically; shares are floored micro rationals.
+    *
+    * Scale shape: a 9-key map-side-combined rollup above the scan plus
+    * one broadcast total — the q105 card shape. */
+  def benfordAudit(ev: DataFrame): DataFrame = {
+    val d = ev
+      .select(expr("substr(CAST(CAST(round(value * 100) AS BIGINT) AS STRING), 1, 1)")
+        .as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val benford = "CASE digit WHEN '1' THEN 301029L WHEN '2' THEN 176091L " +
+      "WHEN '3' THEN 124938L WHEN '4' THEN 96910L WHEN '5' THEN 79181L " +
+      "WHEN '6' THEN 66946L WHEN '7' THEN 57991L WHEN '8' THEN 51152L " +
+      "ELSE 45757L END"
+    d.crossJoin(broadcast(d.agg(sum("n").as("n_total"))))
+      .withColumn("obs_micro",
+        expr("CAST((CAST(n AS DECIMAL(38,0)) * 1000000) div n_total AS BIGINT)"))
+      .withColumn("benford_micro", expr(benford))
+      .withColumn("dev_micro", expr("abs(obs_micro - benford_micro)"))
+      .select("digit", "n", "n_total", "obs_micro", "benford_micro", "dev_micro")
+  }
+
+  val benfordAuditSql: String =
+    """WITH d AS (SELECT substr(CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR), 1, 1)
+            AS digit, CAST(count(*) AS BIGINT) AS n
+          FROM events GROUP BY 1),
+      t AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM d)
+      SELECT digit, n, n_total,
+        CAST((CAST(n AS HUGEINT) * 1000000) // n_total AS BIGINT) AS obs_micro,
+        CAST(CASE digit WHEN '1' THEN 301029 WHEN '2' THEN 176091 WHEN '3' THEN 124938
+          WHEN '4' THEN 96910 WHEN '5' THEN 79181 WHEN '6' THEN 66946
+          WHEN '7' THEN 57991 WHEN '8' THEN 51152 ELSE 45757 END AS BIGINT) AS benford_micro,
+        CAST(abs(CAST((CAST(n AS HUGEINT) * 1000000) // n_total AS BIGINT)
+          - (CASE digit WHEN '1' THEN 301029 WHEN '2' THEN 176091 WHEN '3' THEN 124938
+              WHEN '4' THEN 96910 WHEN '5' THEN 79181 WHEN '6' THEN 66946
+              WHEN '7' THEN 57991 WHEN '8' THEN 51152 ELSE 45757 END)) AS BIGINT) AS dev_micro
+      FROM d CROSS JOIN t"""
+
   /** Daily-rate autocorrelation (q226): Pearson r between each type's
     * daily counts and the same series lagged 1 and 7 days — the
     * seasonality-STRENGTH scalar behind q182's hour profile and q219's
@@ -1435,6 +1535,33 @@ object EventOps {
     QueryDef("q226_rate_autocorrelation",
       (s, d) => rateAutocorrelation(events(s, d)),
       Some(rateAutocorrelationSql)),
+
+    QueryDef("q229_markov_baseline",
+      (s, d) => markovBaseline(events(s, d)),
+      Some(markovBaselineSql())),
+
+    QueryDef("q231_ohlc_bars",
+      (s, d) => graft.tebis.Datapoints.ohlcBars(asSeries(events(s, d)), 3600000L)
+        .select(col("externalId").cast("long").as("user_id"), col("bucketTs"),
+          col("n"), col("low"), col("high"), col("open"), col("close")),
+      // open/close via first_value/last_value over the same (t_ms, value)
+      // total order the engine's min_by/max_by struct key encodes
+      Some("""WITH e AS (SELECT user_id, epoch_ms(ts) AS t_ms, value FROM events),
+        b AS (SELECT user_id, (t_ms // 3600000) * 3600000 AS bucketTs, t_ms, value FROM e),
+        w AS (SELECT *,
+                first_value(value) OVER (PARTITION BY user_id, bucketTs
+                  ORDER BY t_ms, value) AS o,
+                last_value(value) OVER (PARTITION BY user_id, bucketTs
+                  ORDER BY t_ms, value
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS c
+              FROM b)
+        SELECT user_id, bucketTs, CAST(count(*) AS BIGINT) AS n,
+          MIN(value) AS low, MAX(value) AS high, MIN(o) AS open, MIN(c) AS close
+        FROM w GROUP BY 1, 2""")),
+
+    QueryDef("q232_benford_audit",
+      (s, d) => benfordAudit(events(s, d)),
+      Some(benfordAuditSql)),
 
     QueryDef("q177_cohort_ltv",
       (s, d) => cohortLtv(events(s, d)),

@@ -306,4 +306,39 @@ object CorpusStream {
       TextStats.cardSignals(docs).groupBy("source").agg(aggs.head, aggs.tail: _*))
       .withColumn("n_approx_dups", col("n_docs") - col("n_distinct_approx"))
   }
+
+  /** Streaming KMV distinct-vocabulary sketch — q230's unbounded twin:
+    * each micro-batch writes ITS OWN k-smallest-hash sketch into a
+    * batch_id=N partition (mode=overwrite — a replayed batch rewrites
+    * itself bit-identically, the IndexStream discipline; no state is
+    * read in the hot path, so replay can't compound), and the live
+    * sketch is the k smallest of the UNION of partitions — exactly the
+    * KMV merge the OpsSpec locks, so [[kmvLive]]'s sketch equals a
+    * from-scratch batch sketch over everything streamed so far. State
+    * on disk is ≤ k rows per batch; the live read unions sketch rows,
+    * never corpus rows. */
+  def kmvStream(docs: DataFrame, stateDir: String, checkpointDir: String,
+      k: Int = Corpus.KmvK, trigger: Option[Trigger] = None): StreamingQuery = {
+    val writer = docs.writeStream.option("checkpointLocation", checkpointDir)
+    trigger.foreach(writer.trigger)
+    writer.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      batch.select(explode(split(col("text"), " ")).as("term"))
+        .select(expr("CAST(conv(substr(md5(term), 1, 15), 16, 10) AS BIGINT)").as("h"))
+        .distinct().orderBy("h").limit(k)
+        .write.mode("overwrite").parquet(s"$stateDir/batch_id=$batchId")
+      ()
+    }.start()
+  }
+
+  /** The live sketch + estimate over everything [[kmvStream]] has seen:
+    * k smallest of the merged per-batch sketches, with q230's estimator
+    * arithmetic (exact integers; n_kept < k means exact count). */
+  def kmvLive(spark: org.apache.spark.sql.SparkSession, stateDir: String,
+      k: Int = Corpus.KmvK): DataFrame =
+    spark.read.parquet(stateDir).select("h").distinct()
+      .orderBy("h").limit(k)
+      .agg(count(lit(1)).as("n_kept"), max("h").as("kth_hash"))
+      .withColumn("est", expr(
+        s"CASE WHEN n_kept < $k THEN n_kept ELSE " +
+          s"CAST(((CAST(n_kept AS DECIMAL(38,0)) - 1) * 1152921504606846976) div kth_hash AS BIGINT) END"))
 }

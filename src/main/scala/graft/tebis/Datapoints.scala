@@ -136,6 +136,29 @@ object Datapoints {
     * window (lag) + one Expand, no extra shuffle beyond the per-series
     * sort. Grid slots with no prior observation simply don't exist
     * (LOCF semantics). */
+  /** Per-series OHLC bars (q231): open/high/low/close + count per fixed
+    * `stepMs` bucket — the downsampling view a dashboard reads (q25's
+    * LOCF grid answers "what was the value AT t"; OHLC answers "what
+    * happened WITHIN [t, t+step)"). Open/close are min_by/max_by over
+    * the (timestampMs, value) struct — the partial-aggregated argmin/
+    * argmax (no rank window), deterministic under timestamp ties via the
+    * value tie-break, exactly the resample ordering. Values pass through
+    * untouched (no arithmetic — nothing to drift). The bucket uses
+    * truncating DIV on both engines, so pre-1970 series bucket
+    * consistently (if not calendar-floored — same trade q25 documents).
+    *
+    * Scale shape: ONE (series × bucket)-keyed partial-agg rollup above
+    * the scan; min_by/max_by combine map-side like min/max. */
+  def ohlcBars(datapoints: DataFrame, stepMs: Long): DataFrame =
+    datapoints
+      .withColumn("bucketTs", expr(s"(timestampMs DIV $stepMs) * $stepMs"))
+      .groupBy("externalId", "bucketTs").agg(
+        count(lit(1)).as("n"),
+        min("value").as("low"),
+        max("value").as("high"),
+        expr("min_by(value, struct(timestampMs, value))").as("open"),
+        expr("max_by(value, struct(timestampMs, value))").as("close"))
+
   def resample(datapoints: DataFrame, stepMs: Long): DataFrame = {
     // value in the sort key only to break timestamp ties deterministically
     val w = org.apache.spark.sql.expressions.Window

@@ -12,6 +12,32 @@ class OpsSpec extends AnyFunSuite {
 
   def docs = graft.queries.QueryDef.t(spark, dir, "documents")
 
+  test("kmv sketch: per-source sketches merge to the whole-corpus sketch") {
+    // the 100 TB claim: k smallest of the UNION of per-shard sketches ==
+    // sketch of the union — merge on the driver, never re-scan. Build
+    // per-source sketches (k smallest hashes each), merge them, and
+    // compare the merged top-k + estimate against a from-scratch corpus
+    // sketch over the same rows.
+    import org.apache.spark.sql.functions._
+    val k = 64
+    val hashes = docs
+      .select(col("source"), explode(split(col("text"), " ")).as("term"))
+      .select(col("source"),
+        expr("CAST(conv(substr(md5(term), 1, 15), 16, 10) AS BIGINT)").as("h"))
+      .distinct()
+    val perSource = hashes
+      .withColumn("rnk", expr("row_number() OVER (PARTITION BY source ORDER BY h)"))
+      .filter(col("rnk") <= k)
+      .select("h").distinct() // the union of per-source sketches
+      .orderBy("h").limit(k)
+      .collect().map(_.getLong(0)).toSeq
+    val scratch = hashes.select("h").distinct()
+      .orderBy("h").limit(k)
+      .collect().map(_.getLong(0)).toSeq
+    assert(perSource == scratch,
+      "merged per-source sketches must equal the from-scratch corpus sketch")
+  }
+
   test("dedup exact: fingerprint groups partition the corpus") {
     val d = Dedup.exact(docs).collect()
     assert(d.map(_.getAs[Long]("n_docs")).sum == docs.count())

@@ -321,6 +321,47 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming KMV sketch: merged per-batch sketches == from-scratch batch sketch; replay is a no-op") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    import graft.streaming.CorpusStream
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect().sortBy(_._1)
+    val (a, b) = docs.splitAt(docs.length / 2)
+    val k = 64
+    // batch twin: the corpus-level k-smallest sketch from scratch
+    val want = spark.read.parquet(s"$dir/documents.parquet")
+      .select(explode(split(col("text"), " ")).as("term"))
+      .select(expr("CAST(conv(substr(md5(term), 1, 15), 16, 10) AS BIGINT)").as("h"))
+      .distinct().orderBy("h").limit(k)
+      .collect().map(_.getLong(0)).toSeq
+    val state = Files.createTempDirectory("kmv-state").toString
+    val mem = MemoryStream[(Long, String)]
+    val q = CorpusStream.kmvStream(mem.toDF().toDF("doc_id", "text"), state,
+      Files.createTempDirectory("kmv-ckpt").toString, k)
+    try {
+      mem.addData(a.toSeq: _*); q.processAllAvailable()
+      mem.addData(b.toSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+    def liveHashes() = spark.read.parquet(state).select("h").distinct()
+      .orderBy("h").limit(k).collect().map(_.getLong(0)).toSeq
+    assert(liveHashes() == want, "streamed sketch must equal the batch sketch")
+    val est0 = CorpusStream.kmvLive(spark, state, k).collect()(0).toSeq
+    // replay: same batches, fresh checkpoint — each overwrites its own
+    // batch_id partition bit-identically; sketch and estimate unchanged
+    val mem2 = MemoryStream[(Long, String)]
+    val q2 = CorpusStream.kmvStream(mem2.toDF().toDF("doc_id", "text"), state,
+      Files.createTempDirectory("kmv-ckpt2").toString, k)
+    try {
+      mem2.addData(a.toSeq: _*); q2.processAllAvailable()
+      mem2.addData(b.toSeq: _*); q2.processAllAvailable()
+    } finally q2.stop()
+    assert(liveHashes() == want, "replay must not change the sketch")
+    assert(CorpusStream.kmvLive(spark, state, k).collect()(0).toSeq == est0,
+      "replay must not change the estimate")
+  }
+
   test("streaming funnel contract: a cross-batch out-of-order view cannot rewind state") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
