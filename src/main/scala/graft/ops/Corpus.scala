@@ -853,6 +853,43 @@ object Corpus {
           AS err_abs_micro
       FROM sk JOIN ex USING (source)"""
 
+  /** [[kmvDistinct]] via the [[graft.functions.KmvSketch]] typed
+    * Aggregator (q234): same estimate, sketch-sized exchange. The q230
+    * form DISTINCTs the (source, hash) stream (a vocabulary-sized
+    * shuffle) then rank-windows it; this form feeds raw occurrence
+    * hashes straight into an ObjectHashAggregate whose partials are
+    * ≤ k sorted longs per partition — the exchange carries k·partitions
+    * longs at ANY corpus size, and the merge is the same k-min-of-union
+    * the OpsSpec merge test locks. Answer-identical BY CONSTRUCTION
+    * (the KMV buffer is a set function — spec'd equal to the window
+    * form under an adversarial repartition); gated against q230's
+    * oracle chain minus the exact-count columns. */
+  def kmvDistinctAgg(docs: DataFrame, k: Int = KmvK): DataFrame = {
+    val kmv = graft.functions.KmvSketch.sketch(k)
+    docs.select(col("source"), explode(split(col("text"), " ")).as("term"))
+      .select(col("source"),
+        expr("CAST(conv(substr(md5(term), 1, 15), 16, 10) AS BIGINT)").as("h"))
+      .groupBy("source").agg(kmv(col("h")).as("sk"))
+      .select(col("source"), size(col("sk")).cast("long").as("n_kept"),
+        expr("element_at(sk, -1)").as("kth_hash"))
+      .withColumn("est", expr(
+        s"CASE WHEN n_kept < $k THEN n_kept ELSE " +
+          s"CAST(((CAST(n_kept AS DECIMAL(38,0)) - 1) * 1152921504606846976) div kth_hash AS BIGINT) END"))
+  }
+
+  def kmvDistinctAggSql(k: Int = KmvK): String =
+    s"""WITH h AS (SELECT DISTINCT source,
+            CAST(('0x' || substr(md5(term), 1, 15)) AS BIGINT) AS h
+          FROM (SELECT source, unnest(string_split(text, ' ')) AS term FROM documents)),
+      rk AS (SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rnk
+          FROM h)
+      SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+        CAST(MAX(h) AS BIGINT) AS kth_hash,
+        CASE WHEN count(*) < $k THEN CAST(count(*) AS BIGINT)
+             ELSE CAST(((CAST(count(*) AS HUGEINT) - 1) * 1152921504606846976)
+               // MAX(h) AS BIGINT) END AS est
+      FROM rk WHERE rnk <= $k GROUP BY source"""
+
   val CmsDepth = 4 // independent hash rows
   val CmsHexChars = 2 // 256 buckets per row
   val CmsReportK = 30 // tokens whose estimates the query reports
@@ -1892,6 +1929,10 @@ object Corpus {
     QueryDef("q233_simpson_diversity",
       (s, d) => simpsonDiversity(t(s, d, "documents")),
       Some(simpsonDiversitySql)),
+
+    QueryDef("q234_kmv_distinct_agg",
+      (s, d) => kmvDistinctAgg(t(s, d, "documents")),
+      Some(kmvDistinctAggSql())),
 
     QueryDef("q221_vocab_coverage",
       (s, d) => vocabCoverage(t(s, d, "documents")),

@@ -38,6 +38,19 @@ class OpsSpec extends AnyFunSuite {
       "merged per-source sketches must equal the from-scratch corpus sketch")
   }
 
+  test("kmv aggregator == window form under adversarial repartitioning") {
+    // the Aggregator's buffer is a set function, so ANY partitioning
+    // must produce the identical sketch; 7 round-robin partitions give
+    // every partial a different slice than the window form's shuffle
+    import org.apache.spark.sql.functions._
+    val want = Corpus.kmvDistinct(docs)
+      .select("source", "n_kept", "kth_hash", "est")
+      .collect().map(_.toSeq).toSet
+    val got = Corpus.kmvDistinctAgg(docs.repartition(7))
+      .collect().map(_.toSeq).toSet
+    assert(got == want, s"aggregator form diverged:\nonly-agg=${got -- want}\nonly-win=${want -- got}")
+  }
+
   test("dedup exact: fingerprint groups partition the corpus") {
     val d = Dedup.exact(docs).collect()
     assert(d.map(_.getAs[Long]("n_docs")).sum == docs.count())
