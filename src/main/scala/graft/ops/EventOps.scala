@@ -1212,6 +1212,106 @@ object EventOps {
               WHEN '7' THEN 57991 WHEN '8' THEN 51152 ELSE 45757 END)) AS BIGINT) AS dev_micro
       FROM d CROSS JOIN t"""
 
+  /** Session-size distribution (q235): exact tie-aware p50/p90/p99 of
+    * events-per-session plus count, mean, and max — the engagement-shape
+    * scalar card next to q181's DAU/WAU (sticky users can hide behind a
+    * long tail of one-event sessions; percentiles expose it). Same
+    * count-of-counts order statistics as q223: the percentile is the
+    * smallest DISTINCT size level whose cumulative session count reaches
+    * ceil(k·N/100) — no interpolation convention to drift.
+    *
+    * Scale shape: q21's user-keyed exchange builds per-session sizes;
+    * sizes collapse to LEVEL rows (bounded by the max session length,
+    * not session count); the cumulative window and every aggregate run
+    * over level rows; output is ONE row. */
+  def sessionSizes(ev: DataFrame, gapSec: Long = 1800L): DataFrame = {
+    val levels = withSessionIds(ev, gapSec)
+      .groupBy("user_id", "sess_seq").agg(count(lit(1)).as("sz"))
+      .groupBy("sz").agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy("sz")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    levels.withColumn("cum", sum("cnt").over(w))
+      .crossJoin(broadcast(levels.agg(sum("cnt").as("n"),
+        sum(expr("sz * cnt")).as("n_events"))))
+      .agg(
+        max("n").as("n_sessions"),
+        max("n_events").as("n_events"),
+        min(when(expr("cum * 100 >= 50 * n"), col("sz"))).as("p50"),
+        min(when(expr("cum * 100 >= 90 * n"), col("sz"))).as("p90"),
+        min(when(expr("cum * 100 >= 99 * n"), col("sz"))).as("p99"),
+        max("sz").as("max_size"))
+      .withColumn("mean_micro", expr("(n_events * 1000000L) div n_sessions"))
+  }
+
+  def sessionSizesSql(gapSec: Long = 1800L): String =
+    s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t_us FROM events),
+      f AS (SELECT *, CASE WHEN lag(t_us) OVER w IS NULL OR t_us - lag(t_us) OVER w > ${gapSec}000000
+              THEN 1 ELSE 0 END AS new_sess
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id)),
+      g AS (SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY t_us, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_seq FROM f),
+      sz AS (SELECT user_id, sess_seq, CAST(count(*) AS BIGINT) AS sz FROM g GROUP BY 1, 2),
+      lv AS (SELECT sz, CAST(count(*) AS BIGINT) AS cnt FROM sz GROUP BY 1),
+      cu AS (SELECT sz, cnt, SUM(cnt) OVER (ORDER BY sz) AS cum,
+            (SELECT CAST(SUM(cnt) AS BIGINT) FROM lv) AS n,
+            (SELECT CAST(SUM(sz * cnt) AS BIGINT) FROM lv) AS n_events
+          FROM lv)
+      SELECT MAX(n) AS n_sessions, MAX(n_events) AS n_events,
+        CAST(MIN(CASE WHEN cum * 100 >= 50 * n THEN sz END) AS BIGINT) AS p50,
+        CAST(MIN(CASE WHEN cum * 100 >= 90 * n THEN sz END) AS BIGINT) AS p90,
+        CAST(MIN(CASE WHEN cum * 100 >= 99 * n THEN sz END) AS BIGINT) AS p99,
+        CAST(MAX(sz) AS BIGINT) AS max_size,
+        (MAX(n_events) * 1000000) // MAX(n) AS mean_micro
+      FROM cu"""
+
+  /** Session entry/exit type profile (q236): which event types OPEN
+    * sessions and which CLOSE them, with micro shares of all sessions —
+    * the funnel-design table (an "entry" type that never exits is a
+    * landing surface; an exit-heavy type is where users leave). Both
+    * firsts and lasts come from ONE window pass (row_number ascending +
+    * count per session — last ⇔ rn == sz), over q21's single user-keyed
+    * exchange; the rollup is types-bounded.
+    *
+    * A single-event session is both its own entry and exit — counted in
+    * both columns by definition (shares each sum to 1). */
+  def entryExitTypes(ev: DataFrame, gapSec: Long = 1800L): DataFrame = {
+    val w = Window.partitionBy("user_id", "sess_seq")
+      .orderBy(col("t_us").asc, col("event_id").asc)
+    val wAll = Window.partitionBy("user_id", "sess_seq")
+    val marked = withSessionIds(ev, gapSec)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("sz", count(lit(1)).over(wAll))
+    val byType = marked.groupBy("event_type").agg(
+      expr("CAST(count_if(rn = 1) AS BIGINT)").as("n_entry"),
+      expr("CAST(count_if(rn = sz) AS BIGINT)").as("n_exit"))
+    byType
+      .crossJoin(broadcast(byType.agg(sum("n_entry").as("n_sessions"))))
+      .withColumn("entry_share_micro", expr("(n_entry * 1000000L) div n_sessions"))
+      .withColumn("exit_share_micro", expr("(n_exit * 1000000L) div n_sessions"))
+      .select("event_type", "n_entry", "n_exit", "n_sessions",
+        "entry_share_micro", "exit_share_micro")
+  }
+
+  def entryExitTypesSql(gapSec: Long = 1800L): String =
+    s"""WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS t_us FROM events),
+      f AS (SELECT *, CASE WHEN lag(t_us) OVER w IS NULL OR t_us - lag(t_us) OVER w > ${gapSec}000000
+              THEN 1 ELSE 0 END AS new_sess
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id)),
+      g AS (SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY t_us, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_seq FROM f),
+      m AS (SELECT *, row_number() OVER (PARTITION BY user_id, sess_seq
+              ORDER BY t_us, event_id) AS rn,
+              count(*) OVER (PARTITION BY user_id, sess_seq) AS sz FROM g),
+      bt AS (SELECT event_type,
+            CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_entry,
+            CAST(count(*) FILTER (WHERE rn = sz) AS BIGINT) AS n_exit
+          FROM m GROUP BY 1),
+      t AS (SELECT CAST(SUM(n_entry) AS BIGINT) AS n_sessions FROM bt)
+      SELECT event_type, n_entry, n_exit, n_sessions,
+        (n_entry * 1000000) // n_sessions AS entry_share_micro,
+        (n_exit * 1000000) // n_sessions AS exit_share_micro
+      FROM bt CROSS JOIN t"""
+
   /** Daily-rate autocorrelation (q226): Pearson r between each type's
     * daily counts and the same series lagged 1 and 7 days — the
     * seasonality-STRENGTH scalar behind q182's hour profile and q219's
@@ -1562,6 +1662,14 @@ object EventOps {
     QueryDef("q232_benford_audit",
       (s, d) => benfordAudit(events(s, d)),
       Some(benfordAuditSql)),
+
+    QueryDef("q235_session_sizes",
+      (s, d) => sessionSizes(events(s, d)),
+      Some(sessionSizesSql())),
+
+    QueryDef("q236_entry_exit_types",
+      (s, d) => entryExitTypes(events(s, d)),
+      Some(entryExitTypesSql())),
 
     QueryDef("q177_cohort_ltv",
       (s, d) => cohortLtv(events(s, d)),

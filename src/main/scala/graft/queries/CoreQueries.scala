@@ -24,7 +24,81 @@ object CoreQueries {
                   WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
       AND c.c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_name LIKE 'NATION_1%')"""
 
+  /** Relational integrity audit (q237): the referential/consistency
+    * checks a warehouse runs before trusting a load — orphan facts
+    * (lineitem rows whose order is missing, orders whose customer is
+    * missing), temporal consistency (shipments dated before their
+    * order), and domain constraints (non-positive quantities/prices,
+    * discount outside [0, 1]) — one row per check with violation and
+    * population counts. The relational-side sibling of the corpus
+    * governance gates (q205/q212): counts, never samples, so the table
+    * is stable and diffable across loads.
+    *
+    * Scale shape: orphan checks are key-equi anti-joins (corpus-sized
+    * both sides — the shuffle is the check; AQE picks the strategy);
+    * domain checks are scan-resident conditional counts; each check
+    * reduces to ONE row before the union. */
+  def integrityAudit(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    val li = t(s, d, "lineitem"); val o = t(s, d, "orders"); val c = t(s, d, "customer")
+    // totals stay 1-row broadcast aggregates — no driver-side count()
+    // actions at plan-build time
+    val nLi = li.agg(count(lit(1)).as("n_total"))
+    val nO = o.agg(count(lit(1)).as("n_total"))
+    def row(name: String, viol: org.apache.spark.sql.DataFrame,
+        total: org.apache.spark.sql.DataFrame) =
+      viol.agg(count(lit(1)).as("n_violations"))
+        .crossJoin(broadcast(total))
+        .select(lit(name).as("check"), col("n_violations"), col("n_total"))
+    row("lineitem_orphan_order",
+        li.select("l_orderkey").join(o.select(col("o_orderkey").as("l_orderkey")),
+          Seq("l_orderkey"), "left_anti"), nLi)
+      .unionAll(row("order_orphan_customer",
+        o.select("o_custkey").join(c.select(col("c_custkey").as("o_custkey")),
+          Seq("o_custkey"), "left_anti"), nO))
+      .unionAll(row("ship_before_order",
+        li.select("l_orderkey", "l_shipdate")
+          .join(o.select("o_orderkey", "o_orderdate"),
+            col("l_orderkey") === col("o_orderkey"))
+          .filter(col("l_shipdate") < col("o_orderdate")), nLi))
+      .unionAll(row("nonpositive_quantity", li.filter(col("l_quantity") <= 0), nLi))
+      .unionAll(row("nonpositive_price", li.filter(col("l_extendedprice") <= 0), nLi))
+      .unionAll(row("discount_out_of_range",
+        li.filter(col("l_discount") < 0 || col("l_discount") > 1), nLi))
+  }
+
+  val integrityAuditSql: String =
+    """WITH nli AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lineitem),
+      no AS (SELECT CAST(count(*) AS BIGINT) AS n FROM orders)
+      SELECT 'lineitem_orphan_order' AS check,
+        CAST((SELECT count(*) FROM lineitem l
+          WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+          AS BIGINT) AS n_violations,
+        (SELECT n FROM nli) AS n_total
+      UNION ALL SELECT 'order_orphan_customer',
+        CAST((SELECT count(*) FROM orders o
+          WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+          AS BIGINT),
+        (SELECT n FROM no)
+      UNION ALL SELECT 'ship_before_order',
+        CAST((SELECT count(*) FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+          WHERE l.l_shipdate < o.o_orderdate) AS BIGINT),
+        (SELECT n FROM nli)
+      UNION ALL SELECT 'nonpositive_quantity',
+        CAST((SELECT count(*) FROM lineitem WHERE l_quantity <= 0) AS BIGINT),
+        (SELECT n FROM nli)
+      UNION ALL SELECT 'nonpositive_price',
+        CAST((SELECT count(*) FROM lineitem WHERE l_extendedprice <= 0) AS BIGINT),
+        (SELECT n FROM nli)
+      UNION ALL SELECT 'discount_out_of_range',
+        CAST((SELECT count(*) FROM lineitem WHERE l_discount < 0 OR l_discount > 1) AS BIGINT),
+        (SELECT n FROM nli)"""
+
   val all: Seq[QueryDef] = Seq(
+
+    QueryDef("q237_integrity_audit",
+      (s, d) => integrityAudit(s, d),
+      Some(integrityAuditSql)),
 
     // S10/S11-style grouped aggregate over the fact table (TPC-H Q1 shape).
     // One shuffle, map-side partial aggregation; group cardinality is tiny.
