@@ -515,7 +515,72 @@ object Cleaning {
       GROUP BY doc_id, phrase"""
   }
 
+  /** Shared-prefix template screen (q240): per source, how many docs
+    * share their first-`nTok`-token prefix with ≥ `minGroup` others, how
+    * many distinct templates exist, and the largest group — the
+    * PARTIAL-template failure mode between whole-document dedup (q40:
+    * misses docs that diverge after the intro) and line-level
+    * boilerplate (q149: misses multi-line intros that aren't
+    * line-identical). The screen that says whether a source needs
+    * prefix-stripping before its exact-dup stats mean anything.
+    *
+    * Scale shape: one scan projects (source, xxhash64(prefix)) — the
+    * q94/q99 int64 key discipline, prefix text never keys an exchange
+    * (the oracle groups the raw prefix string = collision tripwire);
+    * group sizes are a map-side-combined fp rollup joined back onto fp
+    * rows; the report is source-bounded. */
+  def prefixTemplates(docs: DataFrame, nTok: Int = 16,
+      minGroup: Long = 3L): DataFrame = {
+    val pf = docs.select(col("source"),
+      xxhash64(expr(s"concat_ws(' ', slice(split(text, ' '), 1, $nTok))")).as("pfp"))
+    val groups = pf.groupBy("pfp").agg(count(lit(1)).as("gsz"))
+    pf.join(groups, "pfp")
+      .groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        expr(s"CAST(count_if(gsz >= $minGroup) AS BIGINT)").as("n_templated_docs"),
+        expr(s"CAST(count(DISTINCT CASE WHEN gsz >= $minGroup THEN pfp END) AS BIGINT)")
+          .as("n_templates"),
+        max("gsz").as("max_group"))
+      .withColumn("templated_micro",
+        expr("(n_templated_docs * 1000000L) div n_docs"))
+  }
+
+  /** q240's oracle over a q149-style injection (every 9th doc gets a
+    * deterministic 16-token intro — the corpus has no organic shared
+    * prefixes at 1x); groups by the raw prefix string. */
+  def prefixTemplatesSql(nTok: Int = 16, minGroup: Long = 3L): String =
+    s"""WITH inj AS (SELECT doc_id, source,
+            CASE WHEN doc_id % 9 = 0 THEN '$TemplateIntro' || ' ' || text ELSE text END AS text
+          FROM documents),
+      pf AS (SELECT source,
+            array_to_string(string_split(text, ' ')[1:$nTok], ' ') AS pfx
+          FROM inj),
+      g AS (SELECT pfx, CAST(count(*) AS BIGINT) AS gsz FROM pf GROUP BY 1)
+      SELECT pf.source, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(count(*) FILTER (WHERE g.gsz >= $minGroup) AS BIGINT) AS n_templated_docs,
+        CAST(count(DISTINCT CASE WHEN g.gsz >= $minGroup THEN g.pfx END) AS BIGINT)
+          AS n_templates,
+        CAST(MAX(g.gsz) AS BIGINT) AS max_group,
+        (CAST(count(*) FILTER (WHERE g.gsz >= $minGroup) AS BIGINT) * 1000000) // count(*)
+          AS templated_micro
+      FROM pf JOIN g USING (pfx)
+      GROUP BY pf.source"""
+
+  /** 16 tokens of deterministic chrome for q240's injection. */
+  val TemplateIntro: String =
+    "welcome to the site this page is part of our standard catalog " +
+      "layout please read on"
+
   val queries: Seq[QueryDef] = Seq(
+    QueryDef("q240_prefix_templates",
+      (s, d) => {
+        val docs = t(s, d, "documents").select("doc_id", "source", "text")
+        prefixTemplates(docs.select(col("source"),
+          expr(s"CASE WHEN doc_id % 9 = 0 THEN '$TemplateIntro' || ' ' || text ELSE text END")
+            .as("text")))
+      },
+      Some(prefixTemplatesSql())),
+
     QueryDef("q92_clean_lines",
       (s, d) => cleanLines(t(s, d, "documents"), delim = LineDelim,
         lineBlockToken = LineBlockToken, docBlockPhrase = DocBlockPhrase),

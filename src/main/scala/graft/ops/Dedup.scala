@@ -1222,6 +1222,53 @@ object Dedup {
       .distinct()
   }
 
+  /** SimHash distance histogram (q239): the Hamming-distance spectrum of
+    * every band-surfaced representative pair — q227's tuning curve for
+    * the OTHER near-dup mine: q43's cutoff (hamming ≤ 3) is a cliff or a
+    * plateau depending on where this histogram's mass sits, and the
+    * 4-band pigeonhole's recall drops for distances ≥ nBands, so the
+    * histogram also shows how much of the spectrum the bands can even
+    * see (caveat on the record, as in q227). One reps-first fingerprint
+    * pass, one band join, no distance cutoff; the histogram is a
+    * 0..32-bounded rollup over distinct candidate pairs. */
+  def simhashDistanceHistogram(docs: DataFrame, nBands: Int = 4): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    QueryDef.cpuBound(docs.sparkSession)
+    val width = SimhashBits / nBands
+    val reps = exact(docs).select(col("keep_id").as("doc_id"))
+    val fp = simhash(docs.join(reps, "doc_id")).localCheckpoint()
+    val bands = fp.select(col("doc_id"), col("simhash"),
+      explode(expr(
+        s"transform(sequence(0, ${nBands - 1}), b -> concat(cast(b AS STRING), ':', substr(simhash, b * $width + 1, $width)))"))
+        .as("bkey"))
+    bands.as("a")
+      .join(bands.as("b"), col("a.bkey") === col("b.bkey") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        expr("hamming_str(a.simhash, b.simhash)").as("hamming"))
+      .distinct()
+      .groupBy("hamming").agg(count(lit(1)).as("n_pairs"))
+  }
+
+  def simhashDistanceHistogramSql(nBands: Int = 4): String = {
+    val width = SimhashBits / nBands
+    val fpSql = s"SELECT doc_id, ${simhashExprs._2} AS simhash FROM " +
+      "(SELECT doc_id, list_transform(string_split(text, ' '), t -> md5(t)) AS hs FROM " +
+      """(SELECT d.* FROM documents d
+          JOIN (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)) r
+          USING (doc_id)) dd)"""
+    s"""WITH fp AS ($fpSql),
+      bands AS (SELECT doc_id, simhash,
+          unnest(list_transform(range(0, $nBands), b -> CAST(b AS VARCHAR) || ':' || substr(simhash, CAST(b * $width + 1 AS INT), $width))) AS bkey
+        FROM fp),
+      cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.simhash AS fa, b.simhash AS fb
+        FROM bands a JOIN bands b ON a.bkey = b.bkey AND a.doc_id < b.doc_id),
+      h AS (SELECT id_a, id_b,
+          CAST(list_sum(list_transform(range(1, ${SimhashBits + 1}),
+            i -> CASE WHEN substr(fa, CAST(i AS INT), 1) = substr(fb, CAST(i AS INT), 1) THEN 0 ELSE 1 END)) AS BIGINT) AS hamming
+        FROM cand)
+      SELECT hamming, CAST(count(*) AS BIGINT) AS n_pairs FROM h GROUP BY 1"""
+  }
+
   /** Near-dup pairs over exact-dedup REPRESENTATIVES: collapse identical
     * texts to their min-id doc first (one hash-groupBy), then band-mine
     * pairs among representatives only. The pair output of simhashPairs is
@@ -1927,6 +1974,10 @@ object Dedup {
     QueryDef("q227_threshold_sweep",
       (s, d) => thresholdSweep(t(s, d, "documents")),
       Some(thresholdSweepSql)),
+
+    QueryDef("q239_simhash_histogram",
+      (s, d) => simhashDistanceHistogram(t(s, d, "documents")),
+      Some(simhashDistanceHistogramSql())),
 
     QueryDef("q216_source_dup_matrix",
       (s, d) => {

@@ -1212,6 +1212,51 @@ object EventOps {
               WHEN '7' THEN 57991 WHEN '8' THEN 51152 ELSE 45757 END)) AS BIGINT) AS dev_micro
       FROM d CROSS JOIN t"""
 
+  /** Acquisition-cohort funnel (q238): q78's view→click→purchase stages
+    * split by the user's first-seen week — the "is conversion quality
+    * changing as we acquire new users" table (a flat overall CVR can
+    * hide collapsing cohorts back-filled by strong old ones; q20's
+    * retention sees activity, not conversion). One extra user-keyed
+    * rollup (first week) joined onto q78's per-user stage frame; the
+    * final rollup is week-bounded; rates are exact micro rationals.
+    *
+    * Population note (q78's contract): the base is users with ≥1 view —
+    * a user whose first event is a click has no funnel entry. */
+  def cohortFunnel(ev: DataFrame): DataFrame = {
+    val cohort = ev.select(col("user_id"), expr("ts DIV 604800000000000").as("week"))
+      .groupBy("user_id").agg(min("week").as("cohort_week"))
+    funnelStages(ev).join(cohort, "user_id")
+      .groupBy("cohort_week").agg(
+        count(lit(1)).as("n_viewers"),
+        expr("CAST(count_if(stage >= 2) AS BIGINT)").as("n_clicked"),
+        expr("CAST(count_if(stage = 3) AS BIGINT)").as("n_converted"))
+      .withColumn("click_micro", expr("(n_clicked * 1000000L) div n_viewers"))
+      .withColumn("cvr_micro", expr("(n_converted * 1000000L) div n_viewers"))
+  }
+
+  def cohortFunnelSql: String =
+    s"""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
+      cohort AS (SELECT user_id, MIN(epoch_us(ts) // 604800000000) AS cohort_week
+          FROM events GROUP BY 1),
+      v AS (SELECT user_id, min(t) AS v_ts FROM e WHERE event_type = 'view' GROUP BY 1),
+      c AS (SELECT e.user_id, min(t) AS c_ts FROM e JOIN v USING (user_id)
+            WHERE event_type = 'click' AND t > v_ts AND t <= v_ts + $FunnelWindowUs GROUP BY 1),
+      p AS (SELECT e.user_id, min(t) AS p_ts FROM e JOIN c USING (user_id)
+            WHERE event_type = 'purchase' AND t > c_ts AND t <= c_ts + $FunnelWindowUs GROUP BY 1),
+      st AS (SELECT v.user_id,
+            CAST(1 + CASE WHEN c.c_ts IS NULL THEN 0 ELSE 1 END
+                   + CASE WHEN p.p_ts IS NULL THEN 0 ELSE 1 END AS BIGINT) AS stage
+          FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id))
+      SELECT co.cohort_week, CAST(count(*) AS BIGINT) AS n_viewers,
+        CAST(count(*) FILTER (WHERE stage >= 2) AS BIGINT) AS n_clicked,
+        CAST(count(*) FILTER (WHERE stage = 3) AS BIGINT) AS n_converted,
+        (CAST(count(*) FILTER (WHERE stage >= 2) AS BIGINT) * 1000000) // count(*)
+          AS click_micro,
+        (CAST(count(*) FILTER (WHERE stage = 3) AS BIGINT) * 1000000) // count(*)
+          AS cvr_micro
+      FROM st JOIN cohort co USING (user_id)
+      GROUP BY 1"""
+
   /** Session-size distribution (q235): exact tie-aware p50/p90/p99 of
     * events-per-session plus count, mean, and max — the engagement-shape
     * scalar card next to q181's DAU/WAU (sticky users can hide behind a
@@ -1666,6 +1711,10 @@ object EventOps {
     QueryDef("q235_session_sizes",
       (s, d) => sessionSizes(events(s, d)),
       Some(sessionSizesSql())),
+
+    QueryDef("q238_cohort_funnel",
+      (s, d) => cohortFunnel(events(s, d)),
+      Some(cohortFunnelSql)),
 
     QueryDef("q236_entry_exit_types",
       (s, d) => entryExitTypes(events(s, d)),
