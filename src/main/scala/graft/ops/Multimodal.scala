@@ -22,6 +22,11 @@ case class FrameSample(doc_id: Long, frame_idx: Long, frame_off: Long, frame_len
 case class MediaTrimmed(doc_id: Long, n_frames: Long, lead_trimmed: Long,
     tail_trimmed: Long, kept_len: Long, kept_md5: String)
 
+/** One VAD speech segment: contiguous above-threshold frame run with its
+  * exact byte-sum energy. */
+case class MediaSegment(doc_id: Long, seg_idx: Long, start_frame: Long,
+    end_frame: Long, n_frames: Long, energy_sum: Long)
+
 /** One resized asset: new dimensions + payload fingerprint. */
 case class MediaResized(doc_id: Long, orig_len: Long, new_len: Long,
     width: Int, height: Int, resized_md5: String)
@@ -194,6 +199,48 @@ object Multimodal {
         val hex = digest.digest(kept).map("%02x".format(_)).mkString
         MediaTrimmed(r.doc_id, nFrames.toLong, lead.toLong, tail.toLong,
           kept.length.toLong, hex)
+      }
+    }
+  }
+
+  /** VAD-style speech segmentation (q241): contiguous runs of
+    * above-threshold [[FrameBytes]] frames become utterance SEGMENTS —
+    * the ASR batching prep above q173's edge trim (trimming keeps one
+    * blob; segmentation yields the (media, segment) manifest an ASR
+    * pipeline actually feeds, one row per utterance with its frame
+    * range and exact energy). Same stubbed decode boundary: energy is
+    * the byte sum, so the oracle recomputes segments from the ASCII
+    * text with gaps-and-islands SQL. 1→N typed mapPartitions, zero
+    * shuffle — the q201 keyframe shape. */
+  def speechSegments(media: Dataset[MediaRecord],
+      cut: Int = SilenceCut): Dataset[MediaSegment] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { r =>
+        val n = r.media.length
+        val nFrames = (n + FrameBytes - 1) / FrameBytes
+        val out = Seq.newBuilder[MediaSegment]
+        var segStart = -1L; var segEnergy = 0L; var idx = 0L
+        var f = 0
+        while (f < nFrames) {
+          val off = f * FrameBytes
+          val len = math.min(FrameBytes, n - off)
+          var s = 0L; var i = off
+          while (i < off + len) { s += (r.media(i) & 0xff); i += 1 }
+          if (s >= cut.toLong * len) {
+            if (segStart < 0) { segStart = f; segEnergy = 0L }
+            segEnergy += s
+          } else if (segStart >= 0) {
+            out += MediaSegment(r.doc_id, idx, segStart, f - 1L,
+              f - segStart, segEnergy)
+            idx += 1; segStart = -1L
+          }
+          f += 1
+        }
+        if (segStart >= 0)
+          out += MediaSegment(r.doc_id, idx, segStart, nFrames - 1L,
+            nFrames - segStart, segEnergy)
+        out.result()
       }
     }
   }
@@ -484,6 +531,41 @@ object Multimodal {
           CAST(e AS BIGINT) AS energy,
           md5(substr(t, CAST(fi * $FrameBytes + 1 AS INT), CAST(flen AS INT))) AS frame_md5
         FROM r WHERE rn = 1""")),
+
+    // interior silence (384 spaces mid-payload) splits the asset into
+    // two utterances — the behavior q173's edge trim cannot express
+    QueryDef("q241_media_segments",
+      (s, d) => {
+        import s.implicits._
+        val padded = t(s, d, "documents").withColumn("text",
+          concat(lit(" " * 128), col("text"), lit(" " * 384), col("text")))
+        // cut=90: the synthetic text's frame mean is ~94 bytes (letters
+        // ~105, spaces 32), so the library default (100) classifies most
+        // TEXT frames silent here — real audio tunes this constant too
+        speechSegments(attachMedia(padded).as[MediaRecord], cut = 90).toDF()
+      },
+      Some(s"""WITH p AS (SELECT doc_id,
+              repeat(' ', 128) || text || repeat(' ', 384) || text AS t
+            FROM documents),
+        f AS (SELECT doc_id, t, length(t) AS n,
+              (length(t) + ${FrameBytes - 1}) // $FrameBytes AS nf FROM p),
+        en AS (SELECT doc_id, fi,
+              CAST(least($FrameBytes, n - fi * $FrameBytes) AS BIGINT) AS flen,
+              list_sum(list_transform(
+                range(1, CAST(least($FrameBytes, n - fi * $FrameBytes) AS BIGINT) + 1),
+                q -> CAST(ascii(substr(t, CAST(fi * $FrameBytes + q AS INT), 1)) AS BIGINT))) AS s
+            FROM (SELECT *, unnest(range(0, nf)) AS fi FROM f)),
+        sp AS (SELECT doc_id, fi, s FROM en WHERE s >= 90 * flen),
+        isl AS (SELECT doc_id, fi, s,
+              fi - row_number() OVER (PARTITION BY doc_id ORDER BY fi) AS grp FROM sp),
+        seg AS (SELECT doc_id, MIN(fi) AS start_frame, MAX(fi) AS end_frame,
+              CAST(count(*) AS BIGINT) AS n_frames, CAST(SUM(s) AS BIGINT) AS energy_sum
+            FROM isl GROUP BY doc_id, grp)
+        SELECT doc_id,
+          row_number() OVER (PARTITION BY doc_id ORDER BY start_frame) - 1 AS seg_idx,
+          CAST(start_frame AS BIGINT) AS start_frame,
+          CAST(end_frame AS BIGINT) AS end_frame, n_frames, energy_sum
+        FROM seg""")),
 
     QueryDef("q173_media_silence_trim",
       (s, d) => {

@@ -550,7 +550,78 @@ object Pipeline {
       JOIN sav USING (source)
       JOIN pii USING (source)"""
 
+  /** Ablation grid (q242): one row per nested corpus variant — raw →
+    * exact-dedup → +rule gate → +classifier gate — with doc and token
+    * budgets, so an ablation study (train on each variant, attribute
+    * the quality delta to the stage that removed the data) can be
+    * PLANNED from one table instead of four pipeline runs. Stages nest
+    * deliberately: un-nested variants can't attribute a delta to one
+    * gate (two things change between rows).
+    *
+    * Scale shape: flags come from ONE join of the persisted scored
+    * artifact (rules + classifier verdicts, zero token folds here)
+    * against the exact-dedup representative set (q40's one
+    * hash-groupBy); all four variants are conditional sums in ONE
+    * rollup; the 1-row result is checkpointed for its four SELECT
+    * consumers (the q237 lesson). */
+  def ablationGrid(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val sc = graft.ops.TextStats.clfScoredPersisted(spark, dir)
+      .select(col("doc_id"), col("n_tokens"), col("rules"),
+        (col("score_int") * 5 >= col("n_tokens")).as("clf"))
+    val reps = graft.ops.Dedup.exact(t(spark, dir, "documents"))
+      .select(col("keep_id").as("doc_id"), lit(true).as("is_rep"))
+    val g = sc.join(reps, Seq("doc_id"), "left")
+      .na.fill(value = false, Seq("is_rep"))
+      .agg(
+        count(lit(1)).as("n0"), sum("n_tokens").as("t0"),
+        expr("CAST(count_if(is_rep) AS BIGINT)").as("n1"),
+        sum(when(col("is_rep"), col("n_tokens")).otherwise(0L)).as("t1"),
+        expr("CAST(count_if(is_rep AND rules) AS BIGINT)").as("n2"),
+        sum(when(col("is_rep") && col("rules"), col("n_tokens")).otherwise(0L)).as("t2"),
+        expr("CAST(count_if(is_rep AND rules AND clf) AS BIGINT)").as("n3"),
+        sum(when(col("is_rep") && col("rules") && col("clf"), col("n_tokens")).otherwise(0L))
+          .as("t3"))
+      .localCheckpoint()
+    def row(v: String, n: String, tk: String) =
+      g.select(lit(v).as("variant"), col(n).as("n_docs"), col(tk).as("n_tokens"))
+    row("0_raw", "n0", "t0")
+      .unionAll(row("1_dedup", "n1", "t1"))
+      .unionAll(row("2_dedup_rules", "n2", "t2"))
+      .unionAll(row("3_dedup_rules_clf", "n3", "t3"))
+  }
+
+  /** q242's oracle recomputes signals, rules, classifier score, and the
+    * representative set from the raw table. */
+  def ablationGridSql: String = {
+    val clfSum = s"CAST(list_sum(list_transform(string_split(text, ' '), " +
+      s"t -> ${graft.ops.TextStats.weightDuckExpr("t")})) AS BIGINT)"
+    s"""WITH sig AS (SELECT doc_id, text, ${graft.ops.TextStats.scoreSignalsDuck},
+          ${graft.ops.TextStats.sumLenDuck} FROM documents),
+      f AS (SELECT doc_id, n_tokens,
+            (${graft.ops.TextStats.QualityPassCond}) AS rules,
+            ($clfSum * 5 >= n_tokens) AS clf,
+            doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text)) AS is_rep
+          FROM sig),
+      g AS (SELECT CAST(count(*) AS BIGINT) AS n0, CAST(SUM(n_tokens) AS BIGINT) AS t0,
+            CAST(count(*) FILTER (WHERE is_rep) AS BIGINT) AS n1,
+            CAST(COALESCE(SUM(n_tokens) FILTER (WHERE is_rep), 0) AS BIGINT) AS t1,
+            CAST(count(*) FILTER (WHERE is_rep AND rules) AS BIGINT) AS n2,
+            CAST(COALESCE(SUM(n_tokens) FILTER (WHERE is_rep AND rules), 0) AS BIGINT) AS t2,
+            CAST(count(*) FILTER (WHERE is_rep AND rules AND clf) AS BIGINT) AS n3,
+            CAST(COALESCE(SUM(n_tokens) FILTER (WHERE is_rep AND rules AND clf), 0) AS BIGINT) AS t3
+          FROM f)
+      SELECT '0_raw' AS variant, n0 AS n_docs, t0 AS n_tokens FROM g
+      UNION ALL SELECT '1_dedup', n1, t1 FROM g
+      UNION ALL SELECT '2_dedup_rules', n2, t2 FROM g
+      UNION ALL SELECT '3_dedup_rules_clf', n3, t3 FROM g"""
+  }
+
   val queries: Seq[QueryDef] = Seq(
+    QueryDef("q242_ablation_grid",
+      (s, d) => ablationGrid(s, d),
+      Some(ablationGridSql)),
+
     QueryDef("q212_release_report",
       (s, d) => releaseReport(s, d),
       Some(releaseReportSql)),

@@ -301,7 +301,7 @@ object TextStats {
   /** Integer weights in [-20, 20] per bucket, md5-derived. */
   private def weightSparkExpr(tok: String): String =
     s"CAST(conv(substr(md5(concat('w:', CAST((CAST(conv(substr(md5($tok), 1, 4), 16, 10) AS BIGINT) % $ClfBuckets) AS STRING))), 1, 4), 16, 10) AS BIGINT) % 41 - 20"
-  private def weightDuckExpr(tok: String): String =
+  private[ops] def weightDuckExpr(tok: String): String =
     s"CAST(('0x' || substr(md5('w:' || CAST((CAST(('0x' || substr(md5($tok), 1, 4)) AS BIGINT) % $ClfBuckets) AS VARCHAR)), 1, 4)) AS BIGINT) % 41 - 20"
 
   /** The ONE fold every classifier consumer shares: per doc, the hashed
