@@ -1205,6 +1205,94 @@ object Similarity {
         COALESCE(o.n_outliers, 0) AS n_outliers
       FROM st LEFT JOIN o USING (label)"""
 
+  /** IVF nprobe recall curve (q243): recall@k of the IVF index at probe
+    * widths 1/2/4 against exact brute truth, on a deterministic query
+    * SAMPLE (vec_id % 50) — the ANN tuning table that says what the
+    * IvfNprobe=2 default actually buys on THIS corpus, the vector-side
+    * sibling of q227 (MinHash thresholds) and q239 (SimHash spectrum).
+    * Truth is exact and the sample is a pure id function, so the curve
+    * is reproducible and oracle-gated, not a spec-only recall claim
+    * (SimilarityRecallSpec stays the per-query gate; this is the
+    * operator an index OWNER runs on their own data).
+    *
+    * Scale shape: ONE cell assignment at max(nprobe) serves every curve
+    * point (filters, not re-assignments); truth is the q136 sweep shape
+    * — the sampled query side BROADCASTS against the member stream, so
+    * the O(sample·n) work is map-side and the full n² brute (q142's
+    * 434 s lesson) never exists; hit-counting joins are top-k-row
+    * sized. */
+  def ivfRecallCurve(spark: SparkSession, dir: String, k: Int = 3,
+      sampleMod: Long = 50L, nprobes: Seq[Int] = Seq(1, 2, 4)): DataFrame = {
+    val (q, cents, _) = coarseIndex(spark, dir)
+    val ranked = assignCells(q, cents, nprobes.max).localCheckpoint()
+    val sample = q.filter(col("vec_id") % sampleMod === 0)
+      .select(col("vec_id").as("id_a"), col("qv").as("qa"), col("nrm").as("na"))
+    val all = q.select(col("vec_id").as("id_b"), col("qv").as("qb"), col("nrm").as("nb"))
+    val truth = topkPairs(
+        broadcast(sample).join(all, col("id_a") =!= col("id_b"))
+          .withColumn("sim", simCol), k)
+      .select("vec_id", "neighbor_id").localCheckpoint()
+    val members = ranked.filter(col("rn") === 1)
+      .select(col("vec_id").as("id_b"), col("qv").as("qb"),
+        col("nrm").as("nb"), col("cent_id").as("cell"))
+    nprobes.map { np =>
+      val probes = ranked
+        .filter(col("vec_id") % sampleMod === 0 && col("rn") <= np)
+        .select(col("vec_id").as("id_a"), col("qv").as("qa"),
+          col("nrm").as("na"), col("cent_id").as("cell"))
+      topkPairs(probes.join(members, Seq("cell"))
+          .filter(col("id_a") =!= col("id_b")).withColumn("sim", simCol), k)
+        .select("vec_id", "neighbor_id")
+        .join(truth, Seq("vec_id", "neighbor_id"))
+        .agg(count(lit(1)).as("n_hit"))
+        .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_truth"))))
+        .select(lit(np.toLong).as("nprobe"), col("n_hit"), col("n_truth"),
+          expr("(n_hit * 1000000L) div n_truth").as("recall_micro"))
+    }.reduce(_ unionAll _)
+  }
+
+  /** q243's oracle: one assignment CTE at max nprobe, brute truth over
+    * the same id sample, one row per probe width. */
+  def ivfRecallCurveSql(k: Int = 3, sampleMod: Long = 50L,
+      nprobes: Seq[Int] = Seq(1, 2, 4)): String = {
+    val (kmeans, cf) = kmeansSqlAuto()
+    val rows = nprobes.map { np =>
+      s"""SELECT CAST($np AS BIGINT) AS nprobe,
+          CAST((SELECT count(*) FROM iv$np x JOIN tr t
+            ON t.vec_id = x.vec_id AND t.neighbor_id = x.neighbor_id) AS BIGINT) AS n_hit,
+          (SELECT CAST(count(*) AS BIGINT) FROM tr) AS n_truth,
+          (CAST((SELECT count(*) FROM iv$np x JOIN tr t
+            ON t.vec_id = x.vec_id AND t.neighbor_id = x.neighbor_id) AS BIGINT) * 1000000)
+            // (SELECT count(*) FROM tr) AS recall_micro"""
+    }.mkString(" UNION ALL ")
+    val ivCtes = nprobes.map { np =>
+      s"""pi$np AS (SELECT a.vec_id, b.vec_id AS neighbor_id, $simSql AS sim
+          FROM (SELECT * FROM af WHERE vec_id % $sampleMod = 0 AND rn <= $np) a
+          JOIN mem b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+      iv$np AS (SELECT vec_id, neighbor_id FROM (
+          SELECT vec_id, neighbor_id,
+            row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, neighbor_id) AS rank
+          FROM pi$np) WHERE rank <= $k)"""
+    }.mkString(",\n      ")
+    s"""WITH $quantCte,
+      $kmeans,
+      af AS (SELECT n.vec_id, n.qv, n.nrm, c.cent_id AS cell,
+            row_number() OVER (PARTITION BY n.vec_id ORDER BY
+              CAST(list_sum(list_transform(range(1, len(n.qv) + 1), i -> n.qv[i] * c.cqv[i])) AS DOUBLE)
+              / (sqrt(CAST(n.nrm AS DOUBLE)) * sqrt(CAST(c.cnrm AS DOUBLE))) DESC, c.cent_id) AS rn
+          FROM n CROSS JOIN $cf c),
+      mem AS (SELECT vec_id, qv, nrm, cell FROM af WHERE rn = 1),
+      pt AS (SELECT a.vec_id, b.vec_id AS neighbor_id, $simSql AS sim
+          FROM (SELECT * FROM n WHERE vec_id % $sampleMod = 0) a
+          JOIN n b ON a.vec_id <> b.vec_id),
+      tr AS (SELECT vec_id, neighbor_id FROM (
+          SELECT vec_id, neighbor_id,
+            row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, neighbor_id) AS rank
+          FROM pt) WHERE rank <= $k),
+      $ivCtes
+      $rows"""
+  }
+
   /** All sub-codebooks trained in ONE grouped Lloyd loop: centroids keyed
     * (space, cent_id), assignment joined on `space` and ranked within
     * (vec, space) — per-space math identical to running
@@ -2162,6 +2250,10 @@ object Similarity {
     QueryDef("q222_embedding_norm_audit",
       (s, d) => embeddingNormAudit(s, d),
       Some(embeddingNormAuditSql)),
+
+    QueryDef("q243_ivf_recall_curve",
+      (s, d) => ivfRecallCurve(s, d),
+      Some(ivfRecallCurveSql())),
 
     QueryDef("q66_knn_ivf_pq",
       (s, d) => knnIvfPq(s, d, 3),
