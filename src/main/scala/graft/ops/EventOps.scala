@@ -1357,6 +1357,51 @@ object EventOps {
         (n_exit * 1000000) // n_sessions AS exit_share_micro
       FROM bt CROSS JOIN t"""
 
+  /** Exact equi-depth boundaries (q244): the k-quantile cut points of
+    * the value column (as exact cents), tie-aware count-of-counts form —
+    * what a range partitioner / histogram planner needs (Spark's range
+    * partitioner SAMPLES for these boundaries; on skewed money-like
+    * columns sampling misses heavy ties, and a boundary that splits a
+    * tie bucket is exactly how partition skew happens — the exact
+    * distinct-level form can't split a tie by construction). Boundary i
+    * = the smallest distinct cents level whose cumulative count reaches
+    * ceil(i·N/k) — q223's discipline on a value column.
+    *
+    * Scale shape: values collapse to (cents, count) LEVEL rows map-side
+    * (money-like columns have bounded distinct levels); the cumulative
+    * window runs over level rows; the k boundaries explode from ONE
+    * aggregated row. */
+  def equiDepthBoundaries(ev: DataFrame, k: Int = 8): DataFrame = {
+    val levels = ev.select(expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .groupBy("cents").agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy("cents")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val aggCols = max("n").as("n_total") +: (1 to k).map(i =>
+      min(when(expr(s"cum * $k >= $i * n"), col("cents"))).as(s"b$i"))
+    val bounds = levels.withColumn("cum", sum("cnt").over(w))
+      .crossJoin(broadcast(levels.agg(sum("cnt").as("n"))))
+      .agg(aggCols.head, aggCols.tail: _*)
+    bounds.select(col("n_total"),
+        posexplode(array((1 to k).map(i => col(s"b$i")): _*)).as(Seq("i", "upper_cents")))
+      .select((col("i") + 1).cast("long").as("bucket"), col("upper_cents"), col("n_total"))
+  }
+
+  def equiDepthBoundariesSql(k: Int = 8): String = {
+    val rows = (1 to k).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS bucket, b$i AS upper_cents, n_total FROM g")
+      .mkString(" UNION ALL ")
+    val cols = (1 to k).map(i =>
+      s"CAST(MIN(CASE WHEN cum * $k >= $i * n THEN cents END) AS BIGINT) AS b$i")
+      .mkString(", ")
+    s"""WITH lv AS (SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+            CAST(count(*) AS BIGINT) AS cnt
+          FROM events GROUP BY 1),
+      cu AS (SELECT cents, cnt, SUM(cnt) OVER (ORDER BY cents) AS cum,
+            (SELECT CAST(SUM(cnt) AS BIGINT) FROM lv) AS n FROM lv),
+      g AS (SELECT CAST(MAX(n) AS BIGINT) AS n_total, $cols FROM cu)
+      $rows"""
+  }
+
   /** Daily-rate autocorrelation (q226): Pearson r between each type's
     * daily counts and the same series lagged 1 and 7 days — the
     * seasonality-STRENGTH scalar behind q182's hour profile and q219's
@@ -1715,6 +1760,10 @@ object EventOps {
     QueryDef("q238_cohort_funnel",
       (s, d) => cohortFunnel(events(s, d)),
       Some(cohortFunnelSql)),
+
+    QueryDef("q244_equidepth_bounds",
+      (s, d) => equiDepthBoundaries(events(s, d)),
+      Some(equiDepthBoundariesSql())),
 
     QueryDef("q236_entry_exit_types",
       (s, d) => entryExitTypes(events(s, d)),

@@ -34,6 +34,15 @@ case class TransitionLat(user_id: Long, from_type: String, to_type: String,
   * accumulators (P and min(0, min P)). Fixed-size per key. */
 case class CusumState(day: Long, n: Long, p: Long, minP: Long)
 
+/** Per-type state for [[EventStream.seasonalMonitor]]: the one OPEN
+  * (absolute-hour, count) cell. */
+case class SeasonalState(cell: Long, n: Long)
+
+/** One flagged cell emitted by [[EventStream.seasonalMonitor]] — the
+  * streaming twin of a batch q219 row. */
+case class SeasonalFlag(event_type: String, day: Long, hour: Long, n: Long,
+    n_hour: Long, n_days: Long, ratio_micro: Long, direction: String)
+
 /** One closed day's drift reading (the streaming twin of a q199 row). */
 case class DriftPoint(event_type: String, day: Long, n: Long,
     cusum_micro: Long, spike: Boolean)
@@ -133,6 +142,55 @@ object EventStream {
             st = CusumState(Long.MinValue, 0L, p, minP)
           }
           days.lastOption.foreach(d => st = st.copy(day = d, n = counts(d)))
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
+  /** Streaming seasonality-adjusted anomaly monitor — q219's unbounded
+    * twin, the [[driftMonitor]] discipline applied to the diurnal
+    * baseline: the hour-of-day PROFILE is FROZEN and passed in (deriving
+    * it from the stream would re-judge old cells retroactively — the
+    * driftMonitor argument verbatim), per-type state is the ONE open
+    * (absolute-hour, count) cell, and a cell is judged the moment a
+    * later cell arrives for its type. Emits only flagged cells (≥3× or
+    * ≤⅓ of the hour's expectation, under the ≥1-event/day support rule)
+    * with the exact cross-multiplied micro ratio — BigInt-widened, the
+    * batch op's DECIMAL discipline.
+    *
+    * Same in-order contract as [[driftMonitor]]: an event arriving after
+    * its hour closed cannot be counted; within a batch, counts merge by
+    * cell. Spec-locked: emitted flags == batch q219's rows at the same
+    * frozen profile, however the stream is batched. */
+  def seasonalMonitor(events: DataFrame, profile: Map[(String, Long), Long],
+      nDays: Long, spikeMicro: Long = 3000000L,
+      droughtMicro: Long = 333333L): Dataset[SeasonalFlag] = {
+    import events.sparkSession.implicits._
+    events
+      .select(col("event_type").as[String],
+        expr("unix_micros(ts) div 3600000000").as[Long])
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (tpe: String, rows: Iterator[(String, Long)], state: GroupState[SeasonalState]) =>
+          val counts = scala.collection.mutable.Map.empty[Long, Long]
+          rows.foreach { case (_, c) => counts(c) = counts.getOrElse(c, 0L) + 1L }
+          var st = state.getOption.getOrElse(SeasonalState(Long.MinValue, 0L))
+          if (st.cell != Long.MinValue)
+            counts(st.cell) = counts.getOrElse(st.cell, 0L) + st.n
+          val out = Seq.newBuilder[SeasonalFlag]
+          val cells = counts.keys.toSeq.sorted
+          cells.dropRight(1).foreach { c =>
+            val hour = c % 24
+            val nHour = profile.getOrElse((tpe, hour), 0L)
+            if (nHour >= nDays && nHour > 0L) {
+              val n = counts(c)
+              val ratio = (BigInt(n) * nDays * 1000000L / nHour).toLong
+              if (ratio >= spikeMicro || ratio <= droughtMicro)
+                out += SeasonalFlag(tpe, c / 24, hour, n, nHour, nDays, ratio,
+                  if (ratio >= spikeMicro) "spike" else "drought")
+            }
+          }
+          st = SeasonalState(cells.last, counts(cells.last))
           state.update(st)
           out.result().iterator
       }

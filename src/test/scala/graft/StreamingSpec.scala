@@ -968,6 +968,50 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming seasonal monitor: flagged cells == batch q219 at the same frozen profile, across batches") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    import graft.ops.EventOps
+    import graft.streaming.EventStream
+    // sf0.01: at sf0.001 the support rule (n_hour >= n_days) flags zero
+    // cells and the equality would be vacuous; sf0.01 flags ~100
+    val ev = EventOps.events(spark, "/root/testdata/sf0.01")
+    val rows = ev.selectExpr("event_type", "ts").collect()
+      .map(r => (r.getString(0), r.getLong(1))) // ts is epoch ns
+    // frozen profile: the same (type, hour) totals + day count the batch
+    // op derives
+    val profile = rows.groupBy(r => (r._1, (r._2 / 3600000000000L) % 24))
+      .view.mapValues(_.length.toLong).toMap
+    val nDays = rows.map(_._2 / 86400000000000L).distinct.length.toLong
+    val batch = EventOps.seasonalityAnomalies(ev).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getString(7))).toSet
+    def tsOf(ns: Long) = java.sql.Timestamp.from(
+      java.time.Instant.ofEpochSecond(ns / 1000000000L, ns % 1000000000L))
+    val hours = rows.map(_._2 / 3600000000000L)
+    val mid = (hours.min + hours.max) / 2
+    val b1 = rows.filter(_._2 / 3600000000000L <= mid).map { case (t, ns) => (t, tsOf(ns)) }
+    val b2 = rows.filter(_._2 / 3600000000000L > mid).map { case (t, ns) => (t, tsOf(ns)) }
+    // one far-future sentinel per type closes every real cell; its own
+    // cell never closes and the profile is frozen, so it adds nothing
+    val flush = rows.map(_._1).distinct.map(t =>
+      (t, tsOf((hours.max + 1000L) * 3600000000000L)))
+    val mem = MemoryStream[(String, java.sql.Timestamp)]
+    val q = EventStream.seasonalMonitor(mem.toDF().toDF("event_type", "ts"),
+        profile, nDays)
+      .writeStream.outputMode("append").format("memory").queryName("seas").start()
+    try {
+      mem.addData(b1.toSeq: _*); q.processAllAvailable()
+      mem.addData(b2.toSeq: _*); q.processAllAvailable()
+      mem.addData(flush.toSeq: _*); q.processAllAvailable()
+      val streamed = spark.table("seas").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getLong(6), r.getString(7))).toSet
+      assert(streamed == batch,
+        s"streamed flags diverge:\nonly-stream=${streamed -- batch}\nonly-batch=${batch -- streamed}")
+    } finally q.stop()
+  }
+
   test("streaming IVF append: N streamed appends == batch q170 assign-union; replay leaves the index unchanged") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
