@@ -787,6 +787,70 @@ object Corpus {
           AS inv_simpson_micro
       FROM r"""
 
+  /** CCNet-style frequency bands (q246): docs split into head / middle /
+    * tail terciles of the corpus-frequency score (the exact integer
+    * avg_tf behind [[tokenFrequencyScore]] — high = stopword soup, low =
+    * rare-token noise), reported per (band × source) with doc and token
+    * budgets. This is the CCNet recipe's final step made a table (Wenzek
+    * et al. 2020 keep the middle band); q220 cuts by QUALITY score, this
+    * cuts by the LM-proxy axis — the two tercile tables together are the
+    * filter-design grid.
+    *
+    * Tie-aware exact terciles without ranking docs — boundaries from
+    * cumulative counts over DISTINCT avg-micro levels (the q220/q195
+    * count-of-counts discipline); per-doc score is an exact integer
+    * rational (sum_tf·1e6 div n_tokens, DECIMAL-widened).
+    *
+    * Scale shape: the tf/vocab rollups are q58's; the level window runs
+    * over distinct score levels; boundaries broadcast; the band stamp is
+    * a stateless CASE; final rollup is (3 × sources)-bounded. */
+  def ccnetBands(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val tf = tokenStream(docs).groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val vocab = tf.groupBy("term").agg(sum("tf").as("cnt"))
+    val scored = tf.join(vocab, "term")
+      .groupBy("doc_id")
+      .agg(sum("tf").as("n_tokens"), sum(col("tf") * col("cnt")).as("sum_tf"))
+      .withColumn("avg_micro", expr(
+        "CAST((CAST(sum_tf AS DECIMAL(38,0)) * 1000000) div n_tokens AS BIGINT)"))
+      .localCheckpoint() // feeds the level rollup AND the band stamp
+    val levels = scored.groupBy("avg_micro").agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("avg_micro")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val bounds = levels.withColumn("cum", sum("cnt").over(w))
+      .crossJoin(broadcast(levels.agg(sum("cnt").as("n"))))
+      .agg(
+        min(when(expr("cum >= (n + 2) div 3"), col("avg_micro"))).as("b1"),
+        min(when(expr("cum >= (2 * n + 2) div 3"), col("avg_micro"))).as("b2"))
+    scored.join(docs.select("doc_id", "source"), "doc_id")
+      .crossJoin(broadcast(bounds))
+      .withColumn("band",
+        when(col("avg_micro") <= col("b1"), lit("tail"))
+          .when(col("avg_micro") <= col("b2"), lit("middle")).otherwise(lit("head")))
+      .groupBy("band", "source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+  }
+
+  val ccnetBandsSql: String =
+    """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+      vocab AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS cnt FROM tf GROUP BY 1),
+      sc AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+            CAST((CAST(SUM(tf * cnt) AS HUGEINT) * 1000000) // SUM(tf) AS BIGINT) AS avg_micro
+          FROM tf JOIN vocab USING (term) GROUP BY doc_id),
+      lv AS (SELECT avg_micro, CAST(count(*) AS BIGINT) AS cnt FROM sc GROUP BY 1),
+      cu AS (SELECT avg_micro, SUM(cnt) OVER (ORDER BY avg_micro) AS cum,
+            (SELECT SUM(cnt) FROM lv) AS n FROM lv),
+      b AS (SELECT MIN(CASE WHEN cum >= (n + 2) // 3 THEN avg_micro END) AS b1,
+            MIN(CASE WHEN cum >= (2 * n + 2) // 3 THEN avg_micro END) AS b2 FROM cu)
+      SELECT CASE WHEN sc.avg_micro <= b.b1 THEN 'tail'
+                  WHEN sc.avg_micro <= b.b2 THEN 'middle' ELSE 'head' END AS band,
+        d.source, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(SUM(sc.n_tokens) AS BIGINT) AS n_tokens
+      FROM sc JOIN documents d USING (doc_id) CROSS JOIN b
+      GROUP BY 1, 2"""
+
   val KmvK = 256 // sketch size: k smallest hashes kept per source
 
   /** KMV (k-minimum-values) distinct-vocabulary estimate per source
@@ -1925,6 +1989,10 @@ object Corpus {
     QueryDef("q230_kmv_distinct",
       (s, d) => kmvDistinct(t(s, d, "documents")),
       Some(kmvDistinctSql())),
+
+    QueryDef("q246_ccnet_bands",
+      (s, d) => ccnetBands(s, d),
+      Some(ccnetBandsSql)),
 
     QueryDef("q233_simpson_diversity",
       (s, d) => simpsonDiversity(t(s, d, "documents")),

@@ -1402,6 +1402,40 @@ object EventOps {
       $rows"""
   }
 
+  /** Duplicate-event audit (q247): per type — exact duplicate groups
+    * (same user, type, timestamp), extra rows they carry, and the micro
+    * share of the type's volume — the at-least-once-delivery screen
+    * every event pipeline needs before its counts mean anything (a 2%
+    * duplicate rate silently inflates every rollup upstream of this
+    * table; q37's streaming dedupe REMOVES dups, this MEASURES them).
+    *
+    * Scale shape: one (user, type, ts)-keyed rollup (map-side combined —
+    * duplicate groups collapse before the exchange), then a types-
+    * bounded second rollup. */
+  def duplicateEvents(ev: DataFrame): DataFrame = {
+    val g = ev.select("user_id", "event_type", "ts")
+      .groupBy("user_id", "event_type", "ts").agg(count(lit(1)).as("n"))
+    g.groupBy("event_type").agg(
+        sum("n").as("n_events"),
+        expr("CAST(count_if(n >= 2) AS BIGINT)").as("n_dup_groups"),
+        sum(expr("n - 1")).as("n_extra_rows"))
+      .withColumn("dup_micro", expr("(n_extra_rows * 1000000L) div n_events"))
+  }
+
+  /** q247's oracle over a replay injection (every 13th event delivered
+    * twice — organic exact-timestamp collisions don't exist at 1x). */
+  val duplicateEventsSql: String =
+    """WITH inj AS (SELECT user_id, event_type, ts FROM events
+          UNION ALL
+          SELECT user_id, event_type, ts FROM events WHERE event_id % 13 = 0),
+      g AS (SELECT user_id, event_type, ts, CAST(count(*) AS BIGINT) AS n
+          FROM inj GROUP BY 1, 2, 3)
+      SELECT event_type, CAST(SUM(n) AS BIGINT) AS n_events,
+        CAST(count(*) FILTER (WHERE n >= 2) AS BIGINT) AS n_dup_groups,
+        CAST(SUM(n - 1) AS BIGINT) AS n_extra_rows,
+        (CAST(SUM(n - 1) AS BIGINT) * 1000000) // CAST(SUM(n) AS BIGINT) AS dup_micro
+      FROM g GROUP BY event_type"""
+
   /** Daily-rate autocorrelation (q226): Pearson r between each type's
     * daily counts and the same series lagged 1 and 7 days — the
     * seasonality-STRENGTH scalar behind q182's hour profile and q219's
@@ -1764,6 +1798,13 @@ object EventOps {
     QueryDef("q244_equidepth_bounds",
       (s, d) => equiDepthBoundaries(events(s, d)),
       Some(equiDepthBoundariesSql())),
+
+    QueryDef("q247_duplicate_events",
+      (s, d) => {
+        val ev = events(s, d)
+        duplicateEvents(ev.unionAll(ev.filter(expr("event_id % 13 = 0"))))
+      },
+      Some(duplicateEventsSql)),
 
     QueryDef("q236_entry_exit_types",
       (s, d) => entryExitTypes(events(s, d)),

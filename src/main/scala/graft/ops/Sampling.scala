@@ -917,7 +917,58 @@ object Sampling {
         CAST(SUM(sc.n_tokens) AS BIGINT) AS n_tokens
       FROM sc CROSS JOIN b GROUP BY 1, 2"""
 
+  /** Split-balance audit (q245): per (split × source), doc and token
+    * counts plus the exact micro deviation of each source's within-split
+    * share from its corpus share — the gate that says whether q38's hash
+    * split is safe to EVALUATE on (a test split that over-represents one
+    * source doesn't measure the mixture you trained; hash splits are
+    * unbiased in expectation, and this measures the realized draw).
+    * Deviation is |n_ss·N − n_s·N_split| cross-multiplied on DECIMAL —
+    * the q211 shard-balance discipline applied to the eval split.
+    *
+    * Scale shape: ONE (split × source) rollup above the scan (the split
+    * stamp is a stateless md5-prefix CASE); marginals are second aggs of
+    * those rows, broadcast back; output is 3·sources rows. */
+  def splitBalanceAudit(docs: DataFrame): DataFrame = {
+    val cells = docs.select(col("source"),
+        expr(splitCase("doc_id")).as("split"),
+        expr("CAST(size(split(text, ' ')) AS BIGINT)").as("n_tok"))
+      .groupBy("split", "source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+      .localCheckpoint() // feeds both marginals AND the report
+    val bySplit = cells.groupBy("split").agg(sum("n_docs").as("n_split"))
+    val bySource = cells.groupBy("source").agg(sum("n_docs").as("n_source"))
+    val total = cells.agg(sum("n_docs").as("n_all"))
+    cells.join(broadcast(bySplit), "split")
+      .join(broadcast(bySource), "source")
+      .crossJoin(broadcast(total))
+      .withColumn("dev_micro", expr(
+        """CAST((abs(CAST(n_docs AS DECIMAL(38,0)) * n_all
+           - CAST(n_source AS DECIMAL(38,0)) * n_split) * 1000000)
+           div (CAST(n_split AS DECIMAL(38,0)) * n_all) AS BIGINT)"""))
+      .select("split", "source", "n_docs", "n_tokens", "n_split", "n_source",
+        "dev_micro")
+  }
+
+  def splitBalanceAuditSql: String =
+    s"""WITH c AS (SELECT ${splitCaseDuck("doc_id")} AS split, source,
+            CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+          FROM documents GROUP BY 1, 2),
+      sp AS (SELECT split, CAST(SUM(n_docs) AS BIGINT) AS n_split FROM c GROUP BY 1),
+      so AS (SELECT source, CAST(SUM(n_docs) AS BIGINT) AS n_source FROM c GROUP BY 1),
+      t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_all FROM c)
+      SELECT c.split, c.source, c.n_docs, c.n_tokens, sp.n_split, so.n_source,
+        CAST((abs(CAST(c.n_docs AS HUGEINT) * t.n_all
+          - CAST(so.n_source AS HUGEINT) * sp.n_split) * 1000000)
+          // (CAST(sp.n_split AS HUGEINT) * t.n_all) AS BIGINT) AS dev_micro
+      FROM c JOIN sp USING (split) JOIN so USING (source) CROSS JOIN t"""
+
   val queries: Seq[QueryDef] = Seq(
+    QueryDef("q245_split_balance",
+      (s, d) => splitBalanceAudit(t(s, d, "documents")),
+      Some(splitBalanceAuditSql)),
+
     QueryDef("q220_curriculum_phases",
       (s, d) => curriculumPhases(s, d),
       Some(curriculumPhasesSql)),
