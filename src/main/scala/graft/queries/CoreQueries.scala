@@ -103,7 +103,79 @@ object CoreQueries {
         CAST((SELECT count(*) FROM lineitem WHERE l_discount < 0 OR l_discount > 1) AS BIGINT),
         (SELECT n FROM nli)"""
 
+  /** Revenue Pareto curve (q248): the share of total order revenue held
+    * by the top 1% / 10% / 50% of customers — exact Lorenz points, the
+    * orders-side concentration card next to q193's event-activity Gini
+    * (revenue concentration drives whale-risk and LTV planning; a Gini
+    * scalar hides WHERE the curve bends). Tie-aware: the cut is the
+    * smallest per-customer revenue LEVEL at which the top group reaches
+    * the count quantile, and every customer at the boundary level is in
+    * (order statistics never split a tie — the q223/q244 discipline).
+    *
+    * Determinism: revenue rides exact cents (round(o_totalprice·100) —
+    * one IEEE multiply+round, the q232 argument); shares are
+    * DECIMAL-widened micro rationals.
+    *
+    * Scale shape: ONE customer-keyed rollup (cents per customer), then
+    * (cents-level, n_customers, revenue) rollup rows; the cumulative
+    * window descends over DISTINCT levels; three thresholded aggregates
+    * share the pass; 3 rows from 1. */
+  def paretoRevenue(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    val perCust = t(s, d, "orders")
+      .select(col("o_custkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      .groupBy("o_custkey").agg(sum("cents").as("rev"))
+    val levels = perCust.groupBy("rev")
+      .agg(count(lit(1)).as("n_cust"))
+      .select(col("rev"), col("n_cust"),
+        expr("CAST(rev AS DECIMAL(38,0)) * n_cust").as("rev_mass"))
+    val w = Window.orderBy(col("rev").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = levels
+      .withColumn("cum_cust", sum("n_cust").over(w))
+      .withColumn("cum_rev", sum("rev_mass").over(w))
+      .crossJoin(broadcast(levels.agg(sum("n_cust").as("n_all"),
+        sum("rev_mass").as("rev_all"))))
+      .localCheckpoint() // level rows; three threshold aggs read it
+    def row(pctName: String, num: Int, den: Int) =
+      cum.filter(expr(s"cum_cust * $den >= $num * n_all"))
+        .agg(min("cum_cust").as("n_top_customers"),
+          min("cum_rev").as("top_revenue"))
+        .crossJoin(broadcast(cum.select("n_all", "rev_all").limit(1)))
+        .select(lit(pctName).as("top_pct"),
+          col("n_top_customers"), col("n_all").as("n_customers"),
+          expr("CAST((CAST(top_revenue AS DECIMAL(38,0)) * 1000000) div rev_all AS BIGINT)")
+            .as("revenue_share_micro"))
+    row("1", 1, 100).unionAll(row("10", 1, 10)).unionAll(row("50", 1, 2))
+  }
+
+  val paretoRevenueSql: String = {
+    def row(pctName: String, num: Int, den: Int) =
+      s"""SELECT '$pctName' AS top_pct,
+          CAST(MIN(cum_cust) AS BIGINT) AS n_top_customers,
+          (SELECT CAST(SUM(n_cust) AS BIGINT) FROM lv) AS n_customers,
+          CAST((CAST(MIN(cum_rev) AS HUGEINT) * 1000000)
+            // (SELECT SUM(rev_mass) FROM lv) AS BIGINT) AS revenue_share_micro
+        FROM cum WHERE cum_cust * $den >= $num * n_all"""
+    s"""WITH pc AS (SELECT o_custkey,
+            CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev
+          FROM orders GROUP BY 1),
+      lv AS (SELECT rev, CAST(count(*) AS BIGINT) AS n_cust,
+            CAST(rev AS HUGEINT) * count(*) AS rev_mass
+          FROM pc GROUP BY 1),
+      cum AS (SELECT rev, n_cust,
+            SUM(n_cust) OVER (ORDER BY rev DESC) AS cum_cust,
+            SUM(rev_mass) OVER (ORDER BY rev DESC) AS cum_rev,
+            (SELECT SUM(n_cust) FROM lv) AS n_all FROM lv)
+      ${row("1", 1, 100)} UNION ALL ${row("10", 1, 10)} UNION ALL ${row("50", 1, 2)}"""
+  }
+
   val all: Seq[QueryDef] = Seq(
+
+    QueryDef("q248_pareto_revenue",
+      (s, d) => paretoRevenue(s, d),
+      Some(paretoRevenueSql)),
 
     QueryDef("q237_integrity_audit",
       (s, d) => integrityAudit(s, d),
