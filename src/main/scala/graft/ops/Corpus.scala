@@ -851,6 +851,65 @@ object Corpus {
       FROM sc JOIN documents d USING (doc_id) CROSS JOIN b
       GROUP BY 1, 2"""
 
+  /** Cross-split frequency shift (q250): score the TEST split's tokens
+    * under the TRAIN split's unigram counts — per source: test-token
+    * OOV-vs-train rate and the exact mean train-frequency of covered
+    * occurrences. The log-free domain-shift screen between q38's split
+    * and any eval that trusts it: a test slice whose tokens the train
+    * split barely contains will read as "hard" for reasons that are
+    * sampling artifacts, not model quality (the perplexity-eval
+    * confound, caught BEFORE training). Complements q245: that audits
+    * COUNTS per split, this audits CONTENT.
+    *
+    * Scale shape: one (split × source × term) rollup off the scan
+    * (checkpointed — train vocab and test stream both read it); the
+    * train vocab is a term-keyed second agg; the test join is
+    * rollup-level; output is source-bounded. All integers; means are
+    * DECIMAL-widened micro rationals. */
+  def crossSplitShift(spark: SparkSession, dir: String): DataFrame = {
+    val tf = t(spark, dir, "documents")
+      .withColumn("split", expr(Sampling.splitCase("doc_id")))
+      .select(col("split"), col("source"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("split", "source", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val trainVocab = tf.filter(col("split") === "train")
+      .groupBy("term").agg(sum("tf").as("cnt"))
+    tf.filter(col("split") === "test")
+      .join(trainVocab, Seq("term"), "left")
+      .groupBy("source").agg(
+        sum("tf").as("n_test_tokens"),
+        sum(when(col("cnt").isNotNull, col("tf")).otherwise(0L)).as("covered"),
+        sum(when(col("cnt").isNotNull,
+          expr("CAST(tf AS DECIMAL(38,0)) * cnt")).otherwise(expr("CAST(0 AS DECIMAL(38,0))")))
+          .as("wsum"))
+      .withColumn("oov_micro", expr(
+        "CAST((CAST(n_test_tokens - covered AS DECIMAL(38,0)) * 1000000) div n_test_tokens AS BIGINT)"))
+      .withColumn("mean_train_freq_micro", expr(
+        "CASE WHEN covered = 0 THEN NULL ELSE CAST((wsum * 1000000) div covered AS BIGINT) END"))
+      .select("source", "n_test_tokens", "covered", "oov_micro",
+        "mean_train_freq_micro")
+  }
+
+  val crossSplitShiftSql: String =
+    s"""WITH tf AS (SELECT ${Sampling.splitCaseDuck("doc_id")} AS split, source, term,
+            CAST(count(*) AS BIGINT) AS tf
+          FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS term
+                FROM documents)
+          GROUP BY 1, 2, 3),
+      tv AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS cnt FROM tf
+          WHERE split = 'train' GROUP BY 1),
+      j AS (SELECT t.source, t.tf, tv.cnt FROM tf t LEFT JOIN tv USING (term)
+          WHERE t.split = 'test')
+      SELECT source, CAST(SUM(tf) AS BIGINT) AS n_test_tokens,
+        CAST(SUM(CASE WHEN cnt IS NOT NULL THEN tf ELSE 0 END) AS BIGINT) AS covered,
+        CAST((CAST(SUM(tf) - SUM(CASE WHEN cnt IS NOT NULL THEN tf ELSE 0 END) AS HUGEINT)
+          * 1000000) // SUM(tf) AS BIGINT) AS oov_micro,
+        CASE WHEN SUM(CASE WHEN cnt IS NOT NULL THEN tf ELSE 0 END) = 0 THEN NULL
+             ELSE CAST((CAST(SUM(CASE WHEN cnt IS NOT NULL THEN tf * cnt ELSE 0 END) AS HUGEINT)
+               * 1000000) // SUM(CASE WHEN cnt IS NOT NULL THEN tf ELSE 0 END) AS BIGINT) END
+          AS mean_train_freq_micro
+      FROM j GROUP BY source"""
+
   val KmvK = 256 // sketch size: k smallest hashes kept per source
 
   /** KMV (k-minimum-values) distinct-vocabulary estimate per source
@@ -1993,6 +2052,10 @@ object Corpus {
     QueryDef("q246_ccnet_bands",
       (s, d) => ccnetBands(s, d),
       Some(ccnetBandsSql)),
+
+    QueryDef("q250_cross_split_shift",
+      (s, d) => crossSplitShift(s, d),
+      Some(crossSplitShiftSql)),
 
     QueryDef("q233_simpson_diversity",
       (s, d) => simpsonDiversity(t(s, d, "documents")),

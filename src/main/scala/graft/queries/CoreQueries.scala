@@ -171,7 +171,64 @@ object CoreQueries {
       ${row("1", 1, 100)} UNION ALL ${row("10", 1, 10)} UNION ALL ${row("50", 1, 2)}"""
   }
 
+  /** Market-basket pair mining (q249): the top-20 part pairs by
+    * within-order co-occurrence support, with exact micro lift vs
+    * independence — the association-rule staple (Agrawal & Srikant 1994
+    * reduced to its pair core) over the orders fact. Lift ranks by the
+    * exact cross-multiplied rational (n_ab·N·1e6) div (n_a·n_b) — the
+    * q114/q187 log-free discipline.
+    *
+    * Scale shape: baskets collapse to DISTINCT (order, part) rows
+    * map-side; the pair join is order-keyed and bounded by basket
+    * size² per order (TPC-H baskets are ~4 lines); item supports are a
+    * second agg of the same rows, joined back at pair-rollup level;
+    * top-20 is TakeOrderedAndProject on the deterministic
+    * (support DESC, part_a, part_b) order. */
+  def basketPairs(s: org.apache.spark.sql.SparkSession, d: String,
+      k: Int = 20): org.apache.spark.sql.DataFrame = {
+    val items = t(s, d, "lineitem").select("l_orderkey", "l_partkey")
+      .distinct().localCheckpoint() // feeds supports AND both pair sides
+    val nOrders = items.select("l_orderkey").distinct()
+      .agg(count(lit(1)).as("n_orders"))
+    val supp = items.groupBy("l_partkey").agg(count(lit(1)).as("n_item"))
+    items.as("a").join(items.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("part_a"), col("b.l_partkey").as("part_b"))
+      .agg(count(lit(1)).as("n_pair"))
+      .join(supp.select(col("l_partkey").as("part_a"), col("n_item").as("n_a")), "part_a")
+      .join(supp.select(col("l_partkey").as("part_b"), col("n_item").as("n_b")), "part_b")
+      .crossJoin(broadcast(nOrders))
+      .withColumn("lift_micro", expr(
+        "CAST((CAST(n_pair AS DECIMAL(38,0)) * n_orders * 1000000) div (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)"))
+      .orderBy(col("n_pair").desc, col("part_a").asc, col("part_b").asc)
+      .limit(k)
+      .select("part_a", "part_b", "n_pair", "n_a", "n_b", "n_orders", "lift_micro")
+  }
+
+  def basketPairsSql(k: Int = 20): String =
+    s"""WITH it AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      no AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM it),
+      sup AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_item FROM it GROUP BY 1),
+      pr AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+            CAST(count(*) AS BIGINT) AS n_pair
+          FROM it a JOIN it b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2)
+      SELECT pr.part_a, pr.part_b, pr.n_pair,
+        sa.n_item AS n_a, sb.n_item AS n_b, no.n_orders,
+        CAST((CAST(pr.n_pair AS HUGEINT) * no.n_orders * 1000000)
+          // (CAST(sa.n_item AS HUGEINT) * sb.n_item) AS BIGINT) AS lift_micro
+      FROM pr JOIN sup sa ON sa.l_partkey = pr.part_a
+        JOIN sup sb ON sb.l_partkey = pr.part_b
+        CROSS JOIN no
+      ORDER BY pr.n_pair DESC, pr.part_a, pr.part_b LIMIT $k"""
+
   val all: Seq[QueryDef] = Seq(
+
+    QueryDef("q249_basket_pairs",
+      (s, d) => basketPairs(s, d),
+      Some(basketPairsSql())),
 
     QueryDef("q248_pareto_revenue",
       (s, d) => paretoRevenue(s, d),
