@@ -191,18 +191,23 @@ object CoreQueries {
     val nOrders = items.select("l_orderkey").distinct()
       .agg(count(lit(1)).as("n_orders"))
     val supp = items.groupBy("l_partkey").agg(count(lit(1)).as("n_item"))
-    items.as("a").join(items.as("b"),
+    // top-k FIRST: the rank is (support, part ids) — no lift input — so
+    // the support joins commute past the limit and touch k rows instead
+    // of the ~basket²·orders pair rollup (measured 94.7 → 48.6 s at 100x)
+    val topPairs = items.as("a").join(items.as("b"),
         col("a.l_orderkey") === col("b.l_orderkey") &&
           col("a.l_partkey") < col("b.l_partkey"))
       .groupBy(col("a.l_partkey").as("part_a"), col("b.l_partkey").as("part_b"))
       .agg(count(lit(1)).as("n_pair"))
+      .orderBy(col("n_pair").desc, col("part_a").asc, col("part_b").asc)
+      .limit(k)
+      .localCheckpoint() // k rows; both support joins broadcast it
+    topPairs
       .join(supp.select(col("l_partkey").as("part_a"), col("n_item").as("n_a")), "part_a")
       .join(supp.select(col("l_partkey").as("part_b"), col("n_item").as("n_b")), "part_b")
       .crossJoin(broadcast(nOrders))
       .withColumn("lift_micro", expr(
         "CAST((CAST(n_pair AS DECIMAL(38,0)) * n_orders * 1000000) div (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)"))
-      .orderBy(col("n_pair").desc, col("part_a").asc, col("part_b").asc)
-      .limit(k)
       .select("part_a", "part_b", "n_pair", "n_a", "n_b", "n_orders", "lift_micro")
   }
 
