@@ -51,6 +51,29 @@ class OpsSpec extends AnyFunSuite {
     assert(got == want, s"aggregator form diverged:\nonly-agg=${got -- want}\nonly-win=${want -- got}")
   }
 
+  test("ablation grid: variants nest monotonically and conserve against raw") {
+    val g = graft.ops.Pipeline.ablationGrid(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val order = Seq("0_raw", "1_dedup", "2_dedup_rules", "3_dedup_rules_clf")
+    assert(g.keySet == order.toSet)
+    order.sliding(2).foreach { case Seq(a, b) =>
+      assert(g(a)._1 >= g(b)._1, s"$b docs must nest inside $a")
+      assert(g(a)._2 >= g(b)._2, s"$b tokens must nest inside $a")
+    }
+    assert(g("0_raw")._1 == docs.count(), "raw row must equal the corpus")
+    assert(g("3_dedup_rules_clf")._1 > 0, "the full pipeline must keep something")
+  }
+
+  test("davies-bouldin: worst neighbor is foreign and components are positive") {
+    val rows = graft.ops.Similarity.daviesBouldin(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getInt(0) != r.getInt(3), "worst_other must differ from the label")
+      assert(r.getLong(2) > 0, "scatter must be positive on non-degenerate clusters")
+      assert(r.getLong(4) > 0, "the DB ratio must be positive")
+    }
+  }
+
   test("dedup exact: fingerprint groups partition the corpus") {
     val d = Dedup.exact(docs).collect()
     assert(d.map(_.getAs[Long]("n_docs")).sum == docs.count())

@@ -397,6 +397,46 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("rangepartitioning"), "no global sort")
   }
 
+  test("q249: support joins sit ABOVE the top-k, not under it") {
+    // the measured 94.7->48.6 s lesson as a gate: the pair rollup must
+    // reach a TakeOrderedAndProject before any join with the support
+    // table — if a support join slips below the limit again, the plan
+    // carries it across the ~basket²·orders pair frame
+    val p = plan("q249_basket_pairs")
+    // the top-k was paid EAGERLY at the localCheckpoint: the final plan
+    // must read the k-row ExistingRDD and contain NO rank/sort operator
+    // of its own — a TakeOrderedAndProject (or global sort) appearing
+    // here means the checkpoint was dropped and the support joins are
+    // back under the pair-frame rank
+    assert(p.contains("Scan ExistingRDD") || p.contains("LogicalRDD"),
+      "the k-row frame must be checkpointed (joins read it, not the pair rollup)")
+    assert(!p.contains("TakeOrderedAndProject") && !p.contains("rangepartitioning"),
+      "no rank left to pay in the final plan")
+  }
+
+  test("q245/q250: split audits keep marginals broadcast") {
+    for (q <- Seq("q245_split_balance")) {
+      val p = plan(q)
+      assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+        s"$q: marginals must broadcast back onto rollup rows")
+    }
+    // q250's train-vocab join is term-keyed over rollup rows — shuffling
+    // THAT join is by design (vocab-cardinality); gate only that the
+    // occurrence stream never joins (the join inputs are aggregates)
+    val p = plan("q250_cross_split_shift")
+    assert(!p.contains("rangepartitioning"), "q250: no global sort")
+  }
+
+  test("q242: ablation grid reduces to one rollup over the artifact join") {
+    // four variants = conditional sums in ONE aggregate; the plan after
+    // the checkpoint is four 1-row SELECT branches unioned — no
+    // re-aggregation of the corpus per variant
+    val p = plan("q242_ablation_grid")
+    assert(!p.contains("rangepartitioning"), "no global sort")
+    val unions = p.linesIterator.count(_.matches(""".*\(\d+\) Union.*"""))
+    assert(unions <= 1, s"one union of 1-row branches, got $unions Union nodes")
+  }
+
   test("catalog missing-series plans as broadcast left-anti") {
     import spark.implicits._
     val headers = Seq((0, "1", "n", 0)).toDF("fileOrd", "externalId", "name", "colIndex")
