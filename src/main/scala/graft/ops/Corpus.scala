@@ -810,9 +810,13 @@ object Corpus {
     val vocab = tf.groupBy("term").agg(sum("tf").as("cnt"))
     val scored = tf.join(vocab, "term")
       .groupBy("doc_id")
-      .agg(sum("tf").as("n_tokens"), sum(col("tf") * col("cnt")).as("sum_tf"))
+      // widen BEFORE summing (the crossSplitShift wsum discipline): cnt is a
+      // corpus-wide term count, so a raw BIGINT tf*cnt sum can wrap at 100x
+      // scale while DuckDB's HUGEINT-promoting SUM keeps going
+      .agg(sum("tf").as("n_tokens"),
+        sum(expr("CAST(tf AS DECIMAL(38,0)) * cnt")).as("sum_tf"))
       .withColumn("avg_micro", expr(
-        "CAST((CAST(sum_tf AS DECIMAL(38,0)) * 1000000) div n_tokens AS BIGINT)"))
+        "CAST((sum_tf * 1000000) div n_tokens AS BIGINT)"))
       .localCheckpoint() // feeds the level rollup AND the band stamp
     val levels = scored.groupBy("avg_micro").agg(count(lit(1)).as("cnt"))
     val w = org.apache.spark.sql.expressions.Window.orderBy("avg_micro")

@@ -1070,13 +1070,21 @@ object EventOps {
     *
     * Scale shape: the (week × type) rollup is the only event-volume
     * exchange; weekly totals are a second agg of those rows; the
-    * consecutive-week join is (weeks × types)-bounded. */
+    * consecutive-week join is (weeks × types)-bounded. Week PAIRS come
+    * from the totals frame, not the per-type inner join — a pair of
+    * consecutive weeks sharing zero event types must still emit its
+    * TVD = 1000000 row (the screen would otherwise be quiet exactly
+    * when the mix shift is total); the per-type min-mass sum left-joins
+    * on, defaulting to 0. */
   def weeklyMixDrift(ev: DataFrame): DataFrame = {
     val wt = ev.select(col("event_type"), expr("ts DIV 604800000000000").as("week"))
       .groupBy("week", "event_type").agg(count(lit(1)).as("n"))
       .localCheckpoint() // feeds totals AND both join sides
-    val tot = wt.groupBy("week").agg(sum("n").as("nw"))
-    wt.as("a")
+    val tot = wt.groupBy("week").agg(sum("n").as("nw")).localCheckpoint() // both pair sides
+    val pairs = tot.as("ta").join(tot.as("tb"), col("tb.week") === col("ta.week") + 1)
+      .select(col("ta.week").as("week_a"), col("tb.week").as("week_b"),
+        col("ta.nw").as("n_a"), col("tb.nw").as("n_b"))
+    val overlap = wt.as("a")
       .join(wt.as("b"),
         col("b.week") === col("a.week") + 1 &&
           col("a.event_type") === col("b.event_type"))
@@ -1084,10 +1092,13 @@ object EventOps {
         col("a.n").as("na"), col("b.n").as("nb"))
       .join(broadcast(tot.select(col("week").as("week_a"), col("nw").as("n_a"))), "week_a")
       .join(broadcast(tot.select(col("week").as("week_b"), col("nw").as("n_b"))), "week_b")
-      .groupBy("week_a", "week_b", "n_a", "n_b") // totals are pair-constant
+      .groupBy("week_a", "week_b")
       .agg(sum(expr(
         "least(CAST(na AS DECIMAL(38,0)) * n_b, CAST(nb AS DECIMAL(38,0)) * n_a)"))
         .as("summin"))
+    pairs.join(overlap, Seq("week_a", "week_b"), "left")
+      .withColumn("summin",
+        coalesce(col("summin"), expr("CAST(0 AS DECIMAL(38,0))")))
       .withColumn("tvd_micro", expr(
         "CAST(1000000 - (summin * 1000000) div (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)"))
       .select("week_a", "week_b", "n_a", "n_b", "tvd_micro")
@@ -1098,19 +1109,22 @@ object EventOps {
             CAST(count(*) AS BIGINT) AS n
           FROM events GROUP BY 1, 2),
       tot AS (SELECT week, CAST(SUM(n) AS BIGINT) AS nw FROM wt GROUP BY 1),
+      pairs AS (SELECT ta.week AS week_a, tb.week AS week_b,
+            ta.nw AS n_a, tb.nw AS n_b
+          FROM tot ta JOIN tot tb ON tb.week = ta.week + 1),
       j AS (SELECT a.week AS week_a, b.week AS week_b, a.n AS na, b.n AS nb
           FROM wt a JOIN wt b
             ON b.week = a.week + 1 AND a.event_type = b.event_type),
-      m AS (SELECT j.week_a, j.week_b, ta.nw AS n_a, tb.nw AS n_b,
+      m AS (SELECT j.week_a, j.week_b,
             SUM(LEAST(CAST(j.na AS HUGEINT) * tb.nw, CAST(j.nb AS HUGEINT) * ta.nw))
               AS summin
           FROM j JOIN tot ta ON ta.week = j.week_a
             JOIN tot tb ON tb.week = j.week_b
-          GROUP BY 1, 2, 3, 4)
-      SELECT week_a, week_b, n_a, n_b,
-        CAST(1000000 - (summin * 1000000) // (CAST(n_a AS HUGEINT) * n_b) AS BIGINT)
-          AS tvd_micro
-      FROM m"""
+          GROUP BY 1, 2)
+      SELECT p.week_a, p.week_b, p.n_a, p.n_b,
+        CAST(1000000 - (COALESCE(m.summin, 0) * 1000000)
+          // (CAST(p.n_a AS HUGEINT) * p.n_b) AS BIGINT) AS tvd_micro
+      FROM pairs p LEFT JOIN m ON m.week_a = p.week_a AND m.week_b = p.week_b"""
 
   /** Markov next-step baseline (q229): for each event type, the single
     * best always-predict-this next type (the argmax row of q166's
@@ -1176,18 +1190,24 @@ object EventOps {
     * both engines (values are 2-decimal, so nothing lands on a .5 tie);
     * the leading digit reads the BIGINT's decimal string, which both
     * engines format identically; shares are floored micro rationals.
+    * Non-positive cents (the data fault q237 screens for) get an
+    * explicit 'invalid' digit row with expectation 0 — their whole
+    * observed share counts as deviation instead of silently inheriting
+    * digit-9's expectation via the ELSE branch.
     *
-    * Scale shape: a 9-key map-side-combined rollup above the scan plus
+    * Scale shape: a 10-key map-side-combined rollup above the scan plus
     * one broadcast total — the q105 card shape. */
   def benfordAudit(ev: DataFrame): DataFrame = {
     val d = ev
-      .select(expr("substr(CAST(CAST(round(value * 100) AS BIGINT) AS STRING), 1, 1)")
+      .select(expr(
+        """CASE WHEN CAST(round(value * 100) AS BIGINT) < 1 THEN 'invalid'
+           ELSE substr(CAST(CAST(round(value * 100) AS BIGINT) AS STRING), 1, 1) END""")
         .as("digit"))
       .groupBy("digit").agg(count(lit(1)).as("n"))
     val benford = "CASE digit WHEN '1' THEN 301029L WHEN '2' THEN 176091L " +
       "WHEN '3' THEN 124938L WHEN '4' THEN 96910L WHEN '5' THEN 79181L " +
       "WHEN '6' THEN 66946L WHEN '7' THEN 57991L WHEN '8' THEN 51152L " +
-      "ELSE 45757L END"
+      "WHEN '9' THEN 45757L ELSE 0L END"
     d.crossJoin(broadcast(d.agg(sum("n").as("n_total"))))
       .withColumn("obs_micro",
         expr("CAST((CAST(n AS DECIMAL(38,0)) * 1000000) div n_total AS BIGINT)"))
@@ -1197,7 +1217,8 @@ object EventOps {
   }
 
   val benfordAuditSql: String =
-    """WITH d AS (SELECT substr(CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR), 1, 1)
+    """WITH d AS (SELECT CASE WHEN CAST(round(value * 100) AS BIGINT) < 1 THEN 'invalid'
+            ELSE substr(CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR), 1, 1) END
             AS digit, CAST(count(*) AS BIGINT) AS n
           FROM events GROUP BY 1),
       t AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM d)
@@ -1205,11 +1226,13 @@ object EventOps {
         CAST((CAST(n AS HUGEINT) * 1000000) // n_total AS BIGINT) AS obs_micro,
         CAST(CASE digit WHEN '1' THEN 301029 WHEN '2' THEN 176091 WHEN '3' THEN 124938
           WHEN '4' THEN 96910 WHEN '5' THEN 79181 WHEN '6' THEN 66946
-          WHEN '7' THEN 57991 WHEN '8' THEN 51152 ELSE 45757 END AS BIGINT) AS benford_micro,
+          WHEN '7' THEN 57991 WHEN '8' THEN 51152 WHEN '9' THEN 45757 ELSE 0 END
+          AS BIGINT) AS benford_micro,
         CAST(abs(CAST((CAST(n AS HUGEINT) * 1000000) // n_total AS BIGINT)
           - (CASE digit WHEN '1' THEN 301029 WHEN '2' THEN 176091 WHEN '3' THEN 124938
               WHEN '4' THEN 96910 WHEN '5' THEN 79181 WHEN '6' THEN 66946
-              WHEN '7' THEN 57991 WHEN '8' THEN 51152 ELSE 45757 END)) AS BIGINT) AS dev_micro
+              WHEN '7' THEN 57991 WHEN '8' THEN 51152 WHEN '9' THEN 45757 ELSE 0 END))
+          AS BIGINT) AS dev_micro
       FROM d CROSS JOIN t"""
 
   /** Acquisition-cohort funnel (q238): q78's view→click→purchase stages

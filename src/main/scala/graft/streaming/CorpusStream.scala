@@ -316,7 +316,17 @@ object CorpusStream {
     * KMV merge the OpsSpec locks, so [[kmvLive]]'s sketch equals a
     * from-scratch batch sketch over everything streamed so far. State
     * on disk is ≤ k rows per batch; the live read unions sketch rows,
-    * never corpus rows. */
+    * never corpus rows.
+    *
+    * Lifecycle contract: a `stateDir` is bound to ONE checkpoint
+    * lineage. batch_id partitions are keyed by checkpoint-assigned
+    * batch ids, so restarting against a FRESH `checkpointDir` (new
+    * batch boundaries, not the bit-identical replay the overwrite
+    * discipline covers) must also start from a fresh/cleared
+    * `stateDir` — stale partitions from the old lineage would merge
+    * into [[kmvLive]], and KMV union-merge makes extra hashes harmless
+    * only when they came from the same corpus (hashes from a
+    * since-removed document deflate the estimate forever). */
   def kmvStream(docs: DataFrame, stateDir: String, checkpointDir: String,
       k: Int = Corpus.KmvK, trigger: Option[Trigger] = None): StreamingQuery = {
     val writer = docs.writeStream.option("checkpointLocation", checkpointDir)
