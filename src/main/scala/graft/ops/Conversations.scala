@@ -1,0 +1,334 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.queries.QueryDef
+import graft.queries.QueryDef.t
+
+/** Conversational / SFT data operators — the chat-corpus layer of the
+  * training-data pipeline (multi-turn parse, per-turn dedup,
+  * assistant-turn eval-decontamination, role-balance card).
+  *
+  * The reference pipeline has no chat surface
+  * (/root/reference/csv-extractor/extractor.py processes sensor CSVs),
+  * so this family is pure ★ extension: the operators an SFT curation
+  * run needs between raw conversations and a tune-ready dataset.
+  *
+  * Corpus derivation (the q93/q157/q164 injection discipline — the
+  * injection lives in the QUERY layer; library callers on real chat
+  * data pass their own turn frames to the ops): the testdata has no
+  * chat column, so [[chatTurns]] derives one deterministic multi-turn
+  * conversation per document — a canonical user greeting (by
+  * conv_id % 4), a canonical assistant acknowledgement (by
+  * conv_id % 3), then the document's words in [[TurnWords]]-word
+  * turns, roles alternating user/assistant. The boilerplate turns
+  * model the template mass every real SFT corpus carries (greeting /
+  * ack strings repeated across thousands of conversations) and give
+  * the dedup ops real duplicate structure; both engines build the
+  * same table from the same CASE/slice arithmetic, so every op
+  * oracles exactly.
+  */
+object Conversations {
+
+  /** Content-turn width in words. */
+  val TurnWords = 12
+
+  /** Canonical boilerplate openers — the template mass. */
+  val Greetings = Seq(
+    "hello can you help me with this",
+    "hi i have a question about the data",
+    "hey quick question for you",
+    "good morning i need some help")
+
+  val Acks = Seq(
+    "sure i can help with that",
+    "of course happy to help",
+    "certainly let me take a look")
+
+  /** Benchmark passages for the decontamination op — EXACTLY
+    * [[BenchSpanWords]] words each, so each passage is one span
+    * fingerprint on both engines. */
+  val BenchSpanWords = 13
+  val BenchPassages = Seq(
+    "which join strategy minimizes shuffle volume for a skewed key at petabyte scale",
+    "name the partitioning that keeps an aggregation map side combined across a cluster")
+
+  /** `CASE <sel> WHEN 0 THEN '<s0>' WHEN 1 ... END` — valid in both
+    * Spark SQL and DuckDB (strings carry no quotes to escape). */
+  private def caseOver(sel: String, options: Seq[String]): String =
+    options.init.zipWithIndex
+      .map { case (s, i) => s"WHEN $i THEN '$s'" }
+      .mkString(s"CASE $sel ", " ", s" ELSE '${options.last}' END")
+
+  // -------------------------------------------------------------------
+  // Turn-table derivation
+  // -------------------------------------------------------------------
+
+  /** One conversation per document: (conv_id, turn_idx, role, text).
+    * turn 0 = canonical user greeting, turn 1 = canonical assistant
+    * ack, turns 2.. = the document's words in [[TurnWords]]-word
+    * windows; role = even→user, odd→assistant.
+    *
+    * Scale shape: a stateless projection + explode above the scan —
+    * row count is token volume over [[TurnWords]], no exchange at all;
+    * every downstream op decides its own keying. */
+  def chatTurns(docs: DataFrame): DataFrame = {
+    val g = caseOver("conv_id % 4", Greetings)
+    val a = caseOver("conv_id % 3", Acks)
+    docs.select(col("doc_id").as("conv_id"), split(col("text"), " ").as("w"))
+      .select(col("conv_id"), posexplode(expr(
+        s"""concat(array($g, $a),
+              transform(sequence(0, (size(w) - 1) div $TurnWords),
+                i -> array_join(slice(w, i * $TurnWords + 1, $TurnWords), ' ')))""")))
+      .select(col("conv_id"), col("pos").cast("long").as("turn_idx"),
+        expr("CASE WHEN pos % 2 = 0 THEN 'user' ELSE 'assistant' END").as("role"),
+        col("col").as("text"))
+  }
+
+  /** DuckDB twin of [[chatTurns]] as a CTE named `turns` over
+    * `documents`. */
+  def chatTurnsCte: String = {
+    val g = caseOver("doc_id % 4", Greetings)
+    val a = caseOver("doc_id % 3", Acks)
+    s"""turns AS (
+        SELECT conv_id, turn_idx,
+          CASE WHEN turn_idx % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+          text
+        FROM (
+          SELECT doc_id AS conv_id, CAST(0 AS BIGINT) AS turn_idx, $g AS text
+          FROM documents
+          UNION ALL
+          SELECT doc_id, CAST(1 AS BIGINT), $a FROM documents
+          UNION ALL
+          SELECT doc_id, 2 + i,
+            array_to_string(w[i * $TurnWords + 1 : i * $TurnWords + $TurnWords], ' ')
+          FROM (SELECT doc_id, w,
+                  unnest(range(0, (len(w) - 1) // $TurnWords + 1)) AS i
+                FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))))"""
+  }
+
+  /** q251: the turn table itself plus per-turn word counts — the parse
+    * every other op in the family composes over. */
+  def chatTurnsQuery(spark: SparkSession, dir: String): DataFrame =
+    chatTurns(t(spark, dir, "documents"))
+      .withColumn("n_words", size(split(col("text"), " ")).cast("long"))
+
+  val chatTurnsQuerySql: String =
+    s"""WITH ${chatTurnsCte}
+        SELECT conv_id, turn_idx, role, text,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+        FROM turns"""
+
+  // -------------------------------------------------------------------
+  // Per-turn dedup
+  // -------------------------------------------------------------------
+
+  /** q252: per-role turn-dedup card — [[Dedup.exact]]'s hash-group
+    * discipline at TURN granularity: distinct-text counts, duplicate
+    * mass and share, and the heaviest template's df, per role. The
+    * go/no-go table before template stripping: boilerplate concentrates
+    * in specific roles (greetings in user, acks in assistant), and the
+    * dup share tells how much of the tune set is non-informative
+    * repetition.
+    *
+    * Scale shape: one fp-keyed rollup of the turn stream (map-side
+    * combined), then a role-keyed second agg of those rollup rows —
+    * the q70 card shape; output is role-cardinality. */
+  def turnDedupCard(docs: DataFrame): DataFrame =
+    chatTurns(docs)
+      .groupBy(col("role"), md5(col("text")).as("fp"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy("role")
+      .agg(sum("n").as("n_turns"), count(lit(1)).as("n_distinct"),
+        max("n").as("max_df"))
+      .withColumn("n_dup_turns", expr("n_turns - n_distinct"))
+      .withColumn("dup_share_micro", expr(
+        "CAST((CAST(n_turns - n_distinct AS DECIMAL(38,0)) * 1000000) div n_turns AS BIGINT)"))
+      .select("role", "n_turns", "n_distinct", "n_dup_turns", "max_df",
+        "dup_share_micro")
+
+  val turnDedupCardSql: String =
+    s"""WITH ${chatTurnsCte},
+      fpt AS (SELECT role, md5(text) AS fp, CAST(count(*) AS BIGINT) AS n
+          FROM turns GROUP BY 1, 2)
+      SELECT role, CAST(SUM(n) AS BIGINT) AS n_turns,
+        CAST(count(*) AS BIGINT) AS n_distinct,
+        CAST(SUM(n) - count(*) AS BIGINT) AS n_dup_turns,
+        CAST(MAX(n) AS BIGINT) AS max_df,
+        CAST((CAST(SUM(n) - count(*) AS HUGEINT) * 1000000) // SUM(n) AS BIGINT)
+          AS dup_share_micro
+      FROM fpt GROUP BY role"""
+
+  /** Minimum distinct conversations for a turn text to count as a
+    * template in q253. */
+  val MinTemplateConvs = 25L
+
+  /** q253: template discovery — the turn texts repeated across at least
+    * [[MinTemplateConvs]] conversations, with occurrence counts and
+    * in-role share. This is the actionable side of q252's card: the
+    * strings a stripping pass would actually remove (and on this
+    * corpus, exactly the injected greeting/ack boilerplate — the
+    * oracle locks that the mine finds precisely the planted mass).
+    *
+    * Scale shape: a (role, text)-keyed rollup with the df filter ON the
+    * rollup rows (templates are df-heavy by definition, so the output
+    * is tiny even when the corpus is not); per-role totals broadcast
+    * back. Grouping by raw text rather than fp is deliberate — the
+    * surviving rows are few and the text IS the deliverable. */
+  def turnTemplates(docs: DataFrame): DataFrame = {
+    val turns = chatTurns(docs)
+    val tot = turns.groupBy("role").agg(count(lit(1)).as("n_role_turns"))
+    turns.groupBy("role", "text")
+      .agg(countDistinct("conv_id").as("n_convs"), count(lit(1)).as("n_turns"))
+      .filter(col("n_convs") >= MinTemplateConvs)
+      .join(broadcast(tot), "role")
+      .withColumn("share_micro", expr(
+        "CAST((CAST(n_turns AS DECIMAL(38,0)) * 1000000) div n_role_turns AS BIGINT)"))
+      .select("role", "text", "n_convs", "n_turns", "n_role_turns", "share_micro")
+  }
+
+  val turnTemplatesSql: String =
+    s"""WITH ${chatTurnsCte},
+      tot AS (SELECT role, CAST(count(*) AS BIGINT) AS n_role_turns
+          FROM turns GROUP BY 1),
+      tm AS (SELECT role, text, CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
+            CAST(count(*) AS BIGINT) AS n_turns
+          FROM turns GROUP BY 1, 2 HAVING count(DISTINCT conv_id) >= $MinTemplateConvs)
+      SELECT tm.role, tm.text, tm.n_convs, tm.n_turns, tot.n_role_turns,
+        CAST((CAST(tm.n_turns AS HUGEINT) * 1000000) // tot.n_role_turns AS BIGINT)
+          AS share_micro
+      FROM tm JOIN tot USING (role)"""
+
+  // -------------------------------------------------------------------
+  // Assistant-turn eval decontamination
+  // -------------------------------------------------------------------
+
+  /** q254: assistant-turn eval-decontamination —
+    * [[Dedup.spanContamination]]'s exact n-gram discipline at TURN
+    * granularity: flag every assistant turn containing a verbatim
+    * [[BenchSpanWords]]-token span of a benchmark passage (the
+    * "assistant memorized the eval answer" leak an SFT release must
+    * strip — checking the ASSISTANT side only, because a user QUOTING
+    * a benchmark question is fine; the model REPRODUCING its answer is
+    * the contamination).
+    *
+    * The query layer plants the leak (q157 discipline): every
+    * conversation with conv_id % 17 = 5 gets a benchmark passage
+    * appended to assistant turn 3 (conversations too short for turn 3
+    * are simply not injected — both engines agree by construction).
+    * Library callers pass real turn frames + their benchmark set.
+    *
+    * Scale shape: span stream over assistant turns only (token volume),
+    * equi-joined against the broadcast benchmark fingerprints; output
+    * is flagged-turns-bounded — the drop list itself, never a pair
+    * frame. */
+  def assistantDecontam(spark: SparkSession, docs: DataFrame): DataFrame = {
+    val bench = caseOver("conv_id % 2", BenchPassages)
+    val injected = chatTurns(docs)
+      .withColumn("text", expr(
+        s"""CASE WHEN conv_id % 17 = 5 AND turn_idx = 3
+              THEN concat(text, ' ', $bench) ELSE text END"""))
+    val asst = injected.filter(col("role") === "assistant")
+      .select(col("conv_id"), col("turn_idx"), col("text"))
+    val spans = Dedup.spanFps(asst.withColumnRenamed("conv_id", "doc_id"),
+        BenchSpanWords, Seq("doc_id", "turn_idx"))
+      .withColumnRenamed("doc_id", "conv_id")
+    val benchFps = spark.range(1)
+      .select(explode(array(BenchPassages.map(lit): _*)).as("btext"))
+      .select(md5(col("btext")).as("fp"))
+    spans.join(broadcast(benchFps), "fp")
+      .groupBy("conv_id", "turn_idx")
+      .agg(count(lit(1)).as("n_bench_spans"))
+  }
+
+  val assistantDecontamSql: String = {
+    val bench = caseOver("conv_id % 2", BenchPassages)
+    val w = BenchSpanWords
+    val benchRows = BenchPassages
+      .map(p => s"SELECT md5('$p') AS fp").mkString(" UNION ALL ")
+    s"""WITH ${chatTurnsCte},
+      inj AS (SELECT conv_id, turn_idx, role,
+            CASE WHEN conv_id % 17 = 5 AND turn_idx = 3
+              THEN text || ' ' || $bench ELSE text END AS text
+          FROM turns),
+      asst AS (SELECT conv_id, turn_idx, string_split(text, ' ') AS toks
+          FROM inj WHERE role = 'assistant'),
+      spans AS (SELECT conv_id, turn_idx,
+            md5(array_to_string(toks[i : i + ${w - 1}], ' ')) AS fp
+          FROM (SELECT conv_id, turn_idx, toks,
+                  unnest(range(1, greatest(len(toks) - ${w - 1} + 1, 1))) AS i
+                FROM asst)),
+      bench AS ($benchRows)
+      SELECT conv_id, turn_idx, CAST(count(*) AS BIGINT) AS n_bench_spans
+      FROM spans JOIN bench USING (fp) GROUP BY 1, 2"""
+  }
+
+  // -------------------------------------------------------------------
+  // Role / turn-length balance card
+  // -------------------------------------------------------------------
+
+  /** q255: role-balance card — per role: turn and conversation counts,
+    * word volume, exact micro mean words per turn, the longest turn,
+    * and how many conversations END in this role (SFT tuning wants
+    * assistant-terminated conversations; a corpus ending mid-question
+    * trains the model to trail off). Last-turn role is parity of the
+    * max turn_idx — no second scan of the turn stream.
+    *
+    * Scale shape: one role-keyed rollup (role × conv for the distinct
+    * count) + one conv-keyed max for the ending role, both map-side
+    * combined; output is role-cardinality. */
+  def roleBalanceCard(docs: DataFrame): DataFrame = {
+    val turns = chatTurns(docs)
+      .withColumn("n_words", size(split(col("text"), " ")).cast("long"))
+    val ends = turns.groupBy("conv_id").agg(max("turn_idx").as("last_idx"))
+      .select(expr(
+        "CASE WHEN last_idx % 2 = 0 THEN 'user' ELSE 'assistant' END").as("role"))
+      .groupBy("role").agg(count(lit(1)).as("n_convs_last"))
+    turns.groupBy("role")
+      .agg(count(lit(1)).as("n_turns"), countDistinct("conv_id").as("n_convs"),
+        sum("n_words").as("n_words"), max("n_words").as("max_words"))
+      .withColumn("avg_words_micro", expr(
+        "CAST((CAST(n_words AS DECIMAL(38,0)) * 1000000) div n_turns AS BIGINT)"))
+      .join(broadcast(ends), Seq("role"), "left")
+      .withColumn("n_convs_last", coalesce(col("n_convs_last"), lit(0L)))
+      .select("role", "n_turns", "n_convs", "n_words", "max_words",
+        "avg_words_micro", "n_convs_last")
+  }
+
+  val roleBalanceCardSql: String =
+    s"""WITH ${chatTurnsCte},
+      tw AS (SELECT conv_id, turn_idx, role,
+            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words FROM turns),
+      ends AS (SELECT CASE WHEN MAX(turn_idx) % 2 = 0 THEN 'user'
+              ELSE 'assistant' END AS role
+          FROM tw GROUP BY conv_id),
+      ec AS (SELECT role, CAST(count(*) AS BIGINT) AS n_convs_last
+          FROM ends GROUP BY 1),
+      card AS (SELECT role, CAST(count(*) AS BIGINT) AS n_turns,
+            CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
+            CAST(SUM(n_words) AS BIGINT) AS n_words,
+            CAST(MAX(n_words) AS BIGINT) AS max_words,
+            CAST((CAST(SUM(n_words) AS HUGEINT) * 1000000) // count(*) AS BIGINT)
+              AS avg_words_micro
+          FROM tw GROUP BY role)
+      SELECT card.role, card.n_turns, card.n_convs, card.n_words,
+        card.max_words, card.avg_words_micro,
+        COALESCE(ec.n_convs_last, 0) AS n_convs_last
+      FROM card LEFT JOIN ec USING (role)"""
+
+  // -------------------------------------------------------------------
+
+  def queries: Seq[QueryDef] = Seq(
+    QueryDef("q251_chat_turns",
+      (s, d) => chatTurnsQuery(s, d), Some(chatTurnsQuerySql)),
+    QueryDef("q252_turn_dedup_card",
+      (s, d) => turnDedupCard(t(s, d, "documents")), Some(turnDedupCardSql)),
+    QueryDef("q253_turn_templates",
+      (s, d) => turnTemplates(t(s, d, "documents")), Some(turnTemplatesSql)),
+    QueryDef("q254_asst_decontam",
+      (s, d) => assistantDecontam(s, t(s, d, "documents")),
+      Some(assistantDecontamSql)),
+    QueryDef("q255_role_balance",
+      (s, d) => roleBalanceCard(t(s, d, "documents")), Some(roleBalanceCardSql)))
+}

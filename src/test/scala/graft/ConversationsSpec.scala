@@ -1,0 +1,81 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.ops.Conversations
+
+/** Structural invariants of the conversational/SFT family that the
+  * oracle compare can't express — the parse must be lossless, the
+  * injection must hit exactly the planned rows, and the cards must
+  * conserve the turn stream. */
+class ConversationsSpec extends AnyFunSuite {
+  lazy val spark = SparkSpec.spark
+  val dir = "/root/testdata/sf0.001"
+
+  def docs = graft.queries.QueryDef.t(spark, dir, "documents")
+  def turns = Conversations.chatTurns(docs)
+
+  test("chatTurns: boilerplate turns 0/1 and alternating roles per conv") {
+    val bad = turns.filter(
+      (col("turn_idx") % 2 === 0 && col("role") =!= "user") ||
+        (col("turn_idx") % 2 === 1 && col("role") =!= "assistant")).count()
+    assert(bad === 0, "role must be parity of turn_idx")
+    val g = Conversations.Greetings
+    val a = Conversations.Acks
+    val t0 = turns.filter(col("turn_idx") === 0)
+      .filter(!col("text").isin(g: _*)).count()
+    val t1 = turns.filter(col("turn_idx") === 1)
+      .filter(!col("text").isin(a: _*)).count()
+    assert(t0 === 0 && t1 === 0, "turns 0/1 must be the canonical boilerplate")
+  }
+
+  test("chatTurns: content turns reconstruct the document verbatim") {
+    // losslessness: joining each conversation's content turns (idx >= 2,
+    // in order) with single spaces must reproduce documents.text exactly.
+    val rebuilt = turns.filter(col("turn_idx") >= 2)
+      .groupBy("conv_id")
+      .agg(concat_ws(" ",
+        sort_array(collect_list(struct(col("turn_idx"), col("text"))))
+          .getField("text")).as("rebuilt"))
+    val diff = rebuilt
+      .join(docs.select(col("doc_id").as("conv_id"), col("text")), "conv_id")
+      .filter(col("rebuilt") =!= col("text")).count()
+    assert(diff === 0, "content turns must partition the document's words")
+    assert(rebuilt.count() === docs.count(), "every document becomes a conversation")
+  }
+
+  test("turn templates find exactly the injected boilerplate") {
+    val tm = Conversations.turnTemplates(docs)
+      .select("role", "text").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val expected =
+      Conversations.Greetings.map(("user", _)).toSet ++
+        Conversations.Acks.map(("assistant", _)).toSet
+    assert(tm === expected,
+      "template mine must surface the planted greeting/ack strings and nothing else")
+  }
+
+  test("assistant decontam flags exactly the injected conversations, one span each") {
+    val flagged = Conversations.assistantDecontam(spark, docs)
+    val rows = flagged.collect()
+    assert(rows.forall(_.getAs[Long]("n_bench_spans") === 1L),
+      "each planted passage is exactly one benchmark span")
+    assert(rows.forall(_.getAs[Long]("turn_idx") === 3L))
+    val expected = turns.filter(col("conv_id") % 17 === 5 && col("turn_idx") === 3)
+      .select("conv_id").collect().map(_.getLong(0)).toSet
+    assert(rows.map(_.getAs[Long]("conv_id")).toSet === expected,
+      "flagged set == injected convs that are long enough to have turn 3")
+  }
+
+  test("role balance card conserves the turn stream and ends on a role") {
+    val card = Conversations.roleBalanceCard(docs).collect()
+      .map(r => r.getAs[String]("role") -> r).toMap
+    val total = card.values.map(_.getAs[Long]("n_turns")).sum
+    assert(total === turns.count(), "card turn counts partition the stream")
+    val endTotal = card.values.map(_.getAs[Long]("n_convs_last")).sum
+    assert(endTotal === docs.count(), "every conversation ends in exactly one role")
+    // every conv has turns 0 (user) and 1 (assistant)
+    assert(card("user").getAs[Long]("n_convs") === docs.count())
+    assert(card("assistant").getAs[Long]("n_convs") === docs.count())
+  }
+}
