@@ -114,6 +114,18 @@ class SimilarityRecallSpec extends AnyFunSuite {
     SessionHygiene.clear(spark)
   }
 
+  test("recall-curve truth memo is semantics-free: warm re-run equals a cold run") {
+    // q243's truth table is a pure function of (corpus, k, sampleMod) and
+    // is persisted via Memo; the warm path must be answer-identical to
+    // the cold build (the oracle gates cold — this locks warm).
+    graft.ops.Memo.clear()
+    val cold = Similarity.ivfRecallCurve(spark, dir).collect().map(_.toString).sorted
+    SessionHygiene.clear(spark)
+    val warm = Similarity.ivfRecallCurve(spark, dir).collect().map(_.toString).sorted
+    assert(cold.sameElements(warm), "memoized truth table changed the curve")
+    SessionHygiene.clear(spark)
+  }
+
   test("coarse cache invalidates when the directory's parquet content changes") {
     import org.apache.spark.sql.functions.expr
     val tmp = java.nio.file.Files.createTempDirectory("graft-stale").toString
