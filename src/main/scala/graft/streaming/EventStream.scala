@@ -47,6 +47,16 @@ case class SeasonalFlag(event_type: String, day: Long, hour: Long, n: Long,
 case class DriftPoint(event_type: String, day: Long, n: Long,
     cusum_micro: Long, spike: Boolean)
 
+/** Per-(user, type) state for [[EventStream.dupMonitor]]: the one OPEN
+  * (event-time, count) delivery group — fixed-size per key, expired by
+  * event-time timeout once the watermark proves the timestamp closed. */
+case class DupState(t_us: Long, n: Long)
+
+/** One closed delivery group emitted by [[EventStream.dupMonitor]] —
+  * n >= 2 means the event was delivered n times (at-least-once
+  * redelivery); the batch q247 card is a types-bounded rollup of these. */
+case class DupGroup(user_id: Long, event_type: String, t_us: Long, n: Long)
+
 /** Structured-Streaming event analytics (★ SURVEY §2b streaming row):
   * event-time windows with watermarks and session windows over an
   * unbounded event stream. Batch twins of these semantics are oracle-
@@ -195,6 +205,74 @@ object EventStream {
           out.result().iterator
       }
   }
+
+  /** Live at-least-once-delivery monitor — the unbounded twin of
+    * EventOps.duplicateEvents (q247): emits one [[DupGroup]] per
+    * (user, type, event-time) delivery group the moment the group is
+    * PROVABLY closed, so a redelivery storm shows up as n >= 2 groups
+    * while it is happening instead of at the next batch audit. A group
+    * closes two ways: a LATER timestamp arrives for the same key
+    * (closed in-operator, the driftMonitor day-close discipline), or
+    * the WATERMARK passes its timestamp (event-time timeout — a
+    * redelivery of that exact timestamp would now be late-dropped
+    * upstream, so the count is final). Either way each group emits
+    * exactly once.
+    *
+    * State per (user, type) is FIXED-SIZE — the one open (t_us, n) —
+    * and self-expires with the timeout, so key cardinality, not stream
+    * length, bounds the store. [[dupCard]] rolls emitted groups into
+    * q247's card; spec-locked: streamed groups == the batch op's
+    * (user, type, ts) rollup on the same delivered rows, however the
+    * stream is batched. Input columns: (user_id LONG, event_type
+    * STRING, ts TIMESTAMP) with timestamps at micro precision. */
+  def dupMonitor(events: DataFrame,
+      watermarkDelay: String = "10 minutes"): Dataset[DupGroup] = {
+    import events.sparkSession.implicits._
+    def micros(t: java.sql.Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+    events
+      .withWatermark("ts", watermarkDelay)
+      .select(col("user_id").as[Long], col("event_type").as[String],
+        col("ts").as[java.sql.Timestamp])
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: (Long, String), rows: Iterator[(Long, String, java.sql.Timestamp)],
+            state: GroupState[DupState]) =>
+          if (state.hasTimedOut) {
+            // watermark passed the open timestamp: the group is final
+            val st = state.get
+            state.remove()
+            Iterator.single(DupGroup(key._1, key._2, st.t_us, st.n))
+          } else {
+            val counts = scala.collection.mutable.Map.empty[Long, Long]
+            rows.foreach { r =>
+              val us = micros(r._3)
+              counts(us) = counts.getOrElse(us, 0L) + 1L
+            }
+            state.getOption.foreach(st =>
+              counts(st.t_us) = counts.getOrElse(st.t_us, 0L) + st.n)
+            val ts = counts.keys.toSeq.sorted
+            val open = ts.last
+            state.update(DupState(open, counts(open)))
+            // fire once the watermark passes the open timestamp (+1 ms
+            // guard: timeouts are ms, timestamps are us)
+            state.setTimeoutTimestamp(open / 1000L + 1L)
+            ts.dropRight(1).iterator
+              .map(t => DupGroup(key._1, key._2, t, counts(t)))
+          }
+      }
+  }
+
+  /** q247's card over a [[DupGroup]] frame (the collected monitor output
+    * or any batch of closed groups): per type — delivered rows,
+    * duplicate groups, extra rows, micro duplicate share. The same
+    * types-bounded second rollup as the batch op. */
+  def dupCard(groups: DataFrame): DataFrame =
+    groups.groupBy("event_type").agg(
+        sum("n").as("n_events"),
+        expr("CAST(count_if(n >= 2) AS BIGINT)").as("n_dup_groups"),
+        sum(expr("n - 1")).as("n_extra_rows"))
+      .withColumn("dup_micro", expr("(n_extra_rows * 1000000L) div n_events"))
 
   /** Streaming conversion funnel, the unbounded twin of
     * EventOps.funnelStages (q78): a per-user state machine advances

@@ -117,3 +117,162 @@ object SessionProcessor {
         new SessionProcessor(gapMs), TimeMode.EventTime(), OutputMode.Append())
   }
 }
+
+/** One open TYPED session interval: endpoints at MICRO precision with
+  * their event ids (the batch ops sessionize on t_us and tie-break
+  * same-timestamp events by event_id — ms endpoints would merge or
+  * mis-order what the batch keeps apart). */
+case class OpenTypedSession(
+    start_us: Long, start_eid: Long, entry_type: String,
+    end_us: Long, end_eid: Long, exit_type: String, n: Long)
+
+/** One FINAL typed session — carries everything q235 (size) and q236
+  * (entry/exit profile) need, emitted exactly once at watermark close. */
+case class TypedFinalSession(
+    user_id: Long, start_us: Long, end_us: Long, n_events: Long,
+    entry_type: String, exit_type: String)
+
+/** [[SessionProcessor]]'s discipline with TYPED endpoints — the session
+  * stream behind the live q235/q236 cards: each final session carries
+  * its size and its entry/exit event types, so the engagement-shape
+  * card ([[SessionCards.sizeCard]]) and the funnel-design card
+  * ([[SessionCards.entryExitCard]]) are plain bounded rollups over the
+  * EMITTED sessions — no second stateful operator, no event retention.
+  * Micro-precision endpoints + event-id tie-breaks make the streamed
+  * sessions equal the batch ops' rows exactly (spec-locked).
+  *
+  * Same shape bounds as [[SessionProcessor]]: ListState of open
+  * sessions per user, one event-time timer at the earliest possible
+  * close, exactly-once emission. */
+class TypedSessionProcessor(gapUs: Long)
+    extends StatefulProcessor[Long, (Long, Timestamp, Long, String), TypedFinalSession] {
+
+  @transient private var open: ListState[OpenTypedSession] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    open = getHandle.getListState[OpenTypedSession](
+      "open", Encoders.product[OpenTypedSession], TTLConfig.NONE)
+
+  private def merged(sessions: ArrayBuffer[OpenTypedSession]): ArrayBuffer[OpenTypedSession] = {
+    val sorted = sessions.sortBy(s => (s.start_us, s.start_eid))
+    val out = ArrayBuffer.empty[OpenTypedSession]
+    for (s <- sorted) {
+      if (out.nonEmpty && s.start_us <= out.last.end_us + gapUs) {
+        val p = out.remove(out.length - 1)
+        // exit = endpoint with the greater (end_us, end_eid); entry = p's
+        // (sort order guarantees p's start is the lesser endpoint)
+        val sWins = s.end_us > p.end_us || (s.end_us == p.end_us && s.end_eid > p.end_eid)
+        val (eu, ee, et) =
+          if (sWins) (s.end_us, s.end_eid, s.exit_type) else (p.end_us, p.end_eid, p.exit_type)
+        out += OpenTypedSession(p.start_us, p.start_eid, p.entry_type,
+          eu, ee, et, p.n + s.n)
+      } else out += s
+    }
+    out
+  }
+
+  private def rearm(sessions: Seq[OpenTypedSession]): Unit = {
+    getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+    if (sessions.nonEmpty)
+      getHandle.registerTimer((sessions.map(_.end_us).min + gapUs) / 1000L + 1L)
+  }
+
+  override def handleInputRows(
+      key: Long,
+      rows: Iterator[(Long, Timestamp, Long, String)],
+      timerValues: TimerValues): Iterator[TypedFinalSession] = {
+    def micros(t: Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+    val buf = ArrayBuffer.empty[OpenTypedSession]
+    if (open.exists()) buf ++= open.get()
+    rows.foreach { case (_, ts, eid, tpe) =>
+      val t = micros(ts)
+      buf += OpenTypedSession(t, eid, tpe, t, eid, tpe, 1L)
+    }
+    val m = merged(buf)
+    open.put(m.toArray)
+    rearm(m.toSeq)
+    Iterator.empty
+  }
+
+  override def handleExpiredTimer(
+      key: Long,
+      timerValues: TimerValues,
+      expiredTimerInfo: ExpiredTimerInfo): Iterator[TypedFinalSession] = {
+    // strict <: an event at EXACTLY end + gap still merges in the batch
+    // semantics and is not yet late at watermark == end + gap
+    val wmUs = timerValues.getCurrentWatermarkInMs() * 1000L
+    val all = if (open.exists()) open.get().toSeq else Seq.empty
+    val (done, still) = all.partition(_.end_us + gapUs < wmUs)
+    if (still.isEmpty) open.clear() else open.put(still.toArray)
+    rearm(still)
+    done.sortBy(_.start_us).iterator
+      .map(s => TypedFinalSession(key, s.start_us, s.end_us, s.n,
+        s.entry_type, s.exit_type))
+  }
+}
+
+object TypedSessionProcessor {
+  /** Final-only TYPED sessionization of (user_id, ts, event_id,
+    * event_type) streams — the session stream the live q235/q236 cards
+    * roll up. */
+  def sessions(
+      events: DataFrame,
+      gapUs: Long = 1800000000L,
+      watermark: String = "10 minutes"): Dataset[TypedFinalSession] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .select(col("user_id").as[Long], col("ts").as[Timestamp],
+        col("event_id").as[Long], col("event_type").as[String])
+      .groupByKey(_._1)
+      .transformWithState(
+        new TypedSessionProcessor(gapUs), TimeMode.EventTime(), OutputMode.Append())
+  }
+}
+
+/** The q235/q236 cards as rollups over a [[TypedFinalSession]] frame
+  * (the collected stream output, or any batch of final sessions) — the
+  * live twins of EventOps.sessionSizes / entryExitTypes. Both are
+  * bounded aggregations: sizes collapse to distinct-level rows, the
+  * profile is types-bounded; neither touches events again. */
+object SessionCards {
+  import org.apache.spark.sql.functions.{broadcast, count, expr, lit, max, min, sum, when}
+
+  /** q235's card over final sessions: tie-aware exact p50/p90/p99 of
+    * n_events via the count-of-counts discipline. */
+  def sizeCard(sessions: DataFrame): DataFrame = {
+    val levels = sessions.select(col("n_events").as("sz"))
+      .groupBy("sz").agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("sz")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    levels.withColumn("cum", sum("cnt").over(w))
+      .crossJoin(broadcast(levels.agg(sum("cnt").as("n"),
+        sum(expr("sz * cnt")).as("n_events"))))
+      .agg(
+        max("n").as("n_sessions"),
+        max("n_events").as("n_events"),
+        min(when(expr("cum * 100 >= 50 * n"), col("sz"))).as("p50"),
+        min(when(expr("cum * 100 >= 90 * n"), col("sz"))).as("p90"),
+        min(when(expr("cum * 100 >= 99 * n"), col("sz"))).as("p99"),
+        max("sz").as("max_size"))
+      .withColumn("mean_micro", expr("(n_events * 1000000L) div n_sessions"))
+  }
+
+  /** q236's card over final sessions: per event type, how many sessions
+    * it opens and closes, with micro shares of all sessions. */
+  def entryExitCard(sessions: DataFrame): DataFrame = {
+    val entries = sessions.groupBy(col("entry_type").as("event_type"))
+      .agg(count(lit(1)).as("n_entry"))
+    val exits = sessions.groupBy(col("exit_type").as("event_type"))
+      .agg(count(lit(1)).as("n_exit"))
+    entries.join(exits, Seq("event_type"), "full_outer")
+      .na.fill(0L, Seq("n_entry", "n_exit"))
+      .crossJoin(broadcast(sessions.agg(count(lit(1)).as("n_sessions"))))
+      .withColumn("entry_share_micro", expr("(n_entry * 1000000L) div n_sessions"))
+      .withColumn("exit_share_micro", expr("(n_exit * 1000000L) div n_sessions"))
+      .select("event_type", "n_entry", "n_exit", "n_sessions",
+        "entry_share_micro", "exit_share_micro")
+  }
+}

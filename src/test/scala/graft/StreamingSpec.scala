@@ -1061,4 +1061,93 @@ class StreamingSpec extends AnyFunSuite {
     assert(knnRows() == want, "replayed batches must leave every answer unchanged")
     SessionHygiene.clear(spark)
   }
+
+  test("dup monitor: streamed delivery groups == batch q247 rollup, card identical") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    import graft.streaming.DupGroup
+    val ev = graft.ops.EventOps.events(spark, "/root/testdata/sf0.001")
+      .select("event_id", "user_id", "event_type", "ts") // ts: epoch ns
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    // replay injection (q247's): every 13th event delivered twice — the
+    // duplicate rides in the SAME micro-batch as a prompt redelivery does
+    val delivered = (ev ++ ev.filter(_._1 % 13 == 0)).sortBy(_._4)
+    val batches = delivered.grouped((delivered.length + 2) / 3).toSeq
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val q = EventStream.dupMonitor(mem.toDF().toDF("user_id", "event_type", "ts"))
+      .writeStream.outputMode("append").format("memory").queryName("dupmon").start()
+    try {
+      def rows(b: Seq[(Long, Long, String, Long)]) = b.map { case (_, u, t, ns) =>
+        val tsn = new Timestamp(ns / 1000000L)
+        tsn.setNanos(((ns % 1000000000L) / 1000L * 1000L).toInt)
+        (u, t, tsn)
+      }
+      batches.foreach { b => mem.addData(rows(b): _*); q.processAllAvailable() }
+      // sentinel far past every group + watermark delay: every timeout fires
+      mem.addData((-1L, "x", new Timestamp(delivered.last._4 / 1000000L + 86400000L)))
+      q.processAllAvailable()
+      val got = spark.table("dupmon").as[DupGroup].collect()
+        .filter(_.user_id >= 0)
+        .map(g => (g.user_id, g.event_type, g.t_us * 1000L) -> g.n).toMap
+      val want = delivered.groupBy(e => (e._2, e._3, e._4)).view
+        .mapValues(_.length.toLong).toMap
+      assert(got.size == want.size && got == want,
+        "streamed groups must equal the (user, type, ts) delivery rollup")
+      // card == batch q247 on the same delivered rows
+      val injected = delivered.map { case (_, u, t, ns) => (u, t, ns) }
+        .toSeq.toDF("user_id", "event_type", "ts")
+      def cardMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => r.getAs[String]("event_type") ->
+          ((r.getAs[Long]("n_events"), r.getAs[Long]("n_dup_groups"),
+            r.getAs[Long]("n_extra_rows"), r.getAs[Long]("dup_micro")))).toMap
+      val live = EventStream.dupCard(
+        spark.table("dupmon").filter(col("user_id") >= 0))
+      assert(cardMap(live) == cardMap(graft.ops.EventOps.duplicateEvents(injected)),
+        "live card must equal the batch q247 card")
+    } finally q.stop()
+  }
+
+  test("typed sessions: live q235/q236 cards == batch cards on the event table") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    import graft.streaming.{SessionCards, TypedSessionProcessor}
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val batchEv = graft.ops.EventOps.events(spark, "/root/testdata/sf0.001")
+    val ev = batchEv.select("event_id", "user_id", "event_type", "ts")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._4)
+    val batches = ev.grouped((ev.length + 2) / 3).toSeq
+    val mem = MemoryStream[(Long, Long, String, Timestamp)]
+    val q = TypedSessionProcessor.sessions(
+        mem.toDF().toDF("event_id", "user_id", "event_type", "ts"))
+      .writeStream.outputMode("append").format("memory").queryName("typedsess").start()
+    try {
+      def rows(b: Seq[(Long, Long, String, Long)]) = b.map { case (e, u, t, ns) =>
+        val tsn = new Timestamp(ns / 1000000L)
+        tsn.setNanos(((ns % 1000000000L) / 1000L * 1000L).toInt)
+        (e, u, t, tsn)
+      }
+      batches.foreach { b => mem.addData(rows(b): _*); q.processAllAvailable() }
+      mem.addData((-1L, -1L, "x", new Timestamp(ev.last._4 / 1000000L + 86400000L)))
+      q.processAllAvailable()
+      val sessions = spark.table("typedsess").filter(col("user_id") >= 0)
+        .localCheckpoint()
+      def rowsOf(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(_.toString).sorted.toSeq
+      assert(rowsOf(SessionCards.sizeCard(sessions)) ==
+        rowsOf(graft.ops.EventOps.sessionSizes(batchEv)),
+        "live size card must equal batch q235")
+      assert(rowsOf(SessionCards.entryExitCard(sessions)) ==
+        rowsOf(graft.ops.EventOps.entryExitTypes(batchEv)),
+        "live entry/exit card must equal batch q236")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
