@@ -2114,6 +2114,87 @@ object Similarity {
         - max(CASE WHEN grp = 'neg' THEN sim END) AS margin
     FROM rr WHERE rn = 1 GROUP BY id_a"""
 
+  /** Encoder-version embedding drift audit (q256): per label, the
+    * centroid displacement and mean-norm shift between two embedding
+    * versions of the SAME corpus — the vector-side completion of the
+    * corpus-diff family (q164/q184/q190/q191 diff TEXT between
+    * versions; this diffs the GEOMETRY an encoder bump moved under a
+    * frozen index) and the retrain signal that pairs with q171's
+    * occupancy drift and q206's PQ error: a label whose centroid moved
+    * is a label whose IVF cells and PQ codebooks no longer fit.
+    *
+    * v2 derivation (the q164 injection discipline — the derivation
+    * lives in the QUERY; library callers pass two real embedding
+    * tables): a deterministic per-dimension shift of (3+label)·1000
+    * quantized units on every 4th dimension — a label-dependent
+    * translation, so the audit's output differentiates labels exactly.
+    *
+    * Determinism: qv is the exact quantized BIGINT vector; per-(label,
+    * dim) sums are exact; Σ(s2−s1)² is DECIMAL-widened BEFORE summing;
+    * displacement = floor(sqrt(Σds²)/n) and per-vec norms
+    * floor(sqrt(nrm)) are single IEEE ops on identical exact operands;
+    * means are integral divisions.
+    *
+    * Scale shape: ONE vector scan (checkpointed 2-version projection);
+    * the (label × dim)-keyed rollup is the only vector-volume exchange
+    * (map-side combined, output labels·dim rows); norms roll up per
+    * label off the same frame; output is label-cardinality. No joins
+    * over vectors, no windows, no pairs. */
+  def embeddingVersionDrift(spark: SparkSession, dir: String): DataFrame = {
+    val q = quantized(spark, dir)
+      .withColumn("qv2", expr(
+        "transform(qv, (x, i) -> x + CASE WHEN (i + 1) % 4 = 1 THEN CAST((3 + label) * 1000 AS BIGINT) ELSE CAST(0 AS BIGINT) END)"))
+      .withColumn("nrm2", expr("quantized_dot(qv2, qv2)"))
+      .localCheckpoint() // feeds the dim rollup AND the norm rollup
+    val disp = q
+      .select(col("label"), posexplode(arrays_zip(col("qv"), col("qv2"))))
+      .groupBy(col("label"), col("pos").as("d"))
+      .agg(sum(expr("col.qv")).as("s1"), sum(expr("col.qv2")).as("s2"))
+      .groupBy("label")
+      .agg(sum(expr("CAST(s2 - s1 AS DECIMAL(38,0)) * (s2 - s1)")).as("ssq"))
+    val norms = q.groupBy("label").agg(
+      count(lit(1)).as("n_vecs"),
+      sum(expr("CAST(floor(sqrt(CAST(nrm AS DOUBLE))) AS DECIMAL(38,0))")).as("sn1"),
+      sum(expr("CAST(floor(sqrt(CAST(nrm2 AS DOUBLE))) AS DECIMAL(38,0))")).as("sn2"))
+    norms.join(disp, "label")
+      .withColumn("disp_micro",
+        expr("CAST(floor(sqrt(CAST(ssq AS DOUBLE)) / n_vecs) AS BIGINT)"))
+      .withColumn("mean_norm1_micro", expr("CAST(sn1 div n_vecs AS BIGINT)"))
+      .withColumn("mean_norm2_micro", expr("CAST(sn2 div n_vecs AS BIGINT)"))
+      .withColumn("norm_shift_micro",
+        col("mean_norm2_micro") - col("mean_norm1_micro"))
+      .select("label", "n_vecs", "disp_micro", "mean_norm1_micro",
+        "mean_norm2_micro", "norm_shift_micro")
+  }
+
+  val embeddingVersionDriftSql: String =
+    s"""WITH q AS (SELECT vec_id, label, $quantSql AS qv FROM embeddings),
+      v AS (SELECT vec_id, label, qv,
+            list_transform(range(1, len(qv) + 1),
+              i -> qv[i] + CASE WHEN i % 4 = 1 THEN (3 + label) * 1000 ELSE 0 END) AS qv2
+          FROM q),
+      nr AS (SELECT label,
+            CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS nrm,
+            CAST(list_sum(list_transform(qv2, x -> x * x)) AS BIGINT) AS nrm2
+          FROM v),
+      norms AS (SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+            SUM(CAST(floor(sqrt(CAST(nrm AS DOUBLE))) AS HUGEINT)) AS sn1,
+            SUM(CAST(floor(sqrt(CAST(nrm2 AS DOUBLE))) AS HUGEINT)) AS sn2
+          FROM nr GROUP BY 1),
+      dims AS (SELECT label, i AS d,
+            CAST(SUM(qv[i]) AS BIGINT) AS s1, CAST(SUM(qv2[i]) AS BIGINT) AS s2
+          FROM (SELECT label, qv, qv2, unnest(range(1, len(qv) + 1)) AS i FROM v)
+          GROUP BY 1, 2),
+      disp AS (SELECT label, SUM(CAST(s2 - s1 AS HUGEINT) * (s2 - s1)) AS ssq
+          FROM dims GROUP BY 1)
+      SELECT norms.label, norms.n_vecs,
+        CAST(floor(sqrt(CAST(ssq AS DOUBLE)) / n_vecs) AS BIGINT) AS disp_micro,
+        CAST(sn1 // n_vecs AS BIGINT) AS mean_norm1_micro,
+        CAST(sn2 // n_vecs AS BIGINT) AS mean_norm2_micro,
+        CAST(sn2 // n_vecs AS BIGINT) - CAST(sn1 // n_vecs AS BIGINT)
+          AS norm_shift_micro
+      FROM norms JOIN disp USING (label)"""
+
   val queries: Seq[QueryDef] = Seq(
     // The driver's pandas compare can't sort ARRAY columns, so the query
     // projects the centroid through array_join; labelCentroids keeps the
@@ -2264,6 +2345,9 @@ object Similarity {
       (s, d) => embeddingNormAudit(s, d),
       Some(embeddingNormAuditSql)),
 
+    QueryDef("q256_embedding_version_drift",
+      (s, d) => embeddingVersionDrift(s, d),
+      Some(embeddingVersionDriftSql)),
     QueryDef("q243_ivf_recall_curve",
       (s, d) => ivfRecallCurve(s, d),
       Some(ivfRecallCurveSql())),
