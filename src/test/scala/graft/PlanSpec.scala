@@ -437,6 +437,34 @@ class PlanSpec extends AnyFunSuite {
     assert(unions <= 1, s"one union of 1-row branches, got $unions Union nodes")
   }
 
+  test("q251: the turn parse is a stateless explode above the scan — no exchange") {
+    val p = plan("q251_chat_turns")
+    assert(!p.contains("Exchange"), "chatTurns must not shuffle")
+    assert(p.contains("Generate"), "the turn explode must be a Generate node")
+  }
+
+  test("q254: benchmark fingerprints join broadcast, never cartesian") {
+    val p = plan("q254_asst_decontam")
+    assert(p.contains("BroadcastHashJoin"), "the benchmark side must broadcast")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("SortMergeJoin"), "a 2-row benchmark must never sort-merge")
+  }
+
+  test("q252: turn-dedup card aggregates map-side before both exchanges") {
+    val p = plan("q252_turn_dedup_card")
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 4,
+      "fp rollup and role rollup must both be partial+final")
+    assert(!p.contains("rangepartitioning"), "no global sort in a card")
+  }
+
+  test("q256: drift audit has no pair frame and no global sort") {
+    val p = plan("q256_embedding_version_drift")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("rangepartitioning"))
+    // the (label x dim) rollup must combine map-side: partial+final pairs
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 4)
+  }
+
   test("catalog missing-series plans as broadcast left-anti") {
     import spark.implicits._
     val headers = Seq((0, "1", "n", 0)).toDF("fileOrd", "externalId", "name", "colIndex")
