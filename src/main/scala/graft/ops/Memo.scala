@@ -45,14 +45,34 @@ object Memo {
     else s"$dir/$table@${fs.map(_.length()).sum}:${fs.map(_.lastModified()).max}"
   }
 
+  /** JVM-private scratch root, removed on JVM exit. The pid scope
+    * matters: the in-JVM cache means every JVM builds its own artifacts
+    * anyway, and a path shared ACROSS JVMs lets two concurrent
+    * pipelines over the same corpus overwrite each other's parquet
+    * mid-read (observed in the r9 partition-independence run: a
+    * parallel session's artifact rewrite made a consumer's read fail
+    * transiently). In the production shape the store is a shared
+    * catalogued artifact service with one writer per corpus version;
+    * this scratch stands in for it within one JVM only. */
+  private lazy val scratchBase: String = {
+    val d = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft-memo-${ProcessHandle.current().pid()}")
+    d.mkdirs()
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def del(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(del)); f.delete(); ()
+      }
+      del(d)
+    }))
+    d.getAbsolutePath
+  }
+
   /** The artifact `name` derived from `<dir>/<table>.parquet`: built and
-    * written once per (JVM, corpus version), loaded thereafter. The
-    * scratch path is deterministic per (name, dir), so a fresh JVM
-    * overwrites rather than accumulates. */
+    * written once per (JVM, corpus version), loaded thereafter from the
+    * JVM-private scratch. */
   def persistedFrame(spark: SparkSession, dir: String, table: String,
       name: String)(build: => DataFrame): DataFrame = {
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft-memo-$name-" +
-      dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val path = s"$scratchBase/$name-" + dir.replaceAll("[^A-Za-z0-9._-]", "_")
     cache.getOrElseUpdate(s"${fingerprint(dir, table)}->$name->$path", {
       build.write.mode("overwrite").parquet(path); path
     })
