@@ -325,6 +325,60 @@ object Conversations {
       FROM card LEFT JOIN ec USING (role)"""
 
   // -------------------------------------------------------------------
+  // JSONL chat ingest
+  // -------------------------------------------------------------------
+
+  /** The de-facto chat interchange schema: one conversation per JSONL
+    * line, `{"conv_id": ..., "messages": [{"role": ..., "content":
+    * ...}, ...]}` — read through [[graft.sources.JsonlCorpus]] with
+    * this pinned schema (no inference pass, malformed lines
+    * quarantined in `_corrupt_record`). */
+  val ChatSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("conv_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("messages",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("role",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("content",
+              org.apache.spark.sql.types.StringType)))))))
+
+  val Roles = Seq("system", "user", "assistant")
+
+  /** Parse a messages-array frame (the [[ChatSchema]] shape) into the
+    * turn table every op in this family consumes: (conv_id, turn_idx,
+    * role, text, valid_role). `valid_role` flags turns whose role is
+    * outside {system, user, assistant} — kept as a column, not a
+    * filter, so the caller decides between dropping and dead-lettering
+    * (the JsonlCorpus quarantine discipline at TURN granularity).
+    *
+    * Scale shape: one `posexplode` above the scan — no exchange; the
+    * JSONL parse itself is the splittable codegen'd json reader. */
+  def fromMessages(convs: DataFrame): DataFrame =
+    convs
+      .select(col("conv_id"), posexplode(col("messages")))
+      .select(col("conv_id"), col("pos").cast("long").as("turn_idx"),
+        col("col.role").as("role"), col("col.content").as("text"))
+      .withColumn("valid_role", col("role").isin(Roles: _*))
+
+  /** Inverse of [[fromMessages]]: fold a turn table back into one
+    * messages-array row per conversation (for JSONL export via
+    * [[graft.sources.JsonlCorpus.write]]). One conv-keyed exchange;
+    * ordering inside the array is by turn_idx (sort_array on the
+    * packed struct — turn_idx leads, so the struct sort IS the turn
+    * sort). */
+  def toMessages(turns: DataFrame): DataFrame =
+    turns
+      .groupBy("conv_id")
+      .agg(sort_array(collect_list(struct(col("turn_idx"), col("role"), col("text"))))
+        .as("packed"))
+      .select(col("conv_id"),
+        expr("transform(packed, p -> struct(p.role AS role, p.text AS content))")
+          .as("messages"))
+
+  // -------------------------------------------------------------------
 
   def queries: Seq[QueryDef] = Seq(
     QueryDef("q251_chat_turns",

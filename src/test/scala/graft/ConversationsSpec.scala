@@ -67,6 +67,31 @@ class ConversationsSpec extends AnyFunSuite {
       "flagged set == injected convs that are long enough to have turn 3")
   }
 
+  test("JSONL chat ingest round-trips the turn table exactly; torn lines quarantine") {
+    import org.apache.spark.sql.functions.{col => c}
+    val dir = java.nio.file.Files.createTempDirectory("chat-jsonl").toString
+    // export the derived conversations as messages-array JSONL...
+    graft.sources.JsonlCorpus.write(Conversations.toMessages(turns), dir)
+    // ...append one torn line to a shard
+    val shard = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".json")).head
+    java.nio.file.Files.write(shard.toPath,
+      "{\"conv_id\": 999999, \"messages\": [{\"role\": \"user\", \"co".getBytes,
+      java.nio.file.StandardOpenOption.APPEND)
+    // the raw append invalidates the local-FS checksum sidecar Spark's
+    // writer left; a real torn upload has no crc — drop it
+    new java.io.File(shard.getParent, s".${shard.getName}.crc").delete()
+    val back = graft.sources.JsonlCorpus.read(spark, dir, Conversations.ChatSchema)
+    val (good, bad) = graft.sources.JsonlCorpus.quarantine(back)
+    assert(bad.count() === 1, "the torn line must land in the dead-letter side")
+    val reparsed = Conversations.fromMessages(good)
+    assert(reparsed.filter(!c("valid_role")).count() === 0)
+    val a = reparsed.select("conv_id", "turn_idx", "role", "text")
+      .collect().map(_.toString).sorted.toSeq
+    val b = turns.collect().map(_.toString).sorted.toSeq
+    assert(a == b, "JSONL export -> read -> parse must reproduce the turn table")
+  }
+
   test("role balance card conserves the turn stream and ends on a role") {
     val card = Conversations.roleBalanceCard(docs).collect()
       .map(r => r.getAs[String]("role") -> r).toMap
