@@ -325,6 +325,166 @@ object Conversations {
       FROM card LEFT JOIN ec USING (role)"""
 
   // -------------------------------------------------------------------
+  // Packing, rendering, parroting
+  // -------------------------------------------------------------------
+
+  /** Per-turn template overhead in tokens (role tag + separator) for
+    * the packing budget. */
+  val TagTokens = 3L
+  val PackCapacity = 256L
+
+  /** q257: conversation packing — q72's streaming-packer shape at
+    * CONVERSATION granularity: each conversation's SFT token budget is
+    * its word count plus [[TagTokens]] per turn (chat-template
+    * overhead an SFT batcher must budget, which document packing never
+    * sees), and conversations pack whole into capacity-C bins in
+    * conv_id order (a conversation must never split across sequences —
+    * the loss mask would span sequence boundaries).
+    *
+    * Scale shape: the turn stream collapses to a conv-keyed rollup
+    * first; the cumulative window runs per SOURCE over conv-level rows
+    * (q72's distributed-window discipline — no global sort); output is
+    * bins-bounded. */
+  def packConversations(docs: DataFrame, capacity: Long = PackCapacity): DataFrame = {
+    val ct = chatTurns(docs)
+      .withColumn("n_words", size(split(col("text"), " ")).cast("long"))
+      .groupBy("conv_id")
+      .agg((sum("n_words") + count(lit(1)) * TagTokens).as("n_tok"))
+      .join(docs.select(col("doc_id").as("conv_id"), col("source")), "conv_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("conv_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    ct.withColumn("cum", sum(col("n_tok")).over(w))
+      .withColumn("bin", expr(s"(cum - n_tok) div $capacity"))
+      .groupBy("source", "bin")
+      .agg(count(lit(1)).as("n_convs"), sum(col("n_tok")).as("n_tokens"),
+        min(col("conv_id")).as("first_conv"), max(col("conv_id")).as("last_conv"))
+      .withColumn("fill_micro", expr(
+        s"CAST((CAST(n_tokens AS DECIMAL(38,0)) * 1000000) div $capacity AS BIGINT)"))
+  }
+
+  def packConversationsSql(capacity: Long = PackCapacity): String =
+    s"""WITH ${chatTurnsCte},
+      ct AS (SELECT conv_id,
+            CAST(SUM(len(string_split(text, ' '))) + count(*) * $TagTokens AS BIGINT)
+              AS n_tok
+          FROM turns GROUP BY 1),
+      cs AS (SELECT ct.conv_id, ct.n_tok, d.source
+          FROM ct JOIN documents d ON d.doc_id = ct.conv_id),
+      c AS (SELECT source, conv_id, n_tok,
+            SUM(n_tok) OVER (PARTITION BY source ORDER BY conv_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM cs)
+      SELECT source, CAST((cum - n_tok) // $capacity AS BIGINT) AS bin,
+        CAST(count(*) AS BIGINT) AS n_convs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+        MIN(conv_id) AS first_conv, MAX(conv_id) AS last_conv,
+        CAST((CAST(SUM(n_tok) AS HUGEINT) * 1000000) // $capacity AS BIGINT)
+          AS fill_micro
+      FROM c GROUP BY 1, 2"""
+
+  /** Role tags of the rendered chat template. */
+  val UserTag = "<|user|>"
+  val AsstTag = "<|assistant|>"
+
+  /** q258: chat-template layout card — per conversation, the exact
+    * rendered-string geometry an SFT tokenizer pipeline needs WITHOUT
+    * materializing any string: rendered length (role tag + text + one
+    * newline per turn), the assistant-content character mass the loss
+    * mask covers, its micro fraction, and turn counts. A corpus whose
+    * mask fraction is tiny trains mostly on prompts; this is the
+    * screen that catches it. [[renderConversations]] materializes the
+    * same layout for export and is spec-locked to these numbers.
+    *
+    * Scale shape: pure integer arithmetic in one conv-keyed rollup of
+    * the turn stream; output is conversation-cardinality with 6 small
+    * columns. */
+  def chatRenderCard(docs: DataFrame): DataFrame =
+    chatTurns(docs)
+      .withColumn("tag_len",
+        when(col("role") === "user", lit(UserTag.length.toLong))
+          .otherwise(lit(AsstTag.length.toLong)))
+      .withColumn("seg_len", col("tag_len") + length(col("text")).cast("long") + 1L)
+      .groupBy("conv_id")
+      .agg(count(lit(1)).as("n_turns"),
+        expr("CAST(count_if(role = 'assistant') AS BIGINT)").as("n_asst_turns"),
+        sum("seg_len").as("n_chars"),
+        sum(when(col("role") === "assistant", length(col("text")).cast("long"))
+          .otherwise(0L)).as("masked_chars"))
+      .withColumn("mask_frac_micro", expr(
+        "CAST((CAST(masked_chars AS DECIMAL(38,0)) * 1000000) div n_chars AS BIGINT)"))
+
+  val chatRenderCardSql: String =
+    s"""WITH ${chatTurnsCte},
+      seg AS (SELECT conv_id, role,
+            CAST(CASE WHEN role = 'user' THEN ${UserTag.length}
+                 ELSE ${AsstTag.length} END + length(text) + 1 AS BIGINT) AS seg_len,
+            CAST(length(text) AS BIGINT) AS text_len
+          FROM turns)
+      SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+        CAST(count(*) FILTER (WHERE role = 'assistant') AS BIGINT) AS n_asst_turns,
+        CAST(SUM(seg_len) AS BIGINT) AS n_chars,
+        CAST(SUM(CASE WHEN role = 'assistant' THEN text_len ELSE 0 END) AS BIGINT)
+          AS masked_chars,
+        CAST((CAST(SUM(CASE WHEN role = 'assistant' THEN text_len ELSE 0 END)
+          AS HUGEINT) * 1000000) // SUM(seg_len) AS BIGINT) AS mask_frac_micro
+      FROM seg GROUP BY conv_id"""
+
+  /** The rendered training string per conversation (for export):
+    * `<|role|>text\n` per turn in order. One conv-keyed exchange; the
+    * packed-struct sort is the turn sort. Spec-locked: lengths equal
+    * [[chatRenderCard]]'s n_chars exactly. */
+  def renderConversations(turns: DataFrame): DataFrame =
+    turns
+      .withColumn("seg", concat(
+        when(col("role") === "user", lit(UserTag)).otherwise(lit(AsstTag)),
+        col("text"), lit("\n")))
+      .groupBy("conv_id")
+      .agg(sort_array(collect_list(struct(col("turn_idx"), col("seg")))).as("packed"))
+      .select(col("conv_id"),
+        expr("array_join(transform(packed, p -> p.seg), '')").as("rendered"))
+
+  /** q259: assistant parroting screen — assistant turns whose text
+    * VERBATIM repeats the immediately preceding user turn (a model
+    * that echoes the prompt, or an annotation pipeline that pasted the
+    * question as the answer; SFT on parrots teaches parroting). Exact
+    * match via one lag window per conversation; the query layer plants
+    * parrots on conv_id % 23 = 7 at turn 3 (the injection discipline —
+    * organic word-salad parrots don't exist at 1x).
+    *
+    * Scale shape: one conv-keyed window over the turn stream (lag of
+    * the previous turn's text), stateless compare, flagged-rows-bounded
+    * output. */
+  def parrotingScreen(docs: DataFrame): DataFrame = {
+    val injected = chatTurns(docs)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("conv_id").orderBy("turn_idx")
+    injected
+      .withColumn("text", expr(
+        """CASE WHEN conv_id % 23 = 7 AND turn_idx = 3
+             THEN lag(text, 1) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+             ELSE text END"""))
+      .withColumn("prev_text", lag("text", 1).over(w))
+      .filter(col("role") === "assistant" && col("text") === col("prev_text"))
+      .select(col("conv_id"), col("turn_idx"),
+        size(split(col("text"), " ")).cast("long").as("n_words"))
+  }
+
+  val parrotingScreenSql: String =
+    s"""WITH ${chatTurnsCte},
+      inj AS (SELECT conv_id, turn_idx, role,
+            CASE WHEN conv_id % 23 = 7 AND turn_idx = 3
+              THEN lag(text, 1) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+              ELSE text END AS text
+          FROM turns),
+      lg AS (SELECT conv_id, turn_idx, role, text,
+            lag(text, 1) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_text
+          FROM inj)
+      SELECT conv_id, turn_idx,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+      FROM lg WHERE role = 'assistant' AND text = prev_text"""
+
+  // -------------------------------------------------------------------
   // JSONL chat ingest
   // -------------------------------------------------------------------
 
@@ -391,5 +551,12 @@ object Conversations {
       (s, d) => assistantDecontam(s, t(s, d, "documents")),
       Some(assistantDecontamSql)),
     QueryDef("q255_role_balance",
-      (s, d) => roleBalanceCard(t(s, d, "documents")), Some(roleBalanceCardSql)))
+      (s, d) => roleBalanceCard(t(s, d, "documents")), Some(roleBalanceCardSql)),
+    QueryDef("q257_conv_packing",
+      (s, d) => packConversations(t(s, d, "documents")),
+      Some(packConversationsSql())),
+    QueryDef("q258_chat_render_card",
+      (s, d) => chatRenderCard(t(s, d, "documents")), Some(chatRenderCardSql)),
+    QueryDef("q259_parroting_screen",
+      (s, d) => parrotingScreen(t(s, d, "documents")), Some(parrotingScreenSql)))
 }

@@ -67,6 +67,55 @@ class ConversationsSpec extends AnyFunSuite {
       "flagged set == injected convs that are long enough to have turn 3")
   }
 
+  test("conversation packing conserves budgets and never splits a conversation") {
+    import org.apache.spark.sql.functions.{col => c, expr, sum => fsum, count => fcount, lit}
+    val bins = Conversations.packConversations(docs)
+    val convBudgets = Conversations.chatTurns(docs)
+      .withColumn("n_words", org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.split(c("text"), " ")).cast("long"))
+      .groupBy("conv_id")
+      .agg((fsum("n_words") + fcount(lit(1)) * Conversations.TagTokens).as("n_tok"))
+    assert(bins.agg(fsum("n_convs")).collect()(0).getLong(0) === docs.count(),
+      "every conversation lands in exactly one bin")
+    assert(bins.agg(fsum("n_tokens")).collect()(0).getLong(0) ===
+      convBudgets.agg(fsum("n_tok")).collect()(0).getLong(0),
+      "bin token totals conserve the conversation budgets")
+    // bins are contiguous id ranges per source: next bin's first conv
+    // must exceed this bin's last
+    val overlaps = bins.as("a").join(bins.as("b"),
+      c("a.source") === c("b.source") && c("a.bin") + 1 === c("b.bin") &&
+        c("b.first_conv") <= c("a.last_conv")).count()
+    assert(overlaps === 0)
+  }
+
+  test("rendered conversations match the layout card exactly") {
+    import org.apache.spark.sql.functions.{col => c, length}
+    val card = Conversations.chatRenderCard(docs)
+      .select("conv_id", "n_chars")
+    val rendered = Conversations.renderConversations(turns)
+      .select(c("conv_id"), length(c("rendered")).cast("long").as("len"))
+    val diff = card.join(rendered, "conv_id")
+      .filter(c("n_chars") =!= c("len")).count()
+    assert(diff === 0, "card geometry must equal materialized string lengths")
+    assert(card.count() === docs.count())
+  }
+
+  test("parroting screen flags exactly the injected echo turns") {
+    import org.apache.spark.sql.functions.{col => c}
+    val flagged = Conversations.parrotingScreen(docs).collect()
+    assert(flagged.forall(_.getAs[Long]("turn_idx") === 3L))
+    val expected = turns.filter(c("conv_id") % 23 === 7 && c("turn_idx") === 3)
+      .select("conv_id").collect().map(_.getLong(0)).toSet
+    assert(flagged.map(_.getAs[Long]("conv_id")).toSet === expected,
+      "flagged set == injected convs long enough to have turn 3")
+    // the parrot copies turn 2: word counts must match the user turn's
+    val t2 = turns.filter(c("turn_idx") === 2)
+      .select(c("conv_id"), org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.split(c("text"), " ")).cast("long").as("w"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(flagged.forall(f => f.getAs[Long]("n_words") == t2(f.getAs[Long]("conv_id"))))
+  }
+
   test("JSONL chat ingest round-trips the turn table exactly; torn lines quarantine") {
     import org.apache.spark.sql.functions.{col => c}
     val dir = java.nio.file.Files.createTempDirectory("chat-jsonl").toString
