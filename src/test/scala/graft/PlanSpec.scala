@@ -465,6 +465,25 @@ class PlanSpec extends AnyFunSuite {
     assert(p.linesIterator.count(_.contains("HashAggregate")) >= 4)
   }
 
+  test("q260/q262/q263: preference cards are joinless single rollups") {
+    Seq("q260_pref_model_card", "q262_length_bias", "q263_position_bias")
+      .foreach { q =>
+        val p = plan(q)
+        assert(!p.contains("Join"), s"$q: the derivation+card must not join")
+        assert(!p.contains("rangepartitioning"), s"$q: no global sort")
+        assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2,
+          s"$q: rollup must combine map-side (partial+final)")
+      }
+  }
+
+  test("q264: agreement card collapses slots by rollup, never a self-join") {
+    val p = plan("q264_annotator_agreement")
+    assert(!p.contains("Join"),
+      "the two judgment slots must collapse in a pair_id rollup, not a self-join")
+    // two rollup levels (pair, then model-pair), each partial+final
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 4)
+  }
+
   test("catalog missing-series plans as broadcast left-anti") {
     import spark.implicits._
     val headers = Seq((0, "1", "n", 0)).toDF("fileOrd", "externalId", "name", "colIndex")
