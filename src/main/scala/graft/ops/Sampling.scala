@@ -964,6 +964,81 @@ object Sampling {
           // (CAST(sp.n_split AS HUGEINT) * t.n_all) AS BIGINT) AS dev_micro
       FROM c JOIN sp USING (split) JOIN so USING (source) CROSS JOIN t"""
 
+  // -------------------------------------------------------------------
+  // q266: best-of-n selection card
+  // -------------------------------------------------------------------
+
+  /** Candidates per prompt in the best-of-n derivation. */
+  val BonCandidates = 4
+
+  /** q266: best-of-n (rejection-sampling) selection card — per source:
+    * how much reward-model score a best-of-[[BonCandidates]] selector
+    * gains over taking the first sample, and where the winning slot
+    * lands. The derivation (the q93/q157 injection discipline — real
+    * callers pass their own scored-candidate frames) plants
+    * [[BonCandidates]] deterministic integer scores per document; a
+    * selector that doesn't beat slot 0 by a clear margin means the
+    * reward model is noise.
+    *
+    * Scale shape: scores are pure integer arithmetic in a stateless
+    * projection (no candidate rows ever materialize — the argmax is a
+    * CASE chain over [[BonCandidates]] columns), then ONE source-keyed
+    * rollup; output is source-cardinality. */
+  def bestOfN(docs: DataFrame): DataFrame = {
+    val scored = docs
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_words"))
+    val withScores = (0 until BonCandidates).foldLeft(scored) { (df, c) =>
+      df.withColumn(s"s$c",
+        expr(s"(doc_id * 37 + $c * 101 + n_words * ${c + 1}) % 1000"))
+    }
+    val bestExpr = (0 until BonCandidates).map(c => s"s$c").mkString("greatest(", ", ", ")")
+    val slotExpr = (0 until BonCandidates)
+      .map(c => s"WHEN s$c = best THEN $c")
+      .mkString("CASE ", " ", " END")
+    withScores
+      .withColumn("best", expr(bestExpr))
+      .withColumn("slot", expr(slotExpr))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_prompts"),
+        sum("s0").as("base_sum"), sum("best").as("best_sum"),
+        expr("CAST(count_if(slot = 0) AS BIGINT)").as("won0"),
+        expr("CAST(count_if(slot = 1) AS BIGINT)").as("won1"),
+        expr("CAST(count_if(slot = 2) AS BIGINT)").as("won2"),
+        expr("CAST(count_if(slot = 3) AS BIGINT)").as("won3"))
+      .withColumn("base_mean_milli", expr("(base_sum * 1000) div n_prompts"))
+      .withColumn("best_mean_milli", expr("(best_sum * 1000) div n_prompts"))
+      .withColumn("gain_milli", col("best_mean_milli") - col("base_mean_milli"))
+      .drop("base_sum", "best_sum")
+  }
+
+  lazy val bestOfNSql: String = {
+    val scoreCols = (0 until BonCandidates)
+      .map(c => s"(doc_id * 37 + $c * 101 + n_words * ${c + 1}) % 1000 AS s$c")
+      .mkString(",\n            ")
+    val bestExpr = (0 until BonCandidates).map(c => s"s$c").mkString("greatest(", ", ", ")")
+    val slotExpr = (0 until BonCandidates)
+      .map(c => s"WHEN s$c = best THEN $c")
+      .mkString("CASE ", " ", " END")
+    s"""WITH sc AS (
+          SELECT doc_id, source, $scoreCols
+          FROM (SELECT doc_id, source,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+                FROM documents)),
+      b AS (SELECT *, $bestExpr AS best FROM sc),
+      sl AS (SELECT *, $slotExpr AS slot FROM b)
+      SELECT source, CAST(count(*) AS BIGINT) AS n_prompts,
+        CAST(count(*) FILTER (WHERE slot = 0) AS BIGINT) AS won0,
+        CAST(count(*) FILTER (WHERE slot = 1) AS BIGINT) AS won1,
+        CAST(count(*) FILTER (WHERE slot = 2) AS BIGINT) AS won2,
+        CAST(count(*) FILTER (WHERE slot = 3) AS BIGINT) AS won3,
+        CAST((SUM(s0) * 1000) // count(*) AS BIGINT) AS base_mean_milli,
+        CAST((SUM(best) * 1000) // count(*) AS BIGINT) AS best_mean_milli,
+        CAST((SUM(best) * 1000) // count(*) AS BIGINT)
+          - CAST((SUM(s0) * 1000) // count(*) AS BIGINT) AS gain_milli
+      FROM sl GROUP BY source"""
+  }
+
   val queries: Seq[QueryDef] = Seq(
     QueryDef("q245_split_balance",
       (s, d) => splitBalanceAudit(t(s, d, "documents")),
@@ -1047,6 +1122,11 @@ object Sampling {
 
     QueryDef("q39_quality_filter",
       (s, d) => qualityFilter(t(s, d, "documents")),
-      Some(qualityFilterSql()))
+      Some(qualityFilterSql())),
+
+    QueryDef("q266_best_of_n",
+      (s, d) => bestOfN(t(s, d, "documents")),
+      Some(bestOfNSql))
   )
+
 }

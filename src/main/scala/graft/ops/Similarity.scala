@@ -2195,6 +2195,99 @@ object Similarity {
           AS norm_shift_micro
       FROM norms JOIN disp USING (label)"""
 
+  // -------------------------------------------------------------------
+  // q265: semantic packing (in-context-pretraining sequence composition)
+  // -------------------------------------------------------------------
+
+  /** Sequence token budget for [[semanticPacking]]. */
+  val SemPackCapacity = 2048L
+
+  /** q265: semantic packing card — compose training sequences from
+    * RELATED documents instead of random ones (the in-context
+    * pretraining recipe: packing a sequence from one topic teaches
+    * cross-document reasoning; random packing teaches separator
+    * tokens). Documents are grouped by their IVF home cell, ordered
+    * within the cell by similarity-to-centroid (a deterministic
+    * semantic chain both engines reproduce), and packed greedily into
+    * capacity-C bins; the card reports, per cell, the bins consumed
+    * and the exact mean adjacent-pair cosine of the chain (micro
+    * fixed-point) — the coherence a random packer would destroy.
+    *
+    * Scale shape: rides the memoized coarse index (train once per
+    * corpus version); ONE cell-keyed exchange for the window (linear
+    * in corpus size — the vector payload moves once); output is
+    * cell-cardinality. */
+  def semanticPacking(spark: SparkSession, dir: String,
+      capacity: Long = SemPackCapacity): DataFrame = {
+    val (q, cents, _) = coarseIndex(spark, dir)
+    val home = assignCells(q, cents, 1)
+      .join(broadcast(cents), "cent_id")
+      .withColumn("csim", cosine(
+        expr("CAST(quantized_dot(qv, cqv) AS DOUBLE)"), col("nrm"), col("cnrm")))
+      .select("cent_id", "vec_id", "qv", "nrm", "csim")
+    val toks = t(spark, dir, "documents")
+      .select(col("doc_id").as("vec_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cent_id").orderBy(col("csim").desc, col("vec_id"))
+    val wCum = w.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.currentRow)
+    home.join(toks, "vec_id")
+      .withColumn("cum", sum(col("n_tok")).over(wCum))
+      .withColumn("bin", expr(s"(cum - n_tok) div $capacity"))
+      .withColumn("prev_qv", lag("qv", 1).over(w))
+      .withColumn("prev_nrm", lag("nrm", 1).over(w))
+      .withColumn("adj_cos_micro", when(col("prev_qv").isNotNull,
+        expr("""CAST(floor(CAST(quantized_dot(qv, prev_qv) AS DOUBLE)
+                 / (sqrt(CAST(nrm AS DOUBLE)) * sqrt(CAST(prev_nrm AS DOUBLE)))
+                 * 1000000) AS BIGINT)""")))
+      .groupBy("cent_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"),
+        (max(col("bin")) + 1).as("n_bins"),
+        count(col("adj_cos_micro")).as("n_adj"),
+        sum("adj_cos_micro").as("adj_sum"))
+      .withColumn("mean_adj_cos_micro",
+        expr("CASE WHEN n_adj = 0 THEN 0 ELSE adj_sum div n_adj END"))
+      .drop("adj_sum")
+  }
+
+  lazy val semanticPackingSql: String = {
+    val (kmeans, cf) = kmeansSqlAuto()
+    s"""WITH $quantCte,
+      $kmeans,
+      af AS (SELECT n.vec_id, n.qv, n.nrm, c.cent_id,
+            CAST(list_sum(list_transform(range(1, len(n.qv) + 1), i -> n.qv[i] * c.cqv[i])) AS DOUBLE)
+              / (sqrt(CAST(n.nrm AS DOUBLE)) * sqrt(CAST(c.cnrm AS DOUBLE))) AS csim,
+            row_number() OVER (PARTITION BY n.vec_id ORDER BY
+              CAST(list_sum(list_transform(range(1, len(n.qv) + 1), i -> n.qv[i] * c.cqv[i])) AS DOUBLE)
+              / (sqrt(CAST(n.nrm AS DOUBLE)) * sqrt(CAST(c.cnrm AS DOUBLE))) DESC, c.cent_id) AS rn
+          FROM n CROSS JOIN $cf c),
+      home AS (SELECT vec_id, qv, nrm, cent_id, csim FROM af WHERE rn = 1),
+      tok AS (SELECT doc_id AS vec_id,
+            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents),
+      chain AS (SELECT h.cent_id, h.vec_id, h.n_tok_cum AS cum, h.n_tok,
+            CASE WHEN prev_qv IS NULL THEN NULL
+              ELSE CAST(floor(CAST(list_sum(list_transform(range(1, len(qv) + 1),
+                  i -> qv[i] * prev_qv[i])) AS DOUBLE)
+                / (sqrt(CAST(nrm AS DOUBLE)) * sqrt(CAST(prev_nrm AS DOUBLE)))
+                * 1000000) AS BIGINT) END AS adj_cos_micro
+          FROM (SELECT h.cent_id, h.vec_id, h.qv, h.nrm, t.n_tok,
+                SUM(t.n_tok) OVER w AS n_tok_cum,
+                lag(h.qv) OVER w AS prev_qv, lag(h.nrm) OVER w AS prev_nrm
+              FROM home h JOIN tok t USING (vec_id)
+              WINDOW w AS (PARTITION BY h.cent_id ORDER BY h.csim DESC, h.vec_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) h)
+      SELECT cent_id, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+        CAST(MAX((cum - n_tok) // $SemPackCapacity) + 1 AS BIGINT) AS n_bins,
+        CAST(count(adj_cos_micro) AS BIGINT) AS n_adj,
+        CAST(CASE WHEN count(adj_cos_micro) = 0 THEN 0
+             ELSE SUM(adj_cos_micro) // count(adj_cos_micro) END AS BIGINT)
+          AS mean_adj_cos_micro
+      FROM chain GROUP BY cent_id"""
+  }
+
   val queries: Seq[QueryDef] = Seq(
     // The driver's pandas compare can't sort ARRAY columns, so the query
     // projects the centroid through array_join; labelCentroids keeps the
@@ -2344,6 +2437,10 @@ object Similarity {
     QueryDef("q222_embedding_norm_audit",
       (s, d) => embeddingNormAudit(s, d),
       Some(embeddingNormAuditSql)),
+
+    QueryDef("q265_semantic_packing",
+      (s, d) => semanticPacking(s, d),
+      Some(semanticPackingSql)),
 
     QueryDef("q256_embedding_version_drift",
       (s, d) => embeddingVersionDrift(s, d),

@@ -1514,4 +1514,35 @@ class OpsSpec extends AnyFunSuite {
     assert(segs.map(_.getAs[Long]("n_users")).sum == users)
     assert(segs.length > 1, "the tuned cuts must actually segment the corpus")
   }
+
+  test("q266 best-of-n: brute recompute, conservation, positive gain") {
+    import org.apache.spark.sql.functions.{col, size, split}
+    val docs = graft.queries.QueryDef.t(spark, dir, "documents")
+    val card = graft.ops.Sampling.bestOfN(docs).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    // independent brute recompute of the derivation + card
+    val base = docs.select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("w")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val bySource = base.groupBy(_._2)
+    bySource.foreach { case (src, rows) =>
+      val r = card(src)
+      val scores = rows.map { case (id, _, w) =>
+        (0 until graft.ops.Sampling.BonCandidates)
+          .map(c => (id * 37 + c * 101 + w * (c + 1)) % 1000)
+      }
+      val n = rows.length.toLong
+      assert(r.getAs[Long]("n_prompts") === n)
+      assert(r.getAs[Long]("base_mean_milli") === scores.map(_.head).sum * 1000 / n)
+      assert(r.getAs[Long]("best_mean_milli") === scores.map(_.max).sum * 1000 / n)
+      val slotWins = scores.map(s => s.indexOf(s.max))
+      (0 until graft.ops.Sampling.BonCandidates).foreach { c =>
+        assert(r.getAs[Long](s"won$c") === slotWins.count(_ == c).toLong)
+      }
+      assert(r.getAs[Long]("won0") + r.getAs[Long]("won1") +
+        r.getAs[Long]("won2") + r.getAs[Long]("won3") === n)
+      assert(r.getAs[Long]("gain_milli") > 0,
+        s"$src: best-of-n must beat the first sample")
+    }
+  }
 }

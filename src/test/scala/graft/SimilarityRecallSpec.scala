@@ -296,4 +296,41 @@ class SimilarityRecallSpec extends AnyFunSuite {
     assert(dispatched == bc200)
     SessionHygiene.clear(spark)
   }
+
+  test("semantic packing: conserves the corpus and beats id-order coherence") {
+    import org.apache.spark.sql.functions._
+    val card = Similarity.semanticPacking(spark, dir).collect()
+    val nVecs = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    assert(card.map(_.getAs[Long]("n_docs")).sum === nVecs,
+      "every vector lands in exactly one cell chain")
+    card.foreach { r =>
+      assert(r.getAs[Long]("n_adj") === r.getAs[Long]("n_docs") - 1,
+        "a chain of n docs has n-1 adjacent pairs")
+      val m = r.getAs[Long]("mean_adj_cos_micro")
+      assert(m >= -1000000L && m <= 1000000L)
+      val minBins = (r.getAs[Long]("n_tokens") + Similarity.SemPackCapacity - 1) /
+        Similarity.SemPackCapacity
+      assert(r.getAs[Long]("n_bins") <= minBins,
+        "start-offset binning never uses more bins than ceil(tokens/capacity)")
+    }
+    // the recovered effect: within-cell semantic ordering must be more
+    // coherent than packing the same corpus in vec_id order
+    val q = Similarity.quantized(spark, dir).orderBy("vec_id")
+      .select("vec_id", "qv", "nrm").collect()
+    def cos(a: org.apache.spark.sql.Row, b: org.apache.spark.sql.Row): Double = {
+      val (va, vb) = (a.getSeq[Long](1), b.getSeq[Long](1))
+      val dot = va.zip(vb).map { case (x, y) => x * y }.sum.toDouble
+      dot / (math.sqrt(a.getLong(2).toDouble) * math.sqrt(b.getLong(2).toDouble))
+    }
+    val idOrder = q.zip(q.tail).map { case (a, b) => cos(a, b) }
+    val baseline = idOrder.sum / idOrder.length
+    val semantic = {
+      val totAdj = card.map(_.getAs[Long]("n_adj")).sum
+      card.map(r => r.getAs[Long]("mean_adj_cos_micro").toDouble / 1e6 *
+        r.getAs[Long]("n_adj")).sum / totAdj
+    }
+    assert(semantic > baseline + 0.02,
+      s"semantic chain ($semantic) must beat id-order packing ($baseline)")
+    SessionHygiene.clear(spark)
+  }
 }
