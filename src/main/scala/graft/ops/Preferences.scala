@@ -164,7 +164,11 @@ object Preferences {
     * runs driver-side over the collected ≤ Models² rows (k²-bounded, the
     * documented coarse-trainer pattern) and the result is
     * model-cardinality. */
-  def bradleyTerry(docs: DataFrame): DataFrame = {
+  /** Directed win counts w(i)(j) = judgments where i beat j — ONE rollup
+    * of the judgment stream to ≤ Models² rows, collected (k²-bounded by
+    * construction, the documented coarse-trainer pattern). Shared by the
+    * BT fit, the calibration curve, and the transitivity audit. */
+  private def winMatrix(docs: DataFrame): Array[Array[Long]] = {
     val spark = docs.sparkSession
     import spark.implicits._
     val j = prefJudgments(docs)
@@ -173,30 +177,45 @@ object Preferences {
       .groupBy("w", "l").agg(count(lit(1)).as("n"))
       .as[(Long, Long, Long)]
       .collect() // ≤ Models·(Models-1) rows — driver-bounded by construction
-    val wins = Array.fill(Models)(0L)
-    val games = Array.ofDim[Long](Models, Models)
-    j.foreach { case (w, l, n) =>
-      wins(w.toInt) += n
-      games(w.toInt)(l.toInt) += n
-      games(l.toInt)(w.toInt) += n
-    }
+    val w = Array.ofDim[Long](Models, Models)
+    j.foreach { case (i, jj, n) => w(i.toInt)(jj.toInt) += n }
+    w
+  }
+
+  /** MM strengths in micro fixed-point from a directed win matrix. */
+  private[graft] def btStrengths(w: Array[Array[Long]]): Array[Long] = {
+    val wins = Array.tabulate(Models)(i => w(i).sum)
+    def games(i: Int, j: Int) = w(i)(j) + w(j)(i)
     var p = Array.fill(Models)(M)
     for (_ <- 1 to BtIters) {
       val next = Array.tabulate(Models) { i =>
         val s = (0 until Models).filter(_ != i)
-          .map(jj => games(i)(jj) * B / (p(i) + p(jj))).sum
+          .map(jj => games(i, jj) * B / (p(i) + p(jj))).sum
         if (s == 0) p(i) else wins(i) * B / s
       }
       val tot = next.sum
       p = next.map(v => math.max(v * (Models * M) / tot, 1L))
     }
+    p
+  }
+
+  def bradleyTerry(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val w = winMatrix(docs)
+    val wins = Array.tabulate(Models)(i => w(i).sum)
+    val p = btStrengths(w)
     val ranked = p.zipWithIndex.sortBy { case (s, m) => (-s, m) }
       .zipWithIndex.map { case ((s, m), r) => (m.toLong, s, wins(m), r + 1L) }
     spark.createDataset(ranked.toSeq)
       .toDF("model", "strength_micro", "wins", "rank")
   }
 
-  val bradleyTerrySql: String = {
+  /** The MM iteration CTE chain (gm/wn/s0..s[[BtIters]]) shared by the
+    * q261 fit and the q267 calibration curve. MATERIALIZED throughout:
+    * DuckDB inlines multi-referenced CTEs, which re-evaluates the whole
+    * prefix per reference — exponential over 20 iterations. */
+  private val btChainSql: String = {
     val games =
       s"""gm AS MATERIALIZED (
         SELECT i, j, CAST(count(*) AS BIGINT) AS n FROM (
@@ -232,12 +251,15 @@ object Preferences {
               (SELECT SUM(p) FROM u$it) AS BIGINT), 1) AS p
           FROM u$it)"""
     }
+    (games +: iters).mkString(",\n      ")
+  }
+
+  val bradleyTerrySql: String =
     s"""WITH $prefJudgmentsCte,
-      ${(games +: iters).mkString(",\n      ")}
+      $btChainSql
       SELECT model, p AS strength_micro, wins,
         CAST(row_number() OVER (ORDER BY p DESC, model) AS BIGINT) AS rank
       FROM s$BtIters"""
-  }
 
   // -------------------------------------------------------------------
   // q262: length-bias audit
@@ -355,6 +377,116 @@ object Preferences {
       FROM mic"""
 
   // -------------------------------------------------------------------
+  // q267: Bradley–Terry calibration curve
+  // -------------------------------------------------------------------
+
+  /** q267: calibration of the fitted BT model — judgments bucketed by
+    * the model's PREDICTED a-win probability (p_a/(p_a+p_b) in micro,
+    * 10 deciles) against the OBSERVED a-win rate per bucket. A reward
+    * signal whose predicted and observed curves diverge is mis-fit (here
+    * the planted length/position biases are exactly what BT can't
+    * explain — the curve shows how much).
+    *
+    * Scale shape: strengths come from the driver-side fit (k-bounded)
+    * and join back as a broadcast 8-row frame — twice, once per side;
+    * then ONE bucket rollup. Output ≤ 10 rows. */
+  def btCalibration(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val p = btStrengths(winMatrix(docs))
+    val strengths = broadcast(
+      spark.createDataset(p.zipWithIndex.map { case (s, m) => (m.toLong, s) }.toSeq)
+        .toDF("model", "p"))
+    prefJudgments(docs)
+      .join(strengths.select(col("model").as("model_a"), col("p").as("pa")), "model_a")
+      .join(strengths.select(col("model").as("model_b"), col("p").as("pb")), "model_b")
+      .withColumn("pred_micro", expr(s"(pa * $M) div (pa + pb)"))
+      .withColumn("bucket", expr(s"least(pred_micro div 100000, 9)"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        expr("CAST(count_if(winner = 'a') AS BIGINT)").as("a_wins"),
+        sum("pred_micro").as("pred_sum"))
+      .withColumn("obs_micro", expr(s"(a_wins * $M) div n"))
+      .withColumn("mean_pred_micro", expr("pred_sum div n"))
+      .drop("pred_sum")
+  }
+
+  val btCalibrationSql: String =
+    s"""WITH $prefJudgmentsCte,
+      $btChainSql,
+      cal AS (SELECT j.winner,
+            (sa.p * $M) // (sa.p + sb.p) AS pred_micro
+          FROM judg j
+          JOIN s$BtIters sa ON sa.model = j.model_a
+          JOIN s$BtIters sb ON sb.model = j.model_b)
+      SELECT least(pred_micro // 100000, 9) AS bucket,
+        CAST(count(*) AS BIGINT) AS n,
+        CAST(count(*) FILTER (WHERE winner = 'a') AS BIGINT) AS a_wins,
+        CAST((count(*) FILTER (WHERE winner = 'a') * $M) // count(*) AS BIGINT)
+          AS obs_micro,
+        CAST(SUM(pred_micro) // count(*) AS BIGINT) AS mean_pred_micro
+      FROM cal GROUP BY 1"""
+
+  // -------------------------------------------------------------------
+  // q268: preference transitivity audit
+  // -------------------------------------------------------------------
+
+  /** q268: transitivity audit — majority win direction per unordered
+    * model pair, then the count of CYCLIC triples (i beats j, j beats
+    * k, k beats i) among all C(Models,3). Cyclic majorities mean no
+    * total ordering exists — pairwise preference data that a scalar
+    * reward model cannot represent. Ties break toward the lower index.
+    *
+    * Scale shape: everything after the ONE judgment rollup is driver
+    * arithmetic over the k²-bounded matrix; output is one row. */
+  def transitivityAudit(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val w = winMatrix(docs)
+    // loWins(x)(y), x<y: does the lower-indexed model hold the majority?
+    def loWins(x: Int, y: Int) = w(x)(y) >= w(y)(x)
+    val triples = for {
+      i <- 0 until Models; j <- i + 1 until Models; k <- j + 1 until Models
+    } yield (loWins(i, j), loWins(j, k), loWins(i, k))
+    val nCyclic = triples.count { case (bij, bjk, bik) => bij == bjk && bik != bij }
+    val nTied = (for {
+      x <- 0 until Models; y <- x + 1 until Models
+    } yield w(x)(y) == w(y)(x)).count(identity)
+    spark.createDataset(Seq((triples.size.toLong, nCyclic.toLong,
+        nCyclic.toLong * M / triples.size, nTied.toLong)))
+      .toDF("n_triples", "n_cyclic", "cyclic_micro", "n_tied_pairs")
+  }
+
+  val transitivityAuditSql: String =
+    s"""WITH $prefJudgmentsCte,
+      wm AS (SELECT winner_model AS i,
+            CASE WHEN winner = 'a' THEN model_b ELSE model_a END AS j,
+            CAST(count(*) AS BIGINT) AS n
+          FROM judg GROUP BY 1, 2),
+      allp AS (SELECT x.m AS x, y.m AS y
+          FROM (SELECT CAST(unnest(range(0, $Models)) AS BIGINT) AS m) x
+          JOIN (SELECT CAST(unnest(range(0, $Models)) AS BIGINT) AS m) y
+            ON x.m < y.m),
+      b AS MATERIALIZED (SELECT allp.x, allp.y,
+            COALESCE(lo.n, 0) >= COALESCE(hi.n, 0) AS lo_wins,
+            COALESCE(lo.n, 0) = COALESCE(hi.n, 0) AS tied
+          FROM allp
+          LEFT JOIN wm lo ON lo.i = allp.x AND lo.j = allp.y
+          LEFT JOIN wm hi ON hi.i = allp.y AND hi.j = allp.x),
+      tr AS (SELECT b1.lo_wins AS bij, b2.lo_wins AS bjk, b3.lo_wins AS bik
+          FROM b b1
+          JOIN b b2 ON b2.x = b1.y
+          JOIN b b3 ON b3.x = b1.x AND b3.y = b2.y)
+      SELECT CAST(count(*) AS BIGINT) AS n_triples,
+        CAST(count(*) FILTER (WHERE bij = bjk AND bik <> bij) AS BIGINT)
+          AS n_cyclic,
+        CAST((count(*) FILTER (WHERE bij = bjk AND bik <> bij) * $M) // count(*)
+          AS BIGINT) AS cyclic_micro,
+        CAST((SELECT count(*) FILTER (WHERE tied) FROM b) AS BIGINT)
+          AS n_tied_pairs
+      FROM tr"""
+
+  // -------------------------------------------------------------------
 
   import graft.queries.QueryDef.t
 
@@ -368,5 +500,9 @@ object Preferences {
     QueryDef("q263_position_bias",
       (s, d) => positionBiasAudit(t(s, d, "documents")), Some(positionBiasAuditSql)),
     QueryDef("q264_annotator_agreement",
-      (s, d) => annotatorAgreement(t(s, d, "documents")), Some(annotatorAgreementSql)))
+      (s, d) => annotatorAgreement(t(s, d, "documents")), Some(annotatorAgreementSql)),
+    QueryDef("q267_bt_calibration",
+      (s, d) => btCalibration(t(s, d, "documents")), Some(btCalibrationSql)),
+    QueryDef("q268_transitivity_audit",
+      (s, d) => transitivityAudit(t(s, d, "documents")), Some(transitivityAuditSql)))
 }

@@ -95,6 +95,47 @@ class PreferencesSpec extends AnyFunSuite {
       s"first-shown side must win more than half: ${firstWins * 1000000L / n}")
   }
 
+  test("bt calibration: conserves judgments and orders observed by predicted") {
+    val rows = Preferences.btCalibration(docs).collect()
+    assert(rows.map(_.getAs[Long]("n")).sum === judg.count())
+    rows.foreach { r =>
+      val obs = r.getAs[Long]("obs_micro")
+      val pred = r.getAs[Long]("mean_pred_micro")
+      assert(obs >= 0 && obs <= 1000000L && pred >= 0 && pred <= 1000000L)
+      val b = r.getAs[Long]("bucket")
+      assert(pred / 100000L === math.min(b, 9L) ||
+        (b == 9L && pred >= 900000L),
+        s"bucket $b must contain its own mean prediction ($pred)")
+    }
+    val byPred = rows.sortBy(_.getAs[Long]("mean_pred_micro"))
+    val lo = byPred.head
+    val hi = byPred.last
+    assert(hi.getAs[Long]("obs_micro") > lo.getAs[Long]("obs_micro") + 200000L,
+      "high-confidence buckets must win observably more than low ones")
+  }
+
+  test("transitivity audit: matches a brute recompute of majority triples") {
+    val row = Preferences.transitivityAudit(docs).collect().head
+    val k = Preferences.Models
+    assert(row.getAs[Long]("n_triples") === (k * (k - 1) * (k - 2) / 6).toLong)
+    // independent recompute from the raw judgments
+    val w = Array.ofDim[Long](k, k)
+    judg.select("winner_model", "model_a", "model_b", "winner").collect()
+      .foreach { r =>
+        val (wm, a, b) = (r.getLong(0).toInt, r.getLong(1).toInt, r.getLong(2).toInt)
+        val l = if (r.getString(3) == "a") b else a
+        w(wm)(l) += 1
+      }
+    def loWins(x: Int, y: Int) = w(x)(y) >= w(y)(x)
+    val cyc = (for {
+      i <- 0 until k; j <- i + 1 until k; kk <- j + 1 until k
+    } yield (loWins(i, j), loWins(j, kk), loWins(i, kk)))
+      .count { case (bij, bjk, bik) => bij == bjk && bik != bij }
+    assert(row.getAs[Long]("n_cyclic") === cyc.toLong)
+    assert(row.getAs[Long]("cyclic_micro") ===
+      cyc.toLong * 1000000L / row.getAs[Long]("n_triples"))
+  }
+
   test("agreement card: kappa bounded by observed agreement, conservation") {
     val rows = Preferences.annotatorAgreement(docs).collect()
     assert(rows.map(_.getAs[Long]("n")).sum === docs.count())
