@@ -110,7 +110,10 @@ object Preferences {
     * a degenerate win rate poisons reward-model training.
     *
     * Scale shape: judgments unpivot statelessly to 2 rows each, then ONE
-    * model-keyed rollup; output is model-cardinality. */
+    * model-keyed rollup; output is model-cardinality. Because the whole
+    * pipeline is stateless projections + one aggregation, the SAME
+    * function is the live win-rate monitor under Structured Streaming
+    * complete mode (StreamingSpec: streamed card == batch card). */
   def prefModelCard(docs: DataFrame): DataFrame =
     prefJudgments(docs)
       .select(col("winner"), explode(expr(

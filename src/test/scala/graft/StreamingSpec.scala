@@ -808,6 +808,44 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("live preference win-rate monitor: batch card streams unchanged") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    // prefModelCard is stateless projections + ONE aggregation, so the
+    // SAME DataFrame function is the live monitor under complete mode —
+    // the design property, locked here: the final streamed card equals
+    // the batch card over everything delivered so far.
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "source", "text").as[(Long, String, String)].collect().toSeq
+    val mem = MemoryStream[(Long, String, String)]
+    val q = graft.ops.Preferences.prefModelCard(
+        mem.toDF().toDF("doc_id", "source", "text"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("livewinrate").start()
+    try {
+      mem.addData(docs.take(docs.size / 3): _*)
+      q.processAllAvailable()
+      val early = spark.table("livewinrate").collect()
+        .map(r => r.getAs[Long]("model") -> r.getAs[Long]("games")).toMap
+      mem.addData(docs.drop(docs.size / 3): _*)
+      q.processAllAvailable()
+      val live = spark.table("livewinrate").collect()
+        .map(r => r.getAs[Long]("model") -> r).toMap
+      val batch = graft.ops.Preferences.prefModelCard(
+          spark.read.parquet(s"$dir/documents.parquet")).collect()
+        .map(r => r.getAs[Long]("model") -> r).toMap
+      assert(live.keySet == batch.keySet)
+      batch.foreach { case (m, b) =>
+        val l = live(m)
+        Seq("games", "games_as_a", "wins", "win_micro", "mean_len_micro")
+          .foreach(c => assert(l.getAs[Long](c) == b.getAs[Long](c), s"model $m $c"))
+        assert(early(m) < l.getAs[Long]("games"),
+          s"model $m: the mid-stream card must be a strict prefix")
+      }
+    } finally q.stop()
+  }
+
   test("cleaning ops are stateless projections: they stream unchanged") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
