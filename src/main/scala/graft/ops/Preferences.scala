@@ -490,6 +490,167 @@ object Preferences {
       FROM tr"""
 
   // -------------------------------------------------------------------
+  // q269: Dawid–Skene annotator reliability
+  // -------------------------------------------------------------------
+
+  /** EM rounds for [[dawidSkene]]. */
+  val DsIters = 5
+
+  /** Judgment bits with the planted unreliable annotator: annotator 0's
+    * label flips on half of its judgments (a pure coin flip) (pure arithmetic, the injection
+    * discipline — the op exists to RECOVER exactly this). w = 1 means
+    * "said a". */
+  private def noisyJudgments(docs: DataFrame): DataFrame =
+    prefJudgments(docs)
+      .withColumn("wbit", expr(
+        """CASE WHEN annotator = 0 AND (pair_id * 7 + 13 + slot * 29) % 2 = 0
+             THEN CASE WHEN winner = 'a' THEN 0L ELSE 1L END
+             ELSE CASE WHEN winner = 'a' THEN 1L ELSE 0L END END"""))
+
+  /** Annotator-parameter M-step over a pair frame carrying `mu` (the
+    * posterior P(truth = a) in micro): α = P(say a | truth a),
+    * β = P(say b | truth b), both exact micro with DECIMAL-widened
+    * sums (the mu sums reach N·1e6 — BIGINT wraps silently in Spark at
+    * the scales this page advertises). */
+  private def dsParams(pf: DataFrame): DataFrame =
+    pf.select(explode(expr(
+        """array(named_struct('ann', a0, 'w', w0),
+                 named_struct('ann', a1, 'w', w1))""")).as("u"), col("mu"))
+      .select(col("u.ann").as("annotator"), col("u.w").as("w"), col("mu"))
+      .groupBy("annotator")
+      .agg(count(lit(1)).as("n_judgments"),
+        sum(when(col("w") === 1, col("mu")).otherwise(0L)
+          .cast(org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0))).as("sa"),
+        sum(col("mu").cast(
+          org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0))).as("s"),
+        sum(when(col("w") === 0, lit(M) - col("mu")).otherwise(0L)
+          .cast(org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0))).as("sb"),
+        sum((lit(M) - col("mu")).cast(
+          org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0))).as("sn"))
+      .withColumn("acc_a_micro", expr(
+        s"CASE WHEN s = 0 THEN 500000 ELSE CAST((sa * $M) div s AS BIGINT) END"))
+      .withColumn("acc_b_micro", expr(
+        s"CASE WHEN sn = 0 THEN 500000 ELSE CAST((sb * $M) div sn AS BIGINT) END"))
+      .drop("sa", "s", "sb", "sn")
+
+  private def dsPi(pf: DataFrame): Long =
+    pf.agg(expr(s"CAST(sum(CAST(mu AS DECIMAL(38,0))) div count(*) AS BIGINT)"))
+      .head().getLong(0) // 1-row driver scalar
+
+  /** q269: Dawid–Skene annotator reliability (binary, fixed-point EM) —
+    * per annotator, the estimated probability of agreeing with the
+    * LATENT consensus label on each side (acc_a / acc_b) plus the class
+    * prior, after [[DsIters]] EM rounds in exact micro arithmetic. The
+    * weak-supervision screen: it recovers the planted coin-flip
+    * annotator without any gold labels, where plain agreement rates
+    * only say SOMEONE disagreed. Identifiability caveat, spec-locked:
+    * with exactly two votes per item and FIXED pairing (annotator k
+    * only ever partners k±2 mod 5), DS cannot fully localize blame
+    * inside a pair — part of annotator 0's noise bleeds into its two
+    * partners' estimates, while the annotators never paired with 0
+    * recover their clean accuracy; rotating assignments is what makes
+    * per-annotator blame fully identifiable in production.
+    *
+    * Scale shape: the pair frame is checkpointed once; each EM round is
+    * one unpivot+rollup (annotator-cardinality result, collected —
+    * k-bounded, the coarse-trainer pattern) and one stateless E-step
+    * projection whose parameters enter as literal CASE expressions
+    * (q196's chained-CASE discipline — no join in the hot path). Output
+    * is annotator-cardinality. */
+  def dawidSkene(docs: DataFrame, iters: Int = DsIters): DataFrame = {
+    var pf = noisyJudgments(docs)
+      .groupBy("pair_id")
+      .agg(max(when(col("slot") === 0, col("annotator"))).as("a0"),
+        max(when(col("slot") === 0, col("wbit"))).as("w0"),
+        max(when(col("slot") === 1, col("annotator"))).as("a1"),
+        max(when(col("slot") === 1, col("wbit"))).as("w1"))
+      .withColumn("mu", expr("(w0 + w1) * 500000"))
+      .localCheckpoint() // one derivation pass; the EM loop re-reads it
+    for (_ <- 1 to iters) {
+      val par = dsParams(pf).collect() // annotator-cardinality — driver-bounded
+        .map(r => r.getAs[Long]("annotator") ->
+          (r.getAs[Long]("acc_a_micro"), r.getAs[Long]("acc_b_micro"))).toMap
+      val pi = dsPi(pf)
+      def caseOf(side: String, f: ((Long, Long)) => Long): String =
+        (0L until Annotators.toLong)
+          .map(k => s"WHEN $k THEN ${f(par(k))}L")
+          .mkString(s"CASE $side ", " ", " END")
+      val aA = caseOf("a0", _._1); val aB = caseOf("a1", _._1)
+      val bA = caseOf("a0", _._2); val bB = caseOf("a1", _._2)
+      pf = pf
+        .withColumn("ta0", expr(s"CASE WHEN w0 = 1 THEN $aA ELSE ${M}L - ($aA) END"))
+        .withColumn("ta1", expr(s"CASE WHEN w1 = 1 THEN $aB ELSE ${M}L - ($aB) END"))
+        .withColumn("tb0", expr(s"CASE WHEN w0 = 0 THEN $bA ELSE ${M}L - ($bA) END"))
+        .withColumn("tb1", expr(s"CASE WHEN w1 = 0 THEN $bB ELSE ${M}L - ($bB) END"))
+        .withColumn("la", expr(s"((${pi}L * ta0) div ${M}L * ta1) div ${M}L"))
+        .withColumn("lb", expr(s"(((${M}L - ${pi}L) * tb0) div ${M}L * tb1) div ${M}L"))
+        .withColumn("mu", expr(
+          s"CASE WHEN la + lb = 0 THEN 500000L ELSE (la * ${M}L) div (la + lb) END"))
+        .drop("ta0", "ta1", "tb0", "tb1", "la", "lb")
+    }
+    dsParams(pf).withColumn("pi_micro", lit(dsPi(pf)))
+  }
+
+  lazy val dawidSkeneSql: String = {
+    val noisy =
+      s"""nj AS (SELECT pair_id, slot, annotator,
+            CASE WHEN annotator = 0 AND (pair_id * 7 + 13 + slot * 29) % 2 = 0
+              THEN CASE WHEN winner = 'a' THEN 0 ELSE 1 END
+              ELSE CASE WHEN winner = 'a' THEN 1 ELSE 0 END END AS wbit
+          FROM judg),
+      e0 AS MATERIALIZED (SELECT pair_id,
+            MAX(CASE WHEN slot = 0 THEN annotator END) AS a0,
+            MAX(CASE WHEN slot = 0 THEN wbit END) AS w0,
+            MAX(CASE WHEN slot = 1 THEN annotator END) AS a1,
+            MAX(CASE WHEN slot = 1 THEN wbit END) AS w1,
+            CAST((MAX(CASE WHEN slot = 0 THEN wbit END)
+              + MAX(CASE WHEN slot = 1 THEN wbit END)) * 500000 AS BIGINT) AS mu
+          FROM nj GROUP BY pair_id)"""
+    def paramsCte(t: Int, src: String) =
+      s"""up$t AS (SELECT a0 AS ann, w0 AS w, mu FROM $src
+            UNION ALL SELECT a1, w1, mu FROM $src),
+        p$t AS MATERIALIZED (SELECT ann,
+            CAST(count(*) AS BIGINT) AS n_judgments,
+            CASE WHEN SUM(mu) = 0 THEN 500000
+              ELSE CAST((SUM(CASE WHEN w = 1 THEN mu ELSE 0 END) * $M)
+                // SUM(mu) AS BIGINT) END AS acc_a_micro,
+            CASE WHEN SUM($M - mu) = 0 THEN 500000
+              ELSE CAST((SUM(CASE WHEN w = 0 THEN $M - mu ELSE 0 END) * $M)
+                // SUM($M - mu) AS BIGINT) END AS acc_b_micro
+          FROM up$t GROUP BY ann),
+        pi$t AS MATERIALIZED (SELECT CAST(SUM(mu) // count(*) AS BIGINT) AS pi
+          FROM $src)"""
+    val iters = (1 to DsIters).map { t =>
+      val prev = s"e${t - 1}"
+      s"""${paramsCte(t, prev)},
+        e$t AS MATERIALIZED (
+          SELECT pair_id, a0, w0, a1, w1,
+            CASE WHEN la + lb = 0 THEN 500000
+              ELSE CAST((la * $M) // (la + lb) AS BIGINT) END AS mu
+          FROM (SELECT f.*,
+              ((pi.pi * (CASE WHEN w0 = 1 THEN pa.acc_a_micro
+                ELSE $M - pa.acc_a_micro END)) // $M
+                * (CASE WHEN w1 = 1 THEN pb.acc_a_micro
+                   ELSE $M - pb.acc_a_micro END)) // $M AS la,
+              ((($M - pi.pi) * (CASE WHEN w0 = 0 THEN pa.acc_b_micro
+                ELSE $M - pa.acc_b_micro END)) // $M
+                * (CASE WHEN w1 = 0 THEN pb.acc_b_micro
+                   ELSE $M - pb.acc_b_micro END)) // $M AS lb
+            FROM $prev f
+            JOIN p$t pa ON pa.ann = f.a0
+            JOIN p$t pb ON pb.ann = f.a1
+            CROSS JOIN pi$t pi))"""
+    }
+    val fin = paramsCte(DsIters + 1, s"e$DsIters")
+    s"""WITH $prefJudgmentsCte,
+      $noisy,
+      ${(iters :+ fin).mkString(",\n      ")}
+      SELECT ann AS annotator, n_judgments, acc_a_micro, acc_b_micro,
+        (SELECT pi FROM pi${DsIters + 1}) AS pi_micro
+      FROM p${DsIters + 1}"""
+  }
+
+  // -------------------------------------------------------------------
 
   import graft.queries.QueryDef.t
 
@@ -507,5 +668,7 @@ object Preferences {
     QueryDef("q267_bt_calibration",
       (s, d) => btCalibration(t(s, d, "documents")), Some(btCalibrationSql)),
     QueryDef("q268_transitivity_audit",
-      (s, d) => transitivityAudit(t(s, d, "documents")), Some(transitivityAuditSql)))
+      (s, d) => transitivityAudit(t(s, d, "documents")), Some(transitivityAuditSql)),
+    QueryDef("q269_dawid_skene",
+      (s, d) => dawidSkene(t(s, d, "documents")), Some(dawidSkeneSql)))
 }

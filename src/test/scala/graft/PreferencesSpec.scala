@@ -136,6 +136,37 @@ class PreferencesSpec extends AnyFunSuite {
       cyc.toLong * 1000000L / row.getAs[Long]("n_triples"))
   }
 
+  test("dawid-skene recovers the planted unreliable annotator without gold") {
+    val rows = Preferences.dawidSkene(docs).collect()
+      .map(r => r.getAs[Long]("annotator") -> r).toMap
+    assert(rows.keySet === (0L until Preferences.Annotators.toLong).toSet)
+    assert(rows.values.map(_.getAs[Long]("n_judgments")).sum === 2 * docs.count())
+    rows.values.foreach { r =>
+      Seq("acc_a_micro", "acc_b_micro").foreach { c =>
+        val v = r.getAs[Long](c)
+        assert(v >= 0 && v <= 1000000L, s"$c out of range: $v")
+      }
+      val pi = r.getAs[Long]("pi_micro")
+      assert(pi > 100000L && pi < 900000L, s"degenerate prior: $pi")
+    }
+    // The planted effect and its identifiable structure: annotator 0
+    // flips half its labels. The pairing is fixed (slot0 = id%5 partners
+    // slot1 = (id+2)%5), so 0 judges only with 2 and 3 — with two votes
+    // per item DS cannot fully localize blame inside a pair, so some of
+    // 0's noise bleeds into 2 and 3, while 1 and 4 (never paired with 0)
+    // recover their clean accuracy. Lock exactly that shape:
+    def acc(k: Long, c: String) = rows(k).getAs[Long](c)
+    def mean(k: Long) = (acc(k, "acc_a_micro") + acc(k, "acc_b_micro")) / 2
+    Seq(1L, 4L).foreach { clean =>
+      assert(mean(0L) + 150000L < mean(clean),
+        s"annotator 0 (${mean(0L)}) must sit far below clean-pair $clean (${mean(clean)})")
+      Seq(2L, 3L).foreach { cont =>
+        assert(mean(cont) + 50000L < mean(clean),
+          s"contaminated partner $cont (${mean(cont)}) must show 0's bleed vs $clean")
+      }
+    }
+  }
+
   test("agreement card: kappa bounded by observed agreement, conservation") {
     val rows = Preferences.annotatorAgreement(docs).collect()
     assert(rows.map(_.getAs[Long]("n")).sum === docs.count())
