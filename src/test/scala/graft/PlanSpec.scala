@@ -484,6 +484,15 @@ class PlanSpec extends AnyFunSuite {
     assert(p.linesIterator.count(_.contains("HashAggregate")) >= 4)
   }
 
+  test("q265: semantic packing is linear — broadcast centroids, one window") {
+    val p = plan("q265_semantic_packing")
+    assert(!p.contains("CartesianProduct"), "centroid assignment must broadcast")
+    assert(p.contains("BroadcastNestedLoopJoin"), "k-row centroid side broadcast")
+    assert(!p.contains("rangepartitioning"), "the chain sort is per-cell, never global")
+    assert(p.linesIterator.count(_.matches("^\\(\\d+\\) Window\\s*$")) == 1,
+      "cumsum, lag and bin ride ONE cell-keyed window")
+  }
+
   test("catalog missing-series plans as broadcast left-anti") {
     import spark.implicits._
     val headers = Seq((0, "1", "n", 0)).toDF("fileOrd", "externalId", "name", "colIndex")

@@ -6,7 +6,8 @@ row-sorted — the driver's canonicalization). Determinism under
 repartition is spec'd per-op (q234, q101); this gates it for the WHOLE
 suite, which is what a 1000-executor deployment actually relies on.
 
-Usage: python3 tools/partition_independence.py <sfDir> [cpusA=4] [cpusB=8]
+Usage: python3 tools/partition_independence.py <sfDir> [cpusA=4] [cpusB=8] [query ...]
+Optional query names limit both passes (targeted gate for new queries).
 Writes nothing into the repo; exits non-zero on any mismatch.
 """
 import math, os, subprocess, sys, tempfile
@@ -28,10 +29,11 @@ def rows_key(cols, rows):
     return sorted(tuple(canon(r[i]) for i in order) for r in rows)
 
 
-def run_verify(sf_dir, out_dir, cpus):
+def run_verify(sf_dir, out_dir, cpus, only=()):
     env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
+    names = " ".join(only)
     subprocess.run(
-        ["sbt", "-batch", f"runMain graft.Verify {sf_dir} {out_dir}"],
+        ["sbt", "-batch", f"runMain graft.Verify {sf_dir} {out_dir} {names}".strip()],
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         env=env, check=True, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
 
@@ -40,12 +42,13 @@ def main():
     sf_dir = sys.argv[1]
     cpus_a = sys.argv[2] if len(sys.argv) > 2 else "4"
     cpus_b = sys.argv[3] if len(sys.argv) > 3 else "8"
+    only = tuple(sys.argv[4:])
     base = tempfile.mkdtemp(prefix="graft-pindep-")
     out_a, out_b = f"{base}/a", f"{base}/b"
     print(f"verify pass A (cpus={cpus_a}) ...", flush=True)
-    run_verify(sf_dir, out_a, cpus_a)
+    run_verify(sf_dir, out_a, cpus_a, only)
     print(f"verify pass B (cpus={cpus_b}) ...", flush=True)
-    run_verify(sf_dir, out_b, cpus_b)
+    run_verify(sf_dir, out_b, cpus_b, only)
     con = duckdb.connect()
     names = sorted(d for d in os.listdir(out_a) if os.path.isdir(f"{out_a}/{d}"))
     n_pass = n_fail = 0
