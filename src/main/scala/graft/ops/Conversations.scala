@@ -539,6 +539,64 @@ object Conversations {
           .as("messages"))
 
   // -------------------------------------------------------------------
+  // q270: instruction-tag diversity card
+  // -------------------------------------------------------------------
+
+  /** q270: instruction-tag diversity — per source, the opening word of
+    * each conversation's first CONTENT user turn as a cheap instruction
+    * tag (the InsTag-style verb proxy), with distinct-tag count, the
+    * dominant tag and its share, and inverse-Simpson tag diversity
+    * (q233's exact discipline over tags). An SFT mix whose requests
+    * start with the same few verbs trains a narrow instruction
+    * distribution no matter how many rows it has.
+    *
+    * By [[chatTurns]] construction the first content turn (turn 2) is
+    * the document's first [[TurnWords]] words, so the tag equals the
+    * document's first word — the op reads it in a stateless projection
+    * (spec-locked equal to the turn-derived tag); real chat corpora
+    * pass their own turn frames.
+    *
+    * Scale shape: one (source, tag) rollup, then source-level rollups
+    * of rollup rows (top tag via max-count + lexicographic min — no
+    * window); output is source-cardinality. */
+  def instructionTags(docs: DataFrame): DataFrame = {
+    val tags = docs
+      .select(col("source"), expr("split(text, ' ')[0]").as("tag"))
+      .groupBy("source", "tag").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // tag-cardinality; feeds three source rollups
+    val per = tags.groupBy("source").agg(
+      sum("cnt").as("n_convs"),
+      count(lit(1)).as("n_tags"),
+      max("cnt").as("top_cnt"),
+      sum(expr("CAST(cnt AS DECIMAL(38,0)) * cnt")).as("sum_sq"))
+    val top = tags.join(per.select("source", "top_cnt"), "source")
+      .filter(col("cnt") === col("top_cnt"))
+      .groupBy("source").agg(min("tag").as("top_tag"))
+    per.join(top, "source")
+      .withColumn("top_share_micro", expr("(top_cnt * 1000000) div n_convs"))
+      .withColumn("inv_simpson_micro", expr(
+        "CAST((CAST(n_convs AS DECIMAL(38,0)) * n_convs * 1000000) div sum_sq AS BIGINT)"))
+      .select("source", "n_convs", "n_tags", "top_tag",
+        "top_share_micro", "inv_simpson_micro")
+  }
+
+  val instructionTagsSql: String =
+    """WITH c AS (SELECT source, string_split(text, ' ')[1] AS tag,
+          CAST(count(*) AS BIGINT) AS cnt
+        FROM documents GROUP BY 1, 2),
+      per AS (SELECT source, CAST(SUM(cnt) AS BIGINT) AS n_convs,
+            CAST(count(*) AS BIGINT) AS n_tags,
+            CAST(MAX(cnt) AS BIGINT) AS top_cnt,
+            SUM(CAST(cnt AS HUGEINT) * cnt) AS sum_sq
+          FROM c GROUP BY 1),
+      top AS (SELECT c.source, MIN(tag) AS top_tag
+          FROM c JOIN per ON per.source = c.source AND c.cnt = per.top_cnt
+          GROUP BY 1)
+      SELECT per.source, n_convs, n_tags, top_tag,
+        CAST((top_cnt * 1000000) // n_convs AS BIGINT) AS top_share_micro,
+        CAST((CAST(n_convs AS HUGEINT) * n_convs * 1000000) // sum_sq AS BIGINT)
+          AS inv_simpson_micro
+      FROM per JOIN top ON top.source = per.source"""
 
   def queries: Seq[QueryDef] = Seq(
     QueryDef("q251_chat_turns",
@@ -558,5 +616,7 @@ object Conversations {
     QueryDef("q258_chat_render_card",
       (s, d) => chatRenderCard(t(s, d, "documents")), Some(chatRenderCardSql)),
     QueryDef("q259_parroting_screen",
-      (s, d) => parrotingScreen(t(s, d, "documents")), Some(parrotingScreenSql)))
+      (s, d) => parrotingScreen(t(s, d, "documents")), Some(parrotingScreenSql)),
+    QueryDef("q270_instruction_tags",
+      (s, d) => instructionTags(t(s, d, "documents")), Some(instructionTagsSql)))
 }

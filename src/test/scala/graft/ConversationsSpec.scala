@@ -116,6 +116,26 @@ class ConversationsSpec extends AnyFunSuite {
     assert(flagged.forall(f => f.getAs[Long]("n_words") == t2(f.getAs[Long]("conv_id"))))
   }
 
+  test("instruction tags: first-word shortcut equals the turn-derived tag") {
+    import org.apache.spark.sql.functions.{col => c, expr}
+    // the op reads the doc's first word; the semantic definition is the
+    // first word of the first CONTENT user turn — must be identical
+    val fromTurns = turns.filter(c("turn_idx") === 2)
+      .select(c("conv_id"), expr("split(text, ' ')[0]").as("t_tag"))
+    val fromDocs = docs.select(c("doc_id").as("conv_id"),
+      expr("split(text, ' ')[0]").as("d_tag"))
+    assert(fromTurns.join(fromDocs, "conv_id")
+      .filter(c("t_tag") =!= c("d_tag")).count() === 0)
+    val card = Conversations.instructionTags(docs).collect()
+    assert(card.map(_.getAs[Long]("n_convs")).sum === docs.count())
+    card.foreach { r =>
+      val inv = r.getAs[Long]("inv_simpson_micro")
+      assert(inv >= 1000000L && inv <= r.getAs[Long]("n_tags") * 1000000L,
+        s"inverse Simpson must sit in [1, n_tags]: $inv")
+      assert(r.getAs[Long]("top_share_micro") >= 1000000L / r.getAs[Long]("n_tags"))
+    }
+  }
+
   test("JSONL chat ingest round-trips the turn table exactly; torn lines quarantine") {
     import org.apache.spark.sql.functions.{col => c}
     val dir = java.nio.file.Files.createTempDirectory("chat-jsonl").toString
