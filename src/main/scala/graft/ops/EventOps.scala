@@ -1693,7 +1693,131 @@ object EventOps {
         CAST(SUM(seg_cents) AS BIGINT) AS seg_cents
       FROM m GROUP BY 1, 2, 3"""
 
+  // -------------------------------------------------------------------
+  // q272: transition-graph PageRank
+  // -------------------------------------------------------------------
+
+  /** PageRank damping (micro) and iteration count. */
+  val PrDampMicro = 850000L
+  val PrIters = 10
+
+  /** q272: PageRank over the session-transition graph — which event
+    * types are structurally central to user flows (a type can be
+    * low-volume but high-centrality when every path routes through
+    * it). Fixed-point micro iterations so both engines agree exactly:
+    * pr'_i = (1−d)/N + d·Σ_j pr_j·n_ji/out_j, truncating division in a
+    * fixed order, [[PrIters]] rounds from the uniform start.
+    *
+    * Scale shape: the transition rollup ([[sessionTransitions]] — one
+    * session window + one (from,to) rollup) is the only data-volume
+    * work; the graph is event-type-cardinality (k² ≤ 25 rows here), so
+    * the power iteration runs driver-side over the collected matrix
+    * (the coarse-trainer pattern) and the oracle unrolls the same
+    * arithmetic in MATERIALIZED CTEs. Output is node-cardinality. */
+  def transitionPagerank(ev: DataFrame): DataFrame = {
+    val spark = ev.sparkSession
+    import spark.implicits._
+    val tr = sessionTransitions(ev)
+      .select("from_type", "to_type", "n", "n_from")
+      .as[(String, String, Long, Long)]
+      .collect() // ≤ (event types)² rows — driver-bounded by construction
+    val nodes = (tr.map(_._1) ++ tr.map(_._2)).distinct.sorted
+    val idx = nodes.zipWithIndex.toMap
+    val nN = nodes.length
+    val out = Array.fill(nN)(0L)
+    tr.foreach { case (f, _, _, nf) => out(idx(f)) = nf }
+    val in = nodes.indices.map(i =>
+      tr.filter(t => idx(t._2) == i).map(t => (idx(t._1), t._3)).sortBy(_._1))
+    var pr = Array.fill(nN)(1000000L / nN)
+    for (_ <- 1 to PrIters) {
+      pr = Array.tabulate(nN) { i =>
+        val flow = in(i).map { case (j, nji) => (pr(j) * nji) / out(j) }.sum
+        (1000000L - PrDampMicro) / nN + (PrDampMicro * flow) / 1000000L
+      }
+    }
+    val ranked = pr.zipWithIndex.sortBy { case (p, i) => (-p, nodes(i)) }
+      .zipWithIndex.map { case ((p, i), r) =>
+        (nodes(i), p, out(i), r + 1L)
+      }
+    spark.createDataset(ranked.toSeq)
+      .toDF("event_type", "pr_micro", "n_out", "rank")
+  }
+
+  val transitionPagerankSql: String = {
+    val base =
+      s"""trq AS MATERIALIZED (${sessionTransitionsSql()}),
+      nodes AS MATERIALIZED (
+        SELECT DISTINCT t FROM (
+          SELECT from_type AS t FROM trq UNION SELECT to_type FROM trq)),
+      nn AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS k FROM nodes),
+      outw AS MATERIALIZED (SELECT n.t,
+            COALESCE((SELECT MAX(n_from) FROM trq WHERE from_type = n.t), 0)
+              AS out_n
+          FROM nodes n),
+      pr0 AS MATERIALIZED (SELECT t, CAST(1000000 // k AS BIGINT) AS p
+          FROM nodes, nn)"""
+    val iters = (1 to PrIters).map { it =>
+      val prev = s"pr${it - 1}"
+      s"""fl$it AS MATERIALIZED (
+          SELECT n.t,
+            COALESCE(SUM((pj.p * tr.n) // o.out_n), 0) AS flow
+          FROM nodes n
+          LEFT JOIN trq tr ON tr.to_type = n.t
+          LEFT JOIN $prev pj ON pj.t = tr.from_type
+          LEFT JOIN outw o ON o.t = tr.from_type
+          GROUP BY n.t),
+        pr$it AS MATERIALIZED (
+          SELECT f.t,
+            CAST((1000000 - $PrDampMicro) // nn.k
+              + ($PrDampMicro * f.flow) // 1000000 AS BIGINT) AS p
+          FROM fl$it f, nn)"""
+    }
+    s"""WITH ${(base +: iters).mkString(",\n      ")}
+      SELECT pr.t AS event_type, pr.p AS pr_micro,
+        CAST(o.out_n AS BIGINT) AS n_out,
+        CAST(row_number() OVER (ORDER BY pr.p DESC, pr.t) AS BIGINT) AS rank
+      FROM pr$PrIters pr JOIN outw o ON o.t = pr.t"""
+  }
+
+  // -------------------------------------------------------------------
+  // q273: l-diversity audit
+  // -------------------------------------------------------------------
+
+  /** q273: l-diversity audit over the RFM release cells — quasi-
+    * identifier = (r_seg, f_seg), sensitive attribute = m_seg. A cell
+    * can be k-anonymous (q205) and still leak: if every user in it
+    * shares one spend band, membership reveals the sensitive value
+    * (homogeneity attack). Per cell: population, l = distinct sensitive
+    * values, the dominant value's share, and the l ≥ 2 flag.
+    *
+    * Scale shape: a rollup of q200's ALREADY-bounded segment rollup —
+    * zero additional data-volume work; output ≤ 9 cells. */
+  def lDiversityAudit(ev: DataFrame): DataFrame =
+    rfmSegments(ev)
+      .groupBy("r_seg", "f_seg")
+      .agg(sum("n_users").as("n_users"),
+        count(lit(1)).as("l"),
+        max("n_users").as("top_m_users"))
+      .withColumn("top_m_share_micro", expr("(top_m_users * 1000000) div n_users"))
+      .withColumn("ok_l2", expr("CAST(CASE WHEN l >= 2 THEN 1 ELSE 0 END AS BIGINT)"))
+      .drop("top_m_users")
+
+  val lDiversityAuditSql: String =
+    s"""WITH seg AS ($rfmSegmentsSql)
+      SELECT r_seg, f_seg, CAST(SUM(n_users) AS BIGINT) AS n_users,
+        CAST(count(*) AS BIGINT) AS l,
+        CAST((MAX(n_users) * 1000000) // SUM(n_users) AS BIGINT)
+          AS top_m_share_micro,
+        CAST(CASE WHEN count(*) >= 2 THEN 1 ELSE 0 END AS BIGINT) AS ok_l2
+      FROM seg GROUP BY 1, 2"""
+
   val queries: Seq[QueryDef] = Seq(
+    QueryDef("q272_transition_pagerank",
+      (s, d) => transitionPagerank(events(s, d)),
+      Some(transitionPagerankSql)),
+    QueryDef("q273_l_diversity",
+      (s, d) => lDiversityAudit(events(s, d)),
+      Some(lDiversityAuditSql)),
     QueryDef("q205_suppressed_rfm",
       (s, d) => suppressSmallCells(rfmSegments(events(s, d)),
         Seq("r_seg", "f_seg", "m_seg"), "n_users", Seq("seg_cents")),

