@@ -846,6 +846,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("live eval monitor: pass@k card streams unchanged") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    // passAtK is a stateless projection + ONE aggregation — the same
+    // function is the live eval monitor under complete mode (a benchmark
+    // run streaming attempt shards watches pass@k converge)
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "source", "text").as[(Long, String, String)].collect().toSeq
+    val mem = MemoryStream[(Long, String, String)]
+    val q = graft.ops.Sampling.passAtK(mem.toDF().toDF("doc_id", "source", "text"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("livepassk").start()
+    try {
+      mem.addData(docs.take(docs.size / 2): _*)
+      q.processAllAvailable()
+      mem.addData(docs.drop(docs.size / 2): _*)
+      q.processAllAvailable()
+      val live = spark.table("livepassk").collect()
+        .map(r => r.getAs[String]("source") -> r).toMap
+      val batch = graft.ops.Sampling.passAtK(
+          spark.read.parquet(s"$dir/documents.parquet")).collect()
+        .map(r => r.getAs[String]("source") -> r).toMap
+      assert(live.keySet == batch.keySet)
+      batch.foreach { case (src, b) =>
+        Seq("n_problems", "mean_c_micro", "pass1_micro", "pass2_micro", "pass4_micro")
+          .foreach(c => assert(live(src).getAs[Long](c) == b.getAs[Long](c), s"$src $c"))
+      }
+    } finally q.stop()
+  }
+
   test("cleaning ops are stateless projections: they stream unchanged") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
