@@ -521,7 +521,10 @@ object Conversations {
       .select(col("conv_id"), posexplode(col("messages")))
       .select(col("conv_id"), col("pos").cast("long").as("turn_idx"),
         col("col.role").as("role"), col("col.content").as("text"))
-      .withColumn("valid_role", col("role").isin(Roles: _*))
+      // <=> true, not a bare isin: a missing/null role yields NULL from
+      // isin, which BOTH filter(valid_role) and filter(!valid_role)
+      // drop — the malformed turn would vanish instead of dead-lettering
+      .withColumn("valid_role", col("role").isin(Roles: _*) <=> lit(true))
 
   /** Inverse of [[fromMessages]]: fold a turn table back into one
     * messages-array row per conversation (for JSONL export via

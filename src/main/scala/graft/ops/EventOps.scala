@@ -1722,6 +1722,11 @@ object EventOps {
       .as[(String, String, Long, Long)]
       .collect() // ≤ (event types)² rows — driver-bounded by construction
     val nodes = (tr.map(_._1) ++ tr.map(_._2)).distinct.sorted
+    // empty transition graph (no session has 2+ events): zero rows, the
+    // same answer the DuckDB twin gives — not a division by zero
+    if (nodes.isEmpty)
+      return spark.createDataset(Seq.empty[(String, Long, Long, Long)])
+        .toDF("event_type", "pr_micro", "n_out", "rank")
     val idx = nodes.zipWithIndex.toMap
     val nN = nodes.length
     val out = Array.fill(nN)(0L)

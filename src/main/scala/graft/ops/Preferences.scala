@@ -571,9 +571,12 @@ object Preferences {
         .map(r => r.getAs[Long]("annotator") ->
           (r.getAs[Long]("acc_a_micro"), r.getAs[Long]("acc_b_micro"))).toMap
       val pi = dsPi(pf)
+      // an annotator absent from the frame (tiny/filtered corpora) gets
+      // neutral 0.5 params — its CASE branch can never match a row, but
+      // par(k) must not throw building the expression
       def caseOf(side: String, f: ((Long, Long)) => Long): String =
         (0L until Annotators.toLong)
-          .map(k => s"WHEN $k THEN ${f(par(k))}L")
+          .map(k => s"WHEN $k THEN ${f(par.getOrElse(k, (500000L, 500000L)))}L")
           .mkString(s"CASE $side ", " ", " END")
       val aA = caseOf("a0", _._1); val aB = caseOf("a1", _._1)
       val bA = caseOf("a0", _._2); val bB = caseOf("a1", _._2)

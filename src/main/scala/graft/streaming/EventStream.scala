@@ -47,10 +47,11 @@ case class SeasonalFlag(event_type: String, day: Long, hour: Long, n: Long,
 case class DriftPoint(event_type: String, day: Long, n: Long,
     cusum_micro: Long, spike: Boolean)
 
-/** Per-(user, type) state for [[EventStream.dupMonitor]]: the one OPEN
-  * (event-time, count) delivery group — fixed-size per key, expired by
-  * event-time timeout once the watermark proves the timestamp closed. */
-case class DupState(t_us: Long, n: Long)
+/** Per-(user, type) state for [[EventStream.dupMonitor]]: every OPEN
+  * (event-time micros -> count) delivery group still inside the
+  * watermark window — window-bounded, expired by event-time timeout
+  * once the watermark proves a timestamp closed. */
+case class DupState(counts: Map[Long, Long])
 
 /** One closed delivery group emitted by [[EventStream.dupMonitor]] —
   * n >= 2 means the event was delivered n times (at-least-once
@@ -66,6 +67,13 @@ case class DupGroup(user_id: Long, event_type: String, t_us: Long, n: Long)
   * stream. Input: any streaming DataFrame with (ts TIMESTAMP,
   * event_type STRING, value DOUBLE). */
 object EventStream {
+
+  /** Micro-precision event time from a JDBC timestamp: ms * 1000 plus
+    * the sub-ms micros (getTime already carries whole ms, so only the
+    * nanos' micro remainder is added). Shared by every stateful
+    * operator in this package — a precision fix lands once. */
+  private[streaming] def micros(t: java.sql.Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
 
   /** Tumbling (or, with `slide`, sliding) event-time window counts. */
   def windowedAgg(
@@ -210,26 +218,29 @@ object EventStream {
     * EventOps.duplicateEvents (q247): emits one [[DupGroup]] per
     * (user, type, event-time) delivery group the moment the group is
     * PROVABLY closed, so a redelivery storm shows up as n >= 2 groups
-    * while it is happening instead of at the next batch audit. A group
-    * closes two ways: a LATER timestamp arrives for the same key
-    * (closed in-operator, the driftMonitor day-close discipline), or
-    * the WATERMARK passes its timestamp (event-time timeout — a
-    * redelivery of that exact timestamp would now be late-dropped
-    * upstream, so the count is final). Either way each group emits
-    * exactly once.
+    * while it is happening instead of at the next batch audit.
     *
-    * State per (user, type) is FIXED-SIZE — the one open (t_us, n) —
-    * and self-expires with the timeout, so key cardinality, not stream
-    * length, bounds the store. [[dupCard]] rolls emitted groups into
-    * q247's card; spec-locked: streamed groups == the batch op's
-    * (user, type, ts) rollup on the same delivered rows, however the
-    * stream is batched. Input columns: (user_id LONG, event_type
+    * The ONLY provable close is the watermark passing the group's
+    * timestamp: once it has, a redelivery of that exact timestamp would
+    * be late-dropped upstream, so the count is final. (An earlier form
+    * also closed a group when a LATER timestamp arrived for the key —
+    * the driftMonitor day-close discipline — but that close is not
+    * provable under out-of-order delivery: a redelivery arriving after
+    * a newer event, still inside the watermark, re-opened the group and
+    * double-emitted it with the count split. Exactly the shape real
+    * at-least-once redelivery takes; spec-locked against now.)
+    *
+    * State per (user, type) is every still-open (t_us, n) inside the
+    * watermark window — bounded by the window, not the stream — and
+    * self-expires via the event-time timeout on the oldest open entry.
+    * [[dupCard]] rolls emitted groups into q247's card; spec-locked:
+    * streamed groups == the batch op's (user, type, ts) rollup on the
+    * same delivered rows, however the stream is batched and reordered
+    * within the watermark. Input columns: (user_id LONG, event_type
     * STRING, ts TIMESTAMP) with timestamps at micro precision. */
   def dupMonitor(events: DataFrame,
       watermarkDelay: String = "10 minutes"): Dataset[DupGroup] = {
     import events.sparkSession.implicits._
-    def micros(t: java.sql.Timestamp): Long =
-      t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
     events
       .withWatermark("ts", watermarkDelay)
       .select(col("user_id").as[Long], col("event_type").as[String],
@@ -238,28 +249,25 @@ object EventStream {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (key: (Long, String), rows: Iterator[(Long, String, java.sql.Timestamp)],
             state: GroupState[DupState]) =>
-          if (state.hasTimedOut) {
-            // watermark passed the open timestamp: the group is final
-            val st = state.get
-            state.remove()
-            Iterator.single(DupGroup(key._1, key._2, st.t_us, st.n))
-          } else {
-            val counts = scala.collection.mutable.Map.empty[Long, Long]
-            rows.foreach { r =>
-              val us = micros(r._3)
-              counts(us) = counts.getOrElse(us, 0L) + 1L
-            }
-            state.getOption.foreach(st =>
-              counts(st.t_us) = counts.getOrElse(st.t_us, 0L) + st.n)
-            val ts = counts.keys.toSeq.sorted
-            val open = ts.last
-            state.update(DupState(open, counts(open)))
-            // fire once the watermark passes the open timestamp (+1 ms
-            // guard: timeouts are ms, timestamps are us)
-            state.setTimeoutTimestamp(open / 1000L + 1L)
-            ts.dropRight(1).iterator
-              .map(t => DupGroup(key._1, key._2, t, counts(t)))
+          // one unified path: merge state + batch rows, close everything
+          // the watermark has passed, keep the rest (handles the timeout
+          // wake-up too — rows is just empty there)
+          val counts = scala.collection.mutable.Map.empty[Long, Long]
+          state.getOption.foreach(_.counts.foreach { case (t, n) => counts(t) = n })
+          rows.foreach { r =>
+            val us = EventStream.micros(r._3)
+            counts(us) = counts.getOrElse(us, 0L) + 1L
           }
+          val wm = state.getCurrentWatermarkMs()
+          // final once the watermark passed the group's millisecond (+1 ms
+          // guard: watermarks/timeouts are ms, timestamps are us)
+          val (closed, open) = counts.partition { case (t, _) => t / 1000L + 1L <= wm }
+          if (open.nonEmpty) {
+            state.update(DupState(open.toMap))
+            state.setTimeoutTimestamp(open.keys.min / 1000L + 1L)
+          } else if (state.exists) state.remove()
+          closed.toSeq.sortBy(_._1).iterator
+            .map { case (t, n) => DupGroup(key._1, key._2, t, n) }
       }
   }
 
@@ -429,9 +437,7 @@ object EventStream {
     // the watermarked TIMESTAMP column must survive projection up to the
     // stateful operator (projecting it to a LONG would orphan the
     // watermark and fail the streaming checker) — micros conversion
-    // happens inside the lambda instead
-    def micros(t: java.sql.Timestamp): Long =
-      t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+    // happens inside the lambda instead (EventStream.micros)
     events
       .withWatermark("ts", watermarkDelay)
       .select(col("user_id").as[Long], col("event_type").as[String],

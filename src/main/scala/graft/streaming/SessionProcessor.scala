@@ -181,8 +181,7 @@ class TypedSessionProcessor(gapUs: Long)
       key: Long,
       rows: Iterator[(Long, Timestamp, Long, String)],
       timerValues: TimerValues): Iterator[TypedFinalSession] = {
-    def micros(t: Timestamp): Long =
-      t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+    def micros(t: Timestamp): Long = EventStream.micros(t)
     val buf = ArrayBuffer.empty[OpenTypedSession]
     if (open.exists()) buf ++= open.get()
     rows.foreach { case (_, ts, eid, tpe) =>

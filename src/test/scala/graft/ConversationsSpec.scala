@@ -136,6 +136,21 @@ class ConversationsSpec extends AnyFunSuite {
     }
   }
 
+  test("fromMessages: a null-role turn dead-letters instead of vanishing") {
+    import org.apache.spark.sql.functions.{col => c}
+    import org.apache.spark.sql.Row
+    val schema = Conversations.ChatSchema
+    val rows = java.util.Arrays.asList(
+      Row(1L, scala.collection.mutable.ArraySeq(
+        Row("user", "hi"), Row(null, "orphan"), Row("assistant", "yo"))))
+    val convs = spark.createDataFrame(rows, schema)
+    val turns = Conversations.fromMessages(convs)
+    val good = turns.filter(c("valid_role")).count()
+    val bad = turns.filter(!c("valid_role")).count()
+    assert(good === 2 && bad === 1,
+      "the null-role turn must route to the dead-letter side, not be dropped by both filters")
+  }
+
   test("JSONL chat ingest round-trips the turn table exactly; torn lines quarantine") {
     import org.apache.spark.sql.functions.{col => c}
     val dir = java.nio.file.Files.createTempDirectory("chat-jsonl").toString

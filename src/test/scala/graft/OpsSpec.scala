@@ -1555,6 +1555,18 @@ class OpsSpec extends AnyFunSuite {
       "every node keeps at least the teleport mass (1-d)/N")
   }
 
+  test("q272 pagerank: empty transition graph returns zero rows, not a crash") {
+    import org.apache.spark.sql.functions.{col, expr}
+    // every session has exactly one event -> sessionTransitions is empty
+    val ev = graft.ops.EventOps.events(spark, dir)
+      .withColumn("rn", expr(
+        "row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)"))
+      .filter(col("rn") === 1).drop("rn")
+    val pr = graft.ops.EventOps.transitionPagerank(ev)
+    assert(pr.count() === 0, "degenerate input must match the oracle's zero rows")
+    assert(pr.columns.toSeq === Seq("event_type", "pr_micro", "n_out", "rank"))
+  }
+
   test("q273 l-diversity: partitions the RFM universe, share bounds") {
     val ev = graft.ops.EventOps.events(spark, dir)
     val cells = graft.ops.EventOps.lDiversityAudit(ev).collect()

@@ -1176,6 +1176,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("dup monitor: an out-of-order redelivery within the watermark cannot double-emit") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    import graft.streaming.DupGroup
+    // the at-least-once shape that broke the later-timestamp close: a
+    // redelivery of 12:00 arrives AFTER 12:05 (in the next batch), still
+    // inside the 10-minute watermark — it must MERGE into the 12:00
+    // group (n=2), not re-open and re-emit it
+    def ts(s: String) = Timestamp.valueOf(s"2024-01-01 $s")
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val q = EventStream.dupMonitor(mem.toDF().toDF("user_id", "event_type", "ts"))
+      .writeStream.outputMode("append").format("memory").queryName("dupooo").start()
+    try {
+      mem.addData((1L, "t", ts("12:00:00")), (1L, "t", ts("12:05:00")))
+      q.processAllAvailable() // watermark now 11:55 — 12:00 must stay open
+      mem.addData((1L, "t", ts("12:00:00")), (1L, "t", ts("12:06:00")))
+      q.processAllAvailable()
+      mem.addData((-1L, "x", ts("23:00:00"))) // push the watermark past all
+      q.processAllAvailable()
+      val got = spark.table("dupooo").as[DupGroup].collect()
+        .filter(_.user_id >= 0).sortBy(_.t_us)
+      assert(got.length === 3, s"exactly one emission per group: ${got.mkString(",")}")
+      assert(got.map(_.n).toSeq === Seq(2L, 1L, 1L),
+        s"the redelivered 12:00 group must close once with n=2: ${got.mkString(",")}")
+    } finally q.stop()
+  }
+
   test("typed sessions: live q235/q236 cards == batch cards on the event table") {
     import spark.implicits._
     implicit val sc = spark.sqlContext

@@ -32,13 +32,20 @@ def rows_key(cols, rows):
 def run_verify(sf_dir, out_dir, cpus, only=()):
     env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
     names = " ".join(only)
-    subprocess.run(
+    proc = subprocess.run(
         ["sbt", "-batch", f"runMain graft.Verify {sf_dir} {out_dir} {names}".strip()],
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        env=env, check=True, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+        env=env, capture_output=True, text=True)
+    if proc.returncode != 0:
+        # surface WHY a determinism-gate pass failed instead of a bare
+        # CalledProcessError with discarded output
+        sys.stderr.write(proc.stdout[-4000:] + proc.stderr[-4000:])
+        raise SystemExit(f"verify pass (cpus={cpus}) failed rc={proc.returncode}")
 
 
 def main():
+    if len(sys.argv) < 2:
+        sys.exit(__doc__.strip())
     sf_dir = sys.argv[1]
     cpus_a = sys.argv[2] if len(sys.argv) > 2 else "4"
     cpus_b = sys.argv[3] if len(sys.argv) > 3 else "8"
