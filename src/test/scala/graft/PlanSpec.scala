@@ -484,6 +484,47 @@ class PlanSpec extends AnyFunSuite {
     assert(p.linesIterator.count(_.contains("HashAggregate")) >= 4)
   }
 
+  test("q257/q259: conversational windows are per-key, never a global sort") {
+    Seq("q257_conv_packing", "q259_parroting_screen").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("rangepartitioning"),
+        s"$q: the cumulative/lag window must partition by key, not sort globally")
+      assert(p.linesIterator.count(_.matches("^\\(\\d+\\) Window\\s*$")) <= 2,
+        s"$q: window work must not multiply")
+    }
+  }
+
+  test("q258: chat layout card is one conv rollup — no join, no string render") {
+    val p = plan("q258_chat_render_card")
+    assert(!p.contains("Join"), "geometry comes from the turn stream alone")
+    assert(!p.contains("rangepartitioning"))
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2,
+      "the conv rollup must combine map-side")
+  }
+
+  test("q266/q270/q274: derived-score cards stay joinless until rollup rows") {
+    // q266/q274: argmax/estimator as codegen'd CASE chains, one rollup.
+    // q270 joins only AFTER the (source, tag) rollup collapses the corpus
+    // (top-tag recovery over rollup rows) — gate the shape that matters:
+    // no global sort, and aggregation starts map-side.
+    Seq("q266_best_of_n", "q274_pass_at_k").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q: candidates/attempts never join")
+      assert(!p.contains("rangepartitioning"), s"$q: no global sort")
+      assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2)
+    }
+    val p270 = plan("q270_instruction_tags")
+    assert(!p270.contains("rangepartitioning"), "q270: no global sort")
+    assert(!p270.contains("Generate"), "q270: the tag is a projection, not an explode")
+  }
+
+  test("q271: alignment audit is a stateless zip-dot plus one rollup") {
+    val p = plan("q271_cross_modal_alignment")
+    assert(!p.contains("Join"))
+    assert(!p.contains("rangepartitioning"))
+    assert(!p.contains("Generate"), "no per-dimension explode — the dot is one expression")
+  }
+
   test("q265: semantic packing is linear — broadcast centroids, one window") {
     val p = plan("q265_semantic_packing")
     assert(!p.contains("CartesianProduct"), "centroid assignment must broadcast")
