@@ -15,7 +15,8 @@ object SparkEntry {
       graft.ops.Similarity.queries ++ graft.ops.Multimodal.queries ++
       graft.ops.Corpus.queries ++ graft.ops.Layout.queries ++ graft.ops.Pipeline.queries ++
       graft.ops.Cleaning.queries ++ graft.ops.Conversations.queries ++
-      graft.ops.Preferences.queries ++ graft.ops.Chunking.queries
+      graft.ops.Preferences.queries ++ graft.ops.Chunking.queries ++
+      graft.ops.Profiling.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1973,7 +1973,54 @@ object Corpus {
       SELECT doc_id, CAST(rank AS BIGINT) AS rank, phrase, plen, score_q
       FROM r WHERE rank <= $k"""
 
+  /** Character-coverage card (q280): corpus-weighted frequency of every
+    * character, ranked desc (tie char asc) with the exact micro
+    * cumulative share — the table a byte-fallback alphabet is cut from
+    * (the "which symbols cover 99.99% of the corpus" step that precedes
+    * q108's merge training; q106 ranks PAIRS for merging, this ranks the
+    * base symbols the merge alphabet starts from).
+    *
+    * Scale shape: the corpus collapses to the distinct-word frequency
+    * table first (the q106/q108 precompute), chars explode per VOCAB row
+    * weighted by corpus count, and the rank/cumsum window runs over
+    * <= alphabet-size rows — a single-partition window on a provably
+    * bounded frame. */
+  def charCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val cc = t(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .select(col("n"), explode(expr(
+        "transform(sequence(1, length(word)), i -> substr(word, i, 1))")).as("ch"))
+      .groupBy("ch").agg(sum("n").as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("cnt").desc, col("ch"))
+    cc.withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("cum", sum("cnt").over(w.rowsBetween(Long.MinValue, 0)))
+      .withColumn("total", sum("cnt").over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy().rowsBetween(Long.MinValue, Long.MaxValue)))
+      .withColumn("cum_micro", expr(
+        "CAST((CAST(cum AS DECIMAL(38,0)) * 1000000) div total AS BIGINT)"))
+      .select("rank", "ch", "cnt", "cum_micro")
+  }
+
+  val charCoverageSql: String =
+    """WITH wc0 AS (SELECT w AS word, CAST(count(*) AS BIGINT) AS n
+        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        GROUP BY 1),
+      cc AS (SELECT substr(word, CAST(i AS BIGINT), 1) AS ch, CAST(SUM(n) AS BIGINT) AS cnt
+        FROM (SELECT word, n, unnest(range(1, len(word) + 1)) AS i FROM wc0)
+        GROUP BY 1)
+      SELECT CAST(row_number() OVER (ORDER BY cnt DESC, ch) AS BIGINT) AS rank,
+        ch, cnt,
+        CAST((CAST(SUM(cnt) OVER (ORDER BY cnt DESC, ch
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS HUGEINT) * 1000000)
+          // SUM(cnt) OVER () AS BIGINT) AS cum_micro
+      FROM cc"""
+
   val queries: Seq[QueryDef] = Seq(
+    QueryDef("q280_char_coverage",
+      (s, d) => charCoverage(s, d),
+      Some(charCoverageSql)),
     QueryDef("q167_rake_keyphrases",
       (s, d) => rakeKeyphrases(t(s, d, "documents")),
       Some(rakeKeyphrasesSql())),

@@ -1816,7 +1816,66 @@ object EventOps {
         CAST(CASE WHEN count(*) >= 2 THEN 1 ELSE 0 END AS BIGINT) AS ok_l2
       FROM seg GROUP BY 1, 2"""
 
+  /** SCD2 history compression (q283): the warehouse type-2 dimension
+    * build from event snapshots — per user, the JSON `k` attribute's
+    * last value each active day, with consecutive equal-valued days
+    * compressed to [valid_from_day, valid_to_day] intervals (the
+    * gaps-and-islands pattern: an island breaks when the value changes
+    * OR the daily snapshot has a gap, since an absent day is an unknown
+    * state, not a carried-forward one). q25 resamples values onto a
+    * grid; THIS op builds the slowly-changing-dimension table a join
+    * against history needs (`FROM dim WHERE day BETWEEN valid_from_day
+    * AND valid_to_day`).
+    *
+    * Determinism: "last value of the day" ties break on (ts desc,
+    * event_id desc) — the q235 endpoint discipline.
+    *
+    * Scale shape: one (user, day) dedup window + one user-partitioned
+    * day-ordered lag/cumsum window + one (user, island) rollup — every
+    * exchange is user-keyed (the natural partitioning; no global sort),
+    * per-user frames bounded by active days. */
+  def scd2History(ev: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = ev.select(col("user_id"),
+        expr("ts DIV 86400000000000").as("day"),
+        col("ts"), col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .withColumn("rn", row_number().over(Window.partitionBy("user_id", "day")
+        .orderBy(col("ts").desc, col("event_id").desc)))
+      .filter(col("rn") === 1).select("user_id", "day", "k")
+    val w = Window.partitionBy("user_id").orderBy("day")
+    daily
+      .withColumn("brk", when(lag("day", 1).over(w).isNull
+          || col("day") =!= lag("day", 1).over(w) + 1
+          || col("k") =!= lag("k", 1).over(w), 1L).otherwise(0L))
+      .withColumn("grp", sum("brk").over(w.rowsBetween(Long.MinValue, 0)))
+      .groupBy("user_id", "grp", "k").agg(
+        min("day").as("valid_from_day"), max("day").as("valid_to_day"),
+        count(lit(1)).as("n_days"))
+      .select("user_id", "k", "valid_from_day", "valid_to_day", "n_days")
+  }
+
+  val scd2HistorySql: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+          epoch_us(ts) AS tus, event_id,
+          CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events),
+      d AS (SELECT user_id, day, k FROM (
+          SELECT *, row_number() OVER (PARTITION BY user_id, day
+            ORDER BY tus DESC, event_id DESC) AS rn FROM e) WHERE rn = 1),
+      g AS (SELECT user_id, day, k,
+          CASE WHEN lag(day) OVER w IS NULL OR day != lag(day) OVER w + 1
+               OR k != lag(k) OVER w THEN 1 ELSE 0 END AS brk
+        FROM d WINDOW w AS (PARTITION BY user_id ORDER BY day)),
+      i AS (SELECT user_id, day, k, SUM(brk) OVER (PARTITION BY user_id
+          ORDER BY day ROWS UNBOUNDED PRECEDING) AS grp FROM g)
+      SELECT user_id, k, CAST(MIN(day) AS BIGINT) AS valid_from_day,
+        CAST(MAX(day) AS BIGINT) AS valid_to_day,
+        CAST(count(*) AS BIGINT) AS n_days
+      FROM i GROUP BY user_id, grp, k"""
+
   val queries: Seq[QueryDef] = Seq(
+    QueryDef("q283_scd2_history",
+      (s, d) => scd2History(events(s, d)), Some(scd2HistorySql)),
     QueryDef("q272_transition_pagerank",
       (s, d) => transitionPagerank(events(s, d)),
       Some(transitionPagerankSql)),

@@ -1,0 +1,140 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.queries.QueryDef
+import graft.queries.QueryDef.t
+
+/** Table-profiling operators — the data-catalog layer of the pipeline
+  * (per-column statistics, join-key skew diagnosis).
+  *
+  * The reference pipeline profiles nothing (it posts whatever the CSVs
+  * contain), so this family is ★ extension: the cards a 100 TB ingest
+  * computes FIRST, because every later plan choice — broadcast vs
+  * shuffle, salting, AQE skew thresholds, partition counts — reads off
+  * these numbers.
+  */
+object Profiling {
+
+  /** Columns profiled by q281 — types with an engine-portable exact
+    * min/max rendering (int64 → decimal string; timestamp → pinned
+    * format; strings verbatim). Doubles are profiled by the dedicated
+    * numeric ops (q79/q151/q223); their min/max string forms are not
+    * portable across engines. */
+  val ProfileCols: Seq[(String, String)] = Seq(
+    "l_orderkey" -> "long", "l_partkey" -> "long", "l_linenumber" -> "long",
+    "l_returnflag" -> "string", "l_linestatus" -> "string",
+    "l_shipdate" -> "ts")
+
+  /** Per-column profile card over `lineitem` (q281): rows, nulls, exact
+    * distinct count, min and max in a pinned string rendering — the
+    * generic "column statistics" pass a catalog stores and an optimizer
+    * reads (NDVs drive join-order and broadcast decisions; min/max are
+    * the zone-map bounds).
+    *
+    * Scale shape: ONE scan; all per-column aggregates (including the
+    * exact distincts) ride a single aggregate node with map-side
+    * partials — Spark expands multi-distinct aggregates itself — then
+    * the wide 1-row result unpivots to the card via `stack`, driver-free.
+    * On a real 100 TB table the exact distincts become HLL sketches
+    * (q70's op); the card's shape is unchanged. */
+  def columnProfile(li: DataFrame): DataFrame = {
+    def render(c: String, kind: String, f: Column => Column): Column = kind match {
+      case "ts" => date_format(f(col(c)), "yyyy-MM-dd HH:mm:ss")
+      case _    => f(col(c)).cast("string")
+    }
+    val aggs: Seq[Column] = count(lit(1)).as("n_rows") +: ProfileCols.flatMap {
+      case (c, kind) => Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
+        countDistinct(col(c)).as(s"${c}_ndv"),
+        render(c, kind, min).as(s"${c}_min"),
+        render(c, kind, max).as(s"${c}_max"))
+    }
+    val wide = li.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = ProfileCols.map { case (c, _) =>
+      s"'$c', ${c}_nulls, ${c}_ndv, ${c}_min, ${c}_max"
+    }.mkString(", ")
+    wide.select(col("n_rows"), expr(
+      s"stack(${ProfileCols.size}, $stackArgs) AS (col_name, n_nulls, n_distinct, min_str, max_str)"))
+      .select("col_name", "n_rows", "n_nulls", "n_distinct", "min_str", "max_str")
+  }
+
+  val columnProfileSql: String = {
+    val branches = ProfileCols.map { case (c, kind) =>
+      val (mn, mx) = kind match {
+        case "ts" => (s"strftime(MIN($c), '%Y-%m-%d %H:%M:%S')",
+          s"strftime(MAX($c), '%Y-%m-%d %H:%M:%S')")
+        case _ => (s"CAST(MIN($c) AS VARCHAR)", s"CAST(MAX($c) AS VARCHAR)")
+      }
+      s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+          CAST(count(*) - count($c) AS BIGINT) AS n_nulls,
+          CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+          $mn AS min_str, $mx AS max_str FROM lineitem"""
+    }
+    branches.mkString("\n      UNION ALL\n      ")
+  }
+
+  /** Keys profiled by q282: (card label, table, key expression). */
+  val SkewKeys: Seq[(String, String, String)] = Seq(
+    ("lineitem.l_orderkey", "lineitem", "l_orderkey"),
+    ("orders.o_custkey", "orders", "o_custkey"),
+    ("events.user_id", "events", "user_id"),
+    ("documents.source", "documents", "source"))
+
+  /** Join-key skew profiler (q282): per candidate join key — total rows,
+    * distinct keys, the heaviest key's row count and identity, and the
+    * exact micro skew factor (max over mean rows-per-key). The number
+    * that decides salting (`ops/SkewJoin`) and the AQE skew-join
+    * threshold BEFORE the join runs; a skew factor near 1e6 means
+    * uniform, 100e6 means one key carries 100x its share.
+    *
+    * Scale shape: per key, one map-side-combined (key) rollup, then an
+    * all-to-one rollup of ROLLUP rows (key cardinality, not table
+    * cardinality), with the heaviest key recovered by a broadcast-size
+    * max-match join — never a sort. Cards union; each table is scanned
+    * once reading only its key column. */
+  def keySkewProfile(spark: SparkSession, dir: String): DataFrame = {
+    val cards = SkewKeys.map { case (label, table, key) =>
+      val kc = t(spark, dir, table)
+        .select(col(key).cast("string").as("k"))
+        .groupBy("k").agg(count(lit(1)).as("n"))
+        .localCheckpoint() // feeds the card rollup AND the argmax probe
+      val card = kc.agg(
+        sum("n").as("n_rows"), count(lit(1)).as("n_keys"), max("n").as("max_rows"))
+      val top = kc.join(broadcast(card.select("max_rows")),
+          col("n") === col("max_rows"))
+        .agg(min("k").as("top_key"))
+      card.crossJoin(top)
+        .select(lit(label).as("key_name"), col("n_rows"), col("n_keys"),
+          col("max_rows"), col("top_key"))
+    }
+    cards.reduce(_ unionByName _)
+      .withColumn("skew_micro", expr(
+        "CAST((CAST(max_rows AS DECIMAL(38,0)) * n_keys * 1000000) div n_rows AS BIGINT)"))
+      .select("key_name", "n_rows", "n_keys", "max_rows", "top_key", "skew_micro")
+  }
+
+  val keySkewProfileSql: String = {
+    val branches = SkewKeys.map { case (label, table, key) =>
+      s"""SELECT '$label' AS key_name, n_rows, n_keys, max_rows, top_key,
+          CAST((CAST(max_rows AS HUGEINT) * n_keys * 1000000) // n_rows AS BIGINT)
+            AS skew_micro
+        FROM (
+          SELECT CAST(SUM(n) AS BIGINT) AS n_rows, CAST(count(*) AS BIGINT) AS n_keys,
+            CAST(MAX(n) AS BIGINT) AS max_rows,
+            MIN(CASE WHEN is_max THEN k END) AS top_key
+          FROM (SELECT k, n, n = MAX(n) OVER () AS is_max
+                FROM (SELECT CAST($key AS VARCHAR) AS k,
+                        CAST(count(*) AS BIGINT) AS n
+                      FROM $table GROUP BY 1)))"""
+    }
+    branches.mkString("\n      UNION ALL\n      ")
+  }
+
+  def queries: Seq[QueryDef] = Seq(
+    QueryDef("q281_column_profile",
+      (s, d) => columnProfile(t(s, d, "lineitem")), Some(columnProfileSql)),
+    QueryDef("q282_key_skew_profile",
+      (s, d) => keySkewProfile(s, d), Some(keySkewProfileSql)))
+}

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{EventOps, Profiling}
+
+/** Profiling/catalog batch (q280–q283): recompute checks, SCD2
+  * interval algebra, and plan gates. */
+class ProfilingSpec extends AnyFunSuite {
+  lazy val spark = SparkSpec.spark
+  val dir = "/root/testdata/sf0.001"
+
+  def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  test("q280 char coverage: contiguous ranks, monotone cumulative share ending at 1") {
+    val rows = graft.ops.Corpus.charCoverage(spark, dir)
+      .orderBy("rank").collect()
+    assert(rows.map(_.getAs[Long]("rank")).toSeq == (1L to rows.length).toSeq)
+    val cums = rows.map(_.getAs[Long]("cum_micro"))
+    assert(cums.zip(cums.tail).forall { case (a, b) => a <= b }, "cumshare monotone")
+    assert(cums.last == 1000000L, "full alphabet covers everything")
+    assert(rows.forall(_.getAs[String]("ch") != " "), "space is the pre-tokenizer's")
+  }
+
+  test("q281 column profile: NDVs match direct recompute; zone-map bounds ordered") {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val prof = Profiling.columnProfile(li).collect()
+      .map(r => r.getAs[String]("col_name") -> r).toMap
+    assert(prof.keySet == Profiling.ProfileCols.map(_._1).toSet)
+    val okNdv = li.select(countDistinct("l_orderkey")).collect()(0).getLong(0)
+    assert(prof("l_orderkey").getAs[Long]("n_distinct") == okNdv)
+    prof.values.foreach { r =>
+      assert(r.getAs[Long]("n_nulls") == 0L, "TPC-H columns carry no nulls")
+      assert(r.getAs[Long]("n_distinct") <= r.getAs[Long]("n_rows"))
+      assert(r.getAs[String]("min_str") <= r.getAs[String]("max_str")
+        || r.getAs[String]("col_name") == "l_orderkey", // numeric strings sort oddly
+        s"bounds ordered for ${r.getAs[String]("col_name")}")
+    }
+  }
+
+  test("q282 key skew: factor >= 1e6 and the top key really is the heaviest") {
+    val rows = Profiling.keySkewProfile(spark, dir).collect()
+    assert(rows.length == Profiling.SkewKeys.length)
+    rows.foreach(r => assert(r.getAs[Long]("skew_micro") >= 1000000L,
+      "max per-key rows can never be below the mean"))
+    val ev = rows.find(_.getAs[String]("key_name") == "events.user_id").get
+    val brute = EventOps.events(spark, dir)
+      .groupBy(col("user_id").cast("string").as("k")).count()
+      .orderBy(col("count").desc, col("k")).limit(1).collect()(0)
+    assert(ev.getAs[String]("top_key") == brute.getString(0))
+    assert(ev.getAs[Long]("max_rows") == brute.getLong(1))
+  }
+
+  test("q283 SCD2: day conservation and non-overlapping, maximal islands") {
+    val ev = EventOps.events(spark, dir)
+    val hist = EventOps.scd2History(ev).collect()
+    val dailyDays = ev.select(col("user_id"), expr("ts DIV 86400000000000").as("day"))
+      .distinct().count()
+    assert(hist.map(_.getAs[Long]("n_days")).sum == dailyDays,
+      "every active (user, day) lands in exactly one interval")
+    hist.groupBy(_.getAs[Long]("user_id")).foreach { case (_, ivs) =>
+      val sorted = ivs.sortBy(_.getAs[Long]("valid_from_day"))
+      sorted.foreach(r => assert(
+        r.getAs[Long]("valid_from_day") <= r.getAs[Long]("valid_to_day")))
+      sorted.zip(sorted.tail).foreach { case (a, b) =>
+        val (aTo, bFrom) = (a.getAs[Long]("valid_to_day"), b.getAs[Long]("valid_from_day"))
+        assert(bFrom > aTo, "intervals must not overlap")
+        if (bFrom == aTo + 1)
+          assert(a.getAs[Long]("k") != b.getAs[Long]("k"),
+            "contiguous equal-valued intervals must have merged")
+      }
+    }
+  }
+
+  test("plans: q282 argmax joins broadcast; q283 windows stay user-partitioned") {
+    val p282 = planOf("q282_key_skew_profile")
+    assert(p282.contains("BroadcastHashJoin") || p282.contains("BroadcastNestedLoopJoin"))
+    assert(!p282.contains("SortMergeJoin"), "1-row card side must broadcast")
+    val p283 = planOf("q283_scd2_history")
+    assert(!p283.contains("Join"), "SCD2 is window algebra, join-free")
+    assert(!p283.contains("Exchange rangepartitioning"),
+      "windows are user-keyed, never a global sort")
+    val p281 = planOf("q281_column_profile")
+    assert(!p281.contains("Join") && !p281.contains("Exchange rangepartitioning"))
+  }
+}
