@@ -1873,9 +1873,57 @@ object EventOps {
         CAST(count(*) AS BIGINT) AS n_days
       FROM i GROUP BY user_id, grp, k"""
 
+  /** Temporal dimension join card (q285): every event joined to the
+    * SCD2 interval valid on its day ([[scd2History]]'s output — the
+    * consumer that table exists for: `fact JOIN dim ON key AND day
+    * BETWEEN valid_from AND valid_to`). Per event type: events, events
+    * covered by an interval (ALL of them — an event's day is by
+    * construction an active day, the spec-locked invariant), events
+    * whose own value was the day's last snapshot value, and the exact
+    * micro share of the latter — how much intra-day churn the daily
+    * grain hides.
+    *
+    * Scale shape: the join is EQUI on user_id with the interval
+    * predicate as a residual — both sides exchange user-keyed (the
+    * dimension's natural key; never a broadcast nested loop, gated in
+    * the spec), per-user interval lists are bounded by active days. */
+  def temporalDimJoin(ev: DataFrame): DataFrame = {
+    val fact = ev.select(col("event_type"), col("user_id"),
+      expr("ts DIV 86400000000000").as("day"),
+      get_json_object(col("props"), "$.k").cast("long").as("k"))
+    val dim = scd2History(ev).withColumnRenamed("k", "dim_k")
+    fact.join(dim,
+        fact("user_id") === dim("user_id") &&
+          col("day") >= col("valid_from_day") && col("day") <= col("valid_to_day"),
+        "left")
+      .groupBy("event_type").agg(
+        count(lit(1)).as("n_events"),
+        expr("CAST(count_if(dim_k IS NOT NULL) AS BIGINT)").as("n_covered"),
+        expr("CAST(count_if(k = dim_k) AS BIGINT)").as("n_last_value"))
+      .withColumn("last_value_micro", expr(
+        "CAST((CAST(n_last_value AS DECIMAL(38,0)) * 1000000) div n_events AS BIGINT)"))
+      .select("event_type", "n_events", "n_covered", "n_last_value",
+        "last_value_micro")
+  }
+
+  val temporalDimJoinSql: String =
+    s"""WITH hist AS ($scd2HistorySql),
+      fact AS (SELECT event_type, user_id, epoch_us(ts) // 86400000000 AS day,
+          CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k FROM events)
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        CAST(count(*) FILTER (h.k IS NOT NULL) AS BIGINT) AS n_covered,
+        CAST(count(*) FILTER (fact.k = h.k) AS BIGINT) AS n_last_value,
+        CAST((CAST(count(*) FILTER (fact.k = h.k) AS HUGEINT) * 1000000)
+          // count(*) AS BIGINT) AS last_value_micro
+      FROM fact LEFT JOIN hist h ON h.user_id = fact.user_id
+        AND fact.day BETWEEN h.valid_from_day AND h.valid_to_day
+      GROUP BY event_type"""
+
   val queries: Seq[QueryDef] = Seq(
     QueryDef("q283_scd2_history",
       (s, d) => scd2History(events(s, d)), Some(scd2HistorySql)),
+    QueryDef("q285_temporal_dim_join",
+      (s, d) => temporalDimJoin(events(s, d)), Some(temporalDimJoinSql)),
     QueryDef("q272_transition_pagerank",
       (s, d) => transitionPagerank(events(s, d)),
       Some(transitionPagerankSql)),

@@ -617,7 +617,61 @@ object Pipeline {
       UNION ALL SELECT '3_dedup_rules_clf', n3, t3 FROM g"""
   }
 
+  /** Days newer than (max day - [[ViewDeltaDays]]) form q284's delta. */
+  val ViewDeltaDays = 7L
+
+  /** Incremental view maintenance (q284): the daily
+    * (event_type, day) → (events, value cents, DISTINCT users) view
+    * maintained the incremental-ETL way — additive stats merge directly,
+    * but the exact distinct is maintained through its SUPPORT table
+    * ((key, user) → contribution counts), the textbook IVM construction
+    * for non-additive aggregates: the stored support absorbs the delta's
+    * support by addition, and the view is a rollup of support rows (NOT
+    * of view rows, which would double-count users spanning both sides).
+    *
+    * The query derives base/delta from the corpus itself (base =
+    * days <= max-[[ViewDeltaDays]], delta = the rest), builds the stored
+    * support (checkpointed — the "yesterday's artifact" stand-in, so the
+    * plan provably cannot re-touch base events when the delta merges),
+    * merges, and rolls up. The DuckDB oracle computes the straight
+    * full rollup: the hash compare IS the proof that the maintenance
+    * algebra loses nothing.
+    *
+    * Scale shape: support is (key-day, user)-keyed — the same exchange
+    * a direct distinct pays ONCE; maintenance pays it only on the delta
+    * thereafter. Merge is a union + re-rollup of support rows; nothing
+    * driver-side. */
+  def viewMaintenance(ev: DataFrame): DataFrame = {
+    val keyed = ev.select(col("event_type"),
+      expr("ts DIV 86400000000000").as("day"), col("user_id"),
+      expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    val cutoff = keyed.agg(max("day").as("mx"))
+      .select(expr(s"mx - $ViewDeltaDays").as("cut"))
+    val tagged = keyed.crossJoin(broadcast(cutoff))
+    def support(df: DataFrame): DataFrame =
+      df.groupBy("event_type", "day", "user_id")
+        .agg(count(lit(1)).as("n"), sum("cents").as("cents"))
+    val stored = support(tagged.filter(col("day") <= col("cut")))
+      .localCheckpoint() // yesterday's persisted support artifact
+    val merged = stored.unionByName(support(tagged.filter(col("day") > col("cut"))))
+      .groupBy("event_type", "day", "user_id")
+      .agg(sum("n").as("n"), sum("cents").as("cents"))
+    merged.groupBy("event_type", "day").agg(
+      sum("n").as("n_events"), sum("cents").as("value_cents"),
+      count(lit(1)).as("n_users"))
+  }
+
+  val viewMaintenanceSql: String =
+    """SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        CAST(count(*) AS BIGINT) AS n_events,
+        CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
+        CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      FROM events GROUP BY 1, 2"""
+
   val queries: Seq[QueryDef] = Seq(
+    QueryDef("q284_view_maintenance",
+      (s, d) => viewMaintenance(EventOps.events(s, d)),
+      Some(viewMaintenanceSql)),
     QueryDef("q242_ablation_grid",
       (s, d) => ablationGrid(s, d),
       Some(ablationGridSql)),

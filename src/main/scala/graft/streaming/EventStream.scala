@@ -58,6 +58,18 @@ case class DupState(counts: Map[Long, Long])
   * redelivery); the batch q247 card is a types-bounded rollup of these. */
 case class DupGroup(user_id: Long, event_type: String, t_us: Long, n: Long)
 
+/** Per-user state for [[EventStream.scd2Monitor]]: `open` days still
+  * inside the watermark (day -> (best ts_us, best event_id, its k));
+  * `fin` days the watermark has finalized but whose island has not yet
+  * provably closed (day -> k). Both maps are bounded by the watermark
+  * window plus one undecided island — never by the stream. */
+case class Scd2State(open: Map[Long, (Long, Long, Long)], fin: Map[Long, Long])
+
+/** One closed SCD2 interval emitted by [[EventStream.scd2Monitor]] —
+  * the streaming twin of a q283 row. */
+case class Scd2Iv(user_id: Long, k: Long, valid_from_day: Long,
+    valid_to_day: Long, n_days: Long)
+
 /** Structured-Streaming event analytics (★ SURVEY §2b streaming row):
   * event-time windows with watermarks and session windows over an
   * unbounded event stream. Batch twins of these semantics are oracle-
@@ -281,6 +293,88 @@ object EventStream {
         expr("CAST(count_if(n >= 2) AS BIGINT)").as("n_dup_groups"),
         sum(expr("n - 1")).as("n_extra_rows"))
       .withColumn("dup_micro", expr("(n_extra_rows * 1000000L) div n_events"))
+
+  /** Live SCD2 maintenance (streaming twin of q283
+    * `EventOps.scd2History`): per user, maintains the daily-last-value
+    * snapshot under the watermark and emits each [valid_from_day,
+    * valid_to_day] interval EXACTLY ONCE, at the moment it provably
+    * closed — when the island's decision day (the day after its last
+    * day) is itself final under the watermark, so it is either present
+    * with a different value (a change row) or provably absent (a gap).
+    * This is the CDC-to-dimension path run live: the emitted rows ARE
+    * the type-2 dimension's closed intervals, append-only.
+    *
+    * Order-independence: the per-day "last value" merge keeps the max
+    * (ts, event_id) candidate, so any batching/reordering inside the
+    * watermark yields the same intervals — the spec replays shuffled
+    * batch splits and asserts multiset equality with the batch op.
+    *
+    * State per user: open days inside the watermark + at most one
+    * undecided trailing island — watermark-bounded, never
+    * stream-bounded; self-expires via the event-time timeout on the
+    * earliest future decision point. Input columns: (user_id LONG,
+    * ts TIMESTAMP, event_id LONG, k LONG) — the caller parses k
+    * upstream (batch q283 uses get_json_object on props). */
+  def scd2Monitor(events: DataFrame,
+      watermarkDelay: String = "10 minutes"): Dataset[Scd2Iv] = {
+    import events.sparkSession.implicits._
+    val DayUs = 86400000000L
+    events
+      .withWatermark("ts", watermarkDelay)
+      .select(col("user_id").as[Long], col("ts").as[java.sql.Timestamp],
+        col("event_id").as[Long], col("k").as[Long])
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp, Long, Long)],
+            state: GroupState[Scd2State]) =>
+          val open = scala.collection.mutable.Map.empty[Long, (Long, Long, Long)]
+          val fin = scala.collection.mutable.Map.empty[Long, Long]
+          state.getOption.foreach { s => open ++= s.open; fin ++= s.fin }
+          rows.foreach { r =>
+            val us = EventStream.micros(r._2); val day = us / DayUs
+            val keep = open.get(day) match {
+              case Some((pus, pid, _)) => us > pus || (us == pus && r._3 > pid)
+              case None => true
+            }
+            if (keep) open(day) = (us, r._3, r._4)
+          }
+          val wm = state.getCurrentWatermarkMs()
+          // day d is final once the watermark passed its last possible
+          // micro (the dupMonitor ms-guard discipline)
+          def isFinal(d: Long): Boolean = ((d + 1) * DayUs - 1) / 1000L + 1L <= wm
+          open.keys.filter(isFinal).toSeq.foreach { d =>
+            fin(d) = open(d)._3; open.remove(d)
+          }
+          // walk finalized days in order; emit maximal islands whose
+          // decision day is itself decided
+          val out = scala.collection.mutable.ArrayBuffer.empty[Scd2Iv]
+          val days = fin.keys.toSeq.sorted
+          var i = 0
+          while (i < days.length) {
+            val a = days(i); val k = fin(a)
+            var b = a; var j = i + 1
+            while (j < days.length && days(j) == b + 1 && fin(days(j)) == k) {
+              b = days(j); j += 1
+            }
+            if (isFinal(b + 1)) { // change row at b+1 or proven gap
+              out += Scd2Iv(user, k, a, b, b - a + 1)
+              (a to b).foreach(fin.remove)
+              i = j
+            } else i = days.length // trailing undecided island: retain
+          }
+          if (open.nonEmpty || fin.nonEmpty) {
+            state.update(Scd2State(open.toMap, fin.toMap))
+            // earliest future decision: an open day finalizing, or the
+            // retained island's decision day finalizing — both strictly
+            // beyond the current watermark by construction
+            val cands = open.keys.map(d => ((d + 1) * DayUs - 1) / 1000L + 1L) ++
+              fin.keys.toSeq.sorted.lastOption
+                .map(b => ((b + 2) * DayUs - 1) / 1000L + 1L)
+            state.setTimeoutTimestamp(cands.min)
+          } else if (state.exists) state.remove()
+          out.iterator
+      }
+  }
 
   /** Streaming conversion funnel, the unbounded twin of
     * EventOps.funnelStages (q78): a per-user state machine advances

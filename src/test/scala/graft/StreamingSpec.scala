@@ -1246,4 +1246,43 @@ class StreamingSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("scd2 monitor: streamed closed intervals equal batch q283 under batched replay") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    import graft.streaming.Scd2Iv
+    val dir = "/root/testdata/sf0.001"
+    // the same rows the batch op sees, parsed to (user, ts, event_id, k)
+    val src = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("user_id"), col("ts").cast("timestamp").as("ts"),
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .as[(Long, Timestamp, Long, Long)].collect()
+      .sortBy(r => (r._2.getTime, r._3))
+    // sequential event-time batches (no event crosses the watermark),
+    // deterministically scrambled WITHIN each batch — order independence
+    val batches = src.grouped(math.max(1, src.length / 7)).toSeq
+      .map(_.sortBy(r => r._3 * 2654435761L % 1000003L))
+    val mem = MemoryStream[(Long, Timestamp, Long, Long)]
+    val q = EventStream.scd2Monitor(
+        mem.toDF().toDF("user_id", "ts", "event_id", "k"), "1 hour")
+      .writeStream.outputMode("append").format("memory").queryName("scd2mon").start()
+    try {
+      batches.foreach { b => mem.addData(b.toSeq: _*); q.processAllAvailable() }
+      // far-future sentinel: watermark passes every real decision day
+      val far = new Timestamp(src.last._2.getTime + 40L * 86400000L)
+      mem.addData((-1L, far, -1L, 0L)); q.processAllAvailable()
+      val got = spark.table("scd2mon").as[Scd2Iv].collect()
+        .filter(_.user_id >= 0)
+        .map(v => (v.user_id, v.k, v.valid_from_day, v.valid_to_day, v.n_days))
+        .sorted.toSeq
+      val want = graft.ops.EventOps.scd2History(
+          graft.ops.EventOps.events(spark, dir)).collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("k"),
+          r.getAs[Long]("valid_from_day"), r.getAs[Long]("valid_to_day"),
+          r.getAs[Long]("n_days"))).sorted.toSeq
+      assert(got.nonEmpty && got == want,
+        "streamed SCD2 intervals must equal the batch history exactly")
+    } finally q.stop()
+  }
 }
