@@ -1919,11 +1919,73 @@ object EventOps {
         AND fact.day BETWEEN h.valid_from_day AND h.valid_to_day
       GROUP BY event_type"""
 
+  /** Experiment salt for q287's deterministic arm assignment. */
+  val ExperimentSalt = "exp1:"
+
+  /** A/B experiment readout card (q287): users deterministically split
+    * into control/treatment by the md5-hex coin (the q101 salt-hash
+    * discipline — the SAME assignment any service replica computes with
+    * no coordination), then per arm: users, buyers, purchases, exact
+    * revenue cents, and the micro conversion and revenue-per-user
+    * rates — the experiment dashboard's primary readout. On this
+    * corpus's hash split the arms are exchangeable (no real treatment),
+    * so near-equal rates are themselves the A/A sanity check an
+    * experimentation platform runs before trusting its pipeline.
+    *
+    * Scale shape: one user-keyed rollup (purchases + revenue per user —
+    * the same exchange any per-user stat pays), arm derived ON the
+    * rollup rows, then a 2-row arm rollup. */
+  def experimentReadout(ev: DataFrame): DataFrame = {
+    val hexVal = (c: String) => s"(instr('0123456789abcdef', $c) - 1)"
+    val perUser = ev.groupBy("user_id").agg(
+        expr("CAST(count_if(event_type = 'purchase') AS BIGINT)").as("n_purch"),
+        expr("CAST(SUM(CASE WHEN event_type = 'purchase' " +
+          "THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT)").as("cents"))
+      .withColumn("h",
+        md5(concat(lit(ExperimentSalt), col("user_id").cast("string"))))
+      .withColumn("arm", expr(
+        s"CASE WHEN ${hexVal("substr(h, 1, 1)")} % 2 = 0 THEN 'control' ELSE 'treatment' END"))
+    perUser.groupBy("arm").agg(
+        count(lit(1)).as("n_users"),
+        expr("CAST(count_if(n_purch > 0) AS BIGINT)").as("n_buyers"),
+        sum("n_purch").as("n_purchases"),
+        sum("cents").as("value_cents"))
+      .withColumn("cvr_micro", expr(
+        "CAST((CAST(n_buyers AS DECIMAL(38,0)) * 1000000) div n_users AS BIGINT)"))
+      .withColumn("rpu_cents_micro", expr(
+        "CAST((CAST(value_cents AS DECIMAL(38,0)) * 1000000) div n_users AS BIGINT)"))
+      .select("arm", "n_users", "n_buyers", "n_purchases", "value_cents",
+        "cvr_micro", "rpu_cents_micro")
+  }
+
+  val experimentReadoutSql: String =
+    s"""WITH pu AS (SELECT user_id,
+          CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purch,
+          CAST(COALESCE(SUM(CAST(round(value * 100) AS BIGINT))
+            FILTER (event_type = 'purchase'), 0) AS BIGINT) AS cents
+        FROM events GROUP BY 1),
+      armed AS (SELECT *,
+          CASE WHEN (instr('0123456789abcdef',
+              substr(md5('$ExperimentSalt' || CAST(user_id AS VARCHAR)), 1, 1)) - 1)
+            % 2 = 0 THEN 'control' ELSE 'treatment' END AS arm
+        FROM pu)
+      SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
+        CAST(count(*) FILTER (n_purch > 0) AS BIGINT) AS n_buyers,
+        CAST(SUM(n_purch) AS BIGINT) AS n_purchases,
+        CAST(SUM(cents) AS BIGINT) AS value_cents,
+        CAST((CAST(count(*) FILTER (n_purch > 0) AS HUGEINT) * 1000000)
+          // count(*) AS BIGINT) AS cvr_micro,
+        CAST((CAST(SUM(cents) AS HUGEINT) * 1000000) // count(*) AS BIGINT)
+          AS rpu_cents_micro
+      FROM armed GROUP BY arm"""
+
   val queries: Seq[QueryDef] = Seq(
     QueryDef("q283_scd2_history",
       (s, d) => scd2History(events(s, d)), Some(scd2HistorySql)),
     QueryDef("q285_temporal_dim_join",
       (s, d) => temporalDimJoin(events(s, d)), Some(temporalDimJoinSql)),
+    QueryDef("q287_experiment_readout",
+      (s, d) => experimentReadout(events(s, d)), Some(experimentReadoutSql)),
     QueryDef("q272_transition_pagerank",
       (s, d) => transitionPagerank(events(s, d)),
       Some(transitionPagerankSql)),

@@ -113,7 +113,76 @@ object Layout {
         CAST(min(y) AS BIGINT) AS min_day, CAST(max(y) AS BIGINT) AS max_day
       FROM k GROUP BY 1"""
 
+  /** Shard counts compared by q288's scale-out simulation. */
+  val ShardsBefore = 16
+  val ShardsAfter = 17
+
+  /** Shard-rebalance planning card (q288): how many documents MOVE when
+    * the shard count grows [[ShardsBefore]] → [[ShardsAfter]], under the
+    * two standard placement schemes — modulo hashing (everything
+    * reshuffles: moved share ≈ (n−1)/n) and rendezvous/HRW hashing
+    * (Thaler & Ravishankar 1998: only the new node's fair share ≈ 1/n
+    * moves). THE reason stateful services (and shard-keyed storage
+    * layouts) never place by modulo; this card puts the exact number on
+    * this corpus. Hashes are the engine's md5-hex coin (the q101
+    * discipline), so placement is engine-portable and a service replica
+    * can recompute it standalone.
+    *
+    * Scale shape: stateless per-row projection — per doc, the mod
+    * placement is arithmetic and each rendezvous placement is an
+    * `array_max` over (hash, node) structs of [[ShardsAfter]] md5s —
+    * then ONE 2-row rollup. No exchange beyond the final card. */
+  def shardRebalance(docs: DataFrame): DataFrame = {
+    def hrwPick(n: Int): String = {
+      val structs = (0 until n).map(node =>
+        s"struct(md5(concat('hrw:$node:', CAST(doc_id AS STRING))) AS h, $node AS node)")
+        .mkString("array(", ", ", ")")
+      s"array_max($structs).node"
+    }
+    val scored = docs.select(col("doc_id"),
+      expr(s"doc_id % $ShardsBefore").as("mod_before"),
+      expr(s"doc_id % $ShardsAfter").as("mod_after"),
+      expr(hrwPick(ShardsBefore)).as("hrw_before"),
+      expr(hrwPick(ShardsAfter)).as("hrw_after"))
+    val card = scored.agg(
+      count(lit(1)).as("n_docs"),
+      expr("CAST(count_if(mod_before != mod_after) AS BIGINT)").as("moved_mod"),
+      expr("CAST(count_if(hrw_before != hrw_after) AS BIGINT)").as("moved_hrw"))
+    card.select(lit("modulo").as("scheme"), col("n_docs"),
+        col("moved_mod").as("n_moved"))
+      .unionByName(card.select(lit("rendezvous").as("scheme"), col("n_docs"),
+        col("moved_hrw").as("n_moved")))
+      .withColumn("moved_micro", expr(
+        "CAST((CAST(n_moved AS DECIMAL(38,0)) * 1000000) div n_docs AS BIGINT)"))
+      .select("scheme", "n_docs", "n_moved", "moved_micro")
+  }
+
+  val shardRebalanceSql: String = {
+    def hrwPick(n: Int): String = {
+      val structs = (0 until n).map(node =>
+        s"{'h': md5('hrw:$node:' || CAST(doc_id AS VARCHAR)), 'node': $node}")
+        .mkString("[", ", ", "]")
+      s"list_max($structs)['node']"
+    }
+    s"""WITH sc AS (SELECT doc_id,
+          doc_id % $ShardsBefore AS mod_before, doc_id % $ShardsAfter AS mod_after,
+          ${hrwPick(ShardsBefore)} AS hrw_before, ${hrwPick(ShardsAfter)} AS hrw_after
+        FROM documents),
+      card AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(count(*) FILTER (mod_before != mod_after) AS BIGINT) AS moved_mod,
+          CAST(count(*) FILTER (hrw_before != hrw_after) AS BIGINT) AS moved_hrw
+        FROM sc)
+      SELECT scheme, n_docs, n_moved,
+        CAST((CAST(n_moved AS HUGEINT) * 1000000) // n_docs AS BIGINT) AS moved_micro
+      FROM (SELECT 'modulo' AS scheme, n_docs, moved_mod AS n_moved FROM card
+            UNION ALL
+            SELECT 'rendezvous', n_docs, moved_hrw FROM card)"""
+  }
+
   val queries: Seq[QueryDef] = Seq(
+    QueryDef("q288_shard_rebalance",
+      (s, d) => shardRebalance(t(s, d, "documents")),
+      Some(shardRebalanceSql)),
     QueryDef("q75_zorder_stats",
       (s, d) => zorderStats(s, d),
       Some(zorderStatsSql)))

@@ -1622,6 +1622,72 @@ object Similarity {
     * silhouette forms consume. The rollup is labels·dim rows — tiny;
     * checkpointed so the branch count and centroid consumption don't
     * recompute it. */
+  /** Label-confusion card (q286): every vector assigned to its NEAREST
+    * label centroid (exact integer d² = nrm + nc − 2·dot, ties to the
+    * smaller label) and cross-tabulated against its GIVEN label — the
+    * confident-learning label-noise screen (Northcutt et al. 2021's
+    * confusion joint, with the nearest-centroid rule as the predictor):
+    * off-diagonal mass is the suspected-mislabel set, and WHICH other
+    * label absorbs it says whether two classes have merged. Completes
+    * the cluster-quality trio — q196's silhouette reads per-vector
+    * misassignment STRENGTH, q215's DB reads per-cluster geometry, this
+    * names the label pairs that actually confuse.
+    *
+    * Scale shape: centroids are the q196 (label × dim) rollup collected
+    * driver-side and baked as ONE literal array-of-structs argmin
+    * (`array_min` over (d², label) structs — lexicographic struct order
+    * IS the tie-break), so per-vector work is a stateless codegen'd
+    * projection with zero exchange; the card is a labels²-bounded
+    * rollup plus a broadcast share join. */
+  def labelConfusion(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (q, rollup) = silhouetteInputs(spark, dir)
+    val cents: Seq[(Int, Seq[Long], Long)] = rollup
+      .as[(Int, Int, Long)].collect() // labels·dim rows — driver-bounded
+      .groupBy(_._1).toSeq.map { case (l, rows) =>
+        val cv = rows.sortBy(_._2).map(_._3).toSeq
+        (l, cv, cv.map(x => x * x).sum)
+      }.sortBy(_._1)
+    val structs = cents.map { case (l, cv, nc) =>
+      val arr = cv.mkString("array(", ",", ")")
+      s"struct(nrm + ${nc}L - 2L * quantized_dot(qv, CAST($arr AS ARRAY<BIGINT>)) AS d2, $l AS l)"
+    }.mkString("array(", ", ", ")")
+    val conf = q.select(col("label"), expr(s"array_min($structs).l").as("pred_label"))
+      .groupBy("label", "pred_label").agg(count(lit(1)).as("n"))
+      .localCheckpoint() // labels²-bounded; feeds totals AND the card
+    val totals = conf.groupBy("label").agg(sum("n").as("total"))
+    conf.join(broadcast(totals), "label")
+      .withColumn("share_micro", expr(
+        "CAST((CAST(n AS DECIMAL(38,0)) * 1000000) div total AS BIGINT)"))
+      .withColumn("pred_label", col("pred_label").cast("long"))
+      .select("label", "pred_label", "n", "share_micro")
+  }
+
+  /** q286's oracle: the same centroids and exact d² identity, with the
+    * argmin as a (d², candidate) row-number window. */
+  val labelConfusionSql: String =
+    s"""WITH q AS (SELECT vec_id, label, $quantSql AS qv FROM embeddings),
+      n AS (SELECT vec_id, label, qv,
+              CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS nrm FROM q),
+      m AS (SELECT label, unnest(range(1, len(qv) + 1)) AS pos, unnest(qv) AS x FROM q),
+      s AS (SELECT label, pos, SUM(x) AS sm, COUNT(*) AS cnt FROM m GROUP BY 1, 2),
+      c AS (SELECT label, list(sm // cnt ORDER BY pos) AS cv FROM s GROUP BY label),
+      cn AS (SELECT label, cv,
+              CAST(list_sum(list_transform(cv, x -> x * x)) AS BIGINT) AS nc FROM c),
+      d AS (SELECT n.vec_id, n.label, cn.label AS cand,
+              n.nrm + cn.nc - 2 * CAST(list_sum(list_transform(
+                range(1, len(n.qv) + 1), i -> n.qv[i] * cn.cv[i])) AS BIGINT) AS d2
+            FROM n CROSS JOIN cn),
+      p AS (SELECT vec_id, label, cand AS pred_label FROM (
+              SELECT *, row_number() OVER (PARTITION BY vec_id
+                ORDER BY d2, cand) AS rn FROM d) WHERE rn = 1),
+      conf AS (SELECT label, pred_label, CAST(count(*) AS BIGINT) AS n
+            FROM p GROUP BY 1, 2),
+      tot AS (SELECT label, CAST(SUM(n) AS BIGINT) AS total FROM conf GROUP BY 1)
+      SELECT conf.label, CAST(pred_label AS BIGINT) AS pred_label, n,
+        CAST((CAST(n AS HUGEINT) * 1000000) // total AS BIGINT) AS share_micro
+      FROM conf JOIN tot ON tot.label = conf.label"""
+
   private[graft] def silhouetteInputs(spark: SparkSession,
       dir: String): (DataFrame, DataFrame) = {
     val q = quantized(spark, dir)
@@ -2376,6 +2442,10 @@ object Similarity {
     QueryDef("q196_label_silhouette",
       (s, d) => labelSilhouette(s, d),
       Some(labelSilhouetteSql)),
+
+    QueryDef("q286_label_confusion",
+      (s, d) => labelConfusion(s, d),
+      Some(labelConfusionSql)),
 
     QueryDef("q44_embed_near_dup",
       (s, d) => nearDupPairs(s, d, 0.4),
