@@ -362,6 +362,64 @@ case class SimHash32(child: Expression)
   * document (measured: 20x on the bench corpus). `ascii` = first
   * codepoint in both Spark and DuckDB, so codepoint iteration mirrors
   * both the twin and the oracle exactly. Codegen'd. */
+/** Per-position word-gram md5 fps: for a token array of m words,
+  * returns the m−n+1 hex md5 strings of the space-joined n-grams — the
+  * EXACT values `transform(sequence(..), i -> md5(concat_ws(' ',
+  * slice(toks, i, n))))` produces (so DuckDB oracles computing md5 over
+  * the same grams see IDENTICAL fps, no collision asymmetry), built in
+  * one pass with a reused digest and table-lookup hex instead of the
+  * interpreted HOF lambda's per-position slice + concat allocations
+  * (higher-order functions never enter whole-stage codegen; q277
+  * measured 41.8 s → 17.9 s at 100x, 2.3x). */
+case class WordGramMd5(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StringType)
+
+  override def nullSafeEval(v: Any): Any = {
+    val toks = v.asInstanceOf[ArrayData]
+    val m = toks.numElements()
+    val cnt = m - n + 1
+    if (cnt <= 0) return new GenericArrayData(Array.empty[Any])
+    val words = new Array[Array[Byte]](m)
+    var i = 0
+    while (i < m) { words(i) = toks.getUTF8String(i).getBytes; i += 1 }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val out = new Array[Any](cnt)
+    var p = 0
+    while (p < cnt) {
+      md.reset()
+      var k = 0
+      while (k < n) {
+        if (k > 0) md.update(' '.toByte)
+        md.update(words(p + k))
+        k += 1
+      }
+      out(p) = UTF8String.fromBytes(WordGramMd5.hex(md.digest()))
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object WordGramMd5 {
+  private val HexDigits = "0123456789abcdef".getBytes
+  /** Lowercase-hex a digest without per-byte format allocations (a
+    * `"%02x".format` per byte measured 3.8x SLOWER than the lambda it
+    * was meant to replace). */
+  def hex(d: Array[Byte]): Array[Byte] = {
+    val out = new Array[Byte](d.length * 2)
+    var i = 0
+    while (i < d.length) {
+      out(2 * i) = HexDigits((d(i) >> 4) & 0xF)
+      out(2 * i + 1) = HexDigits(d(i) & 0xF)
+      i += 1
+    }
+    out
+  }
+}
+
 case class RollingHash(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
 
@@ -527,6 +585,7 @@ object GraftFunctions {
     "simhash32" -> (es => SimHash32(es.head)),
     "sorted_intersect_count" -> (es => SortedIntersectCount(es.head, es(1))),
     "word_shingles" -> (es => WordShingles(es.head, intArg(es, 1))),
+    "word_gram_md5" -> (es => WordGramMd5(es.head, intArg(es, 1))),
     "hamming_str" -> (es => HammingDistance(es.head, es(1))),
     "minhash_bands" -> (es => MinHashBands(es.head, intArg(es, 1), intArg(es, 2))),
     "lsh_keys" -> (es => HyperplaneKeys(es.head,

@@ -1979,7 +1979,209 @@ object EventOps {
           AS rpu_cents_micro
       FROM armed GROUP BY arm"""
 
+  /** Peak-concurrency card (q289): per day, how many 30-minute sessions
+    * were open AT ONCE at the worst instant — the capacity number a
+    * connection pool / state store is sized from (q235 counts events
+    * per session; this counts sessions per INSTANT). Classic sweep-line:
+    * sessions clip to day bounds, each clipped interval drops a +1 at
+    * its start and a −1 at its end, and the peak is the max of the
+    * running sum ordered (t asc, +1 before −1) — the tie rule makes a
+    * back-to-back boundary instant count both sessions, and ties among
+    * equal deltas commute so the max is order-independent.
+    *
+    * Scale shape: the q21 user-keyed session rollup, a ≤2-way day clip
+    * explode, then a DAY-partitioned running-sum window — the sweep
+    * never globally sorts; per-day point counts are bounded by daily
+    * session volume. */
+  def sessionConcurrency(ev: DataFrame, gapSec: Long = 1800L): DataFrame =
+    concurrencyFromIntervals(withSessionIds(ev, gapSec)
+      .groupBy("user_id", "sess_seq")
+      .agg(min("t_us").as("s"), max("t_us").as("e")))
+
+  /** The sweep over any (s, e)-µs interval frame — shared by the batch
+    * op and the live card over [[graft.streaming.TypedFinalSession]]
+    * rows ([[graft.streaming.SessionCards.concurrencyCard]]). */
+  private[graft] def concurrencyFromIntervals(sess: DataFrame): DataFrame = {
+    val DayUs = 86400000000L
+    val clipped = sess.select(col("s"), col("e"),
+        explode(expr(s"sequence(s DIV $DayUs, e DIV $DayUs)")).as("day"))
+      .select(col("day"),
+        greatest(col("s"), col("day") * DayUs).as("cs"),
+        least(col("e"), (col("day") + 1) * DayUs - 1).as("ce"))
+    val pts = clipped.select(col("day"), col("cs").as("t"), lit(1L).as("delta"))
+      .unionByName(clipped.select(col("day"), col("ce").as("t"), lit(-1L).as("delta")))
+    val w = Window.partitionBy("day").orderBy(col("t").asc, col("delta").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pts.withColumn("run", sum("delta").over(w))
+      .groupBy("day").agg(
+        expr("CAST(count(1) DIV 2 AS BIGINT)").as("n_sessions"),
+        max("run").as("peak_concurrency"))
+  }
+
+  def sessionConcurrencySql(gapSec: Long = 1800L): String =
+    s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t_us FROM events),
+      f AS (SELECT *, CASE WHEN lag(t_us) OVER w IS NULL
+              OR t_us - lag(t_us) OVER w > ${gapSec * 1000000L} THEN 1 ELSE 0 END AS new_sess
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id)),
+      g AS (SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY t_us, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_seq FROM f),
+      sess AS (SELECT user_id, sess_seq, MIN(t_us) AS s, MAX(t_us) AS e
+            FROM g GROUP BY 1, 2),
+      clipped AS (SELECT day,
+            greatest(s, day * 86400000000) AS cs,
+            least(e, (day + 1) * 86400000000 - 1) AS ce
+          FROM (SELECT s, e, unnest(range(s // 86400000000, e // 86400000000 + 1)) AS day
+                FROM sess)),
+      pts AS (SELECT day, cs AS t, 1 AS delta FROM clipped
+              UNION ALL SELECT day, ce, -1 FROM clipped),
+      runs AS (SELECT day, SUM(delta) OVER (PARTITION BY day ORDER BY t, delta DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run FROM pts)
+      SELECT day, CAST(count(*) // 2 AS BIGINT) AS n_sessions,
+        CAST(MAX(run) AS BIGINT) AS peak_concurrency
+      FROM runs GROUP BY day"""
+
+  /** Smoothing denominators for q291 (α = β = 1/[[HwDenom]]). */
+  val HwDenom = 4L
+  /** Forecast horizon in days. */
+  val HwHorizon = 7L
+
+  /** Holt double-exponential-smoothing forecast card (q291): per event
+    * type, level+trend recursion over the FULL daily-count grid
+    * (missing days are real zeros), in micro fixed point with explicit
+    * FLOOR division at every step —
+    *   l_t = (y_t·1e6 + 3·l_{t−1}) floordiv 4
+    *   b_t = ((l_t − l_{t−1}) + 3·b_{t−1}) floordiv 4
+    * — and the [[HwHorizon]]-day-ahead forecast l + h·b. The forecasting
+    * layer the anomaly screens lean on: q219/q182 detect deviation from
+    * season, q229 from transition structure; THIS extrapolates volume,
+    * the capacity-planning number.
+    *
+    * Engine parity is the point of the division discipline: trend and
+    * level go NEGATIVE, and both Scala's `/` and DuckDB's `//` truncate
+    * toward zero on negative integers (measured: −7//4 = −1 in DuckDB —
+    * it is NOT a floor). The driver recursion uses plain truncating
+    * division and the oracle is a RECURSIVE CTE stepping the same
+    * grid — bit-identical by construction.
+    *
+    * Scale shape: ONE (type, day) map-side rollup touches the corpus;
+    * the recursion is driver arithmetic over the types×days-bounded
+    * grid (the q261/q272 bounded-iteration discipline) — inherently
+    * sequential in t, so no distributed form exists to miss. */
+  def holtForecast(spark: SparkSession, ev: DataFrame): DataFrame = {
+    import spark.implicits._
+    val daily = ev.select(col("event_type"), expr("ts DIV 86400000000000").as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
+      .as[(String, Long, Long)].collect() // types × days — driver-bounded
+    val (lo, hi) = (daily.map(_._2).min, daily.map(_._2).max)
+    val byType = daily.groupBy(_._1).view
+      .mapValues(_.map(r => r._2 -> r._3).toMap).toMap
+    val rows = byType.toSeq.sortBy(_._1).map { case (t, counts) =>
+      var l = counts.getOrElse(lo, 0L) * 1000000L
+      var b = 0L
+      (lo + 1 to hi).foreach { d =>
+        val y = counts.getOrElse(d, 0L) * 1000000L
+        val l1 = (y + (HwDenom - 1) * l) / HwDenom
+        b = ((l1 - l) + (HwDenom - 1) * b) / HwDenom
+        l = l1
+      }
+      (t, hi, hi - lo + 1, l, b, l + HwHorizon * b)
+    }
+    rows.toDF("event_type", "last_day", "n_days", "level_micro",
+      "trend_micro", "forecast_micro")
+  }
+
+  val holtForecastSql: String =
+    s"""WITH RECURSIVE d AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+          CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
+      bounds AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM d),
+      grid AS (SELECT t.event_type, g.day - b.lo AS idx,
+            COALESCE(d.n, 0) * 1000000 AS y
+          FROM (SELECT DISTINCT event_type FROM d) t
+          CROSS JOIN bounds b
+          CROSS JOIN LATERAL (SELECT unnest(range(b.lo, b.hi + 1)) AS day) g
+          LEFT JOIN d ON d.event_type = t.event_type AND d.day = g.day),
+      rec AS (
+        SELECT event_type, idx, y AS l, CAST(0 AS BIGINT) AS b
+          FROM grid WHERE idx = 0
+        UNION ALL
+        SELECT g.event_type, g.idx,
+          (g.y + ${HwDenom - 1} * r.l) // $HwDenom,
+          (((g.y + ${HwDenom - 1} * r.l) // $HwDenom - r.l) + ${HwDenom - 1} * r.b) // $HwDenom
+        FROM rec r JOIN grid g
+          ON g.event_type = r.event_type AND g.idx = r.idx + 1)
+      SELECT r.event_type, b.hi AS last_day, b.hi - b.lo + 1 AS n_days,
+        CAST(l AS BIGINT) AS level_micro, CAST(r.b AS BIGINT) AS trend_micro,
+        CAST(l + $HwHorizon * r.b AS BIGINT) AS forecast_micro
+      FROM rec r CROSS JOIN bounds b
+      WHERE r.idx = b.hi - b.lo"""
+
+  /** Event-lateness audit (q292): per event type, how out-of-order the
+    * stream actually arrives — using event_id as the arrival-order
+    * proxy (ids are assigned at ingest): an event is LATE if some
+    * earlier-arriving event of the same user already carried a larger
+    * event time, and its lateness is the gap to that running max. The
+    * numbers that CHOOSE a watermark delay: `p95_late_us` is the delay
+    * that keeps 95% of late events inside the watermark, `max_late_us`
+    * what a lossless replay would need; every streaming op in this
+    * engine (dupMonitor, scd2Monitor, sessions) takes that delay as its
+    * contract.
+    *
+    * Scale shape: one user-keyed running-max window, then a (type,
+    * lateness)-keyed count-of-counts rollup with a type-partitioned
+    * cumulative window for the exact tie-aware p95 (the q235
+    * discipline) — no global sort, no percentile UDAF. */
+  def latenessAudit(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val late = ev.select(col("event_type"), col("user_id"), col("event_id"),
+        expr("ts DIV 1000").as("t_us"))
+      .withColumn("runmax", max("t_us").over(w))
+      .withColumn("late_us",
+        when(col("runmax") > col("t_us"), col("runmax") - col("t_us")).otherwise(0L))
+    val levels = late.groupBy(col("event_type"), col("late_us"))
+      .agg(count(lit(1)).as("cnt"))
+    val cum = Window.partitionBy("event_type").orderBy("late_us")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    levels.withColumn("cum", sum("cnt").over(cum))
+      .withColumn("n", sum("cnt").over(Window.partitionBy("event_type")))
+      .groupBy("event_type").agg(
+        max("n").as("n_events"),
+        sum(when(col("late_us") > 0, col("cnt")).otherwise(0L)).as("n_late"),
+        max(when(col("cnt") > 0, col("late_us"))).as("max_late_us"),
+        min(when(expr("cum * 100 >= 95 * n"), col("late_us"))).as("p95_late_us"))
+      .withColumn("late_micro", expr(
+        "CAST((CAST(n_late AS DECIMAL(38,0)) * 1000000) div n_events AS BIGINT)"))
+      .select("event_type", "n_events", "n_late", "max_late_us",
+        "p95_late_us", "late_micro")
+  }
+
+  val latenessAuditSql: String =
+    """WITH e AS (SELECT event_type, user_id, event_id, epoch_us(ts) AS t_us FROM events),
+      l AS (SELECT event_type,
+          CASE WHEN runmax > t_us THEN runmax - t_us ELSE 0 END AS late_us
+        FROM (SELECT *, MAX(t_us) OVER (PARTITION BY user_id ORDER BY event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS runmax FROM e)),
+      lv AS (SELECT event_type, late_us, CAST(count(*) AS BIGINT) AS cnt
+          FROM l GROUP BY 1, 2),
+      c AS (SELECT *, SUM(cnt) OVER (PARTITION BY event_type ORDER BY late_us
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+            SUM(cnt) OVER (PARTITION BY event_type) AS n
+          FROM lv)
+      SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_events,
+        CAST(SUM(CASE WHEN late_us > 0 THEN cnt ELSE 0 END) AS BIGINT) AS n_late,
+        CAST(MAX(CASE WHEN cnt > 0 THEN late_us END) AS BIGINT) AS max_late_us,
+        CAST(MIN(CASE WHEN cum * 100 >= 95 * n THEN late_us END) AS BIGINT) AS p95_late_us,
+        CAST((CAST(SUM(CASE WHEN late_us > 0 THEN cnt ELSE 0 END) AS HUGEINT) * 1000000)
+          // MAX(n) AS BIGINT) AS late_micro
+      FROM c GROUP BY event_type"""
+
   val queries: Seq[QueryDef] = Seq(
+    QueryDef("q292_lateness_audit",
+      (s, d) => latenessAudit(events(s, d)), Some(latenessAuditSql)),
+    QueryDef("q289_session_concurrency",
+      (s, d) => sessionConcurrency(events(s, d)), Some(sessionConcurrencySql())),
+    QueryDef("q291_holt_forecast",
+      (s, d) => holtForecast(s, events(s, d)), Some(holtForecastSql)),
     QueryDef("q283_scd2_history",
       (s, d) => scd2History(events(s, d)), Some(scd2HistorySql)),
     QueryDef("q285_temporal_dim_join",

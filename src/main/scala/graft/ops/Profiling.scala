@@ -33,12 +33,18 @@ object Profiling {
     * reads (NDVs drive join-order and broadcast decisions; min/max are
     * the zone-map bounds).
     *
-    * Scale shape: ONE scan; all per-column aggregates (including the
-    * exact distincts) ride a single aggregate node with map-side
-    * partials — Spark expands multi-distinct aggregates itself — then
-    * the wide 1-row result unpivots to the card via `stack`, driver-free.
-    * On a real 100 TB table the exact distincts become HLL sketches
-    * (q70's op); the card's shape is unchanged. */
+    * Scale shape — measured, not assumed: the obvious one-pass form
+    * (every `countDistinct` on one aggregate node) makes Catalyst
+    * EXPAND the scan once per distinct column — a 7x row multiplication
+    * through a single hash aggregate, 276 s at 100x. This form instead
+    * pays ONE cheap scan for the additive stats (nulls/min/max partial-
+    * agg perfectly) and gives each NDV its own column-pruned
+    * groupBy-then-count rollup — map-side partials absorb the volume,
+    * the second stage is NDV-bounded, and the branches run as
+    * independent stages: 28.0 s at 100x (9.9x). The 6 card rows then
+    * assemble by a broadcast join. On a real 100 TB table the exact
+    * NDVs become HLL sketches (q70's op); the card's shape is
+    * unchanged. */
   def columnProfile(li: DataFrame): DataFrame = {
     def render(c: String, kind: String, f: Column => Column): Column = kind match {
       case "ts" => date_format(f(col(c)), "yyyy-MM-dd HH:mm:ss")
@@ -47,16 +53,21 @@ object Profiling {
     val aggs: Seq[Column] = count(lit(1)).as("n_rows") +: ProfileCols.flatMap {
       case (c, kind) => Seq(
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
-        countDistinct(col(c)).as(s"${c}_ndv"),
         render(c, kind, min).as(s"${c}_min"),
         render(c, kind, max).as(s"${c}_max"))
     }
     val wide = li.agg(aggs.head, aggs.tail: _*)
     val stackArgs = ProfileCols.map { case (c, _) =>
-      s"'$c', ${c}_nulls, ${c}_ndv, ${c}_min, ${c}_max"
+      s"'$c', ${c}_nulls, ${c}_min, ${c}_max"
     }.mkString(", ")
-    wide.select(col("n_rows"), expr(
-      s"stack(${ProfileCols.size}, $stackArgs) AS (col_name, n_nulls, n_distinct, min_str, max_str)"))
+    val base = wide.select(col("n_rows"), expr(
+      s"stack(${ProfileCols.size}, $stackArgs) AS (col_name, n_nulls, min_str, max_str)"))
+    val ndvs = ProfileCols.map { case (c, _) =>
+      li.groupBy(col(c)).agg(count(lit(1)))
+        .agg(count(lit(1)).as("n_distinct"))
+        .select(lit(c).as("col_name"), col("n_distinct"))
+    }.reduce(_ unionByName _)
+    ndvs.join(broadcast(base), "col_name")
       .select("col_name", "n_rows", "n_nulls", "n_distinct", "min_str", "max_str")
   }
 
@@ -132,7 +143,63 @@ object Profiling {
     branches.mkString("\n      UNION ALL\n      ")
   }
 
+  /** Candidate functional dependencies audited by q290:
+    * (label, table, lhs, rhs). Mixed true/false candidates on purpose —
+    * the card must separate them. */
+  val FdCandidates: Seq[(String, String, String, String)] = Seq(
+    ("orders: o_orderkey -> o_custkey", "orders", "o_orderkey", "o_custkey"),
+    ("lineitem: l_orderkey -> l_partkey", "lineitem", "l_orderkey", "l_partkey"),
+    ("events: user_id -> event_type", "events", "user_id", "event_type"),
+    ("documents: source -> lang", "documents", "source", "lang"),
+    ("nation: n_nationkey -> n_regionkey", "nation", "n_nationkey", "n_regionkey"))
+
+  /** Functional-dependency audit (q290): for each candidate FD
+    * `lhs -> rhs`, the share of LHS keys bound to MORE than one distinct
+    * RHS value — 0 means the dependency holds and the schema can rely
+    * on it (join elimination, normalization, dedup keys); the
+    * profiling-family sibling of q281 (per-column stats) and q282
+    * (per-key skew): per-RELATIONSHIP structure.
+    *
+    * Scale shape: per FD one map-side-combined (lhs, rhs) distinct-pair
+    * rollup, one (lhs) rollup of rollup rows, one 1-row card — the same
+    * two-level discipline as q282; cards union. */
+  def fdAudit(spark: SparkSession, dir: String): DataFrame = {
+    val cards = FdCandidates.map { case (label, table, lhs, rhs) =>
+      t(spark, dir, table)
+        .select(col(lhs).as("l"), col(rhs).as("r")).distinct()
+        .groupBy("l").agg(count(lit(1)).as("n_rhs"))
+        .agg(count(lit(1)).as("n_keys"),
+          expr("CAST(count_if(n_rhs > 1) AS BIGINT)").as("n_violating"),
+          max("n_rhs").as("max_rhs"))
+        .select(lit(label).as("fd"), col("n_keys"), col("n_violating"),
+          col("max_rhs"))
+    }
+    cards.reduce(_ unionByName _)
+      .withColumn("violation_micro", expr(
+        "CAST((CAST(n_violating AS DECIMAL(38,0)) * 1000000) div n_keys AS BIGINT)"))
+      .withColumn("holds", col("n_violating") === 0L)
+      .select("fd", "n_keys", "n_violating", "max_rhs", "violation_micro", "holds")
+  }
+
+  val fdAuditSql: String = {
+    val branches = FdCandidates.map { case (label, table, lhs, rhs) =>
+      s"""SELECT '$label' AS fd, n_keys, n_violating, max_rhs,
+          CAST((CAST(n_violating AS HUGEINT) * 1000000) // n_keys AS BIGINT)
+            AS violation_micro,
+          n_violating = 0 AS holds
+        FROM (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+            CAST(count(*) FILTER (n_rhs > 1) AS BIGINT) AS n_violating,
+            CAST(MAX(n_rhs) AS BIGINT) AS max_rhs
+          FROM (SELECT l, CAST(count(*) AS BIGINT) AS n_rhs
+                FROM (SELECT DISTINCT $lhs AS l, $rhs AS r FROM $table)
+                GROUP BY 1))"""
+    }
+    branches.mkString("\n      UNION ALL\n      ")
+  }
+
   def queries: Seq[QueryDef] = Seq(
+    QueryDef("q290_fd_audit",
+      (s, d) => fdAudit(s, d), Some(fdAuditSql)),
     QueryDef("q281_column_profile",
       (s, d) => columnProfile(t(s, d, "lineitem")), Some(columnProfileSql)),
     QueryDef("q282_key_skew_profile",

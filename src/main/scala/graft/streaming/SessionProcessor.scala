@@ -259,6 +259,15 @@ object SessionCards {
       .withColumn("mean_micro", expr("(n_events * 1000000L) div n_sessions"))
   }
 
+  /** q289's card over final sessions: per day, peak concurrent
+    * sessions — the same day-clipped sweep-line as the batch op, run
+    * over EMITTED sessions (the [[sizeCard]] discipline: no second
+    * stateful operator). Spec-locked: live card == batch q289 on the
+    * full event table. */
+  def concurrencyCard(sessions: DataFrame): DataFrame =
+    graft.ops.EventOps.concurrencyFromIntervals(
+      sessions.select(col("start_us").as("s"), col("end_us").as("e")))
+
   /** q236's card over final sessions: per event type, how many sessions
     * it opens and closes, with micro shares of all sessions. */
   def entryExitCard(sessions: DataFrame): DataFrame = {

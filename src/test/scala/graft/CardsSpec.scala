@@ -61,6 +61,105 @@ class CardsSpec extends AnyFunSuite {
     assert(hrw.getAs[Long]("n_moved") < 0.2 * n)
   }
 
+  test("q289 session concurrency: brute sweep-line recompute on the busiest day") {
+    val rows = EventOps.sessionConcurrency(EventOps.events(spark, dir)).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Long]("peak_concurrency") >= 1L
+      && r.getAs[Long]("peak_concurrency") <= r.getAs[Long]("n_sessions")))
+    // brute: sessions from q21's rollup, clipped and swept in Scala
+    val DayUs = 86400000000L
+    val sess = EventOps.sessionize(EventOps.events(spark, dir), 1800L)
+      .select((col("session_start") * 1000000L).as("s"),
+        (col("session_end") * 1000000L).as("e")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val busiest = rows.maxBy(_.getAs[Long]("peak_concurrency"))
+    val day = busiest.getAs[Long]("day")
+    val pts = sess.filter { case (s, e) => s / DayUs <= day && day <= e / DayUs }
+      .flatMap { case (s, e) =>
+        Seq((math.max(s, day * DayUs), 1L), (math.min(e, (day + 1) * DayUs - 1), -1L))
+      }.sortBy { case (t, d) => (t, -d) }
+    val peak = pts.scanLeft(0L) { case (acc, (_, d)) => acc + d }.max
+    assert(busiest.getAs[Long]("peak_concurrency") == peak,
+      "op peak must equal the brute sweep")
+  }
+
+  test("q290 FD audit: true dependencies hold, known violations bite") {
+    val byFd = graft.ops.Profiling.fdAudit(spark, dir).collect()
+      .map(r => r.getAs[String]("fd") -> r).toMap
+    assert(byFd("orders: o_orderkey -> o_custkey").getAs[Boolean]("holds"))
+    assert(byFd("nation: n_nationkey -> n_regionkey").getAs[Boolean]("holds"))
+    assert(!byFd("lineitem: l_orderkey -> l_partkey").getAs[Boolean]("holds"),
+      "an order has many parts — the FD must be reported violated")
+    byFd.values.foreach { r =>
+      assert(r.getAs[Boolean]("holds") == (r.getAs[Long]("n_violating") == 0L))
+      assert(r.getAs[Long]("max_rhs") >= 1L)
+    }
+  }
+
+  test("q291 Holt forecast: constant series is a fixed point (level == c, trend == 0)") {
+    import spark.implicits._
+    // 4 events/day for 10 days, one type: the recursion must sit still
+    val synth = (0 until 40).map { i =>
+      val day = i / 4
+      (day.toLong * 86400000000000L + (i % 4) * 1000000000L + 1L,
+        "steady", i.toLong)
+    }.toDF("ts", "event_type", "event_id")
+    val out = EventOps.holtForecast(spark, synth).collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[Long]("level_micro") == 4000000L)
+    assert(out(0).getAs[Long]("trend_micro") == 0L)
+    assert(out(0).getAs[Long]("forecast_micro") == 4000000L)
+    // real data: the card's internal identity
+    EventOps.holtForecast(spark, EventOps.events(spark, dir)).collect().foreach { r =>
+      assert(r.getAs[Long]("forecast_micro") ==
+        r.getAs[Long]("level_micro") + EventOps.HwHorizon * r.getAs[Long]("trend_micro"))
+    }
+  }
+
+  test("q292 lateness audit: bounds hold and a brute recompute agrees per type") {
+    val ev = EventOps.events(spark, dir)
+    val rows = EventOps.latenessAudit(ev).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_late") <= r.getAs[Long]("n_events"))
+      assert(r.getAs[Long]("p95_late_us") <= r.getAs[Long]("max_late_us"))
+    }
+    // brute: per user in event_id order, count late arrivals by type
+    val raw = ev.select(col("user_id"), col("event_id"), col("event_type"),
+        expr("ts DIV 1000").as("t_us")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val lateByType = raw.groupBy(_._1).values.flatMap { es =>
+      val sorted = es.sortBy(_._2)
+      sorted.zipWithIndex.collect { case ((_, _, t, ts), i)
+        if i > 0 && sorted.take(i).map(_._4).max > ts => t }
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_late") ==
+        lateByType.getOrElse(r.getAs[String]("event_type"), 0L))
+    }
+  }
+
+  test("q292 lateness audit: planted disorder is measured exactly") {
+    import spark.implicits._
+    // this corpus assigns event_ids in event-time order (the audit
+    // honestly reads all-zeros there), so the measuring arithmetic is
+    // gated on PLANTED disorder: user 1 arrives in-order, user 2 has
+    // one event 5s late and one 2s late behind a running max at t=100s
+    val ns = 1000000000L
+    val ev = Seq(
+      (1L, 1L, "a", 10L * ns), (1L, 2L, "a", 20L * ns), // in order
+      (2L, 10L, "a", 100L * ns),
+      (2L, 11L, "a", 95L * ns),  // 5s late vs 100
+      (2L, 12L, "b", 110L * ns),
+      (2L, 13L, "b", 108L * ns)  // 2s late vs 110
+    ).toDF("user_id", "event_id", "event_type", "ts")
+    val got = EventOps.latenessAudit(ev).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("n_late"), r.getAs[Long]("max_late_us")))).toMap
+    assert(got("a") == ((1L, 5000000L)), "user 2's 95s event is 5s late")
+    assert(got("b") == ((1L, 2000000L)), "user 2's 108s event is 2s late")
+  }
+
   test("plans: q286 per-vector argmin is exchange-free; q288 is join-free") {
     def planOf(name: String): String =
       SparkEntry.queries(name)(spark, dir).queryExecution

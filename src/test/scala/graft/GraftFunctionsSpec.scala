@@ -32,6 +32,23 @@ class GraftFunctionsSpec extends AnyFunSuite {
     fast.zip(slow).foreach { case (f, s) => assert(f == s) }
   }
 
+  test("word_gram_md5 == transform(sequence, md5(concat_ws(slice))) lambda twin") {
+    GraftFunctions.register(spark)
+    import org.apache.spark.sql.functions.{col, expr, split}
+    val g = graft.ops.Chunking.QueryGramWords
+    val toks = t(spark, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+    val fast = toks.select(col("doc_id"), expr(s"word_gram_md5(w, $g)").as("fps"))
+      .orderBy("doc_id").collect().map(_.getSeq[String](1))
+    val slow = toks.select(col("doc_id"), expr(
+        s"""CASE WHEN size(w) >= $g THEN
+              transform(sequence(1, size(w) - ${g - 1}), i -> md5(concat_ws(' ', slice(w, i, $g))))
+            ELSE CAST(array() AS ARRAY<STRING>) END""").as("fps"))
+      .orderBy("doc_id").collect().map(_.getSeq[String](1))
+    assert(fast.length == slow.length && fast.nonEmpty)
+    fast.zip(slow).foreach { case (f, s) => assert(f == s) }
+  }
+
   test("quantized_dot null semantics match the zip_with spec") {
     GraftFunctions.register(spark)
     import spark.implicits._

@@ -83,7 +83,11 @@ class ProfilingSpec extends AnyFunSuite {
     assert(!p283.contains("Join"), "SCD2 is window algebra, join-free")
     assert(!p283.contains("Exchange rangepartitioning"),
       "windows are user-keyed, never a global sort")
+    // q281: the NDV branches avoid the multi-distinct EXPAND (the 276 s
+    // 100x scale-killer); the 6-row card assembles by broadcast
     val p281 = planOf("q281_column_profile")
-    assert(!p281.contains("Join") && !p281.contains("Exchange rangepartitioning"))
+    assert(!p281.contains("Expand"), "NDVs must be per-column rollups, never expand")
+    assert(p281.contains("BroadcastHashJoin") && !p281.contains("SortMergeJoin"))
+    assert(!p281.contains("Exchange rangepartitioning"))
   }
 }

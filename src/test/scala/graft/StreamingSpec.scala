@@ -1238,6 +1238,9 @@ class StreamingSpec extends AnyFunSuite {
       assert(rowsOf(SessionCards.entryExitCard(sessions)) ==
         rowsOf(graft.ops.EventOps.entryExitTypes(batchEv)),
         "live entry/exit card must equal batch q236")
+      assert(rowsOf(SessionCards.concurrencyCard(sessions)) ==
+        rowsOf(graft.ops.EventOps.sessionConcurrency(batchEv)),
+        "live concurrency card must equal batch q289")
     } finally {
       q.stop()
       prev match {
