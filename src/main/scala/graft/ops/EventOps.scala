@@ -2287,6 +2287,16 @@ object EventOps {
       (s, d) => markovBaseline(events(s, d)),
       Some(markovBaselineSql())),
 
+    QueryDef("q293_twa_bars",
+      (s, d) => graft.tebis.Datapoints.twaBars(asSeries(events(s, d)), 3600000L)
+        .select(col("externalId").cast("long").as("user_id"), col("bucketTs"),
+          col("held_ms"), col("twa_cents_micro")),
+      Some(graft.tebis.Datapoints.twaBarsSql(3600000L,
+        """pts AS (SELECT CAST(user_id AS VARCHAR) AS externalId,
+            epoch_ms(ts) AS timestampMs, value FROM events)""")
+        .replace("SELECT externalId, bucketTs,",
+          "SELECT CAST(externalId AS BIGINT) AS user_id, bucketTs,"))),
+
     QueryDef("q231_ohlc_bars",
       (s, d) => graft.tebis.Datapoints.ohlcBars(asSeries(events(s, d)), 3600000L)
         .select(col("externalId").cast("long").as("user_id"), col("bucketTs"),

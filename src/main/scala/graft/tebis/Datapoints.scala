@@ -159,6 +159,69 @@ object Datapoints {
         expr("min_by(value, struct(timestampMs, value))").as("open"),
         expr("max_by(value, struct(timestampMs, value))").as("close"))
 
+  /** Time-weighted-average bars (q293): THE industrial datapoints
+    * aggregate — each point's value holds until the next point
+    * (previous-value/step interpolation), and a bucket's TWA weights
+    * every held segment by its overlap with the bucket, so an irregular
+    * sensor that reports once an hour and once a millisecond averages
+    * correctly where q231's OHLC/row-mean would count rows. A point's
+    * last segment holds to the end of its own bucket; zero-length
+    * segments (duplicate timestamps under the (t, value) total order)
+    * drop, leaving the later-sorted point to hold — deterministic on
+    * both engines.
+    *
+    * Exactness: values become cents once (one IEEE round both engines
+    * share); the weighted sum rides DECIMAL(38,0) (cents × ms overflows
+    * int64 at real spans); the TWA is one integral division, reported
+    * in micro-cents. Positive-epoch domain (the q25 resample note).
+    *
+    * Scale shape: one series-keyed lead window (the natural
+    * partitioning), a per-segment bucket-range explode (bounded by the
+    * segment's bucket span), one (series, bucket) rollup. */
+  def twaBars(datapoints: DataFrame, stepMs: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("externalId").orderBy(col("timestampMs").asc, col("value").asc)
+    val seg = datapoints
+      .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
+      .withColumn("seg_end", coalesce(lead("timestampMs", 1).over(w),
+        expr(s"(timestampMs DIV $stepMs + 1) * $stepMs")))
+      .filter(col("seg_end") > col("timestampMs"))
+    seg.select(col("externalId"), col("cents"), col("timestampMs"), col("seg_end"),
+        explode(expr(s"sequence(timestampMs DIV $stepMs, (seg_end - 1) DIV $stepMs)")).as("b"))
+      .withColumn("ov",
+        least(col("seg_end"), (col("b") + 1) * stepMs) -
+          greatest(col("timestampMs"), col("b") * stepMs))
+      .groupBy(col("externalId"), (col("b") * stepMs).as("bucketTs"))
+      // cents·ov stays int64: per (series, bucket) the weighted sum is
+      // bounded by stepMs · max|cents| (held time inside one bucket is
+      // at most the bucket), so hour buckets are exact to |value| ~ 2e10
+      // — DECIMAL enters only at the final ×1e6 division
+      .agg(sum(expr("cents * ov")).as("wsum"), sum("ov").as("held_ms"))
+      .withColumn("twa_cents_micro", expr(
+        "CAST((CAST(wsum AS DECIMAL(38,0)) * 1000000) div held_ms AS BIGINT)"))
+      .select("externalId", "bucketTs", "held_ms", "twa_cents_micro")
+  }
+
+  def twaBarsSql(stepMs: Long, pointsCte: String): String =
+    s"""WITH $pointsCte,
+      seg AS (SELECT externalId, CAST(round(value * 100) AS BIGINT) AS cents,
+            timestampMs,
+            COALESCE(lead(timestampMs) OVER (PARTITION BY externalId
+                ORDER BY timestampMs, value),
+              (timestampMs // $stepMs + 1) * $stepMs) AS seg_end
+          FROM pts),
+      bk AS (SELECT externalId, cents, timestampMs, seg_end,
+            unnest(range(timestampMs // $stepMs, (seg_end - 1) // $stepMs + 1)) AS b
+          FROM seg WHERE seg_end > timestampMs),
+      ov AS (SELECT externalId, b * $stepMs AS bucketTs, cents,
+            least(seg_end, (b + 1) * $stepMs)
+              - greatest(timestampMs, b * $stepMs) AS ov
+          FROM bk)
+      SELECT externalId, bucketTs, CAST(SUM(ov) AS BIGINT) AS held_ms,
+        CAST((CAST(SUM(cents * ov) AS HUGEINT) * 1000000) // SUM(ov) AS BIGINT)
+          AS twa_cents_micro
+      FROM ov GROUP BY 1, 2"""
+
   def resample(datapoints: DataFrame, stepMs: Long): DataFrame = {
     // value in the sort key only to break timestamp ties deterministically
     val w = org.apache.spark.sql.expressions.Window

@@ -160,6 +160,30 @@ class CardsSpec extends AnyFunSuite {
     assert(got("b") == ((1L, 2000000L)), "user 2's 108s event is 2s late")
   }
 
+  test("q293 TWA bars: held-time conservation and a constant-series identity") {
+    import spark.implicits._
+    val step = 3600000L
+    // constant series: whatever the spacing, TWA == the constant
+    val const = Seq(("s", 0L, 2.5), ("s", 10L, 2.5), ("s", 7200000L, 2.5))
+      .toDF("externalId", "timestampMs", "value")
+    graft.tebis.Datapoints.twaBars(const, step).collect().foreach { r =>
+      assert(r.getAs[Long]("twa_cents_micro") == 250000000L)
+    }
+    // hand case: v=100 holds [0, 1800000), v=200 holds to bucket end
+    val two = Seq(("s", 0L, 1.0), ("s", 1800000L, 2.0))
+      .toDF("externalId", "timestampMs", "value")
+    val got = graft.tebis.Datapoints.twaBars(two, step).collect()
+    assert(got.length == 1)
+    assert(got(0).getAs[Long]("held_ms") == step)
+    assert(got(0).getAs[Long]("twa_cents_micro") == 150000000L,
+      "half the hour at 100c, half at 200c -> 150c")
+    // real data: per-bucket held time never exceeds the bucket
+    val bars = graft.tebis.Datapoints.twaBars(
+      EventOps.asSeries(EventOps.events(spark, dir)), step)
+    assert(bars.filter(col("held_ms") > step).isEmpty)
+    assert(bars.filter(col("held_ms") <= 0L).isEmpty)
+  }
+
   test("plans: q286 per-vector argmin is exchange-free; q288 is join-free") {
     def planOf(name: String): String =
       SparkEntry.queries(name)(spark, dir).queryExecution
