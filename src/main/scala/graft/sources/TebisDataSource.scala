@@ -72,6 +72,33 @@ object TebisDataSource {
     raw.filter(_.nonEmpty)
   }
 
+  /** (kept, total) from the most recent runtime-filtered partition
+    * planning — observability for specs and operators. */
+  val lastPlanned = new java.util.concurrent.atomic.AtomicReference[(Int, Int)]((0, 0))
+
+  /** The externalIds a file's HEADER names: first physical line only
+    * (driver-side byte read to the first '\n'), parsed with the same
+    * header-cell splitter as the full parser. Malformed headers yield
+    * Nil — callers treat that as "cannot prove absence, keep". */
+  private[graft] def headerIds(path: String): Seq[String] = {
+    try {
+      val p = new Path(path)
+      val fs = p.getFileSystem(new Configuration())
+      val in = fs.open(p)
+      val buf = new java.io.ByteArrayOutputStream()
+      try {
+        var b = in.read()
+        while (b != -1 && b != '\n') { buf.write(b); b = in.read() }
+      } finally in.close()
+      val line = new String(buf.toByteArray, Charset.forName(TebisCsv.Encoding))
+        .stripSuffix("\r")
+      TebisCsv.parseCsv(line).headOption.toSeq
+        .flatMap(_.drop(1))
+        .map(c => TebisCsv.splitHeaderCell(c).externalId)
+        .filter(_.nonEmpty)
+    } catch { case _: Exception => Nil }
+  }
+
   /** Driver-side listing: each root is a file or a directory of `*.csv`.
     * Cost is one FS listing per root — no content is read on the driver. */
   private[sources] def listFiles(roots: Seq[String]): Seq[String] = {
@@ -193,18 +220,60 @@ private class TebisScanBuilder(roots: Seq[String])
   }
 }
 
-private class TebisScan(roots: Seq[String], required: StructType, keepIds: Option[Set[String]])
-    extends Scan with Batch {
+private[graft] class TebisScan(roots: Seq[String], required: StructType,
+    keepIds: Option[Set[String]])
+    extends Scan with Batch with SupportsRuntimeFiltering {
+  /** Runtime (join-delivered) externalIds, intersected into [[eff]].
+    * Populated by Spark's dynamic pruning calling [[filter]] after the
+    * broadcast build side materializes — the DSv2 analog of dynamic
+    * partition pruning, here pruning whole FILES. */
+  @volatile private var runtimeIds: Option[Set[String]] = None
+
+  private def eff: Option[Set[String]] = (keepIds, runtimeIds) match {
+    case (Some(a), Some(b)) => Some(a intersect b)
+    case (a, b) => a.orElse(b)
+  }
+
+  override def filterAttributes(): Array[NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column("externalId"))
+
+  override def filter(filters: Array[Filter]): Unit = {
+    val sets = filters.collect {
+      case EqualTo("externalId", v: String) => Set(v)
+      case In("externalId", vs) if vs.forall(_.isInstanceOf[String]) =>
+        vs.map(_.asInstanceOf[String]).toSet
+    }
+    if (sets.nonEmpty) runtimeIds = Some(sets.reduce(_ intersect _))
+  }
+
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String = {
     val f = keepIds.fold("")(s => s", pushedExternalIds=[${s.toSeq.sorted.mkString(",")}]")
     s"tebis ReadSchema: ${required.catalogString}$f"
   }
-  override def planInputPartitions(): Array[InputPartition] =
-    TebisDataSource.listFiles(roots).map(TebisInputPartition.apply).toArray
+
+  /** With any id set (static pushdown or runtime filter), files whose
+    * HEADER (first physical line, read driver-side — bytes until the
+    * first newline, never the body) names none of the wanted ids are
+    * skipped entirely: at 100 TB of sensor files a catalog join on a
+    * handful of ids opens only the matching files. A file whose header
+    * fails to parse is conservatively KEPT — the full parser decides. */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val files = TebisDataSource.listFiles(roots)
+    val kept = eff match {
+      case None => files
+      case Some(ids) => files.filter { f =>
+        val hdr = TebisDataSource.headerIds(f)
+        hdr.isEmpty || hdr.exists(ids.contains)
+      }
+    }
+    TebisDataSource.lastPlanned.set((kept.size, files.size))
+    kept.map(TebisInputPartition.apply).toArray
+  }
+
   override def createReaderFactory(): PartitionReaderFactory =
-    new TebisReaderFactory(required.fieldNames, keepIds)
+    new TebisReaderFactory(required.fieldNames, eff)
 }
 
 private case class TebisInputPartition(path: String) extends InputPartition

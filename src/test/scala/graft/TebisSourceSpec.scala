@@ -54,6 +54,42 @@ class TebisSourceSpec extends AnyFunSuite {
     assert(df.rdd.getNumPartitions == 3, "3 csv files => 3 partitions (txt ignored)")
   }
 
+  test("externalId pushdown skips whole files by header peek") {
+    // id 33 lives only in TEBIS_FK_100 — the other two files must not
+    // even be planned (header line read driver-side, body untouched)
+    val df = spark.read.format("tebis").load(dir.toString)
+      .filter("externalId = '33'")
+    assert(df.collect().length == 5)
+    assert(df.rdd.getNumPartitions == 1, "two of three files prune by header")
+    // broken header parses to Nil -> conservatively kept
+    val broken = spark.read.format("tebis").load(dir.toString)
+      .filter("externalId = '1'") // broken_x_300 names id 1 but dead-letters
+    assert(broken.collect().isEmpty, "dead-lettered file still yields no rows")
+  }
+
+  test("SupportsRuntimeFiltering: a join-delivered id set prunes files at execution") {
+    import graft.sources.{TebisDataSource, TebisScan}
+    import org.apache.spark.sql.sources.{Filter, In}
+    val scan = new TebisScan(Seq(dir.toString), TebisDataSource.Schema, None)
+    assert(scan.planInputPartitions().length == 3, "no filter: all files planned")
+    scan.filter(Array[Filter](In("externalId", Array[Any]("34", "35"))))
+    assert(scan.planInputPartitions().length == 1,
+      "runtime ids {34,35} keep only TEBIS_FK_200 (broken_x_300's header " +
+        "parses to id 1, so it proves its own absence and is skipped)")
+    assert(TebisDataSource.lastPlanned.get() == ((1, 3)))
+    // runtime set intersects a STATIC pushed set
+    val both = new TebisScan(Seq(dir.toString), TebisDataSource.Schema, Some(Set("33", "34")))
+    both.filter(Array[Filter](In("externalId", Array[Any]("34", "35"))))
+    val kept = both.planInputPartitions()
+    assert(kept.length == 1 && TebisDataSource.lastPlanned.get() == ((1, 3)),
+      "effective ids {34} keep only the file whose header names 34")
+    // e2e: a broadcast dim join returns exactly the dim-matched rows
+    val dim = spark.createDataFrame(Seq(Tuple1("34"))).toDF("externalId")
+    val joined = spark.read.format("tebis").load(dir.toString)
+      .join(org.apache.spark.sql.functions.broadcast(dim), "externalId")
+    assert(joined.select("externalId").collect().map(_.getString(0)).toSet == Set("34"))
+  }
+
   test("column pruning reaches the scan") {
     val df = spark.read.format("tebis").load(dir.toString).select("value")
     val plan = df.queryExecution.executedPlan.toString
