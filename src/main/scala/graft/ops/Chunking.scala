@@ -345,7 +345,83 @@ object Chunking {
       FROM b GROUP BY source"""
   }
 
+  /** RAG release report (q294): the q212-style capstone for the
+    * chunking family — per source, everything a retrieval-index release
+    * gate reads in ONE table: chunk geometry (docs, chunks, chars, mean
+    * length), duplicate mass (dup share + cross-doc boilerplate count),
+    * and the boundary tear rate. Composes the family's rollups off ONE
+    * chunk stream (localCheckpoint — the Memo "pay shared heavy
+    * intermediates once" discipline at query scope); the boundary card
+    * reads the raw docs (it never needs chunk text). All joins are
+    * source-keyed over source-bounded frames.
+    *
+    * Left joins + zero-fills: a source whose docs are all shorter than
+    * the window has no interior boundaries — it must still release. */
+  def ragReleaseReport(docs: DataFrame): DataFrame = {
+    val ch = charChunks(docs)
+      .select(col("source"), col("doc_id"), col("chunk"))
+      .localCheckpoint() // ONE chunk stream feeds both heavy rollups
+    val geo = ch.select(col("source"), col("doc_id"), length(col("chunk")).as("clen"))
+      .groupBy("source").agg(
+        countDistinct("doc_id").as("n_docs"),
+        count(lit(1)).as("n_chunks"),
+        sum("clen").as("chunk_chars"))
+      .withColumn("mean_len_micro", expr(
+        "CAST((CAST(chunk_chars AS DECIMAL(38,0)) * 1000000) div n_chunks AS BIGINT)"))
+    val dup = ch.groupBy(col("source"), xxhash64(col("chunk")).as("fp"))
+      .agg(count(lit(1)).as("n"), countDistinct("doc_id").as("nd"))
+      .groupBy("source").agg(
+        sum("n").as("nch"), count(lit(1)).as("n_distinct"),
+        expr("CAST(count_if(nd > 1) AS BIGINT)").as("n_multi_doc"))
+      .withColumn("dup_share_micro", expr(
+        "CAST((CAST(nch - n_distinct AS DECIMAL(38,0)) * 1000000) div nch AS BIGINT)"))
+      .select("source", "n_multi_doc", "dup_share_micro")
+    val tear = boundaryIntegrity(docs).select("source", "n_boundaries", "split_micro")
+    geo.join(dup, Seq("source"))
+      .join(tear, Seq("source"), "left")
+      .withColumn("n_boundaries", coalesce(col("n_boundaries"), lit(0L)))
+      .withColumn("split_micro", coalesce(col("split_micro"), lit(0L)))
+      .select("source", "n_docs", "n_chunks", "chunk_chars", "mean_len_micro",
+        "n_multi_doc", "dup_share_micro", "n_boundaries", "split_micro")
+  }
+
+  val ragReleaseReportSql: String =
+    s"""WITH ${charChunksCte()},
+      geo AS (SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+          CAST(count(*) AS BIGINT) AS n_chunks,
+          CAST(SUM(len(chunk)) AS BIGINT) AS chunk_chars,
+          CAST((CAST(SUM(len(chunk)) AS HUGEINT) * 1000000) // count(*) AS BIGINT)
+            AS mean_len_micro
+        FROM ch GROUP BY source),
+      fpt AS (SELECT source, md5(chunk) AS fp, CAST(count(*) AS BIGINT) AS n,
+          CAST(count(DISTINCT doc_id) AS BIGINT) AS nd
+        FROM ch GROUP BY 1, 2),
+      dup AS (SELECT source,
+          CAST(count(*) FILTER (nd > 1) AS BIGINT) AS n_multi_doc,
+          CAST((CAST(SUM(n) - count(*) AS HUGEINT) * 1000000) // SUM(n) AS BIGINT)
+            AS dup_share_micro
+        FROM fpt GROUP BY source),
+      b AS (SELECT source,
+          CAST(substr(text, CAST(k * $ChunkStride AS BIGINT), 1) != ' '
+            AND substr(text, CAST(k * $ChunkStride + 1 AS BIGINT), 1) != ' ' AS BIGINT) AS split
+        FROM documents, LATERAL (SELECT
+          unnest(range(1, ${lastChunkDuck("n_chars", ChunkChars, ChunkStride)} + 1)) AS k) u
+        WHERE n_chars > $ChunkChars),
+      tear AS (SELECT source, CAST(count(*) AS BIGINT) AS n_boundaries,
+          CAST((CAST(SUM(split) AS HUGEINT) * 1000000) // count(*) AS BIGINT)
+            AS split_micro
+        FROM b GROUP BY source)
+      SELECT geo.source, n_docs, n_chunks, chunk_chars, mean_len_micro,
+        n_multi_doc, dup_share_micro,
+        COALESCE(n_boundaries, 0) AS n_boundaries,
+        COALESCE(split_micro, 0) AS split_micro
+      FROM geo JOIN dup ON dup.source = geo.source
+      LEFT JOIN tear ON tear.source = geo.source"""
+
   def queries: Seq[QueryDef] = Seq(
+    QueryDef("q294_rag_release_report",
+      (s, d) => ragReleaseReport(t(s, d, "documents")),
+      Some(ragReleaseReportSql)),
     QueryDef("q275_chunk_geometry",
       (s, d) => chunkGeometry(t(s, d, "documents")), Some(chunkGeometrySql)),
     QueryDef("q276_chunk_dup_card",

@@ -80,6 +80,26 @@ class ChunkingSpec extends AnyFunSuite {
     }
   }
 
+  test("q294 capstone: columns equal the standalone family cards") {
+    val rep = Chunking.ragReleaseReport(docs).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    val geo = Chunking.chunkGeometry(docs).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    val dup = Chunking.chunkDupCard(docs).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    val tear = Chunking.boundaryIntegrity(docs).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    assert(rep.keySet == geo.keySet)
+    rep.foreach { case (s, r) =>
+      assert(r.getAs[Long]("n_chunks") == geo(s).getAs[Long]("n_chunks"))
+      assert(r.getAs[Long]("chunk_chars") == geo(s).getAs[Long]("chunk_chars"))
+      assert(r.getAs[Long]("dup_share_micro") == dup(s).getAs[Long]("dup_share_micro"))
+      assert(r.getAs[Long]("n_multi_doc") == dup(s).getAs[Long]("n_multi_doc"))
+      assert(r.getAs[Long]("split_micro") ==
+        tear.get(s).map(_.getAs[Long]("split_micro")).getOrElse(0L))
+    }
+  }
+
   test("plans: q277 broadcasts the query-fp side; the cards never join") {
     val p277 = planOf("q277_retrieval_containment")
     assert(p277.contains("BroadcastHashJoin"), "query fps must broadcast")
