@@ -4,12 +4,15 @@ engine code): replicate /root/testdata/sf0.1 tables K times with offset
 keys so every join stays consistent and every text occurs K times (the
 deliberately duplicate-heavy dedup stress case).
 
-Usage: python3 tools/make_scale_corpus.py [outDir] [K]
+Usage: python3 tools/make_scale_corpus.py [outDir] [K] [srcDir]
+srcDir defaults to sf0.1; pass an earlier replica (e.g. /tmp/scale100)
+to compose scales multiplicatively — a single-shot K near 1000 hits
+DuckDB's max_expression_depth on the UNION ALL chain.
 """
 import os, sys
 import duckdb
 
-SRC = "/root/testdata/sf0.1"
+SRC = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.1"
 OUT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/scale10"
 K = int(sys.argv[2]) if len(sys.argv) > 2 else 10
 
