@@ -64,19 +64,22 @@ object Chunking {
   private def lastChunkDuck(nCol: String, w: Int, s: Int): String =
     s"CASE WHEN $nCol <= $w THEN 0 ELSE ($nCol - $w + ${s - 1}) // $s END"
 
-  /** (doc_id, source, chunk) char-window chunk stream — the shared
-    * derivation for q275/q276. Stateless: one `sequence` explode above
-    * the scan, no exchange. */
+  /** (doc_id, source, k, chunk) char-window chunk stream — the shared
+    * derivation for q275/q276/q294. Stateless: one `sequence` explode
+    * above the scan, no exchange. `k` rides along because "k = 0"
+    * marks exactly one row per document — the distinct-free doc
+    * counter that keeps the geometry card a PURE streaming aggregate
+    * (no countDistinct state). */
   private[graft] def charChunks(docs: DataFrame,
       w: Int = ChunkChars, s: Int = ChunkStride): DataFrame =
     docs.select(col("doc_id"), col("source"), col("text"),
         explode(expr(s"sequence(0L, ${lastChunk("n_chars", w, s)})")).as("k"))
-      .select(col("doc_id"), col("source"),
+      .select(col("doc_id"), col("source"), col("k"),
         expr(s"substr(text, k * $s + 1, $w)").as("chunk"))
 
   /** DuckDB twin as a CTE named `ch`. */
   private def charChunksCte(w: Int = ChunkChars, s: Int = ChunkStride): String =
-    s"""ch AS (SELECT doc_id, source,
+    s"""ch AS (SELECT doc_id, source, k,
           substr(text, k * $s + 1, $w) AS chunk
         FROM documents, LATERAL (SELECT
           unnest(range(0, ${lastChunkDuck("n_chars", w, s)} + 1)) AS k) u)"""
@@ -94,12 +97,21 @@ object Chunking {
     *
     * Scale shape: explode + one source-keyed rollup; chunk text is
     * consumed by `length` in the same stage it is produced and never
-    * shuffles. */
+    * shuffles. Docs are counted as "chunks with k = 0" (exactly one per
+    * doc) instead of a countDistinct — cheaper batch-side, and it makes
+    * the card a pure streaming aggregate, so the live twin
+    * ([[graft.streaming.CorpusStream.liveChunkCard]]) is EXACTLY this
+    * rollup in complete mode, column-identical. */
   def chunkGeometry(docs: DataFrame): DataFrame =
-    charChunks(docs)
-      .select(col("source"), col("doc_id"), length(col("chunk")).as("clen"))
+    geometryCard(charChunks(docs))
+
+  /** The rollup over a chunk stream — shared by the batch op and the
+    * streaming twin (every aggregate is merge-only: no distinct). */
+  private[graft] def geometryCard(chunks: DataFrame): DataFrame =
+    chunks
+      .select(col("source"), col("k"), length(col("chunk")).as("clen"))
       .groupBy("source").agg(
-        countDistinct("doc_id").as("n_docs"),
+        expr("CAST(count_if(k = 0) AS BIGINT)").as("n_docs"),
         count(lit(1)).as("n_chunks"),
         sum("clen").as("chunk_chars"),
         expr(s"CAST(count_if(clen < $ChunkChars) AS BIGINT)").as("n_short"))
@@ -110,7 +122,7 @@ object Chunking {
 
   val chunkGeometrySql: String =
     s"""WITH ${charChunksCte()}
-      SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+      SELECT source, CAST(count(*) FILTER (k = 0) AS BIGINT) AS n_docs,
         CAST(count(*) AS BIGINT) AS n_chunks,
         CAST(SUM(len(chunk)) AS BIGINT) AS chunk_chars,
         CAST(count(*) FILTER (len(chunk) < $ChunkChars) AS BIGINT) AS n_short,
@@ -359,11 +371,11 @@ object Chunking {
     * the window has no interior boundaries — it must still release. */
   def ragReleaseReport(docs: DataFrame): DataFrame = {
     val ch = charChunks(docs)
-      .select(col("source"), col("doc_id"), col("chunk"))
+      .select(col("source"), col("doc_id"), col("k"), col("chunk"))
       .localCheckpoint() // ONE chunk stream feeds both heavy rollups
-    val geo = ch.select(col("source"), col("doc_id"), length(col("chunk")).as("clen"))
+    val geo = ch.select(col("source"), col("k"), length(col("chunk")).as("clen"))
       .groupBy("source").agg(
-        countDistinct("doc_id").as("n_docs"),
+        expr("CAST(count_if(k = 0) AS BIGINT)").as("n_docs"),
         count(lit(1)).as("n_chunks"),
         sum("clen").as("chunk_chars"))
       .withColumn("mean_len_micro", expr(
@@ -387,7 +399,7 @@ object Chunking {
 
   val ragReleaseReportSql: String =
     s"""WITH ${charChunksCte()},
-      geo AS (SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+      geo AS (SELECT source, CAST(count(*) FILTER (k = 0) AS BIGINT) AS n_docs,
           CAST(count(*) AS BIGINT) AS n_chunks,
           CAST(SUM(len(chunk)) AS BIGINT) AS chunk_chars,
           CAST((CAST(SUM(len(chunk)) AS HUGEINT) * 1000000) // count(*) AS BIGINT)

@@ -307,6 +307,17 @@ object CorpusStream {
       .withColumn("n_approx_dups", col("n_docs") - col("n_distinct_approx"))
   }
 
+  /** Live RAG chunk-geometry card — q275's unbounded twin: the
+    * char-window chunk explode is stateless and the geometry rollup is
+    * merge-only (docs count as "chunks with k = 0", so there is NO
+    * countDistinct — unlike [[liveCard]]'s dup estimate, this card is
+    * EXACT live), which makes the whole card one streaming aggregate in
+    * complete/update mode. State per source is one row of counters —
+    * flat at any ingest volume. Spec-locked: live card == batch q275
+    * on everything streamed. */
+  def liveChunkCard(docs: DataFrame): DataFrame =
+    graft.ops.Chunking.geometryCard(graft.ops.Chunking.charChunks(docs))
+
   /** Streaming KMV distinct-vocabulary sketch — q230's unbounded twin:
     * each micro-batch writes ITS OWN k-smallest-hash sketch into a
     * batch_id=N partition (mode=overwrite — a replayed batch rewrites

@@ -1250,6 +1250,31 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("live chunk card: complete-mode stream equals batch q275 on everything arrived") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text", "source", "n_chars")
+      .as[(Long, String, String, Long)].collect()
+    val mem = MemoryStream[(Long, String, String, Long)]
+    val q = graft.streaming.CorpusStream.liveChunkCard(
+        mem.toDF().toDF("doc_id", "text", "source", "n_chars"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("chunkcard").start()
+    try {
+      docs.grouped(math.max(1, docs.length / 3)).foreach { b =>
+        mem.addData(b.toSeq: _*); q.processAllAvailable()
+      }
+      val live = spark.table("chunkcard").collect().map(_.toString).sorted.toSeq
+      val batch = graft.ops.Chunking.chunkGeometry(
+          spark.read.parquet(s"$dir/documents.parquet"))
+        .collect().map(_.toString).sorted.toSeq
+      assert(live.nonEmpty && live == batch,
+        "the live chunk card must equal the batch geometry card exactly")
+    } finally q.stop()
+  }
+
   test("scd2 monitor: streamed closed intervals equal batch q283 under batched replay") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
