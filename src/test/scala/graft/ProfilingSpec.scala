@@ -75,6 +75,18 @@ class ProfilingSpec extends AnyFunSuite {
     }
   }
 
+  test("q282/q290 run standalone: no dependence on another module's session conf") {
+    // a fresh session has ISOLATED SQL conf — nanosAsLong is unset, the
+    // state a standalone library caller starts from; the ops must set
+    // what they need via the owning events accessor (they once died
+    // here with PARQUET_TYPE_ILLEGAL on the ns-timestamp events file)
+    val s2 = spark.newSession()
+    s2.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    assert(s2.conf.get("spark.sql.legacy.parquet.nanosAsLong") != "true")
+    assert(Profiling.keySkewProfile(s2, "/root/testdata/sf0.1").count() == 4)
+    assert(Profiling.fdAudit(s2, "/root/testdata/sf0.1").count() == 5)
+  }
+
   test("plans: q282 argmax joins broadcast; q283 windows stay user-partitioned") {
     val p282 = planOf("q282_key_skew_profile")
     assert(p282.contains("BroadcastHashJoin") || p282.contains("BroadcastNestedLoopJoin"))
