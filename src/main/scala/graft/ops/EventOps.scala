@@ -2175,7 +2175,64 @@ object EventOps {
           // MAX(n) AS BIGINT) AS late_micro
       FROM c GROUP BY event_type"""
 
+  /** State-store sizing card (q295): for each of the engine's stateful
+    * streaming operators, the key cardinality and entries-per-key this
+    * corpus would hold — the memory-planning numbers that size a state
+    * store BEFORE the stream starts. Completes the streaming-operations
+    * planning trio: q292 chooses the watermark delay, q289 sizes the
+    * connection pool, THIS sizes state. Keys and entry models follow
+    * each operator's documented contract: the dup monitor keys
+    * (user, type) and holds one entry per open (user, type, ts) group;
+    * sessions and the funnel key by user with one record each; the SCD2
+    * monitor keys by user and holds open/undecided days. Entries here
+    * are corpus-wide totals — the watermark bounds the LIVE window, so
+    * these are the conservative (replay-everything) ceilings.
+    *
+    * Scale shape: distinct counts via map-side-combined rollups (the
+    * q290 single-aggregate discipline), one card row per operator,
+    * cards union. */
+  def stateSizingCard(ev: DataFrame): DataFrame = {
+    val base = ev.select(col("user_id"), col("event_type"),
+      expr("ts DIV 86400000000000").as("day"), col("ts"))
+      .localCheckpoint() // four cards, one scan
+    def card(op: String, keys: DataFrame, entries: DataFrame): DataFrame =
+      keys.agg(count(lit(1)).as("n_keys"))
+        .crossJoin(broadcast(entries.agg(count(lit(1)).as("n_entries"))))
+        .select(lit(op).as("operator"), col("n_keys"), col("n_entries"))
+    val users = base.select("user_id").distinct()
+    val cards = Seq(
+      card("dup_monitor",
+        base.select("user_id", "event_type").distinct(),
+        base.select("user_id", "event_type", "ts").distinct()),
+      card("session_processor", users, users),
+      card("scd2_monitor", users, base.select("user_id", "day").distinct()),
+      card("funnel", users, users))
+    cards.reduce(_ unionByName _)
+      .withColumn("mean_entries_micro", expr(
+        "CAST((CAST(n_entries AS DECIMAL(38,0)) * 1000000) div n_keys AS BIGINT)"))
+      .select("operator", "n_keys", "n_entries", "mean_entries_micro")
+  }
+
+  val stateSizingCardSql: String =
+    """WITH u AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n FROM events),
+      c AS (
+        SELECT 'dup_monitor' AS operator,
+          CAST(count(DISTINCT (user_id, event_type)) AS BIGINT) AS n_keys,
+          CAST(count(DISTINCT (user_id, event_type, ts)) AS BIGINT) AS n_entries
+        FROM events
+        UNION ALL SELECT 'session_processor', n, n FROM u
+        UNION ALL SELECT 'scd2_monitor', n,
+          (SELECT CAST(count(DISTINCT (user_id, epoch_us(ts) // 86400000000)) AS BIGINT)
+           FROM events) FROM u
+        UNION ALL SELECT 'funnel', n, n FROM u)
+      SELECT operator, n_keys, n_entries,
+        CAST((CAST(n_entries AS HUGEINT) * 1000000) // n_keys AS BIGINT)
+          AS mean_entries_micro
+      FROM c"""
+
   val queries: Seq[QueryDef] = Seq(
+    QueryDef("q295_state_sizing",
+      (s, d) => stateSizingCard(events(s, d)), Some(stateSizingCardSql)),
     QueryDef("q292_lateness_audit",
       (s, d) => latenessAudit(events(s, d)), Some(latenessAuditSql)),
     QueryDef("q289_session_concurrency",

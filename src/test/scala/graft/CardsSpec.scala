@@ -184,6 +184,26 @@ class CardsSpec extends AnyFunSuite {
     assert(bars.filter(col("held_ms") <= 0L).isEmpty)
   }
 
+  test("q295 state sizing: models agree with each operator's documented contract") {
+    val ev = EventOps.events(spark, dir)
+    val byOp = EventOps.stateSizingCard(ev).collect()
+      .map(r => r.getAs[String]("operator") -> r).toMap
+    assert(byOp.keySet ==
+      Set("dup_monitor", "session_processor", "scd2_monitor", "funnel"))
+    val users = ev.select("user_id").distinct().count()
+    assert(byOp("session_processor").getAs[Long]("n_keys") == users)
+    assert(byOp("funnel").getAs[Long]("n_entries") == users,
+      "the funnel's documented ceiling is one record per user")
+    // scd2 entries == the batch op's day conservation total (one entry
+    // per active (user, day) — the same number IvmSpec locks for q283)
+    val activeDays = ev.select(col("user_id"),
+      expr("ts DIV 86400000000000")).distinct().count()
+    assert(byOp("scd2_monitor").getAs[Long]("n_entries") == activeDays)
+    byOp.values.foreach(r => assert(
+      r.getAs[Long]("mean_entries_micro") >= 1000000L,
+      "every key holds at least one entry"))
+  }
+
   test("plans: q286 per-vector argmin is exchange-free; q288 is join-free") {
     def planOf(name: String): String =
       SparkEntry.queries(name)(spark, dir).queryExecution
