@@ -104,7 +104,11 @@ object Bench {
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val flakyJson = flaky.map(n => s"\"" + n + "\":" + fails(n)).mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"flaky":$flakyJson,"sf":"$sfDir"}""")
+    // protocol is self-describing so the artifact can't mis-imply its
+    // environment (a wrapping driver may stamp ITS host cpus on top; the
+    // timings here were taken under exactly this master/shuffle/sink)
+    val protocol = s""""protocol":{"master":"local[$cpus]","shuffle_partitions":$cpus,"iters":$iters,"measure":"min","sink":"noop"}"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec",$protocol,"queries":$qs,"failed":$failedJson,"flaky":$flakyJson,"sf":"$sfDir"}""")
     // The driver records only the last 2000 chars of output, and the full
     // per-query JSON is bigger than that — the round-3 total was truncated
     // out of the artifact. Print a compact headline line LAST so any tail
@@ -112,7 +116,7 @@ object Bench {
     def r2(v: Double): Double = math.round(v * 100) / 100.0
     val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(5)
       .map { case (k, v) => s"\"" + k + "\":" + r2(v) }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r2(total)},"unit":"sec","n_queries":${names.size},"slowest5":$slowest,"n_failed":${failed.size},"n_flaky":${flaky.size},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r2(total)},"unit":"sec",$protocol,"n_queries":${names.size},"slowest5":$slowest,"n_failed":${failed.size},"n_flaky":${flaky.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

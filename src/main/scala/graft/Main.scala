@@ -10,7 +10,9 @@ import graft.tebis._
   *
   * Flags mirror the reference: `--input DIR` (required), `--live` or
   * `--historical` (default), `--from-time`/`--until-time` (exclusive
-  * filename-epoch bounds, 0 = unset), `--move-failed`, `--keep-finished`.
+  * filename-epoch bounds, 0 = unset), `--move-failed`, `--keep-finished`,
+  * `--log DIR`/`-d DIR` (log directory → the log4j2 `graft.log.dir`
+  * property), `--log-level LEVEL`.
   * Engine-specific: `--output DIR` (day-partitioned datapoints parquet —
   * the standalone stand-in for the reference's CDF datapoints API),
   * `--catalog PATH` (time-series catalog parquet, lazily upserted like
@@ -34,6 +36,7 @@ object Main {
       catalog: Option[String] = None,
       checkpoint: String = "/tmp/graft-checkpoint",
       apiKey: Option[Secret] = None,
+      logDir: Option[String] = None,
       logLevel: String = "WARN",
       project: String = "graft")
 
@@ -51,6 +54,11 @@ object Main {
       case "--catalog" :: v :: t => loop(cfg.copy(catalog = Some(v)), t)
       case "--checkpoint" :: v :: t => loop(cfg.copy(checkpoint = v), t)
       case "--api-key" :: v :: t => loop(cfg.copy(apiKey = Some(Secret(v))), t)
+      // reference main.py:39 `--log/-d DIR` (log directory): maps onto the
+      // shipped log4j2 config's `graft.log.dir` property (see
+      // graft-log4j2.properties — the rolling appender's basepath)
+      case "--log" :: v :: t => loop(cfg.copy(logDir = Some(v)), t)
+      case "-d" :: v :: t => loop(cfg.copy(logDir = Some(v)), t)
       case "--log-level" :: v :: t => loop(cfg.copy(logLevel = v), t)
       // project_name label on every metric (reference main.py:106-107
       // reads it off the CDF client; standalone build takes a flag)
@@ -72,6 +80,13 @@ object Main {
     val cfg = parseArgs(args)
     // Secret renders as ****: this line is safe with --api-key present
     println(s"[graft] configured with $cfg")
+    // --log DIR → the log4j2 property, set BEFORE the session brings the
+    // logging system up; an explicit -Dgraft.log.dir still wins (a
+    // deployment's java-options override outranks the convenience flag)
+    cfg.logDir.foreach { d =>
+      if (System.getProperty("graft.log.dir") == null)
+        System.setProperty("graft.log.dir", d)
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

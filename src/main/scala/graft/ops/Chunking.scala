@@ -11,7 +11,7 @@ import graft.queries.QueryDef.t
   * dedup, retrieval containment, stride planning, boundary integrity).
   *
   * The reference pipeline has no retrieval surface
-  * (/root/reference/csv-extractor/extractor.py processes sensor CSVs),
+  * (/root/reference/csv-extractor/csv_extractor.py processes sensor CSVs),
   * so this family is pure ★ extension: the operators a RAG ingestion
   * run needs between a cleaned corpus and a chunk index — how many
   * chunks a (window, stride) policy produces, how much duplicate mass

@@ -11,7 +11,7 @@ import graft.queries.QueryDef.t
   * assistant-turn eval-decontamination, role-balance card).
   *
   * The reference pipeline has no chat surface
-  * (/root/reference/csv-extractor/extractor.py processes sensor CSVs),
+  * (/root/reference/csv-extractor/csv_extractor.py processes sensor CSVs),
   * so this family is pure ★ extension: the operators an SFT curation
   * run needs between raw conversations and a tune-ready dataset.
   *

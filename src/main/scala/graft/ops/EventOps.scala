@@ -1891,9 +1891,13 @@ object EventOps {
     val fact = ev.select(col("event_type"), col("user_id"),
       expr("ts DIV 86400000000000").as("day"),
       get_json_object(col("props"), "$.k").cast("long").as("k"))
-    val dim = scd2History(ev).withColumnRenamed("k", "dim_k")
+    // fact and dim share lineage (both derive from ev) — distinct join-key
+    // names sidestep Spark's ambiguous-self-join disambiguation entirely
+    // (the k/dim_k discipline applied to the key column too)
+    val dim = scd2History(ev)
+      .withColumnRenamed("k", "dim_k").withColumnRenamed("user_id", "dim_user_id")
     fact.join(dim,
-        fact("user_id") === dim("user_id") &&
+        col("user_id") === col("dim_user_id") &&
           col("day") >= col("valid_from_day") && col("day") <= col("valid_to_day"),
         "left")
       .groupBy("event_type").agg(
@@ -2350,9 +2354,8 @@ object EventOps {
           col("held_ms"), col("twa_cents_micro")),
       Some(graft.tebis.Datapoints.twaBarsSql(3600000L,
         """pts AS (SELECT CAST(user_id AS VARCHAR) AS externalId,
-            epoch_ms(ts) AS timestampMs, value FROM events)""")
-        .replace("SELECT externalId, bucketTs,",
-          "SELECT CAST(externalId AS BIGINT) AS user_id, bucketTs,"))),
+            epoch_ms(ts) AS timestampMs, value FROM events)""",
+        idSelect = "CAST(externalId AS BIGINT) AS user_id"))),
 
     QueryDef("q231_ohlc_bars",
       (s, d) => graft.tebis.Datapoints.ohlcBars(asSeries(events(s, d)), 3600000L)

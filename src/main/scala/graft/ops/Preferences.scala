@@ -12,7 +12,7 @@ import graft.queries.QueryDef
   * agreement).
   *
   * The reference pipeline has no preference surface
-  * (/root/reference/csv-extractor/extractor.py processes sensor CSVs), so
+  * (/root/reference/csv-extractor/csv_extractor.py processes sensor CSVs), so
   * this family is pure ★ extension, like [[Conversations]].
   *
   * Corpus derivation (the q93/q157/q164 injection discipline — the

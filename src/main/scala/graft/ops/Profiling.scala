@@ -73,8 +73,13 @@ object Profiling {
     }.mkString(", ")
     val base = wide.select(col("n_rows"), expr(
       s"stack(${ProfileCols.size}, $stackArgs) AS (col_name, n_nulls, min_str, max_str)"))
+    // NDV convention (suite-wide): NULL is NOT a distinct value — the
+    // count(DISTINCT c) semantics both engines agree on once the NULL
+    // group is filtered BEFORE the rollup (Spark's groupBy would keep
+    // it; nulls are already reported separately as n_nulls)
     val ndvs = ProfileCols.map { case (c, _) =>
-      li.groupBy(col(c)).agg(count(lit(1)))
+      li.filter(col(c).isNotNull)
+        .groupBy(col(c)).agg(count(lit(1)))
         .agg(count(lit(1)).as("n_distinct"))
         .select(lit(c).as("col_name"), col("n_distinct"))
     }.reduce(_ unionByName _)
@@ -177,15 +182,24 @@ object Profiling {
     * distinct-pairs-then-regroup form measured 8.8 s vs 11.9 s at 100x
     * (`local[32]`): one logical aggregate beats two when the planner
     * can see the distinct. Then one 1-row card per FD; cards union. */
+  /** One FD card over an explicit frame — the unit [[fdAudit]] unions.
+    * NULL convention (both engines): a NULL rhs is NOT a distinct value
+    * (countDistinct skips it; an all-NULL key scores n_rhs = 0 and never
+    * violates), while a NULL lhs IS a key (groupBy keeps the group) —
+    * the count(DISTINCT)/GROUP BY semantics, spec'd on a null-bearing
+    * fixture in ProfilingNullSpec. */
+  private[graft] def fdCard(df: DataFrame, label: String, lhs: String,
+      rhs: String): DataFrame =
+    df.groupBy(col(lhs).as("l")).agg(countDistinct(col(rhs)).as("n_rhs"))
+      .agg(count(lit(1)).as("n_keys"),
+        expr("CAST(count_if(n_rhs > 1) AS BIGINT)").as("n_violating"),
+        max("n_rhs").as("max_rhs"))
+      .select(lit(label).as("fd"), col("n_keys"), col("n_violating"),
+        col("max_rhs"))
+
   def fdAudit(spark: SparkSession, dir: String): DataFrame = {
     val cards = FdCandidates.map { case (label, table, lhs, rhs) =>
-      tbl(spark, dir, table)
-        .groupBy(col(lhs).as("l")).agg(countDistinct(col(rhs)).as("n_rhs"))
-        .agg(count(lit(1)).as("n_keys"),
-          expr("CAST(count_if(n_rhs > 1) AS BIGINT)").as("n_violating"),
-          max("n_rhs").as("max_rhs"))
-        .select(lit(label).as("fd"), col("n_keys"), col("n_violating"),
-          col("max_rhs"))
+      fdCard(tbl(spark, dir, table), label, lhs, rhs)
     }
     cards.reduce(_ unionByName _)
       .withColumn("violation_micro", expr(
@@ -203,7 +217,7 @@ object Profiling {
         FROM (SELECT CAST(count(*) AS BIGINT) AS n_keys,
             CAST(count(*) FILTER (n_rhs > 1) AS BIGINT) AS n_violating,
             CAST(MAX(n_rhs) AS BIGINT) AS max_rhs
-          FROM (SELECT l, CAST(count(*) AS BIGINT) AS n_rhs
+          FROM (SELECT l, CAST(count(r) AS BIGINT) AS n_rhs
                 FROM (SELECT DISTINCT $lhs AS l, $rhs AS r FROM $table)
                 GROUP BY 1))"""
     }

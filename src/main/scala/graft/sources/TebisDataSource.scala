@@ -84,7 +84,11 @@ object TebisDataSource {
     try {
       val p = new Path(path)
       val fs = p.getFileSystem(new Configuration())
-      val in = fs.open(p)
+      val raw = fs.open(p)
+      // buffered: one block read per header, not one FS round-trip per
+      // byte — this runs on the DRIVER once per candidate file during
+      // partition planning, where a remote FS would pay per call
+      val in = new java.io.BufferedInputStream(raw, 64 * 1024)
       val buf = new java.io.ByteArrayOutputStream()
       try {
         var b = in.read()

@@ -21,7 +21,7 @@ import graft.ops.{Cleaning, Corpus, Dedup, TextStats}
   * [[TextStats.cardSignals]], [[Corpus.cardAggs]]) — so batch and stream
   * agree row-for-row, which the StreamingSpec locks.
   *
-  * Reference scope note: the reference extractor (extractor.py) is itself
+  * Reference scope note: the reference extractor (csv_extractor.py) is itself
   * a live incremental pipeline (poll → parse → dedup-by-catalog → post);
   * this object is that architecture applied to the corpus domain.
   */

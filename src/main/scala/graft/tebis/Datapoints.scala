@@ -202,7 +202,12 @@ object Datapoints {
       .select("externalId", "bucketTs", "held_ms", "twa_cents_micro")
   }
 
-  def twaBarsSql(stepMs: Long, pointsCte: String): String =
+  /** `idSelect` is the output projection of the series key — callers
+    * that expose the bars under a different id column (q293 casts the
+    * string externalId back to the source's BIGINT user_id) pass their
+    * own projection instead of rewriting the SQL post-hoc. */
+  def twaBarsSql(stepMs: Long, pointsCte: String,
+      idSelect: String = "externalId"): String =
     s"""WITH $pointsCte,
       seg AS (SELECT externalId, CAST(round(value * 100) AS BIGINT) AS cents,
             timestampMs,
@@ -217,7 +222,7 @@ object Datapoints {
             least(seg_end, (b + 1) * $stepMs)
               - greatest(timestampMs, b * $stepMs) AS ov
           FROM bk)
-      SELECT externalId, bucketTs, CAST(SUM(ov) AS BIGINT) AS held_ms,
+      SELECT $idSelect, bucketTs, CAST(SUM(ov) AS BIGINT) AS held_ms,
         CAST((CAST(SUM(cents * ov) AS HUGEINT) * 1000000) // SUM(ov) AS BIGINT)
           AS twa_cents_micro
       FROM ov GROUP BY 1, 2"""

@@ -26,6 +26,14 @@ class MainSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](Main.parseArgs(Array("--live")))
   }
 
+  test("--log DIR (and the reference's -d alias) parse to the log4j2 mapping") {
+    val c = Main.parseArgs(Array("--input", "/in", "--log", "/var/log/graft"))
+    assert(c.logDir.contains("/var/log/graft"))
+    val d = Main.parseArgs(Array("--input", "/in", "-d", "logs"))
+    assert(d.logDir.contains("logs"))
+    assert(Main.parseArgs(Array("--input", "/in")).logDir.isEmpty)
+  }
+
   test("api key: flag parsed, scrubbed from every Config rendering") {
     val c = Main.parseArgs(Array("--input", "/in", "--api-key", "s3cr3t", "--log-level", "INFO"))
     assert(c.apiKey.map(_.value).contains("s3cr3t"))
