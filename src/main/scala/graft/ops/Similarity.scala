@@ -933,6 +933,115 @@ object Similarity {
   }
 
   // ----------------------------------------------------------------------
+  // Capped-probe IVF: the single-box answer to SCALE.md lesson 4. The
+  // uncapped candidate volume is Θ(nprobe·n²/k) = Θ(nprobe·n^1.5) with
+  // the derived cell count — ~11.3B scored pairs at 2M vectors, which
+  // exhausts one box's shuffle scratch long before its CPU. The cap
+  // bounds the MEMBER side of every cell at `cap` vectors, making the
+  // candidate volume Θ(nprobe·n·cap) — linear in the corpus at a fixed
+  // cap, so one box (or one executor's share of a fleet) can always be
+  // sized. Which members survive is a deterministic UNBIASED draw: rank
+  // within the cell by md5(vec_id) — a fixed pseudo-random permutation
+  // both engines compute identically — so the kept subset is a uniform
+  // cell sample, not a geometry-biased one (ranking by centroid
+  // similarity would systematically starve cell-edge queries). Recall
+  // is priced, not guessed: q298 puts the cap sweep on the same
+  // brute-truth axis as q243's nprobe curve, and the spec locks
+  // capped ⊆ uncapped candidates + answer == uncapped once the cap
+  // clears the largest cell.
+  // ----------------------------------------------------------------------
+
+  /** Default per-cell member cap for the GATED capped queries — small
+    * enough to bite at every shipped SF (cells hold ~sqrt(n) members),
+    * so the gate exercises real capping, never a vacuous pass-through.
+    * Scale campaigns pass their own cap sized to scratch. */
+  val IvfMemberCap = 8
+
+  /** Keep ≤ `cap` members per cell, by the md5 draw (ties by id — md5 of
+    * distinct longs never collides in practice, but the ORDER must be
+    * total for bit-parity). One cell-keyed window over n member rows —
+    * the sort is per-cell (~sqrt(n) rows each), never global. */
+  private[graft] def capMembersByCell(members: DataFrame, cap: Int,
+      idCol: String): DataFrame =
+    capMembersByCellRanked(members, idCol).filter(col("mrn") <= cap).drop("mrn")
+
+  /** The capped candidate frame (directed, scored) — [[knnIvfCapped]]'s
+    * substrate, exposed so the spec can assert capped ⊆ uncapped on the
+    * PAIR set itself, not just on the ranked answer. */
+  private[graft] def ivfCappedScoredPairs(spark: SparkSession, dir: String,
+      cap: Int, nprobe: Int = IvfNprobe): DataFrame = {
+    val (q, cents, _) = coarseIndex(spark, dir)
+    val ranked = assignCells(q, cents, nprobe).localCheckpoint()
+    val members = capMembersByCell(
+      ranked.filter(col("rn") === 1)
+        .select(col("vec_id").as("id_b"), col("qv").as("qb"),
+          col("nrm").as("nb"), col("cent_id").as("cell")),
+      cap, "id_b")
+    val probes = ranked.filter(col("rn") <= nprobe)
+      .select(col("vec_id").as("id_a"), col("qv").as("qa"),
+        col("nrm").as("na"), col("cent_id").as("cell"))
+    probes.join(members, Seq("cell"))
+      .filter(col("id_a") =!= col("id_b"))
+      .withColumn("sim", simCol)
+      .select("id_a", "id_b", "sim")
+  }
+
+  /** [[knnIvf]] with the per-cell member cap (q296): identical train /
+    * assign / exact re-rank, candidate volume bounded at nprobe·n·cap.
+    * With cap ≥ the largest cell this IS knnIvf row-for-row
+    * (spec-locked); below it, recall degrades along q298's measured
+    * curve. */
+  def knnIvfCapped(spark: SparkSession, dir: String, k: Int,
+      cap: Int = IvfMemberCap, nprobe: Int = IvfNprobe): DataFrame =
+    topkPairs(ivfCappedScoredPairs(spark, dir, cap, nprobe), k)
+
+  /** Capped-member recall curve (q298): recall@k at the shipped nprobe
+    * across member caps, against the SAME memoized brute truth as
+    * q243 — the dial that prices a scratch budget in recall. The last
+    * curve point uses a cap no real cell reaches, so it must reproduce
+    * q243's nprobe=$IvfNprobe recall exactly (the spec pins this).
+    *
+    * Scale shape: ONE assignment, ONE member ranking window — each cap
+    * point is a FILTER on the ranked members (mrn is cap-independent),
+    * so the curve costs one extra scan per point, never a re-rank; the
+    * probe side is the q243 sample, broadcast-joined hit counting. */
+  def ivfCappedRecallCurve(spark: SparkSession, dir: String, k: Int = 3,
+      sampleMod: Long = 50L, caps: Seq[Int] = Seq(4, 8, 16, 1000000),
+      nprobe: Int = IvfNprobe): DataFrame = {
+    val (q, cents, _) = coarseIndex(spark, dir)
+    val ranked = assignCells(q, cents, nprobe).localCheckpoint()
+    val truth = recallTruth(spark, dir, k, sampleMod).localCheckpoint()
+    val members = capMembersByCellRanked(
+      ranked.filter(col("rn") === 1)
+        .select(col("vec_id").as("id_b"), col("qv").as("qb"),
+          col("nrm").as("nb"), col("cent_id").as("cell")), "id_b")
+      .localCheckpoint() // one window; every cap point filters it
+    val probes = ranked
+      .filter(col("vec_id") % sampleMod === 0 && col("rn") <= nprobe)
+      .select(col("vec_id").as("id_a"), col("qv").as("qa"),
+        col("nrm").as("na"), col("cent_id").as("cell"))
+    caps.map { cap =>
+      topkPairs(probes.join(members.filter(col("mrn") <= cap), Seq("cell"))
+          .filter(col("id_a") =!= col("id_b")).withColumn("sim", simCol), k)
+        .select("vec_id", "neighbor_id")
+        .join(truth, Seq("vec_id", "neighbor_id"))
+        .agg(count(lit(1)).as("n_hit"))
+        .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_truth"))))
+        .select(lit(cap.toLong).as("cap"), col("n_hit"), col("n_truth"),
+          expr("(n_hit * 1000000L) div n_truth").as("recall_micro"))
+    }.reduce(_ unionAll _)
+  }
+
+  /** [[capMembersByCell]] keeping the rank column — the shared ranking
+    * the curve's cap points filter. */
+  private def capMembersByCellRanked(members: DataFrame,
+      idCol: String): DataFrame = {
+    val w = Window.partitionBy("cell")
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    members.withColumn("mrn", row_number().over(w))
+  }
+
+  // ----------------------------------------------------------------------
   // IVF-PQ: the memory-bandwidth scale path. The IVF cells prune the
   // candidate space (equi-join, as q47); PRODUCT QUANTIZATION collapses
   // each member vector to `PqSubspaces` small code ints — the cell join's
@@ -1306,6 +1415,53 @@ object Similarity {
       $rows"""
   }
 
+  /** q298's oracle: q243's chain with the member-cap axis — ONE ranked
+    * member CTE (the md5 draw), one filtered candidate join per cap. */
+  def ivfCappedRecallCurveSql(k: Int = 3, sampleMod: Long = 50L,
+      caps: Seq[Int] = Seq(4, 8, 16, 1000000),
+      nprobe: Int = IvfNprobe): String = {
+    val (kmeans, cf) = kmeansSqlAuto()
+    val rows = caps.map { cap =>
+      s"""SELECT CAST($cap AS BIGINT) AS cap,
+          CAST((SELECT count(*) FROM iv$cap x JOIN tr t
+            ON t.vec_id = x.vec_id AND t.neighbor_id = x.neighbor_id) AS BIGINT) AS n_hit,
+          (SELECT CAST(count(*) AS BIGINT) FROM tr) AS n_truth,
+          (CAST((SELECT count(*) FROM iv$cap x JOIN tr t
+            ON t.vec_id = x.vec_id AND t.neighbor_id = x.neighbor_id) AS BIGINT) * 1000000)
+            // (SELECT count(*) FROM tr) AS recall_micro"""
+    }.mkString(" UNION ALL ")
+    val ivCtes = caps.map { cap =>
+      s"""pi$cap AS (SELECT a.vec_id, b.vec_id AS neighbor_id, $simSql AS sim
+          FROM (SELECT * FROM af WHERE vec_id % $sampleMod = 0 AND rn <= $nprobe) a
+          JOIN (SELECT * FROM memr WHERE mrn <= $cap) b
+            ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+      iv$cap AS (SELECT vec_id, neighbor_id FROM (
+          SELECT vec_id, neighbor_id,
+            row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, neighbor_id) AS rank
+          FROM pi$cap) WHERE rank <= $k)"""
+    }.mkString(",\n      ")
+    s"""WITH $quantCte,
+      $kmeans,
+      af AS (SELECT n.vec_id, n.qv, n.nrm, c.cent_id AS cell,
+            row_number() OVER (PARTITION BY n.vec_id ORDER BY
+              CAST(list_sum(list_transform(range(1, len(n.qv) + 1), i -> n.qv[i] * c.cqv[i])) AS DOUBLE)
+              / (sqrt(CAST(n.nrm AS DOUBLE)) * sqrt(CAST(c.cnrm AS DOUBLE))) DESC, c.cent_id) AS rn
+          FROM n CROSS JOIN $cf c),
+      mem AS (SELECT vec_id, qv, nrm, cell FROM af WHERE rn = 1),
+      memr AS (SELECT vec_id, qv, nrm, cell,
+            row_number() OVER (PARTITION BY cell
+              ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS mrn FROM mem),
+      pt AS (SELECT a.vec_id, b.vec_id AS neighbor_id, $simSql AS sim
+          FROM (SELECT * FROM n WHERE vec_id % $sampleMod = 0) a
+          JOIN n b ON a.vec_id <> b.vec_id),
+      tr AS (SELECT vec_id, neighbor_id FROM (
+          SELECT vec_id, neighbor_id,
+            row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, neighbor_id) AS rank
+          FROM pt) WHERE rank <= $k),
+      $ivCtes
+      $rows"""
+  }
+
   /** All sub-codebooks trained in ONE grouped Lloyd loop: centroids keyed
     * (space, cent_id), assignment joined on `space` and ranked within
     * (vec, space) — per-space math identical to running
@@ -1362,8 +1518,13 @@ object Similarity {
   private def litLongs(xs: Seq[Long]): String =
     xs.mkString("CAST(array(", "L, ", "L) AS ARRAY<BIGINT>)")
 
+  /** `memberCap` < MaxValue applies the q296 per-cell member cap to the
+    * CODE side before the cell join (q297): the pair count — unchanged
+    * by PQ's 16x payload cut, and the reason q66 died beside q47 at
+    * 1000x — becomes nprobe·n·cap. Same md5 draw, same spec locks. */
   def knnIvfPq(spark: SparkSession, dir: String, k: Int,
-      candidates: Int = PqCandidates): DataFrame = {
+      candidates: Int = PqCandidates,
+      memberCap: Int = Int.MaxValue): DataFrame = {
     val qraw = quantized(spark, dir).select("vec_id", "qv", "nrm")
     // ALL five codebooks (full-vector IVF as pseudo-space -1 + the 4 PQ
     // subspaces) train in ONE grouped Lloyd loop: per-space math is
@@ -1428,10 +1589,13 @@ object Similarity {
       .agg(expr("transform(array_sort(collect_list(struct(space, cent_id))), t -> t.cent_id)").as("codes"))
     // reconstructed norm from codes alone: flat |c|² table lookup-summed
     val cnrmFlat = litLongs(cbook.map { case (_, _, v) => v.map(x => x * x).sum })
-    val members = ranked.filter(col("rn") === 1)
+    val membersAll = ranked.filter(col("rn") === 1)
       .select(col("vec_id").as("id_b"), col("cent_id").as("cell"))
       .join(codes.withColumnRenamed("vec_id", "id_b"), "id_b")
       .withColumn("nrec", expr(s"pq_adc_sum($cnrmFlat, codes)"))
+    val members =
+      if (memberCap == Int.MaxValue) membersAll
+      else capMembersByCell(membersAll, memberCap, "id_b")
     // probe side precomputes its ADC table ONCE per query vector: the dot
     // of each of its subvectors with every sub-centroid (spaces·k dots) —
     // per-PAIR scoring is then `spaces` table lookups (pq_adc_sum), never
@@ -2093,8 +2257,23 @@ object Similarity {
     * the DuckDB twin of [[ivfScoredPairs]]. q47/q129 rank it; q153
     * canonicalizes + audits it; q154 takes mutual top-1; q155 mines
     * triplets within it. */
-  private lazy val ivfPairCtes: String = {
+  private lazy val ivfPairCtes: String = ivfPairCtesWithCap(None)
+
+  /** [[ivfPairCtes]] with the q296 member cap injected between the
+    * home-cell members and the probe join: the same md5-draw window the
+    * Scala side ranks with ([[capMembersByCell]]). */
+  private def ivfPairCtesWithCap(cap: Option[Int]): String = {
     val (kmeans, cf) = kmeansSqlAuto()
+    val memCte = cap match {
+      case None =>
+        s"mem AS (SELECT vec_id, qv, nrm, cent_id AS cell FROM af WHERE rn = 1)"
+      case Some(c) =>
+        s"""mem0 AS (SELECT vec_id, qv, nrm, cent_id AS cell FROM af WHERE rn = 1),
+    mem AS (SELECT vec_id, qv, nrm, cell FROM (
+          SELECT m.*, row_number() OVER (PARTITION BY cell
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS mrn FROM mem0 m)
+        WHERE mrn <= $c)"""
+    }
     s"""$quantCte,
     $kmeans,
     af AS (SELECT n.vec_id, n.qv, n.nrm, c.cent_id,
@@ -2102,7 +2281,7 @@ object Similarity {
             CAST(list_sum(list_transform(range(1, len(n.qv) + 1), i -> n.qv[i] * c.cqv[i])) AS DOUBLE)
             / (sqrt(CAST(n.nrm AS DOUBLE)) * sqrt(CAST(c.cnrm AS DOUBLE))) DESC, c.cent_id) AS rn
           FROM n CROSS JOIN $cf c),
-    mem AS (SELECT vec_id, qv, nrm, cent_id AS cell FROM af WHERE rn = 1),
+    $memCte,
     pr AS (SELECT vec_id, qv, nrm, cent_id AS cell FROM af WHERE rn <= $IvfNprobe),
     p AS (SELECT a.vec_id, b.vec_id AS neighbor_id, $simSql AS sim
           FROM pr a JOIN mem b ON a.cell = b.cell AND a.vec_id <> b.vec_id)"""
@@ -2131,6 +2310,13 @@ object Similarity {
           row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, neighbor_id) AS rank FROM p)
     SELECT vec_id, rank, neighbor_id, sim FROM r WHERE rank <= 3"""
   }
+
+  /** q296's oracle: q47's chain with the md5-draw member cap. */
+  private def knnIvfCappedOracleSql(cap: Int): String =
+    s"""WITH ${ivfPairCtesWithCap(Some(cap))},
+    r AS (SELECT vec_id, neighbor_id, sim,
+          row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, neighbor_id) AS rank FROM p)
+    SELECT vec_id, rank, neighbor_id, sim FROM r WHERE rank <= 3"""
 
   /** q47's exact oracle — shared verbatim by q129 (the persisted index
     * must answer identically to the freshly built one). */
@@ -2587,52 +2773,24 @@ object Similarity {
 
     QueryDef("q66_knn_ivf_pq",
       (s, d) => knnIvfPq(s, d, 3),
-      Some {
-        val (ivf, cf) = kmeansSqlAuto()
-        val subs = (0 until PqSubspaces).map { s =>
-          val lo = s * PqSubDim + 1; val hi = (s + 1) * PqSubDim
-          val src =
-            s"""ns$s AS (SELECT vec_id, qv[$lo:$hi] AS qv,
-                CAST(list_sum(list_transform(qv[$lo:$hi], x -> x * x)) AS BIGINT) AS nrm FROM n)"""
-          val (chain, last) = kmeansSqlFor(s"ns$s", s"p$s", PqSubCents.toString, KmeansIters)
-          val assign =
-            s"""as$s AS (SELECT n.vec_id, c.cqv,
-                row_number() OVER (PARTITION BY n.vec_id ORDER BY
-                  CAST(list_sum(list_transform(range(1, len(n.qv) + 1), i -> n.qv[i] * c.cqv[i])) AS DOUBLE)
-                  / (sqrt(CAST(n.nrm AS DOUBLE)) * sqrt(CAST(c.cnrm AS DOUBLE))) DESC, c.cent_id) AS rn
-              FROM ns$s n CROSS JOIN $last c),
-            rec$s AS (SELECT vec_id, cqv FROM as$s WHERE rn = 1)"""
-          s"$src,\n        $chain,\n        $assign"
-        }.mkString(",\n        ")
-        val cat = (0 until PqSubspaces).map(s => s"r$s.cqv").mkString(" || ")
-        val recJoins = (1 until PqSubspaces).map(s => s"JOIN rec$s r$s USING (vec_id)").mkString(" ")
-        s"""WITH $quantCte,
-        $ivf,
-        af AS (SELECT n.vec_id, n.qv, n.nrm, c.cent_id,
-              row_number() OVER (PARTITION BY n.vec_id ORDER BY
-                CAST(list_sum(list_transform(range(1, len(n.qv) + 1), i -> n.qv[i] * c.cqv[i])) AS DOUBLE)
-                / (sqrt(CAST(n.nrm AS DOUBLE)) * sqrt(CAST(c.cnrm AS DOUBLE))) DESC, c.cent_id) AS rn
-              FROM n CROSS JOIN $cf c),
-        $subs,
-        recn AS (SELECT r0.vec_id, $cat AS qrec FROM rec0 r0 $recJoins),
-        recq AS (SELECT vec_id, qrec,
-              CAST(list_sum(list_transform(qrec, x -> x * x)) AS BIGINT) AS nrec FROM recn),
-        mem AS (SELECT m.vec_id, m.cent_id AS cell, r.qrec, r.nrec
-              FROM af m JOIN recq r USING (vec_id) WHERE m.rn = 1),
-        pr AS (SELECT vec_id, qv, nrm, cent_id AS cell FROM af WHERE rn <= $IvfNprobe),
-        ap AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-              CAST(list_sum(list_transform(range(1, len(a.qv) + 1), i -> a.qv[i] * b.qrec[i])) AS DOUBLE)
-              / (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrec AS DOUBLE))) AS asim
-              FROM pr a JOIN mem b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
-        ar AS (SELECT id_a, id_b,
-              row_number() OVER (PARTITION BY id_a ORDER BY asim DESC, id_b) AS arank FROM ap),
-        ex AS (SELECT c.id_a, c.id_b, $simSql AS sim
-              FROM (SELECT id_a, id_b FROM ar WHERE arank <= $PqCandidates) c
-              JOIN n a ON a.vec_id = c.id_a JOIN n b ON b.vec_id = c.id_b),
-        r AS (SELECT id_a AS vec_id, id_b AS neighbor_id, sim,
-              row_number() OVER (PARTITION BY id_a ORDER BY sim DESC, id_b) AS rank FROM ex)
-        SELECT vec_id, rank, neighbor_id, sim FROM r WHERE rank <= 3"""
-      }),
+      Some(knnIvfPqOracleSql(None))),
+
+    // capped-probe twins (SCALE.md lesson 4 answered in code): the same
+    // trained indexes with the per-cell md5-draw member cap — candidate
+    // volume nprobe·n·cap, the form that completes the 1000x campaign
+    // on one box. Gated at a cap that BITES at every SF; q298 prices
+    // the recall the cap costs on q243's own truth axis.
+    QueryDef("q296_knn_ivf_capped",
+      (s, d) => knnIvfCapped(s, d, 3),
+      Some(knnIvfCappedOracleSql(IvfMemberCap))),
+
+    QueryDef("q297_knn_ivf_pq_capped",
+      (s, d) => knnIvfPq(s, d, 3, memberCap = IvfMemberCap),
+      Some(knnIvfPqOracleSql(Some(IvfMemberCap)))),
+
+    QueryDef("q298_ivf_capped_recall",
+      (s, d) => ivfCappedRecallCurve(s, d),
+      Some(ivfCappedRecallCurveSql())),
 
     QueryDef("q107_cluster_profile",
       (s, d) => clusterProfile(s, d),
@@ -2665,4 +2823,65 @@ object Similarity {
       (s, d) => embedCuration(s, d),
       Some(embedCurationSql()))
   )
+
+  /** q66's oracle (cap = None) and q297's (cap = Some): the PQ
+    * reconstruction chain with the optional md5-draw member cap injected
+    * on the code side, exactly where the Scala plan caps. */
+  private def knnIvfPqOracleSql(cap: Option[Int]): String = {
+        val (ivf, cf) = kmeansSqlAuto()
+        val subs = (0 until PqSubspaces).map { s =>
+          val lo = s * PqSubDim + 1; val hi = (s + 1) * PqSubDim
+          val src =
+            s"""ns$s AS (SELECT vec_id, qv[$lo:$hi] AS qv,
+                CAST(list_sum(list_transform(qv[$lo:$hi], x -> x * x)) AS BIGINT) AS nrm FROM n)"""
+          val (chain, last) = kmeansSqlFor(s"ns$s", s"p$s", PqSubCents.toString, KmeansIters)
+          val assign =
+            s"""as$s AS (SELECT n.vec_id, c.cqv,
+                row_number() OVER (PARTITION BY n.vec_id ORDER BY
+                  CAST(list_sum(list_transform(range(1, len(n.qv) + 1), i -> n.qv[i] * c.cqv[i])) AS DOUBLE)
+                  / (sqrt(CAST(n.nrm AS DOUBLE)) * sqrt(CAST(c.cnrm AS DOUBLE))) DESC, c.cent_id) AS rn
+              FROM ns$s n CROSS JOIN $last c),
+            rec$s AS (SELECT vec_id, cqv FROM as$s WHERE rn = 1)"""
+          s"$src,\n        $chain,\n        $assign"
+        }.mkString(",\n        ")
+        val cat = (0 until PqSubspaces).map(s => s"r$s.cqv").mkString(" || ")
+        val recJoins = (1 until PqSubspaces).map(s => s"JOIN rec$s r$s USING (vec_id)").mkString(" ")
+        val memCte = cap match {
+          case None =>
+            s"""mem AS (SELECT m.vec_id, m.cent_id AS cell, r.qrec, r.nrec
+              FROM af m JOIN recq r USING (vec_id) WHERE m.rn = 1)"""
+          case Some(c) =>
+            s"""mem0 AS (SELECT m.vec_id, m.cent_id AS cell, r.qrec, r.nrec
+              FROM af m JOIN recq r USING (vec_id) WHERE m.rn = 1),
+        mem AS (SELECT vec_id, cell, qrec, nrec FROM (
+              SELECT m.*, row_number() OVER (PARTITION BY cell
+                ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS mrn FROM mem0 m)
+            WHERE mrn <= $c)"""
+        }
+        s"""WITH $quantCte,
+        $ivf,
+        af AS (SELECT n.vec_id, n.qv, n.nrm, c.cent_id,
+              row_number() OVER (PARTITION BY n.vec_id ORDER BY
+                CAST(list_sum(list_transform(range(1, len(n.qv) + 1), i -> n.qv[i] * c.cqv[i])) AS DOUBLE)
+                / (sqrt(CAST(n.nrm AS DOUBLE)) * sqrt(CAST(c.cnrm AS DOUBLE))) DESC, c.cent_id) AS rn
+              FROM n CROSS JOIN $cf c),
+        $subs,
+        recn AS (SELECT r0.vec_id, $cat AS qrec FROM rec0 r0 $recJoins),
+        recq AS (SELECT vec_id, qrec,
+              CAST(list_sum(list_transform(qrec, x -> x * x)) AS BIGINT) AS nrec FROM recn),
+        $memCte,
+        pr AS (SELECT vec_id, qv, nrm, cent_id AS cell FROM af WHERE rn <= $IvfNprobe),
+        ap AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+              CAST(list_sum(list_transform(range(1, len(a.qv) + 1), i -> a.qv[i] * b.qrec[i])) AS DOUBLE)
+              / (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrec AS DOUBLE))) AS asim
+              FROM pr a JOIN mem b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+        ar AS (SELECT id_a, id_b,
+              row_number() OVER (PARTITION BY id_a ORDER BY asim DESC, id_b) AS arank FROM ap),
+        ex AS (SELECT c.id_a, c.id_b, $simSql AS sim
+              FROM (SELECT id_a, id_b FROM ar WHERE arank <= $PqCandidates) c
+              JOIN n a ON a.vec_id = c.id_a JOIN n b ON b.vec_id = c.id_b),
+        r AS (SELECT id_a AS vec_id, id_b AS neighbor_id, sim,
+              row_number() OVER (PARTITION BY id_a ORDER BY sim DESC, id_b) AS rank FROM ex)
+        SELECT vec_id, rank, neighbor_id, sim FROM r WHERE rank <= 3"""
+  }
 }
