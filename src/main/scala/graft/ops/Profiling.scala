@@ -57,6 +57,25 @@ object Profiling {
     * NDVs become HLL sketches (q70's op); the card's shape is
     * unchanged. */
   def columnProfile(li: DataFrame): DataFrame = {
+    val base = profileBase(li)
+    // NDV convention (suite-wide): NULL is NOT a distinct value — the
+    // count(DISTINCT c) semantics both engines agree on once the NULL
+    // group is filtered BEFORE the rollup (Spark's groupBy would keep
+    // it; nulls are already reported separately as n_nulls)
+    val ndvs = ProfileCols.map { case (c, _) =>
+      li.filter(col(c).isNotNull)
+        .groupBy(col(c)).agg(count(lit(1)))
+        .agg(count(lit(1)).as("n_distinct"))
+        .select(lit(c).as("col_name"), col("n_distinct"))
+    }.reduce(_ unionByName _)
+    ndvs.join(broadcast(base), "col_name")
+      .select("col_name", "n_rows", "n_nulls", "n_distinct", "min_str", "max_str")
+  }
+
+  /** The additive half of the profile card — rows/nulls/min/max in ONE
+    * perfectly-partial-aggregating scan, unpivoted to a row per column.
+    * Shared by the exact (q281) and sketch (q299) NDV twins. */
+  private def profileBase(li: DataFrame): DataFrame = {
     def render(c: String, kind: String, f: Column => Column): Column = kind match {
       case "ts" => date_format(f(col(c)), "yyyy-MM-dd HH:mm:ss")
       case _    => f(col(c)).cast("string")
@@ -71,20 +90,74 @@ object Profiling {
     val stackArgs = ProfileCols.map { case (c, _) =>
       s"'$c', ${c}_nulls, ${c}_min, ${c}_max"
     }.mkString(", ")
-    val base = wide.select(col("n_rows"), expr(
+    wide.select(col("n_rows"), expr(
       s"stack(${ProfileCols.size}, $stackArgs) AS (col_name, n_nulls, min_str, max_str)"))
-    // NDV convention (suite-wide): NULL is NOT a distinct value — the
-    // count(DISTINCT c) semantics both engines agree on once the NULL
-    // group is filtered BEFORE the rollup (Spark's groupBy would keep
-    // it; nulls are already reported separately as n_nulls)
-    val ndvs = ProfileCols.map { case (c, _) =>
-      li.filter(col(c).isNotNull)
-        .groupBy(col(c)).agg(count(lit(1)))
-        .agg(count(lit(1)).as("n_distinct"))
-        .select(lit(c).as("col_name"), col("n_distinct"))
-    }.reduce(_ unionByName _)
+  }
+
+  /** The pinned cross-engine string rendering of a profiled column — the
+    * value the KMV sketches hash, identical in Spark and DuckDB. */
+  private def renderSqlSpark(c: String, kind: String): String = kind match {
+    case "ts" => s"date_format($c, 'yyyy-MM-dd HH:mm:ss')"
+    case _    => s"CAST($c AS STRING)"
+  }
+  private def renderSqlDuck(c: String, kind: String): String = kind match {
+    case "ts" => s"strftime($c, '%Y-%m-%d %H:%M:%S')"
+    case _    => s"CAST($c AS VARCHAR)"
+  }
+
+  /** Sketch-backed column profile (q299): q281's card with the exact
+    * NDV replaced by the KMV estimate ([[Corpus.KmvK]]-minimum md5
+    * hashes — q230/q234's machinery). This is the 100 TB monitoring
+    * form q281's scaladoc promises: the exact card pays one
+    * groupBy-then-count rollup PER COLUMN (NDV-bounded but
+    * full-key-shuffled — 285 s at 1000x); this card pays ONE scan whose
+    * unpivoted hash stream feeds per-column KMV aggregators, so the
+    * exchange carries `cols × k` longs at ANY table size, and sketches
+    * from different shards merge losslessly (k-min of union). The md5
+    * draw means both engines build the IDENTICAL sketch — the estimate
+    * hash-matches the DuckDB oracle, making this a fully gated entry,
+    * not a rows-only one. NDV convention matches q281: NULLs drop out
+    * (md5 of NULL is NULL). The exact form stays the release gate; this
+    * is the every-ingest card. */
+  def columnProfileKmv(li: DataFrame, k: Int = Corpus.KmvK): DataFrame = {
+    val base = profileBase(li)
+    val kmv = graft.functions.KmvSketch.sketch(k)
+    val hashStack = ProfileCols.map { case (c, kind) =>
+      s"'$c', CAST(conv(substr(md5(${renderSqlSpark(c, kind)}), 1, 15), 16, 10) AS BIGINT)"
+    }.mkString(", ")
+    val ndvs = li
+      .select(expr(s"stack(${ProfileCols.size}, $hashStack) AS (col_name, h)"))
+      .filter(col("h").isNotNull)
+      .groupBy("col_name").agg(kmv(col("h")).as("sk"))
+      .select(col("col_name"), size(col("sk")).cast("long").as("n_kept"),
+        expr("element_at(sk, -1)").as("kth_hash"))
+      .withColumn("n_distinct_est", expr(
+        s"CASE WHEN n_kept < $k THEN n_kept ELSE " +
+          s"CAST(((CAST(n_kept AS DECIMAL(38,0)) - 1) * 1152921504606846976) div kth_hash AS BIGINT) END"))
     ndvs.join(broadcast(base), "col_name")
-      .select("col_name", "n_rows", "n_nulls", "n_distinct", "min_str", "max_str")
+      .select("col_name", "n_rows", "n_nulls", "n_distinct_est",
+        "min_str", "max_str")
+  }
+
+  def columnProfileKmvSql(k: Int = Corpus.KmvK): String = {
+    val branches = ProfileCols.map { case (c, kind) =>
+      val (mn, mx) = kind match {
+        case "ts" => (s"strftime(MIN($c), '%Y-%m-%d %H:%M:%S')",
+          s"strftime(MAX($c), '%Y-%m-%d %H:%M:%S')")
+        case _ => (s"CAST(MIN($c) AS VARCHAR)", s"CAST(MAX($c) AS VARCHAR)")
+      }
+      s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+          CAST(count(*) - count($c) AS BIGINT) AS n_nulls,
+          (SELECT CASE WHEN count(*) < $k THEN CAST(count(*) AS BIGINT)
+              ELSE CAST(((CAST(count(*) AS HUGEINT) - 1) * 1152921504606846976)
+                // MAX(h) AS BIGINT) END
+            FROM (SELECT h FROM (
+                SELECT DISTINCT CAST(('0x' || substr(md5(${renderSqlDuck(c, kind)}), 1, 15)) AS BIGINT) AS h
+                FROM lineitem WHERE $c IS NOT NULL)
+              ORDER BY h LIMIT $k)) AS n_distinct_est,
+          $mn AS min_str, $mx AS max_str FROM lineitem"""
+    }
+    branches.mkString("\n      UNION ALL\n      ")
   }
 
   val columnProfileSql: String = {
@@ -123,23 +196,48 @@ object Profiling {
     * once reading only its key column. */
   def keySkewProfile(spark: SparkSession, dir: String): DataFrame = {
     val cards = SkewKeys.map { case (label, table, key) =>
-      val kc = tbl(spark, dir, table)
-        .select(col(key).cast("string").as("k"))
-        .groupBy("k").agg(count(lit(1)).as("n"))
-        .localCheckpoint() // feeds the card rollup AND the argmax probe
-      val card = kc.agg(
-        sum("n").as("n_rows"), count(lit(1)).as("n_keys"), max("n").as("max_rows"))
-      val top = kc.join(broadcast(card.select("max_rows")),
-          col("n") === col("max_rows"))
-        .agg(min("k").as("top_key"))
-      card.crossJoin(top)
-        .select(lit(label).as("key_name"), col("n_rows"), col("n_keys"),
-          col("max_rows"), col("top_key"))
+      val df = tbl(spark, dir, table)
+      val typed = df.schema(key).dataType match {
+        case org.apache.spark.sql.types.LongType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.ByteType => true
+        case _ => false
+      }
+      keySkewCard(df, label, key, typed = typed)
     }
     cards.reduce(_ unionByName _)
       .withColumn("skew_micro", expr(
         "CAST((CAST(max_rows AS DECIMAL(38,0)) * n_keys * 1000000) div n_rows AS BIGINT)"))
       .select("key_name", "n_rows", "n_keys", "max_rows", "top_key", "skew_micro")
+  }
+
+  /** One skew card. `typed = true` keeps an integral key NATIVE through
+    * the dominant groupBy exchange — the 1000x campaign measured the
+    * generic all-keys-as-STRING form at 222.8 s with the 8-byte keys
+    * inflated to decimal strings through 750M-row shuffles ("the price
+    * of genericity", SCALE.md); the card's OUTPUT is unchanged because
+    * the string rendering moves to the key-cardinality-sized argmax
+    * step. Row-identity with the generic form is exact: integers render
+    * injectively, and BOTH forms break max-count ties by the MINIMUM
+    * STRING rendering (the typed path casts the tie candidates — a
+    * handful of rows — before taking min), spec-locked in
+    * ProfilingSpec including a 9-vs-10 tie fixture where numeric and
+    * lexicographic min diverge. */
+  private[graft] def keySkewCard(df: DataFrame, label: String, key: String,
+      typed: Boolean): DataFrame = {
+    val keyCol = if (typed) col(key) else col(key).cast("string")
+    val kc = df.select(keyCol.as("k"))
+      .groupBy("k").agg(count(lit(1)).as("n"))
+      .localCheckpoint() // feeds the card rollup AND the argmax probe
+    val card = kc.agg(
+      sum("n").as("n_rows"), count(lit(1)).as("n_keys"), max("n").as("max_rows"))
+    val top = kc.join(broadcast(card.select("max_rows")),
+        col("n") === col("max_rows"))
+      .agg(min(col("k").cast("string")).as("top_key"))
+    card.crossJoin(top)
+      .select(lit(label).as("key_name"), col("n_rows"), col("n_keys"),
+        col("max_rows"), col("top_key"))
   }
 
   val keySkewProfileSql: String = {
@@ -224,11 +322,93 @@ object Profiling {
     branches.mkString("\n      UNION ALL\n      ")
   }
 
+  /** "holds" tolerance for the sketch FD card: 2/sqrt(k) in micro —
+    * twice the KMV standard error, so a truly-holding FD (excess 0)
+    * passes with ~97% confidence while gross violations (excess of the
+    * same order as the key count) always fail. */
+  val KmvFdTolMicro: Long = 125000L
+
+  /** Sketch-backed FD audit (q300): the set identity `lhs -> rhs holds
+    * iff NDV(lhs) == NDV(lhs, rhs)` evaluated on two KMV sketches — the
+    * estimated EXCESS (distinct pairs beyond distinct keys, i.e. the
+    * total overbinding Σ(n_rhs−1)) replaces q290's exact per-key
+    * distinct. The scale story is the point: the exact audit shuffles
+    * every (lhs, rhs) occurrence to its key (576 s at 1000x on one
+    * box); this card is ONE scan per candidate feeding two fixed-size
+    * sketches — the exchange is 2k longs per FD at ANY table size, and
+    * shard sketches merge. The md5 draw makes both engines' sketches
+    * identical, so the card is fully oracle-gated. NULL convention:
+    * null-bearing rows drop out of BOTH sketches (concat/cast propagate
+    * NULL into the hash in both engines) — the monitoring twin trades
+    * q290's exact NULL bookkeeping for mergeability; the exact form
+    * stays the release gate. */
+  def fdAuditKmv(spark: SparkSession, dir: String,
+      k: Int = Corpus.KmvK): DataFrame = {
+    val kmv = graft.functions.KmvSketch.sketch(k)
+    def est(kept: String, kth: String) =
+      s"CASE WHEN $kept < $k THEN $kept ELSE " +
+        s"CAST(((CAST($kept AS DECIMAL(38,0)) - 1) * 1152921504606846976) div $kth AS BIGINT) END"
+    val cards = FdCandidates.map { case (label, table, lhs, rhs) =>
+      tbl(spark, dir, table)
+        .select(
+          expr(s"CAST(conv(substr(md5(CAST($lhs AS STRING)), 1, 15), 16, 10) AS BIGINT)").as("hl"),
+          expr(s"CAST(conv(substr(md5(concat(CAST($lhs AS STRING), '|', CAST($rhs AS STRING))), 1, 15), 16, 10) AS BIGINT)").as("hp"))
+        .agg(kmv(col("hl")).as("skl"), kmv(col("hp")).as("skp"))
+        .select(
+          size(col("skl")).cast("long").as("kept_l"),
+          expr("element_at(skl, -1)").as("kth_l"),
+          size(col("skp")).cast("long").as("kept_p"),
+          expr("element_at(skp, -1)").as("kth_p"))
+        .withColumn("n_keys_est", expr(est("kept_l", "kth_l")))
+        .withColumn("n_pairs_est", expr(est("kept_p", "kth_p")))
+        .select(lit(label).as("fd"), col("n_keys_est"), col("n_pairs_est"))
+    }
+    cards.reduce(_ unionByName _)
+      .withColumn("excess_est", greatest(col("n_pairs_est") - col("n_keys_est"), lit(0L)))
+      .withColumn("excess_micro", expr(
+        "CAST((CAST(excess_est AS DECIMAL(38,0)) * 1000000) div n_keys_est AS BIGINT)"))
+      .withColumn("holds_est", col("excess_micro") <= KmvFdTolMicro)
+      .select("fd", "n_keys_est", "n_pairs_est", "excess_est",
+        "excess_micro", "holds_est")
+  }
+
+  val fdAuditKmvSql: String = {
+    val k = Corpus.KmvK
+    def kmvSub(table: String, hashExpr: String, notNull: String) =
+      s"""(SELECT CASE WHEN count(*) < $k THEN CAST(count(*) AS BIGINT)
+          ELSE CAST(((CAST(count(*) AS HUGEINT) - 1) * 1152921504606846976)
+            // MAX(h) AS BIGINT) END
+        FROM (SELECT h FROM (
+            SELECT DISTINCT CAST(('0x' || substr(md5($hashExpr), 1, 15)) AS BIGINT) AS h
+            FROM $table WHERE $notNull)
+          ORDER BY h LIMIT $k))"""
+    val branches = FdCandidates.map { case (label, table, lhs, rhs) =>
+      val keys = kmvSub(table, s"CAST($lhs AS VARCHAR)", s"$lhs IS NOT NULL")
+      val pairs = kmvSub(table,
+        s"CAST($lhs AS VARCHAR) || '|' || CAST($rhs AS VARCHAR)",
+        s"$lhs IS NOT NULL AND $rhs IS NOT NULL")
+      s"""SELECT '$label' AS fd, n_keys_est, n_pairs_est, excess_est,
+          CAST((CAST(excess_est AS HUGEINT) * 1000000) // n_keys_est AS BIGINT)
+            AS excess_micro,
+          CAST((CAST(excess_est AS HUGEINT) * 1000000) // n_keys_est AS BIGINT)
+            <= $KmvFdTolMicro AS holds_est
+        FROM (SELECT n_keys_est, n_pairs_est,
+            GREATEST(n_pairs_est - n_keys_est, 0) AS excess_est
+          FROM (SELECT $keys AS n_keys_est, $pairs AS n_pairs_est))"""
+    }
+    branches.mkString("\n      UNION ALL\n      ")
+  }
+
   def queries: Seq[QueryDef] = Seq(
     QueryDef("q290_fd_audit",
       (s, d) => fdAudit(s, d), Some(fdAuditSql)),
     QueryDef("q281_column_profile",
       (s, d) => columnProfile(t(s, d, "lineitem")), Some(columnProfileSql)),
     QueryDef("q282_key_skew_profile",
-      (s, d) => keySkewProfile(s, d), Some(keySkewProfileSql)))
+      (s, d) => keySkewProfile(s, d), Some(keySkewProfileSql)),
+    QueryDef("q299_column_profile_kmv",
+      (s, d) => columnProfileKmv(t(s, d, "lineitem")),
+      Some(columnProfileKmvSql())),
+    QueryDef("q300_fd_audit_kmv",
+      (s, d) => fdAuditKmv(s, d), Some(fdAuditKmvSql)))
 }

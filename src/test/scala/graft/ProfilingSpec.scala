@@ -54,6 +54,51 @@ class ProfilingSpec extends AnyFunSuite {
     assert(ev.getAs[Long]("max_rows") == brute.getLong(1))
   }
 
+  test("q282 typed fast path: row-identical to the generic STRING-keyed card") {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val ev = EventOps.events(spark, dir)
+    Seq((li, "lineitem.l_orderkey", "l_orderkey"),
+        (ev, "events.user_id", "user_id")).foreach { case (df, label, key) =>
+      val typed = Profiling.keySkewCard(df, label, key, typed = true)
+        .collect().map(_.toSeq).toSet
+      val generic = Profiling.keySkewCard(df, label, key, typed = false)
+        .collect().map(_.toSeq).toSet
+      assert(typed == generic, s"$label: typed and generic cards must agree")
+    }
+  }
+
+  test("q282 typed path tie-break fixture: max-count ties resolve by the " +
+      "STRING min in both paths (9 vs 10 diverge numerically)") {
+    import spark.implicits._
+    val df = Seq(9L, 9L, 10L, 10L, 3L).toDF("k2")
+    val typed = Profiling.keySkewCard(df, "fx", "k2", typed = true).collect()(0)
+    val generic = Profiling.keySkewCard(df, "fx", "k2", typed = false).collect()(0)
+    assert(typed.getAs[String]("top_key") == "10",
+      "lexicographic min of the tie set {\"10\", \"9\"} is \"10\"")
+    assert(typed.toSeq == generic.toSeq)
+  }
+
+  test("q299/q300 sketch twins: estimates land within the KMV guarantee " +
+      "of the exact cards; FD verdicts agree on the shipped corpus") {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val exact = Profiling.columnProfile(li).collect()
+      .map(r => r.getAs[String]("col_name") -> r.getAs[Long]("n_distinct")).toMap
+    Profiling.columnProfileKmv(li).collect().foreach { r =>
+      val (c, est) = (r.getAs[String]("col_name"), r.getAs[Long]("n_distinct_est"))
+      val ex = exact(c)
+      // 4/sqrt(256) = 4 standard errors — generous, deterministic corpus
+      assert(math.abs(est - ex) <= math.max(1L, ex / 4),
+        s"$c: KMV est $est vs exact $ex")
+    }
+    val exactFd = Profiling.fdAudit(spark, dir).collect()
+      .map(r => r.getAs[String]("fd") -> r.getAs[Boolean]("holds")).toMap
+    Profiling.fdAuditKmv(spark, dir).collect().foreach { r =>
+      val fd = r.getAs[String]("fd")
+      assert(r.getAs[Boolean]("holds_est") == exactFd(fd),
+        s"$fd: sketch verdict must match the exact audit on this corpus")
+    }
+  }
+
   test("q283 SCD2: day conservation and non-overlapping, maximal islands") {
     val ev = EventOps.events(spark, dir)
     val hist = EventOps.scd2History(ev).collect()
