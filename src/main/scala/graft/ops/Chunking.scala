@@ -147,9 +147,25 @@ object Chunking {
     * DuckDB twin groups md5 strings as the collision tripwire), then a
     * source rollup of rollup rows. */
   def chunkDupCard(docs: DataFrame): DataFrame =
-    charChunks(docs)
+    dupCardRollup(chunkFps(docs))
+
+  /** The (source, fp) level of the dup card — per distinct chunk text:
+    * occurrences and contributing docs. These rows are the MERGEABLE
+    * unit of the card: a document's chunks all live in one ingest
+    * batch, so per-batch fp rollups sum losslessly across batches
+    * (n by +, nd by + since doc_ids never recur across batches) — which
+    * is exactly what [[graft.streaming.CorpusStream.chunkIndexStream]]
+    * persists per micro-batch. */
+  private[graft] def chunkFps(docs: DataFrame,
+      w: Int = ChunkChars, s: Int = ChunkStride): DataFrame =
+    charChunks(docs, w, s)
       .groupBy(col("source"), xxhash64(col("chunk")).as("fp"))
       .agg(count(lit(1)).as("n"), countDistinct("doc_id").as("nd"))
+
+  /** The source-level card over (source, fp, n, nd) rows — shared by
+    * batch q276 and the live twin (which feeds it MERGED state rows). */
+  private[graft] def dupCardRollup(fpt: DataFrame): DataFrame =
+    fpt
       .groupBy("source").agg(
         sum("n").as("n_chunks"),
         count(lit(1)).as("n_distinct"),

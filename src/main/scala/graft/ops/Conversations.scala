@@ -285,8 +285,15 @@ object Conversations {
     * Scale shape: one role-keyed rollup (role × conv for the distinct
     * count) + one conv-keyed max for the ending role, both map-side
     * combined; output is role-cardinality. */
-  def roleBalanceCard(docs: DataFrame): DataFrame = {
-    val turns = chatTurns(docs)
+  def roleBalanceCard(docs: DataFrame): DataFrame =
+    roleBalanceOnTurns(chatTurns(docs))
+
+  /** The card over an EXPLICIT turn frame (conv_id, turn_idx, role,
+    * text) — shared by batch q255 and the SFT-ingest streaming twin
+    * ([[graft.streaming.SftStream.liveRoleBalance]] feeds it the
+    * admitted shards). */
+  private[graft] def roleBalanceOnTurns(turnFrame: DataFrame): DataFrame = {
+    val turns = turnFrame
       .withColumn("n_words", size(split(col("text"), " ")).cast("long"))
     val ends = turns.groupBy("conv_id").agg(max("turn_idx").as("last_idx"))
       .select(expr(

@@ -318,6 +318,44 @@ object CorpusStream {
   def liveChunkCard(docs: DataFrame): DataFrame =
     graft.ops.Chunking.geometryCard(graft.ops.Chunking.charChunks(docs))
 
+  /** Drop-folder RAG chunk-index maintainer — q276's streaming twin in
+    * the [[kmvStream]] discipline: each micro-batch rolls ITS OWN
+    * documents up to (source, fp, n, nd) chunk-fingerprint partials
+    * ([[graft.ops.Chunking.chunkFps]] — the batch operator verbatim)
+    * and overwrites them into `stateDir/batch_id=N`. No state is read
+    * in the hot path, so a replayed batch rewrites itself
+    * bit-identically and can never compound (replay-idempotent,
+    * StreamingSpec-locked). The partials are lossless merge units
+    * because a document's chunks all arrive in its batch: occurrence
+    * counts sum, and contributing-doc counts sum since a doc_id never
+    * recurs across batches (the drop-folder contract). State on disk is
+    * distinct-chunk-bounded per batch — fp keys only, chunk text never
+    * persists. [[kmvStream]]'s lifecycle contract applies verbatim: one
+    * stateDir per checkpoint lineage. */
+  def chunkIndexStream(docs: DataFrame, stateDir: String, checkpointDir: String,
+      trigger: Option[Trigger] = None): StreamingQuery = {
+    val writer = docs.writeStream.option("checkpointLocation", checkpointDir)
+    trigger.foreach(writer.trigger)
+    writer.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      graft.ops.Chunking.chunkFps(batch)
+        .write.mode("overwrite").parquet(s"$stateDir/batch_id=$batchId")
+      ()
+    }.start()
+  }
+
+  /** The live chunk-dup card over everything [[chunkIndexStream]] has
+    * indexed: merge the per-batch fp partials (sum n, sum nd per
+    * (source, fp)) and run batch q276's own source rollup — equal to
+    * running [[graft.ops.Chunking.chunkDupCard]] over the full streamed
+    * corpus (StreamingSpec locks streamed == batch). The read touches
+    * fp-level rows only, never documents. */
+  def liveChunkDupCard(spark: org.apache.spark.sql.SparkSession,
+      stateDir: String): DataFrame =
+    graft.ops.Chunking.dupCardRollup(
+      spark.read.parquet(stateDir)
+        .groupBy("source", "fp")
+        .agg(sum("n").as("n"), sum("nd").as("nd")))
+
   /** Streaming KMV distinct-vocabulary sketch — q230's unbounded twin:
     * each micro-batch writes ITS OWN k-smallest-hash sketch into a
     * batch_id=N partition (mode=overwrite — a replayed batch rewrites

@@ -1313,4 +1313,104 @@ class StreamingSpec extends AnyFunSuite {
         "streamed SCD2 intervals must equal the batch history exactly")
     } finally q.stop()
   }
+
+  test("chunk index stream: live dup card == batch q276; replay is a no-op") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    import graft.streaming.CorpusStream
+    val dir = "/root/testdata/sf0.001"
+    val docsDf = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "source", "text", "n_chars")
+    val docs = docsDf.as[(Long, String, String, Long)].collect().sortBy(_._1)
+    val (a, b) = docs.splitAt(docs.length / 2)
+    val want = graft.ops.Chunking.chunkDupCard(docsDf)
+      .collect().map(_.toSeq).toSet
+    val state = Files.createTempDirectory("chunkidx-state").toString
+    def run(ckpt: String): Unit = {
+      val mem = MemoryStream[(Long, String, String, Long)]
+      val q = CorpusStream.chunkIndexStream(
+        mem.toDF().toDF("doc_id", "source", "text", "n_chars"), state, ckpt)
+      try {
+        mem.addData(a.toSeq: _*); q.processAllAvailable()
+        mem.addData(b.toSeq: _*); q.processAllAvailable()
+      } finally q.stop()
+    }
+    run(Files.createTempDirectory("chunkidx-ckpt").toString)
+    val live = CorpusStream.liveChunkDupCard(spark, state)
+      .collect().map(_.toSeq).toSet
+    assert(live == want, "live chunk-dup card must equal batch q276")
+    // replay on a fresh checkpoint: every batch overwrites its own
+    // batch_id partition bit-identically — card unchanged
+    run(Files.createTempDirectory("chunkidx-ckpt2").toString)
+    assert(CorpusStream.liveChunkDupCard(spark, state)
+      .collect().map(_.toSeq).toSet == want, "replay must be a no-op")
+  }
+
+  test("SFT gates: template strip drops mined texts; bloom drops exactly " +
+      "contaminated ASSISTANT turns (user quotes survive)") {
+    import spark.implicits._
+    import graft.streaming.SftStream
+    val bloom = SftStream.benchBloomBytes(spark)
+    val passage = graft.ops.Conversations.BenchPassages.head
+    val filler = (1 to 12).map(i => s"w$i").mkString(" ")
+    val turns = Seq(
+      (1L, 0L, "user", "hi i have a question about the data"), // template
+      (1L, 1L, "assistant", s"$filler $passage"),              // leak: drop
+      (1L, 2L, "user", s"$filler $passage"),                   // quote: keep
+      (1L, 3L, "assistant", filler),                           // clean: keep
+      (2L, 0L, "assistant", passage))                          // exact leak: drop
+      .toDF("conv_id", "turn_idx", "role", "text")
+    val got = SftStream.gateTurns(turns,
+        Seq("hi i have a question about the data"), bloom)
+      .select("conv_id", "turn_idx").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L), (1L, 3L)),
+      s"expected the user quote and the clean turn only, got $got")
+  }
+
+  test("SFT ingest stream: admitted shards == batch admission; live " +
+      "role-balance card == batch card; replay is a no-op") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    import graft.streaming.SftStream
+    val dir = "/root/testdata/sf0.001"
+    val docsDf = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "source", "text")
+    val docs = docsDf.select("doc_id", "text").as[(Long, String)]
+      .collect().sortBy(_._1)
+    val (a, b) = docs.splitAt(docs.length / 2)
+    val bloom = SftStream.benchBloomBytes(spark)
+    // templates mined by batch q253 — the strip set both sides share
+    val templates = graft.ops.Conversations.turnTemplates(docsDf)
+      .select("text").as[String].collect().toSeq
+    assert(templates.nonEmpty, "the shipped corpus must plant templates")
+    val wantTurns = SftStream.admitBatch(docsDf, templates, bloom)
+      .collect().map(_.toSeq).toSet
+    val wantCard = graft.ops.Conversations.roleBalanceOnTurns(
+        SftStream.admitBatch(docsDf, templates, bloom))
+      .collect().map(_.toSeq).toSet
+    val state = Files.createTempDirectory("sft-state").toString
+    val out = Files.createTempDirectory("sft-out").toString
+    def run(ckpt: String): Unit = {
+      val mem = MemoryStream[(Long, String)]
+      val q = SftStream.ingestToShards(
+        mem.toDF().toDF("doc_id", "text"), templates, bloom, state, out, ckpt)
+      try {
+        mem.addData(a.toSeq: _*); q.processAllAvailable()
+        mem.addData(b.toSeq: _*); q.processAllAvailable()
+      } finally q.stop()
+    }
+    run(Files.createTempDirectory("sft-ckpt").toString)
+    def landed() = spark.read.parquet(out)
+      .select("conv_id", "turn_idx", "role", "text")
+      .collect().map(_.toSeq).toSet
+    assert(landed() == wantTurns,
+      "streamed admission must equal the batch min-representative set")
+    assert(SftStream.liveRoleBalance(spark, out).collect().map(_.toSeq).toSet
+      == wantCard, "live role-balance card must equal batch q255 on admitted")
+    // template strip and cross-batch dedup must actually have bitten
+    val raw = graft.ops.Conversations.chatTurns(docsDf).count()
+    assert(landed().size < raw, "admission must drop boilerplate mass")
+    run(Files.createTempDirectory("sft-ckpt2").toString)
+    assert(landed() == wantTurns, "replay must be a no-op")
+  }
 }
