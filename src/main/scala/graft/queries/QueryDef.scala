@@ -25,8 +25,22 @@ object QueryDef {
     * observed as a 25s single-task broadcast-build stage. Dropping the
     * coalesce floor keeps the requested parallelism; shuffle volume here
     * is bounded so over-partitioning costs nothing. */
-  def cpuBound(spark: SparkSession): Unit =
+  def cpuBound(spark: SparkSession): Unit = {
     spark.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", "1b")
+    // ObjectHashAggregateExec (every typed-Aggregator rollup: TopKSim,
+    // MisraGries, KmvSketch) falls back to SORT-based aggregation once its
+    // per-task hash map passes this ROW-COUNT threshold — and Spark's
+    // default is 128, so any top-k over more than 128 queries per task
+    // abandoned hashing and sorted its ENTIRE input stream. That sort is
+    // what turned the IVF candidate stream into shuffle-scratch spill at
+    // 1000x (SCALE.md lesson 4): billions of pairs sorted to update
+    // bounded k-entry buffers. 1M keys × a ≤k-entry buffer (~300 B) is
+    // ~300 MB per task — comfortably in-heap at the shipped executor
+    // sizing, and the sort fallback still guards truly unbounded key
+    // spaces above it. */
+    spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+      (1 << 20).toString)
+  }
 
   /** Spread a byte-small, compute-heavy input across the cluster with a
     * REAL barrier. A plain `repartition(n)` is not enough: Catalyst pushes
