@@ -599,19 +599,29 @@ object Similarity {
     val scored = q.crossJoin(broadcast(cents))
       .withColumn("csim", cosine(
         expr("CAST(quantized_dot(qv, cqv) AS DOUBLE)"), col("nrm"), col("cnrm")))
-    if (nprobe == 1)
-      scored.groupBy("vec_id")
-        .agg(first(col("qv")).as("qv"), first(col("nrm")).as("nrm"),
-          expr("max_by(cent_id, struct(csim, -cent_id))").as("cent_id"))
-        .withColumn("rn", lit(1))
-    else
-      scored.groupBy("vec_id")
-        .agg(first(col("qv")).as("qv"), first(col("nrm")).as("nrm"),
-          graft.functions.TopKSim.topk(nprobe)(col("csim"), col("cent_id")).as("top"))
-        .select(col("vec_id"), col("qv"), col("nrm"),
-          posexplode(col("top")).as(Seq("i", "t")))
-        .select(col("vec_id"), col("qv"), col("nrm"),
-          col("t.id").as("cent_id"), (col("i") + 1).cast("int").as("rn"))
+    // The reduction carries NO vector payload: a first(qv) in the
+    // aggregate would put the 64-long array in every buffer, demoting
+    // the whole n·k stream to ObjectHashAggregate (array buffers can't
+    // live in the codegen'd fixed-width hash map) — whose fallback SORTS
+    // the stream, the exact spill the 1000x campaign measured (2.8B
+    // scored rows x ~600 B sorted on 4 cores filled the box). With only
+    // (cent_id | top-nprobe ids) in the buffer the argmax runs in the
+    // fixed-width HashAggregate (nprobe=1) / a ≤nprobe-entry TopKSim
+    // buffer, and the payload comes back via ONE n-row equi-join against
+    // the (checkpointed) quantized frame.
+    val top =
+      if (nprobe == 1)
+        scored.groupBy("vec_id")
+          .agg(expr("max_by(cent_id, struct(csim, -cent_id))").as("cent_id"))
+          .withColumn("rn", lit(1))
+      else
+        scored.groupBy("vec_id")
+          .agg(graft.functions.TopKSim.topk(nprobe)(col("csim"), col("cent_id")).as("top"))
+          .select(col("vec_id"), posexplode(col("top")).as(Seq("i", "t")))
+          .select(col("vec_id"), col("t.id").as("cent_id"),
+            (col("i") + 1).cast("int").as("rn"))
+    top.join(q.select("vec_id", "qv", "nrm"), "vec_id")
+      .select("vec_id", "qv", "nrm", "cent_id", "rn")
   }
 
   /** Trained centroids (cent_id, cqv, cnrm). Updates are per-dimension
@@ -644,15 +654,16 @@ object Similarity {
     for (_ <- 1 to iters) {
       // assignment argmax via max_by(cent_id, struct(csim, -cent_id)) —
       // the same total order as rankedAssign's (csim desc, cent_id asc)
-      // window but partial-aggregated, no shuffle-sort; `qv` is
-      // group-constant so first() is deterministic (the q66 trainer's
-      // shape, kept in lockstep)
-      val sums = q.crossJoin(broadcast(centsDF(cents)))
+      // window but partial-aggregated through the FIXED-WIDTH hash
+      // aggregate (no array in any buffer — a first(qv) here demoted the
+      // n·k stream to sort-fallback spill at 2M vectors; see
+      // assignCells), the vectors rejoined per vec for the mean step
+      val assign = q.crossJoin(broadcast(centsDF(cents)))
         .withColumn("csim", cosine(
           expr("CAST(quantized_dot(qv, cqv) AS DOUBLE)"), col("nrm"), col("cnrm")))
         .groupBy("vec_id")
-        .agg(expr("max_by(cent_id, struct(csim, -cent_id))").as("cent_id"),
-          first(col("qv")).as("qv"))
+        .agg(expr("max_by(cent_id, struct(csim, -cent_id))").as("cent_id"))
+      val sums = assign.join(q.select("vec_id", "qv"), "vec_id")
         .select(col("cent_id"), posexplode(col("qv")).as(Seq("pos", "x")))
         .groupBy("cent_id", "pos")
         .agg(sum("x").as("s"), count(lit(1)).as("cnt"))
@@ -1488,15 +1499,16 @@ object Similarity {
       // assignment argmax per (vec, space) via max_by over
       // struct(csim, -cent_id): best csim, ties to the LOWEST cent_id —
       // the same total order as a (csim desc, cent_id asc) rank window,
-      // but partial-aggregated instead of shuffle-sorted. `qv` is
-      // group-constant (it's the vector being assigned), so first() is
-      // deterministic.
-      val sums = qsub.join(broadcast(centsDF(cents)), "space")
+      // partial-aggregated through the fixed-width hash aggregate (no
+      // array in any buffer — see assignCells), slices rejoined per
+      // (vec, space) for the mean step
+      val assign = qsub.join(broadcast(centsDF(cents)), "space")
         .withColumn("csim", cosine(
           expr("CAST(quantized_dot(qv, cqv) AS DOUBLE)"), col("nrm"), col("cnrm")))
         .groupBy("vec_id", "space")
-        .agg(expr("max_by(cent_id, struct(csim, -cent_id))").as("cent_id"),
-          first(col("qv")).as("qv"))
+        .agg(expr("max_by(cent_id, struct(csim, -cent_id))").as("cent_id"))
+      val sums = assign
+        .join(qsub.select("vec_id", "space", "qv"), Seq("vec_id", "space"))
         .select(col("space"), col("cent_id"), posexplode(col("qv")).as(Seq("pos", "x")))
         .groupBy("space", "cent_id", "pos")
         .agg(sum("x").as("s"), count(lit(1)).as("cnt"))
