@@ -573,6 +573,19 @@ object Similarity {
   def ivfCentroidsFor(n: Long): Int =
     math.max(IvfCentroids, math.ceil(math.sqrt(n.toDouble)).toInt)
 
+  /** Argmax cell as a k=1 bounded [[graft.functions.TopKSim]] aggregate —
+    * (csim desc, cent_id asc), the exact `max_by(cent_id, struct(csim,
+    * -cent_id))` total order. The point is the PHYSICAL operator:
+    * max_by's struct buffer is neither fixed-width (HashAggregate) nor
+    * TypedImperative (ObjectHashAggregate), so Catalyst plans
+    * SortAggregateExec — which SORTS the n·k scored stream per
+    * assignment, the spill that killed the 1000x trainer before any
+    * pair work. The typed aggregator keeps the reduction in a hashed
+    * map with a 2-field buffer; `element_at(top, 1).id` recovers the
+    * cell. */
+  private def argmaxCell: Column =
+    graft.functions.TopKSim.topk(1)(col("csim"), col("cent_id"))
+
   private val ivfKSqlExpr =
     s"(SELECT GREATEST($IvfCentroids, CAST(ceil(sqrt(COUNT(*))) AS BIGINT)) FROM n)"
 
@@ -591,10 +604,11 @@ object Similarity {
     * partition-local, so map-side combine collapses n·k scored rows to
     * ONE row per vector per partition before any exchange — the shuffle
     * carries n rows (vec payload once each), never n·k. rn = 1 uses
-    * `max_by(cent_id, struct(csim, -cent_id))`; deeper probes use the
-    * bounded [[graft.functions.TopKSim]] aggregator (≤ nprobe entries
-    * per buffer). Both realize the SAME total order as the rank-window
-    * form, so results — and the oracles' window SQL — are unchanged. */
+    * [[argmaxCell]] (the k=1 bounded aggregator); deeper probes use the
+    * same [[graft.functions.TopKSim]] aggregator at k = nprobe
+    * (≤ nprobe entries per buffer). Both realize the SAME total order as
+    * the rank-window form, so results — and the oracles' window SQL —
+    * are unchanged. */
   private[graft] def assignCells(q: DataFrame, cents: DataFrame, nprobe: Int): DataFrame = {
     val scored = q.crossJoin(broadcast(cents))
       .withColumn("csim", cosine(
@@ -612,7 +626,8 @@ object Similarity {
     val top =
       if (nprobe == 1)
         scored.groupBy("vec_id")
-          .agg(expr("max_by(cent_id, struct(csim, -cent_id))").as("cent_id"))
+          .agg(argmaxCell.as("top"))
+          .select(col("vec_id"), expr("element_at(top, 1).id").as("cent_id"))
           .withColumn("rn", lit(1))
       else
         scored.groupBy("vec_id")
@@ -662,7 +677,8 @@ object Similarity {
         .withColumn("csim", cosine(
           expr("CAST(quantized_dot(qv, cqv) AS DOUBLE)"), col("nrm"), col("cnrm")))
         .groupBy("vec_id")
-        .agg(expr("max_by(cent_id, struct(csim, -cent_id))").as("cent_id"))
+        .agg(argmaxCell.as("top"))
+        .select(col("vec_id"), expr("element_at(top, 1).id").as("cent_id"))
       val sums = assign.join(q.select("vec_id", "qv"), "vec_id")
         .select(col("cent_id"), posexplode(col("qv")).as(Seq("pos", "x")))
         .groupBy("cent_id", "pos")
@@ -1506,7 +1522,8 @@ object Similarity {
         .withColumn("csim", cosine(
           expr("CAST(quantized_dot(qv, cqv) AS DOUBLE)"), col("nrm"), col("cnrm")))
         .groupBy("vec_id", "space")
-        .agg(expr("max_by(cent_id, struct(csim, -cent_id))").as("cent_id"))
+        .agg(argmaxCell.as("top"))
+        .select(col("vec_id"), col("space"), expr("element_at(top, 1).id").as("cent_id"))
       val sums = assign
         .join(qsub.select("vec_id", "space", "qv"), Seq("vec_id", "space"))
         .select(col("space"), col("cent_id"), posexplode(col("qv")).as(Seq("pos", "x")))
@@ -1587,16 +1604,17 @@ object Similarity {
     val cbook = trained.filter(_._1 >= 0).sortBy(c => (c._1, c._2))
     val subCents = spaceCentsDF(spark, cbook)
     // member side carries CODES, not vectors: one small int per subspace.
-    // Assignment is an argmax per (vec, space) — max_by over
-    // struct(csim, -cent_id) (= best csim, ties to the LOWEST cent_id,
-    // the same total order as the rank-window form) keeps the whole
-    // reduction in a partial-agg'd hash aggregate instead of a
-    // shuffle-and-sort rank window over every (vec, space, cent) triple
+    // Assignment is an argmax per (vec, space) — the k=1 bounded
+    // aggregator (best csim, ties to the LOWEST cent_id, the same total
+    // order as the rank-window form) keeps the whole reduction in a
+    // partial-agg'd OBJECT hash aggregate instead of a shuffle-and-sort
+    // rank window over every (vec, space, cent) triple (see argmaxCell)
     val codes = qsub.join(broadcast(subCents), "space")
       .withColumn("csim", cosine(
         expr("CAST(quantized_dot(qv, cqv) AS DOUBLE)"), col("nrm"), col("cnrm")))
       .groupBy("vec_id", "space")
-      .agg(expr("max_by(cent_id, struct(csim, -cent_id))").as("cent_id"))
+      .agg(argmaxCell.as("top"))
+      .select(col("vec_id"), col("space"), expr("element_at(top, 1).id").as("cent_id"))
       .groupBy("vec_id")
       .agg(expr("transform(array_sort(collect_list(struct(space, cent_id))), t -> t.cent_id)").as("codes"))
     // reconstructed norm from codes alone: flat |c|² table lookup-summed
