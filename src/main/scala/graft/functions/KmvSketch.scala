@@ -26,13 +26,20 @@ import org.apache.spark.sql.functions.udaf
   * reduce fast path: a full buffer rejects h ≥ max in O(1) — after
   * warmup almost every element takes it. Inserts binary-search the
   * sorted array (dedup + position in O(log k), splice O(k)). */
-class KmvSketch(k: Int) extends Aggregator[Long, Array[Long], Array[Long]] {
+class KmvSketch(k: Int) extends Aggregator[java.lang.Long, Array[Long], Array[Long]] {
   require(k > 0, "KMV needs a positive sketch size")
 
   override def zero: Array[Long] = Array.emptyLongArray
 
-  override def reduce(buf: Array[Long], h: Long): Array[Long] =
-    if (buf.length == k && h >= buf(buf.length - 1)) buf else insert(buf, h)
+  // boxed input so a NULL hash (a NULL-rendered value — e.g. a null
+  // profile column or FD side) SKIPS the sketch instead of crashing the
+  // primitive deserializer; non-null call sites pay one unbox
+  override def reduce(buf: Array[Long], boxed: java.lang.Long): Array[Long] =
+    if (boxed == null) buf
+    else {
+      val h = boxed.longValue()
+      if (buf.length == k && h >= buf(buf.length - 1)) buf else insert(buf, h)
+    }
 
   override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
     // both sides sorted: one linear merge, dedup, cut at k

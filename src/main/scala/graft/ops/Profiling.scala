@@ -322,6 +322,76 @@ object Profiling {
     branches.mkString("\n      UNION ALL\n      ")
   }
 
+  /** [[columnProfileKmv]] with xxhash64 draw keys instead of md5 —
+    * the production hash for the same card. Measured at 1000x: the md5
+    * form's cost is almost entirely the cross-engine determinism tax
+    * (≈3.6B crypto hashes on the unpivoted stream — 1267.7 s, 4.4x the
+    * exact card), because md5 is what lets DuckDB build the IDENTICAL
+    * sketch for the hash gate. xxhash64 computes the same-shape card
+    * with the same estimator at memory bandwidth; its estimates are
+    * engine-local, so the q301 gate is the rows-only driver check
+    * (q70's HLL discipline) plus the spec's within-tolerance lock
+    * against the exact NDVs. Deployments gate releases on q281, monitor
+    * every ingest with THIS. */
+  def columnProfileKmvFast(li: DataFrame, k: Int = Corpus.KmvK): DataFrame = {
+    val base = profileBase(li)
+    val kmv = graft.functions.KmvSketch.sketch(k)
+    val hashStack = ProfileCols.map { case (c, kind) =>
+      // xxhash64 folds NULL inputs into the seed rather than returning
+      // NULL, so the null-drop is explicit; the 60-bit mask keeps the
+      // KMV order statistics on the estimator's uniform-[0, 2^60) model
+      s"'$c', CASE WHEN $c IS NULL THEN CAST(NULL AS BIGINT) " +
+        s"ELSE CAST(xxhash64(${renderSqlSpark(c, kind)}) AS BIGINT) & 1152921504606846975 END"
+    }.mkString(", ")
+    val ndvs = li
+      .select(expr(s"stack(${ProfileCols.size}, $hashStack) AS (col_name, h)"))
+      .filter(col("h").isNotNull)
+      .groupBy("col_name").agg(kmv(col("h")).as("sk"))
+      .select(col("col_name"), size(col("sk")).cast("long").as("n_kept"),
+        expr("element_at(sk, -1)").as("kth_hash"))
+      .withColumn("n_distinct_est", expr(
+        s"CASE WHEN n_kept < $k THEN n_kept ELSE " +
+          s"CAST(((CAST(n_kept AS DECIMAL(38,0)) - 1) * 1152921504606846976) div kth_hash AS BIGINT) END"))
+    ndvs.join(broadcast(base), "col_name")
+      .select("col_name", "n_rows", "n_nulls", "n_distinct_est",
+        "min_str", "max_str")
+  }
+
+  /** [[fdAuditKmv]] on xxhash64 keys — same trade as
+    * [[columnProfileKmvFast]] (rows-only gate + spec lock; md5 form is
+    * the hash-gated twin). */
+  def fdAuditKmvFast(spark: SparkSession, dir: String,
+      k: Int = Corpus.KmvK): DataFrame = {
+    val kmv = graft.functions.KmvSketch.sketch(k)
+    def est(kept: String, kth: String) =
+      s"CASE WHEN $kept < $k THEN $kept ELSE " +
+        s"CAST(((CAST($kept AS DECIMAL(38,0)) - 1) * 1152921504606846976) div $kth AS BIGINT) END"
+    val cards = FdCandidates.map { case (label, table, lhs, rhs) =>
+      tbl(spark, dir, table)
+        .select(
+          expr(s"CASE WHEN $lhs IS NULL THEN CAST(NULL AS BIGINT) ELSE " +
+            s"CAST(xxhash64(CAST($lhs AS STRING)) AS BIGINT) & 1152921504606846975 END").as("hl"),
+          expr(s"CASE WHEN $lhs IS NULL OR $rhs IS NULL THEN CAST(NULL AS BIGINT) ELSE " +
+            s"CAST(xxhash64(concat(CAST($lhs AS STRING), '|', CAST($rhs AS STRING))) AS BIGINT) & 1152921504606846975 END").as("hp"))
+        .agg(kmv(col("hl")).as("skl"), kmv(col("hp")).as("skp"))
+        .select(
+          size(col("skl")).cast("long").as("kept_l"),
+          expr("element_at(skl, -1)").as("kth_l"),
+          size(col("skp")).cast("long").as("kept_p"),
+          expr("element_at(skp, -1)").as("kth_p"))
+        .withColumn("n_keys_est", expr(est("kept_l", "kth_l")))
+        .withColumn("n_pairs_est", expr(est("kept_p", "kth_p")))
+        .select(lit(label).as("fd"), col("n_keys_est"), col("n_pairs_est"))
+    }
+    cards.reduce(_ unionByName _)
+      .withColumn("excess_est", greatest(col("n_pairs_est") - col("n_keys_est"), lit(0L)))
+      .withColumn("excess_micro", expr(
+        "CAST((CAST(excess_est AS DECIMAL(38,0)) * 1000000) div n_keys_est AS BIGINT)"))
+      .withColumn("holds_est", col("excess_micro") <= KmvFdTolMicro)
+      .select("fd", "n_keys_est", "n_pairs_est", "excess_est",
+        "excess_micro", "holds_est")
+  }
+
   /** "holds" tolerance for the sketch FD card: 2/sqrt(k) in micro —
     * twice the KMV standard error, so a truly-holding FD (excess 0)
     * passes with ~97% confidence while gross violations (excess of the
@@ -410,5 +480,13 @@ object Profiling {
       (s, d) => columnProfileKmv(t(s, d, "lineitem")),
       Some(columnProfileKmvSql())),
     QueryDef("q300_fd_audit_kmv",
-      (s, d) => fdAuditKmv(s, d), Some(fdAuditKmvSql)))
+      (s, d) => fdAuditKmv(s, d), Some(fdAuditKmvSql)),
+    // xxhash64 twins: engine-local hashes — no cross-engine oracle is
+    // possible (q70's HLL discipline), so the driver records the
+    // rows-only check and ProfilingSpec locks the estimates against the
+    // exact cards
+    QueryDef("q301_column_profile_kmv_fast",
+      (s, d) => columnProfileKmvFast(t(s, d, "lineitem")), None),
+    QueryDef("q302_fd_audit_kmv_fast",
+      (s, d) => fdAuditKmvFast(s, d), None))
 }

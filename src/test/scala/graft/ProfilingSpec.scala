@@ -97,6 +97,41 @@ class ProfilingSpec extends AnyFunSuite {
       assert(r.getAs[Boolean]("holds_est") == exactFd(fd),
         s"$fd: sketch verdict must match the exact audit on this corpus")
     }
+    // xxhash64 fast twins: same card shapes, same tolerance locks
+    Profiling.columnProfileKmvFast(li).collect().foreach { r =>
+      val (c, est) = (r.getAs[String]("col_name"), r.getAs[Long]("n_distinct_est"))
+      val ex = exact(c)
+      assert(math.abs(est - ex) <= math.max(1L, ex / 4),
+        s"$c: fast KMV est $est vs exact $ex")
+    }
+    Profiling.fdAuditKmvFast(spark, dir).collect().foreach { r =>
+      val fd = r.getAs[String]("fd")
+      assert(r.getAs[Boolean]("holds_est") == exactFd(fd),
+        s"$fd: fast sketch verdict must match the exact audit")
+    }
+  }
+
+  test("KMV sketches skip NULL hashes (null-bearing FD fixture, both twins)") {
+    import spark.implicits._
+    val df = Seq[(java.lang.Long, java.lang.Long)](
+      (1L, 10L), (1L, 10L), (2L, 10L), (2L, 20L), (3L, null), (null, 40L))
+      .toDF("l", "r")
+    df.createOrReplaceTempView("kmv_null_fx")
+    // 3 non-null keys {1,2,3}; pairs exclude null-bearing rows: {1|10, 2|10, 2|20}
+    Seq(false, true).foreach { fast =>
+      val hl =
+        if (fast) "CASE WHEN l IS NULL THEN CAST(NULL AS BIGINT) ELSE CAST(xxhash64(CAST(l AS STRING)) AS BIGINT) & 1152921504606846975 END"
+        else "CAST(conv(substr(md5(CAST(l AS STRING)), 1, 15), 16, 10) AS BIGINT)"
+      val hp =
+        if (fast) "CASE WHEN l IS NULL OR r IS NULL THEN CAST(NULL AS BIGINT) ELSE CAST(xxhash64(concat(CAST(l AS STRING), '|', CAST(r AS STRING))) AS BIGINT) & 1152921504606846975 END"
+        else "CAST(conv(substr(md5(concat(CAST(l AS STRING), '|', CAST(r AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+      val kmv = graft.functions.KmvSketch.sketch(256)
+      val row = df.select(expr(hl).as("hl"), expr(hp).as("hp"))
+        .agg(kmv(col("hl")).as("skl"), kmv(col("hp")).as("skp"))
+        .select(size(col("skl")), size(col("skp"))).collect()(0)
+      assert(row.getInt(0) == 3, s"fast=$fast: 3 distinct non-null keys")
+      assert(row.getInt(1) == 3, s"fast=$fast: 3 distinct non-null pairs")
+    }
   }
 
   test("q283 SCD2: day conservation and non-overlapping, maximal islands") {
