@@ -322,72 +322,78 @@ object Profiling {
     branches.mkString("\n      UNION ALL\n      ")
   }
 
-  /** [[columnProfileKmv]] with xxhash64 draw keys instead of md5 —
-    * the production hash for the same card. Measured at 1000x: the md5
-    * form's cost is almost entirely the cross-engine determinism tax
-    * (≈3.6B crypto hashes on the unpivoted stream — 1267.7 s, 4.4x the
-    * exact card), because md5 is what lets DuckDB build the IDENTICAL
-    * sketch for the hash gate. xxhash64 computes the same-shape card
-    * with the same estimator at memory bandwidth; its estimates are
-    * engine-local, so the q301 gate is the rows-only driver check
-    * (q70's HLL discipline) plus the spec's within-tolerance lock
-    * against the exact NDVs. Deployments gate releases on q281, monitor
-    * every ingest with THIS. */
-  def columnProfileKmvFast(li: DataFrame, k: Int = Corpus.KmvK): DataFrame = {
-    val base = profileBase(li)
-    val kmv = graft.functions.KmvSketch.sketch(k)
-    val hashStack = ProfileCols.map { case (c, kind) =>
-      // xxhash64 folds NULL inputs into the seed rather than returning
-      // NULL, so the null-drop is explicit; the 60-bit mask keeps the
-      // KMV order statistics on the estimator's uniform-[0, 2^60) model
-      s"'$c', CASE WHEN $c IS NULL THEN CAST(NULL AS BIGINT) " +
-        s"ELSE CAST(xxhash64(${renderSqlSpark(c, kind)}) AS BIGINT) & 1152921504606846975 END"
+  /** HLL relative standard deviation for the fast cards — 2%, tight
+    * enough that a 4-sigma spec tolerance is still well inside the
+    * exact-vs-estimate gap a planner cares about. */
+  val HllRsd = 0.02
+
+  /** "holds" tolerance for the HLL FD card: 4·rsd·√2 in micro — four
+    * standard errors of the DIFFERENCE of two 2%-rsd estimates. */
+  val HllFdTolMicro: Long = 113000L
+
+  /** Fast column profile (q301): q281's card with HLL NDV estimates
+    * (`approx_count_distinct`, the q70 discipline) folded into the SAME
+    * single wide aggregate as the additive stats — ONE codegen'd scan,
+    * ZERO extra passes, a fixed-size buffer per column that partial-
+    * aggregates and merges like any counter. This is the form whose
+    * 100 TB story needs no caveat: the exact card pays one full-key
+    * rollup per column (285.1 s at 1000x), the md5-KMV card pays the
+    * cross-engine hash tax (1267.7 s — q299 is the HASH-GATED twin, not
+    * the fast path), a stacked xxhash64-KMV form pays the udaf
+    * encoder boundary on cols×rows inputs (392.5 s, measured and
+    * rejected) — while this card's marginal cost over just READING the
+    * six columns is a few HLL updates per row. Engine-local estimates
+    * ⇒ rows-only driver check + the spec's tolerance lock against the
+    * exact NDVs. Deployments gate releases on q281, monitor every
+    * ingest with this. */
+  def columnProfileHll(li: DataFrame, rsd: Double = HllRsd): DataFrame = {
+    def render(c: String, kind: String, f: Column => Column): Column = kind match {
+      case "ts" => date_format(f(col(c)), "yyyy-MM-dd HH:mm:ss")
+      case _    => f(col(c)).cast("string")
+    }
+    val aggs: Seq[Column] = count(lit(1)).as("n_rows") +: ProfileCols.flatMap {
+      case (c, kind) => Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
+        render(c, kind, min).as(s"${c}_min"),
+        render(c, kind, max).as(s"${c}_max"),
+        approx_count_distinct(col(c), rsd).as(s"${c}_ndv"))
+    }
+    val wide = li.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = ProfileCols.map { case (c, _) =>
+      s"'$c', ${c}_nulls, ${c}_ndv, ${c}_min, ${c}_max"
     }.mkString(", ")
-    val ndvs = li
-      .select(expr(s"stack(${ProfileCols.size}, $hashStack) AS (col_name, h)"))
-      .filter(col("h").isNotNull)
-      .groupBy("col_name").agg(kmv(col("h")).as("sk"))
-      .select(col("col_name"), size(col("sk")).cast("long").as("n_kept"),
-        expr("element_at(sk, -1)").as("kth_hash"))
-      .withColumn("n_distinct_est", expr(
-        s"CASE WHEN n_kept < $k THEN n_kept ELSE " +
-          s"CAST(((CAST(n_kept AS DECIMAL(38,0)) - 1) * 1152921504606846976) div kth_hash AS BIGINT) END"))
-    ndvs.join(broadcast(base), "col_name")
+    wide.select(col("n_rows"), expr(
+      s"stack(${ProfileCols.size}, $stackArgs) " +
+        "AS (col_name, n_nulls, n_distinct_est, min_str, max_str)"))
       .select("col_name", "n_rows", "n_nulls", "n_distinct_est",
         "min_str", "max_str")
   }
 
-  /** [[fdAuditKmv]] on xxhash64 keys — same trade as
-    * [[columnProfileKmvFast]] (rows-only gate + spec lock; md5 form is
-    * the hash-gated twin). */
-  def fdAuditKmvFast(spark: SparkSession, dir: String,
-      k: Int = Corpus.KmvK): DataFrame = {
-    val kmv = graft.functions.KmvSketch.sketch(k)
-    def est(kept: String, kth: String) =
-      s"CASE WHEN $kept < $k THEN $kept ELSE " +
-        s"CAST(((CAST($kept AS DECIMAL(38,0)) - 1) * 1152921504606846976) div $kth AS BIGINT) END"
+  /** Fast FD audit (q302): the NDV(lhs) == NDV(lhs, rhs) identity on
+    * two HLL estimates per candidate — ONE codegen'd scan per table,
+    * fixed-size buffers, vs the exact audit's five full-key distinct
+    * shuffles (576.0 s at 1000x). NULL convention matches the KMV twin:
+    * null-bearing rows drop from both estimates
+    * (`approx_count_distinct` skips NULL inputs; the pair side nulls
+    * itself when either field is NULL). Rows-only gate + spec lock
+    * (verdicts agree with the exact audit). */
+  def fdAuditHll(spark: SparkSession, dir: String,
+      rsd: Double = HllRsd): DataFrame = {
     val cards = FdCandidates.map { case (label, table, lhs, rhs) =>
       tbl(spark, dir, table)
-        .select(
-          expr(s"CASE WHEN $lhs IS NULL THEN CAST(NULL AS BIGINT) ELSE " +
-            s"CAST(xxhash64(CAST($lhs AS STRING)) AS BIGINT) & 1152921504606846975 END").as("hl"),
-          expr(s"CASE WHEN $lhs IS NULL OR $rhs IS NULL THEN CAST(NULL AS BIGINT) ELSE " +
-            s"CAST(xxhash64(concat(CAST($lhs AS STRING), '|', CAST($rhs AS STRING))) AS BIGINT) & 1152921504606846975 END").as("hp"))
-        .agg(kmv(col("hl")).as("skl"), kmv(col("hp")).as("skp"))
-        .select(
-          size(col("skl")).cast("long").as("kept_l"),
-          expr("element_at(skl, -1)").as("kth_l"),
-          size(col("skp")).cast("long").as("kept_p"),
-          expr("element_at(skp, -1)").as("kth_p"))
-        .withColumn("n_keys_est", expr(est("kept_l", "kth_l")))
-        .withColumn("n_pairs_est", expr(est("kept_p", "kth_p")))
+        .agg(
+          approx_count_distinct(col(lhs), rsd).as("n_keys_est"),
+          approx_count_distinct(
+            when(col(lhs).isNotNull && col(rhs).isNotNull,
+              concat(col(lhs).cast("string"), lit("|"), col(rhs).cast("string"))),
+            rsd).as("n_pairs_est"))
         .select(lit(label).as("fd"), col("n_keys_est"), col("n_pairs_est"))
     }
     cards.reduce(_ unionByName _)
       .withColumn("excess_est", greatest(col("n_pairs_est") - col("n_keys_est"), lit(0L)))
       .withColumn("excess_micro", expr(
         "CAST((CAST(excess_est AS DECIMAL(38,0)) * 1000000) div n_keys_est AS BIGINT)"))
-      .withColumn("holds_est", col("excess_micro") <= KmvFdTolMicro)
+      .withColumn("holds_est", col("excess_micro") <= HllFdTolMicro)
       .select("fd", "n_keys_est", "n_pairs_est", "excess_est",
         "excess_micro", "holds_est")
   }
@@ -481,12 +487,12 @@ object Profiling {
       Some(columnProfileKmvSql())),
     QueryDef("q300_fd_audit_kmv",
       (s, d) => fdAuditKmv(s, d), Some(fdAuditKmvSql)),
-    // xxhash64 twins: engine-local hashes — no cross-engine oracle is
-    // possible (q70's HLL discipline), so the driver records the
-    // rows-only check and ProfilingSpec locks the estimates against the
-    // exact cards
-    QueryDef("q301_column_profile_kmv_fast",
-      (s, d) => columnProfileKmvFast(t(s, d, "lineitem")), None),
-    QueryDef("q302_fd_audit_kmv_fast",
-      (s, d) => fdAuditKmvFast(s, d), None))
+    // HLL twins: engine-local estimates — no cross-engine oracle is
+    // possible (q70's discipline), so the driver records the rows-only
+    // check and ProfilingSpec locks the estimates against the exact
+    // cards
+    QueryDef("q301_column_profile_hll",
+      (s, d) => columnProfileHll(t(s, d, "lineitem")), None),
+    QueryDef("q302_fd_audit_hll",
+      (s, d) => fdAuditHll(s, d), None))
 }

@@ -97,17 +97,17 @@ class ProfilingSpec extends AnyFunSuite {
       assert(r.getAs[Boolean]("holds_est") == exactFd(fd),
         s"$fd: sketch verdict must match the exact audit on this corpus")
     }
-    // xxhash64 fast twins: same card shapes, same tolerance locks
-    Profiling.columnProfileKmvFast(li).collect().foreach { r =>
+    // HLL fast twins: same card shapes, rsd-scaled tolerance locks
+    Profiling.columnProfileHll(li).collect().foreach { r =>
       val (c, est) = (r.getAs[String]("col_name"), r.getAs[Long]("n_distinct_est"))
       val ex = exact(c)
-      assert(math.abs(est - ex) <= math.max(1L, ex / 4),
-        s"$c: fast KMV est $est vs exact $ex")
+      assert(math.abs(est - ex) <= math.max(1L, ex / 10),
+        s"$c: HLL est $est vs exact $ex (rsd ${Profiling.HllRsd})")
     }
-    Profiling.fdAuditKmvFast(spark, dir).collect().foreach { r =>
+    Profiling.fdAuditHll(spark, dir).collect().foreach { r =>
       val fd = r.getAs[String]("fd")
       assert(r.getAs[Boolean]("holds_est") == exactFd(fd),
-        s"$fd: fast sketch verdict must match the exact audit")
+        s"$fd: HLL verdict must match the exact audit")
     }
   }
 
