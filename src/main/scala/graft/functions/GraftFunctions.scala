@@ -403,6 +403,72 @@ case class WordGramMd5(child: Expression, n: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** TRUE iff any space-delimited word n-gram of the TEXT hits the
+  * base64-serialized Bloom filter (Spark `bloom_filter_agg` bytes) under
+  * the same xxhash64(seed 42) the filter was built with — the
+  * allocation-disciplined form of
+  * `exists(transform(sequence(1, size(toks)-n+1),
+  *    i -> xxhash64(concat_ws(' ', slice(toks, i, n)))),
+  *  h -> might_contain(bf, h))`
+  * (r11 — VERDICT ask 5: that interpreted HOF ran in the per-turn
+  * admission hot path; SCALE.md lesson 2 measured the shape at 2.3-4.2x
+  * over a fused expression). Three wins over the lambda chain: (1) the
+  * n-gram of tokens split on ' ' IS a byte SPAN of the original string
+  * (split + concat_ws(' ') round-trips every window, including empty
+  * tokens from doubled spaces), so each gram hashes in place — zero
+  * slice/concat allocations, zero copies; (2) the filter deserializes
+  * ONCE per operator instead of per probe; (3) the first hit
+  * SHORT-CIRCUITS. Hash parity with the HOF form is exact (same bytes,
+  * same seed, same filter), so the no-false-negative admission contract
+  * is unchanged — GraftFunctionsSpec locks equality on both paths. */
+case class AnyWordGramInBloom(child: Expression, n: Int, bloomB64: String)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = BooleanType
+
+  @transient private lazy val bloom =
+    org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(
+        java.util.Base64.getDecoder.decode(bloomB64)))
+
+  override def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[UTF8String]
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val len = s.numBytes()
+    // token start offsets: 0 and every byte after a 0x20 (the space
+    // byte never occurs inside a multi-byte UTF-8 sequence)
+    var m = 1
+    var i = 0
+    while (i < len) {
+      if (org.apache.spark.unsafe.Platform.getByte(base, off + i) == ' '.toByte) m += 1
+      i += 1
+    }
+    if (m < n) return false
+    val starts = new Array[Int](m + 1)
+    var t = 1
+    i = 0
+    while (i < len) {
+      if (org.apache.spark.unsafe.Platform.getByte(base, off + i) == ' '.toByte) {
+        starts(t) = i + 1; t += 1
+      }
+      i += 1
+    }
+    starts(m) = len + 1 // virtual separator past the end
+    var p = 0
+    while (p <= m - n) {
+      val gs = starts(p)
+      val glen = starts(p + n) - 1 - gs
+      val h = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(base, off + gs, glen, 42L)
+      if (bloom.mightContainLong(h)) return true
+      p += 1
+    }
+    false
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object WordGramMd5 {
   private val HexDigits = "0123456789abcdef".getBytes
   /** Lowercase-hex a digest without per-byte format allocations (a
@@ -586,6 +652,8 @@ object GraftFunctions {
     "sorted_intersect_count" -> (es => SortedIntersectCount(es.head, es(1))),
     "word_shingles" -> (es => WordShingles(es.head, intArg(es, 1))),
     "word_gram_md5" -> (es => WordGramMd5(es.head, intArg(es, 1))),
+    "any_word_gram_in_bloom" -> (es => AnyWordGramInBloom(es.head,
+      intArg(es, 1), es(2).eval().asInstanceOf[UTF8String].toString)),
     "hamming_str" -> (es => HammingDistance(es.head, es(1))),
     "minhash_bands" -> (es => MinHashBands(es.head, intArg(es, 1), intArg(es, 2))),
     "lsh_keys" -> (es => HyperplaneKeys(es.head,

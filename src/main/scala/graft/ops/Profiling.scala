@@ -58,19 +58,25 @@ object Profiling {
     * unchanged. */
   def columnProfile(li: DataFrame): DataFrame = {
     val base = profileBase(li)
-    // NDV convention (suite-wide): NULL is NOT a distinct value — the
-    // count(DISTINCT c) semantics both engines agree on once the NULL
-    // group is filtered BEFORE the rollup (Spark's groupBy would keep
-    // it; nulls are already reported separately as n_nulls)
-    val ndvs = ProfileCols.map { case (c, _) =>
+    exactNdvs(li).join(broadcast(base), "col_name")
+      .select("col_name", "n_rows", "n_nulls", "n_distinct", "min_str", "max_str")
+  }
+
+  /** Exact per-column NDVs, one column-pruned groupBy-then-count rollup
+    * each (see [[columnProfile]]'s scale note) — shared by the exact
+    * card and the q301 tolerance gate.
+    *
+    * NDV convention (suite-wide): NULL is NOT a distinct value — the
+    * count(DISTINCT c) semantics both engines agree on once the NULL
+    * group is filtered BEFORE the rollup (Spark's groupBy would keep
+    * it; nulls are already reported separately as n_nulls). */
+  private def exactNdvs(li: DataFrame): DataFrame =
+    ProfileCols.map { case (c, _) =>
       li.filter(col(c).isNotNull)
         .groupBy(col(c)).agg(count(lit(1)))
         .agg(count(lit(1)).as("n_distinct"))
         .select(lit(c).as("col_name"), col("n_distinct"))
     }.reduce(_ unionByName _)
-    ndvs.join(broadcast(base), "col_name")
-      .select("col_name", "n_rows", "n_nulls", "n_distinct", "min_str", "max_str")
-  }
 
   /** The additive half of the profile card — rows/nulls/min/max in ONE
     * perfectly-partial-aggregating scan, unpivoted to a row per column.
@@ -327,9 +333,16 @@ object Profiling {
     * exact-vs-estimate gap a planner cares about. */
   val HllRsd = 0.02
 
-  /** "holds" tolerance for the HLL FD card: 4·rsd·√2 in micro — four
-    * standard errors of the DIFFERENCE of two 2%-rsd estimates. */
-  val HllFdTolMicro: Long = 113000L
+  /** "holds" tolerance for an HLL FD card at a given rsd: 4·rsd·√2 in
+    * micro — four standard errors of the DIFFERENCE of two rsd-relative
+    * estimates. Derived from the ARGUMENT, not a constant, so a caller
+    * profiling at a different precision gets a matched verdict
+    * threshold (r10 ADVICE: the fixed constant silently mismatched
+    * non-default rsd). */
+  def hllFdTolMicro(rsd: Double): Long = math.round(4 * rsd * math.sqrt(2) * 1e6)
+
+  /** The default-rsd tolerance, kept for spec readability. */
+  val HllFdTolMicro: Long = hllFdTolMicro(HllRsd)
 
   /** Fast column profile (q301): q281's card with HLL NDV estimates
     * (`approx_count_distinct`, the q70 discipline) folded into the SAME
@@ -385,24 +398,48 @@ object Profiling {
           approx_count_distinct(col(lhs), rsd).as("n_keys_est"),
           approx_count_distinct(
             when(col(lhs).isNotNull && col(rhs).isNotNull,
-              concat(col(lhs).cast("string"), lit("|"), col(rhs).cast("string"))),
+              pairFingerprint(col(lhs), col(rhs))),
             rsd).as("n_pairs_est"))
         .select(lit(label).as("fd"), col("n_keys_est"), col("n_pairs_est"))
     }
     cards.reduce(_ unionByName _)
       .withColumn("excess_est", greatest(col("n_pairs_est") - col("n_keys_est"), lit(0L)))
+      // degenerate-table guard (r10 ADVICE): an empty or all-NULL lhs
+      // estimates n_keys_est = 0; the division would yield NULL in Spark
+      // and diverge from the oracle's integer-div semantics, so a keyless
+      // candidate reads excess 0 / holds (vacuously true)
       .withColumn("excess_micro", expr(
-        "CAST((CAST(excess_est AS DECIMAL(38,0)) * 1000000) div n_keys_est AS BIGINT)"))
-      .withColumn("holds_est", col("excess_micro") <= HllFdTolMicro)
+        "CASE WHEN n_keys_est = 0 THEN CAST(0 AS BIGINT) ELSE " +
+          "CAST((CAST(excess_est AS DECIMAL(38,0)) * 1000000) div n_keys_est AS BIGINT) END"))
+      .withColumn("holds_est", col("excess_micro") <= hllFdTolMicro(rsd))
       .select("fd", "n_keys_est", "n_pairs_est", "excess_est",
         "excess_micro", "holds_est")
   }
 
-  /** "holds" tolerance for the sketch FD card: 2/sqrt(k) in micro —
-    * twice the KMV standard error, so a truly-holding FD (excess 0)
-    * passes with ~97% confidence while gross violations (excess of the
-    * same order as the key count) always fail. */
-  val KmvFdTolMicro: Long = 125000L
+  /** Collision-free (lhs, rhs) pair fingerprint shared by the sketch FD
+    * cards: LENGTH-PREFIXING the lhs pins where it ends, so a
+    * string-typed lhs containing the separator can't collide —
+    * ('a|b','c') renders '3:a|b|c' while ('a','b|c') renders '1:a|b|c'
+    * (r10 ADVICE: the bare concat(lhs,'|',rhs) undercounted distinct
+    * pairs on separator-bearing keys). `length` counts CHARACTERS in
+    * both engines, so the prefix is identical cross-engine. */
+  private def pairFingerprint(lhs: Column, rhs: Column): Column =
+    concat(length(lhs.cast("string")).cast("string"), lit(":"),
+      lhs.cast("string"), lit("|"), rhs.cast("string"))
+
+  private def pairFingerprintDuck(lhs: String, rhs: String): String =
+    s"CAST(length(CAST($lhs AS VARCHAR)) AS VARCHAR) || ':' || " +
+      s"CAST($lhs AS VARCHAR) || '|' || CAST($rhs AS VARCHAR)"
+
+  /** "holds" tolerance for a KMV FD card at a given k: 2/sqrt(k) in
+    * micro — twice the KMV standard error, so a truly-holding FD
+    * (excess 0) passes with ~97% confidence while gross violations
+    * (excess of the same order as the key count) always fail. Derived
+    * from the argument (r10 ADVICE), not a fixed constant. */
+  def kmvFdTolMicro(k: Int): Long = math.round(2e6 / math.sqrt(k))
+
+  /** The default-k tolerance, kept for spec readability. */
+  val KmvFdTolMicro: Long = kmvFdTolMicro(Corpus.KmvK)
 
   /** Sketch-backed FD audit (q300): the set identity `lhs -> rhs holds
     * iff NDV(lhs) == NDV(lhs, rhs)` evaluated on two KMV sketches — the
@@ -426,9 +463,10 @@ object Profiling {
         s"CAST(((CAST($kept AS DECIMAL(38,0)) - 1) * 1152921504606846976) div $kth AS BIGINT) END"
     val cards = FdCandidates.map { case (label, table, lhs, rhs) =>
       tbl(spark, dir, table)
+        .withColumn("fp", pairFingerprint(col(lhs), col(rhs)))
         .select(
           expr(s"CAST(conv(substr(md5(CAST($lhs AS STRING)), 1, 15), 16, 10) AS BIGINT)").as("hl"),
-          expr(s"CAST(conv(substr(md5(concat(CAST($lhs AS STRING), '|', CAST($rhs AS STRING))), 1, 15), 16, 10) AS BIGINT)").as("hp"))
+          expr("CAST(conv(substr(md5(fp), 1, 15), 16, 10) AS BIGINT)").as("hp"))
         .agg(kmv(col("hl")).as("skl"), kmv(col("hp")).as("skp"))
         .select(
           size(col("skl")).cast("long").as("kept_l"),
@@ -441,9 +479,11 @@ object Profiling {
     }
     cards.reduce(_ unionByName _)
       .withColumn("excess_est", greatest(col("n_pairs_est") - col("n_keys_est"), lit(0L)))
+      // same degenerate-table guard as the HLL twin: 0 keys → excess 0
       .withColumn("excess_micro", expr(
-        "CAST((CAST(excess_est AS DECIMAL(38,0)) * 1000000) div n_keys_est AS BIGINT)"))
-      .withColumn("holds_est", col("excess_micro") <= KmvFdTolMicro)
+        "CASE WHEN n_keys_est = 0 THEN CAST(0 AS BIGINT) ELSE " +
+          "CAST((CAST(excess_est AS DECIMAL(38,0)) * 1000000) div n_keys_est AS BIGINT) END"))
+      .withColumn("holds_est", col("excess_micro") <= kmvFdTolMicro(k))
       .select("fd", "n_keys_est", "n_pairs_est", "excess_est",
         "excess_micro", "holds_est")
   }
@@ -460,17 +500,111 @@ object Profiling {
           ORDER BY h LIMIT $k))"""
     val branches = FdCandidates.map { case (label, table, lhs, rhs) =>
       val keys = kmvSub(table, s"CAST($lhs AS VARCHAR)", s"$lhs IS NOT NULL")
-      val pairs = kmvSub(table,
-        s"CAST($lhs AS VARCHAR) || '|' || CAST($rhs AS VARCHAR)",
+      val pairs = kmvSub(table, pairFingerprintDuck(lhs, rhs),
         s"$lhs IS NOT NULL AND $rhs IS NOT NULL")
+      val micro = "CASE WHEN n_keys_est = 0 THEN CAST(0 AS BIGINT) ELSE " +
+        "CAST((CAST(excess_est AS HUGEINT) * 1000000) // n_keys_est AS BIGINT) END"
       s"""SELECT '$label' AS fd, n_keys_est, n_pairs_est, excess_est,
-          CAST((CAST(excess_est AS HUGEINT) * 1000000) // n_keys_est AS BIGINT)
-            AS excess_micro,
-          CAST((CAST(excess_est AS HUGEINT) * 1000000) // n_keys_est AS BIGINT)
-            <= $KmvFdTolMicro AS holds_est
+          $micro AS excess_micro,
+          $micro <= ${kmvFdTolMicro(k)} AS holds_est
         FROM (SELECT n_keys_est, n_pairs_est,
             GREATEST(n_pairs_est - n_keys_est, 0) AS excess_est
           FROM (SELECT $keys AS n_keys_est, $pairs AS n_pairs_est))"""
+    }
+    branches.mkString("\n      UNION ALL\n      ")
+  }
+
+  /** Driver-recordable gate for the HLL column profile (q301's QUERY
+    * form, r11 — VERDICT ask 8): the fast card's engine-local NDV
+    * estimates cannot cross-engine hash, so the recorded artifact read
+    * `err: no_oracle` — this form QUANTIZES each estimate to a verdict
+    * the oracle CAN check: `ndv_in_tol` = |est − exact| ≤ 4·rsd·exact
+    * (the ProfilingSpec tolerance, now computed engine-side), alongside
+    * the exact NDV. The oracle asserts the exact card + TRUE verdicts;
+    * an out-of-band estimate flips the boolean and FAILS the hash — a
+    * real recorded pass/fail, not a rows-only count. The pure fast form
+    * ([[columnProfileHll]]) stays the production monitor (one codegen'd
+    * scan, 169.1 s vs 285.1 exact at 1000x — SCALE.md r10); this gate
+    * card deliberately pays the exact twin too, because a gate's job is
+    * comparison. */
+  def columnProfileHllGated(li: DataFrame, rsd: Double = HllRsd): DataFrame =
+    columnProfileHll(li, rsd)
+      .join(exactNdvs(li), "col_name")
+      .withColumn("ndv_in_tol",
+        abs(col("n_distinct_est") - col("n_distinct")).cast("double")
+          <= lit(4 * rsd) * col("n_distinct").cast("double"))
+      .select("col_name", "n_rows", "n_nulls", "n_distinct", "ndv_in_tol",
+        "min_str", "max_str")
+
+  val columnProfileHllGatedSql: String = {
+    val branches = ProfileCols.map { case (c, kind) =>
+      val (mn, mx) = kind match {
+        case "ts" => (s"strftime(MIN($c), '%Y-%m-%d %H:%M:%S')",
+          s"strftime(MAX($c), '%Y-%m-%d %H:%M:%S')")
+        case _ => (s"CAST(MIN($c) AS VARCHAR)", s"CAST(MAX($c) AS VARCHAR)")
+      }
+      s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+          CAST(count(*) - count($c) AS BIGINT) AS n_nulls,
+          CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+          TRUE AS ndv_in_tol,
+          $mn AS min_str, $mx AS max_str FROM lineitem"""
+    }
+    branches.mkString("\n      UNION ALL\n      ")
+  }
+
+  /** Driver-recordable gate for the HLL FD audit (q302's QUERY form,
+    * r11 — the q301 discipline on the relationship card): exact key and
+    * pair cardinalities plus three engine-side verdicts — `holds_est`
+    * (the fast audit's own FD verdict, which must agree with the exact
+    * audit's tolerance read) and `keys_in_tol`/`pairs_in_tol` (each HLL
+    * estimate within 4·rsd of its exact twin). The oracle recomputes
+    * the exact side and asserts TRUE on the tolerance booleans, so a
+    * drifted estimate or a flipped verdict fails the hash.
+    * Cardinality convention: n_keys counts distinct non-NULL lhs;
+    * n_pairs counts distinct (lhs, rhs) with BOTH non-NULL — exactly
+    * the populations the two HLL estimates see. */
+  def fdAuditHllGated(spark: SparkSession, dir: String,
+      rsd: Double = HllRsd): DataFrame = {
+    val est = fdAuditHll(spark, dir, rsd)
+      .select("fd", "n_keys_est", "n_pairs_est", "holds_est")
+    val exact = FdCandidates.map { case (label, table, lhs, rhs) =>
+      tbl(spark, dir, table).agg(
+        countDistinct(col(lhs)).as("n_keys"),
+        countDistinct(
+          when(col(lhs).isNotNull && col(rhs).isNotNull,
+            pairFingerprint(col(lhs), col(rhs)))).as("n_pairs"))
+        .select(lit(label).as("fd"), col("n_keys"), col("n_pairs"))
+    }.reduce(_ unionByName _)
+    est.join(exact, "fd")
+      .withColumn("keys_in_tol",
+        abs(col("n_keys_est") - col("n_keys")).cast("double")
+          <= lit(4 * rsd) * col("n_keys").cast("double"))
+      .withColumn("pairs_in_tol",
+        abs(col("n_pairs_est") - col("n_pairs")).cast("double")
+          <= lit(4 * rsd) * col("n_pairs").cast("double"))
+      .select("fd", "n_keys", "n_pairs", "holds_est",
+        "keys_in_tol", "pairs_in_tol")
+  }
+
+  /** q302-gated oracle: the exact cardinalities, the EXACT audit's
+    * tolerance verdict as the expected `holds_est` (estimate-based and
+    * exact-based thresholding agree because every shipped candidate is
+    * either exactly functional (excess 0) or grossly violated — the
+    * ProfilingSpec verdict-agreement lock, now recorded), and TRUE
+    * tolerance booleans. */
+  def fdAuditHllGatedSql(rsd: Double = HllRsd): String = {
+    val tol = hllFdTolMicro(rsd)
+    val branches = FdCandidates.map { case (label, table, lhs, rhs) =>
+      s"""SELECT '$label' AS fd, n_keys, n_pairs,
+          (CASE WHEN n_keys = 0 THEN 0
+                ELSE CAST((CAST(GREATEST(n_pairs - n_keys, 0) AS HUGEINT) * 1000000)
+                  // n_keys AS BIGINT) END) <= $tol AS holds_est,
+          TRUE AS keys_in_tol, TRUE AS pairs_in_tol
+        FROM (SELECT
+            (SELECT CAST(count(DISTINCT $lhs) AS BIGINT) FROM $table) AS n_keys,
+            (SELECT CAST(count(*) AS BIGINT) FROM
+              (SELECT DISTINCT $lhs, $rhs FROM $table
+               WHERE $lhs IS NOT NULL AND $rhs IS NOT NULL)) AS n_pairs)"""
     }
     branches.mkString("\n      UNION ALL\n      ")
   }
@@ -487,12 +621,15 @@ object Profiling {
       Some(columnProfileKmvSql())),
     QueryDef("q300_fd_audit_kmv",
       (s, d) => fdAuditKmv(s, d), Some(fdAuditKmvSql)),
-    // HLL twins: engine-local estimates — no cross-engine oracle is
-    // possible (q70's discipline), so the driver records the rows-only
-    // check and ProfilingSpec locks the estimates against the exact
-    // cards
+    // HLL twins, GATED form (r11): engine-local estimates can't
+    // cross-engine hash directly, so the query rows carry engine-side
+    // tolerance VERDICTS vs the exact twins — the oracle asserts the
+    // exact card + TRUE verdicts, making these recorded pass/fail
+    // checks (VERDICT r10 ask 8). The pure fast forms
+    // (columnProfileHll / fdAuditHll) remain the production monitors.
     QueryDef("q301_column_profile_hll",
-      (s, d) => columnProfileHll(t(s, d, "lineitem")), None),
+      (s, d) => columnProfileHllGated(t(s, d, "lineitem")),
+      Some(columnProfileHllGatedSql)),
     QueryDef("q302_fd_audit_hll",
-      (s, d) => fdAuditHll(s, d), None))
+      (s, d) => fdAuditHllGated(s, d), Some(fdAuditHllGatedSql())))
 }

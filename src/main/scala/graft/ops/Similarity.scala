@@ -747,8 +747,86 @@ object Similarity {
       nprobe: Int = IvfNprobe): Unit = {
     val (q, cents, _) = coarseIndex(spark, dir)
     cents.write.mode("overwrite").parquet(s"$indexDir/centroids")
-    assignCells(q, cents, nprobe).write.mode("overwrite")
-      .parquet(s"$indexDir/assignments")
+    writeAssignmentsBucketed(spark, assignCells(q, cents, nprobe), indexDir)
+  }
+
+  /** Bucket count of the persisted assignments table. 32 matches the
+    * shipped shuffle parallelism; on a fleet a deployment sizes it to
+    * cores-per-replica × replicas like any bucketed fact table. */
+  val IvfIndexBuckets = 32
+
+  /** Session-catalog name for an index directory's assignments table —
+    * deterministic so every consumer in the JVM resolves the SAME
+    * bucketed relation (path-hash suffix disambiguates dirs whose
+    * sanitized names collide). */
+  private def ivfTableName(indexDir: String): String = {
+    val tail = indexDir.replaceAll("[^A-Za-z0-9_]", "_").takeRight(40)
+    val h = java.lang.Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(indexDir))
+    s"graft_ivf_${tail}_$h"
+  }
+
+  /** Persist an assignments frame as a cent_id-BUCKETED, cent_id-sorted
+    * external parquet table (r11 — VERDICT ask 3): every consumer's
+    * cell equi-join ([[ivfScoredPairsOn]] probes ⋈ members, the capped
+    * window, q171's occupancy rollup) then reads a scan that already
+    * satisfies HashPartitioning(cent_id, buckets) — ZERO Exchange on
+    * either side of the self-join, where the plain-parquet index
+    * re-shuffled the member side on EVERY query batch
+    * (ScaleTechniquesSpec proved the zero-Exchange bucketed join; this
+    * applies it to the library's own index artifact). The
+    * repartition-by-bucket-key before the write yields one file per
+    * bucket, so the per-file sort metadata survives and the SMJ's sort
+    * is elided too. DROP + directory delete first: CTAS into a
+    * non-empty location is refused, and a stale catalog entry must not
+    * survive an index rebuild. */
+  private def writeAssignmentsBucketed(spark: SparkSession, asg: DataFrame,
+      indexDir: String): Unit = {
+    val tname = ivfTableName(indexDir)
+    spark.sql(s"DROP TABLE IF EXISTS $tname")
+    val path = new org.apache.hadoop.fs.Path(s"$indexDir/assignments")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path)) fs.delete(path, true)
+    asg.repartition(IvfIndexBuckets, col("cent_id"))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(IvfIndexBuckets, "cent_id").sortBy("cent_id")
+      .option("path", s"$indexDir/assignments")
+      .saveAsTable(tname)
+  }
+
+  /** True iff the directory's files carry bucket-id name suffixes —
+    * the marker [[assignmentsRead]] keys on to claim bucketing. */
+  private def looksBucketed(spark: SparkSession, dir: String): Boolean = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(path) && fs.listStatus(path).exists { st =>
+      // bucketed writers name files part-XXXXX-<uuid>_NNNNN.c000...;
+      // plain writers use -c000 with no bucket token
+      st.getPath.getName.matches(".*_\\d{5}\\.c000.*\\.parquet")
+    }
+  }
+
+  /** The assignments relation of a persisted index, BUCKETED when the
+    * files are (re-registering the external table in a fresh session
+    * from the bucket-suffixed file names); legacy plain-parquet dirs
+    * (pre-r11 indexes, streamed append partitions) read as before —
+    * correctness never depends on the bucket claim, only the Exchange
+    * does. */
+  private[graft] def assignmentsRead(spark: SparkSession,
+      indexDir: String): DataFrame = {
+    val dir = s"$indexDir/assignments"
+    if (!looksBucketed(spark, dir))
+      return spark.read.parquet(dir)
+    val tname = ivfTableName(indexDir)
+    if (!spark.catalog.tableExists(tname)) {
+      val ddl = spark.read.parquet(dir).schema.toDDL
+      spark.sql(
+        s"""CREATE TABLE $tname ($ddl) USING PARQUET
+           CLUSTERED BY (cent_id) SORTED BY (cent_id)
+           INTO $IvfIndexBuckets BUCKETS
+           LOCATION '$dir'""")
+    }
+    spark.table(tname)
   }
 
   /** Directed scored candidate pairs (id_a, id_b, sim) straight off a
@@ -759,20 +837,32 @@ object Similarity {
     * (q155) — each of which pays the cell join, never O(n²). A pair
     * meets at most once per direction (b lives in exactly one cell). */
   def ivfScoredPairs(spark: SparkSession, indexDir: String,
-      nprobe: Int = IvfNprobe): DataFrame =
-    ivfScoredPairsOn(spark, spark.read.parquet(s"$indexDir/assignments"), nprobe)
+      nprobe: Int = IvfNprobe, memberCap: Int = Int.MaxValue): DataFrame =
+    ivfScoredPairsOn(spark, assignmentsRead(spark, indexDir), nprobe, memberCap)
 
   /** [[ivfScoredPairs]] over an EXPLICIT assignments frame (vec_id, qv,
     * nrm, cent_id, rn) — the reader hook for streamed indexes, whose
     * live view is base assignments ∪ batch-id-partitioned appends
-    * ([[graft.streaming.IndexStream.assignments]]). */
+    * ([[graft.streaming.IndexStream.assignments]]).
+    *
+    * `memberCap` (r11 — VERDICT ask 4): the q296 per-cell md5-draw cap,
+    * threaded into the PERSISTED/STREAMED family — a hot cell (q171's
+    * drift signal) previously had no bound on the production index
+    * path. Capped candidates are a subset of uncapped by construction
+    * (the draw ranks, the cap filters — SimilarityCappedSpec locks it
+    * on the persisted frame too). On a bucketed index the capping
+    * window partitions by the SAME cell key the scan is bucketed on, so
+    * it adds a per-partition sort, never an Exchange. */
   private[graft] def ivfScoredPairsOn(spark: SparkSession, ranked: DataFrame,
-      nprobe: Int = IvfNprobe): DataFrame = {
+      nprobe: Int = IvfNprobe, memberCap: Int = Int.MaxValue): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     QueryDef.cpuBound(spark)
-    val members = ranked.filter(col("rn") === 1)
+    val membersAll = ranked.filter(col("rn") === 1)
       .select(col("vec_id").as("id_b"), col("qv").as("qb"),
         col("nrm").as("nb"), col("cent_id").as("cell"))
+    val members =
+      if (memberCap == Int.MaxValue) membersAll
+      else capMembersByCell(membersAll, memberCap, "id_b")
     val probes = ranked.filter(col("rn") <= nprobe)
       .select(col("vec_id").as("id_a"), col("qv").as("qa"),
         col("nrm").as("na"), col("cent_id").as("cell"))
@@ -783,20 +873,25 @@ object Similarity {
   }
 
   /** Top-k straight off a [[saveIvfIndex]] directory: no training jobs,
-    * no assignment pass — the cell equi-join + exact re-rank only.
-    * Row-identical to [[knnIvf]] at the same nprobe (q129 is gated
-    * against q47's exact oracle). */
+    * no assignment pass — the cell equi-join + exact re-rank only, and
+    * on an r11 bucketed index not even an Exchange (the scan satisfies
+    * the join's distribution on both sides; plan-gated in
+    * SimilaritySpec). Row-identical to [[knnIvf]] at the same nprobe
+    * (q129 is gated against q47's exact oracle); `memberCap` bounds hot
+    * cells exactly as [[knnIvfCapped]] does on the from-scratch path
+    * (q303 gates it against q296's oracle). */
   def knnIvfPersisted(spark: SparkSession, indexDir: String, k: Int,
-      nprobe: Int = IvfNprobe): DataFrame =
-    topkPairs(ivfScoredPairs(spark, indexDir, nprobe), k)
+      nprobe: Int = IvfNprobe, memberCap: Int = Int.MaxValue): DataFrame =
+    topkPairs(ivfScoredPairs(spark, indexDir, nprobe, memberCap), k)
 
   /** Top-k over an explicit assignments frame — the query surface of a
     * STREAMED index ([[graft.streaming.IndexStream]]): row-identical to
     * [[knnIvfPersisted]] on the equivalent batch-appended index, because
     * assignment is per-vector (the q170 invariant). */
   private[graft] def knnIvfOnAssignments(spark: SparkSession, ranked: DataFrame,
-      k: Int, nprobe: Int = IvfNprobe): DataFrame =
-    topkPairs(ivfScoredPairsOn(spark, ranked, nprobe), k)
+      k: Int, nprobe: Int = IvfNprobe,
+      memberCap: Int = Int.MaxValue): DataFrame =
+    topkPairs(ivfScoredPairsOn(spark, ranked, nprobe, memberCap), k)
 
   /** [[saveIvfIndex]] from an EXPLICIT quantized frame (vec_id, qv,
     * nrm) — the index-over-a-subset path q170 builds its incremental
@@ -807,8 +902,7 @@ object Similarity {
     val k = ivfCentroidsFor(qc.count())
     val cents = centroidFrame(spark, kmeansCentroidSeq(qc, k, KmeansIters))
     cents.write.mode("overwrite").parquet(s"$indexDir/centroids")
-    assignCells(qc, cents, nprobe).write.mode("overwrite")
-      .parquet(s"$indexDir/assignments")
+    writeAssignmentsBucketed(spark, assignCells(qc, cents, nprobe), indexDir)
   }
 
   /** Incremental index maintenance (q170): assign NEW vectors against
@@ -824,8 +918,15 @@ object Similarity {
   def appendToIvfIndex(spark: SparkSession, indexDir: String,
       newQ: DataFrame, nprobe: Int = IvfNprobe): Unit = {
     val cents = spark.read.parquet(s"$indexDir/centroids")
-    assignCells(newQ.select("vec_id", "qv", "nrm"), cents, nprobe)
-      .write.mode("append").parquet(s"$indexDir/assignments")
+    val asg = assignCells(newQ.select("vec_id", "qv", "nrm"), cents, nprobe)
+    if (looksBucketed(spark, s"$indexDir/assignments")) {
+      assignmentsRead(spark, indexDir) // ensures the table is registered
+      asg.repartition(IvfIndexBuckets, col("cent_id"))
+        .write.mode("append").format("parquet")
+        .bucketBy(IvfIndexBuckets, "cent_id").sortBy("cent_id")
+        .saveAsTable(ivfTableName(indexDir))
+    } else
+      asg.write.mode("append").parquet(s"$indexDir/assignments")
   }
 
   /** IVF cell-occupancy audit (q171): per home cell, member count and
@@ -838,8 +939,8 @@ object Similarity {
     * the ratio climbs. One cell-keyed rollup of the assignments table +
     * a broadcast scalar summary — never touches vectors. */
   def ivfCellOccupancy(spark: SparkSession, indexDir: String): DataFrame = {
-    val mem = spark.read.parquet(s"$indexDir/assignments")
-      .filter(col("rn") === 1)
+    val mem = assignmentsRead(spark, indexDir) // bucketed: the cell rollup
+      .filter(col("rn") === 1)                 // partial-aggs in place
     val cells = mem.groupBy("cent_id").agg(count(lit(1)).as("n_vecs"))
     val summary = cells.agg(max("n_vecs").as("max_vecs"),
       sum("n_vecs").as("n_total"), count(lit(1)).as("n_cells"))
@@ -2821,6 +2922,15 @@ object Similarity {
     QueryDef("q298_ivf_capped_recall",
       (s, d) => ivfCappedRecallCurve(s, d),
       Some(ivfCappedRecallCurveSql())),
+
+    // r11: the q296 cap on the PRODUCTION index path — the persisted
+    // index's cell join bounded per cell. Same oracle as q296: the
+    // persisted index answers identically to the freshly built one
+    // (the q129 invariant), capped or not.
+    QueryDef("q303_knn_ivf_persisted_capped",
+      (s, d) => knnIvfPersisted(s, persistedIvfIndexDir(s, d), 3,
+        memberCap = IvfMemberCap),
+      Some(knnIvfCappedOracleSql(IvfMemberCap))),
 
     QueryDef("q107_cluster_profile",
       (s, d) => clusterProfile(s, d),

@@ -37,7 +37,14 @@ object QueryDef {
     // bounded k-entry buffers. 1M keys × a ≤k-entry buffer (~300 B) is
     // ~300 MB per task — comfortably in-heap at the shipped executor
     // sizing, and the sort fallback still guards truly unbounded key
-    // spaces above it. */
+    // spaces above it.
+    // BUFFER-SIZE ASSUMPTION (r10 ADVICE): the ~300 B/key sizing is
+    // TopKSim's (k≤3 entries). A KmvSketch buffer at k=256 is ~2 KB, so
+    // a KMV rollup over a 1M-cardinality key would hold ~2 GB per task
+    // before falling back — every SHIPPED KMV rollup groups by
+    // column/FD label (cardinality ≤ 10), far under the threshold, but
+    // a new high-cardinality sketch rollup must either lower this conf
+    // for its session or accept the heap math. */
     spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
       (1 << 20).toString)
   }

@@ -173,6 +173,12 @@ object CorpusStream {
     writer.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val spark = batch.sparkSession
       graft.functions.GraftFunctions.register(spark)
+      if (batchId < StreamState.horizon(spark, s"$stateDir/bands")) {
+        // replay of an already-COMPACTED batch: its state rows live in
+        // the base generation and readers ignore its partition — skip
+        // the wasted rewrite entirely (StreamState's no-op contract)
+        ()
+      } else {
       val b = batch.persist()
       // Collapse byte-identical copies to their min-id representative
       // BEFORE shingling (the q125/q52 discipline inside every
@@ -200,8 +206,8 @@ object CorpusStream {
         // no grams/ — that partial state is by construction empty after
         // batch_id pruning, so a missing table means "no admitted state",
         // never an error (replay-idempotence would otherwise wedge here).
-        val dropped = (readState(spark, s"$stateDir/bands", batchId),
-            readState(spark, s"$stateDir/grams", batchId)) match {
+        val dropped = (StreamState.read(spark, s"$stateDir/bands", batchId),
+            StreamState.read(spark, s"$stateDir/grams", batchId)) match {
           case (Some(stBands), Some(stGrams)) =>
             bands.join(stBands.select("bkey", "rep_id"), "bkey")
               .select("doc_id", "rep_id").distinct()
@@ -227,64 +233,42 @@ object CorpusStream {
             .write.mode("overwrite").parquet(s"$stateDir/grams/batch_id=$batchId")
         } finally { admitted.unpersist(); () }
       } finally { reps0.unpersist(); b.unpersist(); () }
+      }
     }.start()
   }
 
-  /** Compact the near-dedup state: rewrite every `batch_id < upToBatch`
-    * partition of both state tables into the single newest retained
-    * partition (`batch_id = upToBatch - 1`). Admission semantics are
-    * untouched — the per-batch readers only ever ask `batch_id <
-    * current`, and every retained row keeps satisfying that predicate
-    * for all future batches; a many-small-partitions state (one pair of
-    * directories per micro-batch) becomes one partition to list and
-    * scan. Call it between batches (e.g. from a maintenance window)
-    * with `upToBatch` ≤ the last COMMITTED batch id + 1 — a batch that
-    * could still replay must stay above the compaction horizon, since
-    * its `batch_id < N` prune must keep excluding its own writes.
-    *
-    * Crash-tolerant by ordering, not locking: compacted rows are
-    * APPENDED into the destination partition first, and the superseded
-    * files/partitions deleted after. A crash in between leaves some
-    * state rows present twice, which the admission joins tolerate by
-    * construction (band candidates and verified drops are `.distinct()`
-    * — re-running compactState converges). */
+  /** Compact the near-dedup state (bands + grams) up to `upToBatch` —
+    * [[StreamState.compact]] per table, identity merge (both tables are
+    * row-per-fact: a band key claim, a rep's shingle set). Admission
+    * semantics untouched: readers resolve the base generation plus live
+    * partitions, and a replayed compacted batch is a no-op (its
+    * partition is below the horizon — ignored on read, skipped on
+    * write). Call between batches with `upToBatch` ≤ last COMMITTED
+    * batch id + 1. */
   def compactState(spark: org.apache.spark.sql.SparkSession, stateDir: String,
-      upToBatch: Long): Unit = {
-    require(upToBatch > 0, s"upToBatch must be positive, got $upToBatch")
-    val keep = upToBatch - 1
+      upToBatch: Long): Unit =
     Seq("bands", "grams").foreach { tbl =>
-      val dir = new org.apache.hadoop.fs.Path(s"$stateDir/$tbl")
-      val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(dir)) {
-        val parts = fs.listStatus(dir).filter(_.isDirectory)
-          .map(_.getPath).filter(_.getName.startsWith("batch_id="))
-        val old = parts.filter(_.getName.stripPrefix("batch_id=").toLong < keep)
-        if (old.nonEmpty) {
-          val dest = new org.apache.hadoop.fs.Path(dir, s"batch_id=$keep")
-          val preexisting =
-            if (fs.exists(dest)) fs.listStatus(dest).map(_.getPath) else Array.empty[org.apache.hadoop.fs.Path]
-          fs.mkdirs(dest)
-          // data columns only: batch_id is the partition directory
-          spark.read.parquet(dir.toString)
-            .filter(col("batch_id") < upToBatch).drop("batch_id")
-            .coalesce(1)
-            .write.mode("append").parquet(dest.toString)
-          old.foreach(p => fs.delete(p, true))
-          preexisting.foreach(p => fs.delete(p, false))
-        }
-      }
+      StreamState.compact(spark, s"$stateDir/$tbl", upToBatch)
     }
-  }
 
-  /** Read a batch-id-partitioned state table, pruned to batches BEFORE
-    * `current` (a replayed batch must not join against its own partial
-    * writes). None until the first batch materializes the directory. */
-  private def readState(spark: org.apache.spark.sql.SparkSession,
-      dir: String, current: Long): Option[DataFrame] =
-    try {
-      val df = spark.read.parquet(dir).filter(col("batch_id") < current)
-      df.schema; Some(df)
-    } catch { case _: org.apache.spark.sql.AnalysisException => None }
+  /** Compact the chunk-index state up to `upToBatch`: the per-batch
+    * (source, fp, n, nd) partials are SUMS, so the merge re-aggregates
+    * — the base generation holds one row per distinct (source, fp)
+    * regardless of how many batches contributed, which also caps the
+    * state's ROW growth, not just its partition count. */
+  def compactChunkIndex(spark: org.apache.spark.sql.SparkSession,
+      stateDir: String, upToBatch: Long): Unit =
+    StreamState.compact(spark, stateDir, upToBatch,
+      _.groupBy("source", "fp").agg(sum("n").as("n"), sum("nd").as("nd")))
+
+  /** Compact the KMV vocabulary state up to `upToBatch`: the merge is
+    * the KMV union-trim itself (k smallest distinct hashes), so the
+    * base generation is always EXACTLY one sketch — ≤ k rows — no
+    * matter how many batches folded in. */
+  def compactKmv(spark: org.apache.spark.sql.SparkSession, stateDir: String,
+      upToBatch: Long, k: Int = Corpus.KmvK): Unit =
+    StreamState.compact(spark, stateDir, upToBatch,
+      _.select("h").distinct().orderBy("h").limit(k))
 
   /** Live dataset card: q105's per-source report as a streaming
     * aggregate (complete/update mode) — document volume, token volume,
@@ -337,8 +321,9 @@ object CorpusStream {
     val writer = docs.writeStream.option("checkpointLocation", checkpointDir)
     trigger.foreach(writer.trigger)
     writer.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      graft.ops.Chunking.chunkFps(batch)
-        .write.mode("overwrite").parquet(s"$stateDir/batch_id=$batchId")
+      if (batchId >= StreamState.horizon(batch.sparkSession, stateDir))
+        graft.ops.Chunking.chunkFps(batch)
+          .write.mode("overwrite").parquet(s"$stateDir/batch_id=$batchId")
       ()
     }.start()
   }
@@ -352,7 +337,8 @@ object CorpusStream {
   def liveChunkDupCard(spark: org.apache.spark.sql.SparkSession,
       stateDir: String): DataFrame =
     graft.ops.Chunking.dupCardRollup(
-      spark.read.parquet(stateDir)
+      StreamState.read(spark, stateDir)
+        .getOrElse(sys.error(s"no chunk-index state at $stateDir"))
         .groupBy("source", "fp")
         .agg(sum("n").as("n"), sum("nd").as("nd")))
 
@@ -381,10 +367,11 @@ object CorpusStream {
     val writer = docs.writeStream.option("checkpointLocation", checkpointDir)
     trigger.foreach(writer.trigger)
     writer.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      batch.select(explode(split(col("text"), " ")).as("term"))
-        .select(expr("CAST(conv(substr(md5(term), 1, 15), 16, 10) AS BIGINT)").as("h"))
-        .distinct().orderBy("h").limit(k)
-        .write.mode("overwrite").parquet(s"$stateDir/batch_id=$batchId")
+      if (batchId >= StreamState.horizon(batch.sparkSession, stateDir))
+        batch.select(explode(split(col("text"), " ")).as("term"))
+          .select(expr("CAST(conv(substr(md5(term), 1, 15), 16, 10) AS BIGINT)").as("h"))
+          .distinct().orderBy("h").limit(k)
+          .write.mode("overwrite").parquet(s"$stateDir/batch_id=$batchId")
       ()
     }.start()
   }
@@ -394,7 +381,9 @@ object CorpusStream {
     * arithmetic (exact integers; n_kept < k means exact count). */
   def kmvLive(spark: org.apache.spark.sql.SparkSession, stateDir: String,
       k: Int = Corpus.KmvK): DataFrame =
-    spark.read.parquet(stateDir).select("h").distinct()
+    StreamState.read(spark, stateDir)
+      .getOrElse(sys.error(s"no KMV state at $stateDir"))
+      .select("h").distinct()
       .orderBy("h").limit(k)
       .agg(count(lit(1)).as("n_kept"), max("h").as("kth_hash"))
       .withColumn("est", expr(

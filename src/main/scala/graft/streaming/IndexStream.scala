@@ -41,28 +41,50 @@ object IndexStream {
     writer.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val spark = batch.sparkSession
       graft.functions.GraftFunctions.register(spark)
-      val cents = spark.read.parquet(s"$indexDir/centroids")
-      Similarity.assignCells(batch.select("vec_id", "qv", "nrm"), cents, nprobe)
-        .write.mode("overwrite")
-        .parquet(s"$indexDir/appends/batch_id=$batchId")
+      if (batchId >= StreamState.horizon(spark, s"$indexDir/appends")) {
+        val cents = spark.read.parquet(s"$indexDir/centroids")
+        Similarity.assignCells(batch.select("vec_id", "qv", "nrm"), cents, nprobe)
+          .write.mode("overwrite")
+          .parquet(s"$indexDir/appends/batch_id=$batchId")
+      }
+      ()
     }.start()
   }
 
+  /** Compact the streamed appends up to `upToBatch` —
+    * [[StreamState.compact]], identity merge (assignment rows are
+    * facts): thousands of per-trigger partitions become one base
+    * generation, so the live view's listing and scan stop growing with
+    * trigger count. Folding appends further into the BUCKETED base
+    * assignments table is deliberately a retrain-time operation
+    * ([[Similarity.saveIvfIndexOn]] over the union) — an in-place base
+    * append could double rows under a crash, while the generation swap
+    * is convergent. */
+  def compactAppends(spark: SparkSession, indexDir: String,
+      upToBatch: Long): Unit =
+    StreamState.compact(spark, s"$indexDir/appends", upToBatch)
+
   /** The live assignments view of a streamed index: the base table plus
-    * every streamed append partition. None-append indexes read as plain
-    * persisted ones (the appends directory may not exist yet). */
+    * every streamed append (base generation ∪ live partitions). None-
+    * append indexes read as plain persisted ones (the appends directory
+    * may not exist yet). */
   def assignments(spark: SparkSession, indexDir: String): DataFrame = {
-    val base = spark.read.parquet(s"$indexDir/assignments")
-    try {
-      val app = spark.read.parquet(s"$indexDir/appends").drop("batch_id")
-      app.schema // force resolution
-      base.unionByName(app)
-    } catch { case _: org.apache.spark.sql.AnalysisException => base }
+    val base = Similarity.assignmentsRead(spark, indexDir)
+    StreamState.read(spark, s"$indexDir/appends") match {
+      case Some(app) => base.unionByName(app)
+      case None => base
+    }
   }
 
   /** Top-k neighbors off the live view — [[Similarity.knnIvfPersisted]]
-    * for a streamed index. */
+    * for a streamed index. `memberCap` (r11): the q296 per-cell bound,
+    * available on the STREAMED query surface too — a drifting stream
+    * piles vectors into few cells (q171's signal), and the cap is what
+    * keeps a hot cell's candidate volume bounded until the operator
+    * retrains. */
   def knn(spark: SparkSession, indexDir: String, k: Int,
-      nprobe: Int = Similarity.IvfNprobe): DataFrame =
-    Similarity.knnIvfOnAssignments(spark, assignments(spark, indexDir), k, nprobe)
+      nprobe: Int = Similarity.IvfNprobe,
+      memberCap: Int = Int.MaxValue): DataFrame =
+    Similarity.knnIvfOnAssignments(spark, assignments(spark, indexDir), k,
+      nprobe, memberCap)
 }

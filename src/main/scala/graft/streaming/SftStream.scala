@@ -47,7 +47,18 @@ object SftStream {
     * decontamination (any [[Conversations.BenchSpanWords]]-gram of an
     * assistant turn hitting the bloom drops the turn). One projection +
     * filter — shared verbatim by the stream and the batch twin, which
-    * is what makes streamed == batch provable rather than approximate. */
+    * is what makes streamed == batch provable rather than approximate.
+    *
+    * The gram probe is the fused
+    * [[graft.functions.AnyWordGramInBloom]] expression (r11 — VERDICT
+    * ask 5): admission runs on EVERY ingested turn forever, and the
+    * interpreted `exists(transform(sequence(...)))` HOF it replaces
+    * paid per-position slice/concat allocations plus a per-probe filter
+    * deserialization (SCALE.md lesson 2's shape — the r11 A/B measured
+    * the fused probe at 5.5x on the 100x corpus). Hash parity is exact
+    * (same gram bytes, same xxhash64 seed, same filter), so the
+    * no-false-negative contract and the streamed == batch lock are
+    * unchanged. */
   def gateTurns(turns: DataFrame, templates: Seq[String],
       bloom: Array[Byte], w: Int = Conversations.BenchSpanWords): DataFrame = {
     graft.functions.GraftFunctions.register(turns.sparkSession)
@@ -55,15 +66,8 @@ object SftStream {
     val stripped =
       if (templates.isEmpty) turns
       else turns.filter(!col("text").isInCollection(templates))
-    stripped
-      .withColumn("toks", split(col("text"), " "))
-      .filter(!(col("role") === "assistant" && expr(
-        s"""CASE WHEN size(toks) >= $w THEN
-              exists(transform(sequence(1, size(toks) - ${w - 1}),
-                  i -> xxhash64(concat_ws(' ', slice(toks, i, $w)))),
-                h -> might_contain(unbase64('$b64'), h))
-            ELSE false END""")))
-      .drop("toks")
+    stripped.filter(!(col("role") === "assistant" &&
+      expr(s"any_word_gram_in_bloom(text, $w, '$b64')")))
   }
 
   /** Batch twin of the full admission — parse, gate, then per (role,
@@ -91,7 +95,20 @@ object SftStream {
     * (role, fp) keys under `stateDir/turnfps/batch_id=N` — every write
     * mode=overwrite into its own batch dir (the [[CorpusStream]]
     * replay-idempotence discipline). State grows with the ADMITTED
-    * distinct-turn cardinality — two small columns, never text. */
+    * distinct-turn cardinality — two small columns, never text.
+    *
+    * FEED CONTRACT (r10 ADVICE — stated, not silently assumed): the
+    * streamed-equals-batch guarantee holds on a conv-id-ORDERED feed
+    * where doc_ids never recur across batches. On a feed that violates
+    * either (out-of-order arrival, upstream re-delivery under a new
+    * batch), admission degrades to FIRST-ARRIVAL-WINS per (role, fp):
+    * the admitted TEXT per fingerprint is byte-identical either way (fp
+    * = md5(text)), only the representative (conv_id, turn_idx) labels
+    * can differ from [[admitBatch]]'s struct-minimum election. Exactly-
+    * once replay of the SAME batch stays safe unconditionally (the
+    * batch_id < N prune). Deployments needing provable struct-minimum
+    * representatives under a disordered feed should run the batch twin
+    * over the landed shards as reconciliation. */
   def ingestToShards(docs: DataFrame, templates: Seq[String],
       bloom: Array[Byte], stateDir: String, outDir: String,
       checkpointDir: String, trigger: Option[Trigger] = None): StreamingQuery = {
@@ -99,9 +116,14 @@ object SftStream {
     trigger.foreach(writer.trigger)
     writer.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val spark = batch.sparkSession
+      if (batchId < StreamState.horizon(spark, s"$stateDir/turnfps")) {
+        // replay of a compacted batch — state and shards already carry
+        // it; writing again would re-admit against a pruned state view
+        ()
+      } else {
       val gated = gateTurns(Conversations.chatTurns(batch), templates, bloom)
         .withColumn("fp", md5(col("text")))
-      val fresh = readState(spark, s"$stateDir/turnfps", batchId) match {
+      val fresh = StreamState.read(spark, s"$stateDir/turnfps", batchId) match {
         case Some(st) =>
           gated.join(st.select("role", "fp"), Seq("role", "fp"), "left_anti")
         case None => gated
@@ -117,8 +139,20 @@ object SftStream {
       admitted.select("role", "fp")
         .write.mode("overwrite").parquet(s"$stateDir/turnfps/batch_id=$batchId")
       ()
+      }
     }.start()
   }
+
+  /** Compact the admitted-turn fingerprint state up to `upToBatch` —
+    * [[StreamState.compact]] with a DISTINCT merge ((role, fp) is a set
+    * membership fact; distinct also sheds any crash-window garbage).
+    * The admission left-anti join and the replay no-op guard read
+    * through [[StreamState]], so behavior is unchanged while the
+    * partition count drops from one-per-batch to base + recent. */
+  def compactState(spark: SparkSession, stateDir: String,
+      upToBatch: Long): Unit =
+    StreamState.compact(spark, s"$stateDir/turnfps", upToBatch,
+      _.select("role", "fp").distinct())
 
   /** Live role-balance card over everything admitted so far — batch
     * q255's own rollup ([[Conversations.roleBalanceOnTurns]]) on the
@@ -127,12 +161,4 @@ object SftStream {
     Conversations.roleBalanceOnTurns(
       spark.read.parquet(outDir).select("conv_id", "turn_idx", "role", "text"))
 
-  /** Batch-id-pruned state read ([[CorpusStream]]'s reader, same
-    * contract): None until the first batch materializes the table. */
-  private def readState(spark: SparkSession, dir: String,
-      current: Long): Option[DataFrame] =
-    try {
-      val df = spark.read.parquet(dir).filter(col("batch_id") < current)
-      df.schema; Some(df)
-    } catch { case _: org.apache.spark.sql.AnalysisException => None }
 }

@@ -49,6 +49,38 @@ class GraftFunctionsSpec extends AnyFunSuite {
     fast.zip(slow).foreach { case (f, s) => assert(f == s) }
   }
 
+  test("any_word_gram_in_bloom == exists(transform(sequence, " +
+      "xxhash64(concat_ws(slice)))) might_contain twin") {
+    GraftFunctions.register(spark)
+    import org.apache.spark.sql.functions.{col, expr}
+    val w = graft.ops.Conversations.BenchSpanWords
+    val bloom = graft.streaming.SftStream.benchBloomBytes(spark)
+    val b64 = java.util.Base64.getEncoder.encodeToString(bloom)
+    // real corpus + adversarial fixtures: doubled spaces (empty tokens),
+    // leading/trailing spaces, short texts, a planted benchmark passage
+    val planted = graft.ops.Conversations.BenchPassages.head
+    val fixtures = spark.createDataFrame(Seq(
+      (-1L, s"prefix words $planted suffix words"),
+      (-2L, "too short"),
+      (-3L, "a  doubled  space text that is long enough for a gram here ok"),
+      (-4L, s" leading space $planted"),
+      (-5L, ""))).toDF("doc_id", "text")
+    val docs = t(spark, dir, "documents").select("doc_id", "text")
+      .unionByName(fixtures)
+    val both = docs
+      .withColumn("fast", expr(s"any_word_gram_in_bloom(text, $w, '$b64')"))
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("slow", expr(
+        s"""CASE WHEN size(toks) >= $w THEN
+              exists(transform(sequence(1, size(toks) - ${w - 1}),
+                  i -> xxhash64(concat_ws(' ', slice(toks, i, $w)))),
+                h -> might_contain(unbase64('$b64'), h))
+            ELSE false END"""))
+    assert(both.filter(col("fast") =!= col("slow")).count() == 0)
+    assert(both.filter(col("fast")).count() >= 2, "planted passages must hit")
+    assert(both.count() > 5)
+  }
+
   test("quantized_dot null semantics match the zip_with spec") {
     GraftFunctions.register(spark)
     import spark.implicits._

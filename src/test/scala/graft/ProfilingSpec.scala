@@ -111,6 +111,55 @@ class ProfilingSpec extends AnyFunSuite {
     }
   }
 
+  test("r11 gated HLL cards: every engine-side tolerance verdict is TRUE " +
+      "on the shipped corpus (the driver-recordable form of the lock above)") {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    Profiling.columnProfileHllGated(li).collect().foreach { r =>
+      assert(r.getAs[Boolean]("ndv_in_tol"),
+        s"${r.getAs[String]("col_name")}: HLL NDV drifted out of 4-sigma")
+    }
+    val exactFd = Profiling.fdAudit(spark, dir).collect()
+      .map(r => r.getAs[String]("fd") -> r.getAs[Boolean]("holds")).toMap
+    Profiling.fdAuditHllGated(spark, dir).collect().foreach { r =>
+      val fd = r.getAs[String]("fd")
+      assert(r.getAs[Boolean]("keys_in_tol"), s"$fd: keys estimate out of band")
+      assert(r.getAs[Boolean]("pairs_in_tol"), s"$fd: pairs estimate out of band")
+      assert(r.getAs[Boolean]("holds_est") == exactFd(fd),
+        s"$fd: gated verdict must match the exact audit")
+    }
+  }
+
+  test("FD pair fingerprint is collision-free on separator-bearing keys " +
+      "(('a|b','c') vs ('a','b|c') — the r10 ADVICE fixture)") {
+    import spark.implicits._
+    val df = Seq(("a|b", "c"), ("a", "b|c")).toDF("l", "r")
+    df.createOrReplaceTempView("fp_fx")
+    // the HLL pair input: 2 distinct fingerprints, never 1
+    val n = df.select(expr(
+      "concat(CAST(length(CAST(l AS STRING)) AS STRING), ':', " +
+        "CAST(l AS STRING), '|', CAST(r AS STRING))").as("fp"))
+      .distinct().count()
+    assert(n == 2, "length prefix must separate the colliding pair")
+  }
+
+  test("degenerate FD table (all-NULL lhs): est excess reads 0 / holds, " +
+      "never a NULL three-valued verdict (the r10 ADVICE div-zero guard)") {
+    import spark.implicits._
+    val df = Seq[(java.lang.Long, java.lang.Long)]((null, 1L), (null, 2L))
+      .toDF("l", "r")
+    val kmv = graft.functions.KmvSketch.sketch(256)
+    val est = df.select(
+        expr("CAST(conv(substr(md5(CAST(l AS STRING)), 1, 15), 16, 10) AS BIGINT)").as("hl"))
+      .agg(kmv(col("hl")).as("skl"))
+      .select(size(col("skl")).cast("long").as("n_keys_est"))
+      .withColumn("excess_micro", expr(
+        "CASE WHEN n_keys_est = 0 THEN CAST(0 AS BIGINT) ELSE " +
+          "CAST((CAST(1 AS DECIMAL(38,0)) * 1000000) div n_keys_est AS BIGINT) END"))
+      .collect()(0)
+    assert(est.getAs[Long]("n_keys_est") == 0L)
+    assert(est.getAs[Long]("excess_micro") == 0L, "guarded division must yield 0")
+  }
+
   test("KMV sketches skip NULL hashes (null-bearing FD fixture, both twins)") {
     import spark.implicits._
     val df = Seq[(java.lang.Long, java.lang.Long)](

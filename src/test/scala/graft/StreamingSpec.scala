@@ -717,8 +717,9 @@ class StreamingSpec extends AnyFunSuite {
       q.processAllAvailable() // batch 0 admits 1
       mem.addData((3L, "s", doc("c")))
       q.processAllAvailable() // batch 1 admits 3
-      def stateSet(tbl: String) = spark.read.parquet(s"$state/$tbl")
-        .drop("batch_id").collect().map(_.toString).sorted.toSeq
+      def stateSet(tbl: String) = graft.streaming.StreamState
+        .read(spark, s"$state/$tbl").get
+        .collect().map(_.toString).sorted.toSeq
       val bandsBefore = stateSet("bands")
       val gramsBefore = stateSet("grams")
       CorpusStream.compactState(spark, state, 2)
@@ -726,10 +727,12 @@ class StreamingSpec extends AnyFunSuite {
       assert(stateSet("grams") == gramsBefore, "compaction changed the grams rows")
       def partsOf(tbl: String) = new java.io.File(s"$state/$tbl").listFiles()
         .filter(_.isDirectory).map(_.getName).sorted.toSeq
-      assert(partsOf("bands") == Seq("batch_id=1"), s"bands parts: ${partsOf("bands")}")
-      assert(partsOf("grams") == Seq("batch_id=1"), s"grams parts: ${partsOf("grams")}")
+      // both batches folded into the generation — no live partitions left
+      assert(partsOf("bands") == Seq("base"), s"bands parts: ${partsOf("bands")}")
+      assert(partsOf("grams") == Seq("base"), s"grams parts: ${partsOf("grams")}")
+      assert(graft.streaming.StreamState.horizon(spark, s"$state/bands") == 2L)
       CorpusStream.compactState(spark, state, 2) // idempotent
-      assert(stateSet("bands") == bandsBefore && partsOf("bands") == Seq("batch_id=1"))
+      assert(stateSet("bands") == bandsBefore && partsOf("bands") == Seq("base"))
       // the stream continues over the compacted state: near-dups of BOTH
       // pre-compaction admits still drop, fresh content still admits
       mem.addData((4L, "s", nearDup("a")), (5L, "s", nearDup("c")), (6L, "s", doc("f")))
@@ -1412,5 +1415,173 @@ class StreamingSpec extends AnyFunSuite {
     assert(landed().size < raw, "admission must drop boilerplate mass")
     run(Files.createTempDirectory("sft-ckpt2").toString)
     assert(landed() == wantTurns, "replay must be a no-op")
+  }
+
+  test("chunk index compaction: card identical, partitions bounded, " +
+      "replay of compacted batches is a no-op") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    import graft.streaming.{CorpusStream, StreamState}
+    val dir = "/root/testdata/sf0.001"
+    val docsDf = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "source", "text", "n_chars")
+    val docs = docsDf.as[(Long, String, String, Long)].collect().sortBy(_._1)
+    val (a, rest) = docs.splitAt(docs.length / 3)
+    val (b, c) = rest.splitAt(rest.length / 2)
+    val want = graft.ops.Chunking.chunkDupCard(docsDf).collect().map(_.toSeq).toSet
+    val state = Files.createTempDirectory("chunkcmp-state").toString
+    def card() = CorpusStream.liveChunkDupCard(spark, state)
+      .collect().map(_.toSeq).toSet
+    val mem = MemoryStream[(Long, String, String, Long)]
+    val q = CorpusStream.chunkIndexStream(
+      mem.toDF().toDF("doc_id", "source", "text", "n_chars"), state,
+      Files.createTempDirectory("chunkcmp-ckpt").toString)
+    try {
+      mem.addData(a.toSeq: _*); q.processAllAvailable() // batch 0
+      mem.addData(b.toSeq: _*); q.processAllAvailable() // batch 1
+      val mid = card()
+      CorpusStream.compactChunkIndex(spark, state, 2)
+      assert(card() == mid, "compaction changed the live card")
+      assert(StreamState.horizon(spark, state) == 2L)
+      def parts() = new java.io.File(state).listFiles()
+        .filter(_.isDirectory).map(_.getName).sorted.toSeq
+      assert(parts() == Seq("base"), s"parts: ${parts().toList}")
+      // the re-aggregating merge bounds ROWS too: one per (source, fp)
+      val baseRows = spark.read.parquet(s"$state/base/gen=2")
+      assert(baseRows.count() ==
+        baseRows.select("source", "fp").distinct().count())
+      mem.addData(c.toSeq: _*); q.processAllAvailable() // batch 2, live
+      assert(card() == want, "post-compaction ingest diverged from batch q276")
+    } finally q.stop()
+    // replay from a fresh checkpoint renumbers from 0 — batches 0 and 1
+    // are BELOW the horizon (compacted): the write guard skips them, the
+    // reader would ignore them regardless; batch 2 overwrites itself
+    val mem2 = MemoryStream[(Long, String, String, Long)]
+    val q2 = CorpusStream.chunkIndexStream(
+      mem2.toDF().toDF("doc_id", "source", "text", "n_chars"), state,
+      Files.createTempDirectory("chunkcmp-ckpt2").toString)
+    try {
+      mem2.addData(a.toSeq: _*); q2.processAllAvailable()
+      mem2.addData(b.toSeq: _*); q2.processAllAvailable()
+      mem2.addData(c.toSeq: _*); q2.processAllAvailable()
+    } finally q2.stop()
+    assert(card() == want, "replay over compacted state must be a no-op")
+    assert(new java.io.File(state).listFiles().filter(_.isDirectory)
+      .map(_.getName).sorted.toSeq == Seq("base", "batch_id=2"),
+      "compacted batches must not re-materialize partitions")
+  }
+
+  test("KMV state compaction: estimate identical, base is one <=k-row sketch") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    import graft.streaming.{CorpusStream, StreamState}
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect().sortBy(_._1)
+    val (a, b) = docs.splitAt(docs.length / 2)
+    val k = 64
+    val state = Files.createTempDirectory("kmvcmp-state").toString
+    val mem = MemoryStream[(Long, String)]
+    val q = CorpusStream.kmvStream(mem.toDF().toDF("doc_id", "text"), state,
+      Files.createTempDirectory("kmvcmp-ckpt").toString, k)
+    def est() = CorpusStream.kmvLive(spark, state, k).collect()(0).toSeq
+    try {
+      mem.addData(a.toSeq: _*); q.processAllAvailable()
+      val est0 = est()
+      CorpusStream.compactKmv(spark, state, 1, k)
+      assert(est() == est0, "compaction changed the estimate")
+      assert(spark.read.parquet(s"$state/base/gen=1").count() <= k,
+        "the KMV merge must trim the base to one sketch")
+      mem.addData(b.toSeq: _*); q.processAllAvailable() // live batch 1
+      val estAll = est()
+      CorpusStream.compactKmv(spark, state, 2, k)
+      assert(est() == estAll, "second compaction changed the estimate")
+      assert(StreamState.horizon(spark, state) == 2L)
+    } finally q.stop()
+  }
+
+  test("SFT state compaction: compacted fingerprints still gate admission; " +
+      "re-sent duplicate turns stay dropped") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    import graft.streaming.{SftStream, StreamState}
+    val dir = "/root/testdata/sf0.001"
+    val docsDf = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "source", "text")
+    val docs = docsDf.select("doc_id", "text").as[(Long, String)]
+      .collect().sortBy(_._1)
+    val (a, b) = docs.splitAt(docs.length / 2)
+    val bloom = SftStream.benchBloomBytes(spark)
+    val templates = graft.ops.Conversations.turnTemplates(docsDf)
+      .select("text").as[String].collect().toSeq
+    val wantTurns = SftStream.admitBatch(docsDf, templates, bloom)
+      .collect().map(_.toSeq).toSet
+    val state = Files.createTempDirectory("sftcmp-state").toString
+    val out = Files.createTempDirectory("sftcmp-out").toString
+    def landed() = spark.read.parquet(out)
+      .select("conv_id", "turn_idx", "role", "text")
+      .collect().map(_.toSeq).toSet
+    val mem = MemoryStream[(Long, String)]
+    val q = SftStream.ingestToShards(
+      mem.toDF().toDF("doc_id", "text"), templates, bloom, state, out,
+      Files.createTempDirectory("sftcmp-ckpt").toString)
+    try {
+      mem.addData(a.toSeq: _*); q.processAllAvailable() // batch 0
+      mem.addData(b.toSeq: _*); q.processAllAvailable() // batch 1
+      assert(landed() == wantTurns)
+      SftStream.compactState(spark, state, 2)
+      assert(StreamState.horizon(spark, s"$state/turnfps") == 2L)
+      assert(new java.io.File(s"$state/turnfps").listFiles()
+        .filter(_.isDirectory).map(_.getName).sorted.toSeq == Seq("base"))
+      // batch 2: a batch-0 document re-sent under a fresh doc_id — every
+      // turn's (role, fp) already lives in the COMPACTED base, so
+      // nothing may re-admit
+      mem.addData(a.take(3).map { case (id, t) => (id + 1000000L, t) }.toSeq: _*)
+      q.processAllAvailable()
+      assert(landed() == wantTurns,
+        "compacted fingerprints failed to gate a re-sent duplicate")
+    } finally q.stop()
+  }
+
+  test("IVF append compaction: knn identical, appends collapse to one " +
+      "generation, replayed compacted appends are no-ops") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    import graft.ops.Similarity
+    import graft.streaming.{IndexStream, StreamState}
+    val dir = "/root/testdata/sf0.001"
+    val q = Similarity.quantized(spark, dir).select("vec_id", "qv", "nrm")
+    val odd = q.filter(expr("vec_id % 2 = 1"))
+      .as[(Long, Seq[Long], Long)].collect().sortBy(_._1)
+    val (oddA, oddB) = odd.splitAt(odd.length / 2)
+    def freshDir(p: String) = Files.createTempDirectory(p).toString
+    val idx = freshDir("ivfcmp")
+    Similarity.saveIvfIndexOn(spark, q.filter(expr("vec_id % 2 = 0")), idx)
+    def runStream(ckpt: String): Unit = {
+      val mem = MemoryStream[(Long, Seq[Long], Long)]
+      val sq = IndexStream.appendStream(
+        mem.toDF().toDF("vec_id", "qv", "nrm"), idx, ckpt)
+      try {
+        mem.addData(oddA.toSeq: _*); sq.processAllAvailable()
+        mem.addData(oddB.toSeq: _*); sq.processAllAvailable()
+      } finally sq.stop()
+    }
+    runStream(freshDir("ivfcmp-ckpt"))
+    def knnRows() = IndexStream.knn(spark, idx, 3).collect().map(_.toSeq).toSet
+    val want = knnRows()
+    val nRows = IndexStream.assignments(spark, idx).count()
+    IndexStream.compactAppends(spark, idx, 2)
+    assert(StreamState.horizon(spark, s"$idx/appends") == 2L)
+    assert(new java.io.File(s"$idx/appends").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted.toSeq == Seq("base"))
+    assert(IndexStream.assignments(spark, idx).count() == nRows)
+    assert(knnRows() == want, "compaction changed a knn answer")
+    // replay after compaction: both batches are below the horizon — the
+    // guard skips the writes, the index stays byte-identical
+    runStream(freshDir("ivfcmp-ckpt2"))
+    assert(IndexStream.assignments(spark, idx).count() == nRows,
+      "replayed compacted appends must not grow the index")
+    assert(knnRows() == want)
+    SessionHygiene.clear(spark)
   }
 }
