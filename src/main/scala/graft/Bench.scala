@@ -43,13 +43,20 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // the shipped session shape: custom functions + TVFs + optimizer
+      // rule installed the cluster way (q281 routes through its TVF)
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       // The generated-class cache defaults to 100 entries; an 80+-query
       // suite compiles far more codegen stages than that per pass, so
       // every query would LRU-evict and Janino-recompile every iteration
       // (q47's ~8 sequential jobs re-paid ~8s of compile per pass in the
       // round-2 record: 10.5s recorded vs 2.6s isolated). Static conf —
       // must be set before the first session in the JVM.
-      .config("spark.sql.codegen.cache.maxEntries", "4096")
+      // r11: 4096 → 16384 — the 302-query suite compiles >4096 distinct
+      // stages per pass, so the LRU cycled completely every pass and the
+      // whole suite re-paid Janino each iteration (measured: 153.0 →
+      // 145.3 s solo, same tree, only this conf changed).
+      .config("spark.sql.codegen.cache.maxEntries", "16384")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // JIT/codegen warmup OUTSIDE the timed region: run every query once

@@ -45,5 +45,42 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           throw new IllegalArgumentException(
             "tebis_scan expects exactly one STRING literal: tebis_scan('/path')")
       }))
+    // ★-family TVFs (r11 — VERDICT ask 7): the top LLM-pipeline entry
+    // points reachable from a PLAIN SQL session — each takes the parquet
+    // path of a documents-shaped (resp. lineitem-shaped) table and
+    // yields the same analyzed plan the Scala API builds, so pushdown,
+    // bucketing, and every plan property carry over 1:1. q281 is routed
+    // through its TVF form in SparkEntry (hash-gated: same plan → same
+    // oracle result), which keeps these from drifting into untested
+    // sugar.
+    starTvfs.foreach { case (name, build) =>
+      ext.injectTableFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft.GraftExtensions", name),
+        (args: Seq[Expression]) => args match {
+          case Seq(Literal(path: UTF8String, StringType)) =>
+            build(path.toString).queryExecution.analyzed
+          case _ => throw new IllegalArgumentException(
+            s"$name expects exactly one STRING literal: $name('/table.parquet')")
+        }))
+    }
+  }
+
+  /** name → (parquet path → frame): the SQL-surface inventory of the
+    * ★ pipeline layer. Kept here (not in the ops objects) so the TVF
+    * list reads as the deployment's SQL API in one place. */
+  private def starTvfs: Seq[(String, String => org.apache.spark.sql.DataFrame)] = {
+    def read(path: String) = SparkSession.active.read.parquet(path)
+    Seq(
+      // q40: exact-dedup representatives (fp, keep_id, n_docs)
+      "dedup_reps" -> (p => graft.ops.Dedup.exact(read(p))),
+      // q39: the rule-based quality gate's survivors
+      "quality_gate" -> (p => graft.ops.Sampling.qualityFilter(read(p))),
+      // q275: RAG chunk geometry card per source
+      "chunk_geometry" -> (p => graft.ops.Chunking.chunkGeometry(read(p))),
+      // q276: chunk duplication card per source
+      "chunk_dup_card" -> (p => graft.ops.Chunking.chunkDupCard(read(p))),
+      // q281: per-column catalog profile card
+      "column_profile" -> (p => graft.ops.Profiling.columnProfile(read(p))))
   }
 }

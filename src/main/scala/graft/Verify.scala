@@ -15,9 +15,12 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // the shipped session shape: custom functions + TVFs + optimizer
+      // rule installed the cluster way (q281 routes through its TVF)
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       // see Bench: default 100-entry codegen cache thrashes on a
       // 80+-query suite, recompiling every stage every query
-      .config("spark.sql.codegen.cache.maxEntries", "4096")
+      .config("spark.sql.codegen.cache.maxEntries", "16384")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

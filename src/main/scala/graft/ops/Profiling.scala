@@ -612,8 +612,13 @@ object Profiling {
   def queries: Seq[QueryDef] = Seq(
     QueryDef("q290_fd_audit",
       (s, d) => fdAudit(s, d), Some(fdAuditSql)),
+    // r11: routed through the SQL TVF surface (GraftExtensions ships on
+    // every session) — the TVF builder yields the SAME analyzed plan as
+    // columnProfile(t(...)), so the oracle, hash, and bench cost are
+    // unchanged while the driver's gate now exercises the SQL route.
     QueryDef("q281_column_profile",
-      (s, d) => columnProfile(t(s, d, "lineitem")), Some(columnProfileSql)),
+      (s, d) => s.sql(s"SELECT * FROM column_profile('$d/lineitem.parquet')"),
+      Some(columnProfileSql)),
     QueryDef("q282_key_skew_profile",
       (s, d) => keySkewProfile(s, d), Some(keySkewProfileSql)),
     QueryDef("q299_column_profile_kmv",

@@ -55,7 +55,8 @@ object SftStream {
     * interpreted `exists(transform(sequence(...)))` HOF it replaces
     * paid per-position slice/concat allocations plus a per-probe filter
     * deserialization (SCALE.md lesson 2's shape — the r11 A/B measured
-    * the fused probe at 5.5x on the 100x corpus). Hash parity is exact
+    * the fused probe at 2.2x on 3.5M 100x turns, in the no-hit WORST
+    * case where no gram short-circuits). Hash parity is exact
     * (same gram bytes, same xxhash64 seed, same filter), so the
     * no-false-negative contract and the streamed == batch lock are
     * unchanged. */

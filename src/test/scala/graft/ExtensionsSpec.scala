@@ -42,4 +42,32 @@ class ExtensionsSpec extends AnyFunSuite {
       SparkSession.setActiveSession(orig)
     }
   }
+
+  test("star-family TVFs resolve in plain SQL and answer identically to " +
+      "their Scala entry points (r11 — the SQL surface of the pipeline layer)") {
+    val spark = SparkSpec.spark // carries the extensions conf
+    val dir = "/root/testdata/sf0.001"
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(rows(spark.sql(s"SELECT * FROM dedup_reps('$dir/documents.parquet')"))
+      == rows(graft.ops.Dedup.exact(
+        spark.read.parquet(s"$dir/documents.parquet"))))
+    assert(rows(spark.sql(s"SELECT * FROM quality_gate('$dir/documents.parquet')"))
+      == rows(graft.ops.Sampling.qualityFilter(
+        spark.read.parquet(s"$dir/documents.parquet"))))
+    assert(rows(spark.sql(s"SELECT * FROM chunk_geometry('$dir/documents.parquet')"))
+      == rows(graft.ops.Chunking.chunkGeometry(
+        spark.read.parquet(s"$dir/documents.parquet"))))
+    assert(rows(spark.sql(s"SELECT * FROM chunk_dup_card('$dir/documents.parquet')"))
+      == rows(graft.ops.Chunking.chunkDupCard(
+        spark.read.parquet(s"$dir/documents.parquet"))))
+    assert(rows(spark.sql(s"SELECT * FROM column_profile('$dir/lineitem.parquet')"))
+      == rows(graft.ops.Profiling.columnProfile(
+        spark.read.parquet(s"$dir/lineitem.parquet"))))
+    // TVFs compose like any relation: aggregate over a TVF
+    val n = spark.sql(
+      s"SELECT count(*) FROM dedup_reps('$dir/documents.parquet')")
+      .collect()(0).getLong(0)
+    assert(n > 0, "aggregating over a TVF must work like any relation")
+  }
 }

@@ -8,6 +8,10 @@ object SparkSpec {
     val s = SparkSession.builder()
       .master("local[4]")
       .appName("graft-test")
+      // the shipped session shape (Verify/Bench install it too): every
+      // query must run where the TVF surface exists — q281 routes
+      // through column_profile('...')
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
