@@ -893,6 +893,42 @@ object Similarity {
       memberCap: Int = Int.MaxValue): DataFrame =
     topkPairs(ivfScoredPairsOn(spark, ranked, nprobe, memberCap), k)
 
+  /** Scored pairs over a SPLIT index view — bucketed base + small
+    * streamed appends — without unioning the sides before the join
+    * (r11): `(pB ∪ pA) ⋈ (mB ∪ mA)` decomposes into four quadrants,
+    * and each quadrant gets the plan its sizes deserve — base ⋈ base
+    * rides the bucket co-partitioning (ZERO Exchange, the
+    * SimilarityIndexSpec gate), while every append-touching quadrant
+    * BROADCASTS its append side, so the BASE — the 100 TB side — is
+    * never shuffled by a streamed-index query at all. A pre-join union
+    * instead discards the base's output partitioning (a Union has
+    * none), re-shuffling both sides on cell at every query. Identical
+    * pair set by distributivity of ⋈ over ∪; spec-locked row-identical
+    * to the union form. Uncapped only: a member cap must rank the
+    * UNION's members per cell, which forces the sides together. */
+  private[graft] def ivfScoredPairsSplit(spark: SparkSession, base: DataFrame,
+      appends: DataFrame, nprobe: Int = IvfNprobe): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    QueryDef.cpuBound(spark)
+    def members(df: DataFrame) = df.filter(col("rn") === 1)
+      .select(col("vec_id").as("id_b"), col("qv").as("qb"),
+        col("nrm").as("nb"), col("cent_id").as("cell"))
+    def probes(df: DataFrame) = df.filter(col("rn") <= nprobe)
+      .select(col("vec_id").as("id_a"), col("qv").as("qa"),
+        col("nrm").as("na"), col("cent_id").as("cell"))
+    val (mB, mA) = (members(base), members(appends))
+    val (pB, pA) = (probes(base), probes(appends))
+    Seq(
+      pB.join(mB, Seq("cell")),            // bucket-co-partitioned
+      pB.join(broadcast(mA), Seq("cell")), // base streams, appends ship
+      broadcast(pA).join(mB, Seq("cell")), // base streams, appends ship
+      pA.join(broadcast(mA), Seq("cell"))) // small x small
+      .map(_.filter(col("id_a") =!= col("id_b"))
+        .withColumn("sim", simCol)
+        .select("id_a", "id_b", "sim"))
+      .reduce(_ unionAll _)
+  }
+
   /** [[saveIvfIndex]] from an EXPLICIT quantized frame (vec_id, qv,
     * nrm) — the index-over-a-subset path q170 builds its incremental
     * base from. No cache: ad-hoc frames have no content fingerprint. */
@@ -1035,7 +1071,7 @@ object Similarity {
     * dominant cost at 10x: two such windows were ~8 s of q66's 20 s).
     * Total order (sim desc, id asc) matches the window tie-break, so the
     * output is row-identical and the oracles keep the window form. */
-  private def topkPairs(scored: DataFrame, k: Int): DataFrame =
+  private[graft] def topkPairs(scored: DataFrame, k: Int): DataFrame =
     scored.groupBy(col("id_a"))
       .agg(graft.functions.TopKSim.topk(k)(col("sim"), col("id_b")).as("top"))
       .select(col("id_a"), posexplode(col("top")).as(Seq("i", "t")))

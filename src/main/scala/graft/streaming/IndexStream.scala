@@ -81,10 +81,30 @@ object IndexStream {
     * available on the STREAMED query surface too — a drifting stream
     * piles vectors into few cells (q171's signal), and the cap is what
     * keeps a hot cell's candidate volume bounded until the operator
-    * retrains. */
+    * retrains.
+    *
+    * Plan (r11): when the index HAS appends and no cap is requested,
+    * the query runs the QUADRANT decomposition
+    * ([[Similarity.ivfScoredPairsSplit]]) — base ⋈ base rides the
+    * bucketed co-partitioning and every append quadrant broadcasts the
+    * append side, so the base is never shuffled; a pre-join union
+    * would discard the bucketing and re-shuffle the whole index per
+    * query. Capped queries rank the UNION's members per cell, which
+    * genuinely needs the sides together. Answers are row-identical
+    * (join distributes over union; StreamingSpec locks it). */
   def knn(spark: SparkSession, indexDir: String, k: Int,
       nprobe: Int = Similarity.IvfNprobe,
-      memberCap: Int = Int.MaxValue): DataFrame =
-    Similarity.knnIvfOnAssignments(spark, assignments(spark, indexDir), k,
-      nprobe, memberCap)
+      memberCap: Int = Int.MaxValue): DataFrame = {
+    val base = Similarity.assignmentsRead(spark, indexDir)
+    StreamState.read(spark, s"$indexDir/appends") match {
+      case Some(app) if memberCap == Int.MaxValue =>
+        Similarity.topkPairs(
+          Similarity.ivfScoredPairsSplit(spark, base, app, nprobe), k)
+      case Some(app) =>
+        Similarity.knnIvfOnAssignments(spark, base.unionByName(app), k,
+          nprobe, memberCap)
+      case None =>
+        Similarity.knnIvfOnAssignments(spark, base, k, nprobe, memberCap)
+    }
+  }
 }

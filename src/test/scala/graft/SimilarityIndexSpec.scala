@@ -68,6 +68,40 @@ class SimilarityIndexSpec extends AnyFunSuite {
     assert(persisted == fresh)
   }
 
+  test("streamed split view: quadrant decomposition == union form row-" +
+      "identical, and the BASE side never shuffles (broadcast appends)") {
+    import graft.ops.Similarity
+    val q = Similarity.quantized(spark, dir).select("vec_id", "qv", "nrm")
+      .localCheckpoint()
+    val sidx = java.nio.file.Files.createTempDirectory("split-idx").toString
+    Similarity.saveIvfIndexOn(spark, q.filter(expr("vec_id % 2 = 0")), sidx)
+    // the streamed layout without a stream: assignment rows of the odd
+    // half land as one appends batch partition (what appendStream writes)
+    val cents = spark.read.parquet(s"$sidx/centroids")
+    Similarity.assignCells(q.filter(expr("vec_id % 2 = 1")), cents,
+        Similarity.IvfNprobe)
+      .write.parquet(s"$sidx/appends/batch_id=0")
+    val viaSplit = graft.streaming.IndexStream.knn(spark, sidx, 3)
+      .collect().map(_.toSeq).toSet
+    val viaUnion = Similarity.knnIvfOnAssignments(spark,
+        graft.streaming.IndexStream.assignments(spark, sidx), 3)
+      .collect().map(_.toSeq).toSet
+    assert(viaSplit == viaUnion,
+      "join must distribute over the base/appends union")
+    val conf = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val base = Similarity.assignmentsRead(spark, sidx)
+      val app = graft.streaming.StreamState.read(spark, s"$sidx/appends").get
+      val pairs = Similarity.ivfScoredPairsSplit(spark, base, app)
+      val exch = pairs.queryExecution.sparkPlan.collect {
+        case e: ShuffleExchangeExec => e
+      }
+      assert(exch.isEmpty,
+        s"split view must not shuffle the base:\n${pairs.queryExecution.sparkPlan}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", conf)
+  }
+
   test("streamed-index query surface honors the member cap (IndexStream" +
       ".knn capped ⊆ uncapped on a base-only index)") {
     val capped = graft.streaming.IndexStream.knn(spark, idx, 3,
