@@ -548,6 +548,69 @@ object Similarity {
       .select(col("id_a").as("vec_id"), col("rank"), col("id_b").as("neighbor_id"), col("sim"))
   }
 
+  /** [[knnLsh]] with a per-BUCKET member cap (q304, r11): the LSH twin
+    * of q296's cell cap. An LSH band bucket is the hot-cell exposure of
+    * this family — a near-dup-heavy corpus collapses whole duplicate
+    * clusters into the SAME band keys (SCALE.md lesson 1's quadratic
+    * blowup, measured at 25k-doc duplicate groups), and the bucket
+    * self-join is quadratic in bucket size. Capping each bucket at
+    * `cap` members by the SAME unbiased md5 draw bounds every bucket's
+    * pair volume at cap² — worst-case constant work per bucket, linear
+    * total in keys — while keeping the draw a uniform sample (a
+    * similarity-ranked draw would bias which near-neighbors survive).
+    * A pair survives iff BOTH endpoints survive in a shared bucket, so
+    * capped candidates ⊆ uncapped (spec-locked) and a cap above the
+    * largest bucket is a row-identical no-op. */
+  def knnLshCapped(spark: SparkSession, dir: String, k: Int,
+      cap: Int = IvfMemberCap): DataFrame = {
+    val q = quantized(spark, dir).select("vec_id", "qv", "nrm").localCheckpoint()
+    val keyed = q.select(col("vec_id"),
+      explode(expr(s"lsh_keys(qv, $LshSeed, $LshTables, $LshBits, $Dim)")).as("bkey"))
+      .localCheckpoint()
+    val w = Window.partitionBy("bkey")
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+    val capped = keyed.withColumn("mrn", row_number().over(w))
+      .filter(col("mrn") <= cap).drop("mrn")
+    val cand = capped.as("a")
+      .join(capped.as("b"), col("a.bkey") === col("b.bkey") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .distinct()
+    val sims = cand
+      .join(q.select(col("vec_id").as("id_a"), col("qv").as("qa"), col("nrm").as("na")), "id_a")
+      .join(q.select(col("vec_id").as("id_b"), col("qv").as("qb"), col("nrm").as("nb")), "id_b")
+      .withColumn("sim", simCol)
+      .select("id_a", "id_b", "sim")
+      .localCheckpoint()
+    val directed = sims.union(
+      sims.select(col("id_b").as("id_a"), col("id_a").as("id_b"), col("sim")))
+    val rw = Window.partitionBy("id_a").orderBy(col("sim").desc, col("id_b").asc)
+    directed
+      .withColumn("rank", row_number().over(rw))
+      .filter(col("rank") <= k)
+      .select(col("id_a").as("vec_id"), col("rank"), col("id_b").as("neighbor_id"), col("sim"))
+  }
+
+  /** The capped LSH candidate pair set — exposed for the spec's
+    * capped ⊆ uncapped lock on the pair algebra itself. */
+  private[graft] def lshCandidatePairs(spark: SparkSession, dir: String,
+      cap: Int = Int.MaxValue): DataFrame = {
+    val q = quantized(spark, dir).select("vec_id", "qv", "nrm").localCheckpoint()
+    val keyed = q.select(col("vec_id"),
+      explode(expr(s"lsh_keys(qv, $LshSeed, $LshTables, $LshBits, $Dim)")).as("bkey"))
+    val side =
+      if (cap == Int.MaxValue) keyed
+      else {
+        val w = Window.partitionBy("bkey")
+          .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+        keyed.withColumn("mrn", row_number().over(w))
+          .filter(col("mrn") <= cap).drop("mrn")
+      }
+    side.as("a")
+      .join(side.as("b"), col("a.bkey") === col("b.bkey") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .distinct()
+  }
+
   // ----------------------------------------------------------------------
   // IVF with trained centroids: deterministic k-means (init = first k by
   // vec_id, fixed Lloyd iterations, INTEGER truncated-mean updates, empty
@@ -2967,6 +3030,28 @@ object Similarity {
       (s, d) => knnIvfPersisted(s, persistedIvfIndexDir(s, d), 3,
         memberCap = IvfMemberCap),
       Some(knnIvfCappedOracleSql(IvfMemberCap))),
+
+    // r11: the cap on the LSH family — band buckets are this path's hot
+    // cells (duplicate clusters collapse into shared band keys; the
+    // bucket self-join is quadratic in bucket size), and the md5-draw
+    // cap bounds every bucket's pair volume at cap².
+    QueryDef("q304_knn_lsh_capped",
+      (s, d) => knnLshCapped(s, d, 3),
+      Some(s"""WITH $quantCte,
+        keys AS (SELECT vec_id, unnest($lshKeysSql) AS bkey FROM n),
+        ck AS (SELECT vec_id, bkey FROM (
+              SELECT vec_id, bkey, row_number() OVER (PARTITION BY bkey
+                ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS mrn FROM keys)
+            WHERE mrn <= $IvfMemberCap),
+        cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+              FROM ck x JOIN ck y ON x.bkey = y.bkey AND x.vec_id < y.vec_id),
+        p AS (SELECT c.id_a, c.id_b, $simSql AS sim
+              FROM cand c JOIN n a ON a.vec_id = c.id_a JOIN n b ON b.vec_id = c.id_b),
+        d AS (SELECT id_a AS vec_id, id_b AS neighbor_id, sim FROM p
+              UNION ALL SELECT id_b, id_a, sim FROM p),
+        r AS (SELECT vec_id, neighbor_id, sim,
+              row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, neighbor_id) AS rank FROM d)
+        SELECT vec_id, rank, neighbor_id, sim FROM r WHERE rank <= 3""")),
 
     QueryDef("q107_cluster_profile",
       (s, d) => clusterProfile(s, d),

@@ -32,6 +32,19 @@ class SimilarityCappedSpec extends AnyFunSuite {
     assert(capped == exact, "an unreached cap must be a no-op")
   }
 
+  test("LSH bucket cap (q304, r11): capped candidates ⊆ uncapped, the " +
+      "cap bites, and an unreached cap is a row-identical no-op") {
+    val capped = Similarity.lshCandidatePairs(spark, dir, Similarity.IvfMemberCap)
+    val uncapped = Similarity.lshCandidatePairs(spark, dir)
+    assert(capped.except(uncapped).isEmpty, "capped ⊆ uncapped")
+    assert(capped.count() < uncapped.count(),
+      s"cap=${Similarity.IvfMemberCap} must bite on the band buckets at sf0.001")
+    val noop = Similarity.knnLshCapped(spark, dir, 3, cap = 1000000)
+      .collect().map(_.toSeq).toSet
+    val exact = Similarity.knnLsh(spark, dir, 3).collect().map(_.toSeq).toSet
+    assert(noop == exact, "a cap above the largest bucket must be a no-op")
+  }
+
   test("cap >= largest cell: capped IVF-PQ == q66 row-identical") {
     val capped = Similarity.knnIvfPq(spark, dir, 3, memberCap = 1000000)
       .collect().map(_.toSeq).toSet
