@@ -121,6 +121,12 @@ object CorpusStream {
       .writeStream.option("checkpointLocation", checkpointDir)
     trigger.foreach(writer.trigger)
     writer.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      if (batchId < StreamState.horizon(batch.sparkSession, outDir)) {
+        // replay of a shard-compacted batch: its rows live in the base
+        // generation; readers ignore a re-minted partition — skip the
+        // write AND the metrics re-push
+        ()
+      } else {
       batch.persist()
       try {
         batch.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
@@ -133,6 +139,7 @@ object CorpusStream {
             s"corpus.admitted_tokens.$src" -> r.getAs[Long]("n_toks"))
         }.toMap + ("corpus.batch_id" -> batchId))
       } finally { batch.unpersist(); () }
+      }
     }.start()
   }
 
@@ -173,10 +180,12 @@ object CorpusStream {
     writer.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val spark = batch.sparkSession
       graft.functions.GraftFunctions.register(spark)
-      if (batchId < StreamState.horizon(spark, s"$stateDir/bands")) {
-        // replay of an already-COMPACTED batch: its state rows live in
-        // the base generation and readers ignore its partition — skip
-        // the wasted rewrite entirely (StreamState's no-op contract)
+      if (batchId < math.max(StreamState.horizon(spark, s"$stateDir/bands"),
+          StreamState.horizon(spark, outDir))) {
+        // replay of an already-COMPACTED batch (state or shard side):
+        // its rows live in the base generations and readers ignore its
+        // partitions — skip the wasted rewrite entirely (StreamState's
+        // no-op contract)
         ()
       } else {
       val b = batch.persist()

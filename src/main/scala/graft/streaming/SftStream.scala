@@ -117,9 +117,11 @@ object SftStream {
     trigger.foreach(writer.trigger)
     writer.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val spark = batch.sparkSession
-      if (batchId < StreamState.horizon(spark, s"$stateDir/turnfps")) {
-        // replay of a compacted batch — state and shards already carry
-        // it; writing again would re-admit against a pruned state view
+      if (batchId < math.max(StreamState.horizon(spark, s"$stateDir/turnfps"),
+          StreamState.horizon(spark, outDir))) {
+        // replay of a compacted batch (state OR shard side) — the base
+        // generations already carry it; writing again would re-admit
+        // against a pruned state view / re-mint an ignored shard dir
         ()
       } else {
       val gated = gateTurns(Conversations.chatTurns(batch), templates, bloom)
@@ -157,9 +159,12 @@ object SftStream {
 
   /** Live role-balance card over everything admitted so far — batch
     * q255's own rollup ([[Conversations.roleBalanceOnTurns]]) on the
-    * landed shards. */
+    * landed shards, read through [[StreamState]] so shard-compacted
+    * output (base generation + recent batches) answers identically. */
   def liveRoleBalance(spark: SparkSession, outDir: String): DataFrame =
     Conversations.roleBalanceOnTurns(
-      spark.read.parquet(outDir).select("conv_id", "turn_idx", "role", "text"))
+      StreamState.read(spark, outDir)
+        .getOrElse(sys.error(s"no admitted shards at $outDir"))
+        .select("conv_id", "turn_idx", "role", "text"))
 
 }

@@ -93,6 +93,18 @@ object StreamState {
     }
   }
 
+  /** Compact a batch-id-keyed SHARD OUTPUT directory (the admitted-data
+    * twin of state compaction): identity merge, `numFiles` sized to the
+    * data (shards are corpus-scale where state is key-scale). Readers
+    * that resolve through [[read]] see the identical row set; a
+    * replayed compacted batch that recreates its `batch_id=N` directory
+    * is ignored on read and skipped by the families' write guards. The
+    * reference's 8 s live trigger mints ~10k shard directories/day —
+    * the same listing storm the state side had. */
+  def compactShards(spark: SparkSession, outDir: String, upToBatch: Long,
+      numFiles: Int = 8): Unit =
+    compact(spark, outDir, upToBatch, identity, numFiles)
+
   /** Compact a state table up to (excluding) `upToBatch`: merge the
     * current base generation and every partition in [H, upToBatch)
     * through `merge` (identity for row-per-fact tables; a re-aggregate

@@ -1543,6 +1543,47 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("shard-output compaction: live card identical, shard partitions " +
+      "bounded, replay of compacted shard batches is a no-op") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    import graft.streaming.{SftStream, StreamState}
+    val dir = "/root/testdata/sf0.001"
+    val docsDf = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "source", "text")
+    val docs = docsDf.select("doc_id", "text").as[(Long, String)]
+      .collect().sortBy(_._1)
+    val (a, b) = docs.splitAt(docs.length / 2)
+    val bloom = SftStream.benchBloomBytes(spark)
+    val templates = graft.ops.Conversations.turnTemplates(docsDf)
+      .select("text").as[String].collect().toSeq
+    val state = Files.createTempDirectory("shardcmp-state").toString
+    val out = Files.createTempDirectory("shardcmp-out").toString
+    def run(ckpt: String): Unit = {
+      val mem = MemoryStream[(Long, String)]
+      val q = SftStream.ingestToShards(
+        mem.toDF().toDF("doc_id", "text"), templates, bloom, state, out, ckpt)
+      try {
+        mem.addData(a.toSeq: _*); q.processAllAvailable()
+        mem.addData(b.toSeq: _*); q.processAllAvailable()
+      } finally q.stop()
+    }
+    run(Files.createTempDirectory("shardcmp-ckpt").toString)
+    def card() = SftStream.liveRoleBalance(spark, out).collect().map(_.toSeq).toSet
+    val want = card()
+    StreamState.compactShards(spark, out, 2)
+    assert(card() == want, "shard compaction changed the live card")
+    assert(new java.io.File(out).listFiles().filter(_.isDirectory)
+      .map(_.getName).sorted.toSeq == Seq("base"))
+    // fresh-checkpoint replay: both batches below the shard horizon —
+    // skipped entirely; card and directory layout unchanged
+    run(Files.createTempDirectory("shardcmp-ckpt2").toString)
+    assert(card() == want, "replay over compacted shards must be a no-op")
+    assert(new java.io.File(out).listFiles().filter(_.isDirectory)
+      .map(_.getName).sorted.toSeq == Seq("base"),
+      "compacted shard batches must not re-materialize")
+  }
+
   test("IVF append compaction: knn identical, appends collapse to one " +
       "generation, replayed compacted appends are no-ops") {
     import spark.implicits._
