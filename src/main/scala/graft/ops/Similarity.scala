@@ -2233,6 +2233,40 @@ object Similarity {
       .select(col("vec_id"), col("cell"), col("blk").isNull.as("kept"))
   }
 
+  /** [[semanticDedup]] with the per-cell BLOCKER cap (q305, r11): the
+    * cap family applied to the admission side. The blocker self-join is
+    * quadratic in cell size exactly like the knn join (a duplicate-heavy
+    * corpus is ALSO the one whose cells run hot), so the blocker side is
+    * bounded at `cap` members per cell by the same unbiased md5 draw.
+    * Semantics shift MONOTONICALLY: a document is dropped only if an
+    * earlier DRAW-SURVIVING near-dup shares its cell, so
+    * kept ⊇ uncapped-kept (spec-locked) — the cap can only ADMIT MORE,
+    * never lose a document, which is the right failure direction for
+    * dedup (a missed drop is a later exact-pass problem; a false drop is
+    * data loss). With cap above the largest cell this IS q95 row for
+    * row. */
+  def semanticDedupCapped(spark: SparkSession, dir: String,
+      threshold: Double = SemDedupThreshold, cap: Int = IvfMemberCap,
+      nCents: Int = -1, iters: Int = KmeansIters): DataFrame = {
+    val (q, cents, _) = coarseIndex(spark, dir, nCents, iters)
+    val home = assignCells(q, cents, 1)
+      .select(col("vec_id"), col("qv"), col("nrm"), col("cent_id").as("cell"))
+      .localCheckpoint()
+    val a = home.select(col("vec_id").as("id_a"), col("qv").as("qa"),
+      col("nrm").as("na"), col("cell"))
+    val b = capMembersByCell(
+      home.select(col("vec_id").as("id_b"), col("qv").as("qb"),
+        col("nrm").as("nb"), col("cell")),
+      cap, "id_b")
+    val blocked = a.join(b, Seq("cell"))
+      .filter(col("id_b") < col("id_a") && simCol >= threshold)
+      .select(col("id_a").as("vec_id")).distinct()
+      .withColumn("blk", lit(true))
+    home.select(col("vec_id"), col("cell"))
+      .join(blocked, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"), col("blk").isNull.as("kept"))
+  }
+
   /** Embedding-cluster corpus profile (q107): the domain-balance report a
     * pretraining run reads before weighting its mixture. Documents are
     * clustered in EMBEDDING space (the shared deterministic integer
@@ -3075,6 +3109,33 @@ object Similarity {
         mem AS (SELECT vec_id, qv, nrm, cent_id AS cell FROM af WHERE rn = 1),
         blk AS (SELECT DISTINCT a.vec_id
               FROM mem a JOIN mem b ON a.cell = b.cell AND b.vec_id < a.vec_id
+              WHERE $simSql >= $SemDedupThreshold)
+        SELECT m.vec_id, m.cell, k.vec_id IS NULL AS kept
+        FROM mem m LEFT JOIN blk k ON m.vec_id = k.vec_id"""
+      }),
+
+    // r11: the cap on the ADMISSION side — q95's blocker self-join is
+    // quadratic in cell size on exactly the duplicate-heavy corpora
+    // where cells run hot; capping blockers can only admit MORE (the
+    // right failure direction for dedup).
+    QueryDef("q305_semantic_dedup_capped",
+      (s, d) => semanticDedupCapped(s, d),
+      Some {
+        val (kmeans, cf) = kmeansSqlAuto()
+        s"""WITH $quantCte,
+        $kmeans,
+        af AS (SELECT n.vec_id, n.qv, n.nrm, c.cent_id,
+              row_number() OVER (PARTITION BY n.vec_id ORDER BY
+                CAST(list_sum(list_transform(range(1, len(n.qv) + 1), i -> n.qv[i] * c.cqv[i])) AS DOUBLE)
+                / (sqrt(CAST(n.nrm AS DOUBLE)) * sqrt(CAST(c.cnrm AS DOUBLE))) DESC, c.cent_id) AS rn
+              FROM n CROSS JOIN $cf c),
+        mem AS (SELECT vec_id, qv, nrm, cent_id AS cell FROM af WHERE rn = 1),
+        cb AS (SELECT vec_id, qv, nrm, cell FROM (
+              SELECT m.*, row_number() OVER (PARTITION BY cell
+                ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS mrn FROM mem m)
+            WHERE mrn <= $IvfMemberCap),
+        blk AS (SELECT DISTINCT a.vec_id
+              FROM mem a JOIN cb b ON a.cell = b.cell AND b.vec_id < a.vec_id
               WHERE $simSql >= $SemDedupThreshold)
         SELECT m.vec_id, m.cell, k.vec_id IS NULL AS kept
         FROM mem m LEFT JOIN blk k ON m.vec_id = k.vec_id"""

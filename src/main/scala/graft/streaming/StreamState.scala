@@ -93,6 +93,34 @@ object StreamState {
     }
   }
 
+  /** The last batch id the streaming CHECKPOINT has committed — read
+    * from the checkpoint's `commits/` log (a commit file exists iff the
+    * batch completed fully, so a restart resumes AFTER it). This is the
+    * safe compaction horizon made mechanical: `compact(...,
+    * lastCommittedBatch + 1)` can never fold a batch that might still
+    * replay, which the per-family scaladocs otherwise leave to the
+    * caller's discipline. None before the first commit. */
+  def lastCommittedBatch(spark: SparkSession,
+      checkpointDir: String): Option[Long] = {
+    val p = new Path(s"$checkpointDir/commits")
+    val fs = fsOf(spark, p)
+    if (!fs.exists(p)) None
+    else fs.listStatus(p).map(_.getPath.getName)
+      .filter(n => n.nonEmpty && n.forall(_.isDigit))
+      .map(_.toLong).maxOption
+  }
+
+  /** [[compact]] up to the checkpoint-committed horizon — the
+    * between-batches maintenance call a deployment crons: everything
+    * the checkpoint guarantees will never replay folds into the base;
+    * a no-op before the first commit. */
+  def compactCommitted(spark: SparkSession, stateDir: String,
+      checkpointDir: String, merge: DataFrame => DataFrame = identity,
+      numFiles: Int = 1): Unit =
+    lastCommittedBatch(spark, checkpointDir).foreach { n =>
+      compact(spark, stateDir, n + 1, merge, numFiles)
+    }
+
   /** Compact a batch-id-keyed SHARD OUTPUT directory (the admitted-data
     * twin of state compaction): identity merge, `numFiles` sized to the
     * data (shards are corpus-scale where state is key-scale). Readers

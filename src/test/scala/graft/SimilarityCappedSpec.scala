@@ -45,6 +45,23 @@ class SimilarityCappedSpec extends AnyFunSuite {
     assert(noop == exact, "a cap above the largest bucket must be a no-op")
   }
 
+  test("semantic-dedup blocker cap (q305, r11): capped keeps ⊇ uncapped " +
+      "keeps (monotone — a cap can only ADMIT more), the cap bites, and " +
+      "an unreached cap is a row-identical no-op") {
+    import org.apache.spark.sql.functions.col
+    def keptIds(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("kept")).select("vec_id").collect().map(_.getLong(0)).toSet
+    val capped = keptIds(Similarity.semanticDedupCapped(spark, dir, cap = 2))
+    val uncapped = keptIds(Similarity.semanticDedup(spark, dir))
+    assert(uncapped.subsetOf(capped), "a capped blocker set can only admit more")
+    assert(capped.size > uncapped.size,
+      "cap=2 must actually bite at sf0.001 (a vacuous gate proves nothing)")
+    val noop = Similarity.semanticDedupCapped(spark, dir, cap = 1000000)
+      .collect().map(_.toSeq).toSet
+    val exact = Similarity.semanticDedup(spark, dir).collect().map(_.toSeq).toSet
+    assert(noop == exact, "a cap above the largest cell must be a no-op")
+  }
+
   test("cap >= largest cell: capped IVF-PQ == q66 row-identical") {
     val capped = Similarity.knnIvfPq(spark, dir, 3, memberCap = 1000000)
       .collect().map(_.toSeq).toSet

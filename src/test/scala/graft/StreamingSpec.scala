@@ -1432,14 +1432,16 @@ class StreamingSpec extends AnyFunSuite {
     val state = Files.createTempDirectory("chunkcmp-state").toString
     def card() = CorpusStream.liveChunkDupCard(spark, state)
       .collect().map(_.toSeq).toSet
+    val ckpt = Files.createTempDirectory("chunkcmp-ckpt").toString
     val mem = MemoryStream[(Long, String, String, Long)]
     val q = CorpusStream.chunkIndexStream(
-      mem.toDF().toDF("doc_id", "source", "text", "n_chars"), state,
-      Files.createTempDirectory("chunkcmp-ckpt").toString)
+      mem.toDF().toDF("doc_id", "source", "text", "n_chars"), state, ckpt)
     try {
       mem.addData(a.toSeq: _*); q.processAllAvailable() // batch 0
       mem.addData(b.toSeq: _*); q.processAllAvailable() // batch 1
       val mid = card()
+      // the checkpoint-derived horizon reads exactly the committed tip
+      assert(StreamState.lastCommittedBatch(spark, ckpt) == Some(1L))
       CorpusStream.compactChunkIndex(spark, state, 2)
       assert(card() == mid, "compaction changed the live card")
       assert(StreamState.horizon(spark, state) == 2L)
