@@ -163,9 +163,13 @@ object StreamState {
     merged.coalesce(numFiles).write.mode("overwrite")
       .parquet(s"$stateDir/base/gen=$upToBatch")
     // the new generation is complete (its _SUCCESS exists) — everything
-    // below the new horizon is now superseded: the old generation, the
+    // below the new horizon is now superseded: every other generation
+    // dir (the old valid one AND any incomplete crash leftovers), the
     // folded partitions, and any replay-garbage partitions under h
-    if (h > 0L) fs.delete(new Path(s"$stateDir/base/gen=$h"), true)
+    val baseDir = new Path(s"$stateDir/base")
+    fs.listStatus(baseDir).filter(_.isDirectory).map(_.getPath)
+      .filter(p => p.getName.startsWith("gen=") && p.getName != s"gen=$upToBatch")
+      .foreach(p => fs.delete(p, true))
     parts.filter(_.getName.stripPrefix("batch_id=").toLong < upToBatch)
       .foreach(p => fs.delete(p, true))
   }
