@@ -121,6 +121,7 @@ object CorpusStream {
       .writeStream.option("checkpointLocation", checkpointDir)
     trigger.foreach(writer.trigger)
     writer.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      StreamState.bindLineage(batch.sparkSession, outDir, checkpointDir)
       if (batchId < StreamState.horizon(batch.sparkSession, outDir)) {
         // replay of a shard-compacted batch: its rows live in the base
         // generation; readers ignore a re-minted partition — skip the
@@ -180,6 +181,8 @@ object CorpusStream {
     writer.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val spark = batch.sparkSession
       graft.functions.GraftFunctions.register(spark)
+      StreamState.bindLineage(spark, stateDir, checkpointDir)
+      StreamState.bindLineage(spark, outDir, checkpointDir)
       if (batchId < math.max(StreamState.horizon(spark, s"$stateDir/bands"),
           StreamState.horizon(spark, outDir))) {
         // replay of an already-COMPACTED batch (state or shard side):
@@ -330,6 +333,7 @@ object CorpusStream {
     val writer = docs.writeStream.option("checkpointLocation", checkpointDir)
     trigger.foreach(writer.trigger)
     writer.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      StreamState.bindLineage(batch.sparkSession, stateDir, checkpointDir)
       if (batchId >= StreamState.horizon(batch.sparkSession, stateDir))
         graft.ops.Chunking.chunkFps(batch)
           .write.mode("overwrite").parquet(s"$stateDir/batch_id=$batchId")
@@ -376,6 +380,7 @@ object CorpusStream {
     val writer = docs.writeStream.option("checkpointLocation", checkpointDir)
     trigger.foreach(writer.trigger)
     writer.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      StreamState.bindLineage(batch.sparkSession, stateDir, checkpointDir)
       if (batchId >= StreamState.horizon(batch.sparkSession, stateDir))
         batch.select(explode(split(col("text"), " ")).as("term"))
           .select(expr("CAST(conv(substr(md5(term), 1, 15), 16, 10) AS BIGINT)").as("h"))

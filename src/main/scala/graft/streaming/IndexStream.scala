@@ -41,6 +41,7 @@ object IndexStream {
     writer.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val spark = batch.sparkSession
       graft.functions.GraftFunctions.register(spark)
+      StreamState.bindLineage(spark, s"$indexDir/appends", checkpointDir)
       if (batchId >= StreamState.horizon(spark, s"$indexDir/appends")) {
         val cents = spark.read.parquet(s"$indexDir/centroids")
         Similarity.assignCells(batch.select("vec_id", "qv", "nrm"), cents, nprobe)

@@ -117,6 +117,8 @@ object SftStream {
     trigger.foreach(writer.trigger)
     writer.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val spark = batch.sparkSession
+      StreamState.bindLineage(spark, stateDir, checkpointDir)
+      StreamState.bindLineage(spark, outDir, checkpointDir)
       if (batchId < math.max(StreamState.horizon(spark, s"$stateDir/turnfps"),
           StreamState.horizon(spark, outDir))) {
         // replay of a compacted batch (state OR shard side) — the base

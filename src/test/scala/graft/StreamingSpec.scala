@@ -349,10 +349,14 @@ class StreamingSpec extends AnyFunSuite {
     assert(liveHashes() == want, "streamed sketch must equal the batch sketch")
     val est0 = CorpusStream.kmvLive(spark, state, k).collect()(0).toSeq
     // replay: same batches, fresh checkpoint — each overwrites its own
-    // batch_id partition bit-identically; sketch and estimate unchanged
+    // batch_id partition bit-identically; sketch and estimate unchanged.
+    // Reprocessing the same source from a new checkpoint is an explicit
+    // operator decision since r12 (lineage guard): adopt first.
+    val ckpt2 = Files.createTempDirectory("kmv-ckpt2").toString
+    graft.streaming.StreamState.adoptLineage(spark, state, ckpt2)
     val mem2 = MemoryStream[(Long, String)]
     val q2 = CorpusStream.kmvStream(mem2.toDF().toDF("doc_id", "text"), state,
-      Files.createTempDirectory("kmv-ckpt2").toString, k)
+      ckpt2, k)
     try {
       mem2.addData(a.toSeq: _*); q2.processAllAvailable()
       mem2.addData(b.toSeq: _*); q2.processAllAvailable()
@@ -727,6 +731,12 @@ class StreamingSpec extends AnyFunSuite {
       assert(stateSet("grams") == gramsBefore, "compaction changed the grams rows")
       def partsOf(tbl: String) = new java.io.File(s"$state/$tbl").listFiles()
         .filter(_.isDirectory).map(_.getName).sorted.toSeq
+      // grace window (r12): the folded partitions survive one cycle for
+      // racing readers; gc() force-collects them (no readers here)
+      assert(partsOf("bands").contains("base"))
+      Seq("bands", "grams").foreach(t =>
+        graft.streaming.StreamState.gc(spark, s"$state/$t"))
+      assert(stateSet("bands") == bandsBefore, "gc changed the bands rows")
       // both batches folded into the generation — no live partitions left
       assert(partsOf("bands") == Seq("base"), s"bands parts: ${partsOf("bands")}")
       assert(partsOf("grams") == Seq("base"), s"grams parts: ${partsOf("grams")}")
@@ -1121,9 +1131,12 @@ class StreamingSpec extends AnyFunSuite {
     // replay: a restarted source re-delivers the same batches with the
     // same ids — each overwrites its own batch_id partition with
     // bit-identical rows, so the live view (and every query) is unchanged
+    val replayCkpt = freshDir("ivf-ckpt2")
+    graft.streaming.StreamState.adoptLineage(
+      spark, s"$idxStream/appends", replayCkpt)
     val mem2 = MemoryStream[(Long, Seq[Long], Long)]
     val sq2 = IndexStream.appendStream(
-      mem2.toDF().toDF("vec_id", "qv", "nrm"), idxStream, freshDir("ivf-ckpt2"))
+      mem2.toDF().toDF("vec_id", "qv", "nrm"), idxStream, replayCkpt)
     try {
       mem2.addData(oddA.toSeq: _*); sq2.processAllAvailable()
       mem2.addData(oddB.toSeq: _*); sq2.processAllAvailable()
@@ -1343,8 +1356,11 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSet
     assert(live == want, "live chunk-dup card must equal batch q276")
     // replay on a fresh checkpoint: every batch overwrites its own
-    // batch_id partition bit-identically — card unchanged
-    run(Files.createTempDirectory("chunkidx-ckpt2").toString)
+    // batch_id partition bit-identically — card unchanged (adopt the
+    // new lineage first: reprocessing is explicit since r12)
+    val ckpt2 = Files.createTempDirectory("chunkidx-ckpt2").toString
+    graft.streaming.StreamState.adoptLineage(spark, state, ckpt2)
+    run(ckpt2)
     assert(CorpusStream.liveChunkDupCard(spark, state)
       .collect().map(_.toSeq).toSet == want, "replay must be a no-op")
   }
@@ -1413,7 +1429,10 @@ class StreamingSpec extends AnyFunSuite {
     // template strip and cross-batch dedup must actually have bitten
     val raw = graft.ops.Conversations.chatTurns(docsDf).count()
     assert(landed().size < raw, "admission must drop boilerplate mass")
-    run(Files.createTempDirectory("sft-ckpt2").toString)
+    val ckpt2 = Files.createTempDirectory("sft-ckpt2").toString
+    graft.streaming.StreamState.adoptLineage(spark, state, ckpt2)
+    graft.streaming.StreamState.adoptLineage(spark, out, ckpt2)
+    run(ckpt2)
     assert(landed() == wantTurns, "replay must be a no-op")
   }
 
@@ -1447,7 +1466,14 @@ class StreamingSpec extends AnyFunSuite {
       assert(StreamState.horizon(spark, state) == 2L)
       def parts() = new java.io.File(state).listFiles()
         .filter(_.isDirectory).map(_.getName).sorted.toSeq
+      // grace window (r12): superseded partitions survive one cycle —
+      // reads already ignore them; gc() force-collects
+      assert(parts() == Seq("base", "batch_id=0", "batch_id=1"),
+        s"parts: ${parts().toList}")
+      assert(card() == mid, "retained grace partitions leaked into reads")
+      StreamState.gc(spark, state)
       assert(parts() == Seq("base"), s"parts: ${parts().toList}")
+      assert(card() == mid, "gc changed the live card")
       // the re-aggregating merge bounds ROWS too: one per (source, fp)
       val baseRows = spark.read.parquet(s"$state/base/gen=2")
       assert(baseRows.count() ==
@@ -1458,10 +1484,11 @@ class StreamingSpec extends AnyFunSuite {
     // replay from a fresh checkpoint renumbers from 0 — batches 0 and 1
     // are BELOW the horizon (compacted): the write guard skips them, the
     // reader would ignore them regardless; batch 2 overwrites itself
+    val ckpt2 = Files.createTempDirectory("chunkcmp-ckpt2").toString
+    StreamState.adoptLineage(spark, state, ckpt2)
     val mem2 = MemoryStream[(Long, String, String, Long)]
     val q2 = CorpusStream.chunkIndexStream(
-      mem2.toDF().toDF("doc_id", "source", "text", "n_chars"), state,
-      Files.createTempDirectory("chunkcmp-ckpt2").toString)
+      mem2.toDF().toDF("doc_id", "source", "text", "n_chars"), state, ckpt2)
     try {
       mem2.addData(a.toSeq: _*); q2.processAllAvailable()
       mem2.addData(b.toSeq: _*); q2.processAllAvailable()
@@ -1533,6 +1560,7 @@ class StreamingSpec extends AnyFunSuite {
       assert(landed() == wantTurns)
       SftStream.compactState(spark, state, 2)
       assert(StreamState.horizon(spark, s"$state/turnfps") == 2L)
+      StreamState.gc(spark, s"$state/turnfps") // collect the grace copies
       assert(new java.io.File(s"$state/turnfps").listFiles()
         .filter(_.isDirectory).map(_.getName).sorted.toSeq == Seq("base"))
       // batch 2: a batch-0 document re-sent under a fresh doc_id — every
@@ -1575,11 +1603,18 @@ class StreamingSpec extends AnyFunSuite {
     val want = card()
     StreamState.compactShards(spark, out, 2)
     assert(card() == want, "shard compaction changed the live card")
+    StreamState.gc(spark, out) // collect the grace copies
     assert(new java.io.File(out).listFiles().filter(_.isDirectory)
       .map(_.getName).sorted.toSeq == Seq("base"))
+    // r12: shards compact into TIERED RUNS, not a full-rewrite generation
+    assert(new java.io.File(s"$out/base").listFiles().filter(_.isDirectory)
+      .map(_.getName).sorted.toSeq == Seq("run=0-2"))
     // fresh-checkpoint replay: both batches below the shard horizon —
     // skipped entirely; card and directory layout unchanged
-    run(Files.createTempDirectory("shardcmp-ckpt2").toString)
+    val ckpt2 = Files.createTempDirectory("shardcmp-ckpt2").toString
+    StreamState.adoptLineage(spark, state, ckpt2)
+    StreamState.adoptLineage(spark, out, ckpt2)
+    run(ckpt2)
     assert(card() == want, "replay over compacted shards must be a no-op")
     assert(new java.io.File(out).listFiles().filter(_.isDirectory)
       .map(_.getName).sorted.toSeq == Seq("base"),
@@ -1615,16 +1650,116 @@ class StreamingSpec extends AnyFunSuite {
     val nRows = IndexStream.assignments(spark, idx).count()
     IndexStream.compactAppends(spark, idx, 2)
     assert(StreamState.horizon(spark, s"$idx/appends") == 2L)
+    StreamState.gc(spark, s"$idx/appends") // collect the grace copies
     assert(new java.io.File(s"$idx/appends").listFiles()
       .filter(_.isDirectory).map(_.getName).sorted.toSeq == Seq("base"))
     assert(IndexStream.assignments(spark, idx).count() == nRows)
     assert(knnRows() == want, "compaction changed a knn answer")
     // replay after compaction: both batches are below the horizon — the
     // guard skips the writes, the index stays byte-identical
-    runStream(freshDir("ivfcmp-ckpt2"))
+    val ckpt2 = freshDir("ivfcmp-ckpt2")
+    StreamState.adoptLineage(spark, s"$idx/appends", ckpt2)
+    runStream(ckpt2)
     assert(IndexStream.assignments(spark, idx).count() == nRows,
       "replayed compacted appends must not grow the index")
     assert(knnRows() == want)
     SessionHygiene.clear(spark)
+  }
+
+  test("tiered shard compaction: reads identical through runs, a fold " +
+      "never rewrites a big old run (O(new data)), cascade merges small " +
+      "adjacent runs, grace copies survive one cycle") {
+    import spark.implicits._
+    import graft.streaming.StreamState
+    val out = Files.createTempDirectory("tiered-out").toString
+    // batch 0 is corpus-scale; 1..3 are trigger-scale — the shape whose
+    // full-rewrite compaction the r11 verdict flagged as a 100 TB
+    // non-starter
+    def write(b: Long, rows: Seq[Long]): Unit =
+      rows.toDF("v").withColumn("b", lit(b))
+        .coalesce(1).write.mode("overwrite").parquet(s"$out/batch_id=$b")
+    write(0L, (0L until 20000L))
+    write(1L, (100000L until 100010L))
+    write(2L, (200000L until 200010L))
+    write(3L, (300000L until 300010L))
+    def rows() = StreamState.read(spark, out).get
+      .groupBy("b").count().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = rows()
+    def runsOf() = new java.io.File(s"$out/base").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted.toSeq
+    // window 1: fold batch 0 alone into the big run
+    StreamState.compactShardsTiered(spark, out, 1)
+    assert(rows() == want); assert(runsOf() == Seq("run=0-1"))
+    assert(StreamState.horizon(spark, out) == 1L)
+    val bigRunFiles = new java.io.File(s"$out/base/run=0-1").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => (f.getName, f.lastModified)).toSet
+    // window 2: fold batch 1 — the big run holds >4x the new run's
+    // bytes, so the cascade must NOT touch it: compaction work is
+    // O(new data), the property the full-rewrite shape lacked
+    StreamState.compactShardsTiered(spark, out, 2)
+    assert(rows() == want)
+    assert(runsOf().contains("run=1-2") && runsOf().contains("run=0-1"))
+    assert(new java.io.File(s"$out/base/run=0-1").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getName, f.lastModified)).toSet == bigRunFiles,
+      "a tiered fold rewrote the corpus-scale run")
+    // grace: batch 0 was superseded LAST window — collected now; batch 1
+    // (superseded this window) survives one more cycle
+    assert(!new java.io.File(s"$out/batch_id=0").exists())
+    assert(new java.io.File(s"$out/batch_id=1").exists())
+    // windows 3+4: small adjacent runs cascade-merge geometrically
+    StreamState.compactShardsTiered(spark, out, 3)
+    StreamState.compactShardsTiered(spark, out, 4)
+    assert(rows() == want)
+    StreamState.gc(spark, out)
+    val live = runsOf()
+    assert(live.head == "run=0-1" && live.size <= 3,
+      s"cascade failed to bound the live run count: $live")
+    assert(live.map(_.stripPrefix("run=").split("-").map(_.toLong)).map {
+      case Array(lo, hi) => (lo, hi) }
+      .sortBy(_._1).sliding(2).forall {
+        case Seq((_, h1), (l2, _)) => h1 == l2; case _ => true },
+      s"live runs must tile [0, H) without gaps or overlap: $live")
+    assert(rows() == want, "gc changed the shard rows")
+    // the legacy generation fold refuses a tiered dir (it would drop
+    // the runs' rows)
+    intercept[IllegalArgumentException] {
+      StreamState.compact(spark, out, 5)
+    }
+  }
+
+  test("checkpoint lineage guard: a fresh checkpoint over an existing " +
+      "state dir fails loudly; adoptLineage re-binds explicitly") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    import graft.streaming.{CorpusStream, StreamState}
+    val state = Files.createTempDirectory("lineage-state").toString
+    val k = 16
+    def run(ckpt: String, docs: Seq[(Long, String)]): Unit = {
+      val mem = MemoryStream[(Long, String)]
+      val q = CorpusStream.kmvStream(mem.toDF().toDF("doc_id", "text"),
+        state, ckpt, k)
+      try { mem.addData(docs: _*); q.processAllAvailable() } finally q.stop()
+    }
+    run(Files.createTempDirectory("lineage-ckpt").toString,
+      Seq((1L, "alpha beta gamma")))
+    // a DIFFERENT checkpoint renumbers batches from 0: new data below
+    // the compaction horizon would be silently invisible — fail loudly
+    // instead (r11 ADVICE)
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      run(Files.createTempDirectory("lineage-ckpt2").toString,
+        Seq((2L, "delta epsilon")))
+    }
+    def rootCauseChain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
+    assert(rootCauseChain(ex).exists(c =>
+      c.isInstanceOf[IllegalStateException] &&
+        c.getMessage.contains("checkpoint lineage")),
+      s"expected the lineage guard, got: $ex")
+    // explicit adoption: the operator declares a same-source reprocess
+    val ckpt3 = Files.createTempDirectory("lineage-ckpt3").toString
+    StreamState.adoptLineage(spark, state, ckpt3)
+    run(ckpt3, Seq((1L, "alpha beta gamma")))
+    assert(StreamState.read(spark, state).get.count() > 0)
   }
 }
