@@ -45,42 +45,81 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           throw new IllegalArgumentException(
             "tebis_scan expects exactly one STRING literal: tebis_scan('/path')")
       }))
-    // ★-family TVFs (r11 — VERDICT ask 7): the top LLM-pipeline entry
-    // points reachable from a PLAIN SQL session — each takes the parquet
-    // path of a documents-shaped (resp. lineitem-shaped) table and
-    // yields the same analyzed plan the Scala API builds, so pushdown,
-    // bucketing, and every plan property carry over 1:1. q281 is routed
-    // through its TVF form in SparkEntry (hash-gated: same plan → same
-    // oracle result), which keeps these from drifting into untested
-    // sugar.
-    starTvfs.foreach { case (name, build) =>
+    // ★-family TVFs (r11 — VERDICT ask 7; widened r12 — ask 6): the top
+    // LLM-pipeline entry points reachable from a PLAIN SQL session —
+    // each takes parquet path (plus scalar knobs) literals and yields
+    // the same analyzed plan the Scala API builds, so pushdown,
+    // bucketing, and every plan property carry over 1:1. q281, q42 and
+    // q129 are routed through their TVF forms in SparkEntry
+    // (hash-gated: same plan → same oracle result), which keeps these
+    // from drifting into untested sugar.
+    starTvfs.foreach { case (name, usage, build) =>
       ext.injectTableFunction((
         FunctionIdentifier(name),
         new ExpressionInfo("graft.GraftExtensions", name),
-        (args: Seq[Expression]) => args match {
-          case Seq(Literal(path: UTF8String, StringType)) =>
-            build(path.toString).queryExecution.analyzed
-          case _ => throw new IllegalArgumentException(
-            s"$name expects exactly one STRING literal: $name('/table.parquet')")
-        }))
+        (args: Seq[Expression]) =>
+          build.andThen(_.queryExecution.analyzed).applyOrElse(args,
+            (_: Seq[Expression]) => throw new IllegalArgumentException(
+              s"$name expects $usage"))))
     }
   }
 
-  /** name → (parquet path → frame): the SQL-surface inventory of the
+  /** String / numeric LITERAL extractors for TVF argument lists (`3`
+    * parses as an integer literal, `0.8` as a decimal — both normalize
+    * here). */
+  private object Str {
+    def unapply(e: Expression): Option[String] = e match {
+      case Literal(s: UTF8String, StringType) => Some(s.toString)
+      case _ => None
+    }
+  }
+  private object Num {
+    def unapply(e: Expression): Option[Double] = e match {
+      case Literal(v, _: org.apache.spark.sql.types.NumericType) =>
+        Some(v.toString.toDouble)
+      case _ => None
+    }
+  }
+
+  /** (name, usage, args → frame): the SQL-surface inventory of the
     * ★ pipeline layer. Kept here (not in the ops objects) so the TVF
     * list reads as the deployment's SQL API in one place. */
-  private def starTvfs: Seq[(String, String => org.apache.spark.sql.DataFrame)] = {
+  private def starTvfs: Seq[(String, String,
+      PartialFunction[Seq[Expression], org.apache.spark.sql.DataFrame])] = {
     def read(path: String) = SparkSession.active.read.parquet(path)
     Seq(
       // q40: exact-dedup representatives (fp, keep_id, n_docs)
-      "dedup_reps" -> (p => graft.ops.Dedup.exact(read(p))),
+      ("dedup_reps", "('/docs.parquet')",
+        { case Seq(Str(p)) => graft.ops.Dedup.exact(read(p)) }),
       // q39: the rule-based quality gate's survivors
-      "quality_gate" -> (p => graft.ops.Sampling.qualityFilter(read(p))),
+      ("quality_gate", "('/docs.parquet')",
+        { case Seq(Str(p)) => graft.ops.Sampling.qualityFilter(read(p)) }),
       // q275: RAG chunk geometry card per source
-      "chunk_geometry" -> (p => graft.ops.Chunking.chunkGeometry(read(p))),
+      ("chunk_geometry", "('/docs.parquet')",
+        { case Seq(Str(p)) => graft.ops.Chunking.chunkGeometry(read(p)) }),
       // q276: chunk duplication card per source
-      "chunk_dup_card" -> (p => graft.ops.Chunking.chunkDupCard(read(p))),
+      ("chunk_dup_card", "('/docs.parquet')",
+        { case Seq(Str(p)) => graft.ops.Chunking.chunkDupCard(read(p)) }),
       // q281: per-column catalog profile card
-      "column_profile" -> (p => graft.ops.Profiling.columnProfile(read(p))))
+      ("column_profile", "('/table.parquet')",
+        { case Seq(Str(p)) => graft.ops.Profiling.columnProfile(read(p)) }),
+      // r12 (VERDICT ask 6) — the entry points a SQL-only session still
+      // had to drop to Scala for:
+      // q42: verified MinHash-LSH near-dup pairs at a threshold
+      ("dedup_near_pairs", "('/docs.parquet', 0.8)",
+        { case Seq(Str(p), Num(t)) =>
+            graft.ops.Dedup.minhashLshPairs(read(p), t) }),
+      // q129: top-k off a persisted IVF index directory
+      ("knn_ivf_persisted", "('/index/dir', 3)",
+        { case Seq(Str(p), Num(k)) =>
+            graft.ops.Similarity.knnIvfPersisted(
+              SparkSession.active, p, k.toInt) }),
+      // q105: the per-source dataset card
+      ("dataset_card", "('/docs.parquet')",
+        { case Seq(Str(p)) => graft.ops.Corpus.datasetCardOn(read(p)) }),
+      // q96's machinery at unit weight: budgeted per-source curation
+      ("source_mix", "('/docs.parquet', 1000000)",
+        { case Seq(Str(p), Num(b)) =>
+            graft.ops.Sampling.sourceMix(read(p), b.toLong) }))
   }
 }

@@ -1310,9 +1310,14 @@ object Corpus {
     card.withColumn("avg_quality", col("q_micro_sum").cast("double") /
       (col("n_docs") * lit(1000000L)).cast("double"))
 
-  def datasetCard(spark: SparkSession, dir: String): DataFrame = {
+  def datasetCard(spark: SparkSession, dir: String): DataFrame =
+    datasetCardOn(t(spark, dir, "documents"))
+
+  /** [[datasetCard]] over an explicit documents frame — the
+    * `dataset_card('/docs.parquet')` TVF's entry point (r12). */
+  def datasetCardOn(docs: DataFrame): DataFrame = {
     val aggs = cardAggs(withDupCount = true)
-    withAvgQuality(TextStats.cardSignals(t(spark, dir, "documents"))
+    withAvgQuality(TextStats.cardSignals(docs)
       .groupBy("source").agg(aggs.head, aggs.tail: _*))
   }
 

@@ -1884,7 +1884,10 @@ object Dedup {
         FROM v WHERE inter * 5 >= (na + nb - inter) * 4""")),
 
     QueryDef("q42_dedup_minhash_lsh",
-      (s, d) => minhashLshPairs(t(s, d, "documents"), 0.8),
+      // routed through its TVF form (r12 — the q281 discipline: the TVF
+      // yields the same analyzed plan, the oracle hash keeps it honest)
+      (s, d) => s.sql(
+        s"SELECT * FROM dedup_near_pairs('$d/documents.parquet', 0.8)"),
       Some(s"""WITH $minhashPairsCtes
         SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= 0.8""")),
 

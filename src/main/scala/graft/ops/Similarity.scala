@@ -809,8 +809,27 @@ object Similarity {
   def saveIvfIndex(spark: SparkSession, dir: String, indexDir: String,
       nprobe: Int = IvfNprobe): Unit = {
     val (q, cents, _) = coarseIndex(spark, dir)
-    cents.write.mode("overwrite").parquet(s"$indexDir/centroids")
     writeAssignmentsBucketed(spark, assignCells(q, cents, nprobe), indexDir)
+    writeCentroidsSwapped(spark, cents, indexDir)
+  }
+
+  /** Centroids land AFTER the assignments swap, themselves tmp+swap
+    * (r12): a retrain never clobbers the live index's centroids before
+    * the (lazy, possibly self-reading) assignment job has completed,
+    * and a crash leaves either the whole old index or new assignments +
+    * old centroids for one write-window — the only remaining
+    * inconsistency window, and it is the small fast write. */
+  private def writeCentroidsSwapped(spark: SparkSession, cents: DataFrame,
+      indexDir: String): Unit = {
+    val live = new org.apache.hadoop.fs.Path(s"$indexDir/centroids")
+    val fs = fsOf(spark, live)
+    val tmp = new org.apache.hadoop.fs.Path(
+      s"$indexDir/centroids.tmp-${ProcessHandle.current().pid()}")
+    val old = new org.apache.hadoop.fs.Path(s"$indexDir/centroids.old")
+    cents.write.mode("overwrite").parquet(tmp.toString)
+    if (fs.exists(old)) fs.delete(old, true)
+    if (fs.exists(live)) fs.rename(live, old)
+    fs.rename(tmp, live)
   }
 
   /** Bucket count of the persisted assignments table. 32 matches the
@@ -829,6 +848,48 @@ object Similarity {
     s"graft_ivf_${tail}_$h"
   }
 
+  /** Bucket-spec marker file (r12 — VERDICT ask 3 / r11 ADVICE):
+    * `assignments/_graft_buckets` records `<bucketCount>:<bucketKey>`
+    * at WRITE time, so [[assignmentsRead]]'s CLUSTERED BY registration
+    * is keyed on what the writer actually did — the r11 file-name-regex
+    * inference would silently degrade to the re-shuffling plan if a
+    * Spark release renamed part files, and (worse) files copied from an
+    * index built with a different bucket count would register a FALSE
+    * claim, under which a bucketed join silently drops matching pairs. */
+  private val BucketsMarker = "_graft_buckets"
+
+  private def fsOf(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def writeSmallFile(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path, content: String): Unit = {
+    val out = fs.create(p, true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def readSmallFile(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Option[String] =
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+      finally in.close()
+    }
+
+  /** The recorded bucket count of an assignments dir: Some(n) iff the
+    * writer's marker says the files are bucketed INTO n BY cent_id.
+    * Legacy plain-parquet dirs (no marker) read as unbucketed —
+    * correctness never depends on the claim, only the Exchange does. */
+  private def bucketMarker(spark: SparkSession, dir: String): Option[Int] = {
+    val p = new org.apache.hadoop.fs.Path(dir, BucketsMarker)
+    readSmallFile(fsOf(spark, p), p).flatMap { s =>
+      s.split(":") match {
+        case Array(n, "cent_id") => n.toIntOption
+        case _ => None
+      }
+    }
+  }
+
   /** Persist an assignments frame as a cent_id-BUCKETED, cent_id-sorted
     * external parquet table (r11 — VERDICT ask 3): every consumer's
     * cell equi-join ([[ivfScoredPairsOn]] probes ⋈ members, the capped
@@ -840,56 +901,67 @@ object Similarity {
     * applies it to the library's own index artifact). The
     * repartition-by-bucket-key before the write yields one file per
     * bucket, so the per-file sort metadata survives and the SMJ's sort
-    * is elided too. DROP + directory delete first: CTAS into a
-    * non-empty location is refused, and a stale catalog entry must not
-    * survive an index rebuild. */
+    * is elided too.
+    *
+    * Build-into-tmp + swap (r12 — r11 ADVICE): the r11 form deleted the
+    * live directory BEFORE the lazy write job ran, so a retrain whose
+    * input derives from that same directory (the documented
+    * [[saveIvfIndexOn]]-over-base∪appends recipe) destroyed its own
+    * input. Now the write job runs against the intact live index into
+    * `assignments.tmp-<pid>`; only after `_SUCCESS` + marker land does
+    * the swap happen (live → `.old`, tmp → live) — the `.old` copy is
+    * retained one rebuild cycle for racing readers, and a crash at any
+    * point leaves either the old index intact or a complete new one
+    * plus recoverable leftovers. */
   private def writeAssignmentsBucketed(spark: SparkSession, asg: DataFrame,
       indexDir: String): Unit = {
+    val live = new org.apache.hadoop.fs.Path(s"$indexDir/assignments")
+    val fs = fsOf(spark, live)
+    val tmp = new org.apache.hadoop.fs.Path(
+      s"$indexDir/assignments.tmp-${ProcessHandle.current().pid()}")
+    val old = new org.apache.hadoop.fs.Path(s"$indexDir/assignments.old")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
     val tname = ivfTableName(indexDir)
-    spark.sql(s"DROP TABLE IF EXISTS $tname")
-    val path = new org.apache.hadoop.fs.Path(s"$indexDir/assignments")
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(path)) fs.delete(path, true)
+    val buildName = tname + "_build"
+    spark.sql(s"DROP TABLE IF EXISTS $buildName")
     asg.repartition(IvfIndexBuckets, col("cent_id"))
       .write.mode("overwrite").format("parquet")
       .bucketBy(IvfIndexBuckets, "cent_id").sortBy("cent_id")
-      .option("path", s"$indexDir/assignments")
-      .saveAsTable(tname)
+      .option("path", tmp.toString)
+      .saveAsTable(buildName)
+    spark.sql(s"DROP TABLE IF EXISTS $buildName") // external: files stay
+    writeSmallFile(fs, new org.apache.hadoop.fs.Path(tmp, BucketsMarker),
+      s"$IvfIndexBuckets:cent_id")
+    if (fs.exists(old)) fs.delete(old, true) // previous cycle's grace copy
+    if (fs.exists(live)) fs.rename(live, old)
+    fs.rename(tmp, live)
+    // stale catalog entries must not survive the rebuild; consumers
+    // re-register lazily from the marker
+    spark.sql(s"DROP TABLE IF EXISTS $tname")
   }
 
-  /** True iff the directory's files carry bucket-id name suffixes —
-    * the marker [[assignmentsRead]] keys on to claim bucketing. */
-  private def looksBucketed(spark: SparkSession, dir: String): Boolean = {
-    val path = new org.apache.hadoop.fs.Path(dir)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.exists(path) && fs.listStatus(path).exists { st =>
-      // bucketed writers name files part-XXXXX-<uuid>_NNNNN.c000...;
-      // plain writers use -c000 with no bucket token
-      st.getPath.getName.matches(".*_\\d{5}\\.c000.*\\.parquet")
-    }
-  }
-
-  /** The assignments relation of a persisted index, BUCKETED when the
-    * files are (re-registering the external table in a fresh session
-    * from the bucket-suffixed file names); legacy plain-parquet dirs
-    * (pre-r11 indexes, streamed append partitions) read as before —
-    * correctness never depends on the bucket claim, only the Exchange
-    * does. */
+  /** The assignments relation of a persisted index, BUCKETED per the
+    * writer's [[BucketsMarker]] (re-registering the external table in a
+    * fresh session with exactly the recorded bucket count); legacy
+    * plain-parquet dirs (pre-r11 indexes, streamed append partitions)
+    * read as before. */
   private[graft] def assignmentsRead(spark: SparkSession,
       indexDir: String): DataFrame = {
     val dir = s"$indexDir/assignments"
-    if (!looksBucketed(spark, dir))
-      return spark.read.parquet(dir)
-    val tname = ivfTableName(indexDir)
-    if (!spark.catalog.tableExists(tname)) {
-      val ddl = spark.read.parquet(dir).schema.toDDL
-      spark.sql(
-        s"""CREATE TABLE $tname ($ddl) USING PARQUET
-           CLUSTERED BY (cent_id) SORTED BY (cent_id)
-           INTO $IvfIndexBuckets BUCKETS
-           LOCATION '$dir'""")
+    bucketMarker(spark, dir) match {
+      case None => spark.read.parquet(dir)
+      case Some(n) =>
+        val tname = ivfTableName(indexDir)
+        if (!spark.catalog.tableExists(tname)) {
+          val ddl = spark.read.parquet(dir).schema.toDDL
+          spark.sql(
+            s"""CREATE TABLE $tname ($ddl) USING PARQUET
+               CLUSTERED BY (cent_id) SORTED BY (cent_id)
+               INTO $n BUCKETS
+               LOCATION '$dir'""")
+        }
+        spark.table(tname)
     }
-    spark.table(tname)
   }
 
   /** Directed scored candidate pairs (id_a, id_b, sim) straight off a
@@ -992,6 +1064,93 @@ object Similarity {
       .reduce(_ unionAll _)
   }
 
+  /** The CAPPED quadrant split (r12 — VERDICT ask 4): member-cap
+    * semantics over the base ∪ appends view WITHOUT shuffling the base.
+    *
+    * The cap keeps, per cell, the `cap` members with the smallest
+    * (md5(id), id) draw over the UNION's members — which r11 computed
+    * by unioning the sides first, discarding the base's bucketing and
+    * re-shuffling the 100 TB side on exactly the hot-cell corpora where
+    * the cap matters. Instead, rank each side separately and correct
+    * the base ranks with BROADCAST append draws:
+    *
+    *   - a BASE member's union rank = its base rank (a window over the
+    *     bucketed scan — partitioned by the bucket key, so a
+    *     per-partition sort, never an Exchange) + the count of append
+    *     draws below its own, read from a per-cell broadcast of the
+    *     (small) append side — only cells the appends touch pay the
+    *     correction;
+    *   - an APPEND member's union rank = its append rank (a window over
+    *     the small side) + the count of SMALLER BASE DRAWS in its cell,
+    *     a cell-keyed aggregate that also rides the bucketing.
+    *
+    * Kept set identical to capping the union (the rank of a member is
+    * the number of smaller draws either way); spec-locked row-identical
+    * to `ivfScoredPairsOn(base ∪ appends, …, cap)`, plan-gated zero
+    * base-side Exchange. Caller gates on appends size exactly like the
+    * uncapped split ([[graft.streaming.IndexStream.knn]]). */
+  private[graft] def ivfScoredPairsSplitCapped(spark: SparkSession,
+      base: DataFrame, appends: DataFrame, nprobe: Int = IvfNprobe,
+      cap: Int = IvfMemberCap): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    QueryDef.cpuBound(spark)
+    def members(df: DataFrame) = df.filter(col("rn") === 1)
+      .select(col("vec_id").as("id_b"), col("qv").as("qb"),
+        col("nrm").as("nb"), col("cent_id").as("cell"),
+        md5(col("vec_id").cast("string")).as("draw"))
+    def probes(df: DataFrame) = df.filter(col("rn") <= nprobe)
+      .select(col("vec_id").as("id_a"), col("qv").as("qa"),
+        col("nrm").as("na"), col("cent_id").as("cell"))
+    val w = Window.partitionBy("cell").orderBy(col("draw"), col("id_b"))
+    val mB = members(base)
+    val mA = members(appends)
+    // append draws per touched cell, shipped to every base partition
+    val appDraws = mA.groupBy("cell")
+      .agg(collect_list(struct(col("draw"), col("id_b").as("id"))).as("adraws"))
+    def below(arr: Column, d: Column, id: Column) =
+      size(filter(arr, x =>
+        x("draw") < d || (x("draw") === d && x("id") < id)))
+    val keptB = mB.withColumn("mrn", row_number().over(w))
+      .join(broadcast(appDraws), Seq("cell"), "left")
+      .withColumn("adj",
+        coalesce(below(col("adraws"), col("draw"), col("id_b")), lit(0)))
+      .filter(col("mrn") + col("adj") <= cap)
+      .select("id_b", "qb", "nb", "cell")
+    // smaller base draws per append member: a cell-keyed count that
+    // rides the bucketing (group keys (cell, id) cluster by cell, so
+    // the partial/final aggregate needs no exchange); the result is
+    // append-cardinality and ships back as a broadcast
+    val baseBelow = mB.join(
+        broadcast(mA.select(col("cell"), col("draw").as("adraw"),
+          col("id_b").as("aid"))), Seq("cell"))
+      .filter(col("draw") < col("adraw") ||
+        (col("draw") === col("adraw") && col("id_b") < col("aid")))
+      .groupBy(col("cell"), col("aid"))
+      .agg(count(lit(1)).as("badj"))
+    // the append member's own-side rank comes off the SAME broadcast
+    // array (count of smaller append draws + 1) — no appends-side
+    // window sort; the only exchanges in the whole capped plan are the
+    // appends-scale aggregates (gated small by the caller), never the
+    // base
+    val keptA = mA.join(broadcast(appDraws), Seq("cell"))
+      .withColumn("mrn", below(col("adraws"), col("draw"), col("id_b")) + 1)
+      .join(broadcast(baseBelow.withColumnRenamed("aid", "id_b")),
+        Seq("cell", "id_b"), "left")
+      .withColumn("badj", coalesce(col("badj"), lit(0L)))
+      .filter(col("mrn") + col("badj") <= cap)
+      .select("id_b", "qb", "nb", "cell")
+    val (pB, pA) = (probes(base), probes(appends))
+    Seq(
+      pB.join(keptB, Seq("cell")),            // bucket-co-partitioned
+      pB.join(broadcast(keptA), Seq("cell")), // base streams, appends ship
+      broadcast(pA).join(keptB, Seq("cell")),
+      pA.join(broadcast(keptA), Seq("cell"))) // small x small
+      .map(_.filter(col("id_a") =!= col("id_b"))
+        .withColumn("sim", simCol)
+        .select("id_a", "id_b", "sim"))
+      .reduce(_ unionAll _)
+  }
+
   /** [[saveIvfIndex]] from an EXPLICIT quantized frame (vec_id, qv,
     * nrm) — the index-over-a-subset path q170 builds its incremental
     * base from. No cache: ad-hoc frames have no content fingerprint. */
@@ -1000,8 +1159,8 @@ object Similarity {
     val qc = q.select("vec_id", "qv", "nrm").localCheckpoint()
     val k = ivfCentroidsFor(qc.count())
     val cents = centroidFrame(spark, kmeansCentroidSeq(qc, k, KmeansIters))
-    cents.write.mode("overwrite").parquet(s"$indexDir/centroids")
     writeAssignmentsBucketed(spark, assignCells(qc, cents, nprobe), indexDir)
+    writeCentroidsSwapped(spark, cents, indexDir)
   }
 
   /** Incremental index maintenance (q170): assign NEW vectors against
@@ -1018,14 +1177,16 @@ object Similarity {
       newQ: DataFrame, nprobe: Int = IvfNprobe): Unit = {
     val cents = spark.read.parquet(s"$indexDir/centroids")
     val asg = assignCells(newQ.select("vec_id", "qv", "nrm"), cents, nprobe)
-    if (looksBucketed(spark, s"$indexDir/assignments")) {
-      assignmentsRead(spark, indexDir) // ensures the table is registered
-      asg.repartition(IvfIndexBuckets, col("cent_id"))
-        .write.mode("append").format("parquet")
-        .bucketBy(IvfIndexBuckets, "cent_id").sortBy("cent_id")
-        .saveAsTable(ivfTableName(indexDir))
-    } else
-      asg.write.mode("append").parquet(s"$indexDir/assignments")
+    bucketMarker(spark, s"$indexDir/assignments") match {
+      case Some(n) =>
+        assignmentsRead(spark, indexDir) // ensures the table is registered
+        asg.repartition(n, col("cent_id"))
+          .write.mode("append").format("parquet")
+          .bucketBy(n, "cent_id").sortBy("cent_id")
+          .saveAsTable(ivfTableName(indexDir))
+      case None =>
+        asg.write.mode("append").parquet(s"$indexDir/assignments")
+    }
   }
 
   /** IVF cell-occupancy audit (q171): per home cell, member count and
@@ -1084,8 +1245,76 @@ object Similarity {
     val idx = s"${System.getProperty("java.io.tmpdir")}/graft-ivf-idx-" +
       dir.replaceAll("[^A-Za-z0-9._-]", "_")
     ivfIndexCache.getOrElseUpdate(s"${cacheKeyDir(dir)}->$idx", {
-      saveIvfIndex(spark, dir, idx); idx
+      buildSharedIndex(spark, dir, idx); idx
     })
+  }
+
+  /** Corpus-fingerprint marker of a shared index dir: a complete index
+    * carries the [[cacheKeyDir]] of the corpus it was built from, so a
+    * SECOND session sharing the scratch path ADOPTS the finished build
+    * instead of rebuilding it out from under the first session's
+    * readers (the r11 close note recorded exactly that race: a
+    * concurrent test JVM rebuilding the shared dir made one Verify read
+    * miss). */
+  private val IndexFingerprint = "_graft_fingerprint"
+
+  /** Build the shared per-corpus index exactly once ACROSS SESSIONS
+    * (r12 — VERDICT ask 3): adopt a complete matching build; otherwise
+    * take the cross-JVM lock file, re-check (another session may have
+    * won the race), build, stamp the fingerprint, release. A builder
+    * that finds the lock held waits for the winner and adopts; a lock
+    * older than [[IndexLockStaleMs]] is a crashed builder and is
+    * broken. */
+  private def buildSharedIndex(spark: SparkSession, dir: String,
+      idx: String): Unit = {
+    val fs = fsOf(spark, new org.apache.hadoop.fs.Path(idx))
+    val want = cacheKeyDir(dir)
+    def complete: Boolean = {
+      val p = new org.apache.hadoop.fs.Path(idx, IndexFingerprint)
+      readSmallFile(fs, p).contains(want) &&
+        bucketMarker(spark, s"$idx/assignments").nonEmpty
+    }
+    if (complete) return // adopt another session's finished build
+    withBuildLock(fs, new org.apache.hadoop.fs.Path(idx + ".lock")) {
+      if (!complete) {
+        saveIvfIndex(spark, dir, idx)
+        writeSmallFile(fs,
+          new org.apache.hadoop.fs.Path(idx, IndexFingerprint), want)
+      }
+    }
+  }
+
+  /** How old a lock file must be before a waiter declares its holder
+    * crashed and breaks it. */
+  private val IndexLockStaleMs = 30L * 60 * 1000
+  private val IndexLockWaitMs = 10L * 60 * 1000
+
+  private def withBuildLock[T](fs: org.apache.hadoop.fs.FileSystem,
+      lock: org.apache.hadoop.fs.Path)(body: => T): T = {
+    val deadline = System.currentTimeMillis() + IndexLockWaitMs
+    var acquired = false
+    while (!acquired) {
+      try {
+        fs.mkdirs(lock.getParent)
+        val out = fs.create(lock, false) // atomic create-if-absent
+        try out.write(ProcessHandle.current().pid().toString.getBytes("UTF-8"))
+        finally out.close()
+        acquired = true
+      } catch {
+        case _: java.io.IOException =>
+          val stale = try {
+            fs.getFileStatus(lock).getModificationTime <
+              System.currentTimeMillis() - IndexLockStaleMs
+          } catch { case _: java.io.FileNotFoundException => false }
+          if (stale) fs.delete(lock, false)
+          else if (System.currentTimeMillis() > deadline)
+            throw new IllegalStateException(
+              s"timed out waiting for index build lock $lock — if no " +
+                "builder is alive, delete the lock file")
+          else Thread.sleep(500)
+      }
+    }
+    try body finally fs.delete(lock, false)
   }
 
   /** Undirected near-dup pairs over the persisted IVF candidates — the
@@ -2575,6 +2804,40 @@ object Similarity {
     SELECT vec_id, rank, neighbor_id, sim FROM r WHERE rank <= 3"""
   }
 
+  /** q306's oracle (r12): the STREAMED capped index from scratch —
+    * centroids trained on the even half (the persisted base), EVERY
+    * vector assigned against them (appends assign per-vector against
+    * the frozen centroids, so base ∪ appends == assign-all), then the
+    * md5-draw member cap over the UNION's members and the top-3 rank.
+    * The engine side routes through [[graft.streaming.IndexStream.knn]]
+    * with a cap, i.e. the capped quadrant split
+    * ([[ivfScoredPairsSplitCapped]]) whenever the appends fit the
+    * broadcast gate — the oracle hash is what pins the rank
+    * decomposition to union-cap semantics. */
+  private lazy val knnStreamedCappedSql: String = {
+    val kHalf = s"(SELECT GREATEST($IvfCentroids, CAST(ceil(sqrt(COUNT(*))) AS BIGINT)) FROM nb)"
+    val (kmeans, cf) = kmeansSqlFor("nb", "b", kHalf, KmeansIters)
+    s"""WITH $quantCte,
+    nb AS (SELECT * FROM n WHERE vec_id % 2 = 0),
+    $kmeans,
+    af AS (SELECT n.vec_id, n.qv, n.nrm, c.cent_id,
+          row_number() OVER (PARTITION BY n.vec_id ORDER BY
+            CAST(list_sum(list_transform(range(1, len(n.qv) + 1), i -> n.qv[i] * c.cqv[i])) AS DOUBLE)
+            / (sqrt(CAST(n.nrm AS DOUBLE)) * sqrt(CAST(c.cnrm AS DOUBLE))) DESC, c.cent_id) AS rn
+          FROM n CROSS JOIN $cf c),
+    mem0 AS (SELECT vec_id, qv, nrm, cent_id AS cell FROM af WHERE rn = 1),
+    mem AS (SELECT vec_id, qv, nrm, cell FROM (
+          SELECT m.*, row_number() OVER (PARTITION BY cell
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS mrn FROM mem0 m)
+        WHERE mrn <= $IvfMemberCap),
+    pr AS (SELECT vec_id, qv, nrm, cent_id AS cell FROM af WHERE rn <= $IvfNprobe),
+    p AS (SELECT a.vec_id, b.vec_id AS neighbor_id, $simSql AS sim
+          FROM pr a JOIN mem b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+    r AS (SELECT vec_id, neighbor_id, sim,
+          row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, neighbor_id) AS rank FROM p)
+    SELECT vec_id, rank, neighbor_id, sim FROM r WHERE rank <= 3"""
+  }
+
   /** q296's oracle: q47's chain with the md5-draw member cap. */
   private def knnIvfCappedOracleSql(cap: Int): String =
     s"""WITH ${ivfPairCtesWithCap(Some(cap))},
@@ -2965,7 +3228,10 @@ object Similarity {
     // (persistedIvfIndexDir), so q129/q153/q154/q155 share ONE
     // train+assign per corpus version.
     QueryDef("q129_knn_ivf_persisted",
-      (s, d) => knnIvfPersisted(s, persistedIvfIndexDir(s, d), 3),
+      // routed through its TVF form (r12 — the q281 discipline): a SQL
+      // session queries the shared persisted index by path
+      (s, d) => s.sql(
+        s"SELECT * FROM knn_ivf_persisted('${persistedIvfIndexDir(s, d)}', 3)"),
       Some(knnIvfOracleSql)),
 
     // the q125 discipline applied to the embedding family (VERDICT r6
@@ -3086,6 +3352,25 @@ object Similarity {
         r AS (SELECT vec_id, neighbor_id, sim,
               row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, neighbor_id) AS rank FROM d)
         SELECT vec_id, rank, neighbor_id, sim FROM r WHERE rank <= 3""")),
+
+    // r12 (VERDICT ask 4): the member cap on the STREAMED-index query
+    // surface with the quadrant split kept — base on the even half,
+    // odd half as one streamed appends batch, IndexStream.knn ranks
+    // the union's members per cell WITHOUT shuffling the base (the
+    // bucketed window + broadcast-rank-correction decomposition,
+    // plan-gated in SimilarityIndexSpec; this oracle pins the answer).
+    QueryDef("q306_knn_streamed_capped",
+      (s, d) => {
+        val q = quantized(s, d).select("vec_id", "qv", "nrm").localCheckpoint()
+        val idx = s"${System.getProperty("java.io.tmpdir")}/graft-ivf-stream-" +
+          d.replaceAll("[^A-Za-z0-9._-]", "_")
+        saveIvfIndexOn(s, q.filter(expr("vec_id % 2 = 0")), idx)
+        val cents = s.read.parquet(s"$idx/centroids")
+        assignCells(q.filter(expr("vec_id % 2 = 1")), cents, IvfNprobe)
+          .write.mode("overwrite").parquet(s"$idx/appends/batch_id=0")
+        graft.streaming.IndexStream.knn(s, idx, 3, memberCap = IvfMemberCap)
+      },
+      Some(knnStreamedCappedSql)),
 
     QueryDef("q107_cluster_profile",
       (s, d) => clusterProfile(s, d),

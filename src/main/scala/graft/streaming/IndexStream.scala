@@ -84,28 +84,51 @@ object IndexStream {
     * keeps a hot cell's candidate volume bounded until the operator
     * retrains.
     *
-    * Plan (r11): when the index HAS appends and no cap is requested,
-    * the query runs the QUADRANT decomposition
-    * ([[Similarity.ivfScoredPairsSplit]]) — base ⋈ base rides the
-    * bucketed co-partitioning and every append quadrant broadcasts the
-    * append side, so the base is never shuffled; a pre-join union
-    * would discard the bucketing and re-shuffle the whole index per
-    * query. Capped queries rank the UNION's members per cell, which
-    * genuinely needs the sides together. Answers are row-identical
-    * (join distributes over union; StreamingSpec locks it). */
+    * Plan (r11, size-gated r12): when the index HAS appends and the
+    * appends side is SMALL ENOUGH TO SHIP (at or under the session's
+    * autoBroadcastJoinThreshold — the r11 form force-broadcast
+    * unconditionally, and appends grow without bound between retrains,
+    * so a long-running streamed index would eventually hit the 8 GB
+    * broadcast hard limit or OOM the driver), the query runs the
+    * QUADRANT decomposition ([[Similarity.ivfScoredPairsSplit]]) —
+    * base ⋈ base rides the bucketed co-partitioning and every append
+    * quadrant broadcasts the append side, so the base is never
+    * shuffled; a pre-join union would discard the bucketing and
+    * re-shuffle the whole index per query. Oversized appends (the
+    * retrain-overdue regime — q171's drift audit is the signal) fall
+    * back to the union form, which works at any size. With a
+    * `memberCap`, the capped split ([[Similarity.ivfScoredPairsSplitCapped]])
+    * keeps BOTH properties — the base-side window rides the bucket key
+    * (no Exchange) and only append-touched cells re-rank — under the
+    * same size gate. Answers are row-identical either way (join
+    * distributes over union; StreamingSpec locks both). */
   def knn(spark: SparkSession, indexDir: String, k: Int,
       nprobe: Int = Similarity.IvfNprobe,
       memberCap: Int = Int.MaxValue): DataFrame = {
     val base = Similarity.assignmentsRead(spark, indexDir)
     StreamState.read(spark, s"$indexDir/appends") match {
-      case Some(app) if memberCap == Int.MaxValue =>
+      case Some(app) if splitFits(spark, indexDir) =>
         Similarity.topkPairs(
-          Similarity.ivfScoredPairsSplit(spark, base, app, nprobe), k)
+          if (memberCap == Int.MaxValue)
+            Similarity.ivfScoredPairsSplit(spark, base, app, nprobe)
+          else
+            Similarity.ivfScoredPairsSplitCapped(spark, base, app, nprobe,
+              memberCap), k)
       case Some(app) =>
         Similarity.knnIvfOnAssignments(spark, base.unionByName(app), k,
           nprobe, memberCap)
       case None =>
         Similarity.knnIvfOnAssignments(spark, base, k, nprobe, memberCap)
     }
+  }
+
+  /** True iff the appends side is small enough for the quadrant split's
+    * forced broadcasts: at or under the session's
+    * autoBroadcastJoinThreshold (and broadcasts not disabled outright).
+    * A listing, never a job. */
+  private def splitFits(spark: SparkSession, indexDir: String): Boolean = {
+    val threshold = spark.sessionState.conf.autoBroadcastJoinThreshold
+    threshold > 0 &&
+      StreamState.liveBytes(spark, s"$indexDir/appends").exists(_ <= threshold)
   }
 }

@@ -113,9 +113,19 @@ object StreamState {
     * dropped. */
   def read(spark: SparkSession, stateDir: String,
       current: Long = Long.MaxValue): Option[DataFrame] = {
+    val pieces = livePieces(spark, stateDir, current)
+    if (pieces.isEmpty) None
+    else Some(spark.read.parquet(pieces.map(_.toString): _*))
+  }
+
+  /** The directories holding exactly one copy of every live row: live
+    * batch partitions (≥ horizon, < current), live tiered runs, the
+    * newest complete generation. */
+  private def livePieces(spark: SparkSession, stateDir: String,
+      current: Long = Long.MaxValue): Seq[Path] = {
     val root = new Path(stateDir)
     val fs = fsOf(spark, root)
-    if (!fs.exists(root)) return None
+    if (!fs.exists(root)) return Seq.empty
     val gen = generations(fs, stateDir).lastOption
     val runs = liveRuns(allRuns(fs, stateDir))
       // a run wholly below the generation horizon was folded into the
@@ -132,12 +142,22 @@ object StreamState {
         val id = p.getName.stripPrefix("batch_id=").toLong
         id >= h && id < current
       }
-    val pieces =
-      liveDirs.map(_.toString).toSeq ++
-        runs.map(_.path.toString) ++
-        gen.map(g => s"$stateDir/base/gen=$g").toSeq
+    liveDirs.toSeq ++ runs.map(_.path) ++
+      gen.map(g => new Path(s"$stateDir/base/gen=$g")).toSeq
+  }
+
+  /** Total bytes behind [[read]]'s live view — a LISTING, never a job:
+    * what a caller gates broadcast decisions on (r12 — r11 ADVICE: the
+    * streamed-index quadrant split force-broadcast an appends side that
+    * grows without bound between retrains). None when the table has no
+    * data. */
+  def liveBytes(spark: SparkSession, stateDir: String): Option[Long] = {
+    val pieces = livePieces(spark, stateDir)
     if (pieces.isEmpty) None
-    else Some(spark.read.parquet(pieces: _*))
+    else {
+      val fs = fsOf(spark, new Path(stateDir))
+      Some(pieces.map(p => fs.getContentSummary(p).getLength).sum)
+    }
   }
 
   /** The last batch id the streaming CHECKPOINT has committed — read

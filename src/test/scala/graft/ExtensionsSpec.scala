@@ -70,4 +70,30 @@ class ExtensionsSpec extends AnyFunSuite {
       .collect()(0).getLong(0)
     assert(n > 0, "aggregating over a TVF must work like any relation")
   }
+
+  test("r12 TVFs (multi-arg): near-dup mine, persisted knn, dataset " +
+      "card, source mix — identical to their Scala entry points") {
+    val spark = SparkSpec.spark
+    val dir = "/root/testdata/sf0.001"
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(rows(spark.sql(
+        s"SELECT * FROM dedup_near_pairs('$dir/documents.parquet', 0.8)"))
+      == rows(graft.ops.Dedup.minhashLshPairs(
+        spark.read.parquet(s"$dir/documents.parquet"), 0.8)))
+    val idx = graft.ops.Similarity.persistedIvfIndexDir(spark, dir)
+    assert(rows(spark.sql(s"SELECT * FROM knn_ivf_persisted('$idx', 3)"))
+      == rows(graft.ops.Similarity.knnIvfPersisted(spark, idx, 3)))
+    assert(rows(spark.sql(s"SELECT * FROM dataset_card('$dir/documents.parquet')"))
+      == rows(graft.ops.Corpus.datasetCard(spark, dir)))
+    assert(rows(spark.sql(
+        s"SELECT * FROM source_mix('$dir/documents.parquet', 1000000)"))
+      == rows(graft.ops.Sampling.sourceMix(
+        spark.read.parquet(s"$dir/documents.parquet"), 1000000L)))
+    // a malformed arg list fails with the usage string, not a planner error
+    val ex = intercept[Exception] {
+      spark.sql("SELECT * FROM knn_ivf_persisted('/nope')").collect()
+    }
+    assert(ex.getMessage.contains("knn_ivf_persisted expects"))
+  }
 }

@@ -16,6 +16,28 @@ class SimilarityIndexSpec extends AnyFunSuite {
 
   private def idx = Similarity.persistedIvfIndexDir(spark, dir)
 
+  /** The POST-EnsureRequirements shuffles of a plan, built with
+    * broadcasts forced off (a broadcast join would hide a missing
+    * bucket claim) and AQE off (r12: `sparkPlan` is the planner output
+    * BEFORE EnsureRequirements inserts exchanges, so the r11 gates that
+    * collected on it were vacuously empty — this helper is the real
+    * gate). The frame must be BUILT under the flipped confs, hence the
+    * by-name parameter. */
+  private def realShuffles(build: => org.apache.spark.sql.DataFrame)
+      : (Seq[ShuffleExchangeExec], org.apache.spark.sql.execution.SparkPlan) = {
+    val bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val plan = build.queryExecution.executedPlan
+      (plan.collect { case e: ShuffleExchangeExec => e }, plan)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bc)
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    }
+  }
+
   test("persisted round-trip: knnIvfPersisted == knnIvf row-identical " +
       "(the q129 invariant survives the bucketed rewrite)") {
     val persisted = Similarity.knnIvfPersisted(spark, idx, 3)
@@ -27,26 +49,14 @@ class SimilarityIndexSpec extends AnyFunSuite {
   test("the persisted index is a bucketed table and its cell self-join " +
       "plans with ZERO ShuffleExchange (member side never re-shuffles)") {
     val i = idx // force the build
-    val conf = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    try {
-      // force the shuffle-based join path: a broadcast join would hide a
-      // missing bucket claim (its member side is exchange-free anyway)
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      val pairs = Similarity.ivfScoredPairs(spark, i)
-      val exchanges = pairs.queryExecution.sparkPlan.collect {
-        case e: ShuffleExchangeExec => e
-      }
-      assert(exchanges.isEmpty,
-        s"bucketed cell join must not exchange, found:\n${pairs.queryExecution.sparkPlan}")
-      // and the capped variant's window must ride the same bucketing
-      val capped = Similarity.ivfScoredPairs(spark, i,
-        memberCap = Similarity.IvfMemberCap)
-      val cexch = capped.queryExecution.sparkPlan.collect {
-        case e: ShuffleExchangeExec => e
-      }
-      assert(cexch.isEmpty,
-        "the per-cell cap window partitions by the bucket key — no exchange")
-    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", conf)
+    val (exchanges, plan) = realShuffles(Similarity.ivfScoredPairs(spark, i))
+    assert(exchanges.isEmpty,
+      s"bucketed cell join must not exchange, found:\n$plan")
+    // and the capped variant's window must ride the same bucketing
+    val (cexch, cplan) = realShuffles(Similarity.ivfScoredPairs(spark, i,
+      memberCap = Similarity.IvfMemberCap))
+    assert(cexch.isEmpty,
+      s"the per-cell cap window partitions by the bucket key:\n$cplan")
   }
 
   test("capped persisted pairs ⊆ uncapped persisted pairs, and the cap " +
@@ -88,18 +98,12 @@ class SimilarityIndexSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSet
     assert(viaSplit == viaUnion,
       "join must distribute over the base/appends union")
-    val conf = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    try {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val (exch, plan) = realShuffles {
       val base = Similarity.assignmentsRead(spark, sidx)
       val app = graft.streaming.StreamState.read(spark, s"$sidx/appends").get
-      val pairs = Similarity.ivfScoredPairsSplit(spark, base, app)
-      val exch = pairs.queryExecution.sparkPlan.collect {
-        case e: ShuffleExchangeExec => e
-      }
-      assert(exch.isEmpty,
-        s"split view must not shuffle the base:\n${pairs.queryExecution.sparkPlan}")
-    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", conf)
+      Similarity.ivfScoredPairsSplit(spark, base, app)
+    }
+    assert(exch.isEmpty, s"split view must not shuffle the base:\n$plan")
   }
 
   test("streamed-index query surface honors the member cap (IndexStream" +
@@ -109,5 +113,150 @@ class SimilarityIndexSpec extends AnyFunSuite {
     val uncapped = graft.streaming.IndexStream.knn(spark, idx, 3)
       .collect().map(_.toSeq).toSet
     assert(capped == uncapped, "an unreached cap must be a no-op here too")
+  }
+
+  /** The split-index fixture: base = even vectors (bucketed persisted
+    * index), appends = odd vectors' assignment rows as one streamed
+    * batch partition. */
+  private def splitFixture(): String = {
+    val q = Similarity.quantized(spark, dir).select("vec_id", "qv", "nrm")
+      .localCheckpoint()
+    val sidx = java.nio.file.Files.createTempDirectory("capsplit-idx").toString
+    Similarity.saveIvfIndexOn(spark, q.filter(expr("vec_id % 2 = 0")), sidx)
+    val cents = spark.read.parquet(s"$sidx/centroids")
+    Similarity.assignCells(q.filter(expr("vec_id % 2 = 1")), cents,
+        Similarity.IvfNprobe)
+      .write.parquet(s"$sidx/appends/batch_id=0")
+    sidx
+  }
+
+  test("capped quadrant split == capped union row-identical, cap bites, " +
+      "and no exchange ever reads the base (r12 ask 4)") {
+    val sidx = splitFixture()
+    val base = Similarity.assignmentsRead(spark, sidx)
+    val app = graft.streaming.StreamState.read(spark, s"$sidx/appends").get
+    val cap = Similarity.IvfMemberCap
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    val viaSplit = rows(
+      Similarity.ivfScoredPairsSplitCapped(spark, base, app, cap = cap))
+    val viaUnion = rows(Similarity.ivfScoredPairsOn(spark,
+      base.unionByName(app), memberCap = cap))
+    assert(viaSplit == viaUnion,
+      "the rank decomposition must keep exactly the union's capped members")
+    val uncapped = rows(Similarity.ivfScoredPairsSplit(spark, base, app))
+    assert(viaSplit.map(_.take(2)).subsetOf(uncapped.map(_.take(2))))
+    assert(viaSplit.size < uncapped.size, "the cap must bite on this corpus")
+    // plan gate: the base scan is never the input of a ShuffleExchange —
+    // only appends-scale aggregates (gated small by the caller) shuffle
+    val (shuffles, plan) = realShuffles(
+      Similarity.ivfScoredPairsSplitCapped(spark,
+        Similarity.assignmentsRead(spark, sidx), app, cap = cap))
+    val baseShuffles = shuffles.filter(_.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+        if s.relation.location.rootPaths
+          .exists(_.toString.endsWith("/assignments")) => s
+    }.nonEmpty)
+    assert(baseShuffles.isEmpty,
+      s"capped split must not shuffle the base:\n$plan")
+  }
+
+  test("IndexStream.knn with a cap takes the capped split under the size " +
+      "gate and the union fallback above it — row-identical either way") {
+    val sidx = splitFixture()
+    import graft.streaming.IndexStream
+    val cap = Similarity.IvfMemberCap
+    val want = Similarity.knnIvfOnAssignments(spark,
+        IndexStream.assignments(spark, sidx), 3, memberCap = cap)
+      .collect().map(_.toSeq).toSet
+    assert(IndexStream.knn(spark, sidx, 3, memberCap = cap)
+      .collect().map(_.toSeq).toSet == want, "split path diverged")
+    val conf = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // broadcasts disabled: the r11 ADVICE regime where forcing the
+      // split would eventually OOM — the gate must fall back to union
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      assert(IndexStream.knn(spark, sidx, 3, memberCap = cap)
+        .collect().map(_.toSeq).toSet == want, "union fallback diverged")
+      assert(IndexStream.knn(spark, sidx, 3)
+        .collect().map(_.toSeq).toSet ==
+        Similarity.knnIvfOnAssignments(spark,
+          IndexStream.assignments(spark, sidx), 3)
+          .collect().map(_.toSeq).toSet,
+        "uncapped union fallback diverged")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", conf)
+  }
+
+  test("bucket claim is marker-based (r12): the writer records the spec, " +
+      "a marker-less dir reads plain with identical rows") {
+    val sidx = splitFixture()
+    val marker = new java.io.File(s"$sidx/assignments/_graft_buckets")
+    assert(marker.exists, "the bucketed writer must record its spec")
+    assert(scala.io.Source.fromFile(marker).mkString == "32:cent_id")
+    val want = Similarity.ivfScoredPairs(spark, sidx)
+      .collect().map(_.toSeq).toSet
+    marker.delete()
+    // no marker -> no claim: same rows, but the cell join now has to
+    // shuffle (proves the file-name regex no longer drives the claim)
+    assert(Similarity.ivfScoredPairs(spark, sidx)
+      .collect().map(_.toSeq).toSet == want)
+    val (exch, plan) = realShuffles(Similarity.ivfScoredPairs(spark, sidx))
+    assert(exch.nonEmpty,
+      s"without the marker no bucketing may be claimed:\n$plan")
+  }
+
+  test("retrain into the SAME index dir from a frame derived from that " +
+      "dir survives (r12 tmp+swap; the r11 delete-before-read lost it)") {
+    val sidx = splitFixture()
+    // the documented retrain recipe: rebuild from the live view
+    val live = graft.streaming.IndexStream.assignments(spark, sidx)
+      .filter(col("rn") === 1).select("vec_id", "qv", "nrm")
+      .localCheckpoint()
+    val fresh = java.nio.file.Files.createTempDirectory("retrain-ref").toString
+    Similarity.saveIvfIndexOn(spark, live, fresh)
+    // same recipe WITHOUT the caller-side checkpoint: the input is the
+    // lazy frame reading the directory being retrained
+    val lazyLive = graft.streaming.IndexStream.assignments(spark, sidx)
+      .filter(col("rn") === 1).select("vec_id", "qv", "nrm")
+    Similarity.saveIvfIndexOn(spark, lazyLive, sidx)
+    assert(Similarity.knnIvfPersisted(spark, sidx, 3)
+      .collect().map(_.toSeq).toSet ==
+      Similarity.knnIvfPersisted(spark, fresh, 3)
+        .collect().map(_.toSeq).toSet,
+      "retrain-into-self must equal retrain-into-fresh")
+    // one-cycle grace copy of the superseded assignments survives
+    assert(new java.io.File(s"$sidx/assignments.old").exists)
+  }
+
+  test("two sessions, one shared index: the second builder adopts the " +
+      "finished build (fingerprint match) instead of rebuilding; a held " +
+      "lock makes it wait (r12 ask 3)") {
+    val i = idx // ensure built
+    assert(new java.io.File(s"$i/_graft_fingerprint").exists,
+      "a complete shared build must be fingerprint-stamped")
+    def fileStamps() = new java.io.File(s"$i/assignments").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getName, f.lastModified)).toSet
+    val before = fileStamps()
+    // "second session": drop the in-JVM memo so the shared-dir protocol
+    // runs again from scratch
+    Similarity.ivfIndexCache.clear()
+    assert(Similarity.persistedIvfIndexDir(spark, dir) == i)
+    assert(fileStamps() == before,
+      "a matching finished build must be adopted, not rebuilt")
+    // a held lock blocks the build path (fingerprint removed so the
+    // waiter cannot short-circuit by adoption)
+    new java.io.File(s"$i/_graft_fingerprint").delete()
+    val lock = new java.io.File(s"$i.lock")
+    assert(lock.createNewFile())
+    Similarity.ivfIndexCache.clear()
+    val t0 = System.nanoTime()
+    new Thread(() => { Thread.sleep(1500); lock.delete(); () }).start()
+    assert(Similarity.persistedIvfIndexDir(spark, dir) == i)
+    val waitedMs = (System.nanoTime() - t0) / 1000000
+    assert(waitedMs >= 1400, s"builder must wait for the lock holder ($waitedMs ms)")
+    assert(new java.io.File(s"$i/_graft_fingerprint").exists,
+      "the winning builder must re-stamp the fingerprint")
+    assert(Similarity.knnIvfPersisted(spark, i, 3).count() > 0)
   }
 }
