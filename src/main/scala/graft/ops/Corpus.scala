@@ -2141,6 +2141,36 @@ object Corpus {
       (s, d) => packingEfficiency(s, d),
       Some(packingEfficiencySql())),
 
+    // r12: the tiered shard-compaction READ path oracle-gated —
+    // documents land as three batch shards, two maintenance windows
+    // fold them into size-tiered runs (exercising the geometric
+    // cascade), one batch stays live; the per-source card over
+    // StreamState.read must see every row exactly once through
+    // runs ∪ live partitions or the hash breaks.
+    QueryDef("q307_tiered_shard_card",
+      (s, d) => {
+        val out = s"${System.getProperty("java.io.tmpdir")}/graft-tiered-" +
+          d.replaceAll("[^A-Za-z0-9._-]", "_")
+        val root = new org.apache.hadoop.fs.Path(out)
+        val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(root)) fs.delete(root, true)
+        val docs = t(s, d, "documents")
+        (0 to 2).foreach(i => docs.filter(col("doc_id") % 3 === i)
+          .write.parquet(s"$out/batch_id=$i"))
+        graft.streaming.StreamState.compactShardsTiered(s, out, 1)
+        graft.streaming.StreamState.compactShardsTiered(s, out, 2)
+        graft.streaming.StreamState.read(s, out).get
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_chars").as("n_chars"),
+            min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+      },
+      Some("""SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(n_chars) AS BIGINT) AS n_chars,
+        CAST(min(doc_id) AS BIGINT) AS min_id,
+        CAST(max(doc_id) AS BIGINT) AS max_id
+        FROM documents GROUP BY source""")),
+
     QueryDef("q105_dataset_card",
       (s, d) => datasetCard(s, d),
       Some(datasetCardSql)),
