@@ -1211,6 +1211,46 @@ object Similarity {
       .select("cent_id", "n_vecs", "share", "n_cells", "skew")
   }
 
+  /** Occupancy skew above which [[graft.streaming.IndexStream.retrain]]
+    * is advised: max-cell / mean-cell of 4 means the hottest cell does
+    * 4× its fair share of every query's candidate work AND recall at
+    * fixed nprobe has drifted (vectors pile where centroids aren't). */
+  val RetrainSkewThreshold = 4.0
+
+  /** The retrain decision as a one-row card (q308, r12): corpus size,
+    * cell count, occupancy skew, and the boolean the maintenance cron
+    * acts on — [[ivfCellOccupancy]]'s corpus-wide summary reduced to
+    * the verdict. Reads only the assignments table (cell-keyed rollup
+    * riding the bucketing; vectors never touched). */
+  def retrainAdvisor(spark: SparkSession, indexDir: String): DataFrame =
+    ivfCellOccupancy(spark, indexDir)
+      .agg(sum("n_vecs").as("n_vecs"), max("n_cells").as("n_cells"),
+        max("skew").as("skew"))
+      .select(col("n_vecs"), col("n_cells"), col("skew"),
+        (col("skew") > lit(RetrainSkewThreshold)).as("retrain"))
+
+  /** q308's oracle: q171's CTEs reduced to the one-row verdict. */
+  private lazy val retrainAdvisorSql: String = {
+    val (kmeans, cf) = kmeansSqlAuto()
+    s"""WITH $quantCte,
+    $kmeans,
+    af AS (SELECT n.vec_id, c.cent_id,
+          row_number() OVER (PARTITION BY n.vec_id ORDER BY
+            CAST(list_sum(list_transform(range(1, len(n.qv) + 1), i -> n.qv[i] * c.cqv[i])) AS DOUBLE)
+            / (sqrt(CAST(n.nrm AS DOUBLE)) * sqrt(CAST(c.cnrm AS DOUBLE))) DESC, c.cent_id) AS rn
+          FROM n CROSS JOIN $cf c),
+    cells AS (SELECT cent_id, CAST(count(*) AS BIGINT) AS n_vecs
+              FROM af WHERE rn = 1 GROUP BY cent_id),
+    s AS (SELECT CAST(max(n_vecs) AS BIGINT) AS max_vecs,
+            CAST(sum(n_vecs) AS BIGINT) AS n_total,
+            CAST(count(*) AS BIGINT) AS n_cells FROM cells)
+    SELECT n_total AS n_vecs, n_cells,
+      CAST(max_vecs AS DOUBLE) * CAST(n_cells AS DOUBLE) / CAST(n_total AS DOUBLE) AS skew,
+      (CAST(max_vecs AS DOUBLE) * CAST(n_cells AS DOUBLE) / CAST(n_total AS DOUBLE))
+        > $RetrainSkewThreshold AS retrain
+    FROM s"""
+  }
+
   /** q171's oracle: the q47 assignment CTEs + the same rollup. */
   private lazy val ivfCellOccupancySql: String = {
     val (kmeans, cf) = kmeansSqlAuto()
@@ -3259,6 +3299,12 @@ object Similarity {
     QueryDef("q171_ivf_cell_occupancy",
       (s, d) => ivfCellOccupancy(s, persistedIvfIndexDir(s, d)),
       Some(ivfCellOccupancySql)),
+
+    // r12: q171's summary reduced to the maintenance cron's decision —
+    // the boolean IndexStream.retrain acts on.
+    QueryDef("q308_retrain_advisor",
+      (s, d) => retrainAdvisor(s, persistedIvfIndexDir(s, d)),
+      Some(retrainAdvisorSql)),
 
     QueryDef("q174_contrastive_pairs",
       (s, d) => contrastivePairs(s, d),

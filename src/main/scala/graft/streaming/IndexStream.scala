@@ -65,6 +65,56 @@ object IndexStream {
       upToBatch: Long): Unit =
     StreamState.compact(spark, s"$indexDir/appends", upToBatch)
 
+  /** RETRAIN the streamed index from its own live view (r12 — the
+    * operation [[compactAppends]]' scaladoc deferred to "retrain time",
+    * now a real call): fresh Lloyd train + assignment over base ∪
+    * appends, written THROUGH the r12 tmp+swap path (the build reads
+    * the live index while it still exists — no caller-side checkpoint
+    * needed), then the folded appends collapse to an EMPTY generation
+    * at `upToBatch`, so a replayed pre-retrain batch stays a no-op (its
+    * rows now live in the base; re-minting them as appends — assigned
+    * against the OLD centroids — would both double the rows and mix
+    * stale cells into the new index).
+    *
+    * Call between batches with `upToBatch` = last committed batch + 1
+    * (the [[StreamState.lastCommittedBatch]] contract), and only when
+    * no live append partition sits at or above `upToBatch`: an
+    * uncommitted batch's rows were assigned against the superseded
+    * centroids and CANNOT survive a retrain (enforced — the call
+    * refuses rather than corrupt). Post-retrain appends assign against
+    * the new centroids as usual. */
+  def retrain(spark: SparkSession, indexDir: String, upToBatch: Long): Unit = {
+    require(upToBatch > 0, s"upToBatch must be positive, got $upToBatch")
+    val appDir = s"$indexDir/appends"
+    val appPath = new org.apache.hadoop.fs.Path(appDir)
+    val fs = appPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hadAppends = fs.exists(appPath)
+    if (hadAppends) {
+      val above = fs.listStatus(appPath)
+        .filter(_.isDirectory).map(_.getPath.getName)
+        .filter(_.startsWith("batch_id="))
+        .map(_.stripPrefix("batch_id=").toLong).filter(_ >= upToBatch)
+      require(above.isEmpty,
+        s"live append batches ${above.sorted.mkString(",")} at/above " +
+          s"$upToBatch would be lost by a retrain — stop the stream and " +
+          "retrain at lastCommittedBatch + 1")
+    }
+    val live = assignments(spark, indexDir)
+      .filter(org.apache.spark.sql.functions.col("rn") === 1)
+      .select("vec_id", "qv", "nrm")
+    Similarity.saveIvfIndexOn(spark, live, indexDir)
+    if (hadAppends) {
+      // the folded appends collapse to an EMPTY generation at (at
+      // least) the old horizon — written directly, not via compact():
+      // a previously compacted generation holds PRE-RETRAIN rows that
+      // are now in the base, and compact() would keep them
+      val target = math.max(StreamState.horizon(spark, appDir), upToBatch)
+      Similarity.assignmentsRead(spark, indexDir).limit(0).coalesce(1)
+        .write.mode("overwrite").parquet(s"$appDir/base/gen=$target")
+      StreamState.gc(spark, appDir) // quiescent by contract: collect now
+    }
+  }
+
   /** The live assignments view of a streamed index: the base table plus
     * every streamed append (base generation ∪ live partitions). None-
     * append indexes read as plain persisted ones (the appends directory

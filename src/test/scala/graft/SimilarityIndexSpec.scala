@@ -228,6 +228,48 @@ class SimilarityIndexSpec extends AnyFunSuite {
     assert(new java.io.File(s"$sidx/assignments.old").exists)
   }
 
+  test("IndexStream.retrain: base ∪ appends fold into a fresh index " +
+      "equal to training on the live view; pre-retrain appends become " +
+      "invisible no-ops; an above-horizon live batch refuses (r12)") {
+    import graft.streaming.{IndexStream, StreamState}
+    val sidx = splitFixture() // base = evens, appends batch 0 = odds
+    // a second live batch so the refusal case has something to lose
+    val app0 = spark.read.parquet(s"$sidx/appends/batch_id=0").localCheckpoint()
+    app0.write.parquet(s"$sidx/appends/batch_id=1")
+    // refusal: batch 1 is at/above upToBatch=1 — retraining would lose it
+    val ex = intercept[IllegalArgumentException] {
+      IndexStream.retrain(spark, sidx, 1)
+    }
+    assert(ex.getMessage.contains("would be lost"))
+    // reference: a fresh index trained on the SAME live rows
+    val live = IndexStream.assignments(spark, sidx)
+      .filter(col("rn") === 1).select("vec_id", "qv", "nrm").localCheckpoint()
+    val ref = java.nio.file.Files.createTempDirectory("retrain-want").toString
+    Similarity.saveIvfIndexOn(spark, live, ref)
+    IndexStream.retrain(spark, sidx, 2)
+    def knnRows(i: String) = graft.streaming.IndexStream.knn(spark, i, 3)
+      .collect().map(_.toSeq).toSet
+    assert(knnRows(sidx) == knnRows(ref),
+      "retrain must equal a fresh train over the live view")
+    // the appends view is an empty horizon: a replayed pre-retrain batch
+    // that re-mints its partition stays invisible (rows live in the base)
+    assert(StreamState.horizon(spark, s"$sidx/appends") == 2L)
+    assert(StreamState.read(spark, s"$sidx/appends").forall(_.isEmpty))
+    val before = knnRows(sidx)
+    app0.write.mode("overwrite").parquet(s"$sidx/appends/batch_id=0")
+    assert(knnRows(sidx) == before,
+      "a replayed pre-retrain append must stay a no-op after retrain")
+    // post-retrain appends assign against the NEW centroids and land live
+    val cents = spark.read.parquet(s"$sidx/centroids")
+    val extra = app0.filter(col("rn") === 1)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("qv"), col("nrm"))
+    val nBase = IndexStream.assignments(spark, sidx).count()
+    Similarity.assignCells(extra, cents, Similarity.IvfNprobe)
+      .write.mode("overwrite").parquet(s"$sidx/appends/batch_id=2")
+    assert(IndexStream.assignments(spark, sidx).count() > nBase,
+      "post-retrain appends must be live")
+  }
+
   test("two sessions, one shared index: the second builder adopts the " +
       "finished build (fingerprint match) instead of rebuilding; a held " +
       "lock makes it wait (r12 ask 3)") {
