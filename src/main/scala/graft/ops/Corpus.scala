@@ -2172,7 +2172,8 @@ object Corpus {
         FROM documents GROUP BY source""")),
 
     QueryDef("q105_dataset_card",
-      (s, d) => datasetCard(s, d),
+      // routed through its TVF form (r12 — the q281 discipline)
+      (s, d) => s.sql(s"SELECT * FROM dataset_card('$d/documents.parquet')"),
       Some(datasetCardSql)),
 
     QueryDef("q106_bpe_merge_pairs",

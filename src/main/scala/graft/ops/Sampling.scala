@@ -278,6 +278,24 @@ object Sampling {
       SELECT doc_id, source, n_tokens, cum_tokens, share_tokens
       FROM c WHERE cum_tokens <= share_tokens"""
 
+  /** q309's oracle (r12): [[sourceMixSql]] at UNIT weight — the exact
+    * semantics of the `source_mix(path, budget)` TVF, which exposes the
+    * budget knob but not the weight column. */
+  def sourceMixUnitSql(budgetTokens: Long = MixBudgetTokens): String =
+    s"""WITH base AS (SELECT doc_id, source, ${TextStats.scoreSignalsDuck}
+      FROM documents),
+      scored AS (SELECT doc_id, source, n_tokens,
+          ${TextStats.scoreExprDuck} AS score, CAST(1 AS BIGINT) AS w
+        FROM base),
+      tw AS (SELECT SUM(w) AS totw FROM (SELECT DISTINCT source, w FROM scored)),
+      c AS (SELECT doc_id, source, n_tokens,
+          CAST(($budgetTokens * w) // (SELECT totw FROM tw) AS BIGINT) AS share_tokens,
+          CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY score DESC, doc_id)
+            AS BIGINT) AS cum_tokens
+        FROM scored)
+      SELECT doc_id, source, n_tokens, cum_tokens, share_tokens
+      FROM c WHERE cum_tokens <= share_tokens"""
+
   def sourceMixSql(budgetTokens: Long = MixBudgetTokens): String =
     s"""WITH base AS (SELECT doc_id, source, ${TextStats.scoreSignalsDuck}
       FROM documents),
@@ -1083,6 +1101,14 @@ object Sampling {
     QueryDef("q96_source_mix",
       (s, d) => sourceMix(t(s, d, "documents"), weight = srcNameWeight),
       Some(sourceMixSql())),
+
+    // r12: the source_mix TVF's own hash gate — unit weight, explicit
+    // budget, reached purely through SQL (the q281 discipline for the
+    // multi-arg TVF family).
+    QueryDef("q309_source_mix_tvf",
+      (s, d) => s.sql(
+        s"SELECT * FROM source_mix('$d/documents.parquet', $MixBudgetTokens)"),
+      Some(sourceMixUnitSql())),
 
     QueryDef("q156_temperature_mix",
       (s, d) => temperatureMix(t(s, d, "documents")),
