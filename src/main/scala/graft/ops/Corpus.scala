@@ -1310,6 +1310,30 @@ object Corpus {
     card.withColumn("avg_quality", col("q_micro_sum").cast("double") /
       (col("n_docs") * lit(1000000L)).cast("double"))
 
+  /** q307's fixture: documents as three batch shards, two tiered
+    * maintenance windows (exercising the cascade), one live batch.
+    * PID-scoped path + in-JVM memo (r12 review): a fixed shared path
+    * with delete-on-entry let two JVMs on the same dataset race
+    * delete-against-read — each process now builds its own. */
+  private val tieredFixtureCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def tieredFixtureDir(spark: SparkSession, dir: String): String = {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft-tiered-" +
+      s"${ProcessHandle.current().pid()}-" +
+      dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    tieredFixtureCache.getOrElseUpdate(out, {
+      val root = new org.apache.hadoop.fs.Path(out)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(root)) fs.delete(root, true)
+      val docs = t(spark, dir, "documents")
+      (0 to 2).foreach(i => docs.filter(col("doc_id") % 3 === i)
+        .write.parquet(s"$out/batch_id=$i"))
+      graft.streaming.StreamState.compactShardsTiered(spark, out, 1)
+      graft.streaming.StreamState.compactShardsTiered(spark, out, 2)
+      out
+    })
+  }
+
   def datasetCard(spark: SparkSession, dir: String): DataFrame =
     datasetCardOn(t(spark, dir, "documents"))
 
@@ -2148,23 +2172,12 @@ object Corpus {
     // StreamState.read must see every row exactly once through
     // runs ∪ live partitions or the hash breaks.
     QueryDef("q307_tiered_shard_card",
-      (s, d) => {
-        val out = s"${System.getProperty("java.io.tmpdir")}/graft-tiered-" +
-          d.replaceAll("[^A-Za-z0-9._-]", "_")
-        val root = new org.apache.hadoop.fs.Path(out)
-        val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
-        if (fs.exists(root)) fs.delete(root, true)
-        val docs = t(s, d, "documents")
-        (0 to 2).foreach(i => docs.filter(col("doc_id") % 3 === i)
-          .write.parquet(s"$out/batch_id=$i"))
-        graft.streaming.StreamState.compactShardsTiered(s, out, 1)
-        graft.streaming.StreamState.compactShardsTiered(s, out, 2)
-        graft.streaming.StreamState.read(s, out).get
-          .groupBy("source")
-          .agg(count(lit(1)).as("n_docs"),
-            sum("n_chars").as("n_chars"),
-            min("doc_id").as("min_id"), max("doc_id").as("max_id"))
-      },
+      (s, d) => graft.streaming.StreamState
+        .read(s, tieredFixtureDir(s, d)).get
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("n_chars"),
+          min("doc_id").as("min_id"), max("doc_id").as("max_id")),
       Some("""SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
         CAST(sum(n_chars) AS BIGINT) AS n_chars,
         CAST(min(doc_id) AS BIGINT) AS min_id,

@@ -828,8 +828,25 @@ object Similarity {
     val old = new org.apache.hadoop.fs.Path(s"$indexDir/centroids.old")
     cents.write.mode("overwrite").parquet(tmp.toString)
     if (fs.exists(old)) fs.delete(old, true)
-    if (fs.exists(live)) fs.rename(live, old)
-    fs.rename(tmp, live)
+    if (fs.exists(live))
+      graft.util.FsUtil.renameOrThrow(fs, live, old)
+    graft.util.FsUtil.renameOrThrow(fs, tmp, live)
+  }
+
+  /** Delete `*.tmp-<pid>` build leftovers older than the lock-stale
+    * window: a crashed builder's orphan (named with ITS pid) would
+    * otherwise accumulate forever — the same-pid delete above only
+    * covers a retry in the same process. */
+  private def sweepStaleTmp(fs: org.apache.hadoop.fs.FileSystem,
+      indexDir: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(indexDir)
+    if (!fs.exists(root)) return
+    val cutoff = System.currentTimeMillis() - IndexLockStaleMs
+    fs.listStatus(root).filter(_.isDirectory)
+      .filter(st => st.getPath.getName.matches(
+        "(assignments|centroids)\\.tmp-\\d+") &&
+        st.getModificationTime < cutoff)
+      .foreach(st => fs.delete(st.getPath, true))
   }
 
   /** Bucket count of the persisted assignments table. 32 matches the
@@ -859,22 +876,13 @@ object Similarity {
   private val BucketsMarker = "_graft_buckets"
 
   private def fsOf(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-
+    graft.util.FsUtil.fsOf(spark, p)
   private def writeSmallFile(fs: org.apache.hadoop.fs.FileSystem,
-      p: org.apache.hadoop.fs.Path, content: String): Unit = {
-    val out = fs.create(p, true)
-    try out.write(content.getBytes("UTF-8")) finally out.close()
-  }
-
+      p: org.apache.hadoop.fs.Path, content: String): Unit =
+    graft.util.FsUtil.writeSmallFile(fs, p, content)
   private def readSmallFile(fs: org.apache.hadoop.fs.FileSystem,
       p: org.apache.hadoop.fs.Path): Option[String] =
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
-      finally in.close()
-    }
+    graft.util.FsUtil.readSmallFile(fs, p)
 
   /** The recorded bucket count of an assignments dir: Some(n) iff the
     * writer's marker says the files are bucketed INTO n BY cent_id.
@@ -888,6 +896,20 @@ object Similarity {
         case _ => None
       }
     }
+  }
+
+  /** One-time migration for an index written BEFORE the marker existed
+    * (r11 bucketed dirs): the operator — who knows what bucket count
+    * the index was built with, which a file-name regex provably does
+    * not ([[BucketsMarker]] doc) — stamps the claim explicitly, and
+    * every consumer regains the zero-Exchange plan. Stamping a wrong
+    * count silently drops join matches: that is exactly why this is an
+    * explicit operator call and not filename inference. */
+  def stampBucketMarker(spark: SparkSession, indexDir: String,
+      buckets: Int = IvfIndexBuckets): Unit = {
+    val p = new org.apache.hadoop.fs.Path(
+      s"$indexDir/assignments", BucketsMarker)
+    writeSmallFile(fsOf(spark, p), p, s"$buckets:cent_id")
   }
 
   /** Persist an assignments frame as a cent_id-BUCKETED, cent_id-sorted
@@ -921,6 +943,7 @@ object Similarity {
       s"$indexDir/assignments.tmp-${ProcessHandle.current().pid()}")
     val old = new org.apache.hadoop.fs.Path(s"$indexDir/assignments.old")
     if (fs.exists(tmp)) fs.delete(tmp, true)
+    sweepStaleTmp(fs, indexDir) // crashed builders' orphans (other pids)
     val tname = ivfTableName(indexDir)
     val buildName = tname + "_build"
     spark.sql(s"DROP TABLE IF EXISTS $buildName")
@@ -933,8 +956,9 @@ object Similarity {
     writeSmallFile(fs, new org.apache.hadoop.fs.Path(tmp, BucketsMarker),
       s"$IvfIndexBuckets:cent_id")
     if (fs.exists(old)) fs.delete(old, true) // previous cycle's grace copy
-    if (fs.exists(live)) fs.rename(live, old)
-    fs.rename(tmp, live)
+    if (fs.exists(live))
+      graft.util.FsUtil.renameOrThrow(fs, live, old)
+    graft.util.FsUtil.renameOrThrow(fs, tmp, live)
     // stale catalog entries must not survive the rebuild; consumers
     // re-register lazily from the marker
     spark.sql(s"DROP TABLE IF EXISTS $tname")
@@ -1088,7 +1112,15 @@ object Similarity {
     * the number of smaller draws either way); spec-locked row-identical
     * to `ivfScoredPairsOn(base ∪ appends, …, cap)`, plan-gated zero
     * base-side Exchange. Caller gates on appends size exactly like the
-    * uncapped split ([[graft.streaming.IndexStream.knn]]). */
+    * uncapped split ([[graft.streaming.IndexStream.knn]]).
+    *
+    * Precondition: a vec_id appears on ONE side only — the streamed
+    * contract ([[graft.streaming.IndexStream.appendStream]] assigns NEW
+    * vectors; a replay rewrites its own partition). A duplicate id with
+    * an identical draw would tie in the union's total order and the
+    * strict-inequality cross-corrections here would rank both copies
+    * equally — at an exactly-full cell both could survive where the
+    * union form keeps one. */
   private[graft] def ivfScoredPairsSplitCapped(spark: SparkSession,
       base: DataFrame, appends: DataFrame, nprobe: Int = IvfNprobe,
       cap: Int = IvfMemberCap): DataFrame = {
@@ -1112,8 +1144,14 @@ object Similarity {
         x("draw") < d || (x("draw") === d && x("id") < id)))
     val keptB = mB.withColumn("mrn", row_number().over(w))
       .join(broadcast(appDraws), Seq("cell"), "left")
-      .withColumn("adj",
-        coalesce(below(col("adraws"), col("draw"), col("id_b")), lit(0)))
+      // the null guard must be EXPLICIT, not a coalesce around size():
+      // under spark.sql.legacy.sizeOfNull (ANSI off — a common user
+      // session setting this library can't assume away) size(null) is
+      // -1, not null, and a coalesce would pass -1 through as a rank
+      // CREDIT, admitting one extra member in every append-untouched
+      // cell
+      .withColumn("adj", when(col("adraws").isNull, lit(0))
+        .otherwise(below(col("adraws"), col("draw"), col("id_b"))))
       .filter(col("mrn") + col("adj") <= cap)
       .select("id_b", "qb", "nb", "cell")
     // smaller base draws per append member: a cell-keyed count that
@@ -1306,18 +1344,28 @@ object Similarity {
     * older than [[IndexLockStaleMs]] is a crashed builder and is
     * broken. */
   private def buildSharedIndex(spark: SparkSession, dir: String,
-      idx: String): Unit = {
+      idx: String): Unit =
+    sharedArtifact(spark, dir, idx)(
+      bucketMarker(spark, s"$idx/assignments").nonEmpty)(
+      saveIvfIndex(spark, dir, idx))
+
+  /** The cross-JVM build-once protocol shared by every fixed-path
+    * artifact derived from a corpus version: adopt a finished build
+    * whose fingerprint matches AND whose `structure` predicate holds;
+    * otherwise take the lock, re-check (another session may have won),
+    * build, stamp. */
+  private def sharedArtifact(spark: SparkSession, dir: String, idx: String)(
+      structure: => Boolean)(build: => Unit): Unit = {
     val fs = fsOf(spark, new org.apache.hadoop.fs.Path(idx))
     val want = cacheKeyDir(dir)
     def complete: Boolean = {
       val p = new org.apache.hadoop.fs.Path(idx, IndexFingerprint)
-      readSmallFile(fs, p).contains(want) &&
-        bucketMarker(spark, s"$idx/assignments").nonEmpty
+      readSmallFile(fs, p).contains(want) && structure
     }
     if (complete) return // adopt another session's finished build
     withBuildLock(fs, new org.apache.hadoop.fs.Path(idx + ".lock")) {
       if (!complete) {
-        saveIvfIndex(spark, dir, idx)
+        build
         writeSmallFile(fs,
           new org.apache.hadoop.fs.Path(idx, IndexFingerprint), want)
       }
@@ -1329,16 +1377,25 @@ object Similarity {
   private val IndexLockStaleMs = 30L * 60 * 1000
   private val IndexLockWaitMs = 10L * 60 * 1000
 
+  /** How often a live builder refreshes its lock's mtime, so a build
+    * longer than [[IndexLockStaleMs]] is never mistaken for a crash. */
+  private val IndexLockHeartbeatMs = 60L * 1000
+
   private def withBuildLock[T](fs: org.apache.hadoop.fs.FileSystem,
       lock: org.apache.hadoop.fs.Path)(body: => T): T = {
+    // a unique ownership token: release and heartbeat act only on OUR
+    // lock — a waiter that (wrongly or rightly) broke a stale lock and
+    // re-created it must not have its lock deleted by the old holder's
+    // finally block
+    val token = s"${ProcessHandle.current().pid()}@${System.nanoTime()}"
+    def holderToken(): Option[String] = readSmallFile(fs, lock)
     val deadline = System.currentTimeMillis() + IndexLockWaitMs
     var acquired = false
     while (!acquired) {
       try {
         fs.mkdirs(lock.getParent)
         val out = fs.create(lock, false) // atomic create-if-absent
-        try out.write(ProcessHandle.current().pid().toString.getBytes("UTF-8"))
-        finally out.close()
+        try out.write(token.getBytes("UTF-8")) finally out.close()
         acquired = true
       } catch {
         case _: java.io.IOException =>
@@ -1354,7 +1411,22 @@ object Similarity {
           else Thread.sleep(500)
       }
     }
-    try body finally fs.delete(lock, false)
+    // heartbeat: refresh mtime while building, so waiters never declare
+    // a LIVE long build stale (the stale-break exists for crashed pids)
+    @volatile var done = false
+    val beat = new Thread(() => {
+      while (!done) {
+        Thread.sleep(IndexLockHeartbeatMs min 1000L * 30)
+        if (!done && holderToken().contains(token))
+          writeSmallFile(fs, lock, token)
+      }
+    })
+    beat.setDaemon(true)
+    beat.start()
+    try body finally {
+      done = true
+      if (holderToken().contains(token)) fs.delete(lock, false)
+    }
   }
 
   /** Undirected near-dup pairs over the persisted IVF candidates — the
@@ -2882,8 +2954,10 @@ object Similarity {
     * like [[persistedIvfIndexDir]]: base index trained on the even-id
     * half, the odd half's assignment rows as one streamed appends
     * batch — the layout [[graft.streaming.IndexStream.appendStream]]
-    * writes, without a stream. Memoized so Verify/Bench iterations pay
-    * the query, not the (train + assign + swap) build. */
+    * writes, without a stream. Memoized in-JVM AND guarded by the same
+    * cross-JVM fingerprint/lock protocol as the persisted index (a
+    * second session adopts the finished fixture instead of rebuilding
+    * it out from under the first session's readers). */
   private val streamIdxCache =
     scala.collection.concurrent.TrieMap.empty[String, String]
   private[graft] def streamedSplitIndexDir(spark: SparkSession,
@@ -2891,12 +2965,17 @@ object Similarity {
     val idx = s"${System.getProperty("java.io.tmpdir")}/graft-ivf-stream-" +
       dir.replaceAll("[^A-Za-z0-9._-]", "_")
     streamIdxCache.getOrElseUpdate(s"${cacheKeyDir(dir)}->$idx", {
-      val q = quantized(spark, dir).select("vec_id", "qv", "nrm")
-        .localCheckpoint()
-      saveIvfIndexOn(spark, q.filter(expr("vec_id % 2 = 0")), idx)
-      val cents = spark.read.parquet(s"$idx/centroids")
-      assignCells(q.filter(expr("vec_id % 2 = 1")), cents, IvfNprobe)
-        .write.mode("overwrite").parquet(s"$idx/appends/batch_id=0")
+      val fs = fsOf(spark, new org.apache.hadoop.fs.Path(idx))
+      sharedArtifact(spark, dir, idx)(
+        bucketMarker(spark, s"$idx/assignments").nonEmpty &&
+          fs.exists(new org.apache.hadoop.fs.Path(s"$idx/appends/batch_id=0"))) {
+        val q = quantized(spark, dir).select("vec_id", "qv", "nrm")
+          .localCheckpoint()
+        saveIvfIndexOn(spark, q.filter(expr("vec_id % 2 = 0")), idx)
+        val cents = spark.read.parquet(s"$idx/centroids")
+        assignCells(q.filter(expr("vec_id % 2 = 1")), cents, IvfNprobe)
+          .write.mode("overwrite").parquet(s"$idx/appends/batch_id=0")
+      }
       idx
     })
   }

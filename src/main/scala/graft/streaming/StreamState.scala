@@ -51,7 +51,7 @@ import org.apache.spark.sql.functions._
 object StreamState {
 
   private def fsOf(spark: SparkSession, p: Path) =
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.util.FsUtil.fsOf(spark, p)
 
   private def complete(fs: org.apache.hadoop.fs.FileSystem, p: Path) =
     fs.exists(new Path(p, "_SUCCESS"))
@@ -382,11 +382,9 @@ object StreamState {
       val root = new Path(dir)
       val fs = fsOf(spark, root)
       val f = new Path(root, LineageFile)
-      if (fs.exists(f)) {
-        val in = fs.open(f)
-        val recorded = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-        if (recorded != checkpointDir)
+      graft.util.FsUtil.readSmallFile(fs, f) match {
+        case Some(recorded) =>
+          if (recorded != checkpointDir)
           throw new IllegalStateException(
             s"state/output dir $dir is bound to checkpoint lineage " +
               s"'$recorded' but this stream runs from '$checkpointDir'. " +
@@ -396,10 +394,9 @@ object StreamState {
               "SAME source (replay recovery), call StreamState." +
               "adoptLineage(spark, dir, checkpointDir) first; otherwise " +
               "use a fresh state/output dir.")
-      } else {
-        fs.mkdirs(root)
-        val out = fs.create(f, true)
-        try out.write(checkpointDir.getBytes("UTF-8")) finally out.close()
+        case None =>
+          fs.mkdirs(root)
+          graft.util.FsUtil.writeSmallFile(fs, f, checkpointDir)
       }
     })
 
@@ -412,8 +409,8 @@ object StreamState {
     val root = new Path(dir)
     val fs = fsOf(spark, root)
     fs.mkdirs(root)
-    val out = fs.create(new Path(root, LineageFile), true)
-    try out.write(checkpointDir.getBytes("UTF-8")) finally out.close()
+    graft.util.FsUtil.writeSmallFile(fs, new Path(root, LineageFile),
+      checkpointDir)
     lineageOk.clear()
   }
 }

@@ -203,6 +203,44 @@ class SimilarityIndexSpec extends AnyFunSuite {
     val (exch, plan) = realShuffles(Similarity.ivfScoredPairs(spark, sidx))
     assert(exch.nonEmpty,
       s"without the marker no bucketing may be claimed:\n$plan")
+    // explicit operator migration for pre-marker dirs: stamping restores
+    // the claim and the zero-Exchange plan
+    Similarity.stampBucketMarker(spark, sidx)
+    assert(Similarity.ivfScoredPairs(spark, sidx)
+      .collect().map(_.toSeq).toSet == want)
+    val (exch2, plan2) = realShuffles(Similarity.ivfScoredPairs(spark, sidx))
+    assert(exch2.isEmpty, s"stamped marker must restore the claim:\n$plan2")
+  }
+
+  test("capped split is exact under spark.sql.ansi.enabled=false " +
+      "(size(null) = -1 regime) with append-UNTOUCHED cells (r12 review)") {
+    // sparse appends: most cells have no append member, so the base-side
+    // rank correction must take the explicit null branch — a coalesce
+    // around size() would absorb legacy size(null) = -1 as a rank credit
+    val q = Similarity.quantized(spark, dir).select("vec_id", "qv", "nrm")
+      .localCheckpoint()
+    val sidx = java.nio.file.Files.createTempDirectory("ansioff-idx").toString
+    Similarity.saveIvfIndexOn(spark, q.filter(expr("vec_id % 2 = 0")), sidx)
+    val cents = spark.read.parquet(s"$sidx/centroids")
+    Similarity.assignCells(q.filter(expr("vec_id % 20 = 1")), cents,
+        Similarity.IvfNprobe)
+      .write.parquet(s"$sidx/appends/batch_id=0")
+    val base = Similarity.assignmentsRead(spark, sidx)
+    val app = graft.streaming.StreamState.read(spark, s"$sidx/appends").get
+    val cap = Similarity.IvfMemberCap
+    val ansi = spark.conf.get("spark.sql.ansi.enabled")
+    try {
+      spark.conf.set("spark.sql.ansi.enabled", "false")
+      val viaSplit = Similarity
+        .ivfScoredPairsSplitCapped(spark, base, app, cap = cap)
+        .collect().map(_.toSeq).toSet
+      val viaUnion = Similarity.ivfScoredPairsOn(spark,
+          base.unionByName(app), memberCap = cap)
+        .collect().map(_.toSeq).toSet
+      assert(viaSplit == viaUnion,
+        s"ANSI-off divergence: only-split=${(viaSplit -- viaUnion).size} " +
+          s"only-union=${(viaUnion -- viaSplit).size}")
+    } finally spark.conf.set("spark.sql.ansi.enabled", ansi)
   }
 
   test("retrain into the SAME index dir from a frame derived from that " +
