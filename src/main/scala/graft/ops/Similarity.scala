@@ -196,7 +196,7 @@ object Similarity {
     }
     val lam = MmrLambda.toDouble; val oml = MmrOneMinusLambda.toDouble
     val picked = scala.collection.mutable.ArrayBuffer.empty[(Int, C, Double)]
-    val remaining = scala.collection.mutable.ArrayBuffer(cs: _*)
+    val remaining = scala.collection.mutable.ArrayBuffer.from(cs)
     for (step <- 1 to math.min(k, cs.length)) {
       val scored = remaining.map { c =>
         val pen = if (picked.isEmpty) 0.0 else picked.map(p => cos(c, p._2)).max
@@ -316,7 +316,7 @@ object Similarity {
   def rpDistortionOn(spark: SparkSession, dir: String,
       pairs: DataFrame): DataFrame = {
     val rpArr = rpPlanes.map(p =>
-      s"quantized_dot(qv, array(${p.map(_ + "L").mkString(", ")}))").mkString(", ")
+      s"quantized_dot(qv, array(${p.map(x => s"${x}L").mkString(", ")}))").mkString(", ")
     // well-formed vectors only: the corpus's degenerate fixtures (short
     // or null-element vectors) would otherwise split the engines —
     // quantized_dot nulls the whole dot, DuckDB's list_sum skips the
