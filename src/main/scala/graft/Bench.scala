@@ -75,6 +75,23 @@ object Bench {
     names.foreach { n =>
       try { evaluate(SparkEntry.queries(n)(spark, warmDir)) } catch { case _: Throwable => () }
     }
+    // Memoized per-corpus fixtures (persisted/streamed IVF indexes,
+    // tiered-shard layout, classifier scores, trigram stream, recall
+    // truth) build ONCE per corpus version; without this they'd build
+    // inside the first timed iteration of their consumer queries (r13 —
+    // VERDICT ask 5: q306's paired number carried a ~2 s fixture
+    // build). min-of-N already rejects that, but single-iteration
+    // paired runs don't — prebuild in warmup so every iteration times
+    // the query. Skipped for subset campaigns (scale corpora may lack
+    // the fixture inputs; the subset's own first pass warms it).
+    if (only.isEmpty) {
+      try {
+        graft.ops.Similarity.prebuildFixtures(spark, sfDir)
+        graft.ops.Corpus.prebuildFixtures(spark, sfDir)
+        graft.ops.Chunking.prebuildFixtures(spark, sfDir)
+        graft.ops.TextStats.clfScoredPersisted(spark, sfDir)
+      } catch { case _: Throwable => () }
+    }
     clearSessionDebris(spark)
 
     val best = scala.collection.mutable.Map[String, Double]()

@@ -64,9 +64,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
   }
 
-  /** String / numeric LITERAL extractors for TVF argument lists (`3`
-    * parses as an integer literal, `0.8` as a decimal — both normalize
-    * here). */
+  /** String / numeric LITERAL extractors for TVF argument lists. `Num`
+    * is for genuinely FRACTIONAL parameters (thresholds: `0.8` parses
+    * as a decimal literal, an integral `1` also accepted); `IntLit`
+    * (r13 — ADVICE r12) is for integral parameters (k, budget, gap):
+    * the old Double round-trip let `knn_ivf_persisted(path, 3.7)`
+    * silently truncate k to 3 and lost precision on budgets above 2^53
+    * — integral params now match integral literal TYPES directly, so a
+    * fractional argument falls through to the TVF's usage error instead
+    * of truncating. */
   private object Str {
     def unapply(e: Expression): Option[String] = e match {
       case Literal(s: UTF8String, StringType) => Some(s.toString)
@@ -77,6 +83,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     def unapply(e: Expression): Option[Double] = e match {
       case Literal(v, _: org.apache.spark.sql.types.NumericType) =>
         Some(v.toString.toDouble)
+      case _ => None
+    }
+  }
+  private object IntLit {
+    import org.apache.spark.sql.types._
+    def unapply(e: Expression): Option[Long] = e match {
+      case Literal(v: Byte, ByteType) => Some(v.toLong)
+      case Literal(v: Short, ShortType) => Some(v.toLong)
+      case Literal(v: Int, IntegerType) => Some(v.toLong)
+      case Literal(v: Long, LongType) => Some(v)
+      case Literal(d: org.apache.spark.sql.types.Decimal, _: DecimalType)
+          if d.toBigDecimal.isWhole => Some(d.toBigDecimal.toLongExact)
       case _ => None
     }
   }
@@ -110,16 +128,42 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         { case Seq(Str(p), Num(t)) =>
             graft.ops.Dedup.minhashLshPairs(read(p), t) }),
       // q129: top-k off a persisted IVF index directory
-      ("knn_ivf_persisted", "('/index/dir', 3)",
-        { case Seq(Str(p), Num(k)) =>
+      ("knn_ivf_persisted", "('/index/dir', 3) with an INTEGRAL k",
+        { case Seq(Str(p), IntLit(k)) =>
             graft.ops.Similarity.knnIvfPersisted(
               SparkSession.active, p, k.toInt) }),
       // q105: the per-source dataset card
       ("dataset_card", "('/docs.parquet')",
         { case Seq(Str(p)) => graft.ops.Corpus.datasetCardOn(read(p)) }),
       // q96's machinery at unit weight: budgeted per-source curation
-      ("source_mix", "('/docs.parquet', 1000000)",
-        { case Seq(Str(p), Num(b)) =>
-            graft.ops.Sampling.sourceMix(read(p), b.toLong) }))
+      ("source_mix", "('/docs.parquet', 1000000) with an INTEGRAL budget",
+        { case Seq(Str(p), IntLit(b)) =>
+            graft.ops.Sampling.sourceMix(read(p), b) }),
+      // r13 (VERDICT ask 6) — the remaining pipeline entry points a
+      // SQL-only session still had to drop to Scala for:
+      // q74: train-split near-dup contamination of a held-out split
+      ("decontaminate", "('/docs.parquet', 0.8)",
+        { case Seq(Str(p), Num(t)) =>
+            graft.ops.Dedup.decontaminate(read(p), t) }),
+      // q64: BM25 retrieval — query terms as one space-separated string
+      ("bm25_topk", "('/docs.parquet', 'term1 term2', 10) with an INTEGRAL k",
+        { case Seq(Str(p), Str(q), IntLit(k)) =>
+            graft.ops.Corpus.bm25TopKOn(read(p),
+              q.split(" ").toSeq.filter(_.nonEmpty), k.toInt) }),
+      // q21's gap-rule sessionization over an events table (same
+      // ts-normalization prep as the Scala surface: EventOps.eventsOn)
+      ("sessionize", "('/events.parquet', 1800) with an INTEGRAL gap (s)",
+        { case Seq(Str(p), IntLit(gap)) =>
+            graft.ops.EventOps.sessionize(
+              graft.ops.EventOps.eventsOn(SparkSession.active, read(p)),
+              gap) }),
+      // the STREAMED index's live top-k (base ∪ appends; capped form
+      // with the optional third argument — the q296/q306 member cap)
+      ("knn_stream", "('/index/dir', 3[, 64]) with INTEGRAL k and cap",
+        { case Seq(Str(p), IntLit(k)) =>
+            graft.streaming.IndexStream.knn(SparkSession.active, p, k.toInt)
+          case Seq(Str(p), IntLit(k), IntLit(cap)) =>
+            graft.streaming.IndexStream.knn(SparkSession.active, p, k.toInt,
+              memberCap = cap.toInt) }))
   }
 }

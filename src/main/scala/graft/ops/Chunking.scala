@@ -189,6 +189,42 @@ object Chunking {
           AS dup_share_micro
       FROM fpt GROUP BY source"""
 
+  /** q311's fixture (r13 — VERDICT ask 1): the chunk-index STATE as
+    * [[graft.streaming.CorpusStream.chunkIndexStream]] leaves it —
+    * per-batch (source, fp, n, nd) partials — compacted through TWO
+    * merge-aware tiered windows, so the geometric cascade applies the
+    * SUM merge at a real run fold (run=0-1 ∪ fold(batch 1) →
+    * run=0-2) with batch 2 left live. PID-scoped + in-JVM memo (the
+    * tieredFixtureDir discipline: a fixed shared path would let two
+    * JVMs race delete-against-read). */
+  private val stateFixtureCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def tieredStateFixtureDir(spark: org.apache.spark.sql.SparkSession,
+      dir: String): String = {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft-chunkstate-" +
+      s"${ProcessHandle.current().pid()}-" +
+      dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    stateFixtureCache.getOrElseUpdate(out, {
+      val root = new org.apache.hadoop.fs.Path(out)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(root)) fs.delete(root, true)
+      val docs = t(spark, dir, "documents")
+      (0 to 2).foreach(i => chunkFps(docs.filter(col("doc_id") % 3 === i))
+        .write.parquet(s"$out/batch_id=$i"))
+      graft.streaming.CorpusStream.compactChunkIndex(spark, out, 1)
+      graft.streaming.CorpusStream.compactChunkIndex(spark, out, 2)
+      out
+    })
+  }
+
+  /** Bench-warmup fixture resolution (r13 — see
+    * [[graft.ops.Similarity.prebuildFixtures]]). */
+  private[graft] def prebuildFixtures(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    tieredStateFixtureDir(spark, dir)
+    ()
+  }
+
   // -------------------------------------------------------------------
   // q277 — retrieval containment card
   // -------------------------------------------------------------------
@@ -454,6 +490,14 @@ object Chunking {
       (s, d) => chunkGeometry(t(s, d, "documents")), Some(chunkGeometrySql)),
     QueryDef("q276_chunk_dup_card",
       (s, d) => chunkDupCard(t(s, d, "documents")), Some(chunkDupCardSql)),
+    // r13: the dup card over MERGE-AWARE tiered state — per-batch fp
+    // partials compacted through a real cascade fold (sum merge applied
+    // at run-merge time) + one live batch; must equal batch q276 over
+    // the whole corpus or the LSM discipline dropped/double-counted rows
+    QueryDef("q311_tiered_state_card",
+      (s, d) => graft.streaming.CorpusStream.liveChunkDupCard(s,
+        tieredStateFixtureDir(s, d)),
+      Some(chunkDupCardSql)),
     QueryDef("q277_retrieval_containment",
       (s, d) => retrievalContainment(t(s, d, "documents")),
       Some(retrievalContainmentSql)),

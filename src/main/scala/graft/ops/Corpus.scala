@@ -1334,6 +1334,14 @@ object Corpus {
     })
   }
 
+  /** Bench-warmup fixture resolution (r13 — see
+    * [[Similarity.prebuildFixtures]]). */
+  private[graft] def prebuildFixtures(spark: SparkSession, dir: String): Unit = {
+    tieredFixtureDir(spark, dir)
+    trigramStreamPersisted(spark, dir)
+    ()
+  }
+
   def datasetCard(spark: SparkSession, dir: String): DataFrame =
     datasetCardOn(t(spark, dir, "documents"))
 
@@ -1598,8 +1606,12 @@ object Corpus {
     * term set is selective); df and the corpus stats are broadcast
     * scalars; the final top-k is `orderBy.limit` ⇒ TakeOrderedAndProject
     * (per-partition heaps, no global sort). */
-  def bm25TopK(spark: SparkSession, dir: String, terms: Seq[String], k: Int): DataFrame = {
-    val docs = t(spark, dir, "documents")
+  def bm25TopK(spark: SparkSession, dir: String, terms: Seq[String], k: Int): DataFrame =
+    bm25TopKOn(t(spark, dir, "documents"), terms, k)
+
+  /** [[bm25TopK]] over an explicit documents frame — the
+    * `bm25_topk('/docs.parquet', 'terms', k)` TVF's entry point (r13). */
+  def bm25TopKOn(docs: DataFrame, terms: Seq[String], k: Int): DataFrame = {
     val toks = tokenStream(docs)
     val qtoks = toks.filter(col("term").isin(terms: _*))
     val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
@@ -1707,7 +1719,9 @@ object Corpus {
     * parquet suffices and consumers pay a 3-column scan. */
   private[graft] def trigramStreamPersisted(spark: SparkSession,
       dir: String): DataFrame =
-    Memo.persistedFrame(spark, dir, "documents", "tri-stream")(
+    // r13 (VERDICT ask 2): shared across JVMs — token-volume to mine,
+    // pure function of the corpus version ([[Memo.sharedFrame]])
+    Memo.sharedFrame(spark, dir, "documents", "tri-stream")(
       trigramStream(t(spark, dir, "documents")))
 
   /** Positional phrase search (q115): all documents containing an exact
@@ -2207,7 +2221,9 @@ object Corpus {
         .withColumn("postings", expr("array_join(CAST(postings AS ARRAY<STRING>), ',')")),
       Some(invertedIndexSql)),
     QueryDef("q64_bm25_topk",
-      (s, d) => bm25TopK(s, d, Bm25Terms, 10),
+      // routed through its TVF form (r13 — the q42 discipline)
+      (s, d) => s.sql(s"SELECT * FROM bm25_topk('$d/documents.parquet', " +
+        s"'${Bm25Terms.mkString(" ")}', 10)"),
       Some(bm25Sql(Bm25Terms, 10)))
   )
 }

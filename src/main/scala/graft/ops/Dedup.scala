@@ -1909,7 +1909,10 @@ object Dedup {
         FROM walk GROUP BY node""")),
 
     QueryDef("q74_decontaminate",
-      (s, d) => decontaminate(t(s, d, "documents"), 0.8),
+      // routed through its TVF form (r13 — the q42 discipline: same
+      // analyzed plan, the oracle hash keeps the SQL surface honest)
+      (s, d) => s.sql(
+        s"SELECT * FROM decontaminate('$d/documents.parquet', 0.8)"),
       Some(decontaminateSql(0.8))),
 
     // the corpus has no organic character-level near-dups, so the query

@@ -30,13 +30,18 @@ import graft.queries.QueryDef._
   */
 object EventOps {
 
-  def events(spark: SparkSession, dir: String): DataFrame = {
+  def events(spark: SparkSession, dir: String): DataFrame =
+    eventsOn(spark, t(spark, dir, "events"))
+
+  /** The ts-normalization over an EXPLICIT raw events frame (epoch-nanos
+    * Long out, whatever parquet type in) — the `sessionize(path, gap)`
+    * TVF's prep (r13), shared with [[events]] so SQL and Scala agree. */
+  def eventsOn(spark: SparkSession, raw: DataFrame): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // The NTZ→TIMESTAMP cast below interprets wall-clock time in the
     // SESSION time zone; enforce UTC here (not just in Main/Bench/Verify)
     // so library callers on a non-UTC JVM don't silently shift events.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    val raw = t(spark, dir, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => raw // ns-parquet read as nanos
       case _ => // timestamp[us] (NTZ or not) → epoch nanos, UTC enforced above

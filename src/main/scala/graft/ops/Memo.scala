@@ -79,6 +79,42 @@ object Memo {
     spark.read.parquet(path)
   }
 
+  /** [[persistedFrame]] on a path shared ACROSS JVMs (r13 — VERDICT
+    * ask 2): the artifact is built once per CORPUS VERSION fleet-wide,
+    * not once per JVM, under the [[graft.util.SharedArtifact]]
+    * fingerprint + lock protocol the IVF index scratch dirs proved out
+    * in r12 — a second session ADOPTS a finished matching build (the
+    * r9 two-pipelines-overwrite-each-other race that motivated the pid
+    * scope is closed by the protocol, not by isolation). Rebuilds for a
+    * NEW corpus version go through tmp + swap with a one-cycle `.old`
+    * grace copy, so a reader that resolved the previous version keeps
+    * its files until the next rebuild — the index artifact's reader
+    * contract, applied to every heavy memoized frame that opts in.
+    * Opt-in per artifact: callers whose artifact is cheap or
+    * session-private keep [[persistedFrame]]. */
+  def sharedFrame(spark: SparkSession, dir: String, table: String,
+      name: String)(build: => DataFrame): DataFrame = {
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft-memo-shared-" +
+      s"$name-" + dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val want = s"${fingerprint(dir, table)}->$name"
+    cache.getOrElseUpdate(s"$want->$path(shared)", {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = graft.util.FsUtil.fsOf(spark, p)
+      graft.util.SharedArtifact.ensure(spark, path, want)(
+        fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))) {
+        val tmp = new org.apache.hadoop.fs.Path(
+          s"$path.tmp-${ProcessHandle.current().pid()}")
+        val old = new org.apache.hadoop.fs.Path(s"$path.old")
+        build.write.mode("overwrite").parquet(tmp.toString)
+        if (fs.exists(old)) fs.delete(old, true)
+        if (fs.exists(p)) graft.util.FsUtil.renameOrThrow(fs, p, old)
+        graft.util.FsUtil.renameOrThrow(fs, tmp, p)
+      }
+      path
+    })
+    spark.read.parquet(path)
+  }
+
   /** Test hook: drop all entries (forces rebuilds). */
   private[graft] def clear(): Unit = cache.clear()
 }

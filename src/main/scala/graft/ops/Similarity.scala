@@ -809,24 +809,69 @@ object Similarity {
   def saveIvfIndex(spark: SparkSession, dir: String, indexDir: String,
       nprobe: Int = IvfNprobe): Unit = {
     val (q, cents, _) = coarseIndex(spark, dir)
-    writeAssignmentsBucketed(spark, assignCells(q, cents, nprobe), indexDir)
-    writeCentroidsSwapped(spark, cents, indexDir)
+    val buildId = newBuildId()
+    writeAssignmentsBucketed(spark, assignCells(q, cents, nprobe), indexDir,
+      buildId)
+    writeCentroidsSwapped(spark, cents, indexDir, buildId)
+  }
+
+  /** Per-rebuild completion marker (r13 — ADVICE r12): the assignments
+    * and centroids swaps are two renames, and a crash between them
+    * leaves new assignments + old centroids DURABLY — queries still
+    * succeed (they read only assignments), but every subsequent append
+    * assigns new vectors against the stale centroids, silently mixing
+    * inconsistent cells into the index. Both tmp dirs are therefore
+    * stamped with one shared build id BEFORE their swaps, and
+    * [[checkBuildConsistency]] refuses the append paths on mismatch
+    * (retrain repairs — it rewrites both sides under a fresh id). */
+  private val BuildMarker = "_graft_build"
+  private def newBuildId(): String =
+    s"${ProcessHandle.current().pid()}@${System.nanoTime()}"
+
+  /** Throw iff the index's assignments and centroids come from
+    * DIFFERENT rebuilds (the crash-between-swaps residue). Legacy
+    * indexes (neither side stamped — pre-r13 builds) pass: the check
+    * gates on positive evidence of a torn rebuild, not on marker
+    * presence. A small-file read per side — the append paths pay it
+    * once per batch, next to the centroids parquet read they already
+    * do. */
+  def checkBuildConsistency(spark: SparkSession, indexDir: String): Unit = {
+    val fs = fsOf(spark, new org.apache.hadoop.fs.Path(indexDir))
+    def marker(sub: String) = readSmallFile(fs,
+      new org.apache.hadoop.fs.Path(s"$indexDir/$sub", BuildMarker))
+    (marker("assignments"), marker("centroids")) match {
+      case (Some(a), Some(c)) if a != c => throw new IllegalStateException(
+        s"index $indexDir is torn: assignments build '$a' != centroids " +
+          s"build '$c' — a rebuild crashed between its two swaps. " +
+          "Appending would assign new vectors against centroids " +
+          "inconsistent with the base; retrain the index to repair " +
+          "(Similarity.saveIvfIndex* / IndexStream.retrain rewrite both " +
+          "sides under one build id)")
+      case (Some(a), None) => throw new IllegalStateException(
+        s"index $indexDir is torn: assignments carry build '$a' but the " +
+          "centroids dir has no build marker — a rebuild crashed between " +
+          "its two swaps (or the centroids were replaced by hand). " +
+          "Retrain the index to repair")
+      case _ => () // consistent, or legacy unstamped (pre-r13) — pass
+    }
   }
 
   /** Centroids land AFTER the assignments swap, themselves tmp+swap
     * (r12): a retrain never clobbers the live index's centroids before
     * the (lazy, possibly self-reading) assignment job has completed,
     * and a crash leaves either the whole old index or new assignments +
-    * old centroids for one write-window — the only remaining
-    * inconsistency window, and it is the small fast write. */
+    * old centroids for one write-window — detected thereafter by the
+    * [[BuildMarker]] stamped into both tmp dirs pre-swap (r13). */
   private def writeCentroidsSwapped(spark: SparkSession, cents: DataFrame,
-      indexDir: String): Unit = {
+      indexDir: String, buildId: String): Unit = {
     val live = new org.apache.hadoop.fs.Path(s"$indexDir/centroids")
     val fs = fsOf(spark, live)
     val tmp = new org.apache.hadoop.fs.Path(
       s"$indexDir/centroids.tmp-${ProcessHandle.current().pid()}")
     val old = new org.apache.hadoop.fs.Path(s"$indexDir/centroids.old")
     cents.write.mode("overwrite").parquet(tmp.toString)
+    writeSmallFile(fs, new org.apache.hadoop.fs.Path(tmp, BuildMarker),
+      buildId)
     if (fs.exists(old)) fs.delete(old, true)
     if (fs.exists(live))
       graft.util.FsUtil.renameOrThrow(fs, live, old)
@@ -936,7 +981,7 @@ object Similarity {
     * point leaves either the old index intact or a complete new one
     * plus recoverable leftovers. */
   private def writeAssignmentsBucketed(spark: SparkSession, asg: DataFrame,
-      indexDir: String): Unit = {
+      indexDir: String, buildId: String): Unit = {
     val live = new org.apache.hadoop.fs.Path(s"$indexDir/assignments")
     val fs = fsOf(spark, live)
     val tmp = new org.apache.hadoop.fs.Path(
@@ -955,6 +1000,8 @@ object Similarity {
     spark.sql(s"DROP TABLE IF EXISTS $buildName") // external: files stay
     writeSmallFile(fs, new org.apache.hadoop.fs.Path(tmp, BucketsMarker),
       s"$IvfIndexBuckets:cent_id")
+    writeSmallFile(fs, new org.apache.hadoop.fs.Path(tmp, BuildMarker),
+      buildId)
     if (fs.exists(old)) fs.delete(old, true) // previous cycle's grace copy
     if (fs.exists(live))
       graft.util.FsUtil.renameOrThrow(fs, live, old)
@@ -1197,8 +1244,10 @@ object Similarity {
     val qc = q.select("vec_id", "qv", "nrm").localCheckpoint()
     val k = ivfCentroidsFor(qc.count())
     val cents = centroidFrame(spark, kmeansCentroidSeq(qc, k, KmeansIters))
-    writeAssignmentsBucketed(spark, assignCells(qc, cents, nprobe), indexDir)
-    writeCentroidsSwapped(spark, cents, indexDir)
+    val buildId = newBuildId()
+    writeAssignmentsBucketed(spark, assignCells(qc, cents, nprobe), indexDir,
+      buildId)
+    writeCentroidsSwapped(spark, cents, indexDir, buildId)
   }
 
   /** Incremental index maintenance (q170): assign NEW vectors against
@@ -1213,6 +1262,7 @@ object Similarity {
     * [[clusterProfile]]-style audit reads off the assignments table. */
   def appendToIvfIndex(spark: SparkSession, indexDir: String,
       newQ: DataFrame, nprobe: Int = IvfNprobe): Unit = {
+    checkBuildConsistency(spark, indexDir) // refuse a torn index (r13)
     val cents = spark.read.parquet(s"$indexDir/centroids")
     val asg = assignCells(newQ.select("vec_id", "qv", "nrm"), cents, nprobe)
     bucketMarker(spark, s"$indexDir/assignments") match {
@@ -1236,8 +1286,18 @@ object Similarity {
     * against frozen centroids, so drifted data piles into few cells and
     * the ratio climbs. One cell-keyed rollup of the assignments table +
     * a broadcast scalar summary — never touches vectors. */
-  def ivfCellOccupancy(spark: SparkSession, indexDir: String): DataFrame = {
-    val mem = assignmentsRead(spark, indexDir) // bucketed: the cell rollup
+  def ivfCellOccupancy(spark: SparkSession, indexDir: String): DataFrame =
+    ivfCellOccupancyOn(assignmentsRead(spark, indexDir))
+
+  /** [[ivfCellOccupancy]] over an EXPLICIT ranked assignments frame —
+    * the reader hook for STREAMED indexes, whose drift signal lives in
+    * the base ∪ appends live view
+    * ([[graft.streaming.IndexStream.assignments]]), not the base alone
+    * (appends assign against frozen centroids, so drifted data piles
+    * into few cells exactly there). r13: [[graft.streaming.IndexStream
+    * .maintain]] reads its advisor verdict off this. */
+  def ivfCellOccupancyOn(ranked: DataFrame): DataFrame = {
+    val mem = ranked                           // bucketed base: rollup
       .filter(col("rn") === 1)                 // partial-aggs in place
     val cells = mem.groupBy("cent_id").agg(count(lit(1)).as("n_vecs"))
     val summary = cells.agg(max("n_vecs").as("max_vecs"),
@@ -1261,7 +1321,12 @@ object Similarity {
     * the verdict. Reads only the assignments table (cell-keyed rollup
     * riding the bucketing; vectors never touched). */
   def retrainAdvisor(spark: SparkSession, indexDir: String): DataFrame =
-    ivfCellOccupancy(spark, indexDir)
+    retrainAdvisorOn(assignmentsRead(spark, indexDir))
+
+  /** [[retrainAdvisor]] over an explicit ranked assignments frame (the
+    * streamed live view — see [[ivfCellOccupancyOn]]). */
+  def retrainAdvisorOn(ranked: DataFrame): DataFrame =
+    ivfCellOccupancyOn(ranked)
       .agg(sum("n_vecs").as("n_vecs"), max("n_cells").as("n_cells"),
         max("skew").as("skew"))
       .select(col("n_vecs"), col("n_cells"), col("skew"),
@@ -1327,14 +1392,12 @@ object Similarity {
     })
   }
 
-  /** Corpus-fingerprint marker of a shared index dir: a complete index
-    * carries the [[cacheKeyDir]] of the corpus it was built from, so a
-    * SECOND session sharing the scratch path ADOPTS the finished build
-    * instead of rebuilding it out from under the first session's
-    * readers (the r11 close note recorded exactly that race: a
-    * concurrent test JVM rebuilding the shared dir made one Verify read
-    * miss). */
-  private val IndexFingerprint = "_graft_fingerprint"
+  // Corpus-fingerprint marker of a shared index dir (`_graft_fingerprint`):
+  // a complete index carries the [[cacheKeyDir]] of the corpus it was
+  // built from, so a SECOND session sharing the scratch path ADOPTS the
+  // finished build instead of rebuilding it out from under the first
+  // session's readers. The marker file and protocol live in
+  // [[graft.util.SharedArtifact]] since r13.
 
   /** Build the shared per-corpus index exactly once ACROSS SESSIONS
     * (r12 — VERDICT ask 3): adopt a complete matching build; otherwise
@@ -1350,84 +1413,18 @@ object Similarity {
       saveIvfIndex(spark, dir, idx))
 
   /** The cross-JVM build-once protocol shared by every fixed-path
-    * artifact derived from a corpus version: adopt a finished build
-    * whose fingerprint matches AND whose `structure` predicate holds;
-    * otherwise take the lock, re-check (another session may have won),
-    * build, stamp. */
+    * artifact derived from a corpus version — moved to
+    * [[graft.util.SharedArtifact]] r13 (VERDICT ask 2) so
+    * [[Memo.sharedFrame]] and any future artifact reuse it; this is the
+    * index-flavored entry (fingerprint = [[cacheKeyDir]]). */
   private def sharedArtifact(spark: SparkSession, dir: String, idx: String)(
-      structure: => Boolean)(build: => Unit): Unit = {
-    val fs = fsOf(spark, new org.apache.hadoop.fs.Path(idx))
-    val want = cacheKeyDir(dir)
-    def complete: Boolean = {
-      val p = new org.apache.hadoop.fs.Path(idx, IndexFingerprint)
-      readSmallFile(fs, p).contains(want) && structure
-    }
-    if (complete) return // adopt another session's finished build
-    withBuildLock(fs, new org.apache.hadoop.fs.Path(idx + ".lock")) {
-      if (!complete) {
-        build
-        writeSmallFile(fs,
-          new org.apache.hadoop.fs.Path(idx, IndexFingerprint), want)
-      }
-    }
-  }
+      structure: => Boolean)(build: => Unit): Unit =
+    graft.util.SharedArtifact.ensure(spark, idx, cacheKeyDir(dir))(
+      structure)(build)
 
-  /** How old a lock file must be before a waiter declares its holder
-    * crashed and breaks it. */
-  private val IndexLockStaleMs = 30L * 60 * 1000
-  private val IndexLockWaitMs = 10L * 60 * 1000
-
-  /** How often a live builder refreshes its lock's mtime, so a build
-    * longer than [[IndexLockStaleMs]] is never mistaken for a crash. */
-  private val IndexLockHeartbeatMs = 60L * 1000
-
-  private def withBuildLock[T](fs: org.apache.hadoop.fs.FileSystem,
-      lock: org.apache.hadoop.fs.Path)(body: => T): T = {
-    // a unique ownership token: release and heartbeat act only on OUR
-    // lock — a waiter that (wrongly or rightly) broke a stale lock and
-    // re-created it must not have its lock deleted by the old holder's
-    // finally block
-    val token = s"${ProcessHandle.current().pid()}@${System.nanoTime()}"
-    def holderToken(): Option[String] = readSmallFile(fs, lock)
-    val deadline = System.currentTimeMillis() + IndexLockWaitMs
-    var acquired = false
-    while (!acquired) {
-      try {
-        fs.mkdirs(lock.getParent)
-        val out = fs.create(lock, false) // atomic create-if-absent
-        try out.write(token.getBytes("UTF-8")) finally out.close()
-        acquired = true
-      } catch {
-        case _: java.io.IOException =>
-          val stale = try {
-            fs.getFileStatus(lock).getModificationTime <
-              System.currentTimeMillis() - IndexLockStaleMs
-          } catch { case _: java.io.FileNotFoundException => false }
-          if (stale) fs.delete(lock, false)
-          else if (System.currentTimeMillis() > deadline)
-            throw new IllegalStateException(
-              s"timed out waiting for index build lock $lock — if no " +
-                "builder is alive, delete the lock file")
-          else Thread.sleep(500)
-      }
-    }
-    // heartbeat: refresh mtime while building, so waiters never declare
-    // a LIVE long build stale (the stale-break exists for crashed pids)
-    @volatile var done = false
-    val beat = new Thread(() => {
-      while (!done) {
-        Thread.sleep(IndexLockHeartbeatMs min 1000L * 30)
-        if (!done && holderToken().contains(token))
-          writeSmallFile(fs, lock, token)
-      }
-    })
-    beat.setDaemon(true)
-    beat.start()
-    try body finally {
-      done = true
-      if (holderToken().contains(token)) fs.delete(lock, false)
-    }
-  }
+  /** Stale window of the shared-artifact build lock — re-exported for
+    * [[sweepStaleTmp]]'s crashed-builder cutoff. */
+  private def IndexLockStaleMs = graft.util.SharedArtifact.StaleMs
 
   /** Undirected near-dup pairs over the persisted IVF candidates — the
     * scale-path pair source for [[rpDistortionOn]] (q153): canonicalize
@@ -1906,7 +1903,10 @@ object Similarity {
     * unchanged — warm==cold is additionally spec-locked). */
   def recallTruth(spark: SparkSession, dir: String, k: Int,
       sampleMod: Long): DataFrame =
-    Memo.persistedFrame(spark, dir, "embeddings", s"recall-truth-k$k-m$sampleMod") {
+    // r13 (VERDICT ask 2): SHARED across JVMs — the exact sweep is the
+    // family's dominant cost and a pure function of the corpus version,
+    // so a multi-session deployment builds it once fleet-wide
+    Memo.sharedFrame(spark, dir, "embeddings", s"recall-truth-k$k-m$sampleMod") {
       val q = quantized(spark, dir)
       val sample = q.filter(col("vec_id") % sampleMod === 0)
         .select(col("vec_id").as("id_a"), col("qv").as("qa"), col("nrm").as("na"))
@@ -2950,6 +2950,49 @@ object Similarity {
     SELECT vec_id, rank, neighbor_id, sim FROM r WHERE rank <= 3"""
   }
 
+  /** q310's oracle (r13): the retrain advisor read off the STREAMED
+    * live view — even-half-trained centroids (the split fixture's
+    * base), EVERY vector assigned against them (base ∪ appends ==
+    * assign-all, the q306 invariant), then q171's cells/summary rollup
+    * reduced to q308's one-row verdict. This is the number
+    * [[graft.streaming.IndexStream.maintain]] acts on: drift lives in
+    * the appends, so the base-only advisor would under-read it. */
+  private lazy val streamedAdvisorSql: String = {
+    val kHalf = s"(SELECT GREATEST($IvfCentroids, CAST(ceil(sqrt(COUNT(*))) AS BIGINT)) FROM nb)"
+    val (kmeans, cf) = kmeansSqlFor("nb", "b", kHalf, KmeansIters)
+    s"""WITH $quantCte,
+    nb AS (SELECT * FROM n WHERE vec_id % 2 = 0),
+    $kmeans,
+    af AS (SELECT n.vec_id, c.cent_id,
+          row_number() OVER (PARTITION BY n.vec_id ORDER BY
+            CAST(list_sum(list_transform(range(1, len(n.qv) + 1), i -> n.qv[i] * c.cqv[i])) AS DOUBLE)
+            / (sqrt(CAST(n.nrm AS DOUBLE)) * sqrt(CAST(c.cnrm AS DOUBLE))) DESC, c.cent_id) AS rn
+          FROM n CROSS JOIN $cf c),
+    cells AS (SELECT cent_id, CAST(count(*) AS BIGINT) AS n_vecs
+              FROM af WHERE rn = 1 GROUP BY cent_id),
+    s AS (SELECT CAST(max(n_vecs) AS BIGINT) AS max_vecs,
+            CAST(sum(n_vecs) AS BIGINT) AS n_total,
+            CAST(count(*) AS BIGINT) AS n_cells FROM cells)
+    SELECT n_total AS n_vecs, n_cells,
+      CAST(max_vecs AS DOUBLE) * CAST(n_cells AS DOUBLE) / CAST(n_total AS DOUBLE) AS skew,
+      (CAST(max_vecs AS DOUBLE) * CAST(n_cells AS DOUBLE) / CAST(n_total AS DOUBLE))
+        > $RetrainSkewThreshold AS retrain
+    FROM s"""
+  }
+
+  /** Bench-warmup fixture resolution (r13 — VERDICT ask 5): build every
+    * memoized per-corpus artifact this module's queries consume, so a
+    * timed iteration measures the QUERY, not a first-touch fixture
+    * build (q306's paired-bench number was ~2.5 s with the split-index
+    * build inside the timing; production pays that once per corpus
+    * version, so the bench should too — in warmup). */
+  private[graft] def prebuildFixtures(spark: SparkSession, dir: String): Unit = {
+    persistedIvfIndexDir(spark, dir)
+    streamedSplitIndexDir(spark, dir)
+    recallTruth(spark, dir, 3, 50L) // Memo build is eager at the call
+    ()
+  }
+
   /** q306's split-index fixture, built once per (JVM, corpus version)
     * like [[persistedIvfIndexDir]]: base index trained on the even-id
     * half, the odd half's assignment rows as one streamed appends
@@ -3508,9 +3551,19 @@ object Similarity {
     // bucketed window + broadcast-rank-correction decomposition,
     // plan-gated in SimilarityIndexSpec; this oracle pins the answer).
     QueryDef("q306_knn_streamed_capped",
-      (s, d) => graft.streaming.IndexStream.knn(s,
-        streamedSplitIndexDir(s, d), 3, memberCap = IvfMemberCap),
+      // routed through the knn_stream TVF (r13 — the q42 discipline:
+      // same analyzed plan as IndexStream.knn(..., cap), oracle-pinned)
+      (s, d) => s.sql(s"SELECT * FROM knn_stream(" +
+        s"'${streamedSplitIndexDir(s, d)}', 3, $IvfMemberCap)"),
       Some(knnStreamedCappedSql)),
+
+    // r13: the maintain verdict on a STREAMED index — q308's advisor
+    // over the base ∪ appends live view (where drift actually shows),
+    // the exact number IndexStream.maintain folds/retrains on
+    QueryDef("q310_streamed_retrain_advisor",
+      (s, d) => retrainAdvisorOn(graft.streaming.IndexStream
+        .assignments(s, streamedSplitIndexDir(s, d))),
+      Some(streamedAdvisorSql)),
 
     QueryDef("q107_cluster_profile",
       (s, d) => clusterProfile(s, d),

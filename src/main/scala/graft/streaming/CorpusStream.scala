@@ -250,37 +250,49 @@ object CorpusStream {
   }
 
   /** Compact the near-dedup state (bands + grams) up to `upToBatch` —
-    * [[StreamState.compact]] per table, identity merge (both tables are
-    * row-per-fact: a band key claim, a rep's shingle set). Admission
-    * semantics untouched: readers resolve the base generation plus live
-    * partitions, and a replayed compacted batch is a no-op (its
-    * partition is below the horizon — ignored on read, skipped on
+    * SIZE-TIERED since r13 (VERDICT ask 1): both tables are row-per-fact
+    * identity merges (a band key claim, a rep's shingle set) but
+    * CORPUS-scale — rows per admitted document forever — so the r12
+    * full-generation fold paid O(corpus) per maintenance window, the
+    * exact non-starter [[StreamState.compactShardsTiered]] removed on
+    * the shard side. They now ride the same geometric cascade:
+    * O(new data · log corpus) amortized, the corpus-scale grams run's
+    * files untouched by a steady-state window. Admission semantics
+    * untouched: readers resolve live runs plus live partitions through
+    * [[StreamState.read]], and a replayed compacted batch is a no-op
+    * (its partition is below the horizon — ignored on read, skipped on
     * write). Call between batches with `upToBatch` ≤ last COMMITTED
     * batch id + 1. */
   def compactState(spark: org.apache.spark.sql.SparkSession, stateDir: String,
       upToBatch: Long): Unit =
     Seq("bands", "grams").foreach { tbl =>
-      StreamState.compact(spark, s"$stateDir/$tbl", upToBatch)
+      StreamState.compactShardsTiered(spark, s"$stateDir/$tbl", upToBatch,
+        numFiles = 1)
     }
 
   /** Compact the chunk-index state up to `upToBatch`: the per-batch
-    * (source, fp, n, nd) partials are SUMS, so the merge re-aggregates
-    * — the base generation holds one row per distinct (source, fp)
-    * regardless of how many batches contributed, which also caps the
-    * state's ROW growth, not just its partition count. */
+    * (source, fp, n, nd) partials are SUMS, so the merge re-aggregates.
+    * Tiered + merge-aware since r13 (the LSM shape): each run holds one
+    * row per distinct (source, fp) WITHIN ITS BATCH RANGE — the sum
+    * merge applies at every run fold, so row growth stays key-bounded
+    * per run while a maintenance window costs O(new · log state), never
+    * a full-state rewrite. The live card re-aggregates across runs
+    * ([[liveChunkDupCard]]), which is what makes the fold-boundary
+    * placement invisible to readers. */
   def compactChunkIndex(spark: org.apache.spark.sql.SparkSession,
       stateDir: String, upToBatch: Long): Unit =
-    StreamState.compact(spark, stateDir, upToBatch,
-      _.groupBy("source", "fp").agg(sum("n").as("n"), sum("nd").as("nd")))
+    StreamState.compactShardsTiered(spark, stateDir, upToBatch, numFiles = 1,
+      merge = _.groupBy("source", "fp").agg(sum("n").as("n"), sum("nd").as("nd")))
 
   /** Compact the KMV vocabulary state up to `upToBatch`: the merge is
-    * the KMV union-trim itself (k smallest distinct hashes), so the
-    * base generation is always EXACTLY one sketch — ≤ k rows — no
-    * matter how many batches folded in. */
+    * the KMV union-trim itself (k smallest distinct hashes), so every
+    * RUN is a ≤ k-row sketch no matter how many batches folded in
+    * (tiered + merge-aware since r13; [[kmvLive]] re-trims across runs,
+    * so fold boundaries are invisible to the estimate). */
   def compactKmv(spark: org.apache.spark.sql.SparkSession, stateDir: String,
       upToBatch: Long, k: Int = Corpus.KmvK): Unit =
-    StreamState.compact(spark, stateDir, upToBatch,
-      _.select("h").distinct().orderBy("h").limit(k))
+    StreamState.compactShardsTiered(spark, stateDir, upToBatch, numFiles = 1,
+      merge = _.select("h").distinct().orderBy("h").limit(k))
 
   /** Live dataset card: q105's per-source report as a streaming
     * aggregate (complete/update mode) — document volume, token volume,

@@ -149,15 +149,20 @@ object SftStream {
   }
 
   /** Compact the admitted-turn fingerprint state up to `upToBatch` —
-    * [[StreamState.compact]] with a DISTINCT merge ((role, fp) is a set
-    * membership fact; distinct also sheds any crash-window garbage).
-    * The admission left-anti join and the replay no-op guard read
-    * through [[StreamState]], so behavior is unchanged while the
-    * partition count drops from one-per-batch to base + recent. */
+    * SIZE-TIERED with a DISTINCT merge since r13 (VERDICT ask 1):
+    * (role, fp) is a set-membership fact growing with the admitted
+    * distinct-turn cardinality — corpus-scale — so the full-generation
+    * fold paid O(state) per window; the tiered cascade pays
+    * O(new · log state) and a steady-state window never rewrites the
+    * big old runs. The distinct merge is union-closed (distinct of a
+    * union == distinct of distincts) and sheds any crash-window
+    * garbage at fold time. The admission left-anti join and the replay
+    * no-op guard read through [[StreamState]], so behavior is
+    * unchanged while the partition count stays O(log). */
   def compactState(spark: SparkSession, stateDir: String,
       upToBatch: Long): Unit =
-    StreamState.compact(spark, s"$stateDir/turnfps", upToBatch,
-      _.select("role", "fp").distinct())
+    StreamState.compactShardsTiered(spark, s"$stateDir/turnfps", upToBatch,
+      numFiles = 1, merge = _.select("role", "fp").distinct())
 
   /** Live role-balance card over everything admitted so far — batch
     * q255's own rollup ([[Conversations.roleBalanceOnTurns]]) on the

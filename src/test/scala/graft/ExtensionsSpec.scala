@@ -96,4 +96,45 @@ class ExtensionsSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("knn_ivf_persisted expects"))
   }
+
+  test("r13 TVFs: decontaminate, bm25_topk, sessionize, knn_stream — " +
+      "identical to their Scala entry points; integral parameters " +
+      "REFUSE fractional literals instead of truncating (ADVICE r12)") {
+    val spark = SparkSpec.spark
+    val dir = "/root/testdata/sf0.001"
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(rows(spark.sql(
+        s"SELECT * FROM decontaminate('$dir/documents.parquet', 0.8)"))
+      == rows(graft.ops.Dedup.decontaminate(
+        spark.read.parquet(s"$dir/documents.parquet"), 0.8)))
+    assert(rows(spark.sql(s"SELECT * FROM bm25_topk(" +
+        s"'$dir/documents.parquet', 'join filter window', 10)"))
+      == rows(graft.ops.Corpus.bm25TopK(spark, dir,
+        Seq("join", "filter", "window"), 10)))
+    assert(rows(spark.sql(s"SELECT * FROM sessionize('$dir/events.parquet', 1800)"))
+      == rows(graft.ops.EventOps.sessionize(
+        graft.ops.EventOps.events(spark, dir), 1800L)))
+    val sidx = graft.ops.Similarity.streamedSplitIndexDir(spark, dir)
+    assert(rows(spark.sql(s"SELECT * FROM knn_stream('$sidx', 3)"))
+      == rows(graft.streaming.IndexStream.knn(spark, sidx, 3)))
+    assert(rows(spark.sql(s"SELECT * FROM knn_stream('$sidx', 3, 8)"))
+      == rows(graft.streaming.IndexStream.knn(spark, sidx, 3, memberCap = 8)))
+    // the r12 Num extractor silently truncated 3.7 -> 3; integral params
+    // now match integral literal TYPES, so a fractional k is the usage
+    // error, never a silent floor
+    val exK = intercept[Exception] {
+      spark.sql(s"SELECT * FROM knn_ivf_persisted('$sidx', 3.7)").collect()
+    }
+    assert(exK.getMessage.contains("knn_ivf_persisted expects"))
+    val exB = intercept[Exception] {
+      spark.sql(s"SELECT * FROM source_mix('$dir/documents.parquet', 0.5)")
+        .collect()
+    }
+    assert(exB.getMessage.contains("source_mix expects"))
+    // a LONG budget above Int range still parses (the Double round-trip
+    // would have lost precision past 2^53 — the literal type carries it)
+    assert(spark.sql(s"SELECT * FROM source_mix('$dir/documents.parquet', " +
+      "9007199254740995)").collect().nonEmpty)
+  }
 }

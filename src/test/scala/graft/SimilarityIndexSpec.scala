@@ -308,6 +308,141 @@ class SimilarityIndexSpec extends AnyFunSuite {
       "post-retrain appends must be live")
   }
 
+  test("torn-index detection (r13 — ADVICE r12): a build-id mismatch " +
+      "between assignments and centroids refuses the append paths; " +
+      "legacy unstamped indexes pass") {
+    import graft.streaming.IndexStream
+    val q = Similarity.quantized(spark, dir).select("vec_id", "qv", "nrm")
+      .localCheckpoint()
+    val tidx = java.nio.file.Files.createTempDirectory("torn-idx").toString
+    Similarity.saveIvfIndexOn(spark, q.filter(expr("vec_id % 2 = 0")), tidx)
+    // a consistent fresh build passes
+    Similarity.checkBuildConsistency(spark, tidx)
+    val newQ = q.filter(expr("vec_id % 2 = 1")).localCheckpoint()
+    Similarity.appendToIvfIndex(spark, tidx, newQ.limit(1))
+    // simulate the crash-between-swaps residue: centroids from an OLDER
+    // rebuild (different build id) under new assignments
+    val cmark = new java.io.File(s"$tidx/centroids/_graft_build")
+    val orig = new String(java.nio.file.Files.readAllBytes(cmark.toPath))
+    // tamper through the Hadoop FS (checksummed local FS — a raw write
+    // would trip the .crc sidecar instead of the consistency check)
+    val hp = new org.apache.hadoop.fs.Path(cmark.getAbsolutePath)
+    graft.util.FsUtil.writeSmallFile(
+      graft.util.FsUtil.fsOf(spark, hp), hp, "0@stale")
+    val ex = intercept[IllegalStateException] {
+      Similarity.appendToIvfIndex(spark, tidx, newQ.limit(1))
+    }
+    assert(ex.getMessage.contains("torn"))
+    // the STREAMED append path refuses identically (same check in the
+    // foreachBatch body — exercised directly here)
+    val ex2 = intercept[IllegalStateException] {
+      Similarity.checkBuildConsistency(spark, tidx)
+    }
+    assert(ex2.getMessage.contains("torn"))
+    // assignments stamped + centroids unstamped = the same torn residue
+    java.nio.file.Files.delete(cmark.toPath)
+    assert(intercept[IllegalStateException] {
+      Similarity.checkBuildConsistency(spark, tidx)
+    }.getMessage.contains("no build marker"))
+    // legacy: NEITHER side stamped (pre-r13 index) — positive-evidence
+    // gate passes, appends keep working
+    java.nio.file.Files.delete(
+      new java.io.File(s"$tidx/assignments/_graft_build").toPath)
+    Similarity.checkBuildConsistency(spark, tidx)
+    // a retrain repairs: both sides rewritten under one fresh id
+    IndexStream.retrain(spark, tidx, 1)
+    Similarity.checkBuildConsistency(spark, tidx)
+    assert(new java.io.File(s"$tidx/centroids/_graft_build").exists
+      && orig.nonEmpty)
+  }
+
+  test("capped-split disjointness precondition is ENFORCED at retrain " +
+      "(r13 ask 4): appends sharing vec_ids with the base fail loudly") {
+    import graft.streaming.IndexStream
+    val sidx = splitFixture() // base = evens, appends batch 0 = odds
+    // pollute the appends dir the way an operator hand-copy would: base
+    // rows re-minted as an appends batch
+    val app0 = spark.read.parquet(s"$sidx/appends/batch_id=0")
+    Similarity.assignmentsRead(spark, sidx).filter(col("rn") === 1)
+      .select(app0.columns.toIndexedSeq.map(col): _*).limit(3)
+      .write.parquet(s"$sidx/appends/batch_id=1")
+    val ex = intercept[IllegalArgumentException] {
+      IndexStream.retrain(spark, sidx, 2)
+    }
+    assert(ex.getMessage.contains("share vec_ids"))
+    // a clean fixture retrains fine (the guard has no false positives)
+    val clean = splitFixture()
+    IndexStream.retrain(spark, clean, 1)
+    assert(Similarity.knnIvfPersisted(spark, clean, 3).count() > 0)
+  }
+
+  test("IndexStream.maintain (r13 ask 3): fold + advisor verdict + " +
+      "retrain on drift; audit-only mode never retrains; refusal " +
+      "propagates") {
+    import graft.streaming.{IndexStream, StreamState}
+    val q = Similarity.quantized(spark, dir).select("vec_id", "qv", "nrm")
+      .localCheckpoint()
+    def fixture(drifted: Boolean): (String, String) = {
+      val sidx = java.nio.file.Files.createTempDirectory("maint-idx").toString
+      Similarity.saveIvfIndexOn(spark, q.filter(expr("vec_id % 2 = 0")), sidx)
+      val cents = spark.read.parquet(s"$sidx/centroids")
+      val app =
+        if (!drifted) q.filter(expr("vec_id % 2 = 1"))
+        else {
+          // a drifting stream: 400 fresh ids all carrying ONE vector's
+          // payload — they pile into a single cell, q171's signal
+          val one = q.filter(expr("vec_id % 2 = 1")).limit(1)
+            .select("qv", "nrm").localCheckpoint()
+          spark.range(400).select((col("id") + 1000000L).as("vec_id"))
+            .crossJoin(one)
+        }
+      Similarity.assignCells(app, cents, Similarity.IvfNprobe)
+        .write.parquet(s"$sidx/appends/batch_id=0")
+      // the checkpoint's commit log, as a stream would leave it: batch 0
+      // committed
+      val ckpt = java.nio.file.Files.createTempDirectory("maint-ckpt").toString
+      new java.io.File(s"$ckpt/commits").mkdirs()
+      java.nio.file.Files.write(
+        new java.io.File(s"$ckpt/commits/0").toPath, "{}".getBytes)
+      (sidx, ckpt)
+    }
+    // drifted: the verdict advises and maintain retrains at horizon 1
+    val (didx, dckpt) = fixture(drifted = true)
+    val rep = IndexStream.maintain(spark, didx, dckpt)
+    assert(rep.lastCommitted.contains(0L))
+    assert(rep.skew > Similarity.RetrainSkewThreshold,
+      s"drift fixture must read as skewed, got ${rep.skew}")
+    assert(rep.retrainAdvised && rep.retrained)
+    assert(rep.nVecs == 250L + 400L, s"live view size: ${rep.nVecs}")
+    // post-retrain: appends collapsed to an empty horizon; the rebuilt
+    // index is consistent (both swaps under one build id) and trained
+    // at the LIVE corpus size — more cells than the stale base had
+    assert(StreamState.read(spark, s"$didx/appends").forall(_.isEmpty))
+    Similarity.checkBuildConsistency(spark, didx)
+    val after = Similarity.retrainAdvisorOn(
+      IndexStream.assignments(spark, didx)).head()
+    assert(after.getAs[Long]("n_vecs") == 650L,
+      "every live row must survive the retrain fold")
+    // audit-only mode: same drift, verdict reported, NOTHING rewritten
+    val (aidx, ackpt) = fixture(drifted = true)
+    val rep2 = IndexStream.maintain(spark, aidx, ackpt,
+      retrainWhenAdvised = false)
+    assert(rep2.retrainAdvised && !rep2.retrained)
+    assert(!new java.io.File(s"$aidx/assignments.old").exists,
+      "audit-only maintain must not rewrite the index")
+    // but the fold DID happen — appends are compacted, not touched
+    assert(StreamState.horizon(spark, s"$aidx/appends") == 1L)
+    // refusal: an in-flight batch above the committed horizon propagates
+    // retrain's contract instead of silently losing it
+    val (ridx, rckpt) = fixture(drifted = true)
+    spark.read.parquet(s"$ridx/appends/batch_id=0")
+      .write.parquet(s"$ridx/appends/batch_id=7")
+    val ex = intercept[IllegalArgumentException] {
+      IndexStream.maintain(spark, ridx, rckpt)
+    }
+    assert(ex.getMessage.contains("would be lost"))
+  }
+
   test("two sessions, one shared index: the second builder adopts the " +
       "finished build (fingerprint match) instead of rebuilding; a held " +
       "lock makes it wait (r12 ask 3)") {

@@ -737,9 +737,18 @@ class StreamingSpec extends AnyFunSuite {
       Seq("bands", "grams").foreach(t =>
         graft.streaming.StreamState.gc(spark, s"$state/$t"))
       assert(stateSet("bands") == bandsBefore, "gc changed the bands rows")
-      // both batches folded into the generation — no live partitions left
+      // both batches folded into the base — no live partitions left
       assert(partsOf("bands") == Seq("base"), s"bands parts: ${partsOf("bands")}")
       assert(partsOf("grams") == Seq("base"), s"grams parts: ${partsOf("grams")}")
+      // r13 (VERDICT ask 1): the corpus-scale band/gram state rides the
+      // SIZE-TIERED cascade now — the base holds runs, never a
+      // full-rewrite generation (the O(corpus)-per-window shape)
+      Seq("bands", "grams").foreach { t =>
+        val base = new java.io.File(s"$state/$t/base").listFiles()
+          .filter(_.isDirectory).map(_.getName).toSeq
+        assert(base.nonEmpty && base.forall(_.startsWith("run=")),
+          s"$t base must be tiered runs: $base")
+      }
       assert(graft.streaming.StreamState.horizon(spark, s"$state/bands") == 2L)
       CorpusStream.compactState(spark, state, 2) // idempotent
       assert(stateSet("bands") == bandsBefore && partsOf("bands") == Seq("base"))
@@ -1474,12 +1483,27 @@ class StreamingSpec extends AnyFunSuite {
       StreamState.gc(spark, state)
       assert(parts() == Seq("base"), s"parts: ${parts().toList}")
       assert(card() == mid, "gc changed the live card")
-      // the re-aggregating merge bounds ROWS too: one per (source, fp)
-      val baseRows = spark.read.parquet(s"$state/base/gen=2")
+      // r13: re-aggregating state compacts into TIERED runs with the
+      // sum merge applied at the fold — the run's ROWS are key-bounded,
+      // one per (source, fp) within its batch range
+      val baseRows = spark.read.parquet(s"$state/base/run=0-2")
       assert(baseRows.count() ==
         baseRows.select("source", "fp").distinct().count())
       mem.addData(c.toSeq: _*); q.processAllAvailable() // batch 2, live
       assert(card() == want, "post-compaction ingest diverged from batch q276")
+      // second maintenance window: the cascade MERGES the adjacent runs
+      // (comparable sizes) through the same sum merge — the card is
+      // still exactly batch q276's, and the merged run stays key-bounded
+      CorpusStream.compactChunkIndex(spark, state, 3)
+      assert(card() == want, "cascade merge changed the live card")
+      val live = new java.io.File(s"$state/base").listFiles()
+        .filter(_.isDirectory).map(_.getName).sorted.toSeq
+      assert(live.forall(_.startsWith("run=")), s"base: $live")
+      live.foreach { r =>
+        val rr = spark.read.parquet(s"$state/base/$r")
+        assert(rr.count() == rr.select("source", "fp").distinct().count(),
+          s"run $r not key-bounded")
+      }
     } finally q.stop()
     // replay from a fresh checkpoint renumbers from 0 — batches 0 and 1
     // are BELOW the horizon (compacted): the write guard skips them, the
@@ -1519,13 +1543,21 @@ class StreamingSpec extends AnyFunSuite {
       val est0 = est()
       CorpusStream.compactKmv(spark, state, 1, k)
       assert(est() == est0, "compaction changed the estimate")
-      assert(spark.read.parquet(s"$state/base/gen=1").count() <= k,
-        "the KMV merge must trim the base to one sketch")
+      // r13: sketch state compacts into tiered runs, the KMV union-trim
+      // applied at every fold — each run is one <= k-row sketch
+      assert(spark.read.parquet(s"$state/base/run=0-1").count() <= k,
+        "the KMV merge must trim the run to one sketch")
       mem.addData(b.toSeq: _*); q.processAllAvailable() // live batch 1
       val estAll = est()
       CorpusStream.compactKmv(spark, state, 2, k)
       assert(est() == estAll, "second compaction changed the estimate")
       assert(StreamState.horizon(spark, state) == 2L)
+      // every live run the cascade left behind is itself a trimmed sketch
+      new java.io.File(s"$state/base").listFiles().filter(_.isDirectory)
+        .map(_.getName).filter(_.startsWith("run=")).foreach { r =>
+          assert(spark.read.parquet(s"$state/base/$r").count() <= k,
+            s"run $r not trimmed")
+        }
     } finally q.stop()
   }
 
@@ -1761,5 +1793,36 @@ class StreamingSpec extends AnyFunSuite {
     StreamState.adoptLineage(spark, state, ckpt3)
     run(ckpt3, Seq((1L, "alpha beta gamma")))
     assert(StreamState.read(spark, state).get.count() > 0)
+  }
+
+  test("liveBytes caches the recursive size walk per live-piece set " +
+      "(r13 ask 7): repeat queries pay a shallow listing only; a new " +
+      "batch or a compaction invalidates naturally") {
+    import spark.implicits._
+    import graft.streaming.StreamState
+    val out = Files.createTempDirectory("lb-out").toString
+    def write(b: Long): Unit =
+      Seq.fill(100)(b).toDF("v").coalesce(1)
+        .write.mode("overwrite").parquet(s"$out/batch_id=$b")
+    write(0)
+    def walks() = StreamState.contentSummaryCalls.get()
+    val w0 = walks()
+    val b1 = StreamState.liveBytes(spark, out)
+    assert(b1.exists(_ > 0) && walks() == w0 + 1)
+    // the fleet-QPS shape: the same live-piece set queried repeatedly —
+    // ZERO further tree walks (the streamed-index splitFits gate calls
+    // this per query)
+    (1 to 5).foreach(_ => assert(StreamState.liveBytes(spark, out) == b1))
+    assert(walks() == w0 + 1, "repeat liveBytes must not re-walk")
+    // a new batch changes the piece set -> exactly one more walk
+    write(1)
+    val b2 = StreamState.liveBytes(spark, out)
+    assert(b2.exists(_ > b1.get) && walks() == w0 + 2)
+    // compaction changes the piece set again (runs replace partitions)
+    StreamState.compactShardsTiered(spark, out, 2)
+    val b3 = StreamState.liveBytes(spark, out)
+    assert(b3.nonEmpty && walks() == w0 + 3)
+    (1 to 5).foreach(_ => assert(StreamState.liveBytes(spark, out) == b3))
+    assert(walks() == w0 + 3)
   }
 }
