@@ -103,6 +103,12 @@ object Bench {
       val sec = (System.nanoTime() - t0) / 1e9
       val v = if (ok) sec else { fails(name) += 1; Double.MaxValue }
       best(name) = math.min(best.getOrElse(name, Double.MaxValue), v)
+      // Diagnostic only (r13): per-execution trace on stderr, OFF unless
+      // SPARK_GRAFT_BENCH_TRACE is set — lets a session-degradation
+      // investigation see each iteration's raw time without touching the
+      // recorded JSON (which stays min-of-iters).
+      if (sys.env.contains("SPARK_GRAFT_BENCH_TRACE"))
+        System.err.println(f"[trace] iter=$iter $name%s $sec%.3f")
       // Hygiene runs OUTSIDE the timed region: the next query should not
       // pay for (or benefit from) this one's cache/checkpoint leftovers.
       clearSessionDebris(spark)
