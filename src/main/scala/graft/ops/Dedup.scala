@@ -1186,7 +1186,16 @@ object Dedup {
   def simhash(docs: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     QueryDef.cpuBound(docs.sparkSession)
-    docs.select(col("doc_id"), expr("simhash32(split(text, ' '))").as("simhash"))
+    // r13: spread before the per-token md5 fold — the [[shingled]]
+    // discipline, but CONDITIONAL: a bare-scan input is one task (3x on
+    // q48's fingerprint pass at local[32]); a post-join input is already
+    // exchange-distributed and the barrier would only add a pass (the
+    // unconditional form measured q52 1.45x SLOWER). barrier=true because
+    // the simhash32 Project would otherwise be pushed below the
+    // repartition and stay serial.
+    QueryDef.spreadIfNarrow(docs.select(col("doc_id"), col("text")),
+        minBytes = 0L, barrier = true)
+      .select(col("doc_id"), expr("simhash32(split(text, ' '))").as("simhash"))
   }
 
   /** Reference formulation via built-in higher-order functions only —

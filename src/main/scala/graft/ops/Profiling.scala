@@ -57,10 +57,27 @@ object Profiling {
     * NDVs become HLL sketches (q70's op); the card's shape is
     * unchanged. */
   def columnProfile(li: DataFrame): DataFrame = {
+    // r13: measured WITHOUT profileSrc on purpose — the NDV branches hash
+    // native ints/strings (no md5 head), and the paired A/B read the
+    // spread variant at 1.94x SLOWER (0.75 -> 1.45 s): the repartition tax
+    // exceeds the win when per-row work is cheap. The spread stays on the
+    // md5-bearing KMV twin (q299) only.
     val base = profileBase(li)
     exactNdvs(li).join(broadcast(base), "col_name")
       .select("col_name", "n_rows", "n_nulls", "n_distinct", "min_str", "max_str")
   }
+
+  /** The shared profiled-column source, spread across the cluster when it
+    * arrives as an unsplittable single task (r13, guide §2.5): the sf
+    * tables are single-row-group parquet, so every per-row hash/partial-
+    * aggregate head below the first exchange otherwise runs on ONE core
+    * (q299 measured parallelism 1.0 at local[32], 96% of task time in the
+    * md5 stage). All six NDV branches and the additive card read this one
+    * frame, so the repartition exchange is planned once and reused. At
+    * scale the guard is a no-op — thousands of scan splits already
+    * exceed defaultParallelism and no shuffle is added. */
+  private def profileSrc(li: DataFrame): DataFrame =
+    QueryDef.spreadIfNarrow(li.select(ProfileCols.map(c => col(c._1)): _*))
 
   /** Exact per-column NDVs, one column-pruned groupBy-then-count rollup
     * each (see [[columnProfile]]'s scale note) — shared by the exact
@@ -126,12 +143,13 @@ object Profiling {
     * (md5 of NULL is NULL). The exact form stays the release gate; this
     * is the every-ingest card. */
   def columnProfileKmv(li: DataFrame, k: Int = Corpus.KmvK): DataFrame = {
-    val base = profileBase(li)
+    val src = profileSrc(li) // r13: parallelize the rows×cols md5 head
+    val base = profileBase(src)
     val kmv = graft.functions.KmvSketch.sketch(k)
     val hashStack = ProfileCols.map { case (c, kind) =>
       s"'$c', CAST(conv(substr(md5(${renderSqlSpark(c, kind)}), 1, 15), 16, 10) AS BIGINT)"
     }.mkString(", ")
-    val ndvs = li
+    val ndvs = src
       .select(expr(s"stack(${ProfileCols.size}, $hashStack) AS (col_name, h)"))
       .filter(col("h").isNotNull)
       .groupBy("col_name").agg(kmv(col("h")).as("sk"))
@@ -294,6 +312,8 @@ object Profiling {
     * fixture in ProfilingNullSpec. */
   private[graft] def fdCard(df: DataFrame, label: String, lhs: String,
       rhs: String): DataFrame =
+    // r13: spread variant measured 1.12x SLOWER (paired) — the partial
+    // distinct hashes native pairs; left un-spread like q281
     df.groupBy(col(lhs).as("l")).agg(countDistinct(col(rhs)).as("n_rhs"))
       .agg(count(lit(1)).as("n_keys"),
         expr("CAST(count_if(n_rhs > 1) AS BIGINT)").as("n_violating"),
@@ -390,10 +410,23 @@ object Profiling {
     * (`approx_count_distinct` skips NULL inputs; the pair side nulls
     * itself when either field is NULL). Rows-only gate + spec lock
     * (verdicts agree with the exact audit). */
+  /** One spread (lhs, rhs) source per FD candidate — shared by the HLL
+    * and exact branches so each table is repartitioned once and the
+    * identical exchange is reused across branches (r13, guide §2.4/§2.5). */
+  private def fdSrcs(spark: SparkSession, dir: String): Seq[(String, DataFrame, String, String)] =
+    FdCandidates.map { case (label, table, lhs, rhs) =>
+      (label,
+        QueryDef.spreadIfNarrow(tbl(spark, dir, table).select(col(lhs), col(rhs))),
+        lhs, rhs)
+    }
+
   def fdAuditHll(spark: SparkSession, dir: String,
-      rsd: Double = HllRsd): DataFrame = {
-    val cards = FdCandidates.map { case (label, table, lhs, rhs) =>
-      tbl(spark, dir, table)
+      rsd: Double = HllRsd): DataFrame = fdAuditHllOn(fdSrcs(spark, dir), rsd)
+
+  private def fdAuditHllOn(srcs: Seq[(String, DataFrame, String, String)],
+      rsd: Double): DataFrame = {
+    val cards = srcs.map { case (label, src, lhs, rhs) =>
+      src
         .agg(
           approx_count_distinct(col(lhs), rsd).as("n_keys_est"),
           approx_count_distinct(
@@ -426,6 +459,12 @@ object Profiling {
   private def pairFingerprint(lhs: Column, rhs: Column): Column =
     concat(length(lhs.cast("string")).cast("string"), lit(":"),
       lhs.cast("string"), lit("|"), rhs.cast("string"))
+
+  /** The KMV draw over a rendered string — `CAST(conv(substr(md5(s), 1,
+    * 15), 16, 10) AS BIGINT)`, the exact expression the SQL twins spell,
+    * as a Column so aggregate arguments can carry it (r13). */
+  private def kmvHash(s: Column): Column =
+    conv(substring(md5(s), 1, 15), 16, 10).cast("long")
 
   private def pairFingerprintDuck(lhs: String, rhs: String): String =
     s"CAST(length(CAST($lhs AS VARCHAR)) AS VARCHAR) || ':' || " +
@@ -462,12 +501,15 @@ object Profiling {
       s"CASE WHEN $kept < $k THEN $kept ELSE " +
         s"CAST(((CAST($kept AS DECIMAL(38,0)) - 1) * 1152921504606846976) div $kth AS BIGINT) END"
     val cards = FdCandidates.map { case (label, table, lhs, rhs) =>
-      tbl(spark, dir, table)
-        .withColumn("fp", pairFingerprint(col(lhs), col(rhs)))
-        .select(
-          expr(s"CAST(conv(substr(md5(CAST($lhs AS STRING)), 1, 15), 16, 10) AS BIGINT)").as("hl"),
-          expr("CAST(conv(substr(md5(fp), 1, 15), 16, 10) AS BIGINT)").as("hp"))
-        .agg(kmv(col("hl")).as("skl"), kmv(col("hp")).as("skp"))
+      // r13: hashes moved INTO the aggregate arguments over the spread
+      // source — aggregate inputs evaluate in the partial-agg operator
+      // ABOVE the repartition exchange, so the rows×2 md5 head runs at
+      // full parallelism (a named Project would be pushed back below the
+      // exchange by ColumnPruning and stay serial). Same expressions as
+      // before (md5 of the same strings), now via the Column API.
+      QueryDef.spreadIfNarrow(tbl(spark, dir, table).select(col(lhs), col(rhs)))
+        .agg(kmv(kmvHash(col(lhs).cast("string"))).as("skl"),
+          kmv(kmvHash(pairFingerprint(col(lhs), col(rhs)))).as("skp"))
         .select(
           size(col("skl")).cast("long").as("kept_l"),
           expr("element_at(skl, -1)").as("kth_l"),
@@ -527,7 +569,9 @@ object Profiling {
     * scan, 169.1 s vs 285.1 exact at 1000x — SCALE.md r10); this gate
     * card deliberately pays the exact twin too, because a gate's job is
     * comparison. */
-  def columnProfileHllGated(li: DataFrame, rsd: Double = HllRsd): DataFrame =
+  def columnProfileHllGated(li: DataFrame, rsd: Double = HllRsd): DataFrame = {
+    // r13: like q281, measured faster WITHOUT the spread (1.45x slower
+    // with it) — HLL buffers over native values have no serial md5 head
     columnProfileHll(li, rsd)
       .join(exactNdvs(li), "col_name")
       .withColumn("ndv_in_tol",
@@ -535,6 +579,7 @@ object Profiling {
           <= lit(4 * rsd) * col("n_distinct").cast("double"))
       .select("col_name", "n_rows", "n_nulls", "n_distinct", "ndv_in_tol",
         "min_str", "max_str")
+  }
 
   val columnProfileHllGatedSql: String = {
     val branches = ProfileCols.map { case (c, kind) =>
@@ -565,10 +610,11 @@ object Profiling {
     * the populations the two HLL estimates see. */
   def fdAuditHllGated(spark: SparkSession, dir: String,
       rsd: Double = HllRsd): DataFrame = {
-    val est = fdAuditHll(spark, dir, rsd)
+    val srcs = fdSrcs(spark, dir) // r13: one spread source per candidate,
+    val est = fdAuditHllOn(srcs, rsd) // shared by est + exact branches
       .select("fd", "n_keys_est", "n_pairs_est", "holds_est")
-    val exact = FdCandidates.map { case (label, table, lhs, rhs) =>
-      tbl(spark, dir, table).agg(
+    val exact = srcs.map { case (label, src, lhs, rhs) =>
+      src.agg(
         countDistinct(col(lhs)).as("n_keys"),
         countDistinct(
           when(col(lhs).isNotNull && col(rhs).isNotNull,

@@ -62,6 +62,31 @@ object QueryDef {
   def spread(df: DataFrame): DataFrame =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism).localCheckpoint()
 
+  /** Round-robin repartition ONLY when the input's scan parallelism is
+    * actually below the session's cores AND the input is big enough to
+    * matter (guide §2.5 "input skew: one huge unsplittable file"): a
+    * single-row-group parquet file scans as ONE task, so per-row work
+    * below the first exchange runs on one core no matter the cluster.
+    * At scale, inputs arrive with thousands of splits and this is a
+    * LITERAL no-op (the partition check fails, no shuffle is added) —
+    * unlike [[spread]], whose unconditional repartition is for per-row
+    * costs so heavy the extra pass is always worth it.
+    *
+    * No localCheckpoint: callers put their expensive expressions inside
+    * aggregates/generators, which Catalyst cannot push below the
+    * repartition (the Project-pushdown hazard [[spread]] guards against
+    * does not apply) — verified per call site via the executed plan.
+    * Size gate reads optimizer stats (file size for a parquet scan),
+    * never runs a job. */
+  def spreadIfNarrow(df: DataFrame, minBytes: Long = 1L << 21,
+      barrier: Boolean = false): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.queryExecution.optimizedPlan.stats.sizeInBytes < minBytes) df
+    else if (df.rdd.getNumPartitions >= p) df
+    else if (barrier) spread(df) // Project-pushdown-proof (see [[spread]])
+    else df.repartition(p)
+  }
+
   /** Order-independent exact aggregate: double column → decimal sum →
     * double. A plain double SUM is accumulation-order-dependent, so Spark
     * and DuckDB would differ in the last bits (and across partitionings);
