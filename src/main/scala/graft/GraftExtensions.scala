@@ -30,6 +30,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         builder))
     }
     ext.injectOptimizerRule(_ => graft.plans.BandedRangeJoinRule)
+    // r13: size(split(s, ' ')) → byte-scan token count (exact rewrite;
+    // see TokenCountRule's equivalence argument)
+    ext.injectOptimizerRule(_ => graft.plans.TokenCountRule)
     ext.injectTableFunction((
       FunctionIdentifier("tebis_scan"),
       new ExpressionInfo("graft.sources.TebisDataSource", "tebis_scan"),

@@ -136,6 +136,14 @@ object Md5Pool {
   def digest(bytes: Array[Byte]): Array[Byte] = {
     val md = tl.get(); md.reset(); md.digest(bytes)
   }
+  /** md5(prefix ++ body) without materializing the concatenation — the
+    * per-(hash, gram) allocation in the MinHash inner loop (r13, guide
+    * §1.2 step 2 "per-task work"): UTF-8 of a string concat IS the
+    * concat of the UTF-8 encodings, so two update calls hash the
+    * identical bytes the old `(prefix + gram).getBytes` form did. */
+  def digest2(prefix: Array[Byte], body: Array[Byte]): Array[Byte] = {
+    val md = tl.get(); md.reset(); md.update(prefix); md.digest(body)
+  }
   private val HexChars = "0123456789abcdef".toCharArray
   def toHex(bytes: Array[Byte]): String = {
     val out = new Array[Char](bytes.length * 2)
@@ -160,6 +168,28 @@ case class MinHashSig(child: Expression, numHashes: Int)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = ArrayType(StringType)
 
+  override def nullSafeEval(v: Any): Any = {
+    val mins = MinHashCore.rawSig(v.asInstanceOf[ArrayData], numHashes)
+    new GenericArrayData(mins.map(m =>
+      if (m == null) null else UTF8String.fromBytes(WordGramMd5.hex(m))))
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Shared raw-digest MinHash fold (r13, guide §1.2 step 2): the inner
+  * loop of MinHashSig AND MinHashBands. Two allocation disciplines over
+  * the r12 form, output-identical (GraftFunctionsSpec lambda-twin lock):
+  * each gram's UTF-8 bytes are fetched ONCE from the UTF8String (raw
+  * bytes — no decode-to-String + re-encode per (hash, gram)), and the
+  * `"j|"` prefixes are hashed via a second digest update instead of a
+  * per-call string concat. Mins compare on raw 16-byte digests
+  * (byte-unsigned order == hex-string order). */
+object MinHashCore {
+  /** prefixes("j|") for j < 64 — covers every shipped numHashes (32). */
+  private val Prefixes: Array[Array[Byte]] =
+    Array.tabulate(64)(j => (j.toString + "|").getBytes("UTF-8"))
+
   private def less(a: Array[Byte], b: Array[Byte]): Boolean = {
     var i = 0
     while (i < a.length) {
@@ -170,26 +200,25 @@ case class MinHashSig(child: Expression, numHashes: Int)
     false
   }
 
-  override def nullSafeEval(v: Any): Any = {
-    val grams = v.asInstanceOf[ArrayData]
+  def rawSig(grams: ArrayData, numHashes: Int): Array[Array[Byte]] = {
+    val prefixes =
+      if (numHashes <= Prefixes.length) Prefixes
+      else Array.tabulate(numHashes)(j => (j.toString + "|").getBytes("UTF-8"))
     val n = grams.numElements()
     val mins = new Array[Array[Byte]](numHashes)
     var g = 0
     while (g < n) {
-      val gram = grams.getUTF8String(g).toString
+      val gramBytes = grams.getUTF8String(g).getBytes
       var j = 0
       while (j < numHashes) {
-        val d = Md5Pool.digest((j.toString + "|" + gram).getBytes("UTF-8"))
+        val d = Md5Pool.digest2(prefixes(j), gramBytes)
         if (mins(j) == null || less(d, mins(j))) mins(j) = d
         j += 1
       }
       g += 1
     }
-    new GenericArrayData(mins.map(m =>
-      if (m == null) null else UTF8String.fromString(Md5Pool.toHex(m))))
+    mins
   }
-
-  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 /** Distinct word n-gram shingles from an ARRAY<STRING> token list, in
@@ -205,16 +234,30 @@ case class WordShingles(child: Expression, n: Int)
     val toks = v.asInstanceOf[ArrayData]
     val m = toks.numElements()
     val seen = new java.util.LinkedHashSet[UTF8String]()
+    // r13: decode each token's UTF-8 bytes ONCE, then build each shingle
+    // by byte copy — the StringBuilder form decoded every token n times
+    // and re-encoded every shingle (§1.2 step 2). Byte-level concat with
+    // ASCII ' ' equals the string concat exactly; UTF8String equality is
+    // byte equality, so the distinct set is unchanged.
+    val words = new Array[Array[Byte]](math.max(m, 0))
+    var w = 0
+    while (w < m) { words(w) = toks.getUTF8String(w).getBytes; w += 1 }
     var i = 0
     while (i <= m - n) {
-      val sb = new StringBuilder
+      var len = n - 1
       var k = 0
+      while (k < n) { len += words(i + k).length; k += 1 }
+      val out = new Array[Byte](len)
+      var pos = 0
+      k = 0
       while (k < n) {
-        if (k > 0) sb.append(' ')
-        sb.append(toks.getUTF8String(i + k).toString)
+        if (k > 0) { out(pos) = ' '; pos += 1 }
+        val wb = words(i + k)
+        System.arraycopy(wb, 0, out, pos, wb.length)
+        pos += wb.length
         k += 1
       }
-      seen.add(UTF8String.fromString(sb.toString))
+      seen.add(UTF8String.fromBytes(out))
       i += 1
     }
     val out = new Array[Any](seen.size)
@@ -248,17 +291,40 @@ case class WinnowSelect(child: Expression, k: Int, w: Int, packBase: Long)
     val n = toks.numElements()
     val m = n - k + 1
     if (m <= 0) return new GenericArrayData(Array.empty[Any])
+    // r13: the rolling hash factors over concatenation —
+    // h(A||B) = (h(A)·31^{cp(B)} + h(B)) mod M — so each token is decoded
+    // and hashed ONCE (th/tp below), and every gram hash composes in O(k)
+    // modular ops instead of re-walking k token strings per position
+    // (§1.2 step 2). Bit-identical to RollingHash.hash of the joined
+    // string: same fold, same order, same mod.
+    val M = RollingHash.Mod
+    val th = new Array[Long](n) // per-token rolling hash
+    val tp = new Array[Long](n) // 31^{codepoints(token)} mod M
+    var t = 0
+    while (t < n) {
+      val s = toks.getUTF8String(t).toString
+      var hh = 0L
+      var pw = 1L
+      var ci = 0
+      while (ci < s.length) {
+        val cp = s.codePointAt(ci)
+        hh = (hh * 31L + cp) % M
+        pw = (pw * 31L) % M
+        ci += Character.charCount(cp)
+      }
+      th(t) = hh; tp(t) = pw
+      t += 1
+    }
     val h = new Array[Long](m)
     var i = 0
     while (i < m) {
-      val sb = new StringBuilder
-      var j = 0
+      var hh = th(i)
+      var j = 1
       while (j < k) {
-        if (j > 0) sb.append(' ')
-        sb.append(toks.getUTF8String(i + j).toString)
+        hh = (((hh * 31L + 32L) % M) * tp(i + j) + th(i + j)) % M
         j += 1
       }
-      h(i) = RollingHash.hash(sb.toString)
+      h(i) = hh
       i += 1
     }
     val seen = new java.util.LinkedHashSet[Long]()
@@ -297,22 +363,34 @@ case class MinHashBands(child: Expression, numHashes: Int, rows: Int)
   override def dataType: DataType = ArrayType(StringType)
 
   override def nullSafeEval(v: Any): Any = {
-    val sig = MinHashSig(child, numHashes).nullSafeEval(v).asInstanceOf[GenericArrayData]
+    // r13: one shared raw-digest fold (no per-row expression allocation,
+    // no hex→String→bytes round trip per band slot); band key bytes are
+    // "b:" ++ hex(sig[slot])... — identical to the old string build
+    // because hex and ':' are ASCII.
+    val mins = MinHashCore.rawSig(v.asInstanceOf[ArrayData], numHashes)
+    val hexes = new Array[Array[Byte]](numHashes)
+    var i = 0
+    while (i < numHashes) {
+      if (mins(i) != null) hexes(i) = WordGramMd5.hex(mins(i))
+      i += 1
+    }
     val bands = numHashes / rows
     val out = new Array[UTF8String](bands)
+    val md = java.security.MessageDigest.getInstance("MD5")
     var b = 0
     while (b < bands) {
-      val sb = new StringBuilder(b.toString).append(':')
+      md.reset()
+      md.update((b.toString + ":").getBytes("UTF-8"))
       var r = 0
       var anyNull = false
       while (r < rows) {
-        val h = sig.get(b * rows + r, StringType)
-        if (h == null) anyNull = true else sb.append(h.toString)
+        val h = hexes(b * rows + r)
+        if (h == null) anyNull = true else md.update(h)
         r += 1
       }
       out(b) =
         if (anyNull) null
-        else UTF8String.fromString(Md5Pool.toHex(Md5Pool.digest(sb.toString.getBytes("UTF-8"))))
+        else UTF8String.fromBytes(WordGramMd5.hex(md.digest()))
       b += 1
     }
     new GenericArrayData(out.asInstanceOf[Array[Any]])
@@ -334,7 +412,9 @@ case class SimHash32(child: Expression)
     val sums = new Array[Int](32)
     var i = 0
     while (i < toks.numElements()) {
-      val d = Md5Pool.digest(toks.getUTF8String(i).toString.getBytes("UTF-8"))
+      // r13: raw UTF-8 bytes straight off the UTF8String — the old
+      // toString.getBytes decoded and re-encoded every token (§1.2 step 2)
+      val d = Md5Pool.digest(toks.getUTF8String(i).getBytes)
       var b = 0
       while (b < 32) {
         val hexIdx = b / 4
@@ -638,6 +718,43 @@ case class HyperplaneKeys(child: Expression, seed: Int, tables: Int, bits: Int, 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** `size(split(text, ' '))` without materializing the token array —
+  * the suite's universal token counter (27 call sites across 9 ops
+  * modules), rewritten to this by [[graft.plans.TokenCountRule]] (r13,
+  * guide §1.2 step 2). Exactly `1 + count of 0x20 bytes`: Spark's
+  * `split` on the literal single-space regex with the default limit −1
+  * keeps every empty token (leading, interior, trailing), so the array
+  * length is always spaces + 1; the space byte never occurs inside a
+  * multi-byte UTF-8 sequence, so the byte scan needs no decoding.
+  * Codegen'd; INT like `size`. */
+case class SpaceTokenCount(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+
+  override def nullSafeEval(v: Any): Any =
+    SpaceTokenCount.count(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SpaceTokenCount.count($c)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object SpaceTokenCount {
+  /** Static so generated code and interpreted eval share one body. */
+  def count(s: UTF8String): Int = {
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val len = s.numBytes()
+    var m = 1
+    var i = 0
+    while (i < len) {
+      if (org.apache.spark.unsafe.Platform.getByte(base, off + i) == ' '.toByte) m += 1
+      i += 1
+    }
+    m
+  }
+}
+
 /** The custom expressions, name -> builder: the single inventory behind
   * BOTH registration routes (session-scoped [[GraftFunctions.register]]
   * and the `spark.sql.extensions`-injected [[graft.GraftExtensions]]). */
@@ -660,6 +777,7 @@ object GraftFunctions {
       intArg(es, 1), intArg(es, 2), intArg(es, 3), intArg(es, 4))),
     "pq_adc_sum" -> (es => PqAdcSum(es.head, es(1))),
     "rolling_hash" -> (es => RollingHash(es.head)),
+    "space_token_count" -> (es => SpaceTokenCount(es.head)),
     // Spark ships BloomFilterAggregate/BloomFilterMightContain for its
     // own runtime-filter injection but keeps both out of the public
     // FunctionRegistry; registering them here lets the bloom
