@@ -33,6 +33,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // r13: size(split(s, ' ')) → byte-scan token count (exact rewrite;
     // see TokenCountRule's equivalence argument)
     ext.injectOptimizerRule(_ => graft.plans.TokenCountRule)
+    // r13: CAST(conv(substr(md5(x),1,n),16,10) AS BIGINT) → digest fold
+    // (exact rewrite; see Md5PrefixRule's equivalence argument)
+    ext.injectOptimizerRule(_ => graft.plans.Md5PrefixRule)
     ext.injectTableFunction((
       FunctionIdentifier("tebis_scan"),
       new ExpressionInfo("graft.sources.TebisDataSource", "tebis_scan"),

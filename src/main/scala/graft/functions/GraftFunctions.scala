@@ -755,6 +755,66 @@ object SpaceTokenCount {
   }
 }
 
+/** `CAST(conv(substr(md5(x), 1, nHex), 16, 10) AS BIGINT)` — the suite's
+  * universal uniform-hash draw (KMV sketches, classifier feature buckets,
+  * fold assignment) — computed straight off the digest bytes. The chain
+  * form pays, per row: a 32-char hex ENCODING of the digest, a substring
+  * copy, `conv`'s string-to-unsigned radix parse, a decimal-string
+  * re-render, and a string→long cast parse. The first nHex hex chars of
+  * the digest ARE its top nHex nibbles, so the value is one shift-or fold
+  * over ⌈nHex/2⌉ bytes — no intermediate string exists. For nHex ≤ 15 the
+  * value is < 2^60, always non-negative, so the unsigned read, the decimal
+  * render and the cast parse are all exact in every eval mode; equality
+  * with the chain is locked in GraftFunctionsSpec and the rewrite itself
+  * in Md5PrefixRuleSpec. */
+case class Md5PrefixLong(child: Expression, nHex: Int)
+    extends UnaryExpression {
+  require(nHex >= 1 && nHex <= 15, s"nHex must be in [1, 15], got $nHex")
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case BinaryType | _: StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"md5_prefix_long expects STRING or BINARY input, got $other")
+    }
+
+  // a STRING child hashes its UTF-8 bytes — exactly what the analyzer's
+  // implicit string→binary cast feeds Spark's own Md5; the optimizer-rule
+  // route hands over Md5's already-binary child unchanged
+  override def nullSafeEval(v: Any): Any = v match {
+    case b: Array[Byte] => Md5PrefixLong.compute(b, nHex)
+    case s: UTF8String  => Md5PrefixLong.compute(s, nHex)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Md5PrefixLong.compute($c, $nHex)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object Md5PrefixLong {
+  /** STRING overload: hash the raw UTF-8 bytes without a copy when the
+    * UTF8String is array-backed with exact bounds; else one copy. */
+  def compute(s: UTF8String, nHex: Int): Long = compute(s.getBytes, nHex)
+
+  /** Static so generated code and interpreted eval share one body. */
+  def compute(bytes: Array[Byte], nHex: Int): Long = {
+    val d = Md5Pool.digest(bytes)
+    var acc = 0L
+    var i = 0
+    while (i < nHex) {
+      val b = d(i >> 1) & 0xff
+      val nibble = if ((i & 1) == 0) b >> 4 else b & 0xf
+      acc = (acc << 4) | nibble
+      i += 1
+    }
+    acc
+  }
+}
+
 /** The custom expressions, name -> builder: the single inventory behind
   * BOTH registration routes (session-scoped [[GraftFunctions.register]]
   * and the `spark.sql.extensions`-injected [[graft.GraftExtensions]]). */
@@ -778,6 +838,7 @@ object GraftFunctions {
     "pq_adc_sum" -> (es => PqAdcSum(es.head, es(1))),
     "rolling_hash" -> (es => RollingHash(es.head)),
     "space_token_count" -> (es => SpaceTokenCount(es.head)),
+    "md5_prefix_long" -> (es => Md5PrefixLong(es.head, intArg(es, 1))),
     // Spark ships BloomFilterAggregate/BloomFilterMightContain for its
     // own runtime-filter injection but keeps both out of the public
     // FunctionRegistry; registering them here lets the bloom
