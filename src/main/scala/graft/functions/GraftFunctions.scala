@@ -144,6 +144,13 @@ object Md5Pool {
   def digest2(prefix: Array[Byte], body: Array[Byte]): Array[Byte] = {
     val md = tl.get(); md.reset(); md.update(prefix); md.digest(body)
   }
+  /** The thread-local digest itself (reset), for callers that fold many
+    * fragments incrementally (MinHashBands' band keys) — avoids a
+    * per-row getInstance. Callers must finish with digest() before any
+    * other Md5Pool use on the thread. */
+  def acquire(): MessageDigest = {
+    val md = tl.get(); md.reset(); md
+  }
   private val HexChars = "0123456789abcdef".toCharArray
   def toHex(bytes: Array[Byte]): String = {
     val out = new Array[Char](bytes.length * 2)
@@ -238,7 +245,10 @@ case class WordShingles(child: Expression, n: Int)
     // by byte copy — the StringBuilder form decoded every token n times
     // and re-encoded every shingle (§1.2 step 2). Byte-level concat with
     // ASCII ' ' equals the string concat exactly; UTF8String equality is
-    // byte equality, so the distinct set is unchanged.
+    // byte equality, so the distinct set is unchanged. Assumes valid
+    // UTF-8 input (every Spark-produced string is): the old
+    // toString round trip would have sanitized malformed bytes to
+    // U+FFFD, which byte-level concat does not.
     val words = new Array[Array[Byte]](math.max(m, 0))
     var w = 0
     while (w < m) { words(w) = toks.getUTF8String(w).getBytes; w += 1 }
@@ -376,7 +386,7 @@ case class MinHashBands(child: Expression, numHashes: Int, rows: Int)
     }
     val bands = numHashes / rows
     val out = new Array[UTF8String](bands)
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = Md5Pool.acquire() // thread-local, no per-row getInstance
     var b = 0
     while (b < bands) {
       md.reset()

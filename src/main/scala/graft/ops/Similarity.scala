@@ -80,15 +80,18 @@ object Similarity {
       .select("id_a", "id_b", "sim")
   }
 
-  /** Exact brute-force cosine top-k per vector. */
+  /** Exact brute-force cosine top-k per vector. r14: ranked by the
+    * bounded [[graft.functions.TopKSim]] aggregator ([[topkPairs]])
+    * instead of a rank window — map partitions reduce each query to ≤ k
+    * candidates BEFORE the exchange, where the window shuffled and
+    * sorted all n² pairs. Total order (sim desc, id asc) matches the
+    * window tie-break; TopKPlanSwapSpec locks row-identity against the
+    * inline window twin and the oracle keeps the window form. */
   def knnBrute(spark: SparkSession, dir: String, k: Int): DataFrame = {
     val (a, b) = pairFrames(quantized(spark, dir))
-    val w = Window.partitionBy("id_a").orderBy(col("sim").desc, col("id_b").asc)
-    a.join(b, col("id_a") =!= col("id_b"))
-      .withColumn("sim", simCol)
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("id_a").as("vec_id"), col("rank"), col("id_b").as("neighbor_id"), col("sim"))
+    topkPairs(
+      a.join(b, col("id_a") =!= col("id_b")).withColumn("sim", simCol),
+      k)
   }
 
   /** Contrastive-pair training manifest (q174): anchors are the
@@ -514,7 +517,18 @@ object Similarity {
     * any table's bucket key (equi-join on key, distinct), exact cosine
     * re-rank. Join-back for vectors keeps the wide arrays out of the
     * distinct — the same shape as Dedup.minhashLshPairs. */
-  def knnLsh(spark: SparkSession, dir: String, k: Int): DataFrame = {
+  def knnLsh(spark: SparkSession, dir: String, k: Int): DataFrame =
+    // r14: bounded TopKSim ranking over the directed candidate sims
+    // (was a row_number window over every candidate pair) — same swap
+    // as knnBrute, spec-locked row-identical in TopKPlanSwapSpec.
+    topkPairs(lshDirectedSims(spark, dir), k)
+
+  /** The directed LSH candidate similarities knnLsh ranks: candidates =
+    * pairs sharing any table's bucket key, scored once per UNORDERED
+    * pair, then mirrored. Exposed (package-private) so the plan-swap
+    * spec can rank the identical candidate set with the pre-r14 window
+    * formulation. */
+  private[graft] def lshDirectedSims(spark: SparkSession, dir: String): DataFrame = {
     val q = quantized(spark, dir).select("vec_id", "qv", "nrm").localCheckpoint()
     // keys feed both join sides; checkpoint the small (id, key) frame so
     // the 16x4 hyperplane dots per row run once (hygiene unpins it later)
@@ -539,13 +553,8 @@ object Similarity {
       .withColumn("sim", simCol)
       .select("id_a", "id_b", "sim")
       .localCheckpoint()
-    val directed = sims.union(
+    sims.union(
       sims.select(col("id_b").as("id_a"), col("id_a").as("id_b"), col("sim")))
-    val w = Window.partitionBy("id_a").orderBy(col("sim").desc, col("id_b").asc)
-    directed
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("id_a").as("vec_id"), col("rank"), col("id_b").as("neighbor_id"), col("sim"))
   }
 
   /** [[knnLsh]] with a per-BUCKET member cap (q304, r11): the LSH twin

@@ -51,11 +51,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), "unpivot must be narrow")
   }
 
-  test("q45: pairwise KNN uses the custom dot expression and rank pushdown") {
+  test("q45: pairwise KNN uses the custom dot expression and bounded top-k") {
     val p = plan("q45_knn_brute")
     assert(p.contains("quantizeddot"), "custom expression must be in the plan")
-    // Spark's WindowGroupLimit pushes the rank<=k cut below the full sort
-    assert(p.contains("WindowGroupLimit"))
+    // r14: the rank window (planned as WindowGroupLimit) became the
+    // bounded TopKSim aggregate — map partitions reduce each query to
+    // ≤ k candidates with NO per-partition sort of the n² pair stream
+    // (TopKPlanSwapSpec locks row-identity to the window twin)
+    assert(p.toLowerCase.contains("partial_topksim"),
+      "candidate cut must be map-side bounded aggregation")
+    assert(!p.contains("WindowGroupLimit") && !p.contains("Window"),
+      "no rank window over the pair stream")
   }
 
   test("q54: topk aggregator plans as partial ObjectHashAggregate, no window sort") {
