@@ -1430,13 +1430,18 @@ object Dedup {
             "raise maxIters rather than shipping wrong cluster_ids")
       val nbrMin = edges.join(labels.withColumnRenamed("doc_id", "src"), "src")
         .groupBy(col("dst").as("doc_id")).agg(min("cluster_id").as("nbr_min"))
+      // r14 (guide §2.4): carry the did-it-change flag THROUGH the
+      // checkpoint (nbr_min < old label ⟺ the label moved) instead of
+      // re-joining next against the previous labels — one exchange less
+      // per round, and the convergence count is a scan of the
+      // already-materialized rows.
       val next = labels.join(nbrMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
-          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"))
+          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"),
+          (col("nbr_min").isNotNull && col("nbr_min") < col("cluster_id")).as("chg"))
         .localCheckpoint()
-      changed = next.join(labels.withColumnRenamed("cluster_id", "prev"), "doc_id")
-        .filter(col("cluster_id") =!= col("prev")).count()
-      labels = next // superseded checkpoints are freed by harness hygiene
+      changed = next.filter(col("chg")).count()
+      labels = next.select("doc_id", "cluster_id") // superseded checkpoints are freed by harness hygiene
       iter += 1
     }
     labels

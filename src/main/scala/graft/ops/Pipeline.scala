@@ -54,14 +54,35 @@ object Pipeline {
     * (both sides hash the fp with the same `xxhash64`), so the
     * contaminated-id set — and every q91/q104/q148 oracle — is
     * IDENTICAL to the naive full equi-join the DuckDB twins compute. */
-  def cleanTrainDocs(docs: DataFrame, w: Int = Dedup.SpanWidth): DataFrame = {
+  def cleanTrainDocs(docs: DataFrame, w: Int = Dedup.SpanWidth): DataFrame =
+    cleanTrainStages(docs, w)._3
+
+  /** The shared stages as named frames — (kept, deduped, clean) — so a
+    * caller that ALSO reports on the intermediate stages (q148's funnel)
+    * reads the same computation instead of re-running the quality filter
+    * and exact dedup a second time (r14, guide §1.2 step 1 "don't compute
+    * things you throw away" — the funnel paid the chain twice).
+    *
+    * `deduped` is checkpointed HERE because three subtrees of the clean
+    * frame consume it (the eager bloom build over test fps, the
+    * contaminated-id verify join, and the final train-side filter) — un-
+    * materialized, the quality semi-join + exact-dedup hash-groupBy ran
+    * once per consumer (3x per cleanTrainDocs call; measured in the r14
+    * probe as the dominant repeated stage of q91/q104/q148). */
+  private[graft] def cleanTrainStages(docs: DataFrame,
+      w: Int = Dedup.SpanWidth): (DataFrame, DataFrame, DataFrame) = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
-    // 1. quality cut, as a semi-join on the gated operator's survivors
+    // 1. quality cut, as a semi-join on the gated operator's survivors.
+    // LAZY checkpoint: with one consumer (deduped, below) it adds only the
+    // persist-while-passing cost; when the funnel also reads `kept` the
+    // materialized rows are reused instead of re-running the quality scan.
     val kept = docs.join(
       Sampling.qualityFilter(docs).select("doc_id"), Seq("doc_id"), "left_semi")
+      .localCheckpoint(eager = false)
     // 2. exact-dedup representatives (min doc_id per identical text)
     val deduped = kept.join(
       Dedup.exact(kept).select(col("keep_id").as("doc_id")), Seq("doc_id"), "left_semi")
+      .localCheckpoint()
     val bySplit = deduped.withColumn("split", expr(Sampling.splitCase("doc_id")))
     // 3. span-collision decontamination of the train side: any train doc
     // sharing one w-token span with a test doc is dropped (anti-join on
@@ -78,9 +99,10 @@ object Pipeline {
     val contaminated = spans.filter(col("split") === "train")
       .filter(expr(s"might_contain(unbase64('$bloomB64'), xxhash64(fp))"))
       .join(testFps, "fp").select("doc_id").distinct()
-    bySplit.filter(col("split") === "train")
+    val clean = bySplit.filter(col("split") === "train")
       .join(contaminated, Seq("doc_id"), "left_anti")
       .drop("split")
+    (kept, deduped, clean)
   }
 
   /** SQL twin of [[cleanTrainDocs]] as a CTE chain over `table` ending in
@@ -138,15 +160,16 @@ object Pipeline {
         .agg(count(lit(1)).as("n_docs"),
           sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
         .withColumn("stage_ord", lit(ord.toLong)).withColumn("stage", lit(stage))
-    val kept = docs.join(
-      Sampling.qualityFilter(docs).select("doc_id"), Seq("doc_id"), "left_semi")
-      .localCheckpoint() // feeds its own rollup AND the reps stage
-    val reps = kept.join(
-      Dedup.exact(kept).select(col("keep_id").as("doc_id")), Seq("doc_id"), "left_semi")
+    // r14 (guide §1.2 step 1): stages 2-4 read the SAME chain the final
+    // stage computes — before, `kept`/`reps` were rebuilt here and then
+    // cleanTrainDocs re-ran the quality filter and exact dedup internally,
+    // so the funnel paid the chain twice. cleanTrainStages materializes
+    // kept (lazy) and deduped (eager) once; all four rollups share them.
+    val (kept, reps, clean) = cleanTrainStages(docs, w)
     rollup(trainOf(docs), 1, "raw")
       .unionAll(rollup(trainOf(kept), 2, "quality"))
       .unionAll(rollup(trainOf(reps), 3, "dedup"))
-      .unionAll(rollup(cleanTrainDocs(docs, w), 4, "decontaminated"))
+      .unionAll(rollup(clean, 4, "decontaminated"))
   }
 
   def tokenYieldFunnelSql(w: Int = Dedup.SpanWidth): String = {
