@@ -608,12 +608,26 @@ object RollingHash {
   * size(array_intersect(a, b)) on distinct arrays at a fraction of the
   * cost — the verify stage of the dedup joins. */
 case class SortedIntersectCount(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = LongType
 
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val y = b.asInstanceOf[ArrayData]
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SortedIntersectCount.count(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  // r14: real codegen (was CodegenFallback despite the doc's claim) — the
+  // verify stage calls this once per candidate pair, so the per-row
+  // fallback eval() boxing sat on the dedup families' hottest path.
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.SortedIntersectCount.count($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+object SortedIntersectCount {
+  /** Static so generated code and interpreted eval share one body. */
+  def count(x: ArrayData, y: ArrayData): Long = {
     val nx = x.numElements(); val ny = y.numElements()
     var i = 0; var j = 0; var c = 0L
     while (i < nx && j < ny) {
@@ -624,9 +638,6 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     }
     c
   }
-
-  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
-    copy(left = l, right = r)
 }
 
 /** Hamming distance between two equal-length strings (byte-wise — exact
@@ -634,21 +645,41 @@ case class SortedIntersectCount(left: Expression, right: Expression)
   * mismatch. One pass vs a 32-term interpreted lambda chain on the
   * candidate-pair hot path. */
 case class HammingDistance(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
 
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[UTF8String].getBytes
-    val y = b.asInstanceOf[UTF8String].getBytes
-    if (x.length != y.length) return null
-    var i = 0; var d = 0L
-    while (i < x.length) { if (x(i) != y(i)) d += 1; i += 1 }
-    d
-  }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    HammingDistance.dist(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+
+  // r14: real codegen (was CodegenFallback) — evaluated once per
+  // band-joined candidate pair in the simhash families. dist returns a
+  // boxed java.lang.Long (null on length mismatch); nullSafeCodeGen
+  // unwraps it.
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val d = ctx.freshName("d")
+      s"""
+        java.lang.Long $d = graft.functions.HammingDistance.dist($a, $b);
+        if ($d == null) { ${ev.isNull} = true; } else { ${ev.value} = $d.longValue(); }
+      """
+    })
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
+}
+
+object HammingDistance {
+  /** Static so generated code and interpreted eval share one body; null
+    * (boxed) on length mismatch. Compares UTF8String bytes in place —
+    * no getBytes copy. */
+  def dist(a: UTF8String, b: UTF8String): java.lang.Long = {
+    val n = a.numBytes()
+    if (n != b.numBytes()) return null
+    var i = 0; var d = 0L
+    while (i < n) { if (a.getByte(i) != b.getByte(i)) d += 1; i += 1 }
+    java.lang.Long.valueOf(d)
+  }
 }
 
 /** Seeded ±1 random-hyperplane coefficients — the single source of truth
