@@ -439,7 +439,11 @@ object Dedup {
     * span-level answer to SCALE.md lesson 1: report PER-DOC fractions,
     * never materialize span pairs, which are quadratic in span df). */
   def dupSpans(docs: DataFrame, w: Int = SpanWidth): DataFrame = {
-    val spans = spanFps(docs, w)
+    // r14: the span stream feeds BOTH the df rollup and the join-back —
+    // un-materialized, the token-volume md5-window pass ran twice (the
+    // [[minhashLshPairs]] `sh` checkpoint precedent, guide §5 "reused AND
+    // recomputing is more expensive").
+    val spans = spanFps(docs, w).localCheckpoint()
     val dfs = spans.groupBy("fp").agg(countDistinct(col("doc_id")).as("df"))
     val per = spans.join(dfs, "fp")
       .groupBy("doc_id")

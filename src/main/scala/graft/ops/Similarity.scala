@@ -410,12 +410,17 @@ object Similarity {
       col("nrm").as("na"), col("label").as("label_a"))
     val b = q.select(col("vec_id").as("id_b"), col("qv").as("qb"),
       col("nrm").as("nb"), col("label").as("label_b"))
-    val w = Window.partitionBy("id_a", "grp").orderBy(col("sim").desc, col("id_b").asc)
+    // r14: same TopKSim(k=1) swap as [[hardTripletsOn]] — the rank window
+    // sorted all n² scored pairs per partition; the bounded aggregator
+    // reduces map-side. Row-identical by the shared (sim desc, id asc)
+    // total order (TopKPlanSwapSpec's window twin).
     val top = a.join(b, col("id_a") =!= col("id_b"))
       .withColumn("sim", simCol)
       .withColumn("grp", when(col("label_a") === col("label_b"), "pos").otherwise("neg"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+      .groupBy("id_a", "grp")
+      .agg(graft.functions.TopKSim.topk(1)(col("sim"), col("id_b")).as("top"))
+      .select(col("id_a"), col("grp"),
+        expr("top[0].id").as("id_b"), expr("top[0].sim").as("sim"))
     top.groupBy(col("id_a").as("vec_id"))
       .agg(
         max(when(col("grp") === "pos", col("id_b"))).as("pos_id"),
@@ -1458,13 +1463,20 @@ object Similarity {
   def hardTripletsOn(spark: SparkSession, dir: String,
       pairs: DataFrame): DataFrame = {
     val lab = t(spark, dir, "embeddings").select(col("vec_id"), col("label"))
-    val w = Window.partitionBy("id_a", "grp").orderBy(col("sim").desc, col("id_b").asc)
+    // r14: per-(anchor, pos/neg) best row via the bounded TopKSim
+    // aggregator at k = 1 (was a rank window + rn = 1 filter) — map-side
+    // partial reduction instead of a per-partition sort of the scored
+    // candidate stream; total order (sim desc, id asc) matches the
+    // window tie-break, so the selected row is identical
+    // (TopKPlanSwapSpec locks the whole operator to the window twin).
     val top = pairs
       .join(lab.select(col("vec_id").as("id_a"), col("label").as("label_a")), "id_a")
       .join(lab.select(col("vec_id").as("id_b"), col("label").as("label_b")), "id_b")
       .withColumn("grp", when(col("label_a") === col("label_b"), "pos").otherwise("neg"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+      .groupBy("id_a", "grp")
+      .agg(graft.functions.TopKSim.topk(1)(col("sim"), col("id_b")).as("top"))
+      .select(col("id_a"), col("grp"),
+        expr("top[0].id").as("id_b"), expr("top[0].sim").as("sim"))
     top.groupBy(col("id_a").as("vec_id"))
       .agg(
         max(when(col("grp") === "pos", col("id_b"))).as("pos_id"),
