@@ -36,5 +36,6 @@ object SessionHygiene {
     // restores the intended per-query session shape.
     spark.conf.unset("spark.sql.adaptive.coalescePartitions.minPartitionSize")
     spark.conf.unset("spark.sql.objectHashAggregate.sortBased.fallbackThreshold")
+    spark.conf.unset("spark.sql.join.preferSortMergeJoin")
   }
 }

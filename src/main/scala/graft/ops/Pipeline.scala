@@ -72,6 +72,7 @@ object Pipeline {
   private[graft] def cleanTrainStages(docs: DataFrame,
       w: Int = Dedup.SpanWidth): (DataFrame, DataFrame, DataFrame) = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
+    QueryDef.hashJoins(docs.sparkSession) // fp/id joins vs bounded sides (§3.1)
     // 1. quality cut, as a semi-join on the gated operator's survivors.
     // LAZY checkpoint: with one consumer (deduped, below) it adds only the
     // persist-while-passing cost; when the funnel also reads `kept` the

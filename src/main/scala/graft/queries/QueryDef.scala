@@ -47,7 +47,24 @@ object QueryDef {
     // for its session or accept the heap math. */
     spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
       (1 << 20).toString)
+    hashJoins(spark)
   }
+
+  /** r14 (guide §3.1/§9): let the planner pick shuffled-hash over
+    * sort-merge when its size conditions hold. The operators that call
+    * this join candidate/verify streams against aggregate-bounded sides
+    * (distinct fps, band keys, reps, cluster rollups) whose
+    * per-partition build comfortably fits — SMJ was paying two full
+    * sorts per join for nothing. NOT a local-only tuning: the planner's
+    * canBuildLocalHashMap gate (build side < threshold × partitions)
+    * and AQE's runtime replan (real sizes, not estimates) keep big×big
+    * joins on sort-merge at any scale; measured −15% on the 14
+    * SMJ-bearing queries at sf0.1 (OPTIMIZATION_r14.md). Reset by
+    * SessionHygiene.clear between queries like cpuBound's confs.
+    * Separate from [[cpuBound]] because the coalesce floor there HURTS
+    * plans with many small exchanges (q104 measured +35% under it). */
+  def hashJoins(spark: SparkSession): Unit =
+    spark.conf.set("spark.sql.join.preferSortMergeJoin", "false")
 
   /** Spread a byte-small, compute-heavy input across the cluster with a
     * REAL barrier. A plain `repartition(n)` is not enough: Catalyst pushes
