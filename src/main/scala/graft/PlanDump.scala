@@ -37,7 +37,14 @@ object PlanDump {
     names.foreach { name =>
       try {
         val df = SparkEntry.queries(name)(spark, sfDir)
-        df.write.mode("overwrite").format("noop").save() // drive AQE to the final plan
+        // r14 fix: the noop write used here before wraps the frame in a
+        // NEW QueryExecution, so `df.queryExecution` stayed un-executed
+        // and the dump showed the INITIAL adaptive plan
+        // (isFinalPlan=false) — AQE's runtime decisions (join-strategy
+        // conversion, AQEShuffleRead coalescing) never appeared.
+        // collect() drives THIS Dataset's own QueryExecution to the
+        // final plan (dump tool only — Bench keeps the noop sink).
+        df.collect()
         val plan = df.queryExecution.explainString(
           org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
         Files.writeString(Paths.get(s"$outDir/${name}_$suffix.txt"), plan)

@@ -37,5 +37,6 @@ object SessionHygiene {
     spark.conf.unset("spark.sql.adaptive.coalescePartitions.minPartitionSize")
     spark.conf.unset("spark.sql.objectHashAggregate.sortBased.fallbackThreshold")
     spark.conf.unset("spark.sql.join.preferSortMergeJoin")
+    spark.conf.unset("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold")
   }
 }

@@ -63,8 +63,18 @@ object QueryDef {
     * SessionHygiene.clear between queries like cpuBound's confs.
     * Separate from [[cpuBound]] because the coalesce floor there HURTS
     * plans with many small exchanges (q104 measured +35% under it). */
-  def hashJoins(spark: SparkSession): Unit =
+  def hashJoins(spark: SparkSession): Unit = {
     spark.conf.set("spark.sql.join.preferSortMergeJoin", "false")
+    // Static planning can only pick SHJ when the build side's ESTIMATED
+    // stats pass the size gate — joins against localCheckpointed frames
+    // (ExistingRDD, unknown stats) always fall back to SMJ there. This
+    // AQE knob converts SMJ → SHJ at RUNTIME from the REAL post-shuffle
+    // partition sizes (guide §3.1), which is the safest form of the
+    // preference: at any scale the conversion fires only when the
+    // observed per-partition build fits the threshold (≤ the 64 MB
+    // advisory partition size, as AQE requires).
+    spark.conf.set("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64m")
+  }
 
   /** Spread a byte-small, compute-heavy input across the cluster with a
     * REAL barrier. A plain `repartition(n)` is not enough: Catalyst pushes
